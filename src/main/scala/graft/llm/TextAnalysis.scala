@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * language ID, quality scoring, fingerprinting. All pure Catalyst column
+  * expressions — codegen'd, no UDF boundary, trivially distributed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. A single-space split matches the corpus generator;
+    * use [[tokensWs]] for arbitrary whitespace.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+  def tokensWs(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count (whitespace). */
+  def tokenCount(text: Column): Column = size(tokensWs(text))
+
+  /** BPE-ish subword-unit count: alphabetic runs, digit runs and single
+    * punctuation marks each count as one unit — a cheap deterministic proxy
+    * for a byte-pair tokenizer's token count.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Language ID by stopword voting: per candidate language, count tokens in
+    * its (tiny, literal) stopword set; argmax wins, 'und' when no hits.
+    * An n-gram-free heuristic that stays in codegen; sets are broadcastable
+    * literals.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val set = array(stopwords(lang).map(lit(_)): _*)
+    size(filter(tokensWs(lower(text)), t => array_contains(set, t)))
+  }
+
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted // deterministic vote order
+    val scores = langs.map(l => struct(langScore(text, l).as("s"), lit(l).as("l")))
+    val best = array_max(array(scores: _*)) // max by (score, then lang desc)
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Quality signals (length, token stats, punctuation/alpha ratios,
+    * stopword ratio) and a composite score in [0,1]. All ratios are exact
+    * integer-count divisions — deterministic across engines.
+    */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val n = length(text).cast("double")
+    val toks = tokensWs(text)
+    val nTok = size(toks).cast("double")
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val alpha = size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))).cast("double")
+    val enSet = array(stopwords("en").map(lit(_)): _*)
+    val stop = size(filter(toks, t => array_contains(enSet, lower(t)))).cast("double")
+    Seq(
+      "n_chars" -> n,
+      "n_tokens" -> nTok,
+      "mean_token_len" -> (alpha / greatest(nTok, lit(1.0))),
+      "punct_ratio" -> (punct / greatest(n, lit(1.0))),
+      "alpha_ratio" -> (alpha / greatest(n, lit(1.0))),
+      "stopword_ratio" -> (stop / greatest(nTok, lit(1.0))))
+  }
+
+  /** Composite quality score: mean of clamped signal contributions. */
+  def qualityScore(text: Column): Column = {
+    val s = qualitySignals(text).toMap
+    val lengthOk = when(s("n_chars") >= 50 && s("n_chars") <= 10000, 1.0).otherwise(0.0)
+    val alphaOk = s("alpha_ratio")
+    val punctOk = lit(1.0) - least(s("punct_ratio") * 5, lit(1.0))
+    (lengthOk + alphaOk + punctOk) / lit(3.0)
+  }
+
+  /** Document fingerprint: polynomial rolling hash of the character codes,
+    * `h = (h*131 + code(c)) mod 1e9+7` — a pure integer fold, bit-identical
+    * in any engine (the DuckDB oracle reproduces it with list_reduce).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      sequence(lit(1), length(text)),
+      lit(0L),
+      (acc, i) => pmod(acc * lit(131L) + ascii(substring(text, i, lit(1))).cast("long"), lit(1000000007L)))
+
+  /** Character n-gram set (distinct), for Jaccard-style similarity. */
+  def charNgrams(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
+      i => substring(text, i, lit(n))))
+
+  /** Word n-gram ("shingle") set (distinct). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokensWs(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Jaccard similarity of two distinct-element arrays: |∩| / |∪| with
+    * |∪| = |A| + |B| − |∩| — integer counts, exact division.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter).cast("double")
+  }
+}

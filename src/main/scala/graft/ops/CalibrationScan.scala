@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.control.Breaks.{break, breakable}
+
+/** ST1 — calibration-spike locator (ref utils.py:126-214), the one operator
+  * whose semantics are inherently order-dependent.
+  *
+  * Design for scale: the state machine is sequential *within one file* (a few
+  * thousand rows) but embarrassingly parallel *across files*. [[scanDataset]]
+  * therefore groups by FILE_ID and runs the exact scalar scan per group —
+  * only the three flag columns + row index are shuffled (the wide `DATA`
+  * array is pruned away by Catalyst), so at 100 TB the shuffle carries a few
+  * bytes per row. A global window/sort formulation would serialize the whole
+  * table through one ordering for no benefit.
+  *
+  * [[scan]] is a literal port of the reference's quirks, pinned by tests:
+  *  - `data_start_ind` truthiness (index 0 never triggers the counter reset,
+  *    ref utils.py:171);
+  *  - the valid-row counter never resets across abandoned starts
+  *    (ref utils.py:165-173);
+  *  - post-cal candidate resets on every non-matching row so mid-observation
+  *    blips don't count (ref utils.py:160-163);
+  *  - `if not post_cal_start_ind` truthiness: a post-cal start at index 0 is
+  *    replaced by `len−1` (ref utils.py:200-201);
+  *  - fallback rescan when no pre-cal spike exists (ref utils.py:180-198).
+  */
+object CalibrationScan {
+
+  /** Flag triple per row, in time order. */
+  final case class Flags(calstate: Int, swpvalid: Int, obsmode: String)
+
+  /** The three indices the reference returns (ref utils.py:214). */
+  final case class CalIndices(dataStart: Option[Int], postCalStart: Int, offStart: Option[Int])
+
+  /** Exact scalar port of `find_calibrations` (ref utils.py:126-214). */
+  def scan(rows: IndexedSeq[Flags], channelCount: Long, headerObsmode: String): CalIndices = {
+    var dataStart: Option[Int] = None
+    var postCal: Option[Int] = None
+    var counter = 0L
+    var calStarted = false
+    var preCalComplete = false
+
+    breakable {
+      var ind = 0
+      while (ind < rows.length) {
+        val r = rows(ind)
+        if (r.calstate == 1) calStarted = true
+        if (calStarted && r.calstate == 0 && r.swpvalid == 1 && !preCalComplete) {
+          dataStart = Some(ind); preCalComplete = true
+        }
+        if (ind > 0 && preCalComplete && r.swpvalid == 0 && rows(ind - 1).swpvalid == 0) {
+          if (postCal.isEmpty) postCal = Some(ind - 1)
+        } else postCal = None
+        if (preCalComplete && r.calstate == 0 && r.swpvalid == 1) counter += 1
+        // Literal truthiness port: Python `and data_start_ind` is false for
+        // both None and 0 (ref utils.py:171).
+        if (counter <= 3 * channelCount && r.swpvalid == 0 && dataStart.exists(_ != 0)) {
+          dataStart = None; preCalComplete = false
+        }
+        if (preCalComplete && r.swpvalid == 0 && r.calstate == 1) break()
+        ind += 1
+      }
+    }
+
+    // Fallback: no pre-cal spike found — data starts at row 0, rescan for the
+    // post-cal run only (ref utils.py:180-198). postCal is already None here:
+    // the first pass's else-reset fired on every row while preCalComplete was
+    // false.
+    if (!preCalComplete) {
+      dataStart = Some(0)
+      breakable {
+        var ind = 0
+        while (ind < rows.length) {
+          val r = rows(ind)
+          if (ind > 0 && r.swpvalid == 0 && rows(ind - 1).swpvalid == 0) {
+            if (postCal.isEmpty) postCal = Some(ind - 1)
+          } else postCal = None
+          if (r.swpvalid == 0 && r.calstate == 1) break()
+          ind += 1
+        }
+      }
+    }
+
+    // `if not post_cal_start_ind` — None OR 0 both fall back to len−1
+    // (ref utils.py:200-201).
+    val postCalFinal = postCal.filter(_ != 0).getOrElse(rows.length - 1)
+
+    // off_start_index: first row whose OBSMODE contains 'onoff:off', only for
+    // onoff-mode files (ref utils.py:203-212).
+    val offStart =
+      if (headerObsmode == "onoff") {
+        val j = indexWhereContains(rows)
+        if (j < 0) None else Some(j)
+      } else None
+
+    CalIndices(dataStart, postCalFinal, offStart)
+  }
+
+  private def indexWhereContains(rows: IndexedSeq[Flags]): Int = {
+    var i = 0
+    while (i < rows.length) {
+      val m = rows(i).obsmode
+      if (m != null && m.contains("onoff:off")) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Driver-side variant for a single-file DataFrame: collects ONLY the flag
+    * columns ordered by the explicit row index (column pruning keeps the wide
+    * DATA array out of the scan entirely — ref SURVEY §4.2), then runs the
+    * exact scan. Collected payload is ~12 bytes/row: fine for per-file row
+    * counts, never applied to an unbounded table.
+    */
+  def scanSingleFile(
+      df: DataFrame,
+      channelCount: Long,
+      headerObsmode: String,
+      orderCol: String = "ROWIDX"): CalIndices = {
+    val rows = df
+      .select(col(orderCol), col("CALSTATE"), col("SWPVALID"), col("OBSMODE"))
+      .orderBy(col(orderCol))
+      .collect()
+      .map(r => Flags(r.getInt(1), r.getInt(2), r.getString(3)))
+      .toIndexedSeq
+    scan(rows, channelCount, headerObsmode)
+  }
+
+  /** Scale path: one scan per file, parallel across files. Input needs
+    * FILE_ID + ROWIDX + the three flag columns; everything else is pruned
+    * before the shuffle. Returns one row per file with the three indices.
+    */
+  def scanPerFile(
+      df: DataFrame,
+      channelCount: Long,
+      headerObsmode: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col("FILE_ID").cast("string"),
+        col("ROWIDX").cast("long"),
+        col("CALSTATE").cast("int"),
+        col("SWPVALID").cast("int"),
+        col("OBSMODE").cast("string"))
+      .as[(String, Long, Int, Int, String)]
+      .groupByKey(_._1)
+      .mapGroups { (file, it) =>
+        val rows = it.toArray.sortBy(_._2).map(t => Flags(t._3, t._4, t._5)).toIndexedSeq
+        val r = scan(rows, channelCount, headerObsmode)
+        def box(o: Option[Int]): java.lang.Long =
+          o.map(i => java.lang.Long.valueOf(i.toLong)).orNull
+        (file, box(r.dataStart), r.postCalStart.toLong, box(r.offStart))
+      }
+      .toDF("FILE_ID", "data_start", "post_cal_start", "off_start")
+  }
+}

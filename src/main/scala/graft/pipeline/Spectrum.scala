@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{ArrayOps, VectorSum}
+import graft.model.HeaderRecord
+import graft.model.HeaderRecord.Header
+import graft.ops._
+
+/** Entry point 3 — the spectrum reduction (ref spectrum.py:46-71):
+  * F1+F2 filter → optional F6/F7 → ST1 off-transition index → A2 time-axis
+  * integration (ON and OFF halves for onoff files) → A10 difference.
+  * Returns one row per channel: (pos, frequency, intensity).
+  *
+  * One shuffle total: the A2 aggregate (map-side partial vector sums via the
+  * custom Aggregator — the shuffle carries one array per partition, not
+  * n_rows × n_channels exploded rows).
+  */
+object Spectrum {
+
+  final case class Params(
+      ifnum: Int,
+      plnum: Int,
+      includeFreq: Seq[(Double, Double)] = Nil,
+      excludeFreq: Seq[(Double, Double)] = Nil,
+      includeTime: Seq[(Double, Double)] = Nil,
+      excludeTime: Seq[(Double, Double)] = Nil)
+
+  def run(df: DataFrame, header: Header, p: Params): DataFrame = {
+    val spark = df.sparkSession
+    val channelCount = Integration.sweepInterleaveFactor(df)
+
+    // F1+F2 — feed/pol + science-data filter (spectrum.py:28-33).
+    var d = df.filter(
+      col("IFNUM") === p.ifnum && col("PLNUM") === p.plnum &&
+      col("CALSTATE") === 0 && col("SWPVALID") === 0)
+
+    d = RangeFilters.filterTimeRanges(d, lit(header.date), p.includeTime, p.excludeTime)
+
+    val fr = HeaderRecord.frequencyRange(header, p.ifnum)
+    val axis = ArrayOps.freqAxis(fr.high, fr.low, fr.channelCount)
+    val (freqs, d2) = RangeFilters.filterFrequencyRanges(d, axis, p.includeFreq, p.excludeFreq)
+
+    val flagged = d2.withColumn("__pos",
+      row_number().over(Window.partitionBy(col("FILE_ID")).orderBy(col("ROWIDX"))) - 1)
+
+    val idx = CalibrationScan.scanSingleFile(flagged, channelCount, header.obsmode, "ROWIDX")
+
+    // A2 (+ A10 for onoff): aggregate both halves in ONE pass by grouping on
+    // the on/off flag, then zip-subtract the two 1-row arrays.
+    val spec: DataFrame = idx.offStart.filter(_ != 0) match { // Python truthiness: off index 0 = falsy (spectrum.py:62)
+      case Some(off) =>
+        val halves = flagged
+          .groupBy((col("__pos") < off).as("on"))
+          .agg(VectorSum.vecSum(ArrayOps.fillNulls(col("DATA"))).as("s"))
+        halves.filter(col("on")).crossJoin(halves.filter(!col("on")).select(col("s").as("s_off")))
+          .select(ArrayOps.vecDiff(col("s"), col("s_off")).as("spectrum"))
+      case None =>
+        flagged.agg(VectorSum.vecSum(ArrayOps.fillNulls(col("DATA"))).as("spectrum"))
+    }
+
+    // Attach the frequency axis: (pos, frequency, intensity) per channel.
+    val freqLit = array(freqs.map(lit(_)).toIndexedSeq: _*)
+    spec.select(posexplode(col("spectrum")).as(Seq("pos", "intensity")))
+      .withColumn("frequency", element_at(freqLit, col("pos") + 1))
+      .select(col("pos"), col("frequency"), col("intensity"))
+      .orderBy(col("pos"))
+  }
+}

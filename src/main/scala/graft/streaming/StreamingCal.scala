@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.{ArrayOps, VectorSum}
+
+/** Structured Streaming extensions (SURVEY §2.10 — additions beyond the
+  * batch-only reference): the ST1 diode-spike state machine as
+  * `flatMapGroupsWithState` keyed by file, and watermarked time-windowed A2
+  * spectra. Both reuse the batch operators' semantics.
+  */
+object StreamingCal {
+
+  final case class CalRow(fileId: String, rowIdx: Long, calstate: Int, swpvalid: Int)
+  final case class SpikeSegment(fileId: String, startIdx: Long, endIdx: Long, rows: Long)
+  final case class ScanState(inSpike: Boolean, startIdx: Long, lastIdx: Long, count: Long)
+
+  /** Streaming diode-spike segmenter: emits one record per completed
+    * CALSTATE==1 run. The per-file state is O(1); rows may arrive across many
+    * micro-batches. (The full ST1 "last post-cal run" semantics need the
+    * whole file and stay batch; this is the incremental analog that tags
+    * spikes as they close.)
+    */
+  def spikeSegments(rows: Dataset[CalRow]): Dataset[SpikeSegment] = {
+    implicit val stateEnc = Encoders.product[ScanState]
+    implicit val outEnc = Encoders.product[SpikeSegment]
+    rows.groupByKey(_.fileId)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (fileId: String, it: Iterator[CalRow], state: GroupState[ScanState]) => {
+          val sorted = it.toSeq.sortBy(_.rowIdx)
+          var s = state.getOption.getOrElse(ScanState(inSpike = false, -1L, -1L, 0L))
+          val out = Seq.newBuilder[SpikeSegment]
+          sorted.foreach { r =>
+            if (r.calstate == 1) {
+              s = if (s.inSpike) s.copy(lastIdx = r.rowIdx, count = s.count + 1)
+                  else ScanState(inSpike = true, r.rowIdx, r.rowIdx, 1L)
+            } else if (s.inSpike) {
+              out += SpikeSegment(fileId, s.startIdx, s.lastIdx, s.count)
+              s = ScanState(inSpike = false, -1L, -1L, 0L)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+        })
+  }
+
+  /** Watermarked, windowed A2: element-wise vector sum of DATA per
+    * (window, group). Map-side partial aggregation via the same custom
+    * Aggregator as batch; late data beyond the watermark is dropped.
+    */
+  def windowedSpectra(
+      df: DataFrame,
+      tsCol: String,
+      windowDur: String,
+      watermark: String,
+      dataCol: String = "DATA"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(VectorSum.vecSum(ArrayOps.fillNulls(col(dataCol))).as("spectrum"))
+}

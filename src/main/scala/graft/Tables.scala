@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Parquet table loader for the driver corpus (TESTDATA.md) and any staged
   * output. One file per table: `{dir}/{name}.parquet`.
@@ -12,4 +14,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` ships with INT64 TIMESTAMP(NANOS) — a parquet type Spark 4
+    * refuses outright ([PARQUET_TYPE_ILLEGAL]). Read the nanos as a long
+    * (legacy conf) and truncate to microseconds, which matches DuckDB's
+    * `epoch_us`/`epoch_ms` truncation on the same column, so oracle
+    * comparisons on derived integer times are exact.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(spark, dir, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 }

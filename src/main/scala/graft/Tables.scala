@@ -16,13 +16,18 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events` ships with INT64 TIMESTAMP(NANOS) — a parquet type Spark 4
-    * refuses outright ([PARQUET_TYPE_ILLEGAL]). Read the nanos as a long
-    * (legacy conf) and truncate to microseconds, which matches DuckDB's
-    * `epoch_us`/`epoch_ms` truncation on the same column, so oracle
-    * comparisons on derived integer times are exact.
+    * refuses outright ([PARQUET_TYPE_ILLEGAL]). Sessions that read it must
+    * set `spark.sql.legacy.parquet.nanosAsLong=true` AT BUILD TIME (Verify,
+    * Bench and the test harness all do) so the nanos arrive as a long; this
+    * loader then truncates to microseconds, which matches DuckDB's
+    * `epoch_us` truncation on the same column, so oracle comparisons on
+    * derived integer times are exact. The conf is required at session build
+    * rather than set here: a mid-session `conf.set` would silently change
+    * the behavior of every other parquet read (round-2 verdict finding #6).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
     val df = load(spark, dir, "events")
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

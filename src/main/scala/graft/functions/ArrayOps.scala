@@ -22,9 +22,13 @@ object ArrayOps {
   def arraySum(data: Column): Column =
     aggregate(data, lit(0.0), (acc, x) => acc + coalesce(x.cast("double"), lit(0.0)))
 
-  /** Mean over non-null elements of the array (numpy masked mean analog). */
+  /** Mean over non-null elements of the array (numpy masked mean analog).
+    * Inputs are NULL-masked (see [[maskNaN]]) — NaN never reaches this point,
+    * so the count only needs a null check; the sum coalesces NULL→0 while the
+    * count skips NULLs, which together give the masked mean.
+    */
   def arrayMean(data: Column): Column = {
-    val n = aggregate(data, lit(0L), (acc, x) => acc + when(x.isNotNull && !isnan(x), 1L).otherwise(0L))
+    val n = aggregate(data, lit(0L), (acc, x) => acc + when(x.isNotNull, 1L).otherwise(0L))
     arraySum(data) / when(n > 0, n.cast("double"))
   }
 

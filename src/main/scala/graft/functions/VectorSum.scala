@@ -35,8 +35,13 @@ object VectorSumAgg extends Aggregator[Seq[Double], Array[Double], Seq[Double]] 
   override def reduce(acc: Array[Double], row: Seq[Double]): Array[Double] =
     addInto(acc, row)
 
-  override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
-    addInto(a, b.toSeq)
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    // Primitive while-loop (no boxing): merge runs once per shuffle block.
+    val (base, add) = if (a.length >= b.length) (a, b) else (b, a)
+    var i = 0
+    while (i < add.length) { base(i) += add(i); i += 1 }
+    base
+  }
 
   override def finish(acc: Array[Double]): Seq[Double] = acc.toSeq
 

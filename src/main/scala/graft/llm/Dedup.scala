@@ -27,13 +27,36 @@ object Dedup {
   }
 
   /** MinHash signature over word shingles: sig[i] = min over shingles of
-    * murmur3(shingle, seed=i). Pure Catalyst (`hash` with a per-slot salt
-    * inside nested HOFs) — no UDF, codegen'd, embarrassingly parallel.
+    * murmur3(shingle, seed=i), as a per-row column expression. NOTE: nested
+    * higher-order functions evaluate INTERPRETED (no codegen) — fine for a
+    * single row/column, but candidate generation uses the explode+aggregate
+    * formulation in [[minhashSignatures]], which is ~50× faster.
     */
   def minhashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column = {
     val shingles = TextAnalysis.wordNgrams(text, shingleSize)
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingles, s => hash(s, i))))
+  }
+
+  /** MinHash signatures as a codegen'd aggregation: explode shingles to rows,
+    * compute the numHashes salted murmur3 columns in one whole-stage-codegen
+    * projection, groupBy(id) with map-side partial `min`s — the shuffle
+    * carries one (id, numHashes ints) row per doc per partition, and no
+    * interpreted HOF runs anywhere. Same values as [[minhashSignature]].
+    * Docs with fewer than `shingleSize` tokens have no shingles and drop out
+    * (they cannot be near-duplicates under this measure).
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      shingleSize: Int = 3): DataFrame = {
+    val shingled = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.wordNgrams(col(textCol), shingleSize)).as("sh"))
+    val mins = (0 until numHashes).map(i => min(hash(col("sh"), lit(i))).as(s"h$i"))
+    shingled.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** LSH band keys from a MinHash signature: hash of each band's slice.
@@ -58,23 +81,25 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"), minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
     val banded = sigs.select(col("id"), col("sig"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
     val a = banded.alias("a")
     val b = banded.alias("b")
+    // est_jaccard is computed BEFORE the distinct and the signatures dropped,
+    // so the dedup shuffle carries (id_a, id_b, est) ≈ 24 bytes per candidate
+    // instead of two 64-slot signatures (~1 KB).
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), e => e))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
       .distinct()
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), e => e))
-          .cast("double") / lit(numHashes.toDouble))
-      .drop("sig_a", "sig_b")
   }
 
   /** SimHash (64-bit): per bit position, sum +1/−1 votes of each token's
     * xxhash64 bit; the sign pattern packs into one long. Near-duplicates have
-    * small Hamming distance (`bit_count(a ^ b)`).
+    * small Hamming distance (`bit_count(a ^ b)`). Per-row column form —
+    * interpreted nested HOFs; candidate generation uses [[simhashSignatures]].
     */
   def simhash64(text: Column): Column = {
     val hashes = transform(TextAnalysis.tokensWs(text), t => xxhash64(t))
@@ -87,17 +112,47 @@ object Dedup {
         call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
   }
 
-  /** SimHash near-dup candidates, bucketed by the high 16 bits (block-
-    * permutation LSH would widen recall; one block keeps the join equi).
+  /** SimHash signatures as a codegen'd aggregation (same values as
+    * [[simhash64]]): explode tokens (duplicates kept — votes are weighted by
+    * occurrence), one xxhash64 per token row, 64 conditional-sum vote
+    * columns (map-side partial aggregation), sign-pack on the aggregated
+    * row. No interpreted HOF; the shuffle carries one row per doc.
+    */
+  def simhashSignatures(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokensWs(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
+    toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+  }
+
+  /** SimHash near-dup candidates via Hamming-LSH banding: the 64 bits split
+    * into 4 disjoint 16-bit bands; docs sharing ANY band key are candidates
+    * (explode 4 (band, key) rows per doc, equi-join on (band, key) — same
+    * shape as [[minhashCandidates]]). By pigeonhole, any pair with hamming
+    * ≤ 3 shares at least one intact band and is always found; h ≤ 8 pairs
+    * are found unless every band is hit.
+    *
+    * (Round-2 bucketing on only the top 16 bits missed any pair whose
+    * differing bits fell in the low 48 — ~70% of hamming-4 pairs.)
     */
   def simhashCandidates(df: DataFrame, idCol: String = "doc_id", textCol: String = "text", maxHamming: Int = 8): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
-    val bucketed = sigs.withColumn("bucket", shiftright(col("sim"), 48))
-    val a = bucketed.alias("a"); val b = bucketed.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    val sigs = simhashSignatures(df, idCol, textCol)
+    val banded = sigs.select(col("id"), col("sim"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("key")))).as("bk"))
+      .select(col("id"), col("sim"), col("bk.band"), col("bk.key"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** n-gram Jaccard near-dup: candidates from a cheap blocking key (here:

@@ -50,10 +50,49 @@ object Similarity {
       when(ArrayOps.dot(emb, pl) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** ANN top-k: restrict the exact cosine scan to buckets within `probes`
-    * Hamming distance of the query's bucket (multi-probe LSH). The bucket
-    * filter prunes the scan to ~n/2^planes × (probed buckets) rows; exact
-    * cosine then ranks the candidates.
+  /** Precompute the LSH bucket as a stored column. At scale this is written
+    * once (and the table bucketed/partitioned by it) so ANN queries prune
+    * I/O instead of recomputing n·planes dot products per query.
+    */
+  def withLshBucket(
+      df: DataFrame,
+      planes: Array[Array[Double]],
+      embCol: String = "embedding",
+      bucketCol: String = "lsh_bucket"): DataFrame =
+    df.withColumn(bucketCol, lshBucket(col(embCol), planes))
+
+  /** The driver-side bucket of a query vector (bit j = sign(q · h_j)). */
+  def queryBucket(query: Array[Double], planes: Array[Array[Double]]): Long =
+    planes.zipWithIndex.map { case (p, j) =>
+      val d = p.zip(query).map { case (a, b) => a * b }.sum
+      if (d >= 0) 1L << j else 0L
+    }.sum
+
+  /** ANN top-k over a frame that already carries a [[withLshBucket]] column:
+    * restrict the exact cosine scan to buckets within `probeHamming` of the
+    * query's bucket (multi-probe LSH), then rank candidates by exact cosine.
+    * With the bucket stored (and the table partitioned by it) the filter is
+    * partition pruning, not a scan.
+    */
+  def annTopKBucketed(
+      df: DataFrame,
+      query: Array[Double],
+      planes: Array[Array[Double]],
+      k: Int,
+      probeHamming: Int = 1,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      bucketCol: String = "lsh_bucket"): DataFrame = {
+    val qBucket = queryBucket(query, planes)
+    df.filter(bit_count(col(bucketCol).bitwiseXOR(lit(qBucket))) <= probeHamming)
+      .select(col(idCol), cosineToQuery(col(embCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** ANN top-k computing the bucket on the fly (no stored column): correct
+    * but pays an O(n·planes) pass — prefer [[annTopKBucketed]] over a
+    * [[withLshBucket]]-prepared table at scale.
     */
   def annTopK(
       df: DataFrame,
@@ -62,17 +101,9 @@ object Similarity {
       k: Int,
       probeHamming: Int = 1,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val qBucket = planes.zipWithIndex.map { case (p, j) =>
-      val d = p.zip(query).map { case (a, b) => a * b }.sum
-      if (d >= 0) 1L << j else 0L
-    }.sum
-    df.select(col(idCol), col(embCol), lshBucket(col(embCol), planes).as("bucket"))
-      .filter(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
-      .select(col(idCol), cosineToQuery(col(embCol), query).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
-  }
+      embCol: String = "embedding"): DataFrame =
+    annTopKBucketed(withLshBucket(df, planes, embCol), query, planes, k,
+      probeHamming, idCol, embCol)
 
   /** All-pairs near-duplicate candidates by embedding cosine: bucket join on
     * the LSH key (equi-join, shuffle O(n)), exact cosine on candidates only.

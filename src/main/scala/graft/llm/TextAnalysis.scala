@@ -82,25 +82,37 @@ object TextAnalysis {
   /** Document fingerprint: polynomial rolling hash of the character codes,
     * `h = (h*131 + code(c)) mod 1e9+7` — a pure integer fold, bit-identical
     * in any engine (the DuckDB oracle reproduces it with list_reduce).
+    * Folds over `split(text, "")` so each step is O(1); the earlier
+    * `substring(text, i, 1)` form re-seeked from the string start per
+    * character, O(len²) per row.
     */
   def fingerprint(text: Column): Column =
     aggregate(
-      sequence(lit(1), length(text)),
+      split(text, ""),
       lit(0L),
-      (acc, i) => pmod(acc * lit(131L) + ascii(substring(text, i, lit(1))).cast("long"), lit(1000000007L)))
+      (acc, c) => pmod(acc * lit(131L) + ascii(c).cast("long"), lit(1000000007L)))
 
-  /** Character n-gram set (distinct), for Jaccard-style similarity. */
+  /** Character n-gram set (distinct), for Jaccard-style similarity.
+    * Inputs shorter than n yield an empty set (guarded: Spark `sequence(1,0)`
+    * counts DOWN, so the upper bound must never fall below the lower).
+    */
   def charNgrams(text: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-      i => substring(text, i, lit(n))))
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => substring(text, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
-  /** Word n-gram ("shingle") set (distinct). */
+  /** Word n-gram ("shingle") set (distinct). Fewer than n tokens yields an
+    * empty set (same descending-`sequence` guard as [[charNgrams]]).
+    */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokensWs(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Jaccard similarity of two distinct-element arrays: |∩| / |∪| with

@@ -36,9 +36,11 @@ object Integration {
     * pols ≤ 4); `approx_count_distinct` is the 100 TB substitute if ever
     * applied to an unbounded column.
     */
+  def sweepInterleaveDF(df: DataFrame, ifCol: String = "IFNUM", plCol: String = "PLNUM"): DataFrame =
+    df.agg((countDistinct(col(ifCol)) * countDistinct(col(plCol))).as("k"))
+
   def sweepInterleaveFactor(df: DataFrame): Long =
-    df.agg((countDistinct(col("IFNUM")) * countDistinct(col("PLNUM"))).as("k"))
-      .head().getLong(0)
+    sweepInterleaveDF(df).head().getLong(0)
 
   /** A10 — ON−OFF element-wise difference of two spectra (ref spectrum.py:63-67). */
   def onOffDiff(on: Column, off: Column): Column = ArrayOps.vecDiff(on, off)

@@ -15,9 +15,13 @@ object RangeFilters {
   /** Relative-seconds column: `DATE_OBS − t0` in seconds (C4,
     * ref utils.py:114-117, 245-247). Computed in microsecond integer space
     * then divided — keeps sub-second precision without double-rounding drift.
+    * Accepts both TIMESTAMP and TIMESTAMP_NTZ inputs (the cast is a no-op on
+    * the former; on the latter, wall-clock under the session zone — UTC in
+    * every harness session — so it matches DuckDB's naive `epoch_us`).
     */
   def relSeconds(ts: Column, t0: Column): Column =
-    (unix_micros(ts) - unix_micros(t0)).cast("double") / 1e6
+    (unix_micros(ts.cast("timestamp")) - unix_micros(t0.cast("timestamp")))
+      .cast("double") / 1e6
 
   /** F6 — time-range include/exclude (ref utils.py:239-271). Bounds are
     * exclusive. Include ranges OR together; exclude ranges AND-NOT together.

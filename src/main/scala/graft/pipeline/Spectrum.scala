@@ -51,11 +51,16 @@ object Spectrum {
     // the on/off flag, then zip-subtract the two 1-row arrays.
     val spec: DataFrame = idx.offStart.filter(_ != 0) match { // Python truthiness: off index 0 = falsy (spectrum.py:62)
       case Some(off) =>
-        val halves = flagged
+        // ONE aggregation pass: group on the on/off flag, then fold the two
+        // rows with first(when(...)) — a filter+crossJoin here would run the
+        // whole A2 aggregate twice.
+        flagged
           .groupBy((col("__pos") < off).as("on"))
           .agg(VectorSum.vecSum(ArrayOps.fillNulls(col("DATA"))).as("s"))
-        halves.filter(col("on")).crossJoin(halves.filter(!col("on")).select(col("s").as("s_off")))
-          .select(ArrayOps.vecDiff(col("s"), col("s_off")).as("spectrum"))
+          .agg(
+            first(when(col("on"), col("s")), ignoreNulls = true).as("s_on"),
+            first(when(!col("on"), col("s")), ignoreNulls = true).as("s_off"))
+          .select(ArrayOps.vecDiff(col("s_on"), col("s_off")).as("spectrum"))
       case None =>
         flagged.agg(VectorSum.vecSum(ArrayOps.fillNulls(col("DATA"))).as("spectrum"))
     }

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.VerifiedRead
+import QueryUtil._
+
+/** Driver-contract queries for the training-data-pipeline operator families
+  * (dedup, similarity search, text analysis, multimodal plumbing) plus the
+  * S2 verified read and the streaming-shaped events aggregation.
+  *
+  * Near-dup corpora: the driver's `documents` table has no exact duplicates,
+  * so candidate-pair queries run over [[aug]] — the corpus unioned with a
+  * deterministically mutated copy (id + 1,000,000, three words appended) —
+  * guaranteeing every variant has true near-duplicate pairs to find.
+  */
+object LlmQueries {
+
+  /** documents ∪ mutated copy (near-dup planted per doc). */
+  private def aug(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.union(d.select(col("doc_id") + 1000000L, concat(col("text"), lit(" graft dup tail"))))
+  }
+
+  private val augSql =
+    "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text || ' graft dup tail' FROM documents"
+
+  /** e1 unit query vector (dim 64 — the corpus embedding width). */
+  private val e1: Array[Double] = { val a = new Array[Double](64); a(0) = 1.0; a }
+
+  def queries: Map[String, Q] = Map(
+    // --- deduplication ------------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir)).orderBy(col("content_hash"))),
+
+    "q_dedup_exact_rows" -> ((s, dir) =>
+      Dedup.exactDedup(docs(s, dir)).select(col("doc_id")).orderBy(col("doc_id"))),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      // Spark murmur3 isn't reproducible in DuckDB → rows-only check; the
+      // planted near-dups guarantee non-empty candidates at est_jaccard ≥ 0.5.
+      Dedup.minhashCandidates(aug(s, dir))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(aug(s, dir), maxHamming = 12)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(aug(s, dir),
+          blockKey = substring(col("text"), 1, 20), n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // --- similarity search --------------------------------------------------
+    "q_sim_bruteforce" -> ((s, dir) =>
+      Similarity.bruteForceTopK(emb(s, dir), e1, k = 10)),
+
+    "q_sim_ann" -> ((s, dir) => {
+      // LSH planes are a seeded driver-side construct → rows-only check.
+      val planes = Similarity.hyperplanes(numPlanes = 12, dim = 64)
+      Similarity.annTopK(emb(s, dir), e1, planes, k = 10, probeHamming = 5)
+    }),
+
+    "q_sim_neardup" -> ((s, dir) => {
+      val planes = Similarity.hyperplanes(numPlanes = 12, dim = 64)
+      val e = emb(s, dir)
+      val withCopies = e.select(col("vec_id"), col("embedding"))
+        .union(e.select(col("vec_id") + 1000000L, col("embedding")))
+      Similarity.cosineNearDupCandidates(withCopies, planes, threshold = 0.99)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- text analysis ------------------------------------------------------
+    "q_text_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_id"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_ngrams" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          size(TextAnalysis.wordNgrams(col("text"), 2)).cast("long").as("n_bigrams"),
+          size(TextAnalysis.charNgrams(col("text"), 5)).cast("long").as("n_char5"))
+        .orderBy(col("doc_id"))),
+
+    // --- multimodal plumbing (stub decode — codecs absent in this env) ------
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.decodeKernel(
+          docs(s, dir).select(col("doc_id").as("id"), lit("image").as("media_type"),
+            col("text").cast("binary").as("payload")))
+        .toDF()
+        .select(col("id"), col("mediaType"), col("byteLen"), col("checksum"), col("featureDim"))
+        .orderBy(col("id"))),
+
+    // --- streaming-shaped events aggregation (batch replica of the
+    //     Structured Streaming windowed plan in streaming/StreamingCal) ------
+    "q_events_window" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        .select(col("event_type"), unix_micros(col("window.start")).as("win_us"),
+          col("n"), col("vmin"), col("vmax"))
+        .orderBy(col("event_type"), col("win_us"))),
+
+    // --- S2: verified read --------------------------------------------------
+    "q_s2_verified_read" -> ((s, dir) =>
+      VerifiedRead.parquet(s, s"$dir/lineitem.parquet", StructType(Seq(
+          StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+          StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+          StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+          StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+          StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+          StructField("l_shipdate", TimestampNTZType))))
+        .agg(count(lit(1)).as("n")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q_dedup_exact_rows" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH aug AS ($augSql),
+        |p AS (SELECT doc_id AS id, substr(text, 1, 20) AS block,
+        |    CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+        |        i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')))
+        |      ELSE [] END AS grams
+        |  FROM aug),
+        |j AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |    CAST(len(a.grams) + len(b.grams) - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS DOUBLE) AS jaccard
+        |  FROM p a JOIN p b ON a.block = b.block AND a.id < b.id)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sim_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS d,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS n
+        |  FROM embeddings)
+        |SELECT vec_id, d / (n * CAST(1.0 AS DOUBLE)) AS cosine FROM e
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |v AS (SELECT doc_id,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','es','un'], x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un','une'], x))) AS s_fr,
+        |    len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |  WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+        |  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |  WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |  WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |  ELSE 'de' END AS lang_id
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  (CASE WHEN CAST(length(text) AS DOUBLE) >= 50 AND CAST(length(text) AS DOUBLE) <= 10000
+        |     THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |   + CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |   + (CAST(1.0 AS DOUBLE) - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)) * 5, CAST(1.0 AS DOUBLE)))
+        |  ) / CAST(3.0 AS DOUBLE) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_ngrams" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN len(toks) >= 2
+        |    THEN len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))))
+        |    ELSE 0 END AS BIGINT) AS n_bigrams,
+        |  CAST(CASE WHEN length(text) >= 5
+        |    THEN len(list_distinct(list_transform(range(1, length(text) - 3), i -> text[i:i+4])))
+        |    ELSE 0 END AS BIGINT) AS n_char5
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT event_type,
+        |  CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS win_us,
+        |  CAST(count(*) AS BIGINT) AS n, min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY event_type, win_us ORDER BY event_type, win_us""".stripMargin,
+
+    "q_s2_verified_read" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem"
+  )
+}

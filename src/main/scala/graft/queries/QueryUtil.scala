@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Shared builders for the driver-contract queries (`SparkEntry.queries`).
+  *
+  * The driver's correctness corpus is TPC-H-ish (TESTDATA.md), while the
+  * reference operates on SDFITS observation cubes — so these helpers project
+  * the corpus into the observation shape deterministically: `DATA` array
+  * columns synthesized from lineitem numerics, observation flags synthesized
+  * from key arithmetic. Every derivation is expressible in the DuckDB oracle
+  * SQL, which is what makes the operator results hash-checkable.
+  *
+  * Exactness discipline (the driver hash-compares against DuckDB):
+  *  - per-row arithmetic uses the same IEEE op sequence on both sides →
+  *    bit-exact;
+  *  - cross-row double sums only ever aggregate integer-valued doubles
+  *    (exact at any summation order, so Spark's partial aggregation and
+  *    DuckDB's sequential sum agree bit-for-bit);
+  *  - the few transcendental kernels (exp/pow/sin) are rounded to 6 decimals
+  *    on BOTH sides, absorbing possible last-ulp libm differences.
+  */
+object QueryUtil {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def li(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "lineitem")
+  def ord(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "orders")
+  def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+  def emb(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
+  def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** 4-channel DATA vector from lineitem numerics (per-row ops only — the
+    * price/discount elements are NOT exact under cross-row summation).
+    */
+  def data4: Column =
+    array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+
+  /** Oracle-side rendering of [[data4]]. */
+  val data4Sql = "[l_quantity, l_extendedprice, l_discount, l_tax]"
+
+  /** Integer-valued 3-channel DATA vector — exact under any summation order,
+    * used wherever a query aggregates across rows.
+    */
+  def int3: Column =
+    array(col("l_quantity"), col("l_linenumber").cast("double"),
+      (col("l_partkey") % 7).cast("double"))
+
+  /** Integer-valued 4-channel variant for the 4-channel spectrum pipeline. */
+  def int4: Column =
+    array(col("l_quantity"), col("l_linenumber").cast("double"),
+      (col("l_partkey") % 7).cast("double"), (col("l_suppkey") % 5).cast("double"))
+
+  /** Single-file observation frame, continuum-flavored flag pattern:
+    * rows [0,8) diode-on spike, [8,16) diode-off spike, [16, L−16) science
+    * data, [L−16, L−8) post-cal diode-off, [L−8, L) post-cal diode-on.
+    * Designed so ST1 resolves data_start=16, post_cal_start=L−16.
+    */
+  def obsContinuum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+    val n = Window.partitionBy(lit(1))
+    li(s, dir)
+      .withColumn("ROWIDX", (row_number().over(w) - 1).cast("long"))
+      .withColumn("__n", count(lit(1)).over(n))
+      .select(
+        lit("0").as("FILE_ID"),
+        col("ROWIDX"),
+        expr("timestampadd(SECOND, ROWIDX, TIMESTAMP '2024-01-01 00:00:00')").as("DATE_OBS"),
+        data4.as("DATA"),
+        lit(0).as("IFNUM"),
+        lit(1).as("PLNUM"),
+        when(col("ROWIDX") < 8 || col("ROWIDX") >= col("__n") - 8, 1).otherwise(0).as("CALSTATE"),
+        when(col("ROWIDX") < 16 || col("ROWIDX") >= col("__n") - 16, 0).otherwise(1).as("SWPVALID"),
+        when(col("ROWIDX") < 100, lit("onoff:on")).otherwise(lit("onoff:off")).as("OBSMODE"))
+  }
+
+  /** Single-file observation frame, spectrum-flavored: every row is science
+    * data (CALSTATE=0, SWPVALID=0 — the reference's F2 keep-set), OBSMODE
+    * flips to 'onoff:off' at row 100, integer-valued 4-channel DATA.
+    */
+  def obsSpectrum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+    li(s, dir)
+      .withColumn("ROWIDX", (row_number().over(w) - 1).cast("long"))
+      .select(
+        lit("0").as("FILE_ID"),
+        col("ROWIDX"),
+        expr("timestampadd(SECOND, ROWIDX, TIMESTAMP '2024-01-01 00:00:00')").as("DATE_OBS"),
+        int4.as("DATA"),
+        lit(0).as("IFNUM"),
+        lit(1).as("PLNUM"),
+        lit(0).as("CALSTATE"),
+        lit(0).as("SWPVALID"),
+        when(col("ROWIDX") < 100, lit("onoff:on")).otherwise(lit("onoff:off")).as("OBSMODE"))
+  }
+
+  /** Multi-file observation flags (FILE_ID = l_orderkey % 4) with the same
+    * per-file pattern as [[obsContinuum]] — the ST1 scale-path input.
+    */
+  def obsMultiFile(s: SparkSession, dir: String): DataFrame = {
+    val fid = col("l_orderkey") % 4
+    val w = Window.partitionBy(fid).orderBy(col("l_orderkey"), col("l_linenumber"))
+    li(s, dir)
+      .withColumn("FILE_ID", fid.cast("string"))
+      .withColumn("ROWIDX", (row_number().over(w) - 1).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(fid)))
+      .select(
+        col("FILE_ID"), col("ROWIDX"),
+        when(col("ROWIDX") < 8 || col("ROWIDX") >= col("__n") - 8, 1).otherwise(0).as("CALSTATE"),
+        when(col("ROWIDX") < 16 || col("ROWIDX") >= col("__n") - 16, 0).otherwise(1).as("SWPVALID"),
+        when(col("ROWIDX") < 100, lit("onoff:on")).otherwise(lit("onoff:off")).as("OBSMODE"))
+  }
+
+  /** The synthetic observation header shared by the pipeline queries:
+    * HIRES mode, band centers 1355/1435 MHz, 80 MHz bandwidth, 4 channels
+    * (START,STOP 0_3) → ifnum 0 axis = linspace(1395, 1315, 4) descending.
+    */
+  def obsHeader(nChannels: Int = 4): graft.model.HeaderRecord.Header =
+    graft.model.HeaderRecord.Header(
+      date = java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      obsmode = "onoff",
+      obsfreq = 1400.0,
+      obsbw = 80.0,
+      // Double-space key/value separation: with a single space the greedy
+      // key regex swallows all but the last word (a reference quirk shared
+      // by graft — pinned by q_c1_history and HeaderRecordSpec).
+      history = graft.model.HeaderRecord.parseHistory(Seq(
+        "DATAMODE HIRES / data resolution mode",
+        s"START,STOP channels  0_${nChannels - 1}",
+        "HIRES bands  1355, 1435",
+        "RFFILTER  1350 1450")))
+
+  /** Round a driver-side double to 6 decimals (HALF_UP), mirroring SQL
+    * `round(x, 6)` on the oracle side.
+    */
+  def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+}

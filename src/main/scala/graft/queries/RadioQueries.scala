@@ -1,0 +1,511 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ArrayOps
+import graft.model.HeaderRecord
+import graft.ops._
+import graft.pipeline.{Continuum, Spectrum, Validate}
+import QueryUtil._
+
+/** Driver-contract queries for the reference-derived operator families
+  * (SURVEY.md §2: S/F/A/U/C/ST rows plus the §3 pipeline compositions),
+  * each expressed over the TESTDATA corpus with a DuckDB oracle where the
+  * semantics are SQL-expressible. See QueryUtil for the exactness rules.
+  */
+object RadioQueries {
+
+  def queries: Map[String, Q] = Map(
+    // --- F: projections / filters / predicates -----------------------------
+    "q_f1_feedpol" -> ((s, dir) =>
+      li(s, dir)
+        .filter(col("l_linenumber") === 1 && col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_partkey"))),
+
+    "q_f2_science" -> ((s, dir) =>
+      ord(s, dir)
+        .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_f3_diode_split" -> ((s, dir) =>
+      li(s, dir)
+        .withColumn("CALSTATE", (col("l_orderkey") % 2).cast("int"))
+        .withColumn("SWPVALID", (col("l_partkey") % 2).cast("int"))
+        .agg(
+          sum(when(GainCal.diodeOn, 1L).otherwise(0L)).as("n_on"),
+          sum(when(GainCal.diodeOff, 1L).otherwise(0L)).as("n_off"))),
+
+    "q_f4_nonneg" -> ((s, dir) =>
+      Validation.filterNonPhysical(
+          li(s, dir).withColumn("MJD", col("l_quantity") - 25),
+          Seq("MJD", "TSYS" /* absent: skipped, ref validate.py:59-70 */))
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_f5_nanmask" -> ((s, dir) =>
+      Validation.maskNaN(
+          li(s, dir).withColumn("DATA",
+            array(col("l_quantity"),
+              when(col("l_linenumber") === 3, lit(Double.NaN)).otherwise(col("l_discount")))))
+        .select(col("l_orderkey"), col("l_linenumber"), col("DATA"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_f6_timerange" -> ((s, dir) => {
+      val t0 = to_timestamp(lit("1995-01-01 00:00:00"))
+      RangeFilters.filterTimeRanges(
+          ord(s, dir), t0,
+          include = Seq((0.0, 31536000.0)),
+          exclude = Seq((2592000.0, 5184000.0)),
+          tsCol = "o_orderdate")
+        .select(col("o_orderkey"),
+          RangeFilters.relSeconds(col("o_orderdate"), t0).as("t"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_f7_freqsel" -> ((s, dir) => {
+      val freqs = ArrayOps.freqAxis(1500.0, 1400.0, 4)
+      val (_, out) = RangeFilters.filterFrequencyRanges(
+        li(s, dir).withColumn("DATA", data4), freqs,
+        include = Seq((1420.0, 1470.0)), exclude = Nil)
+      out.select(col("l_orderkey"), col("l_linenumber"), col("DATA"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_f8_crop" -> ((s, dir) =>
+      Validation.cropChannels(li(s, dir).withColumn("DATA", data4), 1, 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("DATA"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_f9_rowslice" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      li(s, dir)
+        .withColumn("idx", (row_number().over(w) - 1).cast("long"))
+        .filter(col("idx") < 50)
+        .select(col("l_returnflag"), col("idx"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_returnflag"), col("idx"))
+    }),
+
+    // --- A: aggregations ----------------------------------------------------
+    "q_a1_continuum" -> ((s, dir) =>
+      Integration.continuum(
+          li(s, dir).withColumn("DATA", data4).withColumn("DATE_OBS", col("l_shipdate")),
+          to_timestamp(lit("1994-01-01 00:00:00")))
+        .orderBy(col("t"), col("intensity"))),
+
+    "q_a2_spectrum" -> ((s, dir) =>
+      Integration.spectrumBy(li(s, dir).withColumn("DATA", int3), col("l_returnflag"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_a3_interleave" -> ((s, dir) =>
+      Integration.sweepInterleaveDF(li(s, dir), "l_returnflag", "l_linestatus")),
+
+    "q_a4_means" -> ((s, dir) =>
+      li(s, dir).groupBy(col("l_returnflag"))
+        .agg(avg(col("l_quantity")).as("mean_qty"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_a5_ols" -> ((s, dir) =>
+      RobustFit.olsAgg(
+          li(s, dir)
+            .withColumn("x", (col("l_partkey") % 50).cast("double"))
+            .withColumn("y", col("l_quantity") * 2 + (col("l_suppkey") % 11)),
+          Seq(col("l_returnflag")), col("x"), col("y"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_a7_rcr" -> ((s, dir) => {
+      // Perfect line y = 2x + 1 with ~1% injected outliers at +1000: RCR must
+      // reject them and recover the line (ref continuum.py:72-109). Rounded to
+      // 6 decimals — any surviving subset of a perfect line refits to it.
+      val rows = li(s, dir).filter(col("l_linenumber") === 1)
+        .select(
+          (col("l_orderkey") % 100).cast("double").as("x"),
+          ((col("l_orderkey") % 100) * 2 + 1 +
+            when(col("l_orderkey") % 97 === 0, 1000.0).otherwise(0.0)).as("y"))
+        .collect()
+      val x = rows.map(_.getDouble(0)); val y = rows.map(_.getDouble(1))
+      val r = RobustFit.rcrLinearFit(x, y)
+      import s.implicits._
+      Seq((round6(r.fit.slope), round6(r.fit.intercept))).toDF("slope", "intercept")
+    }),
+
+    "q_a8_calheight" -> ((s, dir) => {
+      // Flat diode-on level 5.0 vs diode-off 2.0 → height exactly (3.0, 0.0).
+      val window = li(s, dir).filter(col("l_orderkey") % 100 === 1)
+        .select(
+          (col("l_orderkey") % 8).cast("double").as("t"),
+          when(col("l_partkey") % 2 === 1, 5.0).otherwise(2.0).as("intensity"),
+          (col("l_partkey") % 2).cast("int").as("CALSTATE"),
+          lit(0).as("SWPVALID"))
+      import s.implicits._
+      GainCal.calibrationHeight(window) match {
+        case Some(h) => Seq((h.delta, h.sd)).toDF("delta", "sd")
+        case None    => Seq.empty[(Double, Double)].toDF("delta", "sd")
+      }
+    }),
+
+    "q_a9_gain_drift" -> ((s, dir) =>
+      GainCal.applyGain(
+          ord(s, dir).select(col("o_orderkey").cast("double").as("t"),
+            col("o_totalprice").as("intensity")),
+          pre = Some(GainCal.Height(2.0, 0.1)),
+          post = Some(GainCal.Height(4.0, 0.1))) // z = 14.1 ≥ 1.96 → interpolated
+        .orderBy(col("t"))),
+
+    "q_a9_gain_avg" -> ((s, dir) =>
+      GainCal.applyGain(
+          ord(s, dir).select(col("o_orderkey").cast("double").as("t"),
+            col("o_totalprice").as("intensity")),
+          pre = Some(GainCal.Height(2.0, 10.0)),
+          post = Some(GainCal.Height(4.0, 10.0))) // z = 0.14 < 1.96 → mean height
+        .orderBy(col("t"))),
+
+    "q_a10_onoff" -> ((s, dir) =>
+      // Single aggregation pass + 2-row fold (see Spectrum.run) — not a
+      // filter/crossJoin pair, which would aggregate the table twice.
+      Integration.spectrumBy(
+          li(s, dir).withColumn("DATA", int3), (col("l_orderkey") % 2 === 1).as("on"))
+        .agg(
+          first(when(col("on"), col("spectrum")), ignoreNulls = true).as("s_on"),
+          first(when(!col("on"), col("spectrum")), ignoreNulls = true).as("s_off"))
+        .select(Integration.onOffDiff(col("s_on"), col("s_off")).as("diff"))),
+
+    // --- U: set operations --------------------------------------------------
+    "q_u1_merge" -> ((s, dir) =>
+      Merge.merge(Seq(
+          li(s, dir).filter(col("l_linenumber") === 1),
+          li(s, dir).filter(col("l_linenumber") === 2)))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // --- C: scalar kernels --------------------------------------------------
+    "q_c1_history" -> ((s, dir) => {
+      // "HIRES bands  …" uses the double-space separation real cards carry;
+      // "NOTES first light" exercises the single-space greedy-key quirk
+      // (key "NOTES first", value "light") the reference's regex shares.
+      val h = HeaderRecord.parseHistory(Seq(
+        "DATAMODE HIRES / data resolution mode",
+        "START,STOP channels 100_611",
+        "HIRES bands  1355, 1435",
+        "EXPOSURE 0.25",
+        "NOTES first light / operator note",
+        "!!! unparseable ???"))
+      import HeaderRecord._
+      import s.implicits._
+      val rows = h.values.toSeq.map { case (k, v) =>
+        val repr = v match {
+          case HPair(a, b) => s"pair:$a:$b"
+          case HNums(vs)   => "nums:" + vs.mkString(",")
+          case HNum(x)     => s"num:$x"
+          case HStr(str)   => s"str:$str"
+        }
+        (k, repr)
+      } ++ h.extra.map(e => ("_extra", e))
+      rows.toDF("key", "value").orderBy(col("key"), col("value"))
+    }),
+
+    "q_c2_freqrange" -> ((s, dir) => {
+      val fr = HeaderRecord.frequencyRange(obsHeader(512), ifnum = 0)
+      import s.implicits._
+      Seq((fr.low, fr.high, fr.channelCount.toLong)).toDF("low", "high", "nchan")
+    }),
+
+    "q_c3_freqaxis" -> ((s, dir) => {
+      val axis = ArrayOps.freqAxis(1395.0, 1315.0, 512)
+      import s.implicits._
+      axis.toSeq.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+        .toDF("chan", "freq").orderBy(col("chan"))
+    }),
+
+    "q_c4_isot" -> ((s, dir) =>
+      // isot round-trip: format to ISO-8601, re-parse (C4), relative seconds.
+      li(s, dir)
+        .withColumn("isot", date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          RangeFilters.relSeconds(
+            to_timestamp(col("isot"), "yyyy-MM-dd'T'HH:mm:ss"),
+            to_timestamp(lit("1994-01-01 00:00:00"))).as("t"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_c5_vapor" -> ((s, dir) =>
+      li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+          round(Atmosphere.waterVaporDensity(
+            lit(273.15) + col("l_quantity"),
+            lit(20.0) + (col("l_partkey") % 60).cast("double")), 6).as("rho"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_c6_atten" -> ((s, dir) =>
+      li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+          round(Atmosphere.gaseousAttenuationDb(
+            fGHz = (lit(10.0) + (col("l_partkey") % 30).cast("double")) / lit(10.0),
+            elevDeg = lit(5.0) + (col("l_orderkey") % 85).cast("double"),
+            rho = lit(7.5),
+            pressure = lit(900.0) + (col("l_suppkey") % 200).cast("double"),
+            tempK = lit(273.15) + col("l_quantity")), 6).as("atten_db"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_c7_trans" -> ((s, dir) =>
+      li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+          round(Atmosphere.dbToTransmission(
+            (col("l_partkey") % 100).cast("double") / lit(10.0)), 6).as("trans"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_c8_invtrans" -> ((s, dir) =>
+      li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+          ArrayOps.vecDivide(data4,
+            array(lit(0.5), lit(0.8), lit(1.25), lit(2.0))).as("DATA"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_c9_zgate" -> ((s, dir) => {
+      val z = abs(col("l_quantity") - col("l_extendedprice") / 1000.0) /
+        sqrt((lit(1.0) + col("l_discount")) * (lit(1.0) + col("l_discount")) +
+             (lit(1.0) + col("l_tax")) * (lit(1.0) + col("l_tax")))
+      li(s, dir).select(col("l_orderkey"), col("l_linenumber"), z.as("z"))
+        .filter(col("z") >= 1.96)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // --- ST1: calibration-spike scan (scale path) ---------------------------
+    "q_st1_calscan" -> ((s, dir) =>
+      CalibrationScan.scanPerFile(obsMultiFile(s, dir), channelCount = 1,
+          headerObsmode = "onoff")
+        .orderBy(col("FILE_ID"))),
+
+    // --- §3 pipeline compositions ------------------------------------------
+    "q_pipeline_validate" -> ((s, dir) => {
+      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+      val obs = li(s, dir)
+        .withColumn("ROWIDX", (row_number().over(w) - 1).cast("long"))
+        .select(col("ROWIDX"),
+          (col("l_quantity") - 2.0).as("TSYS"),
+          array(col("l_quantity"),
+            when(col("l_linenumber") === 3, lit(Double.NaN)).otherwise(col("l_discount")),
+            col("l_extendedprice"), col("l_tax")).as("DATA"))
+      Validate.run(obs, obsHeader(4).copy(history = HeaderRecord.parseHistory(Seq(
+          "DATAMODE HIRES", "START,STOP channels  1_2", "HIRES bands  1355, 1435"))))
+        .select(col("ROWIDX"), col("TSYS"), col("DATA"))
+        .orderBy(col("ROWIDX"))
+    }),
+
+    "q_pipeline_continuum" -> ((s, dir) =>
+      Continuum.run(obsContinuum(s, dir), obsHeader(4), Continuum.Params(ifnum = 0, plnum = 1))),
+
+    "q_pipeline_spectrum" -> ((s, dir) =>
+      Spectrum.run(obsSpectrum(s, dir), obsHeader(4), Spectrum.Params(ifnum = 0, plnum = 1)))
+  )
+
+  /** DuckDB oracles. Formula comments: every double expression mirrors the
+    * Spark op sequence textually (same associativity) for bit-equality.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_f1_feedpol" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE l_linenumber = 1 AND l_returnflag = 'A'
+        |ORDER BY l_orderkey, l_partkey""".stripMargin,
+
+    "q_f2_science" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_f3_diode_split" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN l_orderkey % 2 = 1 AND l_partkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_on,
+        |  CAST(sum(CASE WHEN l_orderkey % 2 = 0 AND l_partkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_off
+        |FROM lineitem""".stripMargin,
+
+    "q_f4_nonneg" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE (l_quantity - 25) IS NULL OR (l_quantity - 25) >= 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_f5_nanmask" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  [l_quantity, CASE WHEN l_linenumber = 3 THEN NULL ELSE l_discount END] AS DATA
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_f6_timerange" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(epoch_us(o_orderdate) - epoch_us(TIMESTAMP '1995-01-01') AS DOUBLE) / 1000000.0 AS t
+        |  FROM orders)
+        |SELECT o_orderkey, t FROM t
+        |WHERE (t > 0.0 AND t < 31536000.0) AND NOT (t > 2592000.0 AND t < 5184000.0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_f7_freqsel" ->
+      """SELECT l_orderkey, l_linenumber, [l_extendedprice, l_discount] AS DATA
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_f8_crop" ->
+      """SELECT l_orderkey, l_linenumber, [l_extendedprice, l_discount] AS DATA
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_f9_rowslice" ->
+      """SELECT l_returnflag, CAST(rn - 1 AS BIGINT) AS idx, l_orderkey, l_linenumber
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |        row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 50 ORDER BY l_returnflag, rn""".stripMargin,
+
+    "q_a1_continuum" ->
+      """SELECT CAST(epoch_us(l_shipdate) - epoch_us(TIMESTAMP '1994-01-01') AS DOUBLE) / 1000000.0 AS t,
+        |  l_quantity + l_extendedprice + l_discount + l_tax AS intensity
+        |FROM lineitem ORDER BY t, intensity""".stripMargin,
+
+    "q_a2_spectrum" ->
+      """SELECT l_returnflag,
+        |  [CAST(sum(l_quantity) AS DOUBLE), CAST(sum(l_linenumber) AS DOUBLE),
+        |   CAST(sum(l_partkey % 7) AS DOUBLE)] AS spectrum
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_a3_interleave" ->
+      "SELECT CAST(count(DISTINCT l_returnflag) * count(DISTINCT l_linestatus) AS BIGINT) AS k FROM lineitem",
+
+    "q_a4_means" ->
+      """SELECT l_returnflag, sum(l_quantity) / count(l_quantity) AS mean_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_a5_ols" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    sum(CAST(l_partkey % 50 AS DOUBLE)) AS sx,
+        |    sum(l_quantity * 2 + (l_suppkey % 11)) AS sy,
+        |    sum(CAST(l_partkey % 50 AS DOUBLE) * CAST(l_partkey % 50 AS DOUBLE)) AS sxx,
+        |    sum(CAST(l_partkey % 50 AS DOUBLE) * (l_quantity * 2 + (l_suppkey % 11))) AS sxy,
+        |    sum((l_quantity * 2 + (l_suppkey % 11)) * (l_quantity * 2 + (l_suppkey % 11))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+        |  sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx / n AS intercept,
+        |  sqrt(((syy - sy * sy / n) - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sxy - sx * sy / n)) / (n - 2.0) / (sxx - sx * sx / n)) AS slope_sd,
+        |  sqrt(((syy - sy * sy / n) - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sxy - sx * sy / n)) / (n - 2.0) * (1.0 / n + (sx / n) * (sx / n) / (sxx - sx * sx / n))) AS intercept_sd
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "q_a7_rcr" ->
+      "SELECT CAST(2.0 AS DOUBLE) AS slope, CAST(1.0 AS DOUBLE) AS intercept",
+
+    "q_a8_calheight" ->
+      "SELECT CAST(3.0 AS DOUBLE) AS delta, CAST(0.0 AS DOUBLE) AS sd",
+
+    "q_a9_gain_drift" ->
+      """WITH c AS (SELECT CAST(o_orderkey AS DOUBLE) AS t, o_totalprice AS intensity FROM orders),
+        |  m AS (SELECT min(t) AS t1, max(t) AS t2 FROM c)
+        |SELECT c.t AS t,
+        |  c.intensity / (CAST(2.0 AS DOUBLE) + CAST(2.0 AS DOUBLE) * ((c.t - m.t1) / (m.t2 - m.t1))) AS intensity
+        |FROM c, m ORDER BY t""".stripMargin,
+
+    "q_a9_gain_avg" ->
+      """SELECT CAST(o_orderkey AS DOUBLE) AS t, o_totalprice / CAST(3.0 AS DOUBLE) AS intensity
+        |FROM orders ORDER BY t""".stripMargin,
+
+    "q_a10_onoff" ->
+      """SELECT [
+        |  CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN l_quantity ELSE 0 END) - sum(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity ELSE 0 END) AS DOUBLE),
+        |  CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN l_linenumber ELSE 0 END) - sum(CASE WHEN l_orderkey % 2 = 0 THEN l_linenumber ELSE 0 END) AS DOUBLE),
+        |  CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN l_partkey % 7 ELSE 0 END) - sum(CASE WHEN l_orderkey % 2 = 0 THEN l_partkey % 7 ELSE 0 END) AS DOUBLE)
+        |] AS diff FROM lineitem""".stripMargin,
+
+    "q_u1_merge" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM lineitem
+        |WHERE l_linenumber IN (1, 2) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_c1_history" ->
+      """SELECT * FROM (VALUES
+        |  ('DATAMODE', 'str:HIRES'),
+        |  ('EXPOSURE', 'num:0.25'),
+        |  ('HIRES bands', 'nums:1355.0,1435.0'),
+        |  ('NOTES first', 'str:light'),
+        |  ('START,STOP channels', 'pair:100.0:611.0'),
+        |  ('_extra', '!!! unparseable ???')
+        |) AS t("key", "value") ORDER BY "key", "value"""".stripMargin,
+
+    "q_c2_freqrange" ->
+      "SELECT CAST(1315.0 AS DOUBLE) AS low, CAST(1395.0 AS DOUBLE) AS high, CAST(512 AS BIGINT) AS nchan",
+
+    "q_c3_freqaxis" ->
+      """SELECT CAST(i AS BIGINT) AS chan,
+        |  CAST(1395.0 AS DOUBLE) - i * (CAST(1395.0 AS DOUBLE) - CAST(1315.0 AS DOUBLE)) / 511 AS freq
+        |FROM generate_series(0, 511) t(i) ORDER BY chan""".stripMargin,
+
+    "q_c4_isot" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(epoch_us(l_shipdate) - epoch_us(TIMESTAMP '1994-01-01') AS DOUBLE) / 1000000.0 AS t
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_c5_vapor" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(CAST(216.7 AS DOUBLE) * (((CAST(20.0 AS DOUBLE) + (l_partkey % 60)) / CAST(100.0 AS DOUBLE)) * ((1.0007 + 3.46e-6) * 6.1121) * exp(17.502 * ((CAST(273.15 AS DOUBLE) + l_quantity) - 273.15) / (((CAST(273.15 AS DOUBLE) + l_quantity) - 273.15) + 240.97))) / (CAST(273.15 AS DOUBLE) + l_quantity), 6) AS rho
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_c6_atten" ->
+      """WITH v AS (SELECT l_orderkey, l_linenumber,
+        |    (CAST(10.0 AS DOUBLE) + (l_partkey % 30)) / CAST(10.0 AS DOUBLE) AS f,
+        |    CAST(5.0 AS DOUBLE) + (l_orderkey % 85) AS elev,
+        |    CAST(7.5 AS DOUBLE) AS rho,
+        |    (CAST(900.0 AS DOUBLE) + (l_suppkey % 200)) / CAST(1013.0 AS DOUBLE) AS rp,
+        |    CAST(288.0 AS DOUBLE) / (CAST(273.15 AS DOUBLE) + l_quantity) AS rt
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(((7.27 * rt / (f * f + 0.351 * rp * rp * rt * rt) + 7.5 / ((f - 57.0) * (f - 57.0) + 2.44 * rp * rp * pow(rt, 5))) * (f * f) * rp * rp * rt * rt * 1e-3 * 6.0
+        |   + (3.27e-2 * rt + 1.67e-3 * rho * pow(rt, 7) / rp + 7.7e-4 * sqrt(f) + 3.79 / ((f - 22.235) * (f - 22.235) + 9.81 * rp * rp * rt) + 11.73 * rt / ((f - 183.31) * (f - 183.31) + 11.85 * rp * rp * rt) + 4.01 * rt / ((f - 325.153) * (f - 325.153) + 10.44 * rp * rp * rt)) * (f * f) * rho * rp * rt * 1e-4 * (1.6 * (1.0 + 3.0 / ((f - 22.2) * (f - 22.2) + 5.0))))
+        |   / sin(radians(elev)), 6) AS atten_db
+        |FROM v ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_c7_trans" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(pow(CAST(10.0 AS DOUBLE), -(CAST(l_partkey % 100 AS DOUBLE) / CAST(10.0 AS DOUBLE)) / CAST(10.0 AS DOUBLE)), 6) AS trans
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_c8_invtrans" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  [l_quantity / CAST(0.5 AS DOUBLE), l_extendedprice / CAST(0.8 AS DOUBLE),
+        |   l_discount / CAST(1.25 AS DOUBLE), l_tax / CAST(2.0 AS DOUBLE)] AS DATA
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_c9_zgate" ->
+      """WITH z AS (SELECT l_orderkey, l_linenumber,
+        |    abs(l_quantity - l_extendedprice / CAST(1000.0 AS DOUBLE)) /
+        |    sqrt((CAST(1.0 AS DOUBLE) + l_discount) * (CAST(1.0 AS DOUBLE) + l_discount) +
+        |         (CAST(1.0 AS DOUBLE) + l_tax) * (CAST(1.0 AS DOUBLE) + l_tax)) AS z
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, z FROM z WHERE z >= 1.96
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_st1_calscan" ->
+      """WITH c AS (SELECT CAST(l_orderkey % 4 AS VARCHAR) AS FILE_ID, count(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT FILE_ID, CAST(16 AS BIGINT) AS data_start, CAST(n - 16 AS BIGINT) AS post_cal_start,
+        |  CAST(100 AS BIGINT) AS off_start
+        |FROM c ORDER BY FILE_ID""".stripMargin,
+
+    "q_pipeline_validate" ->
+      """WITH obs AS (SELECT
+        |    CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS ROWIDX,
+        |    l_quantity - 2.0 AS TSYS,
+        |    [l_quantity, CASE WHEN l_linenumber = 3 THEN NULL ELSE l_discount END,
+        |     l_extendedprice, l_tax] AS DATA
+        |  FROM lineitem)
+        |SELECT ROWIDX, TSYS, DATA[2:3] AS DATA FROM obs
+        |WHERE TSYS IS NULL OR TSYS >= 0 ORDER BY ROWIDX""".stripMargin,
+
+    "q_pipeline_spectrum" ->
+      """WITH obs AS (SELECT
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS pos,
+        |    l_quantity AS q, CAST(l_linenumber AS DOUBLE) AS b,
+        |    CAST(l_partkey % 7 AS DOUBLE) AS c, CAST(l_suppkey % 5 AS DOUBLE) AS d
+        |  FROM lineitem),
+        |agg AS (SELECT
+        |    CAST(sum(CASE WHEN pos < 100 THEN q ELSE 0 END) - sum(CASE WHEN pos >= 100 THEN q ELSE 0 END) AS DOUBLE) AS e0,
+        |    CAST(sum(CASE WHEN pos < 100 THEN b ELSE 0 END) - sum(CASE WHEN pos >= 100 THEN b ELSE 0 END) AS DOUBLE) AS e1,
+        |    CAST(sum(CASE WHEN pos < 100 THEN c ELSE 0 END) - sum(CASE WHEN pos >= 100 THEN c ELSE 0 END) AS DOUBLE) AS e2,
+        |    CAST(sum(CASE WHEN pos < 100 THEN d ELSE 0 END) - sum(CASE WHEN pos >= 100 THEN d ELSE 0 END) AS DOUBLE) AS e3
+        |  FROM obs)
+        |SELECT CAST(t.i AS INT) AS pos,
+        |  CAST(1395.0 AS DOUBLE) - t.i * (CAST(1395.0 AS DOUBLE) - CAST(1315.0 AS DOUBLE)) / 3 AS frequency,
+        |  CASE t.i WHEN 0 THEN e0 WHEN 1 THEN e1 WHEN 2 THEN e2 ELSE e3 END AS intensity
+        |FROM agg, generate_series(0, 3) t(i) ORDER BY pos""".stripMargin
+  )
+}

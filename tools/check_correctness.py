@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare (t2).
+
+For each SparkEntry query result dumped by Verify into OUTDIR/<name>/,
+runs the oracle SQL from OUTDIR/oracle_sql.json against the same sf tables,
+sorts columns by name, and compares row counts, schemas (loosely) and
+values (bit-exact for floats, with a near-miss diagnostic at 1e-9 rel).
+"""
+import json, math, sys
+import duckdb
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True, False
+    if isinstance(a, float) and isinstance(b, float):
+        if a == b or (math.isnan(a) and math.isnan(b)):
+            return True, False
+        if b != 0 and abs(a - b) / max(abs(a), abs(b)) < 1e-9:
+            return False, True  # near miss
+        return False, False
+    if isinstance(a, list) and isinstance(b, list):
+        if len(a) != len(b):
+            return False, False
+        near = False
+        for x, y in zip(a, b):
+            eq, nr = values_equal(x, y)
+            if not eq and not nr:
+                return False, False
+            near = near or nr
+        return (not near), near
+    return (a == b), False
+
+n_pass = n_near = n_fail = n_rowsonly = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetchall()
+        got_cols = [d[0] for d in con.description]
+        exp = con.execute(sql).fetchall()
+        exp_cols = [d[0] for d in con.description]
+    except Exception as e:
+        print(f"FAIL {name}: exec error {e}")
+        n_fail += 1
+        continue
+    # sort columns by name (driver behavior)
+    gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+    ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
+    if sorted(got_cols) != sorted(exp_cols):
+        print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(exp_cols)}")
+        n_fail += 1
+        continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+        n_fail += 1
+        continue
+    bad = near = 0
+    first_bad = None
+    for r, (g, e) in enumerate(zip(got, exp)):
+        for a, b in zip([g[i] for i in gi], [e[i] for i in ei]):
+            eq, nr = values_equal(a, b)
+            if nr:
+                near += 1
+                if first_bad is None:
+                    first_bad = (r, a, b, "near")
+            elif not eq:
+                bad += 1
+                if first_bad is None:
+                    first_bad = (r, a, b, "bad")
+    if bad == 0 and near == 0:
+        print(f"PASS {name} ({len(got)} rows)")
+        n_pass += 1
+    elif bad == 0:
+        print(f"NEAR {name}: {near} near-misses, first {first_bad}")
+        n_near += 1
+    else:
+        print(f"FAIL {name}: {bad} mismatches ({near} near), first {first_bad}")
+        n_fail += 1
+
+import os
+for name in sorted(os.listdir(OUT)):
+    if name.startswith("q_") and name not in oracle:
+        try:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{OUT}/{name}/*.parquet')").fetchone()[0]
+            status = "ROWS-ONLY-PASS" if n > 0 else "ROWS-ONLY-EMPTY"
+            print(f"{status} {name} ({n} rows)")
+            n_rowsonly += 1
+        except Exception as e:
+            print(f"ROWS-ONLY-FAIL {name}: {e}")
+print(f"\n== {n_pass} pass, {n_near} near, {n_fail} fail, {n_rowsonly} rows-only ==")

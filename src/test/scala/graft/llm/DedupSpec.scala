@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Dedup family: exact, MinHash-LSH, SimHash banding (incl. the round-2
+  * recall-bug regression), n-gram Jaccard.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away house"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer internals"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs far away home")   // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by content hash and keeps the lowest id") {
+    val g = Dedup.exactGroups(docs).as[(String, Long, Long)].collect()
+    assert(g.length == 3)
+    assert(g.find(_._3 == 2).exists(_._2 == 1L)) // the duplicated text keeps id 1
+    val kept = Dedup.exactDedup(docs).select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
+  test("minhash signature HOF form and aggregated form agree") {
+    val hof = docs.select($"doc_id", Dedup.minhashSignature($"text").as("sig"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val agg = Dedup.minhashSignatures(docs).as[(Long, Seq[Int])].collect().toMap
+    assert(hof == agg)
+  }
+
+  test("minhash-LSH finds the near-dup pair and not the unrelated doc") {
+    val cand = Dedup.minhashCandidates(docs)
+      .as[(Long, Long, Double)].collect()
+    val pairs = cand.map(c => (c._1, c._2)).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val est = cand.find(c => (c._1, c._2) == (1L, 4L)).get._3
+    assert(est == 1.0) // identical docs: all 64 slots agree
+  }
+
+  test("simhash signature HOF form and aggregated form agree") {
+    val hof = docs.select($"doc_id", Dedup.simhash64($"text").as("sim"))
+      .as[(Long, Long)].collect().toMap
+    val agg = Dedup.simhashSignatures(docs).as[(Long, Long)].collect().toMap
+    assert(hof == agg)
+  }
+
+  test("simhash banding finds pairs whose differing bits span bands (round-2 recall bug)") {
+    // One-word difference → small hamming distance, bits can fall anywhere in
+    // the 64; 4x16 banding must still emit the candidate (pigeonhole for h<=3,
+    // high probability for h<=8; the planted pair is checked explicitly).
+    val sims = Dedup.simhashSignatures(docs).as[(Long, Long)].collect().toMap
+    val h12 = java.lang.Long.bitCount(sims(1L) ^ sims(2L))
+    val cand = Dedup.simhashCandidates(docs, maxHamming = math.max(8, h12))
+      .as[(Long, Long, Int)].collect()
+    val pairs = cand.map(c => (c._1, c._2)).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: hamming 0
+    assert(pairs.contains((1L, 2L)), s"hamming-$h12 near-dup pair must be a candidate")
+    assert(cand.find(c => (c._1, c._2) == (1L, 4L)).get._3 == 0)
+  }
+
+  test("n-gram Jaccard with blocking emits only above-threshold pairs") {
+    val out = Dedup.ngramJaccardPairs(docs, substring($"text", 1, 10), n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val m = out.map(c => ((c._1, c._2), c._3)).toMap
+    assert(m((1L, 4L)) == 1.0)
+    assert(m.contains((1L, 2L)) && m((1L, 2L)) > 0.5 && m((1L, 2L)) < 1.0)
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.llm
+
+import graft.SparkTestBase
+
+/** Similarity search: brute-force cosine baseline, LSH-bucketed ANN, and
+  * the ANN-vs-exact agreement on an easy corpus.
+  */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Three clusters around the axes plus one diagonal.
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+    (5L, Seq(0.7f, 0.7f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  private val e1 = Array(1.0, 0.0, 0.0, 0.0)
+
+  test("brute-force top-k ranks by exact cosine with id tiebreak") {
+    val top = Similarity.bruteForceTopK(vecs, e1, k = 3).as[(Long, Double)].collect()
+    assert(top.map(_._1).toSeq == Seq(1L, 2L, 5L))
+    assert(top.head._2 == 1.0)
+  }
+
+  test("ANN with stored bucket column returns the true neighbors on an easy corpus") {
+    val planes = Similarity.hyperplanes(numPlanes = 6, dim = 4)
+    val bucketed = Similarity.withLshBucket(vecs, planes)
+    assert(bucketed.columns.contains("lsh_bucket"))
+    val ann = Similarity.annTopKBucketed(bucketed, e1, planes, k = 2, probeHamming = 2)
+      .as[(Long, Double)].collect()
+    assert(ann.map(_._1).contains(1L))
+    // every returned cosine must equal the exact cosine (ANN never distorts scores)
+    val exact = Similarity.bruteForceTopK(vecs, e1, k = 5).as[(Long, Double)].collect().toMap
+    ann.foreach { case (id, c) => assert(c == exact(id)) }
+  }
+
+  test("cosine near-dup candidates find planted exact copies") {
+    val planes = Similarity.hyperplanes(numPlanes = 6, dim = 4)
+    val withCopy = vecs.union(Seq((100L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val cand = Similarity.cosineNearDupCandidates(withCopy, planes, threshold = 0.999)
+      .as[(Long, Long, Double)].collect()
+    assert(cand.map(c => (c._1, c._2)).contains((1L, 100L)))
+    // orthogonal vectors never appear
+    assert(!cand.exists(c => c._3 < 0.999))
+  }
+
+  test("query bucket matches the column bucket for the same vector") {
+    val planes = Similarity.hyperplanes(numPlanes = 8, dim = 4)
+    val colBucket = Similarity.withLshBucket(
+        Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"), planes)
+      .select("lsh_bucket").as[Long].head()
+    assert(colBucket == Similarity.queryBucket(e1, planes))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.llm
+
+import graft.SparkTestBase
+
+/** Text analysis: token counts, n-grams (incl. the short-input guard),
+  * fingerprint, language ID, quality, Jaccard.
+  */
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def one[T: org.apache.spark.sql.Encoder](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c).as[T].head()
+
+  test("token and subword counts") {
+    assert(one[Int](TextAnalysis.tokenCount($"text"), "a  b\tc") == 3)
+    assert(one[Int](TextAnalysis.subwordCount($"text"), "don't stop-2x") == 7)
+    // don / ' / t / stop / - / 2 / x
+  }
+
+  test("word n-grams are distinct and ordered windows") {
+    assert(one[Seq[String]](TextAnalysis.wordNgrams($"text", 2), "a b a b c")
+      == Seq("a b", "b a", "b c"))
+  }
+
+  test("n-gram short-input guard: fewer tokens/chars than n gives empty, not garbage") {
+    assert(one[Seq[String]](TextAnalysis.wordNgrams($"text", 3), "only two").isEmpty)
+    assert(one[Seq[String]](TextAnalysis.charNgrams($"text", 5), "abc").isEmpty)
+    assert(one[Seq[String]](TextAnalysis.charNgrams($"text", 2), "abc") == Seq("ab", "bc"))
+  }
+
+  test("fingerprint matches a hand-computed rolling hash") {
+    // "ab": ((0*131+97) % M)*131 + 98 = 12805 (M = 1e9+7)
+    assert(one[Long](TextAnalysis.fingerprint($"text"), "ab") == 12805L)
+    assert(one[Long](TextAnalysis.fingerprint($"text"), "") == 0L)
+  }
+
+  test("language ID votes on stopwords; unknown text -> und") {
+    assert(one[String](TextAnalysis.langId($"text"), "the cat is on the mat") == "en")
+    assert(one[String](TextAnalysis.langId($"text"), "der hund ist nicht da und") == "de")
+    assert(one[String](TextAnalysis.langId($"text"), "le chat est sur la table et les") == "fr")
+    assert(one[String](TextAnalysis.langId($"text"), "zzz qqq xxx") == "und")
+  }
+
+  test("quality score is in [0,1] and penalizes punctuation soup") {
+    val clean = one[Double](TextAnalysis.qualityScore($"text"),
+      "A perfectly reasonable sentence with enough characters to pass the length gate.")
+    val soup = one[Double](TextAnalysis.qualityScore($"text"), "!!! ??? @@@ ###")
+    assert(clean > 0.8 && clean <= 1.0)
+    assert(soup < 0.2 && soup >= 0.0)
+  }
+
+  test("jaccard of distinct-element arrays") {
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("a", "b").select(TextAnalysis.jaccard($"a", $"b")).as[Double].head()
+    assert(j == 0.5)
+  }
+}

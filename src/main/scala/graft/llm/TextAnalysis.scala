@@ -49,6 +49,32 @@ object TextAnalysis {
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
   }
 
+  /** Language ID as a codegen'd aggregation (same values as [[langId]],
+    * whose per-token HOF lambdas evaluate interpreted — ~20× slower at
+    * corpus scale): explode lowercased tokens once, take one conditional
+    * `sum` per language (map-side partial aggregation, literal stopword
+    * sets fold into codegen), then the same max-by-(score, lang-desc)
+    * tie-break as the column form.
+    */
+  def langIdBy(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted
+    val toks = df.select(col(idCol), explode(tokensWs(lower(col(textCol)))).as("__t"))
+    val sums = langs.map { l =>
+      val set = array(stopwords(l).map(lit(_)): _*)
+      sum(when(array_contains(set, col("__t")), 1).otherwise(0)).as(s"__s_$l")
+    }
+    val scored = toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val best = greatest(langs.map(l => col(s"__s_$l")): _*)
+    // max-by (score, lang) with lang tie-break descending (zh > fr > … > de),
+    // matching the struct array_max semantics of [[langId]].
+    val ordered = langs.sorted.reverse
+    val winner = ordered.init.foldRight(lit(ordered.last): Column) { (l, rest) =>
+      when(col(s"__s_$l") === best, lit(l)).otherwise(rest)
+    }
+    scored.select(col(idCol),
+      when(best === 0, lit("und")).otherwise(winner).as("lang_id"))
+  }
+
   /** Quality signals (length, token stats, punctuation/alpha ratios,
     * stopword ratio) and a composite score in [0,1]. All ratios are exact
     * integer-count divisions — deterministic across engines.

@@ -36,6 +36,16 @@ object GainCal {
     }
     val (tOn, yOn) = collectTI(diodeOn)
     val (tOff, yOff) = collectTI(diodeOff)
+    calibrationHeightLocal(tOn, yOn, tOff, yOff)
+  }
+
+  /** A8 core on local arrays — shared by the single-file (driver collect)
+    * and multi-file ([[graft.pipeline.Continuum.runAll]] executor-side
+    * mapGroups) paths.
+    */
+  def calibrationHeightLocal(
+      tOn: Array[Double], yOn: Array[Double],
+      tOff: Array[Double], yOff: Array[Double]): Option[Height] = {
     if (tOn.length >= 4 && tOff.length >= 4) {
       val meanOn = tOn.sum / tOn.length
       val meanOff = tOff.sum / tOff.length

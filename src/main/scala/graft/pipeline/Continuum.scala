@@ -81,4 +81,105 @@ object Continuum {
       GainCal.applyGain(cont, pre, post, p.strictCompat).orderBy(col("t"))
     } finally flagged.unpersist()
   }
+
+  /** Multi-file scale path: the whole reduction for N files in ONE Spark job
+    * chain — no per-file driver orchestration ([[run]] issues ~6 driver-
+    * synchronous jobs per file, which at 100k files makes the driver loop the
+    * bottleneck; here the driver issues a constant number of jobs total).
+    *
+    * Plan shape: one narrow projection computes (t, intensity) for every row
+    * (column pruning keeps the wide DATA out of everything downstream of
+    * A1); per-file ST1 + A8 + the A9 branch decision run executor-side in a
+    * `groupByKey(FILE_ID).mapGroups` over the pruned five-column frame (a
+    * file's rows must fit one executor's memory — they are one observation);
+    * the resulting per-file gain parameters broadcast-join back onto the
+    * integrated frame and the division is a codegen'd `when` expression.
+    *
+    * Semantics per file are identical to [[run]] (same scan, same fits, same
+    * truthiness/z/strictCompat branches, interpolation over the data
+    * window's min/max t), pinned by ContinuumAllSpec against [[run]].
+    */
+  def runAll(df: DataFrame, header: Header, p: Params): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // A3 per file, in-plan (no driver agg): |IFNUM| x |PLNUM| distinct.
+    val cc = df.groupBy(col("FILE_ID"))
+      .agg((countDistinct(col("IFNUM")) * countDistinct(col("PLNUM"))).as("__cc"))
+
+    var d = df.filter(col("IFNUM") === p.ifnum && col("PLNUM") === p.plnum)
+    val t0 = lit(header.date)
+    d = RangeFilters.filterTimeRanges(d, t0, p.includeTime, p.excludeTime)
+    val fr = HeaderRecord.frequencyRange(header, p.ifnum)
+    val freqs = ArrayOps.freqAxis(fr.high, fr.low, fr.channelCount)
+    val (_, d2) = RangeFilters.filterFrequencyRanges(d, freqs, p.includeFreq, p.excludeFreq)
+
+    val integ = withPos(d2).select(
+      col("FILE_ID").cast("string").as("FILE_ID"),
+      col("__pos").cast("long").as("__pos"),
+      col("CALSTATE").cast("int").as("CALSTATE"),
+      col("SWPVALID").cast("int").as("SWPVALID"),
+      col("OBSMODE").cast("string").as("OBSMODE"),
+      RangeFilters.relSeconds(col("DATE_OBS"), t0).as("t"),
+      ArrayOps.arraySum(col("DATA")).as("intensity"))
+
+    val strict = p.strictCompat
+    val obsmode = header.obsmode
+    // Per-file gain parameters: mode 0 = identity, 1 = divide by constant
+    // `pv`, 2 = divide by the height interpolated between (t1, pv)..(t2, qv).
+    val params = integ
+      .join(broadcast(cc.withColumn("FILE_ID", col("FILE_ID").cast("string"))), "FILE_ID")
+      .select(col("FILE_ID"), col("__pos"), col("CALSTATE"), col("SWPVALID"),
+        col("OBSMODE"), col("t"), col("intensity"), col("__cc"))
+      .as[(String, Long, Int, Int, String, Double, Double, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (file, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val flags = rows.map(r => CalibrationScan.Flags(r._3, r._4, r._5)).toIndexedSeq
+        val idx = CalibrationScan.scan(flags, rows.headOption.map(_._8).getOrElse(1L), obsmode)
+        val dataStart = idx.dataStart.getOrElse(0)
+        val postCal = idx.postCalStart
+
+        def height(window: Array[(String, Long, Int, Int, String, Double, Double, Long)]) = {
+          val on = window.filter(r => r._3 == 1 && r._4 == 0)
+          val off = window.filter(r => r._3 == 0 && r._4 == 0)
+          GainCal.calibrationHeightLocal(
+            on.map(_._6), on.map(_._7), off.map(_._6), off.map(_._7))
+        }
+        val pre = height(rows.filter(_._2 < dataStart)).filter(_.delta != 0.0)
+        val post = height(rows.filter(_._2 >= postCal)).filter(_.delta != 0.0)
+        val window = rows.filter(r => r._2 >= dataStart && r._2 < postCal)
+
+        // Branch decision mirrors GainCal.applyGain exactly.
+        val (mode, pv, qv, t1, t2) = (pre, post) match {
+          case (Some(a), Some(b)) =>
+            val z = math.abs(a.delta - b.delta) / math.sqrt(a.sd * a.sd + b.sd * b.sd)
+            if (z >= 1.96) {
+              if (strict || window.isEmpty) (0, 0.0, 0.0, 0.0, 0.0)
+              else {
+                val w1 = window.map(_._6).min; val w2 = window.map(_._6).max
+                if (w2 == w1) (1, (a.delta + b.delta) / 2, 0.0, 0.0, 0.0)
+                else (2, a.delta, b.delta, w1, w2)
+              }
+            } else (1, (a.delta + b.delta) / 2, 0.0, 0.0, 0.0)
+          case (Some(a), None) => (1, a.delta, 0.0, 0.0, 0.0)
+          case (None, Some(b)) => (1, b.delta, 0.0, 0.0, 0.0)
+          case (None, None)    => (0, 0.0, 0.0, 0.0, 0.0)
+        }
+        (file, dataStart.toLong, postCal.toLong, mode, pv, qv, t1, t2)
+      }
+      .toDF("FILE_ID", "__ds", "__pc", "__mode", "__p", "__q", "__t1", "__t2")
+
+    // Broadcast the tiny per-file parameter table back onto the integrated
+    // frame; the gain division is a codegen'd expression (same op order as
+    // GainCal.applyGain for bit parity with the single-file path).
+    val h = col("__p") + (col("__q") - col("__p")) * ((col("t") - col("__t1")) / (col("__t2") - col("__t1")))
+    integ.join(broadcast(params), "FILE_ID")
+      .filter(col("__pos") >= col("__ds") && col("__pos") < col("__pc"))
+      .select(col("FILE_ID"), col("t"),
+        when(col("__mode") === 2, col("intensity") / h)
+          .when(col("__mode") === 1, col("intensity") / col("__p"))
+          .otherwise(col("intensity")).as("intensity"))
+      .orderBy(col("FILE_ID"), col("t"))
+  }
 }

@@ -86,8 +86,7 @@ object LlmQueries {
         .orderBy(col("doc_id"))),
 
     "q_text_langid" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-          TextAnalysis.langId(col("text")).as("lang_id"))
+      TextAnalysis.langIdBy(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
     "q_text_quality" -> ((s, dir) =>

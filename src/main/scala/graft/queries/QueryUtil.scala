@@ -60,7 +60,7 @@ object QueryUtil {
     * Designed so ST1 resolves data_start=16, post_cal_start=L−16.
     */
   def obsContinuum(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
     val n = Window.partitionBy(lit(1))
     li(s, dir)
       .withColumn("ROWIDX", (row_number().over(w) - 1).cast("long"))
@@ -82,7 +82,7 @@ object QueryUtil {
     * flips to 'onoff:off' at row 100, integer-valued 4-channel DATA.
     */
   def obsSpectrum(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
     li(s, dir)
       .withColumn("ROWIDX", (row_number().over(w) - 1).cast("long"))
       .select(
@@ -102,7 +102,7 @@ object QueryUtil {
     */
   def obsMultiFile(s: SparkSession, dir: String): DataFrame = {
     val fid = col("l_orderkey") % 4
-    val w = Window.partitionBy(fid).orderBy(col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(fid).orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
     li(s, dir)
       .withColumn("FILE_ID", fid.cast("string"))
       .withColumn("ROWIDX", (row_number().over(w) - 1).cast("long"))
@@ -112,6 +112,33 @@ object QueryUtil {
         when(col("ROWIDX") < 8 || col("ROWIDX") >= col("__n") - 8, 1).otherwise(0).as("CALSTATE"),
         when(col("ROWIDX") < 16 || col("ROWIDX") >= col("__n") - 16, 0).otherwise(1).as("SWPVALID"),
         when(col("ROWIDX") < 100, lit("onoff:on")).otherwise(lit("onoff:off")).as("OBSMODE"))
+  }
+
+  /** Multi-file FULL observation (flags + DATE_OBS + DATA), continuum
+    * pattern per file with FLAT calibration spike levels (diode-on rows sum
+    * to 8.0, diode-off to 2.0 → height exactly (6.0, 0.0) on both sides,
+    * z = 0/0 = NaN → mean-height branch) so the whole multi-file reduction
+    * has a closed-form oracle: science intensity / 6.
+    */
+  def obsMultiFileFull(s: SparkSession, dir: String): DataFrame = {
+    val fid = col("l_orderkey") % 4
+    val w = Window.partitionBy(fid).orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val base = li(s, dir)
+      .withColumn("FILE_ID", fid.cast("string"))
+      .withColumn("ROWIDX", (row_number().over(w) - 1).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(fid)))
+    val spike = col("ROWIDX") < 16 || col("ROWIDX") >= col("__n") - 16
+    val diodeOn = col("ROWIDX") < 8 || col("ROWIDX") >= col("__n") - 8
+    base.select(
+      col("FILE_ID"), col("ROWIDX"),
+      expr("timestampadd(SECOND, ROWIDX, TIMESTAMP '2024-01-01 00:00:00')").as("DATE_OBS"),
+      when(spike && diodeOn, array(lit(2.0), lit(2.0), lit(2.0), lit(2.0)))
+        .when(spike, array(lit(0.5), lit(0.5), lit(0.5), lit(0.5)))
+        .otherwise(data4).as("DATA"),
+      lit(0).as("IFNUM"), lit(1).as("PLNUM"),
+      when(diodeOn, 1).otherwise(0).as("CALSTATE"),
+      when(spike, 0).otherwise(1).as("SWPVALID"),
+      lit("onoff:on").as("OBSMODE"))
   }
 
   /** The synthetic observation header shared by the pipeline queries:

@@ -21,8 +21,8 @@ object RadioQueries {
     "q_f1_feedpol" -> ((s, dir) =>
       li(s, dir)
         .filter(col("l_linenumber") === 1 && col("l_returnflag") === "A")
-        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_partkey"))),
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))),
 
     "q_f2_science" -> ((s, dir) =>
       ord(s, dir)
@@ -50,8 +50,8 @@ object RadioQueries {
           li(s, dir).withColumn("DATA",
             array(col("l_quantity"),
               when(col("l_linenumber") === 3, lit(Double.NaN)).otherwise(col("l_discount")))))
-        .select(col("l_orderkey"), col("l_linenumber"), col("DATA"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("DATA"))),
 
     "q_f6_timerange" -> ((s, dir) => {
       val t0 = to_timestamp(lit("1995-01-01 00:00:00"))
@@ -70,18 +70,18 @@ object RadioQueries {
       val (_, out) = RangeFilters.filterFrequencyRanges(
         li(s, dir).withColumn("DATA", data4), freqs,
         include = Seq((1420.0, 1470.0)), exclude = Nil)
-      out.select(col("l_orderkey"), col("l_linenumber"), col("DATA"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      out.orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("DATA"))
     }),
 
     "q_f8_crop" -> ((s, dir) =>
       Validation.cropChannels(li(s, dir).withColumn("DATA", data4), 1, 2)
-        .select(col("l_orderkey"), col("l_linenumber"), col("DATA"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("DATA"))),
 
     "q_f9_rowslice" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
       li(s, dir)
         .withColumn("idx", (row_number().over(w) - 1).cast("long"))
         .filter(col("idx") < 50)
@@ -224,48 +224,49 @@ object RadioQueries {
       // isot round-trip: format to ISO-8601, re-parse (C4), relative seconds.
       li(s, dir)
         .withColumn("isot", date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
         .select(col("l_orderkey"), col("l_linenumber"),
           RangeFilters.relSeconds(
             to_timestamp(col("isot"), "yyyy-MM-dd'T'HH:mm:ss"),
-            to_timestamp(lit("1994-01-01 00:00:00"))).as("t"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+            to_timestamp(lit("1994-01-01 00:00:00"))).as("t"))),
 
     "q_c5_vapor" -> ((s, dir) =>
-      li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+      li(s, dir).orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
           round(Atmosphere.waterVaporDensity(
             lit(273.15) + col("l_quantity"),
-            lit(20.0) + (col("l_partkey") % 60).cast("double")), 6).as("rho"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+            lit(20.0) + (col("l_partkey") % 60).cast("double")), 6).as("rho"))),
 
     "q_c6_atten" -> ((s, dir) =>
-      li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+      li(s, dir).orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
           round(Atmosphere.gaseousAttenuationDb(
             fGHz = (lit(10.0) + (col("l_partkey") % 30).cast("double")) / lit(10.0),
             elevDeg = lit(5.0) + (col("l_orderkey") % 85).cast("double"),
             rho = lit(7.5),
             pressure = lit(900.0) + (col("l_suppkey") % 200).cast("double"),
-            tempK = lit(273.15) + col("l_quantity")), 6).as("atten_db"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+            tempK = lit(273.15) + col("l_quantity")), 6).as("atten_db"))),
 
     "q_c7_trans" -> ((s, dir) =>
-      li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+      li(s, dir).orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
           round(Atmosphere.dbToTransmission(
-            (col("l_partkey") % 100).cast("double") / lit(10.0)), 6).as("trans"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+            (col("l_partkey") % 100).cast("double") / lit(10.0)), 6).as("trans"))),
 
     "q_c8_invtrans" -> ((s, dir) =>
-      li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+      li(s, dir).orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
           ArrayOps.vecDivide(data4,
-            array(lit(0.5), lit(0.8), lit(1.25), lit(2.0))).as("DATA"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+            array(lit(0.5), lit(0.8), lit(1.25), lit(2.0))).as("DATA"))),
 
     "q_c9_zgate" -> ((s, dir) => {
       val z = abs(col("l_quantity") - col("l_extendedprice") / 1000.0) /
         sqrt((lit(1.0) + col("l_discount")) * (lit(1.0) + col("l_discount")) +
              (lit(1.0) + col("l_tax")) * (lit(1.0) + col("l_tax")))
-      li(s, dir).select(col("l_orderkey"), col("l_linenumber"), z.as("z"))
+      li(s, dir).withColumn("z", z)
         .filter(col("z") >= 1.96)
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("z"))
     }),
 
     // --- ST1: calibration-spike scan (scale path) ---------------------------
@@ -276,7 +277,7 @@ object RadioQueries {
 
     // --- §3 pipeline compositions ------------------------------------------
     "q_pipeline_validate" -> ((s, dir) => {
-      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
       val obs = li(s, dir)
         .withColumn("ROWIDX", (row_number().over(w) - 1).cast("long"))
         .select(col("ROWIDX"),
@@ -293,6 +294,12 @@ object RadioQueries {
     "q_pipeline_continuum" -> ((s, dir) =>
       Continuum.run(obsContinuum(s, dir), obsHeader(4), Continuum.Params(ifnum = 0, plnum = 1))),
 
+    "q_continuum_all" -> ((s, dir) =>
+      // Multi-file scale path: N files reduced in ONE job chain (per-file
+      // ST1 + A8 + A9 executor-side; flat spikes make the gain oracle exact).
+      Continuum.runAll(obsMultiFileFull(s, dir), obsHeader(4),
+        Continuum.Params(ifnum = 0, plnum = 1))),
+
     "q_pipeline_spectrum" -> ((s, dir) =>
       Spectrum.run(obsSpectrum(s, dir), obsHeader(4), Spectrum.Params(ifnum = 0, plnum = 1)))
   )
@@ -304,7 +311,7 @@ object RadioQueries {
     "q_f1_feedpol" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
         |WHERE l_linenumber = 1 AND l_returnflag = 'A'
-        |ORDER BY l_orderkey, l_partkey""".stripMargin,
+        |ORDER BY l_orderkey, l_partkey, l_suppkey""".stripMargin,
 
     "q_f2_science" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -325,7 +332,7 @@ object RadioQueries {
     "q_f5_nanmask" ->
       """SELECT l_orderkey, l_linenumber,
         |  [l_quantity, CASE WHEN l_linenumber = 3 THEN NULL ELSE l_discount END] AS DATA
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
     "q_f6_timerange" ->
       """WITH t AS (SELECT o_orderkey,
@@ -337,16 +344,16 @@ object RadioQueries {
 
     "q_f7_freqsel" ->
       """SELECT l_orderkey, l_linenumber, [l_extendedprice, l_discount] AS DATA
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
     "q_f8_crop" ->
       """SELECT l_orderkey, l_linenumber, [l_extendedprice, l_discount] AS DATA
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
     "q_f9_rowslice" ->
       """SELECT l_returnflag, CAST(rn - 1 AS BIGINT) AS idx, l_orderkey, l_linenumber
         |FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
-        |        row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber) AS rn
+        |        row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn
         |      FROM lineitem)
         |WHERE rn <= 50 ORDER BY l_returnflag, rn""".stripMargin,
 
@@ -433,15 +440,15 @@ object RadioQueries {
     "q_c4_isot" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(epoch_us(l_shipdate) - epoch_us(TIMESTAMP '1994-01-01') AS DOUBLE) / 1000000.0 AS t
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
     "q_c5_vapor" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(CAST(216.7 AS DOUBLE) * (((CAST(20.0 AS DOUBLE) + (l_partkey % 60)) / CAST(100.0 AS DOUBLE)) * ((1.0007 + 3.46e-6) * 6.1121) * exp(17.502 * ((CAST(273.15 AS DOUBLE) + l_quantity) - 273.15) / (((CAST(273.15 AS DOUBLE) + l_quantity) - 273.15) + 240.97))) / (CAST(273.15 AS DOUBLE) + l_quantity), 6) AS rho
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
     "q_c6_atten" ->
-      """WITH v AS (SELECT l_orderkey, l_linenumber,
+      """WITH v AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |    (CAST(10.0 AS DOUBLE) + (l_partkey % 30)) / CAST(10.0 AS DOUBLE) AS f,
         |    CAST(5.0 AS DOUBLE) + (l_orderkey % 85) AS elev,
         |    CAST(7.5 AS DOUBLE) AS rho,
@@ -452,27 +459,27 @@ object RadioQueries {
         |  round(((7.27 * rt / (f * f + 0.351 * rp * rp * rt * rt) + 7.5 / ((f - 57.0) * (f - 57.0) + 2.44 * rp * rp * pow(rt, 5))) * (f * f) * rp * rp * rt * rt * 1e-3 * 6.0
         |   + (3.27e-2 * rt + 1.67e-3 * rho * pow(rt, 7) / rp + 7.7e-4 * sqrt(f) + 3.79 / ((f - 22.235) * (f - 22.235) + 9.81 * rp * rp * rt) + 11.73 * rt / ((f - 183.31) * (f - 183.31) + 11.85 * rp * rp * rt) + 4.01 * rt / ((f - 325.153) * (f - 325.153) + 10.44 * rp * rp * rt)) * (f * f) * rho * rp * rt * 1e-4 * (1.6 * (1.0 + 3.0 / ((f - 22.2) * (f - 22.2) + 5.0))))
         |   / sin(radians(elev)), 6) AS atten_db
-        |FROM v ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM v ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
     "q_c7_trans" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(pow(CAST(10.0 AS DOUBLE), -(CAST(l_partkey % 100 AS DOUBLE) / CAST(10.0 AS DOUBLE)) / CAST(10.0 AS DOUBLE)), 6) AS trans
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
     "q_c8_invtrans" ->
       """SELECT l_orderkey, l_linenumber,
         |  [l_quantity / CAST(0.5 AS DOUBLE), l_extendedprice / CAST(0.8 AS DOUBLE),
         |   l_discount / CAST(1.25 AS DOUBLE), l_tax / CAST(2.0 AS DOUBLE)] AS DATA
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
     "q_c9_zgate" ->
-      """WITH z AS (SELECT l_orderkey, l_linenumber,
+      """WITH z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |    abs(l_quantity - l_extendedprice / CAST(1000.0 AS DOUBLE)) /
         |    sqrt((CAST(1.0 AS DOUBLE) + l_discount) * (CAST(1.0 AS DOUBLE) + l_discount) +
         |         (CAST(1.0 AS DOUBLE) + l_tax) * (CAST(1.0 AS DOUBLE) + l_tax)) AS z
         |  FROM lineitem)
         |SELECT l_orderkey, l_linenumber, z FROM z WHERE z >= 1.96
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
     "q_st1_calscan" ->
       """WITH c AS (SELECT CAST(l_orderkey % 4 AS VARCHAR) AS FILE_ID, count(*) AS n
@@ -483,7 +490,7 @@ object RadioQueries {
 
     "q_pipeline_validate" ->
       """WITH obs AS (SELECT
-        |    CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS ROWIDX,
+        |    CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS BIGINT) AS ROWIDX,
         |    l_quantity - 2.0 AS TSYS,
         |    [l_quantity, CASE WHEN l_linenumber = 3 THEN NULL ELSE l_discount END,
         |     l_extendedprice, l_tax] AS DATA
@@ -491,9 +498,20 @@ object RadioQueries {
         |SELECT ROWIDX, TSYS, DATA[2:3] AS DATA FROM obs
         |WHERE TSYS IS NULL OR TSYS >= 0 ORDER BY ROWIDX""".stripMargin,
 
+    "q_continuum_all" ->
+      """WITH obs AS (SELECT
+        |    CAST(l_orderkey % 4 AS VARCHAR) AS FILE_ID,
+        |    row_number() OVER (PARTITION BY l_orderkey % 4 ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS ridx,
+        |    count(*) OVER (PARTITION BY l_orderkey % 4) AS n,
+        |    l_quantity + l_extendedprice + l_discount + l_tax AS intensity
+        |  FROM lineitem)
+        |SELECT FILE_ID, CAST(ridx AS DOUBLE) AS t, intensity / CAST(6.0 AS DOUBLE) AS intensity
+        |FROM obs WHERE ridx >= 16 AND ridx < n - 16
+        |ORDER BY FILE_ID, t""".stripMargin,
+
     "q_pipeline_spectrum" ->
       """WITH obs AS (SELECT
-        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS pos,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS pos,
         |    l_quantity AS q, CAST(l_linenumber AS DOUBLE) AS b,
         |    CAST(l_partkey % 7 AS DOUBLE) AS c, CAST(l_suppkey % 5 AS DOUBLE) AS d
         |  FROM lineitem),

@@ -42,6 +42,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(one[String](TextAnalysis.langId($"text"), "zzz qqq xxx") == "und")
   }
 
+  test("langIdBy (codegen'd aggregation) agrees with the column form") {
+    val df = Seq(
+      (1L, "the cat is on the mat"),
+      (2L, "der hund ist nicht da und"),
+      (3L, "le chat est sur la table et les"),
+      (4L, "el perro es un animal y los gatos"),
+      (5L, "zzz qqq xxx"),
+      (6L, "la la la") // tie-breaking: 'la' is both es and fr → fr (lex max)
+    ).toDF("doc_id", "text")
+    val byCol = df.select($"doc_id", TextAnalysis.langId($"text").as("lang_id"))
+      .as[(Long, String)].collect().toMap
+    val byAgg = TextAnalysis.langIdBy(df, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(byAgg == byCol)
+    assert(byAgg(6L) == "fr")
+  }
+
   test("quality score is in [0,1] and penalizes punctuation soup") {
     val clean = one[Double](TextAnalysis.qualityScore($"text"),
       "A perfectly reasonable sentence with enough characters to pass the length gate.")

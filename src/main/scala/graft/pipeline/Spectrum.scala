@@ -72,4 +72,54 @@ object Spectrum {
       .select(col("pos"), col("frequency"), col("intensity"))
       .orderBy(col("pos"))
   }
+
+  /** Multi-file scale path (the [[graft.pipeline.Continuum.runAll]] analog):
+    * spectra for N files in ONE job chain. The per-file off-transition index
+    * comes from the distributed ST1 scan (flag columns only — DATA pruned),
+    * broadcast-joins back, and the ON/OFF vector sums aggregate in a single
+    * groupBy(FILE_ID, half) pass with map-side partial whole-array sums.
+    * Output: one row per (FILE_ID, channel).
+    */
+  def runAll(df: DataFrame, header: Header, p: Params): DataFrame = {
+    var d = df.filter(
+      col("IFNUM") === p.ifnum && col("PLNUM") === p.plnum &&
+      col("CALSTATE") === 0 && col("SWPVALID") === 0)
+    d = RangeFilters.filterTimeRanges(d, lit(header.date), p.includeTime, p.excludeTime)
+    val fr = HeaderRecord.frequencyRange(header, p.ifnum)
+    val axis = ArrayOps.freqAxis(fr.high, fr.low, fr.channelCount)
+    val (freqs, d2) = RangeFilters.filterFrequencyRanges(d, axis, p.includeFreq, p.excludeFreq)
+
+    val flagged = d2.withColumn("__pos",
+      (row_number().over(Window.partitionBy(col("FILE_ID")).orderBy(col("ROWIDX"))) - 1).cast("long"))
+
+    // Per-file off index (channelCount is irrelevant to off_start — the scan
+    // threshold only gates data_start, which the spectrum path doesn't use).
+    val offs = CalibrationScan.scanPerFile(
+        flagged.withColumn("FILE_ID", col("FILE_ID").cast("string")), 1L, header.obsmode)
+      .select(col("FILE_ID"), col("off_start"))
+
+    // Python truthiness (ref spectrum.py:62): off index 0 or absent → no split.
+    val halves = flagged
+      .withColumn("FILE_ID", col("FILE_ID").cast("string"))
+      .join(broadcast(offs), "FILE_ID")
+      .withColumn("__on",
+        when(col("off_start").isNull || col("off_start") === 0, lit(true))
+          .otherwise(col("__pos") < col("off_start")))
+      .groupBy(col("FILE_ID"), col("__on"))
+      .agg(VectorSum.vecSum(ArrayOps.fillNulls(col("DATA"))).as("s"))
+
+    val spec = halves.groupBy(col("FILE_ID"))
+      .agg(
+        first(when(col("__on"), col("s")), ignoreNulls = true).as("s_on"),
+        first(when(!col("__on"), col("s")), ignoreNulls = true).as("s_off"))
+      .select(col("FILE_ID"),
+        when(col("s_off").isNull, col("s_on"))
+          .otherwise(ArrayOps.vecDiff(col("s_on"), col("s_off"))).as("spectrum"))
+
+    val freqLit = array(freqs.map(lit(_)).toIndexedSeq: _*)
+    spec.select(col("FILE_ID"), posexplode(col("spectrum")).as(Seq("pos", "intensity")))
+      .withColumn("frequency", element_at(freqLit, col("pos") + 1))
+      .select(col("FILE_ID"), col("pos"), col("frequency"), col("intensity"))
+      .orderBy(col("FILE_ID"), col("pos"))
+  }
 }

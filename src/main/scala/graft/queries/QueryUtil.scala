@@ -97,6 +97,26 @@ object QueryUtil {
         when(col("ROWIDX") < 100, lit("onoff:on")).otherwise(lit("onoff:off")).as("OBSMODE"))
   }
 
+  /** Multi-file spectrum-flavored observation: FILE_ID = l_orderkey % 4,
+    * every row science data (CALSTATE=0, SWPVALID=0), OBSMODE flips to
+    * 'onoff:off' at per-file row 100, integer-valued 4-channel DATA (exact
+    * under any summation order).
+    */
+  def obsSpectrumMulti(s: SparkSession, dir: String): DataFrame = {
+    val fid = col("l_orderkey") % 4
+    val w = Window.partitionBy(fid).orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    li(s, dir)
+      .withColumn("FILE_ID", fid.cast("string"))
+      .withColumn("ROWIDX", (row_number().over(w) - 1).cast("long"))
+      .select(
+        col("FILE_ID"), col("ROWIDX"),
+        expr("timestampadd(SECOND, ROWIDX, TIMESTAMP '2024-01-01 00:00:00')").as("DATE_OBS"),
+        int4.as("DATA"),
+        lit(0).as("IFNUM"), lit(1).as("PLNUM"),
+        lit(0).as("CALSTATE"), lit(0).as("SWPVALID"),
+        when(col("ROWIDX") < 100, lit("onoff:on")).otherwise(lit("onoff:off")).as("OBSMODE"))
+  }
+
   /** Multi-file observation flags (FILE_ID = l_orderkey % 4) with the same
     * per-file pattern as [[obsContinuum]] — the ST1 scale-path input.
     */

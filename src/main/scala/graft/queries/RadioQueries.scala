@@ -301,7 +301,13 @@ object RadioQueries {
         Continuum.Params(ifnum = 0, plnum = 1))),
 
     "q_pipeline_spectrum" -> ((s, dir) =>
-      Spectrum.run(obsSpectrum(s, dir), obsHeader(4), Spectrum.Params(ifnum = 0, plnum = 1)))
+      Spectrum.run(obsSpectrum(s, dir), obsHeader(4), Spectrum.Params(ifnum = 0, plnum = 1))),
+
+    "q_spectrum_all" -> ((s, dir) =>
+      // Multi-file spectrum scale path: per-file ON/OFF spectra in ONE
+      // groupBy(FILE_ID, half) aggregation pass.
+      Spectrum.runAll(obsSpectrumMulti(s, dir), obsHeader(4),
+        Spectrum.Params(ifnum = 0, plnum = 1)))
   )
 
   /** DuckDB oracles. Formula comments: every double expression mirrors the
@@ -508,6 +514,24 @@ object RadioQueries {
         |SELECT FILE_ID, CAST(ridx AS DOUBLE) AS t, intensity / CAST(6.0 AS DOUBLE) AS intensity
         |FROM obs WHERE ridx >= 16 AND ridx < n - 16
         |ORDER BY FILE_ID, t""".stripMargin,
+
+    "q_spectrum_all" ->
+      """WITH obs AS (SELECT
+        |    CAST(l_orderkey % 4 AS VARCHAR) AS FILE_ID,
+        |    row_number() OVER (PARTITION BY l_orderkey % 4 ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS pos,
+        |    l_quantity AS q, CAST(l_linenumber AS DOUBLE) AS b,
+        |    CAST(l_partkey % 7 AS DOUBLE) AS c, CAST(l_suppkey % 5 AS DOUBLE) AS d
+        |  FROM lineitem),
+        |agg AS (SELECT FILE_ID,
+        |    CAST(sum(CASE WHEN pos < 100 THEN q ELSE 0 END) - sum(CASE WHEN pos >= 100 THEN q ELSE 0 END) AS DOUBLE) AS e0,
+        |    CAST(sum(CASE WHEN pos < 100 THEN b ELSE 0 END) - sum(CASE WHEN pos >= 100 THEN b ELSE 0 END) AS DOUBLE) AS e1,
+        |    CAST(sum(CASE WHEN pos < 100 THEN c ELSE 0 END) - sum(CASE WHEN pos >= 100 THEN c ELSE 0 END) AS DOUBLE) AS e2,
+        |    CAST(sum(CASE WHEN pos < 100 THEN d ELSE 0 END) - sum(CASE WHEN pos >= 100 THEN d ELSE 0 END) AS DOUBLE) AS e3
+        |  FROM obs GROUP BY FILE_ID)
+        |SELECT FILE_ID, CAST(t.i AS INT) AS pos,
+        |  CAST(1395.0 AS DOUBLE) - t.i * (CAST(1395.0 AS DOUBLE) - CAST(1315.0 AS DOUBLE)) / 3 AS frequency,
+        |  CASE t.i WHEN 0 THEN e0 WHEN 1 THEN e1 WHEN 2 THEN e2 ELSE e3 END AS intensity
+        |FROM agg, generate_series(0, 3) t(i) ORDER BY FILE_ID, pos""".stripMargin,
 
     "q_pipeline_spectrum" ->
       """WITH obs AS (SELECT

@@ -79,9 +79,21 @@ object Dedup {
       textCol: String = "text",
       numHashes: Int = 64,
       bands: Int = 16,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3): DataFrame =
+    minhashCandidatesFromSigs(
+      minhashSignatures(df, idCol, textCol, numHashes, shingleSize), numHashes, bands)
+
+  /** Candidate generation from a precomputed (id, sig) frame. The self-join
+    * evaluates its input once per side — at scale, WRITE the signatures
+    * (they are the expensive part) and pass the stored table here rather
+    * than recomputing them inside one plan; the plan audit (PLANS.md) shows
+    * the inline form computes signatures twice.
+    */
+  def minhashCandidatesFromSigs(
+      sigs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
     val banded = sigs.select(col("id"), col("sig"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
     val a = banded.alias("a")
@@ -140,8 +152,13 @@ object Dedup {
     * (Round-2 bucketing on only the top 16 bits missed any pair whose
     * differing bits fell in the low 48 — ~70% of hamming-4 pairs.)
     */
-  def simhashCandidates(df: DataFrame, idCol: String = "doc_id", textCol: String = "text", maxHamming: Int = 8): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
+  def simhashCandidates(df: DataFrame, idCol: String = "doc_id", textCol: String = "text", maxHamming: Int = 8): DataFrame =
+    simhashCandidatesFromSigs(simhashSignatures(df, idCol, textCol), maxHamming)
+
+  /** Candidate generation from a precomputed (id, sim) frame — same
+    * store-the-signatures-at-scale guidance as [[minhashCandidatesFromSigs]].
+    */
+  def simhashCandidatesFromSigs(sigs: DataFrame, maxHamming: Int = 8): DataFrame = {
     val banded = sigs.select(col("id"), col("sim"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),

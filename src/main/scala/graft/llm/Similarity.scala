@@ -105,6 +105,110 @@ object Similarity {
     annTopKBucketed(withLshBucket(df, planes, embCol), query, planes, k,
       probeHamming, idCol, embCol)
 
+  // --- IVF (inverted-file) ANN: coarse k-means quantizer + cell pruning ----
+
+  /** Train IVF centroids driver-side: Lloyd's k-means over a deterministic
+    * sample (first `sampleN` rows by id). The quantizer is tiny and global —
+    * training on a sample is the standard IVF construction; the full corpus
+    * is only ever ASSIGNED (one codegen'd pass), never iterated.
+    */
+  def trainIvfCentroids(
+      df: DataFrame,
+      k: Int,
+      sampleN: Int = 2048,
+      iters: Int = 10,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Array[Array[Double]] = {
+    val sample = df.orderBy(col(idCol)).limit(sampleN)
+      .select(col(embCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    var centroids = Array.fill(k)(sample(rnd.nextInt(sample.length)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) sample(rnd.nextInt(sample.length)).clone() // re-seed empty cell
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var j = 0
+      val cen = centroids(c)
+      while (j < v.length) { val x = v(j) - cen(j); d += x * x; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Nearest-centroid cell id as a codegen'd column expression (argmin of
+    * squared L2 over the literal centroid set — `array_min` over
+    * (distance, index) structs).
+    */
+  def ivfCell(emb: Column, centroids: Array[Array[Double]]): Column = {
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit(_)).toIndexedSeq: _*)
+      val d = aggregate(zip_with(emb, cl, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (s, v) => s + v)
+      struct(d.as("d"), lit(i).as("i"))
+    }
+    array_min(array(cells.toIndexedSeq: _*)).getField("i")
+  }
+
+  /** Assign the stored IVF cell column — write once, partition/cluster the
+    * table by it, and queries prune to `nprobe` cells of I/O.
+    */
+  def withIvfCell(
+      df: DataFrame,
+      centroids: Array[Array[Double]],
+      embCol: String = "embedding",
+      cellCol: String = "ivf_cell"): DataFrame =
+    df.withColumn(cellCol, ivfCell(col(embCol), centroids))
+
+  /** IVF ANN top-k: exact-cosine rank restricted to the `nprobe` cells whose
+    * centroids are nearest the query. With `cellCol` stored and the table
+    * partitioned by it, the `isin` filter is partition pruning.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      query: Array[Double],
+      centroids: Array[Array[Double]],
+      k: Int,
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      cellCol: String = "ivf_cell"): DataFrame = {
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < query.length) { val x = query(j) - c(j); d += x * x; j += 1 }
+        (d, i)
+      }
+      .sortBy(_._1).take(nprobe).map(_._2)
+    df.filter(col(cellCol).isin(probes.toIndexedSeq: _*))
+      .select(col(idCol), cosineToQuery(col(embCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs near-duplicate candidates by embedding cosine: bucket join on
     * the LSH key (equi-join, shuffle O(n)), exact cosine on candidates only.
     */

@@ -64,6 +64,15 @@ object LlmQueries {
       Similarity.annTopK(emb(s, dir), e1, planes, k = 10, probeHamming = 5)
     }),
 
+    "q_sim_ivf" -> ((s, dir) => {
+      // IVF coarse-quantizer ANN: deterministic k-means (seeded, sample by
+      // vec_id) → stored cell column → nprobe-cell pruned exact search.
+      // Driver-side training → rows-only check.
+      val e = emb(s, dir)
+      val cents = Similarity.trainIvfCentroids(e, k = 8)
+      Similarity.ivfTopK(Similarity.withIvfCell(e, cents), e1, cents, k = 10, nprobe = 3)
+    }),
+
     "q_sim_neardup" -> ((s, dir) => {
       val planes = Similarity.hyperplanes(numPlanes = 12, dim = 64)
       val e = emb(s, dir)

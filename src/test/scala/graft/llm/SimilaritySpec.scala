@@ -47,6 +47,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(!cand.exists(c => c._3 < 0.999))
   }
 
+  test("IVF: cells separate the clusters and probed search finds the true neighbors") {
+    // 3 tight clusters around e1/e2/e3 → k=3 cells recover them.
+    val pts = (0 until 30).map { i =>
+      val axis = i % 3
+      val base = Array.fill(4)(0.05f * ((i * 7) % 3))
+      base(axis) = 1.0f
+      ((i + 1).toLong, base.toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(df, k = 3, sampleN = 30, iters = 5)
+    val celled = Similarity.withIvfCell(df, cents)
+    // every cluster lands in exactly one cell
+    val cellsPerAxis = celled.as[(Long, Seq[Float], Int)].collect()
+      .groupBy { case (id, _, _) => (id - 1) % 3 }
+      .view.mapValues(_.map(_._3).toSet).toMap
+    assert(cellsPerAxis.values.forall(_.size == 1))
+    // probed search returns the same ranking as brute force over the e1 cluster
+    val q = Array(1.0, 0.0, 0.0, 0.0)
+    val ivf = Similarity.ivfTopK(celled, q, cents, k = 5, nprobe = 1)
+      .as[(Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(df, q, k = 5).as[(Long, Double)].collect()
+    assert(ivf.map(_._1).toSeq == brute.map(_._1).toSeq)
+  }
+
   test("query bucket matches the column bucket for the same vector") {
     val planes = Similarity.hyperplanes(numPlanes = 8, dim = 4)
     val colBucket = Similarity.withLshBucket(

@@ -82,6 +82,19 @@ class PipelineSpec extends SparkTestBase {
     assert(rows.size == 63)
   }
 
+  test("S3: staged write materializes the validated stage at {base}_validated") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s3").toString
+    val base = s"$tmp/obs.parquet"
+    obs.write.mode("overwrite").parquet(base)
+    val h = header.copy(history = HeaderRecord.parseHistory(Seq(
+      "DATAMODE HIRES", "START,STOP channels 1_2", "HIRES bands  1355, 1435")))
+    val out = Staged.validateStage(spark, base, h)
+    assert(out == s"$tmp/obs_validated.parquet")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 64)
+    assert(back.select($"DATA").as[Seq[Double]].head().length == 2) // cropped to channels 1..2
+  }
+
   test("S2/S4: verified read accepts the true schema and rejects corruption") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-s2").toString
     val base = s"$tmp/obs.parquet"

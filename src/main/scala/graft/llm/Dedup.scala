@@ -193,10 +193,14 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0, "gram-join formulation emits only pairs sharing >= 1 gram")
-    val prepped = df.select(col(idCol).as("id"), blockKey.as("block"),
-        TextAnalysis.wordNgrams(col(textCol), n).as("grams"))
-      .select(col("id"), col("block"), size(col("grams")).as("ng"),
-        explode(col("grams")).as("gram"))
+    // Codegen'd gram rows (posexplode + window lead — not the interpreted
+    // per-row HOF, which dominated when evaluated once per join side), with
+    // the per-doc distinct-gram count attached by a window over id.
+    val grams = TextAnalysis.explodedWordNgrams(
+      df.select(col(idCol).as("id"), blockKey.as("block"), col(textCol).as("__text")),
+      "id", "__text", n, carry = Seq("block"))
+    val prepped = grams.withColumn("ng",
+      count(lit(1)).over(Window.partitionBy(col("id"))).cast("int"))
     val a = prepped.alias("a"); val b = prepped.alias("b")
     a.join(b, col("a.block") === col("b.block") && col("a.gram") === col("b.gram") &&
         col("a.id") < col("b.id"))

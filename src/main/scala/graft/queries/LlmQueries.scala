@@ -104,9 +104,10 @@ object LlmQueries {
         .orderBy(col("doc_id"))),
 
     "q_text_ngrams" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-          size(TextAnalysis.wordNgrams(col("text"), 2)).cast("long").as("n_bigrams"),
-          size(TextAnalysis.charNgrams(col("text"), 5)).cast("long").as("n_char5"))
+      // Codegen'd exploded construction (ngramCountsBy); same values as the
+      // array-column forms, pinned by TextAnalysisSpec.
+      TextAnalysis.ngramCountsBy(docs(s, dir), "doc_id", "text", wordN = 2, charN = 5)
+        .select(col("doc_id"), col("n_2grams").as("n_bigrams"), col("n_char5"))
         .orderBy(col("doc_id"))),
 
     // --- multimodal plumbing (stub decode — codecs absent in this env) ------

@@ -173,6 +173,29 @@ object RadioQueries {
           first(when(!col("on"), col("spectrum")), ignoreNulls = true).as("s_off"))
         .select(Integration.onOffDiff(col("s_on"), col("s_off")).as("diff"))),
 
+    // --- joins (SURVEY §2.3: the engine's public join surface; the
+    //     reference itself never joins — cross-section combination is
+    //     positional — but a user of the library does) --------------------
+    "q_join_enrich" -> ((s, dir) =>
+      // fact ⋈ two dims: Catalyst broadcasts part/supplier (small sides).
+      li(s, dir)
+        .join(graft.Tables.load(s, dir, "part").filter(col("p_size") < 20), col("l_partkey") === col("p_partkey"))
+        .join(graft.Tables.load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_brand"), col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_brand"), col("s_nationkey"))),
+
+    "q_join_star" -> ((s, dir) =>
+      // star chain orders → customer → nation → region with exact aggregates.
+      ord(s, dir)
+        .join(graft.Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(graft.Tables.load(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(graft.Tables.load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("r_name"))),
+
     // --- U: set operations --------------------------------------------------
     "q_u1_merge" -> ((s, dir) =>
       Merge.merge(Seq(
@@ -420,6 +443,22 @@ object RadioQueries {
         |  CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN l_linenumber ELSE 0 END) - sum(CASE WHEN l_orderkey % 2 = 0 THEN l_linenumber ELSE 0 END) AS DOUBLE),
         |  CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN l_partkey % 7 ELSE 0 END) - sum(CASE WHEN l_orderkey % 2 = 0 THEN l_partkey % 7 ELSE 0 END) AS DOUBLE)
         |] AS diff FROM lineitem""".stripMargin,
+
+    "q_join_enrich" ->
+      """SELECT p_brand, s_nationkey, CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_size < 20
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand, s_nationkey ORDER BY p_brand, s_nationkey""".stripMargin,
+
+    "q_join_star" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n, min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "q_u1_merge" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM lineitem

@@ -29,6 +29,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(one[Seq[String]](TextAnalysis.charNgrams($"text", 2), "abc") == Seq("ab", "bc"))
   }
 
+  test("exploded n-gram construction agrees with the array-column forms") {
+    val df = Seq(
+      (1L, "a b a b c"),
+      (2L, "one"),              // fewer tokens than n → empty set
+      (3L, "x y z x y z x y"),
+      (4L, "solo pair")
+    ).toDF("doc_id", "text")
+    val arrW = df.select($"doc_id", TextAnalysis.wordNgrams($"text", 2).as("g"))
+      .as[(Long, Seq[String])].collect().map { case (id, g) => id -> g.toSet }.toMap
+    val expW = TextAnalysis.explodedWordNgrams(df, "doc_id", "text", 2)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((arrW.filter(_._2.nonEmpty): Map[Long, Set[String]]) == expW)
+
+    val arrC = df.select($"doc_id", TextAnalysis.charNgrams($"text", 3).as("g"))
+      .as[(Long, Seq[String])].collect().map { case (id, g) => id -> g.toSet }.toMap
+    val expC = TextAnalysis.explodedCharNgrams(df, "doc_id", "text", 3)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((arrC.filter(_._2.nonEmpty): Map[Long, Set[String]]) == expC)
+
+    val counts = TextAnalysis.ngramCountsBy(df, "doc_id", "text", 2, 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(counts(1L) == ((3L, arrC(1L).size.toLong)))
+    assert(counts(2L) == ((0L, 1L))) // "one": no bigrams, one 3-char gram
+  }
+
   test("fingerprint matches a hand-computed rolling hash") {
     // "ab": ((0*131+97) % M)*131 + 98 = 12805 (M = 1e9+7)
     assert(one[Long](TextAnalysis.fingerprint($"text"), "ab") == 12805L)

@@ -38,12 +38,16 @@ object LlmQueries {
     "q_dedup_exact_rows" -> ((s, dir) =>
       Dedup.exactDedup(docs(s, dir)).select(col("doc_id")).orderBy(col("doc_id"))),
 
-    "q_dedup_minhash" -> ((s, dir) =>
+    "q_dedup_minhash" -> ((s, dir) => {
       // Spark murmur3 isn't reproducible in DuckDB → rows-only check; the
       // planted near-dups guarantee non-empty candidates at est_jaccard ≥ 0.5.
-      Dedup.minhashCandidates(aug(s, dir))
+      // Signatures are materialized once (localCheckpoint) — the self-join
+      // would otherwise compute them once per side (PLANS.md finding 2).
+      val sigs = Dedup.minhashSignatures(aug(s, dir)).localCheckpoint()
+      Dedup.minhashCandidatesFromSigs(sigs)
         .filter(col("est_jaccard") >= 0.5)
-        .orderBy(col("id_a"), col("id_b"))),
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashCandidates(aug(s, dir), maxHamming = 12)
@@ -62,6 +66,18 @@ object LlmQueries {
       // LSH planes are a seeded driver-side construct → rows-only check.
       val planes = Similarity.hyperplanes(numPlanes = 12, dim = 64)
       Similarity.annTopK(emb(s, dir), e1, planes, k = 10, probeHamming = 5)
+    }),
+
+    "q_sim_pairs_exact" -> ((s, dir) => {
+      // Label-blocked all-pairs exact cosine (the oracle-checkable face of
+      // the cosine kernel over arbitrary vector pairs).
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+      val a = e.alias("a"); val b = e.alias("b")
+      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          graft.functions.ArrayOps.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+        .filter(col("cosine") >= 0.2)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     "q_sim_ivf" -> ((s, dir) => {
@@ -166,6 +182,18 @@ object LlmQueries {
         |    CAST(len(a.grams) + len(b.grams) - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS DOUBLE) AS jaccard
         |  FROM p a JOIN p b ON a.block = b.block AND a.id < b.id)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sim_pairs_exact" ->
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, q) -> p + q)) AS nrm
+        |  FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (p, q) -> p + q)
+        |      / (a.nrm * b.nrm) AS cosine
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin,
 
     "q_sim_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS d,

@@ -144,6 +144,65 @@ object RobustFit {
     * swapped-seed quirk that only perturbs the first iteration's guess; the
     * refit makes it irrelevant, so it is not reproduced.
     */
+  /** A7 at scale — the distributed reject–refit loop for windows too large
+    * to collect: each iteration is ONE Spark job (the five OLS sums, the
+    * median and the 68.3rd-percentile deviation as exact `percentile`
+    * aggregates), then a survivor filter; the loop re-plans on the filtered
+    * frame. Calibration windows are tiny, so [[rcrLinearFit]] on collected
+    * arrays is the default; this form exists for fits over unbounded data
+    * (e.g. a whole observation's drift) where collecting is not an option.
+    *
+    * Same algorithm as [[rcrLinearFit]]; sums aggregate in partition order,
+    * so results can differ from the local form in the last ulps (tests
+    * compare at 1e-9).
+    */
+  def rcrFitDistributed(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      maxIter: Int = 50): (Fit, FitErr, Long) = {
+    var cur = df.select(x.cast("double").as("__x"), y.cast("double").as("__y"))
+    var n = cur.count()
+    require(n >= 4, "RCR needs >= 4 points")
+    var iter = 0
+    var changed = true
+    var fit = Fit(0.0, 0.0)
+    while (changed && iter < maxIter && n > 3) {
+      val s = cur.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__x") * col("__y")).as("sxy")).head()
+      val (nn, sx, sy, sxx, sxy) =
+        (s.getDouble(0), s.getDouble(1), s.getDouble(2), s.getDouble(3), s.getDouble(4))
+      val slope = (sxy - sx * sy / nn) / (sxx - sx * sx / nn)
+      val intercept = sy / nn - slope * sx / nn
+      fit = Fit(intercept, slope)
+      val res = col("__y") - (lit(intercept) + lit(slope) * col("__x"))
+      val withRes = cur.withColumn("__r", res)
+      val q = withRes.agg(expr("percentile(__r, 0.5)").as("mu")).head().getDouble(0)
+      val sigma = withRes
+        .agg(expr(s"percentile(abs(__r - $q), 0.683)").as("sigma")).head().getDouble(0)
+      if (sigma <= 0.0) changed = false
+      else {
+        val thr = chauvenetThreshold(n.toInt) * sigma
+        val kept = withRes.filter(abs(col("__r") - lit(q)) <= lit(thr)).select(col("__x"), col("__y"))
+        // localCheckpoint truncates the per-iteration lineage: without it
+        // every iteration re-evaluates the whole reject chain from the
+        // source (O(iterations²) work) and the plan grows unboundedly.
+        val keptMat = kept.localCheckpoint()
+        val keptN = keptMat.count()
+        if (keptN == n || keptN < 4) changed = false
+        else { cur = keptMat; n = keptN }
+      }
+      iter += 1
+    }
+    // final refit + uncertainties in one aggregation pass
+    val f = olsAgg(cur, Seq(lit(1).as("__g")), col("__x"), col("__y")).head()
+    val result = Fit(f.getAs[Double]("intercept"), f.getAs[Double]("slope"))
+    (result, FitErr(f.getAs[Double]("intercept_sd"), f.getAs[Double]("slope_sd")), n)
+  }
+
   def rcrLinearFit(x: Array[Double], y: Array[Double], maxIter: Int = 50): RcrResult = {
     require(x.length == y.length && x.length >= 4, "RCR needs >= 4 points")
     var idx = Array.range(0, x.length)

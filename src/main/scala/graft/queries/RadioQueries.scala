@@ -132,6 +132,19 @@ object RadioQueries {
       Seq((round6(r.fit.slope), round6(r.fit.intercept))).toDF("slope", "intercept")
     }),
 
+    "q_a7_rcr_dist" -> ((s, dir) => {
+      // Same fixture as q_a7_rcr through the DISTRIBUTED reject–refit loop
+      // (one Spark job per iteration, exact percentile aggregates) — the A7
+      // scale path for windows too large to collect.
+      val src = li(s, dir).filter(col("l_linenumber") === 1)
+        .withColumn("x", (col("l_orderkey") % 100).cast("double"))
+        .withColumn("y", (col("l_orderkey") % 100) * 2 + 1 +
+          when(col("l_orderkey") % 97 === 0, 1000.0).otherwise(0.0))
+      val (fit, _, _) = RobustFit.rcrFitDistributed(src, col("x"), col("y"))
+      import s.implicits._
+      Seq((round6(fit.slope), round6(fit.intercept))).toDF("slope", "intercept")
+    }),
+
     "q_a8_calheight" -> ((s, dir) => {
       // Flat diode-on level 5.0 vs diode-off 2.0 → height exactly (3.0, 0.0).
       val window = li(s, dir).filter(col("l_orderkey") % 100 === 1)
@@ -421,6 +434,9 @@ object RadioQueries {
         |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "q_a7_rcr" ->
+      "SELECT CAST(2.0 AS DOUBLE) AS slope, CAST(1.0 AS DOUBLE) AS intercept",
+
+    "q_a7_rcr_dist" ->
       "SELECT CAST(2.0 AS DOUBLE) AS slope, CAST(1.0 AS DOUBLE) AS intercept",
 
     "q_a8_calheight" ->

@@ -54,6 +54,25 @@ class RobustFitSpec extends AnyFunSuite {
     assert(math.abs(r.fit.intercept - 1.0) < 1e-9)
   }
 
+  test("distributed RCR agrees with the local form on the outlier fixture") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val n = 200
+    val x = Array.tabulate(n)(_.toDouble)
+    val y = x.map(v => 2.0 * v + 1.0 + math.sin(v) * 0.5)
+    y(11) += 500.0; y(77) -= 900.0; y(150) += 700.0
+    val local = rcrLinearFit(x, y)
+    val (fit, err, kept) = rcrFitDistributed(
+      x.zip(y).toSeq.toDF("x", "y"),
+      org.apache.spark.sql.functions.col("x"), org.apache.spark.sql.functions.col("y"))
+    assert(kept == local.keptIndices.length.toLong)
+    assert(math.abs(fit.slope - local.fit.slope) < 1e-9)
+    assert(math.abs(fit.intercept - local.fit.intercept) < 1e-9)
+    assert(math.abs(err.slopeSd - local.err.slopeSd) < 1e-9)
+  }
+
   test("RCR requires >= 4 points") {
     intercept[IllegalArgumentException] {
       rcrLinearFit(Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0))

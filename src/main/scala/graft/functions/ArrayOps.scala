@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   *
   * The reference stores one integration sample per row with a fixed-length
   * float vector `DATA` (per-channel intensities); these helpers re-express its
-  * whole-column numpy kernels as Catalyst higher-order functions, so they stay
-  * inside whole-stage codegen and need no UDF/serialization boundary.
+  * whole-column numpy kernels as Catalyst higher-order functions — no UDF or
+  * serialization boundary, though HOF lambdas themselves evaluate interpreted
+  * (`CodegenFallback`). Kernels hot enough for that to matter have native
+  * codegen'd forms in [[VectorKernels]].
   *
   * All functions are pure `Column -> Column`; element order carries channel
   * identity (channel 0 = highest frequency, ref utils.py:282).
@@ -103,8 +105,17 @@ object ArrayOps {
   def vecDivide(a: Column, divisor: Column): Column =
     zip_with(a, divisor, (x, d) => x / d)
 
-  /** Dot product of two numeric arrays, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two numeric arrays, accumulated in double. Delegates to
+    * the native codegen'd kernel ([[graft.functions.DotProduct]]); the HOF
+    * form below pins its semantics.
+    */
+  def dot(a: Column, b: Column): Column = VectorKernels.dot(a, b)
+
+  /** HOF reference form of [[dot]] — interpreted (`aggregate`/`zip_with` are
+    * `CodegenFallback`); kept as the executable spec the native kernel is
+    * tested against.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (s, v) => s + v)
 

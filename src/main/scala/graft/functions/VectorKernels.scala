@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native codegen'd vector kernels for the similarity-search surface.
+  *
+  * Spark's higher-order functions (`aggregate`, `zip_with`, `transform`) are
+  * `CodegenFallback`: each row pays interpreted lambda dispatch per element.
+  * For the O(n·d) kernels under brute-force cosine, LSH bucketing (d dots per
+  * row per plane) and IVF cell assignment that interpreter tax dominates, so
+  * these `BinaryExpression`s emit a tight primitive `double` loop via
+  * `doGenCode` instead.
+  *
+  * Semantics mirror the HOF forms bit-exactly (same per-element IEEE op
+  * order, index-ascending accumulation) so swapping them in cannot move any
+  * oracle-checked value:
+  *   - null array → null; any null ELEMENT → null (zip_with multiplies null
+  *     through, aggregate folds `s + null` to null);
+  *   - length mismatch → null (zip_with pads the shorter side with nulls);
+  *   - empty arrays → 0.0 (fold over nothing returns the 0.0 seed).
+  */
+abstract class VectorFoldExpression extends BinaryExpression {
+  // Inputs are always array<double>: the [[VectorKernels]] wrappers insert
+  // the cast, so no ExpectsInputTypes coercion is needed (that trait's
+  // AbstractDataType is private[sql] anyway).
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  /** Per-element contribution, e.g. `x * y`. Java source over two doubles. */
+  protected def javaCombine(x: String, y: String): String
+  /** Scala mirror of [[javaCombine]] for interpreted eval. */
+  protected def scalaCombine(x: Double, y: Double): Double
+
+  override def nullSafeEval(leftV: Any, rightV: Any): Any = {
+    val a = leftV.asInstanceOf[ArrayData]
+    val b = rightV.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      sum += scalaCombine(a.getDouble(i), b.getDouble(i))
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += ${javaCombine(s"$a.getDouble($i)", s"$b.getDouble($i)")};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $sum;
+         |}
+       """.stripMargin
+    })
+}
+
+/** Σ aᵢ·bᵢ — the dot product (codegen'd). */
+case class DotProduct(left: Expression, right: Expression) extends VectorFoldExpression {
+  override def prettyName: String = "vec_dot"
+  override protected def javaCombine(x: String, y: String): String = s"$x * $y"
+  override protected def scalaCombine(x: Double, y: Double): Double = x * y
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ (aᵢ−bᵢ)² — squared Euclidean distance (codegen'd); the IVF
+  * quantizer-assignment kernel.
+  */
+case class L2DistSq(left: Expression, right: Expression) extends VectorFoldExpression {
+  override def prettyName: String = "vec_l2distsq"
+  override protected def javaCombine(x: String, y: String): String = s"($x - $y) * ($x - $y)"
+  override protected def scalaCombine(x: Double, y: Double): Double = (x - y) * (x - y)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): L2DistSq =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorKernels {
+  private def binary(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
+    GraftColumnBridge.column(f(
+      GraftColumnBridge.expression(a.cast("array<double>")),
+      GraftColumnBridge.expression(b.cast("array<double>"))))
+
+  /** Codegen'd dot product of two numeric array columns. */
+  def dot(a: Column, b: Column): Column = binary(DotProduct.apply)(a, b)
+
+  /** Codegen'd squared L2 distance of two numeric array columns. */
+  def l2DistSq(a: Column, b: Column): Column = binary(L2DistSq.apply)(a, b)
+}

@@ -161,14 +161,13 @@ object Similarity {
 
   /** Nearest-centroid cell id as a codegen'd column expression (argmin of
     * squared L2 over the literal centroid set — `array_min` over
-    * (distance, index) structs).
+    * (distance, index) structs, each distance a native
+    * [[graft.functions.L2DistSq]] kernel).
     */
   def ivfCell(emb: Column, centroids: Array[Array[Double]]): Column = {
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       val cl = array(c.map(lit(_)).toIndexedSeq: _*)
-      val d = aggregate(zip_with(emb, cl, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (s, v) => s + v)
-      struct(d.as("d"), lit(i).as("i"))
+      struct(graft.functions.VectorKernels.l2DistSq(emb, cl).as("d"), lit(i).as("i"))
     }
     array_min(array(cells.toIndexedSeq: _*)).getField("i")
   }

@@ -22,13 +22,18 @@ object Bench {
       // Noop sink, not count(): count() lets Catalyst prune unreferenced
       // projections, so map-only queries would benchmark near-zero work.
       // Evaluating every InternalRow measures the actual plan.
-      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // A crashed query records its NEGATED partial time (visible failure
+    // marker) and is excluded from the total rather than shrinking it.
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

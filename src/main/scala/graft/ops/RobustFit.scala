@@ -180,9 +180,16 @@ object RobustFit {
       fit = Fit(intercept, slope)
       val res = col("__y") - (lit(intercept) + lit(slope) * col("__x"))
       val withRes = cur.withColumn("__r", res)
-      val q = withRes.agg(expr("percentile(__r, 0.5)").as("mu")).head().getDouble(0)
+      // DSL columns, never string-interpolated SQL: a NaN/Infinity median
+      // interpolated into expr() text would be an unresolvable identifier
+      // and throw AnalysisException instead of flowing through the math.
+      val q = withRes.agg(
+        org.apache.spark.sql.functions.percentile(col("__r"), lit(0.5)).as("mu"))
+        .head().getDouble(0)
       val sigma = withRes
-        .agg(expr(s"percentile(abs(__r - $q), 0.683)").as("sigma")).head().getDouble(0)
+        .agg(org.apache.spark.sql.functions.percentile(
+          abs(col("__r") - lit(q)), lit(0.683)).as("sigma"))
+        .head().getDouble(0)
       if (sigma <= 0.0) changed = false
       else {
         val thr = chauvenetThreshold(n.toInt) * sigma

@@ -114,6 +114,12 @@ object Continuum {
     val freqs = ArrayOps.freqAxis(fr.high, fr.low, fr.channelCount)
     val (_, d2) = RangeFilters.filterFrequencyRanges(d, freqs, p.includeFreq, p.excludeFreq)
 
+    // Materialized ONCE (localCheckpoint): integ feeds both the mapGroups
+    // params side and the final join side — unmaterialized, the expensive
+    // arraySum/DATA scan would run twice AND the row_number positions could
+    // differ between evaluations when upstream sort keys tie (the corpus has
+    // non-unique lineitem keys), applying gains to a different row
+    // assignment than they were fitted on.
     val integ = withPos(d2).select(
       col("FILE_ID").cast("string").as("FILE_ID"),
       col("__pos").cast("long").as("__pos"),
@@ -122,6 +128,7 @@ object Continuum {
       col("OBSMODE").cast("string").as("OBSMODE"),
       RangeFilters.relSeconds(col("DATE_OBS"), t0).as("t"),
       ArrayOps.arraySum(col("DATA")).as("intensity"))
+      .localCheckpoint()
 
     val strict = p.strictCompat
     val obsmode = header.obsmode

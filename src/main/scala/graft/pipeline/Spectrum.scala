@@ -89,31 +89,40 @@ object Spectrum {
     val axis = ArrayOps.freqAxis(fr.high, fr.low, fr.channelCount)
     val (freqs, d2) = RangeFilters.filterFrequencyRanges(d, axis, p.includeFreq, p.excludeFreq)
 
-    val flagged = d2.withColumn("__pos",
-      (row_number().over(Window.partitionBy(col("FILE_ID")).orderBy(col("ROWIDX"))) - 1).cast("long"))
+    // Materialized ONCE (localCheckpoint): flagged feeds both the per-file
+    // scan side and the halves aggregation side — unmaterialized, the two
+    // evaluations could assign different __pos values when upstream sort
+    // keys tie (non-unique lineitem keys in the corpus).
+    val flagged = d2.withColumn("FILE_ID", col("FILE_ID").cast("string"))
+      .withColumn("__pos",
+        (row_number().over(Window.partitionBy(col("FILE_ID")).orderBy(col("ROWIDX"))) - 1).cast("long"))
+      .localCheckpoint()
 
     // Per-file off index (channelCount is irrelevant to off_start — the scan
     // threshold only gates data_start, which the spectrum path doesn't use).
-    val offs = CalibrationScan.scanPerFile(
-        flagged.withColumn("FILE_ID", col("FILE_ID").cast("string")), 1L, header.obsmode)
+    val offs = CalibrationScan.scanPerFile(flagged, 1L, header.obsmode)
       .select(col("FILE_ID"), col("off_start"))
 
     // Python truthiness (ref spectrum.py:62): off index 0 or absent → no split.
     val halves = flagged
-      .withColumn("FILE_ID", col("FILE_ID").cast("string"))
       .join(broadcast(offs), "FILE_ID")
-      .withColumn("__on",
-        when(col("off_start").isNull || col("off_start") === 0, lit(true))
-          .otherwise(col("__pos") < col("off_start")))
+      .withColumn("__split",
+        !(col("off_start").isNull || col("off_start") === 0))
+      .withColumn("__on", !col("__split") || col("__pos") < col("off_start"))
       .groupBy(col("FILE_ID"), col("__on"))
-      .agg(VectorSum.vecSum(ArrayOps.fillNulls(col("DATA"))).as("s"))
+      .agg(VectorSum.vecSum(ArrayOps.fillNulls(col("DATA"))).as("s"),
+        first(col("__split")).as("__split"))
 
+    // Mirrors run() exactly: a file WITHOUT a real off index returns its
+    // plain sum; a file WITH one returns on−off — null (→ no rows after the
+    // posexplode) when either half is empty, same as the single-file path.
     val spec = halves.groupBy(col("FILE_ID"))
       .agg(
         first(when(col("__on"), col("s")), ignoreNulls = true).as("s_on"),
-        first(when(!col("__on"), col("s")), ignoreNulls = true).as("s_off"))
+        first(when(!col("__on"), col("s")), ignoreNulls = true).as("s_off"),
+        first(col("__split")).as("__split"))
       .select(col("FILE_ID"),
-        when(col("s_off").isNull, col("s_on"))
+        when(!col("__split"), col("s_on"))
           .otherwise(ArrayOps.vecDiff(col("s_on"), col("s_off"))).as("spectrum"))
 
     val freqLit = array(freqs.map(lit(_)).toIndexedSeq: _*)

@@ -49,9 +49,14 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashCandidates(aug(s, dir), maxHamming = 12)
-        .orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_simhash" -> ((s, dir) => {
+      // Same checkpoint pattern as q_dedup_minhash: without it the band
+      // self-join evaluates the 64-vote signature aggregation once per side
+      // (VERDICT r3 item 2 — 18.8 s driver bench, slowest in the registry).
+      val sigs = Dedup.simhashSignatures(aug(s, dir)).localCheckpoint()
+      Dedup.simhashCandidatesFromSigs(sigs, maxHamming = 12)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(aug(s, dir),

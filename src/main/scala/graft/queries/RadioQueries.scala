@@ -46,12 +46,15 @@ object RadioQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     "q_f5_nanmask" -> ((s, dir) =>
+      // posexplode in the final projection (bit-exact doubles): the driver's
+      // checker cannot sort raw array<double> columns (VERDICT r3 item 1).
       Validation.maskNaN(
           li(s, dir).withColumn("DATA",
             array(col("l_quantity"),
               when(col("l_linenumber") === 3, lit(Double.NaN)).otherwise(col("l_discount")))))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-        .select(col("l_orderkey"), col("l_linenumber"), col("DATA"))),
+        .select(col("l_orderkey"), col("l_linenumber"),
+          posexplode(col("DATA")).as(Seq("chan", "value")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("chan"), col("value"))),
 
     "q_f6_timerange" -> ((s, dir) => {
       val t0 = to_timestamp(lit("1995-01-01 00:00:00"))
@@ -70,14 +73,16 @@ object RadioQueries {
       val (_, out) = RangeFilters.filterFrequencyRanges(
         li(s, dir).withColumn("DATA", data4), freqs,
         include = Seq((1420.0, 1470.0)), exclude = Nil)
-      out.orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-        .select(col("l_orderkey"), col("l_linenumber"), col("DATA"))
+      out.select(col("l_orderkey"), col("l_linenumber"),
+          posexplode(col("DATA")).as(Seq("chan", "value")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("chan"), col("value"))
     }),
 
     "q_f8_crop" -> ((s, dir) =>
       Validation.cropChannels(li(s, dir).withColumn("DATA", data4), 1, 2)
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-        .select(col("l_orderkey"), col("l_linenumber"), col("DATA"))),
+        .select(col("l_orderkey"), col("l_linenumber"),
+          posexplode(col("DATA")).as(Seq("chan", "value")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("chan"), col("value"))),
 
     "q_f9_rowslice" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_returnflag"))
@@ -98,7 +103,8 @@ object RadioQueries {
 
     "q_a2_spectrum" -> ((s, dir) =>
       Integration.spectrumBy(li(s, dir).withColumn("DATA", int3), col("l_returnflag"))
-        .orderBy(col("l_returnflag"))),
+        .select(col("l_returnflag"), posexplode(col("spectrum")).as(Seq("chan", "value")))
+        .orderBy(col("l_returnflag"), col("chan"))),
 
     "q_a3_interleave" -> ((s, dir) =>
       Integration.sweepInterleaveDF(li(s, dir), "l_returnflag", "l_linestatus")),
@@ -120,7 +126,10 @@ object RadioQueries {
       // Perfect line y = 2x + 1 with ~1% injected outliers at +1000: RCR must
       // reject them and recover the line (ref continuum.py:72-109). Rounded to
       // 6 decimals — any surviving subset of a perfect line refits to it.
-      val rows = li(s, dir).filter(col("l_linenumber") === 1)
+      // The collect is BOUNDED (l_orderkey <= 8000 → ~2k points at any SF),
+      // matching the reference's tiny calibration windows; unbounded data
+      // goes through q_a7_rcr_dist (VERDICT r3 item 6).
+      val rows = li(s, dir).filter(col("l_linenumber") === 1 && col("l_orderkey") <= 8000)
         .select(
           (col("l_orderkey") % 100).cast("double").as("x"),
           ((col("l_orderkey") % 100) * 2 + 1 +
@@ -290,10 +299,11 @@ object RadioQueries {
             (col("l_partkey") % 100).cast("double") / lit(10.0)), 6).as("trans"))),
 
     "q_c8_invtrans" -> ((s, dir) =>
-      li(s, dir).orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      li(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
-          ArrayOps.vecDivide(data4,
-            array(lit(0.5), lit(0.8), lit(1.25), lit(2.0))).as("DATA"))),
+          posexplode(ArrayOps.vecDivide(data4,
+            array(lit(0.5), lit(0.8), lit(1.25), lit(2.0)))).as(Seq("chan", "value")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("chan"), col("value"))),
 
     "q_c9_zgate" -> ((s, dir) => {
       val z = abs(col("l_quantity") - col("l_extendedprice") / 1000.0) /
@@ -313,9 +323,7 @@ object RadioQueries {
 
     // --- §3 pipeline compositions ------------------------------------------
     "q_pipeline_validate" -> ((s, dir) => {
-      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-      val obs = li(s, dir)
-        .withColumn("ROWIDX", (row_number().over(w) - 1).cast("long"))
+      val obs = withGlobalRowIdx(li(s, dir))
         .select(col("ROWIDX"),
           (col("l_quantity") - 2.0).as("TSYS"),
           array(col("l_quantity"),
@@ -323,12 +331,15 @@ object RadioQueries {
             col("l_extendedprice"), col("l_tax")).as("DATA"))
       Validate.run(obs, obsHeader(4).copy(history = HeaderRecord.parseHistory(Seq(
           "DATAMODE HIRES", "START,STOP channels  1_2", "HIRES bands  1355, 1435"))))
-        .select(col("ROWIDX"), col("TSYS"), col("DATA"))
-        .orderBy(col("ROWIDX"))
+        .select(col("ROWIDX"), col("TSYS"),
+          posexplode(col("DATA")).as(Seq("chan", "value")))
+        .orderBy(col("ROWIDX"), col("chan"))
     }),
 
     "q_pipeline_continuum" -> ((s, dir) =>
-      Continuum.run(obsContinuum(s, dir), obsHeader(4), Continuum.Params(ifnum = 0, plnum = 1))),
+      // Flat-spike fixture (gain = intensity/6 in closed form) makes the full
+      // F1→ST1→A8→A1→A9 composition hash-checkable (VERDICT r3 item 4).
+      Continuum.run(obsContinuumFlat(s, dir), obsHeader(4), Continuum.Params(ifnum = 0, plnum = 1))),
 
     "q_continuum_all" -> ((s, dir) =>
       // Multi-file scale path: N files reduced in ONE job chain (per-file
@@ -372,9 +383,11 @@ object RadioQueries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_f5_nanmask" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  [l_quantity, CASE WHEN l_linenumber = 3 THEN NULL ELSE l_discount END] AS DATA
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+      """SELECT l_orderkey, l_linenumber, CAST(t.i AS INT) AS chan,
+        |  CASE WHEN t.i = 0 THEN l_quantity
+        |       WHEN l_linenumber = 3 THEN NULL ELSE l_discount END AS value
+        |FROM lineitem, generate_series(0, 1) t(i)
+        |ORDER BY l_orderkey, l_linenumber, chan, value""".stripMargin,
 
     "q_f6_timerange" ->
       """WITH t AS (SELECT o_orderkey,
@@ -385,12 +398,16 @@ object RadioQueries {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_f7_freqsel" ->
-      """SELECT l_orderkey, l_linenumber, [l_extendedprice, l_discount] AS DATA
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+      """SELECT l_orderkey, l_linenumber, CAST(t.i AS INT) AS chan,
+        |  CASE WHEN t.i = 0 THEN l_extendedprice ELSE l_discount END AS value
+        |FROM lineitem, generate_series(0, 1) t(i)
+        |ORDER BY l_orderkey, l_linenumber, chan, value""".stripMargin,
 
     "q_f8_crop" ->
-      """SELECT l_orderkey, l_linenumber, [l_extendedprice, l_discount] AS DATA
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+      """SELECT l_orderkey, l_linenumber, CAST(t.i AS INT) AS chan,
+        |  CASE WHEN t.i = 0 THEN l_extendedprice ELSE l_discount END AS value
+        |FROM lineitem, generate_series(0, 1) t(i)
+        |ORDER BY l_orderkey, l_linenumber, chan, value""".stripMargin,
 
     "q_f9_rowslice" ->
       """SELECT l_returnflag, CAST(rn - 1 AS BIGINT) AS idx, l_orderkey, l_linenumber
@@ -405,10 +422,12 @@ object RadioQueries {
         |FROM lineitem ORDER BY t, intensity""".stripMargin,
 
     "q_a2_spectrum" ->
-      """SELECT l_returnflag,
-        |  [CAST(sum(l_quantity) AS DOUBLE), CAST(sum(l_linenumber) AS DOUBLE),
-        |   CAST(sum(l_partkey % 7) AS DOUBLE)] AS spectrum
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH s AS (SELECT l_returnflag,
+        |    [CAST(sum(l_quantity) AS DOUBLE), CAST(sum(l_linenumber) AS DOUBLE),
+        |     CAST(sum(l_partkey % 7) AS DOUBLE)] AS spectrum
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(t.i AS INT) AS chan, spectrum[t.i + 1] AS value
+        |FROM s, generate_series(0, 2) t(i) ORDER BY l_returnflag, chan""".stripMargin,
 
     "q_a3_interleave" ->
       "SELECT CAST(count(DISTINCT l_returnflag) * count(DISTINCT l_linestatus) AS BIGINT) AS k FROM lineitem",
@@ -528,10 +547,13 @@ object RadioQueries {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
     "q_c8_invtrans" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  [l_quantity / CAST(0.5 AS DOUBLE), l_extendedprice / CAST(0.8 AS DOUBLE),
-        |   l_discount / CAST(1.25 AS DOUBLE), l_tax / CAST(2.0 AS DOUBLE)] AS DATA
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+      """SELECT l_orderkey, l_linenumber, CAST(t.i AS INT) AS chan,
+        |  CASE t.i WHEN 0 THEN l_quantity / CAST(0.5 AS DOUBLE)
+        |           WHEN 1 THEN l_extendedprice / CAST(0.8 AS DOUBLE)
+        |           WHEN 2 THEN l_discount / CAST(1.25 AS DOUBLE)
+        |           ELSE l_tax / CAST(2.0 AS DOUBLE) END AS value
+        |FROM lineitem, generate_series(0, 3) t(i)
+        |ORDER BY l_orderkey, l_linenumber, chan, value""".stripMargin,
 
     "q_c9_zgate" ->
       """WITH z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
@@ -553,11 +575,22 @@ object RadioQueries {
       """WITH obs AS (SELECT
         |    CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS BIGINT) AS ROWIDX,
         |    l_quantity - 2.0 AS TSYS,
-        |    [l_quantity, CASE WHEN l_linenumber = 3 THEN NULL ELSE l_discount END,
-        |     l_extendedprice, l_tax] AS DATA
+        |    [CASE WHEN l_linenumber = 3 THEN NULL ELSE l_discount END,
+        |     l_extendedprice] AS DATA
+        |  FROM lineitem),
+        |f AS (SELECT ROWIDX, TSYS, DATA FROM obs WHERE TSYS IS NULL OR TSYS >= 0)
+        |SELECT ROWIDX, TSYS, CAST(t.i AS INT) AS chan, DATA[t.i + 1] AS value
+        |FROM f, generate_series(0, 1) t(i) ORDER BY ROWIDX, chan""".stripMargin,
+
+    "q_pipeline_continuum" ->
+      """WITH obs AS (SELECT
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS ridx,
+        |    count(*) OVER () AS n,
+        |    l_quantity + l_extendedprice + l_discount + l_tax AS intensity
         |  FROM lineitem)
-        |SELECT ROWIDX, TSYS, DATA[2:3] AS DATA FROM obs
-        |WHERE TSYS IS NULL OR TSYS >= 0 ORDER BY ROWIDX""".stripMargin,
+        |SELECT CAST(ridx AS DOUBLE) AS t, intensity / CAST(6.0 AS DOUBLE) AS intensity
+        |FROM obs WHERE ridx >= 16 AND ridx < n - 16
+        |ORDER BY t""".stripMargin,
 
     "q_continuum_all" ->
       """WITH obs AS (SELECT

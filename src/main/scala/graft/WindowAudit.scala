@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+
+/** Plan-audit utility: flags registry queries whose optimized plan contains
+  * an UNPARTITIONED window (single-partition WindowExec at runtime — the
+  * scale defect VERDICT r3 item 5 tracks). Clean output = no flags.
+  * Usage: runMain graft.WindowAudit [sfDir]
+  */
+object WindowAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var flagged = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+      try {
+        val bad = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) { flagged += 1; println(s"UNPARTITIONED-WINDOW $n (${bad.size} node(s))") }
+      } catch { case e: Throwable => println(s"ERROR $n: ${e.getMessage}") }
+    }
+    println(s"== $flagged queries with unpartitioned windows ==")
+    spark.stop()
+  }
+}

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ArrayOps
 
@@ -105,6 +106,55 @@ object Similarity {
     annTopKBucketed(withLshBucket(df, planes, embCol), query, planes, k,
       probeHamming, idCol, embCol)
 
+  /** Multi-query ANN — the batched shape a 100 TB deployment runs: Q query
+    * vectors broadcast as a tiny dimension table (qid, qvec, qbucket), the
+    * corpus joined on the Hamming-ball condition against its STORED bucket
+    * column (broadcast join — the corpus never shuffles), exact cosine
+    * ranked per query with a bounded window. One pass answers all queries.
+    */
+  def annTopKMultiBucketed(
+      df: DataFrame,
+      queries: Seq[(Long, Array[Double])],
+      planes: Array[Array[Double]],
+      k: Int,
+      probeHamming: Int = 1,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      bucketCol: String = "lsh_bucket"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = queries.map { case (qid, v) => (qid, v, queryBucket(v, planes)) }
+      .toDF("qid", "qvec", "qbucket")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))
+    df.join(broadcast(qdf),
+        bit_count(col(bucketCol).bitwiseXOR(col("qbucket"))) <= probeHamming)
+      .select(col("qid"), col(idCol),
+        ArrayOps.cosine(col(embCol), col("qvec")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic planted-neighbor query set for recall certification: the
+    * first `n` corpus vectors, each perturbed by a tiny per-coordinate
+    * multiplicative factor (cosine to its source ≈ 0.99999). Recall@k against
+    * a NEAR-RANDOM corpus (the test corpus's max query cosine is ~0.36) is
+    * not what LSH/IVF promise — their guarantee is that HIGH-cosine
+    * neighbors collide; planting such neighbors is what makes the recall
+    * assertion a meaningful certificate.
+    */
+  def perturbedQueries(
+      df: DataFrame,
+      n: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Seq[(Long, Array[Double])] =
+    df.orderBy(col(idCol)).limit(n)
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .collect().toSeq.map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (r.getLong(0),
+          v.zipWithIndex.map { case (x, j) => x * (1.0 + 0.002 * ((j % 5) - 2)) })
+      }
+
   // --- IVF (inverted-file) ANN: coarse k-means quantizer + cell pruning ----
 
   /** Train IVF centroids driver-side: Lloyd's k-means over a deterministic
@@ -195,17 +245,47 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       cellCol: String = "ivf_cell"): DataFrame = {
-    val probes = centroids.zipWithIndex
+    val probes = probeCells(query, centroids, nprobe)
+    df.filter(col(cellCol).isin(probes.toIndexedSeq: _*))
+      .select(col(idCol), cosineToQuery(col(embCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The `nprobe` cells whose centroids are L2-nearest the query. */
+  def probeCells(query: Array[Double], centroids: Array[Array[Double]], nprobe: Int): Array[Int] =
+    centroids.zipWithIndex
       .map { case (c, i) =>
         var d = 0.0; var j = 0
         while (j < query.length) { val x = query(j) - c(j); d += x * x; j += 1 }
         (d, i)
       }
       .sortBy(_._1).take(nprobe).map(_._2)
-    df.filter(col(cellCol).isin(probes.toIndexedSeq: _*))
-      .select(col(idCol), cosineToQuery(col(embCol), query).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+
+  /** Multi-query IVF ANN, same batched broadcast-join shape as
+    * [[annTopKMultiBucketed]]: each query carries its `nprobe` probe-cell
+    * list; the corpus joins on `array_contains(probes, cell)` against its
+    * stored cell column and exact cosine ranks per query.
+    */
+  def ivfTopKMulti(
+      df: DataFrame,
+      queries: Seq[(Long, Array[Double])],
+      centroids: Array[Array[Double]],
+      k: Int,
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      cellCol: String = "ivf_cell"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = queries.map { case (qid, v) => (qid, v, probeCells(v, centroids, nprobe)) }
+      .toDF("qid", "qvec", "probes")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))
+    df.join(broadcast(qdf), array_contains(col("probes"), col(cellCol)))
+      .select(col("qid"), col(idCol),
+        ArrayOps.cosine(col(embCol), col("qvec")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** All-pairs near-duplicate candidates by embedding cosine: bucket join on

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dense per-file row positions without single-partition windows.
+  *
+  * `row_number() OVER (PARTITION BY FILE_ID ORDER BY ROWIDX)` is the natural
+  * F9 position (ref continuum.py:161-171 positional slicing), but when a
+  * fixture (or a genuinely single-file job) carries a CONSTANT FILE_ID,
+  * Catalyst folds the partition key away and the window funnels every row
+  * through one partition. The bucketed form here keeps the same values with
+  * bounded parallelism regardless: row_number within (file, ROWIDX-bucket)
+  * partitions — the bucket is a monotone function of the order column, so
+  * concatenating buckets in order preserves the global per-file order — plus
+  * per-bucket cumulative offsets (one row per bucket, collected once on the
+  * driver and broadcast back; widen `bucketWidth` at larger scales to bound
+  * the driver row count).
+  */
+object Positions {
+
+  def withPos(
+      df: DataFrame,
+      fileCol: String = "FILE_ID",
+      ordCol: String = "ROWIDX",
+      out: String = "__pos",
+      bucketWidth: Long = 65536L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withB = df
+      .withColumn("__pf", col(fileCol).cast("string"))
+      .withColumn("__pbkt", (col(ordCol).cast("long") / bucketWidth).cast("long"))
+    val counts = withB.groupBy(col("__pf"), col("__pbkt"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__pf"), col("__pbkt")).collect()
+    var curFile: String = null
+    var acc = 0L
+    val offs = counts.toSeq.map { r =>
+      val f = r.getString(0)
+      if (f != curFile) { curFile = f; acc = 0L }
+      val o = acc; acc += r.getLong(2)
+      (f, r.getLong(1), o)
+    }.toDF("__pf", "__pbkt", "__off")
+    val w = Window.partitionBy(col("__pf"), col("__pbkt")).orderBy(col(ordCol))
+    withB.join(broadcast(offs), Seq("__pf", "__pbkt"))
+      .withColumn(out, (row_number().over(w) - 1).cast("long") + col("__off"))
+      .drop("__pf", "__pbkt", "__off")
+  }
+}

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ArrayOps
 import graft.model.HeaderRecord
@@ -30,14 +29,13 @@ object Continuum {
       excludeTime: Seq[(Double, Double)] = Nil,
       strictCompat: Boolean = false)
 
-  /** Positional index within the (already filtered) single-file frame —
-    * the reference's implicit row position (F9). Window over the explicit
-    * ingest order; single-file frames are one observation, so the window is
-    * per-FILE_ID and parallel across files when several are processed.
+  /** Positional index within the (already filtered) frame — the reference's
+    * implicit row position (F9). Bucketed per-file form (see
+    * [[graft.ops.Positions]]): a constant FILE_ID (single-file fixtures)
+    * would otherwise constant-fold the partition key away and funnel every
+    * row through one WindowExec partition.
     */
-  private def withPos(df: DataFrame): DataFrame =
-    df.withColumn("__pos",
-      row_number().over(Window.partitionBy(col("FILE_ID")).orderBy(col("ROWIDX"))) - 1)
+  private def withPos(df: DataFrame): DataFrame = Positions.withPos(df)
 
   def run(df: DataFrame, header: Header, p: Params): DataFrame = {
     // A3 — sweep-interleave factor from the PRE-filter table (continuum.py:24-28).

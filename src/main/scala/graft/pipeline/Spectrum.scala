@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{ArrayOps, VectorSum}
 import graft.model.HeaderRecord
@@ -42,8 +41,10 @@ object Spectrum {
     val axis = ArrayOps.freqAxis(fr.high, fr.low, fr.channelCount)
     val (freqs, d2) = RangeFilters.filterFrequencyRanges(d, axis, p.includeFreq, p.excludeFreq)
 
-    val flagged = d2.withColumn("__pos",
-      row_number().over(Window.partitionBy(col("FILE_ID")).orderBy(col("ROWIDX"))) - 1)
+    // Bucketed per-file position (graft.ops.Positions): a constant FILE_ID
+    // would constant-fold a plain per-file window's partition key away and
+    // funnel every row through one WindowExec partition.
+    val flagged = Positions.withPos(d2)
 
     val idx = CalibrationScan.scanSingleFile(flagged, channelCount, header.obsmode, "ROWIDX")
 
@@ -93,9 +94,7 @@ object Spectrum {
     // scan side and the halves aggregation side — unmaterialized, the two
     // evaluations could assign different __pos values when upstream sort
     // keys tie (non-unique lineitem keys in the corpus).
-    val flagged = d2.withColumn("FILE_ID", col("FILE_ID").cast("string"))
-      .withColumn("__pos",
-        (row_number().over(Window.partitionBy(col("FILE_ID")).orderBy(col("ROWIDX"))) - 1).cast("long"))
+    val flagged = Positions.withPos(d2.withColumn("FILE_ID", col("FILE_ID").cast("string")))
       .localCheckpoint()
 
     // Per-file off index (channelCount is irrelevant to off_start — the scan

@@ -231,4 +231,13 @@ object QueryUtil {
     */
   def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Scratch directory for the S3/S4 staged-write queries — under the build
+    * target so harness runs never write outside the repo.
+    */
+  def stagingDir(s: SparkSession): String = {
+    val d = new java.io.File("target/staging")
+    d.mkdirs()
+    d.getAbsolutePath
+  }
 }

@@ -315,6 +315,50 @@ object RadioQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("z"))
     }),
 
+    "q_c4_validity" -> ((s, dir) => {
+      // C4 time-validity check (ref validate.py:39-49): count rows whose
+      // DATE_OBS fails to parse — check-only, no mutation, like the reference.
+      val obs = li(s, dir).withColumn("DATE_OBS",
+        try_to_timestamp(
+          when(col("l_linenumber") === 7, lit("not-a-time"))
+            .otherwise(date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss")),
+          lit("yyyy-MM-dd'T'HH:mm:ss")))
+      val n = Validation.invalidTimeCount(obs)
+      import s.implicits._
+      Seq(n).toDF("n_invalid")
+    }),
+
+    // --- S3/S4: staged write + corruption round-trip ------------------------
+    "q_s3_staged_roundtrip" -> ((s, dir) => {
+      // S3+C11+S2 composition (ref utils.py:216-237 + validate.py:20): write
+      // the stage to `{base}_{process}` naming, re-read through the verified
+      // reader, and prove the round-trip preserved every row. Bounded input
+      // (1% of lineitem) — the point is the write→verify→reread contract, not
+      // bulk I/O.
+      val stage = li(s, dir).filter(col("l_orderkey") % 100 === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val out = graft.pipeline.Staged.write(stage, stagingDir(s) + "/roundtrip", "validated")
+      val reread = graft.sources.VerifiedRead.parquet(s, out, stage.schema)
+      reread.agg(count(lit(1)).as("n"))
+        .withColumn("staged_name_ok", lit(out.endsWith("_validated")))
+    }),
+
+    "q_s4_corruption_reject" -> ((s, dir) => {
+      // S4+S2 (ref file_corruption.py:15-34): inject corruption (drop a
+      // declared column) into a `{base}_corrupted` stage and prove the S2
+      // verified read rejects it up front — the reference's fault-injection
+      // test as a harness-checked query.
+      val src = li(s, dir).filter(col("l_orderkey") % 100 === 1)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_tax"))
+      val out = graft.sources.Corruption.writeDroppedColumn(
+        src, stagingDir(s) + "/corrupt", "l_tax")
+      val rejected =
+        try { graft.sources.VerifiedRead.parquet(s, out, src.schema); false }
+        catch { case _: graft.sources.VerifiedRead.SchemaViolation => true }
+      import s.implicits._
+      Seq((rejected, out.endsWith("_corrupted"))).toDF("rejected", "staged_name_ok")
+    }),
+
     // --- ST1: calibration-spike scan (scale path) ---------------------------
     "q_st1_calscan" -> ((s, dir) =>
       CalibrationScan.scanPerFile(obsMultiFile(s, dir), channelCount = 1,
@@ -346,6 +390,30 @@ object RadioQueries {
       // ST1 + A8 + A9 executor-side; flat spikes make the gain oracle exact).
       Continuum.runAll(obsMultiFileFull(s, dir), obsHeader(4),
         Continuum.Params(ifnum = 0, plnum = 1))),
+
+    "q_pipeline_atmosphere" -> ((s, dir) => {
+      // End-to-end atmosphere correction (ref atmosphere_correction.py:59-86):
+      // per-row weather → ρ (C5) → per-channel ITU-R attenuation over the GHz
+      // axis (C6) → transmission (C7) → DATA /= transmission (C8), as ONE
+      // composed stage through Atmosphere.correct — VERDICT r3 missing #1.
+      // Axis chosen with exactly-representable quarters (1.5, 1.25, 1.0,
+      // 0.75 GHz) so the oracle's literal per-channel frequencies are
+      // bit-identical; transcendentals rounded to 6 decimals on both sides.
+      val freqsGHz = ArrayOps.freqAxis(1.5, 0.75, 4)
+      val obs = li(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        data4.as("DATA"),
+        (lit(5.0) + (col("l_orderkey") % 85).cast("double")).as("ELEVATIO"),
+        col("l_quantity").as("TAMBIENT"),
+        (lit(900.0) + (col("l_suppkey") % 200).cast("double")).as("PRESSURE"),
+        (lit(20.0) + (col("l_partkey") % 60).cast("double")).as("HUMIDITY"))
+      Atmosphere.correct(obs, freqsGHz)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          posexplode(col("DATA")).as(Seq("chan", "value")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("chan"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("chan"), col("value"))
+    }),
 
     "q_pipeline_spectrum" -> ((s, dir) =>
       Spectrum.run(obsSpectrum(s, dir), obsHeader(4), Spectrum.Params(ifnum = 0, plnum = 1))),
@@ -554,6 +622,35 @@ object RadioQueries {
         |           ELSE l_tax / CAST(2.0 AS DOUBLE) END AS value
         |FROM lineitem, generate_series(0, 3) t(i)
         |ORDER BY l_orderkey, l_linenumber, chan, value""".stripMargin,
+
+    "q_c4_validity" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_invalid FROM lineitem WHERE l_linenumber = 7",
+
+    "q_s3_staged_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, true AS staged_name_ok
+        |FROM lineitem WHERE l_orderkey % 100 = 1""".stripMargin,
+
+    "q_s4_corruption_reject" ->
+      "SELECT true AS rejected, true AS staged_name_ok",
+
+    "q_pipeline_atmosphere" ->
+      """WITH v AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    [l_quantity, l_extendedprice, l_discount, l_tax] AS DATA,
+        |    CAST(5.0 AS DOUBLE) + (l_orderkey % 85) AS elev,
+        |    (CAST(900.0 AS DOUBLE) + (l_suppkey % 200)) / CAST(1013.0 AS DOUBLE) AS rp,
+        |    CAST(288.0 AS DOUBLE) / (l_quantity + CAST(273.15 AS DOUBLE)) AS rt,
+        |    CAST(216.7 AS DOUBLE) * (((CAST(20.0 AS DOUBLE) + (l_partkey % 60)) / CAST(100.0 AS DOUBLE)) * ((1.0007 + 3.46e-6) * 6.1121) * exp(17.502 * ((l_quantity + CAST(273.15 AS DOUBLE)) - 273.15) / (((l_quantity + CAST(273.15 AS DOUBLE)) - 273.15) + 240.97))) / (l_quantity + CAST(273.15 AS DOUBLE)) AS rho
+        |  FROM lineitem),
+        |f AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, DATA, elev, rp, rt, rho,
+        |    CAST(t.i AS INT) AS chan,
+        |    CASE t.i WHEN 0 THEN CAST(1.5 AS DOUBLE) WHEN 1 THEN CAST(1.25 AS DOUBLE)
+        |             WHEN 2 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.75 AS DOUBLE) END AS fr
+        |  FROM v, generate_series(0, 3) t(i))
+        |SELECT l_orderkey, l_linenumber, chan,
+        |  round(DATA[chan + 1] / pow(CAST(10.0 AS DOUBLE), -(((7.27 * rt / (fr * fr + 0.351 * rp * rp * rt * rt) + 7.5 / ((fr - 57.0) * (fr - 57.0) + 2.44 * rp * rp * pow(rt, 5))) * (fr * fr) * rp * rp * rt * rt * 1e-3 * 6.0
+        |   + (3.27e-2 * rt + 1.67e-3 * rho * pow(rt, 7) / rp + 7.7e-4 * sqrt(fr) + 3.79 / ((fr - 22.235) * (fr - 22.235) + 9.81 * rp * rp * rt) + 11.73 * rt / ((fr - 183.31) * (fr - 183.31) + 11.85 * rp * rp * rt) + 4.01 * rt / ((fr - 325.153) * (fr - 325.153) + 10.44 * rp * rp * rt)) * (fr * fr) * rho * rp * rt * 1e-4 * (1.6 * (1.0 + 3.0 / ((fr - 22.2) * (fr - 22.2) + 5.0))))
+        |   / sin(radians(elev))) / 10.0), 6) AS value
+        |FROM f ORDER BY l_orderkey, l_linenumber, chan, value""".stripMargin,
 
     "q_c9_zgate" ->
       """WITH z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

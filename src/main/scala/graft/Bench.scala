@@ -27,7 +27,16 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Between queries: drop caches/localCheckpoint blocks and force a GC —
+      // persisted blocks otherwise live until their RDD is collected, and the
+      // accumulated block-manager + old-gen pressure from 60+ queries
+      // distorts whatever happens to run late in the sequence (measured: the
+      // q_text_* family at 10-80x its isolated time).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+      (name, elapsed, ok)
     }
     // A crashed query records its NEGATED partial time (visible failure
     // marker) and is excluded from the total rather than shrinking it.

@@ -108,6 +108,59 @@ object Dedup {
       .distinct()
   }
 
+  /** Oracle-checkable MinHash variant: hash family
+    * `h_i(g) = ((2i+1)·fp(g) + 31i+7) mod 1e9+7` over the
+    * [[TextAnalysis.fingerprint]] polynomial gram hash — every step is plain
+    * modular integer arithmetic, exactly reproducible in ANSI SQL (unlike
+    * murmur3/xxhash64), so the whole signature pipeline can be hash-checked
+    * by a DuckDB oracle. [[minhashSignatures]] (murmur3) stays the scale
+    * default: stronger mixing and a codegen'd hash per slot.
+    */
+  def minhashSignaturesPoly(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      shingleSize: Int = 3): DataFrame = {
+    val p = 1000000007L
+    val shingled = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.wordNgrams(col(textCol), shingleSize)).as("sh"))
+      .withColumn("fp", TextAnalysis.fingerprint(col("sh")))
+    val mins = (0 until numHashes).map(i =>
+      min((lit(2L * i + 1) * col("fp") + lit(31L * i + 7)) % p).as(s"h$i"))
+    shingled.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Plain-text LSH band keys (the slice rendered as a string, not
+    * xxhash64 of it) — reproducible in the oracle; the hashed form
+    * ([[lshBandKeys]]) shuffles 8 bytes per key and is the scale default.
+    */
+  def lshBandKeysPlain(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), concat_ws(",",
+        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")).as("key")))
+
+  /** [[minhashCandidatesFromSigs]] with plain-text band keys — same join
+    * shape (band/key equi-join, never all-pairs), oracle-reproducible.
+    */
+  def minhashCandidatesFromSigsPlain(
+      sigs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(lshBandKeysPlain(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), e => e))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+  }
+
   /** SimHash (64-bit): per bit position, sum +1/−1 votes of each token's
     * xxhash64 bit; the sign pattern packs into one long. Near-duplicates have
     * small Hamming distance (`bit_count(a ^ b)`). Per-row column form —
@@ -136,6 +189,27 @@ object Dedup {
       .withColumn("h", xxhash64(col("t")))
     val votes = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
+    toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+  }
+
+  /** Oracle-checkable SimHash variant (the [[minhashSignaturesPoly]] analog):
+    * bit b of a token's hash is `(((2b+1)·fp(t) + 31b+7) mod 1e9+7) mod 2` —
+    * plain modular arithmetic a DuckDB oracle reproduces exactly, so the
+    * vote aggregation, sign packing and Hamming banding are hash-checked.
+    * Output (id, sim) feeds [[simhashCandidatesFromSigs]] unchanged;
+    * [[simhashSignatures]] (xxhash64) stays the scale default.
+    */
+  def simhashSignaturesPoly(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val p = 1000000007L
+    val toks = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokensWs(col(textCol))).as("t"))
+      .withColumn("fp", TextAnalysis.fingerprint(col("t")))
+    val votes = (0 until 64).map(b =>
+      sum(when((lit(2L * b + 1) * col("fp") + lit(31L * b + 7)) % p % 2L === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b"))
     toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
       .select(col("id"),
         (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))

@@ -30,12 +30,21 @@ object Continuum {
       strictCompat: Boolean = false)
 
   /** Positional index within the (already filtered) frame — the reference's
-    * implicit row position (F9). Bucketed per-file form (see
-    * [[graft.ops.Positions]]): a constant FILE_ID (single-file fixtures)
-    * would otherwise constant-fold the partition key away and funnel every
-    * row through one WindowExec partition.
+    * implicit row position (F9).
+    *
+    * Single-file path ([[run]]): bucketed form ([[graft.ops.Positions]]) —
+    * a constant FILE_ID would constant-fold a per-file window's partition
+    * key away and funnel every row through one WindowExec partition.
+    * Multi-file path ([[runAll]]): plain per-FILE_ID window — already
+    * parallel across files, and it evaluates its input ONCE (the bucketed
+    * form's offset collect would scan the upstream frame a second time).
     */
   private def withPos(df: DataFrame): DataFrame = Positions.withPos(df)
+
+  private def withPosWindowed(df: DataFrame): DataFrame =
+    df.withColumn("__pos",
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("FILE_ID")).orderBy(col("ROWIDX"))) - 1).cast("long"))
 
   def run(df: DataFrame, header: Header, p: Params): DataFrame = {
     // A3 — sweep-interleave factor from the PRE-filter table (continuum.py:24-28).
@@ -54,30 +63,34 @@ object Continuum {
     val (_, d2) = RangeFilters.filterFrequencyRanges(d, freqs, p.includeFreq, p.excludeFreq)
 
     // ST1 — three indices on the filtered frame (continuum.py:156).
+    // flagged is cached: the ST1 scan, both A8 height collects and the final
+    // consumer all read it. NOT unpersisted here — the returned frame is
+    // lazy and still reads `flagged`; an eager unpersist would force the
+    // final consumer to recompute the whole chain. The harness clears
+    // persisted state between queries; other callers own cleanup
+    // (spark.catalog.clearCache()) once the result is consumed.
     val flagged = withPos(d2).cache()
-    try {
-      val idx = CalibrationScan.scanSingleFile(flagged, channelCount, header.obsmode, "ROWIDX")
-      val dataStart = idx.dataStart.getOrElse(0)
-      val postCal = idx.postCalStart
+    val idx = CalibrationScan.scanSingleFile(flagged, channelCount, header.obsmode, "ROWIDX")
+    val dataStart = idx.dataStart.getOrElse(0)
+    val postCal = idx.postCalStart
 
-      // A1 over each window once, then F9 positional slicing on the result —
-      // one pass computes t/intensity for every row.
-      val integ = flagged.select(
-        col("__pos"),
-        col("CALSTATE"), col("SWPVALID"),
-        RangeFilters.relSeconds(col("DATE_OBS"), t0).as("t"),
-        ArrayOps.arraySum(col("DATA")).as("intensity"))
+    // A1 over each window once, then F9 positional slicing on the result —
+    // one pass computes t/intensity for every row.
+    val integ = flagged.select(
+      col("__pos"),
+      col("CALSTATE"), col("SWPVALID"),
+      RangeFilters.relSeconds(col("DATE_OBS"), t0).as("t"),
+      ArrayOps.arraySum(col("DATA")).as("intensity"))
 
-      // A8 — heights from the pre/post calibration windows (continuum.py:161-169).
-      val pre = GainCal.calibrationHeight(integ.filter(col("__pos") < dataStart))
-      val post = GainCal.calibrationHeight(integ.filter(col("__pos") >= postCal))
+    // A8 — heights from the pre/post calibration windows (continuum.py:161-169).
+    val pre = GainCal.calibrationHeight(integ.filter(col("__pos") < dataStart))
+    val post = GainCal.calibrationHeight(integ.filter(col("__pos") >= postCal))
 
-      // Data window integration (continuum.py:171) + A9 gain division.
-      val cont = integ
-        .filter(col("__pos") >= dataStart && col("__pos") < postCal)
-        .select(col("t"), col("intensity"))
-      GainCal.applyGain(cont, pre, post, p.strictCompat).orderBy(col("t"))
-    } finally flagged.unpersist()
+    // Data window integration (continuum.py:171) + A9 gain division.
+    val cont = integ
+      .filter(col("__pos") >= dataStart && col("__pos") < postCal)
+      .select(col("t"), col("intensity"))
+    GainCal.applyGain(cont, pre, post, p.strictCompat).orderBy(col("t"))
   }
 
   /** Multi-file scale path: the whole reduction for N files in ONE Spark job
@@ -118,7 +131,7 @@ object Continuum {
     // differ between evaluations when upstream sort keys tie (the corpus has
     // non-unique lineitem keys), applying gains to a different row
     // assignment than they were fitted on.
-    val integ = withPos(d2).select(
+    val integ = withPosWindowed(d2).select(
       col("FILE_ID").cast("string").as("FILE_ID"),
       col("__pos").cast("long").as("__pos"),
       col("CALSTATE").cast("int").as("CALSTATE"),

@@ -43,8 +43,11 @@ object Spectrum {
 
     // Bucketed per-file position (graft.ops.Positions): a constant FILE_ID
     // would constant-fold a plain per-file window's partition key away and
-    // funnel every row through one WindowExec partition.
-    val flagged = Positions.withPos(d2)
+    // funnel every row through one WindowExec partition. flagged is cached:
+    // the ST1 scan and the final aggregation both read it (not unpersisted
+    // here — the returned frame is lazy; the harness clears persisted state
+    // between queries).
+    val flagged = Positions.withPos(d2).cache()
 
     val idx = CalibrationScan.scanSingleFile(flagged, channelCount, header.obsmode, "ROWIDX")
 
@@ -94,7 +97,17 @@ object Spectrum {
     // scan side and the halves aggregation side — unmaterialized, the two
     // evaluations could assign different __pos values when upstream sort
     // keys tie (non-unique lineitem keys in the corpus).
-    val flagged = Positions.withPos(d2.withColumn("FILE_ID", col("FILE_ID").cast("string")))
+    // Plain per-FILE_ID window (parallel across files, input evaluated once);
+    // the bucketed Positions form is reserved for the constant-FILE_ID
+    // single-file path, where this window would degenerate to one partition.
+    // Only the columns the scan + aggregation need are checkpointed — the
+    // materialization is the per-row cost here, so prune before it.
+    val flagged = d2.withColumn("FILE_ID", col("FILE_ID").cast("string"))
+      .withColumn("__pos",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("FILE_ID")).orderBy(col("ROWIDX"))) - 1).cast("long"))
+      .select(col("FILE_ID"), col("ROWIDX"), col("__pos"), col("DATA"),
+        col("CALSTATE"), col("SWPVALID"), col("OBSMODE"))
       .localCheckpoint()
 
     // Per-file off index (channelCount is irrelevant to off_start — the scan

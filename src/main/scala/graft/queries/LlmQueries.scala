@@ -27,6 +27,18 @@ object LlmQueries {
   private val augSql =
     "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text || ' graft dup tail' FROM documents"
 
+  /** 1/5 sample of [[aug]] for the poly-hash oracle certificates: the
+    * residue is preserved by the +1,000,000 mutation (1e6 % 5 == 0), so
+    * every sampled original keeps its planted near-duplicate. The sampled
+    * corpus bounds the interpreted per-gram fingerprint fold the oracle
+    * variants pay for SQL reproducibility; the murmur3/xxhash64 scale
+    * queries still run the full corpus.
+    */
+  private def augSampled(s: SparkSession, dir: String): DataFrame =
+    aug(s, dir).filter(col("doc_id") % 5 === 0)
+
+  private val augSampledSql = s"SELECT * FROM ($augSql) WHERE doc_id % 5 = 0"
+
   /** e1 unit query vector (dim 64 — the corpus embedding width). */
   private val e1: Array[Double] = { val a = new Array[Double](64); a(0) = 1.0; a }
 
@@ -54,6 +66,29 @@ object LlmQueries {
       // self-join evaluates the 64-vote signature aggregation once per side
       // (VERDICT r3 item 2 — 18.8 s driver bench, slowest in the registry).
       val sigs = Dedup.simhashSignatures(aug(s, dir)).localCheckpoint()
+      Dedup.simhashCandidatesFromSigs(sigs, maxHamming = 12)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_dedup_minhash_poly" -> ((s, dir) => {
+      // Oracle-checkable MinHash: polynomial hash family + plain-text band
+      // keys — pure modular integer arithmetic, so the DuckDB oracle
+      // reproduces signatures, banding, candidates and the Jaccard estimator
+      // bit-for-bit (est = k/64 is exactly representable). Hash-verifies the
+      // minhash MACHINERY that q_dedup_minhash (murmur3 scale path) exercises
+      // rows-only.
+      val sigs = Dedup.minhashSignaturesPoly(augSampled(s, dir)).localCheckpoint()
+      Dedup.minhashCandidatesFromSigsPlain(sigs)
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_dedup_simhash_poly" -> ((s, dir) => {
+      // Oracle-checkable SimHash: the polynomial bit-hash family makes
+      // votes → sign packing → Hamming banding reproducible in DuckDB —
+      // hash-verifying the machinery q_dedup_simhash (xxhash64 scale path)
+      // exercises rows-only. Same checkpoint-once pattern.
+      val sigs = Dedup.simhashSignaturesPoly(augSampled(s, dir)).localCheckpoint()
       Dedup.simhashCandidatesFromSigs(sigs, maxHamming = 12)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -165,9 +200,14 @@ object LlmQueries {
 
     // --- multimodal plumbing (stub decode — codecs absent in this env) ------
     "q_multimodal" -> ((s, dir) =>
+      // ASCII-only payloads (byte == codepoint) make the 64-bit checksum
+      // fold SQL-expressible, upgrading this from rows-only to hash-checked;
+      // the mapPartitions decode plumbing is exercised unchanged.
       Multimodal.decodeKernel(
-          docs(s, dir).select(col("doc_id").as("id"), lit("image").as("media_type"),
-            col("text").cast("binary").as("payload")))
+          docs(s, dir)
+            .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+            .select(col("doc_id").as("id"), lit("image").as("media_type"),
+              col("text").cast("binary").as("payload")))
         .toDF()
         .select(col("id"), col("mediaType"), col("byteLen"), col("checksum"), col("featureDim"))
         .orderBy(col("id"))),
@@ -205,6 +245,69 @@ object LlmQueries {
         |  SELECT doc_id, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash_poly" ->
+      s"""WITH aug AS ($augSampledSql),
+        |toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w FROM aug),
+        |grams AS (SELECT id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1), i -> array_to_string(list_slice(w, i, i + 2), ' '))
+        |      ELSE [] END AS gs
+        |  FROM toks),
+        |sigs AS (SELECT id, list_transform(range(0, 64), i ->
+        |      list_min(list_transform(gs, g ->
+        |        ((2 * i + 1) * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(range(1, length(g) + 1), j -> CAST(ascii(g[j]) AS BIGINT))),
+        |            (acc, c) -> (acc * 131 + c) % 1000000007)
+        |          + (31 * i + 7)) % 1000000007))) AS sig
+        |  FROM grams WHERE len(gs) > 0),
+        |banded AS (SELECT id, sig, b AS band,
+        |    array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS key
+        |  FROM sigs, range(0, 16) t(b)),
+        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64.0 AS est_jaccard
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+        |SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_simhash_poly" ->
+      s"""WITH aug AS ($augSampledSql),
+        |tk AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w FROM aug),
+        |fps AS (SELECT id, list_transform(w, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(t) + 1), j -> CAST(ascii(t[j]) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007)) AS f
+        |  FROM tk),
+        |sigs AS (SELECT id, list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(range(0, 64), b ->
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(f, x ->
+        |        CASE WHEN ((2 * b + 1) * x + (31 * b + 7)) % 1000000007 % 2 = 1
+        |          THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+        |        (a, v) -> a + v) > 0
+        |      THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)),
+        |    (a, x) -> a + x) AS s
+        |  FROM fps),
+        |banded AS (SELECT id, s, b AS band,
+        |    CAST(CASE b WHEN 0 THEN s % 65536 WHEN 1 THEN (s // 65536) % 65536
+        |         WHEN 2 THEN (s // 4294967296) % 65536 ELSE (s // 281474976710656) % 65536 END AS BIGINT) AS key
+        |  FROM sigs, range(0, 4) t(b)),
+        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    CAST(bit_count(xor(
+        |      CAST(CASE WHEN a.s >= 9223372036854775808 THEN a.s - 18446744073709551616 ELSE a.s END AS BIGINT),
+        |      CAST(CASE WHEN b.s >= 9223372036854775808 THEN b.s - 18446744073709551616 ELSE b.s END AS BIGINT))) AS INT) AS hamming
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 12 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_multimodal" ->
+      """WITH d AS (SELECT doc_id AS id, text FROM documents
+        |    WHERE regexp_matches(text, '^[\x00-\x7f]*$')),
+        |c AS (SELECT id, CAST(length(text) AS BIGINT) AS len,
+        |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |      list_transform(range(1, length(text) + 1), j -> CAST(ascii(text[j]) AS HUGEINT))),
+        |      (acc, ch) -> (acc * 31 + ch) % 18446744073709551616) AS h
+        |  FROM d)
+        |SELECT id, 'image' AS "mediaType", len AS "byteLen",
+        |  CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS checksum,
+        |  CAST(8 AS INT) AS "featureDim"
+        |FROM c ORDER BY id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH aug AS ($augSql),

@@ -246,6 +246,61 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-duplicate candidate pairs, via
+    * iterative min-label propagation: every node's label converges to the
+    * smallest id reachable from it (= its component representative) in
+    * O(graph diameter) rounds. This is the standard Spark shape for the
+    * cluster step of a dedup pipeline — the frames involved are O(candidate
+    * nodes/edges), far smaller than the corpus, each round is one equi-join
+    * + groupBy(min), and `localCheckpoint` truncates the growing lineage so
+    * round N doesn't replay rounds 1..N-1.
+    *
+    * Returns (id, comp) with comp = min id in the component. Near-dup
+    * components are overwhelmingly tiny (pairs/small clusters), so
+    * convergence is typically 2-3 rounds; `maxIter` bounds adversarial
+    * chains.
+    */
+  def nearDupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
+        .groupBy(col("src")).agg(min(col("dcomp")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = updated
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") =!= col("prev"))
+        .head(1).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** The keep-rows step of a full near-dedup pipeline: drop every document
+    * that belongs to a candidate component but is not its representative
+    * (min id). Documents with no candidate pair survive untouched — the
+    * anti-join only ships the (small) non-representative id set.
+    */
+  def nearDupKeepRows(df: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val drop = nearDupComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** n-gram Jaccard near-dup: candidates from a cheap blocking key, then
     * exact Jaccard on word n-gram sets. Exposed with explicit blocking to
     * stay O(candidates), not O(n²).

@@ -93,6 +93,19 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_dedup_cluster_keep" -> ((s, dir) => {
+      // Full near-dedup pipeline: poly-MinHash signatures → LSH candidates →
+      // connected components (min-label propagation) → keep ONE doc per
+      // component. Hash-checked end-to-end: the oracle reproduces the
+      // signatures/banding exactly and closes the components with a
+      // recursive CTE.
+      val sigs = Dedup.minhashSignaturesPoly(augSampled(s, dir)).localCheckpoint()
+      val pairs = Dedup.minhashCandidatesFromSigsPlain(sigs)
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.nearDupKeepRows(augSampled(s, dir), pairs, "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(aug(s, dir),
           blockKey = substring(col("text"), 1, 20), n = 3, threshold = 0.5)
@@ -269,6 +282,39 @@ object LlmQueries {
         |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
         |SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_cluster_keep" ->
+      s"""WITH RECURSIVE aug AS ($augSampledSql),
+        |toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w FROM aug),
+        |grams AS (SELECT id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1), i -> array_to_string(list_slice(w, i, i + 2), ' '))
+        |      ELSE [] END AS gs
+        |  FROM toks),
+        |sigs AS (SELECT id, list_transform(range(0, 64), i ->
+        |      list_min(list_transform(gs, g ->
+        |        ((2 * i + 1) * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(range(1, length(g) + 1), j -> CAST(ascii(g[j]) AS BIGINT))),
+        |            (acc, c) -> (acc * 131 + c) % 1000000007)
+        |          + (31 * i + 7)) % 1000000007))) AS sig
+        |  FROM grams WHERE len(gs) > 0),
+        |banded AS (SELECT id, sig, b AS band,
+        |    array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS key
+        |  FROM sigs, range(0, 16) t(b)),
+        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        |  WHERE CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64.0 >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
+        |SELECT doc_id FROM aug
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash_poly" ->
       s"""WITH aug AS ($augSampledSql),

@@ -70,4 +70,40 @@ class DedupSpec extends SparkTestBase {
     assert(m.contains((1L, 2L)) && m((1L, 2L)) > 0.5 && m((1L, 2L)) < 1.0)
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("connected components: chains collapse to min id, isolated docs survive keep-rows") {
+    // Chain 1-2, 2-5 plus pair 7-9: components {1,2,5}->1 and {7,9}->7.
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("id_a", "id_b")
+    val comps = Dedup.nearDupComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L))
+
+    // Keep-rows: representatives (1, 7) and the pairless doc 3 survive.
+    val corpus = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val kept = Dedup.nearDupKeepRows(corpus, pairs).as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 7L))
+  }
+
+  test("connected components: long chain converges within iteration bound") {
+    // Path 10-11-12-...-20 (diameter 10): all labels must reach 10.
+    val pairs = (10L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.nearDupComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comps.values.toSet == Set(10L))
+    assert(comps.keySet == (10L to 20L).toSet)
+  }
+
+  test("poly minhash signatures match an independent Scala computation") {
+    val p = 1000000007L
+    def fp(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % p)
+    def expectedSig(text: String): Seq[Long] = {
+      val toks = text.trim.split("\\s+").toSeq
+      val grams = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      (0 until 64).map(i => grams.map(g => ((2L * i + 1) * fp(g) + (31L * i + 7)) % p).min)
+    }
+    val got = Dedup.minhashSignaturesPoly(docs).as[(Long, Seq[Long])].collect().toMap
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      val text = docs.filter($"doc_id" === id).select($"text").as[String].head()
+      assert(got(id) == expectedSig(text), s"doc $id poly signature mismatch")
+    }
+  }
 }

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.llm.Dedup
+
+/** Streaming deduplication for a document-ingestion pipeline (SURVEY §2.10
+  * additions): exact dedup with watermark-bounded state, and near-duplicate
+  * detection of an incoming stream against a STORED corpus signature table.
+  *
+  * State discipline at scale: every stateful step here is either
+  * watermark-evicted (`dropDuplicatesWithinWatermark`) or stateless
+  * (stream-static join) — no operator accumulates unbounded per-key state
+  * unless the caller explicitly opts into [[exactDedupGlobal]].
+  */
+object StreamingDedup {
+
+  /** Streaming exact dedup, bounded state: the first arrival of each
+    * content hash within the watermark horizon is kept, later copies are
+    * dropped, and hash state older than the watermark is evicted. The
+    * streaming analog of [[graft.llm.Dedup.exactDedup]] for the (typical)
+    * case where duplicates arrive close together in event time.
+    */
+  def exactDedupWithinWatermark(
+      df: DataFrame,
+      tsCol: String,
+      watermark: String,
+      textCol: String = "text"): DataFrame =
+    df.withColumn("content_hash", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Unbounded-state exact dedup over the whole stream history — exact
+    * batch semantics, state grows with distinct-hash cardinality. Use only
+    * when that cardinality is bounded (e.g. a finite re-ingestion).
+    */
+  def exactDedupGlobal(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("content_hash", sha2(col(textCol), 256))
+      .dropDuplicates("content_hash")
+
+  /** Near-duplicate detection of an incoming stream against a stored
+    * corpus: the stream side computes its MinHash signature per row
+    * (stateless, ref [[Dedup.minhashSignature]]), explodes LSH band keys,
+    * and stream-static equi-joins the persisted [[Dedup.minhashSignatures]]
+    * table on (band, key) — the standard "is this new document a near-dup
+    * of anything we already have?" ingestion gate. Emits one
+    * (stream id, corpus id, est_jaccard) row per colliding pair (collisions
+    * in several bands are collapsed per micro-batch; global collapse is the
+    * caller's watermark policy).
+    *
+    * At 100 TB the static side is the bucketed/partitioned signature table
+    * — the join is a broadcast or shuffled equi-join on the band key, never
+    * a scan of document bodies.
+    */
+  def nearDupAgainstCorpus(
+      stream: DataFrame,
+      corpusSigs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val streamBanded = stream
+      .select(col(idCol).as("stream_id"),
+        Dedup.minhashSignature(col(textCol), numHashes, shingleSize).as("ssig"))
+      .select(col("stream_id"), col("ssig"),
+        explode(Dedup.lshBandKeys(col("ssig"), bands, rowsPerBand)).as("bk"))
+      .select(col("stream_id"), col("ssig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val corpusBanded = corpusSigs
+      .select(col("id").as("corpus_id"), col("sig"),
+        explode(Dedup.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("corpus_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    streamBanded.join(corpusBanded, Seq("band", "key"))
+      .select(col("stream_id"), col("corpus_id"),
+        (size(filter(zip_with(col("ssig"), col("sig"), (x, y) => x === y), e => e))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .dropDuplicates("stream_id", "corpus_id")
+  }
+}

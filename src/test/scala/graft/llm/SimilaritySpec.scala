@@ -78,4 +78,56 @@ class SimilaritySpec extends SparkTestBase {
       .select("lsh_bucket").as[Long].head()
     assert(colBucket == Similarity.queryBucket(e1, planes))
   }
+
+  test("batched multi-query ANN matches the per-query form for every query") {
+    val planes = Similarity.hyperplanes(numPlanes = 8, dim = 4)
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 40L).map(i => (i, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val bucketed = Similarity.withLshBucket(corpus, planes)
+    val queries = Seq(
+      (101L, Array(1.0, 0.0, 0.0, 0.0)),
+      (102L, Array(0.0, -1.0, 0.5, 0.0)),
+      (103L, Array(0.3, 0.3, 0.3, 0.3)))
+    val multi = Similarity.annTopKMultiBucketed(bucketed, queries, planes, k = 5, probeHamming = 3)
+      .select($"qid", $"vec_id", $"cosine").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2)).map(_._2).toSeq).toMap
+    queries.foreach { case (qid, q) =>
+      val single = Similarity.annTopKBucketed(bucketed, q, planes, k = 5, probeHamming = 3)
+        .as[(Long, Double)].collect().map(_._1).toSeq
+      assert(multi(qid) == single, s"qid $qid: batched != per-query")
+    }
+  }
+
+  test("batched multi-query IVF matches the per-query form for every query") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (1L to 40L).map(i => (i, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(corpus, k = 4, sampleN = 40, iters = 5)
+    val celled = Similarity.withIvfCell(corpus, cents)
+    val queries = Seq((201L, Array(1.0, 0.0, 0.0, 0.0)), (202L, Array(0.0, 1.0, -1.0, 0.0)))
+    val multi = Similarity.ivfTopKMulti(celled, queries, cents, k = 5, nprobe = 2)
+      .select($"qid", $"vec_id", $"cosine").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2)).map(_._2).toSeq).toMap
+    queries.foreach { case (qid, q) =>
+      val single = Similarity.ivfTopK(celled, q, cents, k = 5, nprobe = 2)
+        .as[(Long, Double)].collect().map(_._1).toSeq
+      assert(multi(qid) == single, s"qid $qid: batched != per-query")
+    }
+  }
+
+  test("perturbed queries keep cosine ~1 to their source vectors") {
+    val rnd = new scala.util.Random(13)
+    val corpus = (0L until 5L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val qs = Similarity.perturbedQueries(corpus, n = 5)
+    assert(qs.map(_._1) == (0L until 5L))
+    val embs = corpus.as[(Long, Seq[Float])].collect().toMap
+    qs.foreach { case (id, v) =>
+      val src = embs(id).map(_.toDouble).toArray
+      val dot = src.zip(v).map { case (a, b) => a * b }.sum
+      val cos = dot / (math.sqrt(src.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
+      assert(cos > 0.9999, s"query $id drifted from its source (cos=$cos)")
+    }
+  }
 }

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd text kernels (the [[VectorKernels]] analog for the text
+  * surface). The HOF fingerprint form (`aggregate(split(text, ""), …)`) is
+  * `CodegenFallback` and pays interpreted lambda dispatch per CHARACTER —
+  * the dominant cost of the poly-hash dedup certificates, which fingerprint
+  * every exploded shingle.
+  */
+case class PolyFingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_fingerprint"
+
+  /** `h = (h·131 + codePoint) mod 1e9+7` folded left-to-right over code
+    * points — identical values to the HOF form (split+ascii is
+    * code-point-wise) and to the DuckDB oracle's per-character
+    * `ascii(text[i])` fold. Empty string → 0 (the fold seed), like the HOF
+    * form's single empty split piece contributing `ascii('') = 0`.
+    */
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val h = ctx.freshName("h")
+      s"""
+         |final String $s = $c.toString();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  final int $cp = $s.codePointAt($i);
+         |  $h = ($h * 131L + $cp) % 1000000007L;
+         |  $i += Character.charCount($cp);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyFingerprint =
+    copy(child = newChild)
+}
+
+object TextKernels {
+  /** Codegen'd polynomial rolling hash of a string column
+    * (`(h·131 + codePoint) mod 1e9+7`).
+    */
+  def polyFingerprint(c: Column): Column =
+    GraftColumnBridge.column(PolyFingerprint(GraftColumnBridge.expression(c.cast("string"))))
+}

@@ -108,11 +108,21 @@ object TextAnalysis {
   /** Document fingerprint: polynomial rolling hash of the character codes,
     * `h = (h*131 + code(c)) mod 1e9+7` — a pure integer fold, bit-identical
     * in any engine (the DuckDB oracle reproduces it with list_reduce).
+    * Backed by the codegen'd [[graft.functions.PolyFingerprint]] kernel;
+    * the HOF form ([[fingerprintHof]]) is `CodegenFallback` and pays
+    * interpreted lambda dispatch per character — it dominated the poly-hash
+    * dedup certificates, which fingerprint every exploded shingle.
+    */
+  def fingerprint(text: Column): Column =
+    graft.functions.TextKernels.polyFingerprint(text)
+
+  /** The pure-built-ins HOF form of [[fingerprint]] (same values; kept as
+    * the cross-check the equivalence spec pins the kernel against).
     * Folds over `split(text, "")` so each step is O(1); the earlier
     * `substring(text, i, 1)` form re-seeked from the string start per
     * character, O(len²) per row.
     */
-  def fingerprint(text: Column): Column =
+  def fingerprintHof(text: Column): Column =
     aggregate(
       split(text, ""),
       lit(0L),

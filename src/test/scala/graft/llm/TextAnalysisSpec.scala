@@ -60,6 +60,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(one[Long](TextAnalysis.fingerprint($"text"), "") == 0L)
   }
 
+  test("codegen'd fingerprint kernel agrees with the HOF form") {
+    val samples = Seq(
+      "ab", "", "the quick brown fox", "   spaces  and\ttabs\n",
+      "mixed 语言 text with ünïcode", "a" * 500)
+    samples.foreach { s =>
+      val kernel = one[Long](TextAnalysis.fingerprint($"text"), s)
+      val hof = one[Long](TextAnalysis.fingerprintHof($"text"), s)
+      assert(kernel == hof, s"kernel vs HOF mismatch on ${s.take(30)}")
+    }
+  }
+
   test("language ID votes on stopwords; unknown text -> und") {
     assert(one[String](TextAnalysis.langId($"text"), "the cat is on the mat") == "en")
     assert(one[String](TextAnalysis.langId($"text"), "der hund ist nicht da und") == "de")

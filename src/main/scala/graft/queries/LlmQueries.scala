@@ -175,6 +175,12 @@ object LlmQueries {
     }),
 
     "q_sim_neardup" -> ((s, dir) => {
+      // Hash-checkable despite the seeded planes: a planted copy shares its
+      // source's bucket by construction (identical vector → identical sign
+      // pattern), and no distinct-vector pair reaches cosine 0.99 on this
+      // corpus (max ~0.36) — so the output is EXACTLY the planted
+      // (i, i+1e6) pairs with cosine(v, v), independent of the plane draw,
+      // and the oracle reproduces it without modeling the LSH at all.
       val planes = Similarity.hyperplanes(numPlanes = 12, dim = 64)
       val e = emb(s, dir)
       val withCopies = e.select(col("vec_id"), col("embedding"))
@@ -449,6 +455,15 @@ object LlmQueries {
 
     "q_s2_verified_read" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+
+    "q_sim_neardup" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, q) -> p + q) AS aa
+        |  FROM embeddings)
+        |SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        |  aa / (sqrt(aa) * sqrt(aa)) AS cosine
+        |FROM e ORDER BY id_a, id_b""".stripMargin,
 
     "q_sim_ann_recall" ->
       "SELECT true AS recall_ok",

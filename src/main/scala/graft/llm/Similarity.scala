@@ -196,6 +196,47 @@ object Similarity {
     centroids
   }
 
+  /** Distributed Lloyd's k-means over the FULL corpus — the quantizer
+    * trainer for when a sample won't do. Each iteration is one codegen'd
+    * assignment pass ([[ivfCell]] with the current centroids folded in as
+    * literals) plus a groupBy(cell) whole-array sum via the map-side
+    * partial [[graft.functions.VectorSum]] Aggregator; only k·dim doubles
+    * and k counts return to the driver per iteration, so the driver holds
+    * O(k·dim) state regardless of corpus size. Initialization is the first
+    * k vectors by id (deterministic); empty cells keep their previous
+    * centroid.
+    */
+  def trainIvfCentroidsDistributed(
+      df: DataFrame,
+      k: Int,
+      iters: Int = 10,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Array[Array[Double]] = {
+    var centroids = df.orderBy(col(idCol)).limit(k)
+      .select(col(embCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(centroids.length == k, s"corpus has fewer than $k rows")
+    var it = 0
+    while (it < iters) {
+      val assigned = df.select(
+        col(embCol).cast("array<double>").as("v"),
+        ivfCell(col(embCol), centroids).as("cell"))
+      val stats = assigned.groupBy(col("cell"))
+        .agg(graft.functions.VectorSum.vecSum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      stats.foreach { r =>
+        val cell = r.getInt(0)
+        val s = r.getSeq[Double](1)
+        val n = r.getLong(2)
+        next(cell) = s.map(_ / n).toArray
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
   private def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0

@@ -174,6 +174,21 @@ object LlmQueries {
       Seq(hits >= 9L).toDF("recall_ok")
     }),
 
+    "q_sim_ivf_recall_dist" -> ((s, dir) => {
+      // Same planted-neighbor recall contract, with the quantizer trained by
+      // the DISTRIBUTED full-corpus k-means (one assignment pass + one
+      // per-cell vector-sum aggregation per iteration) — certifies the
+      // scale-path trainer end to end.
+      val e = emb(s, dir)
+      val cents = Similarity.trainIvfCentroidsDistributed(e, k = 8, iters = 5)
+      val qs = Similarity.perturbedQueries(e, n = 10)
+      val hits = Similarity.ivfTopKMulti(
+          Similarity.withIvfCell(e, cents), qs, cents, k = 10, nprobe = 3)
+        .filter(col("vec_id") === col("qid")).count()
+      import s.implicits._
+      Seq(hits >= 9L).toDF("recall_ok")
+    }),
+
     "q_sim_neardup" -> ((s, dir) => {
       // Hash-checkable despite the seeded planes: a planted copy shares its
       // source's bucket by construction (identical vector → identical sign
@@ -469,6 +484,9 @@ object LlmQueries {
       "SELECT true AS recall_ok",
 
     "q_sim_ivf_recall" ->
+      "SELECT true AS recall_ok",
+
+    "q_sim_ivf_recall_dist" ->
       "SELECT true AS recall_ok"
   )
 }

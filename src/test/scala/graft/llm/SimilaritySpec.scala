@@ -116,6 +116,30 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("distributed k-means separates axis clusters like the sampled trainer") {
+    val pts = (0 until 30).map { i =>
+      val axis = i % 3
+      val base = Array.fill(4)(0.05f * ((i * 7) % 3))
+      base(axis) = 1.0f
+      ((i + 1).toLong, base.toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroidsDistributed(df, k = 3, iters = 5)
+    val celled = Similarity.withIvfCell(df, cents)
+    // every axis cluster lands wholly in one cell, and the cells differ
+    val cellsPerAxis = celled.as[(Long, Seq[Float], Int)].collect()
+      .groupBy { case (id, _, _) => (id - 1) % 3 }
+      .view.mapValues(_.map(_._3).toSet).toMap
+    assert(cellsPerAxis.values.forall(_.size == 1))
+    assert(cellsPerAxis.values.map(_.head).toSet.size == 3)
+    // probed search over the distributed centroids matches brute force
+    val q = Array(1.0, 0.0, 0.0, 0.0)
+    val ivf = Similarity.ivfTopK(celled, q, cents, k = 5, nprobe = 1)
+      .as[(Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(df, q, k = 5).as[(Long, Double)].collect()
+    assert(ivf.map(_._1).toSeq == brute.map(_._1).toSeq)
+  }
+
   test("perturbed queries keep cosine ~1 to their source vectors") {
     val rnd = new scala.util.Random(13)
     val corpus = (0L until 5L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import graft.model.HeaderRecord
+import graft.model.HeaderRecord.Header
+import graft.ops.Atmosphere
+
+/** The reference's end-to-end driver (ref main.py:13-64) as one entry
+  * point: validate → optional atmosphere correction → continuum + spectrum.
+  * The reference materializes a staged file between stages; here the stages
+  * fuse into each product's lazy plan (write a [[Staged]] checkpoint only
+  * if an audit boundary is wanted). Atmosphere correction is OFF by default,
+  * matching the reference driver (main.py:31-32 keeps the stage commented
+  * out) — pass `atmosphere = true` for the corrected products.
+  */
+object Pipeline {
+
+  final case class Result(continuum: DataFrame, spectrum: DataFrame)
+
+  def run(
+      df: DataFrame,
+      header: Header,
+      ifnum: Int,
+      plnum: Int,
+      atmosphere: Boolean = false,
+      continuumParams: Continuum.Params = null,
+      spectrumParams: Spectrum.Params = null): Result = {
+    val cp = Option(continuumParams).getOrElse(Continuum.Params(ifnum, plnum))
+    val sp = Option(spectrumParams).getOrElse(Spectrum.Params(ifnum, plnum))
+
+    val validated = Validate.run(df, header)
+
+    // Atmosphere stage (ref atmosphere_correction.py:59-86): per-row weather
+    // → per-channel transmission over the GHz axis → DATA /= transmission.
+    // The axis is the header-derived MHz axis / 1000 (ref :68), over the
+    // post-crop channel count.
+    val corrected =
+      if (!atmosphere) validated
+      else {
+        val fr = HeaderRecord.frequencyRange(header, ifnum)
+        val axisGHz = graft.functions.ArrayOps
+          .freqAxis(fr.high, fr.low, fr.channelCount).map(_ / 1000.0)
+        Atmosphere.correct(validated, axisGHz)
+      }
+
+    Result(
+      continuum = Continuum.run(corrected, header, cp),
+      spectrum = Spectrum.run(corrected, header, sp))
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.ArrayOps
 import graft.model.HeaderRecord
 import graft.ops._
-import graft.pipeline.{Continuum, Spectrum, Validate}
+import graft.pipeline.{Continuum, Pipeline, Spectrum, Validate}
 import QueryUtil._
 
 /** Driver-contract queries for the reference-derived operator families
@@ -428,6 +428,15 @@ object RadioQueries {
           round(col("value"), 6).as("value"))
     }),
 
+    "q_pipeline_full" -> ((s, dir) =>
+      // The reference's whole main.py driver in one call: validate →
+      // continuum+spectrum (atmosphere off, like the reference driver).
+      // Validation is identity on the flat fixture (no NaNs, no negative
+      // physical columns, crop 0_3 over 4 channels), so the continuum
+      // product carries the same closed-form oracle as q_pipeline_continuum
+      // — what the query adds is proof the composed stages are lossless.
+      Pipeline.run(obsContinuumFlat(s, dir), obsHeader(4), ifnum = 0, plnum = 1).continuum),
+
     "q_pipeline_spectrum" -> ((s, dir) =>
       Spectrum.run(obsSpectrum(s, dir), obsHeader(4), Spectrum.Params(ifnum = 0, plnum = 1))),
 
@@ -693,6 +702,16 @@ object RadioQueries {
         |FROM f, generate_series(0, 1) t(i) ORDER BY ROWIDX, chan""".stripMargin,
 
     "q_pipeline_continuum" ->
+      """WITH obs AS (SELECT
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS ridx,
+        |    count(*) OVER () AS n,
+        |    l_quantity + l_extendedprice + l_discount + l_tax AS intensity
+        |  FROM lineitem)
+        |SELECT CAST(ridx AS DOUBLE) AS t, intensity / CAST(6.0 AS DOUBLE) AS intensity
+        |FROM obs WHERE ridx >= 16 AND ridx < n - 16
+        |ORDER BY t""".stripMargin,
+
+    "q_pipeline_full" ->
       """WITH obs AS (SELECT
         |    row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS ridx,
         |    count(*) OVER () AS n,

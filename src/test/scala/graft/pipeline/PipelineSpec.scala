@@ -114,4 +114,28 @@ class PipelineSpec extends SparkTestBase {
       VerifiedRead.parquet(spark, retyped, schema)
     }
   }
+
+  test("Pipeline.run composes validate → (atmosphere) → continuum + spectrum") {
+    // atmosphere off (the reference driver default): equal to the explicit
+    // stage composition, product by product.
+    val r = Pipeline.run(obs, header, ifnum = 0, plnum = 1)
+    assert(r.continuum.collect().toSeq ==
+      Continuum.run(Validate.run(obs, header), header, Continuum.Params(0, 1)).collect().toSeq)
+    assert(r.spectrum.collect().toSeq ==
+      Spectrum.run(Validate.run(obs, header), header, Spectrum.Params(0, 1)).collect().toSeq)
+
+    // atmosphere on: equal to the explicit Atmosphere.correct composition
+    // over the header-derived GHz axis.
+    val withWeather = obs
+      .withColumn("ELEVATIO", lit(45.0)).withColumn("TAMBIENT", lit(15.0))
+      .withColumn("PRESSURE", lit(1013.0)).withColumn("HUMIDITY", lit(50.0))
+    val rAtm = Pipeline.run(withWeather, header, ifnum = 0, plnum = 1, atmosphere = true)
+    val fr = HeaderRecord.frequencyRange(header, 0)
+    val axisGHz = graft.functions.ArrayOps
+      .freqAxis(fr.high, fr.low, fr.channelCount).map(_ / 1000.0)
+    val expected = Continuum.run(
+      graft.ops.Atmosphere.correct(Validate.run(withWeather, header), axisGHz),
+      header, Continuum.Params(0, 1)).collect()
+    assert(rAtm.continuum.collect().toSeq == expected.toSeq)
+  }
 }

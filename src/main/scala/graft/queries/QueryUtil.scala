@@ -190,9 +190,19 @@ object QueryUtil {
     * Continuum.run has a closed-form oracle: science intensity / 6 at
     * t = ROWIDX.
     */
-  def obsContinuumFlat(s: SparkSession, dir: String): DataFrame = {
-    val base = withGlobalRowIdx(li(s, dir))
-      .crossJoin(broadcast(li(s, dir).agg(count(lit(1)).as("__n"))))
+  def obsContinuumFlat(s: SparkSession, dir: String): DataFrame =
+    obsContinuumFlatFrom(li(s, dir))
+
+  /** 1/5-sampled [[obsContinuumFlat]] — the bounded fixture for the FULL
+    * driver composition (q_pipeline_full runs continuum AND spectrum over
+    * it; the lossless-composition proof doesn't need the whole table).
+    */
+  def obsContinuumFlatSampled(s: SparkSession, dir: String): DataFrame =
+    obsContinuumFlatFrom(li(s, dir).filter(col("l_orderkey") % 5 === 0))
+
+  private def obsContinuumFlatFrom(lineitem: DataFrame): DataFrame = {
+    val base = withGlobalRowIdx(lineitem)
+      .crossJoin(broadcast(lineitem.agg(count(lit(1)).as("__n"))))
     val spike = col("ROWIDX") < 16 || col("ROWIDX") >= col("__n") - 16
     val diodeOn = col("ROWIDX") < 8 || col("ROWIDX") >= col("__n") - 8
     base.select(

@@ -433,9 +433,12 @@ object RadioQueries {
       // continuum+spectrum (atmosphere off, like the reference driver).
       // Validation is identity on the flat fixture (no NaNs, no negative
       // physical columns, crop 0_3 over 4 channels), so the continuum
-      // product carries the same closed-form oracle as q_pipeline_continuum
-      // — what the query adds is proof the composed stages are lossless.
-      Pipeline.run(obsContinuumFlat(s, dir), obsHeader(4), ifnum = 0, plnum = 1).continuum),
+      // product carries the closed-form q_pipeline_continuum oracle over
+      // the sampled fixture — what the query adds is proof the composed
+      // stages are lossless. Bounded input (1/5): the full driver runs BOTH
+      // reductions eagerly, and the composition proof doesn't need 600k
+      // rows.
+      Pipeline.run(obsContinuumFlatSampled(s, dir), obsHeader(4), ifnum = 0, plnum = 1).continuum),
 
     "q_pipeline_spectrum" -> ((s, dir) =>
       Spectrum.run(obsSpectrum(s, dir), obsHeader(4), Spectrum.Params(ifnum = 0, plnum = 1))),
@@ -716,7 +719,7 @@ object RadioQueries {
         |    row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS ridx,
         |    count(*) OVER () AS n,
         |    l_quantity + l_extendedprice + l_discount + l_tax AS intensity
-        |  FROM lineitem)
+        |  FROM lineitem WHERE l_orderkey % 5 = 0)
         |SELECT CAST(ridx AS DOUBLE) AS t, intensity / CAST(6.0 AS DOUBLE) AS intensity
         |FROM obs WHERE ridx >= 16 AND ridx < n - 16
         |ORDER BY t""".stripMargin,

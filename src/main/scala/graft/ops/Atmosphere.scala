@@ -8,9 +8,12 @@ import graft.functions.ArrayOps
   * (ref atmosphere_correction.py:25-86; stage disabled in the reference
   * driver, main.py:31-32, but part of its surface).
   *
-  * All column math — no UDF: the per-channel attenuation is a `transform`
-  * over a literal frequency array whose lambda references the per-row weather
-  * columns, so the whole correction stays inside whole-stage codegen.
+  * No UDF anywhere: the scalar pieces (C5 vapor density, C6 attenuation at
+  * one frequency, C7 dB→transmission) are plain Column math, and the full
+  * per-channel correction (C8) runs in the fused codegen'd
+  * [[graft.functions.ItuCorrect]] kernel — a custom Catalyst Expression,
+  * the one place a HOF/unrolled Column formulation cannot survive a real
+  * 512–4096-channel axis (see the kernel's scaladoc).
   */
 object Atmosphere {
 
@@ -83,21 +86,22 @@ object Atmosphere {
       df: DataFrame,
       freqsGHz: Array[Double],
       dataCol: String = "DATA"): DataFrame = {
-    val rho = waterVaporDensity(col("TAMBIENT") + lit(273.15), col("HUMIDITY"))
-    // The freq axis is a per-file literal, so the whole correction UNROLLS
-    // into a codegen'd `array(DATA[i] / trans_i, ...)` of plain scalar
-    // expressions. Any higher-order-function formulation here
-    // (`transform(litArray, f => ituTree)` or `zip_with(DATA, transArray)`)
-    // is CodegenFallback: the ITU tree would evaluate INTERPRETED per
-    // element — measured 54–110 s vs ~4 s at sf0.1 for a 4-channel axis.
-    // Null elements (masked NaNs) propagate through the division unchanged,
-    // same as the zip_with lambda would.
-    val corrected = array(freqsGHz.zipWithIndex.map { case (f, i) =>
-      element_at(col(dataCol), i + 1) /
-        dbToTransmission(gaseousAttenuationDb(
-          lit(f), col("ELEVATIO"), rho, col("PRESSURE"),
-          col("TAMBIENT") + lit(273.15)))
-    }.toIndexedSeq: _*)
-    df.withColumn(dataCol, corrected)
+    // Per-row weather scalars stay Column expressions (computed once per
+    // row, codegen'd); the per-channel ITU attenuation + division run in the
+    // fused [[graft.functions.ItuCorrect]] kernel — one JIT-compiled loop
+    // over the literal axis, valid at any channel width. (Every Column-level
+    // alternative fails at a real 512–4096-channel axis: HOF lambdas
+    // evaluate the ITU tree interpreted per element, and per-channel
+    // unrolling blows up analysis/codegen — see the kernel's scaladoc for
+    // measurements.) Same op order and libm calls as the Column
+    // formulation; values agree to <= 1 ulp (Math.pow intrinsic variance),
+    // absorbed by the oracles' 6-decimal rounding.
+    val tempK = col("TAMBIENT") + lit(273.15)
+    val rho = waterVaporDensity(tempK, col("HUMIDITY"))
+    val rp = col("PRESSURE") / lit(1013.0)
+    val rt = lit(288.0) / tempK
+    val sinel = sin(radians(col("ELEVATIO")))
+    df.withColumn(dataCol,
+      graft.functions.AtmosphereKernels.ituCorrect(col(dataCol), freqsGHz, rho, rp, rt, sinel))
   }
 }

@@ -411,17 +411,13 @@ object RadioQueries {
         col("l_quantity").as("TAMBIENT"),
         (lit(900.0) + (col("l_suppkey") % 200).cast("double")).as("PRESSURE"),
         (lit(20.0) + (col("l_partkey") % 60).cast("double")).as("HUMIDITY"))
-      // The corrected frame is materialized (localCheckpoint) BEFORE the
-      // posexplode: CollapseProject would otherwise inline the 4-channel ITU
-      // tree into the Generate, whose single generated method blows the JIT
-      // limit and runs as interpreted bytecode (measured 24 s vs 4 s at
-      // sf0.1). The checkpoint keeps the heavy math in its own
-      // whole-stage-codegen projection, evaluated exactly once.
+      // The correction runs in the fused ItuCorrect kernel (one compact
+      // JIT'd loop), so the Generate it feeds stays inside codegen — no
+      // materialization barrier needed (the earlier per-channel unrolled
+      // form blew the JIT method limit when inlined into the Generate).
       Atmosphere.correct(
           obs.orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
           freqsGHz)
-        .select(col("l_orderkey"), col("l_linenumber"), col("DATA"))
-        .localCheckpoint()
         .select(col("l_orderkey"), col("l_linenumber"),
           posexplode(col("DATA")).as(Seq("chan", "value")))
         .select(col("l_orderkey"), col("l_linenumber"), col("chan"),

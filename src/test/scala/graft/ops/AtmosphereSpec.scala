@@ -47,4 +47,39 @@ class AtmosphereSpec extends SparkTestBase {
     assert(out.length == 2 && out(0) > 1.0 && out(1) > 2.0)
     assert(out(0) < 1.05 && out(1) < 2.1) // but only ~1% at L-band
   }
+
+  test("ItuCorrect kernel matches the Column formulation on a wide axis (<= 1 ulp)") {
+    val axis = graft.functions.ArrayOps.freqAxis(1.5, 0.75, 64)
+    val rows = (0 until 50).map { i =>
+      (Seq.tabulate(64)(c => 1.0 + 0.01 * c + 0.1 * i),
+        10.0 + i % 20, 30.0 + i % 50, 950.0 + i % 100, 10.0 + i % 75)
+    }
+    val df = rows.toDF("DATA", "TAMBIENT", "HUMIDITY", "PRESSURE", "ELEVATIO")
+    val kernel = Atmosphere.correct(df, axis).select($"DATA").as[Seq[Double]].collect()
+    // reference: the per-channel Column expression chain, unrolled
+    val tempK = $"TAMBIENT" + lit(273.15)
+    val rho = Atmosphere.waterVaporDensity(tempK, $"HUMIDITY")
+    val columns = df.select(array(axis.zipWithIndex.map { case (f, i) =>
+        element_at($"DATA", i + 1) / Atmosphere.dbToTransmission(
+          Atmosphere.gaseousAttenuationDb(lit(f), $"ELEVATIO", rho, $"PRESSURE", tempK))
+      }.toIndexedSeq: _*).as("DATA")).as[Seq[Double]].collect()
+    // Same op order, but Math.pow's JIT intrinsic may legally differ in the
+    // last bit between call sites — compare to <= 1 ulp, not bit equality
+    // (the oracle's 6-decimal rounding absorbs this).
+    kernel.zip(columns).zipWithIndex.foreach { case ((k, c), r) =>
+      k.zip(c).foreach { case (kv, cv) =>
+        assert(kv == cv || math.abs(kv - cv) <= math.ulp(cv),
+          s"row $r: kernel $kv vs Column $cv beyond 1 ulp")
+      }
+    }
+    // null DATA element propagates; null weather nulls the whole row's elems
+    val edge = Seq((Seq(Some(1.0), None), Some(15.0)), (Seq(Some(1.0), Some(2.0)), None))
+      .toDF("DATA", "TAMBIENT")
+      .withColumn("HUMIDITY", lit(50.0)).withColumn("PRESSURE", lit(1000.0))
+      .withColumn("ELEVATIO", lit(45.0))
+    val eo = Atmosphere.correct(edge, Array(1.4, 1.42))
+      .select($"DATA").as[Seq[Option[Double]]].collect()
+    assert(eo(0)(0).isDefined && eo(0)(1).isEmpty)
+    assert(eo(1).forall(_.isEmpty))
+  }
 }

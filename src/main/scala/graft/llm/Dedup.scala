@@ -261,9 +261,14 @@ object Dedup {
     * chains.
     */
   def nearDupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Both edge directions from ONE evaluation of `pairs` (explode of a
+    // 2-struct array) — a union of two selects would run the upstream
+    // candidate join once per branch while the checkpoint materializes.
     val edges = pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")),
+        struct(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -286,6 +291,14 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // Silent non-convergence would return intermediate labels and dedup
+    // would keep several "representatives" of one component — fail loudly;
+    // the caller raises maxIter (rounds needed = graph diameter, which for
+    // near-dup graphs is tiny).
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupComponents did not converge in $maxIter rounds; raise maxIter " +
+          "(components with diameter > maxIter exist in the candidate graph)")
     labels
   }
 

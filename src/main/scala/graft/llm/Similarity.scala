@@ -1,9 +1,39 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.functions.ArrayOps
+
+/** One (id, score) candidate. */
+final case class Scored(id: Long, score: Double)
+
+/** Bounded top-k by (score desc, id asc) as a typed Aggregator: the buffer
+  * never exceeds k entries, partial aggregation runs map-side, and the
+  * shuffle carries at most k rows per (group × partition). The
+  * `row_number over (partition by qid)` alternative funnels every candidate
+  * of a query through ONE partition — at corpus scale that is a multi-GB
+  * single-task sort; this aggregator keeps per-query top-k fully parallel.
+  */
+final class TopKByScoreAgg(k: Int) extends Aggregator[(Long, Double), Seq[Scored], Seq[Scored]] {
+  override def zero: Seq[Scored] = Vector.empty
+
+  private def insert(buf: Seq[Scored], id: Long, score: Double): Seq[Scored] = {
+    if (buf.length >= k) {
+      val worst = buf.last
+      if (score < worst.score || (score == worst.score && id > worst.id)) return buf
+    }
+    ((buf :+ Scored(id, score)).sortBy(s => (-s.score, s.id))).take(k)
+  }
+
+  override def reduce(b: Seq[Scored], in: (Long, Double)): Seq[Scored] = insert(b, in._1, in._2)
+  override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+    b.foldLeft(a)((acc, s) => insert(acc, s.id, s.score))
+  override def finish(b: Seq[Scored]): Seq[Scored] = b
+  override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+  override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+}
 
 /** Similarity search over an embedding column (`Array[Float]`): brute-force
   * cosine top-k as the correctness baseline, random-hyperplane LSH bucketing
@@ -109,8 +139,10 @@ object Similarity {
   /** Multi-query ANN — the batched shape a 100 TB deployment runs: Q query
     * vectors broadcast as a tiny dimension table (qid, qvec, qbucket), the
     * corpus joined on the Hamming-ball condition against its STORED bucket
-    * column (broadcast join — the corpus never shuffles), exact cosine
-    * ranked per query with a bounded window. One pass answers all queries.
+    * column (broadcast join — the corpus never shuffles), and per-query
+    * top-k via the bounded [[TopKByScoreAgg]] (map-side partial top-k; the
+    * shuffle carries ≤ k rows per query per partition — never a
+    * single-partition per-query sort). One pass answers all queries.
     */
   def annTopKMultiBucketed(
       df: DataFrame,
@@ -125,13 +157,23 @@ object Similarity {
     import spark.implicits._
     val qdf = queries.map { case (qid, v) => (qid, v, queryBucket(v, planes)) }
       .toDF("qid", "qvec", "qbucket")
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))
-    df.join(broadcast(qdf),
+    val cand = df.join(broadcast(qdf),
         bit_count(col(bucketCol).bitwiseXOR(col("qbucket"))) <= probeHamming)
-      .select(col("qid"), col(idCol),
+      .select(col("qid"), col(idCol).cast("long").as("__cid"),
         ArrayOps.cosine(col(embCol), col("qvec")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(cand, k, idCol)
+  }
+
+  /** (qid, __cid, cosine) candidates → (qid, idCol, cosine, rank ≤ k) via
+    * the bounded aggregator.
+    */
+  private def rankTopK(cand: DataFrame, k: Int, idCol: String): DataFrame = {
+    val topk = udaf(new TopKByScoreAgg(k), ExpressionEncoder[(Long, Double)]())
+    cand.groupBy(col("qid"))
+      .agg(topk(col("__cid"), col("cosine")).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(col("qid"), col("__s.id").as(idCol), col("__s.score").as("cosine"),
+        (col("__pos") + 1).as("rank"))
   }
 
   /** Deterministic planted-neighbor query set for recall certification: the
@@ -303,8 +345,8 @@ object Similarity {
       }
       .sortBy(_._1).take(nprobe).map(_._2)
 
-  /** Multi-query IVF ANN, same batched broadcast-join shape as
-    * [[annTopKMultiBucketed]]: each query carries its `nprobe` probe-cell
+  /** Multi-query IVF ANN, same batched broadcast-join + bounded-top-k shape
+    * as [[annTopKMultiBucketed]]: each query carries its `nprobe` probe-cell
     * list; the corpus joins on `array_contains(probes, cell)` against its
     * stored cell column and exact cosine ranks per query.
     */
@@ -321,12 +363,10 @@ object Similarity {
     import spark.implicits._
     val qdf = queries.map { case (qid, v) => (qid, v, probeCells(v, centroids, nprobe)) }
       .toDF("qid", "qvec", "probes")
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))
-    df.join(broadcast(qdf), array_contains(col("probes"), col(cellCol)))
-      .select(col("qid"), col(idCol),
+    val cand = df.join(broadcast(qdf), array_contains(col("probes"), col(cellCol)))
+      .select(col("qid"), col(idCol).cast("long").as("__cid"),
         ArrayOps.cosine(col(embCol), col("qvec")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(cand, k, idCol)
   }
 
   /** All-pairs near-duplicate candidates by embedding cosine: bucket join on

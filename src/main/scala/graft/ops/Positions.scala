@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Positions {
 
+  /** Note on the extra pass: the offset collect evaluates `df` once before
+    * the caller's first action does — two scans of the upstream chain
+    * total. Caching `df` here to avoid that was MEASURED SLOWER at sf0.1
+    * (cache build of the wide frame costs more than the narrow re-scan,
+    * which prunes to (fileCol, ordCol)); callers that already hold a cached
+    * input simply pass it in.
+    */
   def withPos(
       df: DataFrame,
       fileCol: String = "FILE_ID",

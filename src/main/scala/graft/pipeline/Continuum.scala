@@ -66,9 +66,11 @@ object Continuum {
     // flagged is cached: the ST1 scan, both A8 height collects and the final
     // consumer all read it. NOT unpersisted here — the returned frame is
     // lazy and still reads `flagged`; an eager unpersist would force the
-    // final consumer to recompute the whole chain. The harness clears
-    // persisted state between queries; other callers own cleanup
-    // (spark.catalog.clearCache()) once the result is consumed.
+    // final consumer to recompute the whole chain. Cache lifecycle is the
+    // CALLER's: clear with spark.catalog.clearCache() once the result is
+    // consumed (the harness does this between queries). Callers looping
+    // over MANY files should use [[runAll]] — one job chain, no per-file
+    // caches — rather than calling run() per file.
     val flagged = withPos(d2).cache()
     val idx = CalibrationScan.scanSingleFile(flagged, channelCount, header.obsmode, "ROWIDX")
     val dataStart = idx.dataStart.getOrElse(0)

@@ -44,9 +44,10 @@ object Spectrum {
     // Bucketed per-file position (graft.ops.Positions): a constant FILE_ID
     // would constant-fold a plain per-file window's partition key away and
     // funnel every row through one WindowExec partition. flagged is cached:
-    // the ST1 scan and the final aggregation both read it (not unpersisted
-    // here — the returned frame is lazy; the harness clears persisted state
-    // between queries).
+    // the ST1 scan and the final aggregation both read it. Not unpersisted
+    // here (the returned frame is lazy) — cache lifecycle is the caller's
+    // (spark.catalog.clearCache() after consumption; the harness does this
+    // between queries); for many files use [[runAll]], which caches nothing.
     val flagged = Positions.withPos(d2).cache()
 
     val idx = CalibrationScan.scanSingleFile(flagged, channelCount, header.obsmode, "ROWIDX")

@@ -242,11 +242,15 @@ object QueryUtil {
   def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Scratch directory for the S3/S4 staged-write queries — under the build
-    * target so harness runs never write outside the repo.
+  /** Scratch directory for the S3/S4 staged-write queries: the build target
+    * when the JVM runs from the repo root (the harness does), otherwise the
+    * system temp dir — never a cwd-relative path that could land outside
+    * either when some launcher sets a different working directory.
     */
-  def stagingDir(s: SparkSession): String = {
-    val d = new java.io.File("target/staging")
+  def stagingDir(): String = {
+    val repoTarget = new java.io.File("target")
+    val d = if (repoTarget.isDirectory) new java.io.File(repoTarget, "staging")
+            else new java.io.File(System.getProperty("java.io.tmpdir"), "graft-staging")
     d.mkdirs()
     d.getAbsolutePath
   }

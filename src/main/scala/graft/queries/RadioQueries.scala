@@ -341,7 +341,7 @@ object RadioQueries {
       // bulk I/O.
       val stage = li(s, dir).filter(col("l_orderkey") % 100 === 1)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      val out = graft.pipeline.Staged.write(stage, stagingDir(s) + "/roundtrip", "validated")
+      val out = graft.pipeline.Staged.write(stage, stagingDir() + "/roundtrip", "validated")
       val reread = graft.sources.VerifiedRead.parquet(s, out, stage.schema)
       reread.agg(count(lit(1)).as("n"))
         .withColumn("staged_name_ok", lit(out.endsWith("_validated")))
@@ -355,7 +355,7 @@ object RadioQueries {
       val src = li(s, dir).filter(col("l_orderkey") % 100 === 1)
         .select(col("l_orderkey"), col("l_quantity"), col("l_tax"))
       val out = graft.sources.Corruption.writeDroppedColumn(
-        src, stagingDir(s) + "/corrupt", "l_tax")
+        src, stagingDir() + "/corrupt", "l_tax")
       val rejected =
         try { graft.sources.VerifiedRead.parquet(s, out, src.schema); false }
         catch { case _: graft.sources.VerifiedRead.SchemaViolation => true }

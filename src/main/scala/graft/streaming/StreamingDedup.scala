@@ -43,10 +43,15 @@ object StreamingDedup {
     * (stateless, ref [[Dedup.minhashSignature]]), explodes LSH band keys,
     * and stream-static equi-joins the persisted [[Dedup.minhashSignatures]]
     * table on (band, key) — the standard "is this new document a near-dup
-    * of anything we already have?" ingestion gate. Emits one
-    * (stream id, corpus id, est_jaccard) row per colliding pair (collisions
-    * in several bands are collapsed per micro-batch; global collapse is the
-    * caller's watermark policy).
+    * of anything we already have?" ingestion gate.
+    *
+    * State discipline: the default pipeline is fully STATELESS (a pair
+    * colliding in several bands emits one row per colliding band —
+    * consumers treat the output as a set). Pass `tsCol` to collapse
+    * duplicates with `dropDuplicatesWithinWatermark` instead:
+    * watermark-evicted state, never unbounded. (A plain `dropDuplicates`
+    * here would retain every (stream_id, corpus_id) pair forever —
+    * stream_id cardinality grows without bound.)
     *
     * At 100 TB the static side is the bucketed/partitioned signature table
     * — the join is a broadcast or shuffled equi-join on the band key, never
@@ -57,24 +62,27 @@ object StreamingDedup {
       corpusSigs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
+      tsCol: Option[String] = None,
+      watermark: String = "10 minutes",
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val streamBanded = stream
-      .select(col(idCol).as("stream_id"),
-        Dedup.minhashSignature(col(textCol), numHashes, shingleSize).as("ssig"))
-      .select(col("stream_id"), col("ssig"),
-        explode(Dedup.lshBandKeys(col("ssig"), bands, rowsPerBand)).as("bk"))
-      .select(col("stream_id"), col("ssig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val withMark = tsCol.fold(stream)(c => stream.withWatermark(c, watermark))
+    val streamBanded = withMark
+      .select(col(idCol).as("stream_id") +: tsCol.toSeq.map(col) :+
+        Dedup.minhashSignature(col(textCol), numHashes, shingleSize).as("ssig"): _*)
+      .withColumn("bk", explode(Dedup.lshBandKeys(col("ssig"), bands, rowsPerBand)))
+      .withColumn("band", col("bk.band")).withColumn("key", col("bk.key"))
+      .drop("bk")
     val corpusBanded = corpusSigs
       .select(col("id").as("corpus_id"), col("sig"),
         explode(Dedup.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("corpus_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
-    streamBanded.join(corpusBanded, Seq("band", "key"))
-      .select(col("stream_id"), col("corpus_id"),
-        (size(filter(zip_with(col("ssig"), col("sig"), (x, y) => x === y), e => e))
-          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
-      .dropDuplicates("stream_id", "corpus_id")
+    val matched = streamBanded.join(corpusBanded, Seq("band", "key"))
+      .select(col("stream_id") +: tsCol.toSeq.map(col) :+ col("corpus_id") :+
+        ((size(filter(zip_with(col("ssig"), col("sig"), (x, y) => x === y), e => e))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard")): _*)
+    tsCol.fold(matched)(_ => matched.dropDuplicatesWithinWatermark("stream_id", "corpus_id"))
   }
 }

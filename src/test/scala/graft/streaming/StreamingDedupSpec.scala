@@ -40,6 +40,7 @@ class StreamingDedupSpec extends SparkTestBase {
     ).toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(corpus)
 
+    // Stateless default: one row per colliding band — consumers read a set.
     val input = MemoryStream[(Long, String)]
     val q = StreamingDedup.nearDupAgainstCorpus(
         input.toDS().toDF("doc_id", "text"), sigs)
@@ -53,6 +54,29 @@ class StreamingDedupSpec extends SparkTestBase {
       val hits = spark.table("sneardup")
         .select($"stream_id", $"corpus_id").as[(Long, Long)].collect().toSet
       assert(hits == Set((100L, 1L))) // near-dup flagged, novel doc passes
+    } finally q.stop()
+  }
+
+  test("stream near-dup gate with tsCol collapses band collisions via watermarked state") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(corpus)
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingDedup.nearDupAgainstCorpus(
+        input.toDS().toDF("doc_id", "ts", "text"), sigs,
+        tsCol = Some("ts"), watermark = "10 minutes")
+      .filter($"est_jaccard" >= 0.5)
+      .writeStream.format("memory").queryName("sneardup_wm").outputMode("append").start()
+    try {
+      input.addData(
+        (100L, ts("01"), "the quick brown fox jumps over the lazy dog and runs far away house"))
+      q.processAllAvailable()
+      val rows = spark.table("sneardup_wm")
+        .select($"stream_id", $"corpus_id").as[(Long, Long)].collect().toSeq
+      assert(rows == Seq((100L, 1L))) // exactly ONE row despite multi-band collisions
     } finally q.stop()
   }
 }

@@ -47,4 +47,34 @@ object Pipeline {
       continuum = Continuum.run(corrected, header, cp),
       spectrum = Spectrum.run(corrected, header, sp))
   }
+
+  /** Multi-file form of [[run]]: validate and (optionally) correct are
+    * per-row maps, so they compose unchanged in front of the
+    * [[Continuum.runAll]] / [[Spectrum.runAll]] scale paths — the whole
+    * driver for N files in two job chains, no per-file driver orchestration
+    * and no caches held.
+    */
+  def runAll(
+      df: DataFrame,
+      header: Header,
+      ifnum: Int,
+      plnum: Int,
+      atmosphere: Boolean = false,
+      continuumParams: Continuum.Params = null,
+      spectrumParams: Spectrum.Params = null): Result = {
+    val cp = Option(continuumParams).getOrElse(Continuum.Params(ifnum, plnum))
+    val sp = Option(spectrumParams).getOrElse(Spectrum.Params(ifnum, plnum))
+    val validated = Validate.run(df, header)
+    val corrected =
+      if (!atmosphere) validated
+      else {
+        val fr = HeaderRecord.frequencyRange(header, ifnum)
+        val axisGHz = graft.functions.ArrayOps
+          .freqAxis(fr.high, fr.low, fr.channelCount).map(_ / 1000.0)
+        Atmosphere.correct(validated, axisGHz)
+      }
+    Result(
+      continuum = Continuum.runAll(corrected, header, cp),
+      spectrum = Spectrum.runAll(corrected, header, sp))
+  }
 }

@@ -138,4 +138,22 @@ class PipelineSpec extends SparkTestBase {
       header, Continuum.Params(0, 1)).collect()
     assert(rAtm.continuum.collect().toSeq == expected.toSeq)
   }
+
+  test("Pipeline.runAll reproduces Pipeline.run file-by-file") {
+    // Two copies of the single-file observation under different FILE_IDs.
+    val two = obs.union(obs.withColumn("FILE_ID", lit("1")))
+    val all = Pipeline.runAll(two, header, ifnum = 0, plnum = 1)
+    val single = Pipeline.run(obs, header, ifnum = 0, plnum = 1)
+
+    val perFileCont = all.continuum.as[(String, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1).toSeq).toMap
+    val expectedCont = single.continuum.as[(Double, Double)].collect().toSeq
+    assert(perFileCont.keySet == Set("0", "1"))
+    assert(perFileCont("0") == expectedCont && perFileCont("1") == expectedCont)
+
+    val perFileSpec = all.spectrum.as[(String, Int, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq).toMap
+    val expectedSpec = single.spectrum.as[(Int, Double, Double)].collect().toSeq
+    assert(perFileSpec("0") == expectedSpec && perFileSpec("1") == expectedSpec)
+  }
 }

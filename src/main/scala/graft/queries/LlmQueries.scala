@@ -256,6 +256,38 @@ object LlmQueries {
           col("n"), col("vmin"), col("vmax"))
         .orderBy(col("event_type"), col("win_us"))),
 
+    "q_events_sessions" -> ((s, dir) =>
+      // Session windows (30-min inactivity gap) per user — the dynamic-gap
+      // streaming windowing Spark adds beyond fixed windows; batch replica
+      // with a gaps-and-islands DuckDB oracle. A session's start is its
+      // first event; an event exactly `gap` after the previous one starts a
+      // NEW session ([start, end) window semantics).
+      ev(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        // min/max/count only: order-independent exact aggregates (value has
+        // 2 decimals — a cross-row double sum would be order-sensitive in
+        // the last ulp, the discipline QueryUtil documents).
+        .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          col("n"), col("vmin"), col("vmax"))
+        .orderBy(col("user_id"), col("start_us"))),
+
+    "q_approx_distinct" -> ((s, dir) => {
+      // A3's documented scale path (SURVEY §2.4: approx_count_distinct at
+      // scale): certify the HLL++ estimate lands within 5% of the exact
+      // distinct count — a deterministic assertion (HLL is deterministic
+      // for a given dataset), checked as a boolean with a constant oracle.
+      val r = li(s, dir).agg(
+        countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey")).as("approx")).head()
+      val exact = r.getLong(0)
+      val approx = r.getLong(1)
+      import s.implicits._
+      Seq(math.abs(approx.toDouble - exact.toDouble) / exact.toDouble <= 0.05)
+        .toDF("within_bound")
+    }),
+
     // --- S2: verified read --------------------------------------------------
     "q_s2_verified_read" -> ((s, dir) =>
       VerifiedRead.parquet(s, s"$dir/lineitem.parquet", StructType(Seq(
@@ -470,6 +502,22 @@ object LlmQueries {
 
     "q_s2_verified_read" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+
+    "q_events_sessions" ->
+      """WITH m AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+        |  CAST(count(*) AS BIGINT) AS n, min(value) AS vmin, max(value) AS vmax
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q_approx_distinct" ->
+      "SELECT true AS within_bound",
 
     "q_sim_neardup" ->
       """WITH e AS (SELECT vec_id,

@@ -58,4 +58,21 @@ object StreamingCal {
     df.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDur))
       .agg(VectorSum.vecSum(ArrayOps.fillNulls(col(dataCol))).as("spectrum"))
+
+  /** Watermarked dynamic-gap session aggregation: one row per (key,
+    * session), a session being a run of events with no `gap`-sized silence.
+    * Sessions close when the watermark passes their end, so append-mode
+    * sinks receive each session exactly once and state is evicted — the
+    * streaming face of the batch q_events_sessions replica.
+    */
+  def sessionCounts(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gap: String,
+      watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("session_window.start").as("session_start"), col("n"))
 }

@@ -52,4 +52,29 @@ class StreamingCalSpec extends SparkTestBase {
       assert(rows(ts("10")) == Seq(10.0, 10.0))
     } finally q.stop()
   }
+
+  test("session counts: gap-separated sessions close as the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 00:$m:00")
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingCal.sessionCounts(input.toDS().toDF("user", "ts"),
+        "user", "ts", gap = "5 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user a: events at 00 and 02 (one session), then 20 (a second);
+      // user b: one event at 01.
+      input.addData(("a", ts("00")), ("a", ts("02")), ("b", ts("01")))
+      q.processAllAvailable()
+      input.addData(("a", ts("20")))
+      q.processAllAvailable()
+      input.addData(("a", ts("40"))) // watermark passes session 2's end
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .as[(String, java.sql.Timestamp, Long)].collect().toSet
+      assert(rows == Set(
+        ("a", ts("00"), 2L), // 00+02 merged: 5-min gap bridges them
+        ("b", ts("01"), 1L),
+        ("a", ts("20"), 1L)))
+    } finally q.stop()
+  }
 }

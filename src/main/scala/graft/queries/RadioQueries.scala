@@ -387,7 +387,10 @@ object RadioQueries {
     "q_pipeline_continuum" -> ((s, dir) =>
       // Flat-spike fixture (gain = intensity/6 in closed form) makes the full
       // F1→ST1→A8→A1→A9 composition hash-checkable (VERDICT r3 item 4).
-      Continuum.run(obsContinuumFlat(s, dir), obsHeader(4), Continuum.Params(ifnum = 0, plnum = 1))),
+      // 1/5-sampled: the per-file path issues several driver-synchronous
+      // jobs and doesn't need a 600k-row "observation" to prove the
+      // composition — q_continuum_all is the volume/scale demonstration.
+      Continuum.run(obsContinuumFlatSampled(s, dir), obsHeader(4), Continuum.Params(ifnum = 0, plnum = 1))),
 
     "q_continuum_all" -> ((s, dir) =>
       // Multi-file scale path: N files reduced in ONE job chain (per-file
@@ -705,7 +708,7 @@ object RadioQueries {
         |    row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS ridx,
         |    count(*) OVER () AS n,
         |    l_quantity + l_extendedprice + l_discount + l_tax AS intensity
-        |  FROM lineitem)
+        |  FROM lineitem WHERE l_orderkey % 5 = 0)
         |SELECT CAST(ridx AS DOUBLE) AS t, intensity / CAST(6.0 AS DOUBLE) AS intensity
         |FROM obs WHERE ridx >= 16 AND ridx < n - 16
         |ORDER BY t""".stripMargin,

@@ -333,16 +333,34 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    require(threshold > 0.0, "gram-join formulation emits only pairs sharing >= 1 gram")
-    // Codegen'd gram rows (posexplode + window lead — not the interpreted
-    // per-row HOF, which dominated when evaluated once per join side), with
-    // the per-doc distinct-gram count attached by a window over id.
+      threshold: Double = 0.8): DataFrame =
+    ngramJaccardFromGrams(preparedNgrams(df, blockKey, idCol, textCol, n), threshold)
+
+  /** The gram side of [[ngramJaccardPairs]]: codegen'd (id, block, gram)
+    * rows (posexplode + window lead — not the interpreted per-row HOF) with
+    * the per-doc distinct-gram count attached. The self-join evaluates its
+    * input once per side — materialize this (localCheckpoint, or a stored
+    * table at scale) and pass it to [[ngramJaccardFromGrams]], the same
+    * store-the-expensive-part seam as `*CandidatesFromSigs`.
+    */
+  def preparedNgrams(
+      df: DataFrame,
+      blockKey: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3): DataFrame = {
     val grams = TextAnalysis.explodedWordNgrams(
       df.select(col(idCol).as("id"), blockKey.as("block"), col(textCol).as("__text")),
       "id", "__text", n, carry = Seq("block"))
-    val prepped = grams.withColumn("ng",
+    grams.withColumn("ng",
       count(lit(1)).over(Window.partitionBy(col("id"))).cast("int"))
+  }
+
+  /** Candidate pairs + exact Jaccard from a prepared (id, block, gram, ng)
+    * frame.
+    */
+  def ngramJaccardFromGrams(prepped: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0, "gram-join formulation emits only pairs sharing >= 1 gram")
     val a = prepped.alias("a"); val b = prepped.alias("b")
     a.join(b, col("a.block") === col("b.block") && col("a.gram") === col("b.gram") &&
         col("a.id") < col("b.id"))

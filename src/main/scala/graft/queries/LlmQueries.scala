@@ -106,10 +106,15 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
-    "q_dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(aug(s, dir),
-          blockKey = substring(col("text"), 1, 20), n = 3, threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      // Grams materialized once (localCheckpoint) — the gram self-join
+      // evaluates its input once per side, same pattern as the signature
+      // queries (PLANS.md finding 2).
+      val grams = Dedup.preparedNgrams(aug(s, dir),
+        blockKey = substring(col("text"), 1, 20), n = 3).localCheckpoint()
+      Dedup.ngramJaccardFromGrams(grams, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // --- similarity search --------------------------------------------------
     "q_sim_bruteforce" -> ((s, dir) =>

@@ -40,10 +40,13 @@ object Bench {
     }
     // A crashed query records its NEGATED partial time (visible failure
     // marker) and is excluded from the total rather than shrinking it.
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -v) }
+    // Times are rounded to ms so the one JSON line stays compact enough for
+    // harnesses that keep only the tail of the build output.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + fmt(if (ok) v else -v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

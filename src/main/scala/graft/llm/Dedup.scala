@@ -38,15 +38,33 @@ object Dedup {
       i => array_min(transform(shingles, s => hash(s, i))))
   }
 
-  /** MinHash signatures as a codegen'd aggregation: explode shingles to rows,
-    * compute the numHashes salted murmur3 columns in one whole-stage-codegen
-    * projection, groupBy(id) with map-side partial `min`s — the shuffle
-    * carries one (id, numHashes ints) row per doc per partition, and no
-    * interpreted HOF runs anywhere. Same values as [[minhashSignature]].
-    * Docs with fewer than `shingleSize` tokens have no shingles and drop out
-    * (they cannot be near-duplicates under this measure).
+  /** MinHash signatures via the one-pass [[graft.functions.SigKernels]]
+    * kernel: the whole signature computes in one compiled loop per ROW — no
+    * explode, no 64-column hash aggregate, no shuffle; at scale the
+    * signature job is a pure map over the corpus. Values are bit-identical
+    * to [[minhashSignature]] (HOF) and [[minhashSignaturesExploded]]
+    * (explode+agg), pinned by DedupSpec/SigKernelsSpec. Docs with fewer
+    * than `shingleSize` tokens have no shingles and drop out (they cannot
+    * be near-duplicates under this measure).
     */
   def minhashSignatures(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      shingleSize: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.SigKernels.minhashMurmur(col(textCol), shingleSize, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** The round-3/4 explode+aggregate formulation of [[minhashSignatures]]
+    * (same values): explode shingles to rows, aggregate numHashes salted
+    * murmur3 columns with map-side partial `min`s. Correct and distributed,
+    * but the 64-column hash aggregate generates a huge codegen class (slow
+    * to JIT on a cold JVM) and shuffles one row per doc per partition —
+    * kept as the cross-check the specs pin the kernel against.
+    */
+  def minhashSignaturesExploded(
       df: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
@@ -121,6 +139,19 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       numHashes: Int = 64,
+      shingleSize: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.SigKernels.minhashPoly(col(textCol), shingleSize, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Explode+aggregate formulation of [[minhashSignaturesPoly]] (same
+    * values) — the specs' cross-check; see [[minhashSignaturesExploded]].
+    */
+  def minhashSignaturesPolyExploded(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
       shingleSize: Int = 3): DataFrame = {
     val p = 1000000007L
     val shingled = df.select(col(idCol).as("id"),
@@ -177,13 +208,20 @@ object Dedup {
         call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
   }
 
-  /** SimHash signatures as a codegen'd aggregation (same values as
-    * [[simhash64]]): explode tokens (duplicates kept — votes are weighted by
-    * occurrence), one xxhash64 per token row, 64 conditional-sum vote
-    * columns (map-side partial aggregation), sign-pack on the aggregated
-    * row. No interpreted HOF; the shuffle carries one row per doc.
+  /** SimHash signatures via the one-pass kernel (same values as
+    * [[simhash64]] and [[simhashSignaturesExploded]]): xxhash64 per token,
+    * occurrence-weighted votes, sign-pack — all in one compiled loop per
+    * row; no explode, no 64-column vote aggregate, no shuffle.
     */
-  def simhashSignatures(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def simhashSignatures(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.SigKernels.simhashXx(col(textCol)).as("sim"))
+      .filter(col("sim").isNotNull)
+
+  /** Explode+vote-aggregate formulation of [[simhashSignatures]] (same
+    * values) — the specs' cross-check; see [[minhashSignaturesExploded]].
+    */
+  def simhashSignaturesExploded(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(TextAnalysis.tokensWs(col(textCol))).as("t"))
       .withColumn("h", xxhash64(col("t")))
@@ -202,7 +240,15 @@ object Dedup {
     * Output (id, sim) feeds [[simhashCandidatesFromSigs]] unchanged;
     * [[simhashSignatures]] (xxhash64) stays the scale default.
     */
-  def simhashSignaturesPoly(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def simhashSignaturesPoly(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.SigKernels.simhashPoly(col(textCol)).as("sim"))
+      .filter(col("sim").isNotNull)
+
+  /** Explode+vote-aggregate formulation of [[simhashSignaturesPoly]] (same
+    * values) — the specs' cross-check.
+    */
+  def simhashSignaturesPolyExploded(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val p = 1000000007L
     val toks = df.select(col(idCol).as("id"),
         explode(TextAnalysis.tokensWs(col(textCol))).as("t"))
@@ -336,25 +382,27 @@ object Dedup {
       threshold: Double = 0.8): DataFrame =
     ngramJaccardFromGrams(preparedNgrams(df, blockKey, idCol, textCol, n), threshold)
 
-  /** The gram side of [[ngramJaccardPairs]]: codegen'd (id, block, gram)
-    * rows (posexplode + window lead — not the interpreted per-row HOF) with
-    * the per-doc distinct-gram count attached. The self-join evaluates its
-    * input once per side — materialize this (localCheckpoint, or a stored
-    * table at scale) and pass it to [[ngramJaccardFromGrams]], the same
-    * store-the-expensive-part seam as `*CandidatesFromSigs`.
+  /** The gram side of [[ngramJaccardPairs]]: (id, block, gram) rows with the
+    * per-doc distinct-gram count attached. The gram SET builds in one
+    * compiled kernel pass per row ([[graft.functions.SigKernels]]) and `ng`
+    * is its size BEFORE the explode — no distinct, no count window, no
+    * shuffle on the gram universe (the round-4 posexplode+lead form paid a
+    * token-level window sort plus a distinct plus a count window). The
+    * self-join evaluates its input once per side — materialize this
+    * (localCheckpoint, or a stored table at scale) and pass it to
+    * [[ngramJaccardFromGrams]], the same store-the-expensive-part seam as
+    * `*CandidatesFromSigs`.
     */
   def preparedNgrams(
       df: DataFrame,
       blockKey: Column,
       idCol: String = "doc_id",
       textCol: String = "text",
-      n: Int = 3): DataFrame = {
-    val grams = TextAnalysis.explodedWordNgrams(
-      df.select(col(idCol).as("id"), blockKey.as("block"), col(textCol).as("__text")),
-      "id", "__text", n, carry = Seq("block"))
-    grams.withColumn("ng",
-      count(lit(1)).over(Window.partitionBy(col("id"))).cast("int"))
-  }
+      n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), blockKey.as("block"),
+        graft.functions.SigKernels.wordNgramsDistinct(col(textCol), n).as("__gs"))
+      .withColumn("ng", size(col("__gs")))
+      .select(col("id"), col("block"), explode(col("__gs")).as("gram"), col("ng"))
 
   /** Candidate pairs + exact Jaccard from a prepared (id, block, gram, ng)
     * frame.

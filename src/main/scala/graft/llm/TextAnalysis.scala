@@ -206,9 +206,24 @@ object TextAnalysis {
   }
 
   /** Distinct word- and char-n-gram counts per doc (the q_text_ngrams
-    * kernel) — docs with no grams count 0 via the left join.
+    * kernel): both counts compute in one compiled kernel pass per row
+    * ([[graft.functions.SigKernels]]) — a pure map, no explode / window /
+    * groupBy / join (the round-4 exploded form shuffled one row per token
+    * AND per character). Docs with no grams count 0 (kernel semantics).
     */
   def ngramCountsBy(
+      df: DataFrame, idCol: String, textCol: String,
+      wordN: Int, charN: Int): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SigKernels.wordNgramCount(col(textCol), wordN)
+        .cast("long").as(s"n_${wordN}grams"),
+      graft.functions.SigKernels.charNgramCount(col(textCol), charN)
+        .cast("long").as(s"n_char$charN"))
+
+  /** The round-4 exploded formulation of [[ngramCountsBy]] (same values) —
+    * kept as the cross-check TextAnalysisSpec pins the kernel against.
+    */
+  def ngramCountsByExploded(
       df: DataFrame, idCol: String, textCol: String,
       wordN: Int, charN: Int): DataFrame = {
     val ids = df.select(col(idCol))

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.llm.{Dedup, TextAnalysis}
+
+/** One-pass signature kernels vs the exploded aggregate formulations they
+  * replaced: every kernel must reproduce the round-4 values bit-for-bit on
+  * an edge-case corpus (empty text, leading tab — Spark trim strips spaces
+  * only, so the split keeps an empty token —, multi-space runs, surrogate
+  * pairs, short docs, duplicate grams).
+  */
+class SigKernelsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away house"),
+    (3L, "completely different content about spark catalyst optimizer internals"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (5L, ""),                       // empty: 1 empty token, no shingles
+    (6L, "one two"),                // fewer tokens than shingle size 3
+    (7L, "  padded   with  runs "), // multi-space runs + space padding
+    (8L, "\ttab lead keeps an empty token here right"), // trim strips ' ' only
+    (9L, "unicode 😀 emoji 😀 tokens repeat here fine"),
+    (10L, "a b a b a b a b c d")    // heavy duplicate grams
+  ).toDF("doc_id", "text")
+
+  test("murmur minhash kernel == exploded aggregate (and doc drop-out set)") {
+    val k = Dedup.minhashSignatures(corpus).as[(Long, Seq[Int])].collect().toMap
+    val e = Dedup.minhashSignaturesExploded(corpus).as[(Long, Seq[Int])].collect().toMap
+    assert(k == e)
+    assert(!k.contains(5L) && !k.contains(6L)) // no shingles → dropped on both paths
+  }
+
+  test("poly minhash kernel == exploded aggregate") {
+    val k = Dedup.minhashSignaturesPoly(corpus).as[(Long, Seq[Long])].collect().toMap
+    val e = Dedup.minhashSignaturesPolyExploded(corpus).as[(Long, Seq[Long])].collect().toMap
+    assert(k == e)
+  }
+
+  test("xxhash simhash kernel == exploded vote aggregate") {
+    val k = Dedup.simhashSignatures(corpus).as[(Long, Long)].collect().toMap
+    val e = Dedup.simhashSignaturesExploded(corpus).as[(Long, Long)].collect().toMap
+    assert(k == e)
+    assert(k.keySet == (1L to 10L).toSet) // every doc has >= 1 token
+  }
+
+  test("poly simhash kernel == exploded vote aggregate") {
+    val k = Dedup.simhashSignaturesPoly(corpus).as[(Long, Long)].collect().toMap
+    val e = Dedup.simhashSignaturesPolyExploded(corpus).as[(Long, Long)].collect().toMap
+    assert(k == e)
+  }
+
+  test("distinct word-ngram kernel == array_distinct HOF form (values AND order)") {
+    val k = corpus.select($"doc_id", SigKernels.wordNgramsDistinct($"text", 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    val h = corpus.select($"doc_id", TextAnalysis.wordNgrams($"text", 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(k == h)
+  }
+
+  test("ngram count kernels == exploded count pipeline") {
+    val k = TextAnalysis.ngramCountsBy(corpus, "doc_id", "text", 2, 5)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val e = TextAnalysis.ngramCountsByExploded(corpus, "doc_id", "text", 2, 5)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(k == e)
+  }
+
+  test("prepared ngrams kernel form matches the jaccard the window form produced") {
+    // End-to-end check through the join: same pairs, same exact jaccard.
+    val out = Dedup.ngramJaccardPairs(corpus, substring($"text", 1, 10), n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(c => ((c._1, c._2), c._3)).toMap
+    assert(out((1L, 4L)) == 1.0)
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) > 0.5 && out((1L, 2L)) < 1.0)
+  }
+
+  test("kernels survive null text (null row, not a crash)") {
+    val withNull = Seq((1L, Option("a b c d")), (2L, Option.empty[String])).toDF("doc_id", "text")
+    assert(Dedup.minhashSignatures(withNull, shingleSize = 2).count() == 1)
+    assert(Dedup.simhashSignatures(withNull).count() == 1)
+    assert(withNull.select(SigKernels.wordNgramCount($"text", 2)).na.drop().count() == 1)
+  }
+}

@@ -222,6 +222,38 @@ object RadioQueries {
           max(col("o_totalprice")).as("max_price"))
         .orderBy(col("r_name"))),
 
+    "q_join_asof" -> ((s, dir) => {
+      // As-of enrichment: each purchase gets the user's latest view at or
+      // before it — the union+window shape (one shuffle on user_id, no
+      // range join), hash-checked against DuckDB's native ASOF JOIN.
+      // Views are pre-deduped per (user, ts) so the as-of winner is unique.
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("view_value"))
+      graft.ops.AsofJoin.asof(purchases, views, Seq("user_id"), "ts", "ts", Seq("view_value"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), unix_micros(col("asof_ts")).as("view_us"), col("asof_view_value").as("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_join_salted" -> ((s, dir) => {
+      // Salted skew join (key spread over 8 shuffle buckets, dim replicated
+      // 8x, SHUFFLE_HASH hint so the demo actually exercises the shuffle
+      // path rather than auto-broadcasting the small dim) — output is
+      // exactly the plain equi-join, which is what the oracle checks.
+      val big = li(s, dir).select((col("l_partkey") % 100).as("k"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val dim = graft.Tables.load(s, dir, "part")
+        .groupBy((col("p_partkey") % 100).as("k")).agg(max(col("p_retailprice")).as("p_max"))
+      graft.ops.SkewJoin.saltedEquiJoin(big, dim.hint("shuffle_hash"), "k", salts = 8,
+          saltSrc = xxhash64(col("l_orderkey"), col("l_linenumber")))
+        .groupBy(col("k"), col("p_max"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("k"))
+    }),
+
     // --- U: set operations --------------------------------------------------
     "q_u1_merge" -> ((s, dir) =>
       Merge.merge(Seq(
@@ -586,6 +618,23 @@ object RadioQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_join_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, CAST(epoch_us(p.ts) AS BIGINT) AS ts_us, p.value,
+        |  CAST(epoch_us(v.ts) AS BIGINT) AS view_us, v.view_value
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q_join_salted" ->
+      """WITH dim AS (SELECT p_partkey % 100 AS k, max(p_retailprice) AS p_max
+        |  FROM part GROUP BY 1)
+        |SELECT l_partkey % 100 AS k, p_max, CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN dim ON l_partkey % 100 = dim.k
+        |GROUP BY 1, 2 ORDER BY k""".stripMargin,
 
     "q_u1_merge" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM lineitem

@@ -42,7 +42,10 @@ object Bench {
     // marker) and is excluded from the total rather than shrinking it.
     // Times are rounded to ms so the one JSON line stays compact enough for
     // harnesses that keep only the tail of the build output.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default-locale formatter prints "1,234" on
+    // comma-decimal locales and breaks the one-line JSON contract.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + fmt(if (ok) v else -v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum

@@ -241,6 +241,8 @@ abstract class SigKernelExpression extends UnaryExpression {
 
 case class MinHashMurmurSig(child: Expression, shingleSize: Int, numHashes: Int)
     extends SigKernelExpression {
+  require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_murmur_sig"
@@ -254,6 +256,8 @@ case class MinHashMurmurSig(child: Expression, shingleSize: Int, numHashes: Int)
 
 case class MinHashPolySig(child: Expression, shingleSize: Int, numHashes: Int)
     extends SigKernelExpression {
+  require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_poly_sig"
@@ -288,6 +292,7 @@ case class SimHashPolySig(child: Expression) extends SigKernelExpression {
 }
 
 case class WordNgramsDistinct(child: Expression, n: Int) extends SigKernelExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams_distinct"
   override def nullSafeEval(input: Any): Any =
@@ -299,6 +304,7 @@ case class WordNgramsDistinct(child: Expression, n: Int) extends SigKernelExpres
 }
 
 case class WordNgramCount(child: Expression, n: Int) extends SigKernelExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
   override def dataType: DataType = IntegerType
   override def prettyName: String = "word_ngram_count"
   override def nullSafeEval(input: Any): Any =
@@ -310,6 +316,7 @@ case class WordNgramCount(child: Expression, n: Int) extends SigKernelExpression
 }
 
 case class CharNgramCount(child: Expression, n: Int) extends SigKernelExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
   override def dataType: DataType = IntegerType
   override def prettyName: String = "char_ngram_count"
   override def nullSafeEval(input: Any): Any =

@@ -49,7 +49,10 @@ object AsofJoin {
       (keys.map(col) :+ col(leftTs).cast("timestamp").as("__ats") :+ lit(1).as("__side") :+
         lit(null).cast(payloadType).as("__r")) ++
         lCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
-    val rSide = right.select(
+    // A right row with a NULL timestamp can never be "at or before" anything,
+    // but nulls-first ascending order would make it the running last() and
+    // hand left rows a match no range formulation would produce — drop them.
+    val rSide = right.filter(col(rightTs).cast("timestamp").isNotNull).select(
       (keys.map(col) :+ col(rightTs).cast("timestamp").as("__ats") :+ lit(0).as("__side") :+
         payload.as("__r")) ++
         lCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)

@@ -34,8 +34,12 @@ object SkewJoin {
       saltSrc: Column): DataFrame = {
     require(salts > 0, "salts must be positive")
     // pmod BEFORE narrowing: casting a 64-bit hash straight to int throws
-    // under ANSI overflow checking; the mod result always fits.
-    val b = big.withColumn("__salt", pmod(saltSrc.cast("long"), lit(salts.toLong)).cast("int"))
+    // under ANSI overflow checking; the mod result always fits. coalesce:
+    // a null saltSrc row must still join (on bucket 0), or the salted join
+    // would silently drop it and break the ==-plain-equi-join guarantee.
+    val b = big.withColumn(
+      "__salt",
+      coalesce(pmod(saltSrc.cast("long"), lit(salts.toLong)), lit(0L)).cast("int"))
     val o = other.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     b.join(o, Seq(key, "__salt")).drop("__salt")
   }

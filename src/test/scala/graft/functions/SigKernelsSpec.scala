@@ -82,4 +82,15 @@ class SigKernelsSpec extends SparkTestBase {
     assert(Dedup.simhashSignatures(withNull).count() == 1)
     assert(withNull.select(SigKernels.wordNgramCount($"text", 2)).na.drop().count() == 1)
   }
+
+  test("invalid kernel parameters fail at plan construction, not eval") {
+    // n = 0 would index past the token array at eval time on some executor;
+    // the constructors reject it up front.
+    intercept[IllegalArgumentException](SigKernels.minhashMurmur($"text", shingleSize = 0))
+    intercept[IllegalArgumentException](SigKernels.minhashMurmur($"text", numHashes = 0))
+    intercept[IllegalArgumentException](SigKernels.minhashPoly($"text", shingleSize = -1))
+    intercept[IllegalArgumentException](SigKernels.wordNgramsDistinct($"text", 0))
+    intercept[IllegalArgumentException](SigKernels.wordNgramCount($"text", 0))
+    intercept[IllegalArgumentException](SigKernels.charNgramCount($"text", 0))
+  }
 }

@@ -72,6 +72,31 @@ class JoinOpsSpec extends SparkTestBase {
     assert(got == exp)
   }
 
+  test("asof join never matches a right row whose timestamp is null") {
+    // A null right ts sorts first (nulls-first ascending) and would become
+    // the running last() for every left row; a range join would never match
+    // it. Such rows must be dropped before the union.
+    val calsWithNullTs = Seq(
+      ("a", Option.empty[Timestamp], 99.0, "ghost"),
+      ("a", Option(ts("2024-01-01 00:00:08")), 10.0, "a1")
+    ).toDF("key", "ts", "gain", "note")
+    val out = AsofJoin.asof(samples, calsWithNullTs, Seq("key"), "ts", "ts", Seq("gain", "note"))
+      .select($"id", $"asof_gain", $"asof_note").as[(Long, Double, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // id 3 (00:05, before the only real cal) must be dropped, not matched to
+    // the ghost; ids 1 and 2 match the real 00:08 cal.
+    assert(out == Map(1L -> ((10.0, "a1")), 2L -> ((10.0, "a1"))))
+  }
+
+  test("salted equi-join keeps rows whose salt source is null (bucket 0)") {
+    val big = Seq((Some(1L), 3L, 1.0), (None, 3L, 2.0), (Some(2L), 4L, 3.0))
+      .toDF("id", "k", "v")
+    val dim = Seq((3L, "x"), (4L, "y")).toDF("k", "attr")
+    val salted = SkewJoin.saltedEquiJoin(big, dim, "k", salts = 4, saltSrc = xxhash64($"id"))
+      .select($"k", $"v", $"attr").as[(Long, Double, String)].collect().sortBy(_._2)
+    assert(salted.toSeq == Seq((3L, 1.0, "x"), (3L, 2.0, "x"), (4L, 3.0, "y")))
+  }
+
   test("salted equi-join returns exactly the plain equi-join, skew and misses included") {
     // key 0 is hot (80% of rows); key 9 has no dim row (inner-join dropped).
     val big = (1 to 500).map(i => (i.toLong, if (i % 5 == 0) (i % 10).toLong else 0L, i * 1.0))

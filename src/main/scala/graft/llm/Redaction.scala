@@ -1,0 +1,51 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction over a text column — a standard curation
+  * stage before training-data release.
+  *
+  * Pure Catalyst `regexp_replace`/`regexp_extract_all` column expressions:
+  * codegen'd, map-side only (the plan is scan → project, no shuffle), and
+  * trivially distributed — the patterns ride along as literals. Patterns
+  * stay within the RE2-compatible subset (no backrefs, no lookaround) so
+  * they mean the same thing in Java regex, RE2, and the DuckDB oracle.
+  *
+  * Replacement order matters and is fixed: emails first (an email's host
+  * part can contain a dotted quad), then IPv4, then phone numbers (the
+  * longest digit-bearing pattern left).
+  */
+object Redaction {
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** International-ish phone: +CC then 2–3 separator-joined digit groups.
+    * Anchored on the leading '+' to keep false positives off ordinary
+    * numbers; every group requires digits, so no separator is consumed
+    * without a following group.
+    */
+  val PhoneRe = "\\+\\d{1,3}([ -]?\\d{3,4}){2,3}\\b"
+
+  def redactText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  def countMatches(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Adds `redacted` plus per-category match counts (counted BEFORE
+    * replacement, so overlapping categories are each reported against the
+    * original text).
+    */
+  def redact(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", countMatches(t, EmailRe))
+      .withColumn("n_ips", countMatches(t, Ipv4Re))
+      .withColumn("n_phones", countMatches(t, PhoneRe))
+      .withColumn("redacted", redactText(t))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling — the ANALYZE-style summary a pipeline runs before
+  * committing 100 TB to a layout decision (partition counts, join
+  * strategies, skew handling all start from these numbers).
+  *
+  * [[summarize]] computes all columns' stats in ONE pass (a single
+  * hash-aggregate over the scan — not one job per column), then unpivots to
+  * a long `(column, n, nulls, ndv, min, max)` frame on the driver side of
+  * the aggregation (6 rows per column — driver cost is O(columns), not
+  * O(rows)).
+  *
+  * [[quantileCert]] certifies `percentile_approx` (the positional-quantile
+  * sketch that replaces exact sorts at scale) against its rank-error
+  * contract: for accuracy `a`, the returned value's exact rank must lie
+  * within n/a of the target rank (the Greenwald–Khanna / KLL-style bound
+  * Spark documents for ApproximatePercentile).
+  */
+object Profiling {
+
+  /** One-pass per-column stats over numeric columns: long format, one row
+    * per column, deterministic order. `ndv` is exact (count distinct) —
+    * swap for approx_count_distinct at extreme cardinalities.
+    */
+  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__ndv_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // Unpivot via stack: 5 stats × |cols| from the single aggregated row.
+    val stackArgs = cols.map { c =>
+      s"'$c', __n_$c, __nulls_$c, __ndv_$c, __min_$c, __max_$c"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) as (column, n, nulls, ndv, vmin, vmax)")
+  }
+
+  /** Boolean certificate that the quantile sketch honors its error bound on
+    * this dataset: for each probability p, rank(approx_value) must be within
+    * n/accuracy of p·n. Deterministic (the sketch is deterministic for a
+    * given dataset + accuracy), so the oracle is the constant `true`.
+    */
+  def quantileCert(df: DataFrame, colName: String, probs: Seq[Double],
+      accuracy: Int = 1000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Cast to double so the sketch's value list is uniformly typed (over a
+    // bigint column percentile_approx returns array<bigint>).
+    val c = col(colName).cast("double")
+    val approxRow = df.agg(
+      percentile_approx(c, array(probs.map(lit(_)): _*), lit(accuracy)).as("qs"),
+      count(c).as("n")).head()
+    val qs = approxRow.getSeq[Double](0)
+    val n = approxRow.getLong(1)
+    // Exact ranks of the approximated values, all in one aggregation pass.
+    val rankAggs = qs.zipWithIndex.map { case (v, i) =>
+      sum(when(c <= lit(v), 1L).otherwise(0L)).as(s"r_$i")
+    }
+    val ranks = df.agg(rankAggs.head, rankAggs.tail: _*).head()
+    val tol = n.toDouble / accuracy + 1
+    val ok = probs.indices.forall { i =>
+      math.abs(ranks.getLong(i).toDouble - probs(i) * n) <= tol
+    }
+    Seq(ok).toDF("within_bound")
+  }
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for pipeline curation at scale.
+  *
+  * `df.sample()` draws from a per-partition RNG: the kept set changes with
+  * partitioning, retries, and cluster layout — useless for reproducible
+  * training-data curation, A/B holdouts, or an oracle check. These operators
+  * derive the keep decision from a KEY, so the same row is kept on every
+  * run, every layout, every engine:
+  *
+  *  - [[hashSample]]: keep iff `mix(key) mod den < num` — a pure map-side
+  *    filter (no shuffle, no state), rate num/den, stable under resharding.
+  *    `mix` is the Knuth multiplicative hash (key * 2654435761 mod 2^32),
+  *    chosen over xxhash64/murmur3 because it is plain modular arithmetic —
+  *    reproducible in ANY engine (the DuckDB oracle re-derives it in SQL).
+  *    The multiply stays within Long for |key| < 2^32 (TPC-H keys at any SF
+  *    tested here; at larger domains swap in xxhash64 and lose only the
+  *    cross-engine oracle, not determinism).
+  *  - [[stratifiedFirstN]]: exactly `n` rows per stratum (fewer when the
+  *    stratum is smaller), chosen by hash order so the pick is unbiased and
+  *    stable. One shuffle on the strata key; per-stratum TOP-N via
+  *    row_number, which Spark executes without a global sort.
+  */
+object Sampling {
+
+  /** Knuth multiplicative mix of a non-negative integer key into [0, 2^32). */
+  def mix32(key: Column): Column =
+    pmod(key.cast("long") * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic Bernoulli(num/den) sample keyed on `key`. Map-side only:
+    * the plan is scan → filter, nothing shuffles and the parquet scan still
+    * prunes columns/partitions beneath it.
+    */
+  def hashSample(df: DataFrame, key: Column, num: Long, den: Long): DataFrame = {
+    require(den > 0 && num >= 0 && num <= den, s"need 0 <= num <= den, got $num/$den")
+    df.filter(pmod(mix32(key), lit(den)) < lit(num))
+  }
+
+  /** Deterministic stratified sample: the first `n` rows of each stratum in
+    * (mix32(key), key) order. Ties are impossible (key breaks them), so the
+    * result is a function of the data alone.
+    */
+  def stratifiedFirstN(df: DataFrame, strata: Seq[String], key: Column,
+      n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = Window.partitionBy(strata.map(col): _*).orderBy(mix32(key), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Deterministic train/holdout split: (train, holdout) with the holdout
+    * fraction num/den keyed on `key` — complementary partitions of `df`.
+    */
+  def split(df: DataFrame, key: Column, num: Long, den: Long): (DataFrame, DataFrame) = {
+    require(den > 0 && num >= 0 && num <= den, s"need 0 <= num <= den, got $num/$den")
+    val h = pmod(mix32(key), lit(den)) < lit(num)
+    (df.filter(!h), df.filter(h))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Bloom-prune join, bucketized range join, deterministic sampling,
+  * profiling: each pinned against its brute-force / plain-plan equivalent.
+  */
+class ScaleOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val big = (1L to 500L).map(i => (i, i % 50, s"r$i")).toDF("id", "k", "tag")
+  private lazy val dim = Seq((3L, "x"), (7L, "y"), (11L, "z"), (999L, "missing"))
+    .toDF("k", "attr")
+
+  test("bloom-pruned join equals the plain inner equi-join") {
+    val plain = big.join(dim, big("k") === dim("k"))
+      .select(big("id"), dim("attr")).as[(Long, String)].collect().toSet
+    val pruned = BloomPrune.prunedJoin(big, dim, "k", "k", expectedItems = 10)
+      .select(big("id"), dim("attr")).as[(Long, String)].collect().toSet
+    assert(pruned == plain)
+    assert(pruned.nonEmpty)
+  }
+
+  test("bloom semi-join equals plain left-semi; empty dim prunes everything") {
+    val plain = big.join(dim, big("k") === dim("k"), "left_semi")
+      .as[(Long, Long, String)].collect().toSet
+    val sem = BloomPrune.semiJoin(big, dim, "k", "k", expectedItems = 10)
+      .as[(Long, Long, String)].collect().toSet
+    assert(sem == plain)
+    assert(BloomPrune.semiJoin(big, dim.filter(lit(false)), "k", "k", 10).count() == 0)
+    assert(BloomPrune.prunedJoin(big, dim.filter(lit(false)), "k", "k", 10).count() == 0)
+  }
+
+  test("bloom filter prunes a selective big side substantially") {
+    // 3 of 50 keys survive; the bloom filter alone (before the exact join)
+    // should keep ~3/50 of rows, allowing fpp slack.
+    val bf = BloomPrune.buildFilter(dim, dim("k"), expectedItems = 10).get
+    val kept = big.filter(BloomPrune.mightContain(bf, col("k"))).count()
+    assert(kept >= 30 && kept <= 60, s"kept $kept of 500") // exact-match 3 keys ≈ 30 rows
+  }
+
+  test("bucketized range join equals the naive non-equi join") {
+    val points = (0 to 300).map(i => (i.toLong, i * 1.0)).toDF("pid", "x")
+    val intervals = Seq((1L, 5.0, 12.0), (2L, 10.0, 10.0), (3L, 250.5, 260.25),
+      (4L, 299.0, 310.0), (5L, 50.0, 40.0) /* degenerate: hi < lo */)
+      .toDF("iid", "lo", "hi")
+    val naive = points.join(intervals,
+        points("x") >= intervals("lo") && points("x") <= intervals("hi"))
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val bucketized = RangeJoin.pointInInterval(
+        points, col("x"), intervals, col("lo"), col("hi"), bucketWidth = 7.0)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(bucketized == naive)
+    assert(naive.exists(_._2 == 2L)) // zero-width interval still matches its point
+    assert(!naive.exists(_._2 == 5L)) // degenerate interval matches nothing
+  }
+
+  test("range join honors extra equi keys") {
+    val points = Seq(("u1", 5.0), ("u2", 5.0)).toDF("user", "x")
+    val intervals = Seq(("u1", 0.0, 10.0)).toDF("user", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, col("x"), intervals,
+      col("lo"), col("hi"), bucketWidth = 4.0, equiKeys = Seq("user"))
+    assert(out.select($"user").as[String].collect().toSeq == Seq("u1"))
+  }
+
+  test("hash sample is deterministic, rate-accurate, and partition-independent") {
+    val df = (1L to 10000L).toDF("id")
+    val a = Sampling.hashSample(df, col("id"), 1, 10).select($"id").as[Long].collect().toSet
+    val b = Sampling.hashSample(df.repartition(13), col("id"), 1, 10)
+      .select($"id").as[Long].collect().toSet
+    assert(a == b) // layout-independent
+    assert(math.abs(a.size - 1000) < 150, s"got ${a.size} of expected ~1000")
+    // complementary split covers everything exactly once
+    val (tr, ho) = Sampling.split(df, col("id"), 1, 10)
+    assert(tr.count() + ho.count() == 10000L)
+    assert(ho.select($"id").as[Long].collect().toSet == a)
+  }
+
+  test("stratified sample returns exactly n per stratum, deterministically") {
+    val df = (1L to 1000L).map(i => (i, (i % 3).toString)).toDF("id", "g")
+    val s1 = Sampling.stratifiedFirstN(df, Seq("g"), col("id"), 5)
+      .select($"g", $"id").as[(String, Long)].collect().toSet
+    val s2 = Sampling.stratifiedFirstN(df.repartition(7), Seq("g"), col("id"), 5)
+      .select($"g", $"id").as[(String, Long)].collect().toSet
+    assert(s1 == s2)
+    assert(s1.groupBy(_._1).forall(_._2.size == 5))
+    // small stratum yields all its rows
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    assert(Sampling.stratifiedFirstN(tiny, Seq("g"), col("id"), 5).count() == 3)
+  }
+
+  test("profiling summarize computes per-column stats in long format") {
+    val df = Seq((1.0, Some(10L)), (2.0, None), (2.0, Some(30L)))
+      .toDF("a", "b")
+    val out = Profiling.summarize(df, Seq("a", "b"))
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 3L, 0L, 2L, 1.0, 2.0)))
+    assert(out("b") == (("b", 2L, 1L, 2L, 10.0, 30.0)))
+  }
+
+  test("quantile certificate holds on a skewed column") {
+    val df = (1L to 5000L).map(i => i * i).toDF("v") // quadratic skew
+    val ok = Profiling.quantileCert(df, "v", Seq(0.1, 0.5, 0.99), accuracy = 100)
+      .as[Boolean].head()
+    assert(ok)
+  }
+}

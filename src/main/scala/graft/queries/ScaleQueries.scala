@@ -103,7 +103,23 @@ object ScaleQueries {
       // Sketch-vs-exact rank-error certificate (the q_approx_distinct
       // pattern): deterministic for a given dataset, constant oracle.
       Profiling.quantileCert(li(s, dir), "l_extendedprice",
-        Seq(0.25, 0.5, 0.9, 0.99), accuracy = 1000))
+        Seq(0.25, 0.5, 0.9, 0.99), accuracy = 1000)),
+
+    "q_sink_layout" -> ((s, dir) => {
+      // Layout-aware sink round-trip: write partitioned by l_returnflag +
+      // sorted by l_shipdate, reread one partition, certify (a) the scan
+      // touched only that partition's directory and (b) the partition's
+      // rows survived bit-exact (count + integer-valued quantity sum).
+      val out = stagingDir() + "/layout_lineitem"
+      graft.sources.LayoutWriter.write(
+        li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_shipdate"), col("l_quantity")),
+        out, partCols = Seq("l_returnflag"), sortCols = Seq("l_shipdate"))
+      val (back, pruned) = graft.sources.LayoutWriter.prunedRead(
+        s, out, "l_returnflag", "R")
+      back.agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .withColumn("pruned", lit(pruned))
+    })
   )
 
   /** Shared tokenization fragment for the relevance oracles. */
@@ -198,6 +214,11 @@ object ScaleQueries {
         .map(one).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
     },
 
-    "q_profile_quantiles" -> "SELECT true AS within_bound"
+    "q_profile_quantiles" -> "SELECT true AS within_bound",
+
+    "q_sink_layout" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty,
+        |  true AS pruned
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin
   )
 }

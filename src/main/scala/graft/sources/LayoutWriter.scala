@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Layout-aware parquet sink: the write-side half of scan pruning.
+  *
+  * At 100 TB the scan cost of every later query is decided when the data is
+  * WRITTEN: hive-style partition directories on the low-cardinality columns
+  * queries filter by (partition pruning skips whole directories at plan
+  * time), and in-file ordering on the range-filter columns (parquet
+  * row-group min/max statistics skip pages/groups at read time — only
+  * effective when values are clustered, i.e. sorted).
+  *
+  * `write` composes the two: `repartition(partCols)` so each partition
+  * directory is produced by few tasks (no small-files explosion — without
+  * it every task writes a file into every directory it holds rows for),
+  * then `sortWithinPartitions(partCols ++ sortCols)` so row groups cover
+  * narrow sorted ranges, then `partitionBy(partCols)`.
+  *
+  * `prunedRead` demonstrates/verifies the contract: a reread with an
+  * equality filter on a partition column must scan ONLY files under that
+  * partition's directory (checked via `input_file_name`).
+  */
+object LayoutWriter {
+
+  /** Write `df` with pruning-friendly layout. `maxRecordsPerFile` bounds
+    * file size (0 = Spark default).
+    */
+  def write(df: DataFrame, path: String, partCols: Seq[String],
+      sortCols: Seq[String], maxRecordsPerFile: Long = 0L): Unit = {
+    require(partCols.nonEmpty, "partCols must be non-empty")
+    df.repartition(partCols.map(col): _*)
+      .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+  }
+
+  /** Read back with an equality filter on a partition column, returning
+    * (rows, all scanned files under the selected partition directory).
+    * The boolean is the partition-pruning proof: `input_file_name` exposes
+    * which files the scan actually touched.
+    */
+  def prunedRead(spark: SparkSession, path: String, partCol: String,
+      value: String): (DataFrame, Boolean) = {
+    val df = spark.read.parquet(path).filter(col(partCol) === value)
+    val pruned = df.select(input_file_name().as("f"))
+      .agg(coalesce(
+        min(col("f").contains(s"$partCol=$value").cast("int")), lit(1)).as("ok"))
+      .head().getInt(0) == 1
+    (df, pruned)
+  }
+}

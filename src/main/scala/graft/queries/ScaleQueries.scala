@@ -119,6 +119,18 @@ object ScaleQueries {
         s, out, "l_returnflag", "R")
       back.agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
         .withColumn("pruned", lit(pruned))
+    }),
+
+    "q_pipeline_curation" -> ((s, dir) => {
+      // End-to-end curation (language → quality → exact dedup → near-dup
+      // cluster keep → deterministic 1/2 sample) over the planted-near-dup
+      // corpus, bounded to doc_id % 4 = 0 (the +1e6 mutation preserves the
+      // residue, so every sampled original keeps its planted duplicate).
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val aug = d.union(d.select(col("doc_id") + 1000000L,
+          concat(col("text"), lit(" graft dup tail"))))
+        .filter(col("doc_id") % 4 === 0)
+      graft.llm.Curation.run(aug, sampleNum = 1, sampleDen = 2)
     })
   )
 
@@ -219,6 +231,74 @@ object ScaleQueries {
     "q_sink_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty,
         |  true AS pruned
-        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    // Composition of the certified fragments: q_text_langid + q_text_quality
+    // (gates), q_dedup_exact_rows (exact), q_dedup_minhash_poly +
+    // q_dedup_cluster_keep (near-dup components), q_sample_hash (sample).
+    "q_pipeline_curation" ->
+      """WITH RECURSIVE
+        |aug AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' graft dup tail' FROM documents),
+        |corpus AS (SELECT doc_id, text FROM aug WHERE doc_id % 4 = 0),
+        |lt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM corpus),
+        |lv AS (SELECT doc_id,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','es','un'], x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un','une'], x))) AS s_fr,
+        |    len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) AS s_zh
+        |  FROM lt),
+        |lang AS (SELECT doc_id, CASE
+        |    WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |    WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+        |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |    ELSE 'de' END AS lang_id
+        |  FROM lv),
+        |gated AS (SELECT c.doc_id, c.text FROM corpus c JOIN lang l USING (doc_id)
+        |  WHERE l.lang_id = 'en' AND
+        |    (CASE WHEN CAST(length(c.text) AS DOUBLE) >= 50 AND CAST(length(c.text) AS DOUBLE) <= 10000
+        |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |     + CAST(len(regexp_extract_all(c.text, '[A-Za-z]')) AS DOUBLE) / greatest(CAST(length(c.text) AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |     + (CAST(1.0 AS DOUBLE) - least(CAST(len(regexp_extract_all(c.text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(CAST(length(c.text) AS DOUBLE), CAST(1.0 AS DOUBLE)) * 5, CAST(1.0 AS DOUBLE)))
+        |    ) / CAST(3.0 AS DOUBLE) >= 0.9),
+        |ex AS (SELECT doc_id AS id, text FROM (
+        |    SELECT doc_id, text, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |    FROM gated)
+        |  WHERE rn = 1),
+        |toks AS (SELECT id, string_split_regex(trim(text), '\s+') AS w FROM ex),
+        |grams AS (SELECT id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1), i -> array_to_string(list_slice(w, i, i + 2), ' '))
+        |      ELSE [] END AS gs
+        |  FROM toks),
+        |sigs AS (SELECT id, list_transform(range(0, 64), i ->
+        |      list_min(list_transform(gs, g ->
+        |        ((2 * i + 1) * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(range(1, length(g) + 1), j -> CAST(ascii(g[j]) AS BIGINT))),
+        |            (acc, c) -> (acc * 131 + c) % 1000000007)
+        |          + (31 * i + 7)) % 1000000007))) AS sig
+        |  FROM grams WHERE len(gs) > 0),
+        |banded AS (SELECT id, sig, b AS band,
+        |    array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS key
+        |  FROM sigs, range(0, 16) t(b)),
+        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        |  WHERE CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64.0 >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+        |kept AS (SELECT id FROM ex
+        |  WHERE id NOT IN (SELECT id FROM comp WHERE id <> comp))
+        |SELECT id AS doc_id FROM kept
+        |WHERE (id * 2654435761) % 4294967296 % 2 < 1
+        |ORDER BY doc_id""".stripMargin
   )
 }

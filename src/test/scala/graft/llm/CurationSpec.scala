@@ -1,0 +1,42 @@
+package graft.llm
+
+import graft.SparkTestBase
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Every doc long enough (>= 50 chars) and alphabetic enough to pass the
+  // quality gate unless constructed otherwise.
+  private val enBase = "the quick brown fox jumps over that lazy dog and runs far away in a field of green grass"
+
+  test("curation drops non-target-language, low-quality, exact- and near-duplicates, then samples") {
+    val docs = Seq(
+      (1L, enBase),                                     // kept (subject to sample)
+      (2L, enBase),                                     // exact dup of 1 → dropped
+      (3L, enBase + " with a tiny extra tail here"),    // near dup of 1 → dropped
+      (4L, "der hund ist nicht zu klein und das haus ist ein traum der die das und wieder"), // German → dropped
+      (5L, "!!!! ???? ,,,, ;;;; !!!! ???? ,,,, ;;;; !!!! ???? ,,,, ;;;; ####"), // punct junk → dropped
+      (6L, "a completely different english sentence that is about nothing in particular at all today")
+    ).toDF("doc_id", "text")
+    // sampleDen=1 → no sampling: isolate the filtering stages.
+    val kept = Curation.run(docs, sampleNum = 1, sampleDen = 1)
+      .as[Long].collect().toSeq
+    assert(kept == Seq(1L, 6L))
+  }
+
+  test("sampling stage applies the deterministic keep rule to survivors") {
+    // Distinct docs: every 3-gram contains an i-specific word, so no two
+    // docs share a shingle (no near-dup collapse), while the common English
+    // stopwords keep the language gate green and all-alphabetic words keep
+    // quality high.
+    val docs = (1L to 40L).map { i =>
+      val s = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+      (i, s"the item${s}a of item${s}b and item${s}c to item${s}d in " +
+        s"item${s}e is item${s}f that item${s}g the item${s}h")
+    }.toDF("doc_id", "text")
+    val all = Curation.run(docs, sampleNum = 1, sampleDen = 1).as[Long].collect().toSet
+    val half = Curation.run(docs, sampleNum = 1, sampleDen = 2).as[Long].collect().toSet
+    assert(half.subsetOf(all))
+    assert(half.size < all.size && half.nonEmpty)
+  }
+}

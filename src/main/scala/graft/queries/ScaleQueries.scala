@@ -121,6 +121,24 @@ object ScaleQueries {
         .withColumn("pruned", lit(pruned))
     }),
 
+    "q_join_bucketed" -> ((s, dir) => {
+      // Co-bucketed catalog tables: both sides hash-bucketed on the join
+      // key at write time, so the sort-merge join runs WITHOUT an exchange
+      // (LayoutWriterSpec pins the no-shuffle plan). The recurring-join
+      // answer to "repartition or bucket?" at 100 TB.
+      graft.sources.LayoutWriter.writeBucketed(
+        li(s, dir).select(col("l_orderkey"), col("l_quantity")),
+        "graft_bk_lineitem", "l_orderkey", numBuckets = 16, sortCol = Some("l_orderkey"))
+      graft.sources.LayoutWriter.writeBucketed(
+        ord(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_bk_orders", "o_orderkey", numBuckets = 16, sortCol = Some("o_orderkey"))
+      s.table("graft_bk_lineitem").hint("merge")
+        .join(s.table("graft_bk_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q_pipeline_curation" -> ((s, dir) => {
       // End-to-end curation (language → quality → exact dedup → near-dup
       // cluster keep → deterministic 1/2 sample) over the planted-near-dup
@@ -232,6 +250,12 @@ object ScaleQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty,
         |  true AS pruned
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // Composition of the certified fragments: q_text_langid + q_text_quality
     // (gates), q_dedup_exact_rows (exact), q_dedup_minhash_poly +

@@ -39,6 +39,34 @@ object LayoutWriter {
       .parquet(path)
   }
 
+  /** Write `df` as a bucketed (+ bucket-sorted) catalog table: rows are
+    * hash-distributed into `numBuckets` files per partition by `bucketCol`.
+    * Two tables co-bucketed on their join key SORT-MERGE JOIN WITHOUT A
+    * SHUFFLE — at 100 TB that converts every recurring fact⋈fact join on
+    * the bucket key from a full-data exchange into a local merge, the
+    * single biggest recurring-cost lever a layout decision controls.
+    * (Bucketing requires the catalog — `saveAsTable`, not `parquet(path)` —
+    * because bucket metadata lives in the table definition.)
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      numBuckets: Int, sortCol: Option[String] = None): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    // A previous JVM's in-memory catalog is gone but its warehouse files
+    // survive; CREATE TABLE refuses an existing location, so clear it.
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    deleteRecursively(new java.io.File(wh, tableName.toLowerCase))
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(tableName)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Read back with an equality filter on a partition column, returning
     * (rows, all scanned files under the selected partition directory).
     * The boolean is the partition-pruning proof: `input_file_name` exposes

@@ -22,6 +22,19 @@ class LayoutWriterSpec extends SparkTestBase {
     assert(total.agg(sum($"v")).head().getDouble(0) == (1 to 1000).map(_ * 2.0).sum)
   }
 
+  test("co-bucketed tables join without a shuffle") {
+    val a = (1 to 2000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong % 100, i * 2.0)).toDF("k", "vb")
+    LayoutWriter.writeBucketed(a, "graft_lw_a", "k", numBuckets = 8, sortCol = Some("k"))
+    LayoutWriter.writeBucketed(b, "graft_lw_b", "k", numBuckets = 8, sortCol = Some("k"))
+    val joined = spark.table("graft_lw_a").join(spark.table("graft_lw_b"), "k")
+      .hint("merge")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"co-bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == 2000L * 10) // 20 a-rows × 10 b-rows per key / 100 keys
+  }
+
   test("in-file ordering: each file's id column is sorted") {
     val dir = Files.createTempDirectory("graft-layout2").toFile.getAbsolutePath
     val df = (1 to 500).reverse.map(i => (i.toLong, (i % 2).toString)).toDF("id", "g")

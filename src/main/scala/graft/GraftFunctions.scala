@@ -69,13 +69,17 @@ object GraftFunctions {
   )
 
   /** Inject into a `SparkSessionExtensions` (the `spark.sql.extensions`
-    * route — see [[GraftExtensions]]).
+    * route — see [[GraftExtensions]]): the SQL function set plus the
+    * opt-in range-join rewrite rule (inert until
+    * `spark.graft.rangeJoin.bucketWidth` is set).
     */
-  def inject(e: SparkSessionExtensions): Unit =
+  def inject(e: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, desc, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name, desc), builder))
     }
+    e.injectOptimizerRule(graft.plans.RangeJoinRule.apply)
+  }
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -215,9 +215,16 @@ object Similarity {
     val sample = df.orderBy(col(idCol)).limit(sampleN)
       .select(col(embCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
+    lloyd(sample, k, iters, new scala.util.Random(seed))
+  }
+
+  /** Driver-side Lloyd's k-means over an in-memory sample (shared by the
+    * IVF coarse quantizer and the PQ per-subspace codebooks).
+    */
+  private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int,
+      rnd: scala.util.Random): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty training sample")
     val dim = sample.head.length
-    val rnd = new scala.util.Random(seed)
     var centroids = Array.fill(k)(sample(rnd.nextInt(sample.length)).clone())
     var it = 0
     while (it < iters) {
@@ -367,6 +374,141 @@ object Similarity {
       .select(col("qid"), col(idCol).cast("long").as("__cid"),
         ArrayOps.cosine(col(embCol), col("qvec")).as("cosine"))
     rankTopK(cand, k, idCol)
+  }
+
+  // --- PQ (product quantization): compressed-domain candidate scoring -----
+  //
+  // The third leg of the ANN ladder (brute force → LSH/IVF pruning → PQ
+  // compression): split each vector into `m` subvectors, quantize each
+  // against a small per-subspace codebook, and score candidates in the
+  // COMPRESSED domain — approximate dot(q, v) = Σ_j dot(q_j, centroid of
+  // code_j) — so the scan reads m small ints per row instead of the full
+  // vector (Jégou et al. 2011 asymmetric-distance computation). The exact
+  // re-rank of the ADC shortlist restores exactness at the top.
+
+  /** Train per-subspace PQ codebooks on a deterministic sample:
+    * `[m][k][dim/m]` centroids. The codebooks are tiny and global — the
+    * corpus is only ever ENCODED (one pass), never iterated.
+    */
+  def trainPqCodebooks(
+      df: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      sampleN: Int = 2048,
+      iters: Int = 10,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val sample = df.orderBy(col(idCol)).limit(sampleN)
+      .select(col(embCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val subSample = sample.map(v => v.slice(j * sub, (j + 1) * sub))
+      lloyd(subSample, k, iters, new scala.util.Random(seed + j))
+    }
+  }
+
+  /** PQ code (array of `m` codebook indices) as a column expression: per
+    * subspace, argmin of squared L2 between the embedding slice and the
+    * literal centroids — the same codegen'd array_min-of-structs argmin as
+    * [[ivfCell]], once per subspace.
+    */
+  def pqCode(emb: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val sub = codebooks.head.head.length
+    val codes = codebooks.zipWithIndex.map { case (book, j) =>
+      val s = slice(emb, j * sub + 1, sub)
+      val cells = book.zipWithIndex.map { case (c, i) =>
+        val cl = array(c.map(lit(_)).toIndexedSeq: _*)
+        struct(graft.functions.VectorKernels.l2DistSq(s, cl).as("d"), lit(i).as("i"))
+      }
+      array_min(array(cells.toIndexedSeq: _*)).getField("i")
+    }
+    array(codes.toIndexedSeq: _*)
+  }
+
+  /** Stored-code column: encode once at write time; ANN queries then scan
+    * m ints per row instead of the embedding.
+    */
+  def withPqCode(
+      df: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      embCol: String = "embedding",
+      codeCol: String = "pq_code"): DataFrame =
+    df.withColumn(codeCol, pqCode(col(embCol), codebooks))
+
+  /** Asymmetric-distance approximate dot product against a query COLUMN
+    * (for the batched multi-query join): Σ_j dot(centroids_j[code_j],
+    * slice(qvec, j)). The codebooks fold in as literal nested arrays, so
+    * the per-row work is m array lookups + m small dot kernels.
+    */
+  def pqAdcDot(code: Column, qvec: Column,
+      codebooks: Array[Array[Array[Double]]]): Column = {
+    val sub = codebooks.head.head.length
+    codebooks.zipWithIndex.map { case (book, j) =>
+      val bookLit = array(book.map(c =>
+        array(c.map(lit(_)).toIndexedSeq: _*)).toIndexedSeq: _*)
+      ArrayOps.dot(
+        element_at(bookLit, element_at(code, j + 1) + 1),
+        slice(qvec, j * sub + 1, sub))
+    }.reduce(_ + _)
+  }
+
+  /** Single-query PQ top-k with exact re-rank: ADC-score the stored codes,
+    * shortlist `shortlist` candidates, re-rank the shortlist by exact
+    * cosine. The first stage reads only the code column; the exact pass
+    * touches `shortlist` embeddings.
+    */
+  def pqTopKRefined(
+      df: DataFrame,
+      query: Array[Double],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      shortlist: Int = 80,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      codeCol: String = "pq_code"): DataFrame = {
+    val q = array(query.map(lit(_)).toIndexedSeq: _*)
+    val short = df
+      .withColumn("__adc", pqAdcDot(col(codeCol), q, codebooks))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(shortlist)
+    short.select(col(idCol), cosineToQuery(col(embCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Batched multi-query PQ: queries broadcast, every (query, row) pair
+    * ADC-scored in the compressed domain, per-query shortlist via the
+    * bounded [[TopKByScoreAgg]], shortlist re-ranked by exact cosine. Two
+    * aggregations, no per-query jobs.
+    */
+  def pqTopKMulti(
+      df: DataFrame,
+      queries: Seq[(Long, Array[Double])],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      shortlist: Int = 80,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      codeCol: String = "pq_code"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = queries.toDF("qid", "qvec")
+    val adc = df.join(broadcast(qdf), lit(true))
+      .select(col("qid"), col(idCol).cast("long").as("__cid"),
+        pqAdcDot(col(codeCol), col("qvec"), codebooks).as("cosine"))
+    val short = rankTopK(adc, shortlist, idCol)
+      .select(col("qid"), col(idCol))
+    val exact = short
+      .join(df.select(col(idCol), col(embCol)), idCol)
+      .join(broadcast(qdf), "qid")
+      .select(col("qid"), col(idCol).cast("long").as("__cid"),
+        ArrayOps.cosine(col(embCol), col("qvec")).as("cosine"))
+    rankTopK(exact, k, idCol)
   }
 
   /** All-pairs near-duplicate candidates by embedding cosine: bucket join on

@@ -44,6 +44,22 @@ object Profiling {
       s"stack(${cols.size}, $stackArgs) as (column, n, nulls, ndv, vmin, vmax)")
   }
 
+  /** Exact heavy hitters: values of `colName` occurring in at least
+    * `minShare` of rows. The hash aggregate with map-side partials IS the
+    * scalable exact path (the shuffle carries one partial count per
+    * distinct value per partition; only qualifying values survive the
+    * having-filter) — sketch alternatives (Misra–Gries, count-min) trade
+    * exactness for state only when distinct values outnumber memory, which
+    * a two-level aggregate handles first.
+    */
+  def heavyHitters(df: DataFrame, colName: String, minShare: Double): DataFrame = {
+    require(minShare > 0 && minShare <= 1, "minShare must be in (0, 1]")
+    val threshold = math.ceil(df.count() * minShare)
+    df.groupBy(col(colName)).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .orderBy(col(colName))
+  }
+
   /** Boolean certificate that the quantile sketch honors its error bound on
     * this dataset: for each probability p, rank(approx_value) must be within
     * n/accuracy of p·n. Deterministic (the sketch is deterministic for a

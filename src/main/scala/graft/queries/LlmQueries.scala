@@ -198,6 +198,32 @@ object LlmQueries {
       Seq(hits >= 9L).toDF("recall_ok")
     }),
 
+    "q_sim_pq" -> ((s, dir) => {
+      // Product-quantization ANN: driver-trained per-subspace codebooks →
+      // stored code column → ADC shortlist in the compressed domain →
+      // exact re-rank. Driver-side training → rows-only check (the recall
+      // certificate below is the hash-checked evidence).
+      val e = emb(s, dir)
+      val books = Similarity.trainPqCodebooks(e, m = 8, k = 16)
+      Similarity.pqTopKRefined(Similarity.withPqCode(e, books), e1, books,
+        k = 10, shortlist = 80)
+    }),
+
+    "q_sim_pq_recall" -> ((s, dir) => {
+      // Planted-neighbor recall contract for the PQ path (same pattern as
+      // q_sim_ann_recall / q_sim_ivf_recall): 10 perturbed corpus vectors
+      // answered by the batched compressed-domain shortlist + exact
+      // re-rank; ≥ 9/10 must surface their source in the top-10.
+      val e = emb(s, dir)
+      val books = Similarity.trainPqCodebooks(e, m = 8, k = 16)
+      val coded = Similarity.withPqCode(e, books).localCheckpoint()
+      val qs = Similarity.perturbedQueries(e, n = 10)
+      val hits = Similarity.pqTopKMulti(coded, qs, books, k = 10, shortlist = 80)
+        .filter(col("vec_id") === col("qid")).count()
+      import s.implicits._
+      Seq(hits >= 9L).toDF("recall_ok")
+    }),
+
     "q_sim_neardup" -> ((s, dir) => {
       // Hash-checkable despite the seeded planes: a planted copy shares its
       // source's bucket by construction (identical vector → identical sign
@@ -538,6 +564,9 @@ object LlmQueries {
         |FROM e ORDER BY id_a, id_b""".stripMargin,
 
     "q_sim_ann_recall" ->
+      "SELECT true AS recall_ok",
+
+    "q_sim_pq_recall" ->
       "SELECT true AS recall_ok",
 
     "q_sim_ivf_recall" ->

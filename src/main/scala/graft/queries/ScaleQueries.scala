@@ -105,6 +105,9 @@ object ScaleQueries {
       Profiling.quantileCert(li(s, dir), "l_extendedprice",
         Seq(0.25, 0.5, 0.9, 0.99), accuracy = 1000)),
 
+    "q_profile_heavy" -> ((s, dir) =>
+      Profiling.heavyHitters(li(s, dir), "l_partkey", minShare = 0.0005)),
+
     "q_sink_layout" -> ((s, dir) => {
       // Layout-aware sink round-trip: write partitioned by l_returnflag +
       // sorted by l_shipdate, reread one partition, certify (a) the scan
@@ -245,6 +248,12 @@ object ScaleQueries {
     },
 
     "q_profile_quantiles" -> "SELECT true AS within_bound",
+
+    "q_profile_heavy" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING count(*) >= ceil((SELECT count(*) FROM lineitem) * 0.0005)
+        |ORDER BY l_partkey""".stripMargin,
 
     "q_sink_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty,

@@ -108,6 +108,28 @@ object ScaleQueries {
     "q_profile_heavy" -> ((s, dir) =>
       Profiling.heavyHitters(li(s, dir), "l_partkey", minShare = 0.0005)),
 
+    "q_upsert" -> ((s, dir) => {
+      // Keyed MERGE: a 10% correction batch (quantity + 100) upserted into
+      // the full table; updates win per key, untouched rows survive.
+      // Integer-valued quantities keep the checksum sum exact.
+      val key = col("l_orderkey") * 8 + col("l_linenumber")
+      val t = li(s, dir).select(key.as("k"), col("l_quantity").as("q"))
+      val u = li(s, dir).filter(col("l_orderkey") % 10 === 0)
+        .select(key.as("k"), (col("l_quantity") + 100).as("q"))
+      graft.ops.Upsert.merged(t, u, "k")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+    }),
+
+    "q_expectations" -> ((s, dir) =>
+      // Declarative data-quality gate: all rules counted in ONE aggregation
+      // pass, null predicate results counted as violations.
+      graft.ops.Expectations.report(li(s, dir), Seq(
+          graft.ops.Expectations.notNull("l_orderkey"),
+          graft.ops.Expectations.nonNegative("l_quantity"),
+          graft.ops.Expectations.inRange("l_discount", 0.0, 0.1),
+          graft.ops.Expectations.matches("l_returnflag", "^[ARN]$")))
+        .orderBy(col("expectation"))),
+
     "q_sink_layout" -> ((s, dir) => {
       // Layout-aware sink round-trip: write partitioned by l_returnflag +
       // sorted by l_shipdate, reread one partition, certify (a) the scan
@@ -254,6 +276,33 @@ object ScaleQueries {
         |GROUP BY l_partkey
         |HAVING count(*) >= ceil((SELECT count(*) FROM lineitem) * 0.0005)
         |ORDER BY l_partkey""".stripMargin,
+
+    "q_upsert" ->
+      """WITH t AS (SELECT l_orderkey * 8 + l_linenumber AS k, l_quantity AS q FROM lineitem),
+        |u AS (SELECT l_orderkey * 8 + l_linenumber AS k, l_quantity + 100 AS q
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |m AS (SELECT k, q FROM t WHERE k NOT IN (SELECT k FROM u)
+        |  UNION ALL SELECT k, q FROM u)
+        |SELECT CAST(count(*) AS BIGINT) AS n, sum(q) AS sum_q FROM m""".stripMargin,
+
+    "q_expectations" ->
+      """SELECT expectation, violations, violations = 0 AS ok FROM (
+        |  SELECT 'not_null_l_orderkey' AS expectation,
+        |    CAST(sum(CASE WHEN coalesce(l_orderkey IS NOT NULL, false) THEN 0 ELSE 1 END) AS BIGINT) AS violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'non_negative_l_quantity',
+        |    CAST(sum(CASE WHEN coalesce(l_quantity >= 0, false) THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range_l_discount',
+        |    CAST(sum(CASE WHEN coalesce(l_discount >= 0.0 AND l_discount <= 0.1, false) THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'matches_l_returnflag',
+        |    CAST(sum(CASE WHEN coalesce(regexp_matches(l_returnflag, '^[ARN]$'), false) THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM lineitem)
+        |ORDER BY expectation""".stripMargin,
 
     "q_sink_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty,

@@ -511,6 +511,63 @@ object Similarity {
     rankTopK(exact, k, idCol)
   }
 
+  /** IVF-PQ: prune + compress composed over the two STORED columns — the
+    * probe-cell filter cuts I/O to `nprobe` cells (partition pruning when
+    * the table is laid out by cell), the ADC pass scores only codes inside
+    * those cells, and the exact re-rank touches `shortlist` embeddings.
+    * This is the standard billion-scale ANN configuration; both columns
+    * are written once at ingest.
+    */
+  def ivfPqTopK(
+      df: DataFrame,
+      query: Array[Double],
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      nprobe: Int = 2,
+      shortlist: Int = 80,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      cellCol: String = "ivf_cell",
+      codeCol: String = "pq_code"): DataFrame = {
+    val probes = probeCells(query, centroids, nprobe)
+    pqTopKRefined(df.filter(col(cellCol).isin(probes.toIndexedSeq: _*)),
+      query, codebooks, k, shortlist, idCol, embCol, codeCol)
+  }
+
+  /** Batched multi-query IVF-PQ: each query carries its probe-cell list;
+    * candidates come from the cell equi-condition join (never the full
+    * corpus), are ADC-scored from codes, shortlisted by the bounded top-k
+    * aggregator, and exact-re-ranked.
+    */
+  def ivfPqTopKMulti(
+      df: DataFrame,
+      queries: Seq[(Long, Array[Double])],
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      nprobe: Int = 2,
+      shortlist: Int = 80,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      cellCol: String = "ivf_cell",
+      codeCol: String = "pq_code"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = queries.map { case (qid, v) => (qid, v, probeCells(v, centroids, nprobe)) }
+      .toDF("qid", "qvec", "probes")
+    val adc = df.join(broadcast(qdf), array_contains(col("probes"), col(cellCol)))
+      .select(col("qid"), col(idCol).cast("long").as("__cid"),
+        pqAdcDot(col(codeCol), col("qvec"), codebooks).as("cosine"))
+    val short = rankTopK(adc, shortlist, idCol).select(col("qid"), col(idCol))
+    val exact = short
+      .join(df.select(col(idCol), col(embCol)), idCol)
+      .join(broadcast(qdf.select(col("qid"), col("qvec"))), "qid")
+      .select(col("qid"), col(idCol).cast("long").as("__cid"),
+        ArrayOps.cosine(col(embCol), col("qvec")).as("cosine"))
+    rankTopK(exact, k, idCol)
+  }
+
   /** All-pairs near-duplicate candidates by embedding cosine: bucket join on
     * the LSH key (equi-join, shuffle O(n)), exact cosine on candidates only.
     */

@@ -224,6 +224,24 @@ object LlmQueries {
       Seq(hits >= 9L).toDF("recall_ok")
     }),
 
+    "q_sim_ivfpq_recall" -> ((s, dir) => {
+      // Prune + compress composed (the billion-scale configuration): IVF
+      // probe-cell filter over the stored cell column, ADC scoring over
+      // the stored code column, exact re-rank of the shortlist. Same
+      // planted-neighbor contract as the other recall certificates.
+      val e = emb(s, dir)
+      val cents = Similarity.trainIvfCentroids(e, k = 8)
+      val books = Similarity.trainPqCodebooks(e, m = 8, k = 16)
+      val prepared = Similarity.withPqCode(
+        Similarity.withIvfCell(e, cents), books).localCheckpoint()
+      val qs = Similarity.perturbedQueries(e, n = 10)
+      val hits = Similarity.ivfPqTopKMulti(prepared, qs, cents, books,
+          k = 10, nprobe = 3, shortlist = 80)
+        .filter(col("vec_id") === col("qid")).count()
+      import s.implicits._
+      Seq(hits >= 9L).toDF("recall_ok")
+    }),
+
     "q_sim_neardup" -> ((s, dir) => {
       // Hash-checkable despite the seeded planes: a planted copy shares its
       // source's bucket by construction (identical vector → identical sign
@@ -567,6 +585,9 @@ object LlmQueries {
       "SELECT true AS recall_ok",
 
     "q_sim_pq_recall" ->
+      "SELECT true AS recall_ok",
+
+    "q_sim_ivfpq_recall" ->
       "SELECT true AS recall_ok",
 
     "q_sim_ivf_recall" ->

@@ -39,6 +39,25 @@ class PqSpec extends SparkTestBase {
     assert(math.abs(top.head._2 - 1.0) < 1e-9)
   }
 
+  test("ivf-pq: pruning + compression still surfaces the planted source") {
+    val books = Similarity.trainPqCodebooks(corpus, m = 4, k = 8, sampleN = 128)
+    val cents = Similarity.trainIvfCentroids(corpus, k = 4, sampleN = 128)
+    val prepared = Similarity.withPqCode(
+      Similarity.withIvfCell(corpus, cents), books).localCheckpoint()
+    val qs = Similarity.perturbedQueries(corpus, n = 5)
+    val multi = Similarity.ivfPqTopKMulti(prepared, qs, cents, books,
+        k = 5, nprobe = 2, shortlist = 40)
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._3).map(_._2).toSeq }
+    qs.foreach { case (qid, v) =>
+      assert(multi(qid).head == qid, s"qid $qid missing its planted source")
+      val single = Similarity.ivfPqTopK(prepared, v, cents, books,
+          k = 5, nprobe = 2, shortlist = 40)
+        .as[(Long, Double)].collect().map(_._1).toSeq
+      assert(multi(qid) == single)
+    }
+  }
+
   test("batched multi-query pq matches the single-query form") {
     val books = Similarity.trainPqCodebooks(corpus, m = 4, k = 8, sampleN = 128)
     val coded = Similarity.withPqCode(corpus, books).localCheckpoint()

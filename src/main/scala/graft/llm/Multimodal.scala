@@ -89,4 +89,82 @@ object Multimodal {
   def mediaMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
     df.withColumn("byte_len", octet_length(col(payloadCol)).cast("long"))
       .withColumn("payload_crc", crc32(col(payloadCol)))
+
+  // --- resize ------------------------------------------------------------
+
+  final case class Resized(
+      id: Long, width: Int, height: Int, pixels: Array[Byte], checksum: Long)
+
+  /** STUB resize — nearest-neighbor byte sampling of the payload onto a
+    * `w × h` grid, standing in for a real image resample. Deterministic,
+    * so the plumbing (fixed output size, per-partition batching) is
+    * testable; a real decoder+resampler replaces only the inner function.
+    */
+  def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (payload == null || payload.isEmpty) return out
+    var i = 0
+    while (i < out.length) {
+      out(i) = payload((i.toLong * payload.length / out.length).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** The resize stage: binary → fixed-size binary per row, `mapPartitions`
+    * so a real resampler hoists its scratch buffers out of the row loop.
+    */
+  def resizeKernel(
+      df: DataFrame,
+      targetW: Int,
+      targetH: Int,
+      idCol: String = "id",
+      payloadCol: String = "payload"): Dataset[Resized] = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    implicit val enc = Encoders.product[Resized]
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val px = stubResize(payload, targetW, targetH)
+          Resized(id, targetW, targetH, px, checksum64(px))
+        }
+      }
+  }
+
+  // --- frame sampling ----------------------------------------------------
+
+  final case class Frame(id: Long, frameIdx: Long, frameLen: Long, frameChecksum: Long)
+
+  /** Frame-sample stage: treat the payload as a sequence of fixed-size
+    * frames and keep every `every`-th one, emitting ONE ROW PER SAMPLED
+    * FRAME — the generator (1 → N rows) shape a video pipeline needs so
+    * downstream per-frame operators (decode, feature-extract) stay
+    * per-row. A real demuxer replaces the fixed-size chunking; the
+    * explode-shaped plumbing, indices and truncated-final-frame handling
+    * are the part that carries to production.
+    */
+  def frameSampleKernel(
+      df: DataFrame,
+      frameSize: Int = 64,
+      every: Int = 3,
+      idCol: String = "id",
+      payloadCol: String = "payload"): Dataset[Frame] = {
+    require(frameSize > 0 && every > 0, "frameSize and every must be positive")
+    implicit val enc = Encoders.product[Frame]
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val len = if (payload == null) 0 else payload.length
+          val nFrames = (len + frameSize - 1) / frameSize
+          (0 until nFrames by every).iterator.map { c =>
+            val start = c * frameSize
+            val flen = math.min(frameSize, len - start)
+            val slice = java.util.Arrays.copyOfRange(payload, start, start + flen)
+            Frame(id, c.toLong, flen.toLong, checksum64(slice))
+          }
+        }
+      }
+  }
 }

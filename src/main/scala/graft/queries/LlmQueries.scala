@@ -299,6 +299,18 @@ object LlmQueries {
         .select(col("id"), col("mediaType"), col("byteLen"), col("checksum"), col("featureDim"))
         .orderBy(col("id"))),
 
+    "q_multimodal_frames" -> ((s, dir) =>
+      // Frame-sample plumbing (1 → N rows per payload, every 3rd 64-byte
+      // frame, truncated tail): ASCII payloads make frame boundaries
+      // SQL-expressible, so the explode shape hash-checks end to end.
+      Multimodal.frameSampleKernel(
+          docs(s, dir).filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+            .select(col("doc_id").as("id"), col("text").cast("binary").as("payload")),
+          frameSize = 64, every = 3)
+        .toDF()
+        .select(col("id"), col("frameIdx"), col("frameLen"))
+        .orderBy(col("id"), col("frameIdx"))),
+
     // --- streaming-shaped events aggregation (batch replica of the
     //     Structured Streaming windowed plan in streaming/StreamingCal) ------
     "q_events_window" -> ((s, dir) =>
@@ -460,6 +472,17 @@ object LlmQueries {
         |  CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS checksum,
         |  CAST(8 AS INT) AS "featureDim"
         |FROM c ORDER BY id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH d AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7f]*$') AND length(text) > 0),
+        |f AS (SELECT id, len,
+        |    unnest(range(0, CAST(ceil(CAST(len AS DOUBLE) / 64.0) AS BIGINT))) AS c
+        |  FROM d)
+        |SELECT id, c AS "frameIdx", CAST(least(64, len - c * 64) AS BIGINT) AS "frameLen"
+        |FROM f WHERE c % 3 = 0
+        |ORDER BY id, c""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH aug AS ($augSql),

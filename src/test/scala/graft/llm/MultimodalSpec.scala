@@ -1,0 +1,57 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Multimodal plumbing: decode / feature-extract / resize / frame-sample.
+  * Codecs are deterministic stubs (absent in this environment); what these
+  * tests pin is the Spark-side contract — schemas, batch shape, fixed
+  * output sizes, 1→N frame explosion, truncated-final-frame handling,
+  * null payloads.
+  */
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def payload(n: Int): Array[Byte] = Array.tabulate(n)(i => (i % 251).toByte)
+
+  test("decode kernel: stable features, checksum, byte length; null payload safe") {
+    val df = Seq(
+      (1L, "image", payload(100)),
+      (2L, "audio", payload(10)),
+      (3L, "image", null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "media_type", "payload")
+    val out = Multimodal.decodeKernel(df).collect().map(f => f.id -> f).toMap
+    assert(out(1L).byteLen == 100 && out(1L).featureDim == 8 && out(1L).features.length == 8)
+    assert(out(1L).checksum == Multimodal.checksum64(payload(100)))
+    assert(out(3L).byteLen == 0L && out(3L).features.forall(_ == 0f))
+    // determinism across partitionings
+    val again = Multimodal.decodeKernel(df.repartition(3)).collect().map(f => f.id -> f.checksum).toMap
+    assert(again == out.view.mapValues(_.checksum).toMap)
+  }
+
+  test("resize kernel: fixed output dims regardless of input size") {
+    val df = Seq((1L, payload(1000)), (2L, payload(7)), (3L, payload(0)))
+      .toDF("id", "payload")
+    val out = Multimodal.resizeKernel(df, targetW = 4, targetH = 3).collect()
+      .map(r => r.id -> r).toMap
+    assert(out.values.forall(r => r.pixels.length == 12 && r.width == 4 && r.height == 3))
+    // nearest-neighbor stub is deterministic and length-sensitive
+    assert(out(1L).checksum != out(2L).checksum)
+    assert(out(3L).pixels.forall(_ == 0))
+  }
+
+  test("frame sampler: every k-th fixed-size frame, truncated tail, 1→N rows") {
+    val df = Seq((1L, payload(200)), (2L, payload(64)), (3L, payload(0)))
+      .toDF("id", "payload")
+    val frames = Multimodal.frameSampleKernel(df, frameSize = 64, every = 3)
+      .collect().groupBy(_.id)
+    // 200 bytes → frames 0..3 (lens 64,64,64,8); sampled idx 0 and 3
+    assert(frames(1L).map(f => (f.frameIdx, f.frameLen)).sortBy(_._1).toSeq ==
+      Seq((0L, 64L), (3L, 8L)))
+    assert(frames(2L).map(f => (f.frameIdx, f.frameLen)).toSeq == Seq((0L, 64L)))
+    assert(!frames.contains(3L)) // empty payload → no frames
+    // sampled frame checksum matches the direct slice checksum
+    val direct = Multimodal.checksum64(payload(200).slice(192, 200))
+    assert(frames(1L).find(_.frameIdx == 3L).get.frameChecksum == direct)
+  }
+}

@@ -164,6 +164,20 @@ object ScaleQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    "q_sink_sorted" -> ((s, dir) => {
+      // Globally-sorted (range-partitioned) layout: a narrow range filter
+      // must touch at most a couple of files (disjoint per-file key
+      // ranges), certified via input_file_name alongside the row count.
+      val out = stagingDir() + "/sorted_lineitem"
+      graft.sources.LayoutWriter.writeGloballySorted(
+        li(s, dir).select(col("l_orderkey"), col("l_extendedprice")),
+        out, Seq("l_orderkey"), numFiles = 8)
+      val back = s.read.parquet(out).filter(col("l_orderkey") < 1000)
+      val files = back.select(input_file_name()).distinct().count()
+      back.agg(count(lit(1)).as("n"))
+        .withColumn("range_pruned", lit(files <= 2L))
+    }),
+
     "q_pipeline_curation" -> ((s, dir) => {
       // End-to-end curation (language → quality → exact dedup → near-dup
       // cluster keep → deterministic 1/2 sample) over the planted-near-dup
@@ -314,6 +328,10 @@ object ScaleQueries {
         |  sum(l_quantity) AS sum_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_sink_sorted" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, true AS range_pruned
+        |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
 
     // Composition of the certified fragments: q_text_langid + q_text_quality
     // (gates), q_dedup_exact_rows (exact), q_dedup_minhash_poly +

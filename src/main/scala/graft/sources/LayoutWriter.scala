@@ -67,6 +67,39 @@ object LayoutWriter {
     f.delete(): Unit
   }
 
+  /** Globally-sorted write: `repartitionByRange` splits the key space into
+    * contiguous ranges (one per output file set), `sortWithinPartitions`
+    * orders inside each — together a total order across files WITHOUT a
+    * single-reducer sort (the terasort layout). Readers get disjoint
+    * per-file min/max on the sort key, so any range predicate prunes to
+    * the few files covering it.
+    */
+  def writeGloballySorted(df: DataFrame, path: String, sortCols: Seq[String],
+      numFiles: Int): Unit = {
+    require(sortCols.nonEmpty && numFiles > 0)
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Compaction: rewrite a directory into ~`targetFiles` files (small-files
+    * mitigation after streaming/incremental appends — at scale, thousands
+    * of KB-sized files cost more in task scheduling and footer reads than
+    * the data itself). Round-robin repartition gives evenly-sized output.
+    * Writes to `tmpPath` first, then swaps, so a failed compaction never
+    * destroys the source.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    require(targetFiles > 0)
+    val tmpPath = path + "__compact_tmp"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    val fs = new java.io.File(path)
+    deleteRecursively(fs)
+    if (!new java.io.File(tmpPath).renameTo(fs))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+  }
+
   /** Read back with an equality filter on a partition column, returning
     * (rows, all scanned files under the selected partition directory).
     * The boolean is the partition-pruning proof: `input_file_name` exposes

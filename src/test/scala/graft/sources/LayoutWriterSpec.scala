@@ -35,6 +35,35 @@ class LayoutWriterSpec extends SparkTestBase {
     assert(joined.count() == 2000L * 10) // 20 a-rows × 10 b-rows per key / 100 keys
   }
 
+  test("globally-sorted write: disjoint per-file ranges forming a total order") {
+    val dir = Files.createTempDirectory("graft-gsort").toFile.getAbsolutePath + "/t"
+    val df = (1 to 5000).reverse.map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+    LayoutWriter.writeGloballySorted(df, dir, Seq("id"), numFiles = 8)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"id").as("lo"), max($"id").as("hi"), count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2)
+    assert(ranges.length > 1)
+    assert(ranges.map(_._4).sum == 5000)
+    // ranges are disjoint and ordered: each file's max < next file's min
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._2, s"overlapping file ranges: $a vs $b")
+    }
+  }
+
+  test("compaction rewrites many small files into few, preserving rows") {
+    val dir = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath + "/t"
+    (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(50).write.parquet(dir)
+    def nFiles = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    assert(nFiles == 50)
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    LayoutWriter.compact(spark, dir, targetFiles = 4)
+    assert(nFiles == 4)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == before)
+  }
+
   test("in-file ordering: each file's id column is sorted") {
     val dir = Files.createTempDirectory("graft-layout2").toFile.getAbsolutePath
     val df = (1 to 500).reverse.map(i => (i.toLong, (i % 2).toString)).toDF("id", "g")

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * Shape at scale: one explode of the token stream feeds BOTH the per-doc
   * term frequencies and (via a second aggregation on the term key) the
   * document frequencies; every aggregation is a hash aggregate with map-side
-  * partials, the tiny per-term IDF table broadcast-joins back onto the term
-  * stream, and per-doc TOP-N terms use row_number (no global sort). Nothing
-  * in the plan materializes a vocabulary on the driver.
+  * partials; the IDF table joins back on the term key the tf side already
+  * hashes by (TF-IDF's full-vocabulary table is NOT broadcast-hinted — it
+  * is unbounded at corpus scale; BM25's query-terms-only table is), and
+  * per-doc TOP-N terms use row_number (no global sort). Nothing in the plan
+  * materializes a vocabulary on the driver.
   *
   * Exactness for the oracle: cross-row sums are kept in INTEGER domain —
   * per-term scores are rounded to micro-units (×1e6, half-up) BEFORE the
@@ -49,9 +51,13 @@ object Relevance {
     require(k > 0, "k must be positive")
     val tf = termFrequencies(docs, idCol, textCol)
     val n = docs.select(col(idCol)).count().toDouble
+    // NO broadcast hint: the IDF table is the full vocabulary — bounded
+    // only by corpus size. Let AQE broadcast it when it measures small;
+    // at 100 TB this is a shuffled equi-join on the term key (which the
+    // tf side is already partitioned by from its aggregation).
     val idf = docFrequencies(tf)
       .withColumn("idf", log(lit(n) / col("df").cast("double")))
-    val scored = tf.join(broadcast(idf.select(col("term"), col("idf"))), "term")
+    val scored = tf.join(idf.select(col("term"), col("idf")), "term")
       .withColumn("tfidf", round(col("tf").cast("double") * col("idf"), 6))
     val w = Window.partitionBy(col("id")).orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("__rn", row_number().over(w))

@@ -24,11 +24,16 @@ object Expectations {
   def report(df: DataFrame, expectations: Seq[(String, Column)]): DataFrame = {
     require(expectations.nonEmpty, "no expectations given")
     val aggs = expectations.map { case (name, pred) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
+      // coalesce(sum, 0): over an EMPTY frame sum is null, and a null
+      // violation count would read as "not ok" (or slip through enforce's
+      // filter) — an empty batch has zero violations by definition.
+      coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)), lit(0L))
+        .as(s"__v_$name")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = expectations.map { case (name, _) =>
-      s"'$name', __v_$name"
+      val lit = name.replace("'", "''")
+      s"'$lit', `__v_$name`"
     }.mkString(", ")
     one.selectExpr(
         s"stack(${expectations.size}, $stackArgs) as (expectation, violations)")

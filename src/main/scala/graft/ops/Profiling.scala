@@ -37,8 +37,12 @@ object Profiling {
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // Unpivot via stack: 5 stats × |cols| from the single aggregated row.
+    // Backtick-quote the generated aliases (and escape quotes in the name
+    // literal) so column names that aren't bare identifiers — dashes,
+    // spaces — survive the selectExpr round-trip.
     val stackArgs = cols.map { c =>
-      s"'$c', __n_$c, __nulls_$c, __ndv_$c, __min_$c, __max_$c"
+      val lit = c.replace("'", "''")
+      s"'$lit', `__n_$c`, `__nulls_$c`, `__ndv_$c`, `__min_$c`, `__max_$c`"
     }.mkString(", ")
     one.selectExpr(
       s"stack(${cols.size}, $stackArgs) as (column, n, nulls, ndv, vmin, vmax)")

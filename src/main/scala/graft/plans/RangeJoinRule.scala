@@ -36,8 +36,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def width: Option[Double] =
+    // toDoubleOption: a malformed conf value must disable the rule, not
+    // throw from inside the optimizer (which would fail EVERY query in
+    // the session, not just range joins).
     spark.conf.getOption("spark.graft.rangeJoin.bucketWidth")
-      .map(_.toDouble).filter(_ > 0)
+      .flatMap(_.toDoubleOption).filter(_ > 0)
 
   override def apply(plan: LogicalPlan): LogicalPlan = width match {
     case None => plan
@@ -94,6 +97,12 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // points side: one bucket column
     val pBkt = Alias(bucketOf(p, w), "__graft_pbkt")()
     val pPlan = Project(points.output :+ pBkt, points)
+    // Degenerate (hi < lo) intervals match nothing in the naive join, but
+    // Sequence(start, stop) defaults to step -1 when start > stop — an
+    // inverted interval would explode onto a huge DESCENDING bucket range
+    // (or overflow Sequence's length check). Drop them first, exactly as
+    // RangeJoin.pointInInterval does.
+    val iFiltered = Filter(GreaterThanOrEqual(hi, lo), intervals)
     // intervals side: explode onto covered buckets. Sequence is
     // TimeZoneAware (unresolved without a zone id) even for numeric
     // sequences — pin the session zone.
@@ -101,7 +110,7 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Some(conf.sessionLocalTimeZone)))
     val genOut = AttributeReference("__graft_ibkt", LongType, nullable = false)()
     val iPlan = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(genOut), child = intervals)
+      qualifier = None, generatorOutput = Seq(genOut), child = iFiltered)
     val (nl, nr) = if (pointsLeft) (pPlan, iPlan) else (iPlan, pPlan)
     val newCond = And(EqualTo(pBkt.toAttribute, genOut), j.condition.get)
     Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))

@@ -94,10 +94,19 @@ object LayoutWriter {
     val tmpPath = path + "__compact_tmp"
     spark.read.parquet(path).repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmpPath)
-    val fs = new java.io.File(path)
-    deleteRecursively(fs)
-    if (!new java.io.File(tmpPath).renameTo(fs))
+    // Swap by renaming the SOURCE aside first: the original is never
+    // deleted until the compacted copy is in place, so a failure at any
+    // step leaves a complete copy on disk (restore on failed swap-in).
+    val dst = new java.io.File(path)
+    val old = new java.io.File(path + "__compact_old")
+    deleteRecursively(old)
+    if (!dst.renameTo(old))
+      throw new java.io.IOException(s"compaction: cannot move $path aside")
+    if (!new java.io.File(tmpPath).renameTo(dst)) {
+      old.renameTo(dst) // restore the original
       throw new java.io.IOException(s"compaction swap failed for $path")
+    }
+    deleteRecursively(old)
   }
 
   /** Read back with an equality filter on a partition column, returning

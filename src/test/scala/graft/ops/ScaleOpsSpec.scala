@@ -100,6 +100,13 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(out("b") == (("b", 2L, 1L, 2L, 10.0, 30.0)))
   }
 
+  test("profiling summarize handles non-identifier column names") {
+    val df = Seq((1.0, 2.0)).toDF("col-1", "col 2")
+    val out = Profiling.summarize(df, Seq("col-1", "col 2"))
+      .as[(String, Long, Long, Long, Double, Double)].collect().map(_._1).toSet
+    assert(out == Set("col-1", "col 2"))
+  }
+
   test("quantile certificate holds on a skewed column") {
     val df = (1L to 5000L).map(i => i * i).toDF("v") // quadratic skew
     val ok = Profiling.quantileCert(df, "v", Seq(0.1, 0.5, 0.99), accuracy = 100)

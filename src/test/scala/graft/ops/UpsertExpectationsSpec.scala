@@ -41,6 +41,14 @@ class UpsertExpectationsSpec extends SparkTestBase {
     assert(rep("matches_email") == 1L)
   }
 
+  test("empty batch reports zero violations and passes the gate") {
+    val empty = Seq.empty[Double].toDF("v")
+    val rep = Expectations.report(empty, Seq(Expectations.nonNegative("v")))
+      .as[(String, Long, Boolean)].collect()
+    assert(rep.toSeq == Seq(("non_negative_v", 0L, true)))
+    assert(Expectations.enforce(empty, Seq(Expectations.nonNegative("v"))).count() == 0)
+  }
+
   test("enforce throws naming every failed rule, passes a clean frame through") {
     val bad = Seq((-1.0)).toDF("v")
     val e = intercept[Expectations.Violation] {

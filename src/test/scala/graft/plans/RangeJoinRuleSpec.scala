@@ -54,6 +54,27 @@ class RangeJoinRuleSpec extends SparkTestBase {
     }
   }
 
+  test("hugely inverted intervals are dropped, not exploded onto a descending sequence") {
+    // Sequence(start, stop) defaults to step -1 when start > stop: without
+    // the hi >= lo guard this interval would generate ~1e9 buckets (or
+    // throw) where the naive join cheaply returns nothing.
+    val pts = Seq((1L, 5.0)).toDF("pid", "x")
+    val ivs = Seq((1L, 1.0e9, 0.0), (2L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    withRule("1.0") {
+      val got = pts.join(ivs, $"x" >= $"lo" && $"x" <= $"hi").select($"pid", $"iid")
+      assert(got.queryExecution.optimizedPlan.toString.contains("__graft_pbkt"))
+      assert(got.as[(Long, Long)].collect().toSeq == Seq((1L, 2L)))
+    }
+  }
+
+  test("malformed width conf disables the rule instead of failing the optimizer") {
+    withRule("not-a-number") {
+      val got = betweenJoin()
+      assert(!got.queryExecution.optimizedPlan.toString.contains("__graft_pbkt"))
+      assert(got.count() > 0) // query still runs (naive plan)
+    }
+  }
+
   test("inert without the width conf; untouched with extra conjuncts") {
     // no conf → no rewrite
     spark.experimental.extraOptimizations = Seq(RangeJoinRule(spark))

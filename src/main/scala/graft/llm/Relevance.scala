@@ -49,10 +49,16 @@ object Relevance {
     */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    // Checkpoint: tf feeds BOTH the df aggregation and the scoring join —
+    // Persist: tf feeds BOTH the df aggregation and the scoring join —
     // without materialization Spark evaluates the explode+aggregate subtree
-    // once per consumer (the dominant cost on a large corpus).
-    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint()
+    // once per consumer (the dominant cost on a large corpus). persist()
+    // rather than localCheckpoint(): lineage survives executor loss (a
+    // checkpointed block lost to decommissioning fails the job outright),
+    // and the shared InMemoryRelation gives the same single evaluation.
+    // Release is the caller's (the returned frame is lazy); the harness
+    // clears cache between queries.
+    val tf = termFrequencies(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = docs.select(col(idCol)).count().toDouble
     // NO broadcast hint: the IDF table is the full vocabulary — bounded
     // only by corpus size. Let AQE broadcast it when it measures small;
@@ -88,10 +94,11 @@ object Relevance {
     // Integer token counts: the cross-doc sum is exact, so avglen is a
     // deterministic double on every engine.
     val avglen = lens.agg(sum(col("len"))).head().getDouble(0) / n
-    // Checkpoint: qTf feeds both its df aggregation and the scoring join
-    // (same shared-subtree rule as tfidfTopK). The filtered frame is tiny —
-    // only query-term rows.
-    val qTf = tf.filter(col("term").isin(q: _*)).localCheckpoint()
+    // Persist: qTf feeds both its df aggregation and the scoring join
+    // (same shared-subtree rule and same persist-over-checkpoint rationale
+    // as tfidfTopK). The cached frame is tiny — only query-term rows.
+    val qTf = tf.filter(col("term").isin(q: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idf = docFrequencies(qTf) // df of query terms only — tiny, broadcast
       .withColumn("idf",
         log(lit(1.0) + (lit(n) - col("df").cast("double") + lit(0.5)) /

@@ -32,8 +32,7 @@ object Expectations {
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = expectations.map { case (name, _) =>
-      val lit = name.replace("'", "''")
-      s"'$lit', `__v_$name`"
+      s"'${Profiling.sqlStringLit(name)}', `__v_${Profiling.sqlIdent(name)}`"
     }.mkString(", ")
     one.selectExpr(
         s"stack(${expectations.size}, $stackArgs) as (expectation, violations)")

@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /** Escape a name for use inside a backtick-quoted selectExpr identifier
+    * and a single-quoted string literal (shared with [[Expectations]]).
+    */
+  private[ops] def sqlIdent(name: String): String = name.replace("`", "``")
+  private[ops] def sqlStringLit(name: String): String = name.replace("'", "''")
+
   /** One-pass per-column stats over numeric columns: long format, one row
     * per column, deterministic order. `ndv` is exact (count distinct) —
     * swap for approx_count_distinct at extreme cardinalities.
@@ -41,8 +47,8 @@ object Profiling {
     // literal) so column names that aren't bare identifiers — dashes,
     // spaces — survive the selectExpr round-trip.
     val stackArgs = cols.map { c =>
-      val lit = c.replace("'", "''")
-      s"'$lit', `__n_$c`, `__nulls_$c`, `__ndv_$c`, `__min_$c`, `__max_$c`"
+      val s = sqlStringLit(c); val i = sqlIdent(c)
+      s"'$s', `__n_$i`, `__nulls_$i`, `__ndv_$i`, `__min_$i`, `__max_$i`"
     }.mkString(", ")
     one.selectExpr(
       s"stack(${cols.size}, $stackArgs) as (column, n, nulls, ndv, vmin, vmax)")

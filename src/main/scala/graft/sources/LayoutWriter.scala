@@ -100,11 +100,15 @@ object LayoutWriter {
     val dst = new java.io.File(path)
     val old = new java.io.File(path + "__compact_old")
     deleteRecursively(old)
-    if (!dst.renameTo(old))
+    if (!dst.renameTo(old)) {
+      deleteRecursively(new java.io.File(tmpPath))
       throw new java.io.IOException(s"compaction: cannot move $path aside")
+    }
     if (!new java.io.File(tmpPath).renameTo(dst)) {
-      old.renameTo(dst) // restore the original
-      throw new java.io.IOException(s"compaction swap failed for $path")
+      val restored = old.renameTo(dst)
+      throw new java.io.IOException(
+        if (restored) s"compaction swap failed for $path (original restored; compacted copy left at $tmpPath)"
+        else s"compaction swap failed for $path AND restore failed: original is at ${old.getPath}, compacted copy at $tmpPath")
     }
     deleteRecursively(old)
   }

@@ -17,6 +17,41 @@ object Pipeline {
 
   final case class Result(continuum: DataFrame, spectrum: DataFrame)
 
+  /** Provided Params must agree with the pipeline-level (ifnum, plnum):
+    * the atmosphere axis is derived from the pipeline ifnum, so a Params
+    * object filtering a DIFFERENT IF would silently apply the wrong band's
+    * correction.
+    */
+  private def resolveParams(ifnum: Int, plnum: Int,
+      continuumParams: Continuum.Params,
+      spectrumParams: Spectrum.Params): (Continuum.Params, Spectrum.Params) = {
+    val cp = Option(continuumParams).getOrElse(Continuum.Params(ifnum, plnum))
+    val sp = Option(spectrumParams).getOrElse(Spectrum.Params(ifnum, plnum))
+    require(cp.ifnum == ifnum && cp.plnum == plnum,
+      s"continuumParams (if=${cp.ifnum}, pl=${cp.plnum}) disagree with pipeline (if=$ifnum, pl=$plnum)")
+    require(sp.ifnum == ifnum && sp.plnum == plnum,
+      s"spectrumParams (if=${sp.ifnum}, pl=${sp.plnum}) disagree with pipeline (if=$ifnum, pl=$plnum)")
+    (cp, sp)
+  }
+
+  /** Validate + optional atmosphere stage, shared by [[run]] and [[runAll]]
+    * (ref atmosphere_correction.py:59-86): per-row weather → per-channel
+    * transmission over the GHz axis → DATA /= transmission. The axis is the
+    * header-derived MHz axis / 1000 (ref :68), over the post-crop channel
+    * count.
+    */
+  private def correctedFrame(df: DataFrame, header: Header, ifnum: Int,
+      atmosphere: Boolean): DataFrame = {
+    val validated = Validate.run(df, header)
+    if (!atmosphere) validated
+    else {
+      val fr = HeaderRecord.frequencyRange(header, ifnum)
+      val axisGHz = graft.functions.ArrayOps
+        .freqAxis(fr.high, fr.low, fr.channelCount).map(_ / 1000.0)
+      Atmosphere.correct(validated, axisGHz)
+    }
+  }
+
   def run(
       df: DataFrame,
       header: Header,
@@ -25,24 +60,8 @@ object Pipeline {
       atmosphere: Boolean = false,
       continuumParams: Continuum.Params = null,
       spectrumParams: Spectrum.Params = null): Result = {
-    val cp = Option(continuumParams).getOrElse(Continuum.Params(ifnum, plnum))
-    val sp = Option(spectrumParams).getOrElse(Spectrum.Params(ifnum, plnum))
-
-    val validated = Validate.run(df, header)
-
-    // Atmosphere stage (ref atmosphere_correction.py:59-86): per-row weather
-    // → per-channel transmission over the GHz axis → DATA /= transmission.
-    // The axis is the header-derived MHz axis / 1000 (ref :68), over the
-    // post-crop channel count.
-    val corrected =
-      if (!atmosphere) validated
-      else {
-        val fr = HeaderRecord.frequencyRange(header, ifnum)
-        val axisGHz = graft.functions.ArrayOps
-          .freqAxis(fr.high, fr.low, fr.channelCount).map(_ / 1000.0)
-        Atmosphere.correct(validated, axisGHz)
-      }
-
+    val (cp, sp) = resolveParams(ifnum, plnum, continuumParams, spectrumParams)
+    val corrected = correctedFrame(df, header, ifnum, atmosphere)
     Result(
       continuum = Continuum.run(corrected, header, cp),
       spectrum = Spectrum.run(corrected, header, sp))
@@ -62,17 +81,8 @@ object Pipeline {
       atmosphere: Boolean = false,
       continuumParams: Continuum.Params = null,
       spectrumParams: Spectrum.Params = null): Result = {
-    val cp = Option(continuumParams).getOrElse(Continuum.Params(ifnum, plnum))
-    val sp = Option(spectrumParams).getOrElse(Spectrum.Params(ifnum, plnum))
-    val validated = Validate.run(df, header)
-    val corrected =
-      if (!atmosphere) validated
-      else {
-        val fr = HeaderRecord.frequencyRange(header, ifnum)
-        val axisGHz = graft.functions.ArrayOps
-          .freqAxis(fr.high, fr.low, fr.channelCount).map(_ / 1000.0)
-        Atmosphere.correct(validated, axisGHz)
-      }
+    val (cp, sp) = resolveParams(ifnum, plnum, continuumParams, spectrumParams)
+    val corrected = correctedFrame(df, header, ifnum, atmosphere)
     Result(
       continuum = Continuum.runAll(corrected, header, cp),
       spectrum = Spectrum.runAll(corrected, header, sp))

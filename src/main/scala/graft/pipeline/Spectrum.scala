@@ -28,7 +28,11 @@ object Spectrum {
 
   def run(df: DataFrame, header: Header, p: Params): DataFrame = {
     val spark = df.sparkSession
-    val channelCount = Integration.sweepInterleaveFactor(df)
+    // channelCount = 1: the spectrum path reads only the scan's offStart,
+    // which is threshold-independent (see runAll) — computing the real
+    // sweep-interleave factor here would cost a full-table aggregation job
+    // whose result cannot affect the output.
+    val channelCount = 1L
 
     // F1+F2 — feed/pol + science-data filter (spectrum.py:28-33).
     var d = df.filter(

@@ -55,8 +55,14 @@ object LayoutWriter {
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     // A previous JVM's in-memory catalog is gone but its warehouse files
     // survive; CREATE TABLE refuses an existing location, so clear it.
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    deleteRecursively(new java.io.File(wh, tableName.toLowerCase))
+    // Only attempted for the simple-name + local-file case this library's
+    // harness uses — a database-qualified name lives under {wh}/{db}.db/
+    // and a remote warehouse URI isn't a java.io path, so guessing a
+    // location to delete would be wrong; those deployments should rely on
+    // the catalog surviving (or drop the location themselves).
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    if (!tableName.contains(".") && (wh.startsWith("file:") || !wh.contains(":")))
+      deleteRecursively(new java.io.File(wh.stripPrefix("file:"), tableName.toLowerCase))
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(tableName)
@@ -91,6 +97,14 @@ object LayoutWriter {
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
     require(targetFiles > 0)
+    // Refuse hive-partitioned directories: spark.read would infer the
+    // partition column as data and the rewrite would flatten the layout,
+    // silently destroying the partition pruning the directory exists for.
+    // Compact each partition directory (path/col=value) individually.
+    val partDirs = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    require(partDirs.isEmpty,
+      s"$path is hive-partitioned (${partDirs.head.getName}, ...): compact each partition directory instead")
     val tmpPath = path + "__compact_tmp"
     spark.read.parquet(path).repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmpPath)
@@ -121,9 +135,15 @@ object LayoutWriter {
   def prunedRead(spark: SparkSession, path: String, partCol: String,
       value: String): (DataFrame, Boolean) = {
     val df = spark.read.parquet(path).filter(col(partCol) === value)
+    // Match the full escaped directory SEGMENT ("/col=value/"), not a raw
+    // substring: "id=1" is a substring of ".../id=10/..." (a broken scan
+    // would pass the check), and values with special characters appear
+    // percent-escaped in the path. coalesce → vacuous true on zero rows
+    // (no violating file exists).
+    val seg = "/" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .getPartitionPathString(partCol, value) + "/"
     val pruned = df.select(input_file_name().as("f"))
-      .agg(coalesce(
-        min(col("f").contains(s"$partCol=$value").cast("int")), lit(1)).as("ok"))
+      .agg(coalesce(min(col("f").contains(seg).cast("int")), lit(1)).as("ok"))
       .head().getInt(0) == 1
     (df, pruned)
   }

@@ -21,27 +21,48 @@ object StreamingCal {
     * micro-batches. (The full ST1 "last post-cal run" semantics need the
     * whole file and stay batch; this is the incremental analog that tags
     * spikes as they close.)
+    *
+    * `idleTimeout`: when set, a file whose rows stop arriving for this
+    * long has its state EVICTED (flushing a trailing open spike as a final
+    * segment). UNBOUNDED deployments must set it — without eviction every
+    * completed observation leaves a ScanState entry in the state store
+    * forever. It is None by default because processing-time timeouts make
+    * Spark run no-data micro-batches to fire them (busy even when idle),
+    * which bounded/test pipelines don't want.
     */
-  def spikeSegments(rows: Dataset[CalRow]): Dataset[SpikeSegment] = {
+  def spikeSegments(rows: Dataset[CalRow],
+      idleTimeout: Option[String] = None): Dataset[SpikeSegment] = {
     implicit val stateEnc = Encoders.product[ScanState]
     implicit val outEnc = Encoders.product[SpikeSegment]
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
     rows.groupByKey(_.fileId)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         (fileId: String, it: Iterator[CalRow], state: GroupState[ScanState]) => {
-          val sorted = it.toSeq.sortBy(_.rowIdx)
-          var s = state.getOption.getOrElse(ScanState(inSpike = false, -1L, -1L, 0L))
-          val out = Seq.newBuilder[SpikeSegment]
-          sorted.foreach { r =>
-            if (r.calstate == 1) {
-              s = if (s.inSpike) s.copy(lastIdx = r.rowIdx, count = s.count + 1)
-                  else ScanState(inSpike = true, r.rowIdx, r.rowIdx, 1L)
-            } else if (s.inSpike) {
-              out += SpikeSegment(fileId, s.startIdx, s.lastIdx, s.count)
-              s = ScanState(inSpike = false, -1L, -1L, 0L)
+          if (state.hasTimedOut) {
+            // Idle file: flush the trailing open spike (a file ending
+            // mid-spike closes it at end-of-data) and evict the state.
+            val leftover = state.getOption.filter(_.inSpike)
+              .map(s => SpikeSegment(fileId, s.startIdx, s.lastIdx, s.count))
+            state.remove()
+            leftover.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.rowIdx)
+            var s = state.getOption.getOrElse(ScanState(inSpike = false, -1L, -1L, 0L))
+            val out = Seq.newBuilder[SpikeSegment]
+            sorted.foreach { r =>
+              if (r.calstate == 1) {
+                s = if (s.inSpike) s.copy(lastIdx = r.rowIdx, count = s.count + 1)
+                    else ScanState(inSpike = true, r.rowIdx, r.rowIdx, 1L)
+              } else if (s.inSpike) {
+                out += SpikeSegment(fileId, s.startIdx, s.lastIdx, s.count)
+                s = ScanState(inSpike = false, -1L, -1L, 0L)
+              }
             }
+            state.update(s)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(s)
-          out.result().iterator
         })
   }
 

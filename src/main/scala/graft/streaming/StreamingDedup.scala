@@ -67,6 +67,12 @@ object StreamingDedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
+    // bands > numHashes would make rowsPerBand 0: every band key collapses
+    // to the hash of an empty slice and the equi-join degenerates into a
+    // stream×corpus cross join. Non-divisible combos silently drop the
+    // tail hashes, weakening recall — reject both at entry.
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rowsPerBand = numHashes / bands
     val withMark = tsCol.fold(stream)(c => stream.withWatermark(c, watermark))
     val streamBanded = withMark

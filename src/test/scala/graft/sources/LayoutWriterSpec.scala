@@ -51,6 +51,34 @@ class LayoutWriterSpec extends SparkTestBase {
     }
   }
 
+  test("pruning proof matches full path segments: id=1 never passes via id=10") {
+    val dir = Files.createTempDirectory("graft-seg").toFile.getAbsolutePath + "/t"
+    // ONLY id=10 exists: a filter on id=1 reads zero rows (vacuously pruned),
+    // while a substring check against id=10's path would also have claimed
+    // "pruned" for rows it scanned. Write id=1 rows labelled under id=10 is
+    // not constructible via partitionBy, so pin the segment logic directly:
+    val df = Seq((10L, "a"), (1L, "b")).toDF("id", "s")
+    LayoutWriter.write(df, dir, partCols = Seq("id"), sortCols = Seq("s"))
+    val (one, prunedOne) = LayoutWriter.prunedRead(spark, dir, "id", "1")
+    assert(prunedOne && one.count() == 1)
+    // the id=1 scan's file path must contain the exact segment, not id=10's
+    val f = one.select(input_file_name()).as[String].head()
+    assert(f.contains("/id=1/") && !f.contains("/id=10/"))
+  }
+
+  test("compact refuses a hive-partitioned directory") {
+    val dir = Files.createTempDirectory("graft-cref").toFile.getAbsolutePath + "/t"
+    Seq((1L, "A"), (2L, "B")).toDF("id", "flag")
+      .write.partitionBy("flag").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      LayoutWriter.compact(spark, dir, targetFiles = 1)
+    }
+    assert(e.getMessage.contains("hive-partitioned"))
+    // per-partition compaction works
+    LayoutWriter.compact(spark, dir + "/flag=A", targetFiles = 1)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("compaction rewrites many small files into few, preserving rows") {
     val dir = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath + "/t"
     (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("id", "s")

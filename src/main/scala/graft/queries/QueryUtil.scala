@@ -236,6 +236,21 @@ object QueryUtil {
         "HIRES bands  1355, 1435",
         "RFFILTER  1350 1450")))
 
+  /** Cheap change-detection fingerprint of source parquet tables under
+    * `dir`: per table the recursive (file count, total bytes, max mtime).
+    * No data is read — this keys idempotent layout publishes (bucketed
+    * tables) so a republish happens exactly when the source files change.
+    */
+  def sourceSignature(dir: String, tables: String*): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else if (f.isFile) Seq(f) else Seq.empty
+    tables.map { t =>
+      val fs = walk(new java.io.File(dir, s"$t.parquet"))
+      s"$t:${fs.size}:${fs.map(_.length).sum}:${fs.map(_.lastModified).foldLeft(0L)(math.max)}"
+    }.mkString(";")
+  }
+
   /** Round a driver-side double to 6 decimals (HALF_UP), mirroring SQL
     * `round(x, 6)` on the oracle side.
     */

@@ -35,6 +35,38 @@ class LayoutWriterSpec extends SparkTestBase {
     assert(joined.count() == 2000L * 10) // 20 a-rows × 10 b-rows per key / 100 keys
   }
 
+  test("ensureBucketed: writes once, re-registers surviving files, rebuilds on changed fingerprint") {
+    val loc = Files.createTempDirectory("graft-ensure-bk").toFile.getAbsolutePath + "/t"
+    val a = (1 to 2000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "va")
+    def publish(fp: String) = LayoutWriter.ensureBucketed(
+      a, "graft_eb_a", "k", numBuckets = 8, sortCol = Some("k"), loc, fp)
+
+    assert(publish("fp1"), "first publish must write")
+    assert(!publish("fp1"), "same spec+fingerprint must be a no-op")
+
+    // Fresh-JVM analog: the catalog entry is gone but the files survive —
+    // the publish must re-register WITHOUT rewriting (same file mtimes).
+    def mtimes = new java.io.File(loc).listFiles().filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified).toMap
+    val before = mtimes
+    spark.sql("DROP TABLE graft_eb_a")
+    assert(!publish("fp1"), "surviving files must be re-registered, not rewritten")
+    assert(mtimes == before, "re-registration must not touch the data files")
+
+    // the re-registered table still carries the bucket spec: co-bucketed
+    // join against a matching table runs without an exchange
+    val b = (1 to 1000).map(i => (i.toLong % 100, i * 2.0)).toDF("k", "vb")
+    val locB = Files.createTempDirectory("graft-ensure-bk").toFile.getAbsolutePath + "/u"
+    LayoutWriter.ensureBucketed(b, "graft_eb_b", "k", 8, Some("k"), locB, "fp1")
+    val joined = spark.table("graft_eb_a").join(spark.table("graft_eb_b"), "k").hint("merge")
+    assert(!joined.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+    assert(joined.count() == 2000L * 10)
+
+    // a changed source fingerprint invalidates the published copy
+    assert(publish("fp2"), "changed fingerprint must rebuild")
+    assert(spark.table("graft_eb_a").count() == 2000)
+  }
+
   test("globally-sorted write: disjoint per-file ranges forming a total order") {
     val dir = Files.createTempDirectory("graft-gsort").toFile.getAbsolutePath + "/t"
     val df = (1 to 5000).reverse.map(i => (i.toLong, i * 1.5)).toDF("id", "v")

@@ -18,6 +18,10 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Job group per query → per-query job counts from the status tracker
+      // (VERDICT r6 item 8: seconds alone can't tell cold-JIT tax from a
+      // plan regression; the number of driver actions can).
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
       val t0 = System.nanoTime()
       // Noop sink, not count(): count() lets Catalyst prune unreferenced
       // projections, so map-only queries would benchmark near-zero work.
@@ -28,6 +32,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
       // Between queries: drop caches/localCheckpoint blocks and force a GC —
       // persisted blocks otherwise live until their RDD is collected, and the
       // accumulated block-manager + old-gen pressure from 60+ queries
@@ -36,7 +41,10 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
-      (name, elapsed, ok)
+      // Read the group's job ids AFTER the GC pause: the status store is fed
+      // by the async listener bus, and the pause doubles as its settle time.
+      val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(name).length
+      (name, elapsed, ok, jobs)
     }
     // A crashed query records its NEGATED partial time (visible failure
     // marker) and is excluded from the total rather than shrinking it.
@@ -46,10 +54,12 @@ object Bench {
     // comma-decimal locales and breaks the one-line JSON contract.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + fmt(if (ok) v else -v) }
+    val qs = results.map { case (k, v, ok, _) => s"\"" + k + "\":" + fmt(if (ok) v else -v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val js = results.map { case (k, _, _, j) => s"\"" + k + "\":" + j }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"jobs":$js,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

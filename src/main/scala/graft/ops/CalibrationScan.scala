@@ -128,6 +128,31 @@ object CalibrationScan {
     scan(rows, channelCount, headerObsmode)
   }
 
+  /** [[scanSingleFile]] semantics with [[scanPerFile]] mechanics: the flag
+    * rows never leave the executors — the per-file mapGroups scan reduces
+    * them to ONE row and only that row is collected. Same CalIndices for a
+    * single-file frame (same `scan`, same ROWIDX ordering), without shipping
+    * O(rows) flag tuples through the driver: the round-6 bench measured the
+    * driver-side collect at ~15 s cold on a 600k-row fixture.
+    */
+  def scanSingleFileDistributed(
+      df: DataFrame,
+      channelCount: Long,
+      headerObsmode: String): CalIndices = {
+    val r = scanPerFile(df, channelCount, headerObsmode)
+      .select(col("data_start"), col("post_cal_start"), col("off_start"))
+      .collect()
+    if (r.isEmpty) scan(Vector.empty, channelCount, headerObsmode)
+    else {
+      require(r.length == 1, s"scanSingleFileDistributed: ${r.length} files in frame")
+      val row = r(0)
+      CalIndices(
+        if (row.isNullAt(0)) None else Some(row.getLong(0).toInt),
+        row.getLong(1).toInt,
+        if (row.isNullAt(2)) None else Some(row.getLong(2).toInt))
+    }
+  }
+
   /** Scale path: one scan per file, parallel across files. Input needs
     * FILE_ID + ROWIDX + the three flag columns; everything else is pruned
     * before the shuffle. Returns one row per file with the three indices.

@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Positions {
 
-  /** Note on the extra pass: the offset collect evaluates `df` once before
-    * the caller's first action does — two scans of the upstream chain
-    * total. Caching `df` here to avoid that was MEASURED SLOWER at sf0.1
-    * (cache build of the wide frame costs more than the narrow re-scan,
-    * which prunes to (fileCol, ordCol)); callers that already hold a cached
+  /** Note on the extra pass: the broadcast offsets subtree evaluates `df`
+    * once beside the caller's main scan — two scans of the upstream chain
+    * total, but ZERO separate driver actions (the former driver-side
+    * cumulative collect was a whole extra job per query — cold-JVM
+    * scheduler+codegen latency the round-6 driver bench measured). Caching
+    * `df` to avoid the second scan was MEASURED SLOWER at sf0.1 (cache
+    * build of the wide frame costs more than the narrow re-scan, which
+    * prunes to (fileCol, ordCol)); callers that already hold a cached
     * input simply pass it in.
     */
   def withPos(
@@ -33,22 +36,19 @@ object Positions {
       ordCol: String = "ROWIDX",
       out: String = "__pos",
       bucketWidth: Long = 65536L): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val withB = df
       .withColumn("__pf", col(fileCol).cast("string"))
       .withColumn("__pbkt", (col(ordCol).cast("long") / bucketWidth).cast("long"))
-    val counts = withB.groupBy(col("__pf"), col("__pbkt"))
+    // Per-bucket cumulative offsets, computed IN-PLAN on the tiny counts
+    // frame (one row per (file, bucket)): running sum of preceding buckets
+    // within each file. The frame is O(files × buckets) rows, so the
+    // per-file window is trivially cheap and the result broadcasts.
+    val wOff = Window.partitionBy(col("__pf")).orderBy(col("__pbkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy(col("__pf"), col("__pbkt"))
       .agg(count(lit(1)).as("__c"))
-      .orderBy(col("__pf"), col("__pbkt")).collect()
-    var curFile: String = null
-    var acc = 0L
-    val offs = counts.toSeq.map { r =>
-      val f = r.getString(0)
-      if (f != curFile) { curFile = f; acc = 0L }
-      val o = acc; acc += r.getLong(2)
-      (f, r.getLong(1), o)
-    }.toDF("__pf", "__pbkt", "__off")
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .drop("__c")
     val w = Window.partitionBy(col("__pf"), col("__pbkt")).orderBy(col(ordCol))
     withB.join(broadcast(offs), Seq("__pf", "__pbkt"))
       .withColumn(out, (row_number().over(w) - 1).cast("long") + col("__off"))

@@ -72,7 +72,9 @@ object Continuum {
     // over MANY files should use [[runAll]] — one job chain, no per-file
     // caches — rather than calling run() per file.
     val flagged = withPos(d2).cache()
-    val idx = CalibrationScan.scanSingleFile(flagged, channelCount, header.obsmode, "ROWIDX")
+    // Distributed ST1: flag rows reduce executor-side; one row reaches the
+    // driver (scanSingleFile semantics, pinned by q_st1_calscan).
+    val idx = CalibrationScan.scanSingleFileDistributed(flagged, channelCount, header.obsmode)
     val dataStart = idx.dataStart.getOrElse(0)
     val postCal = idx.postCalStart
 

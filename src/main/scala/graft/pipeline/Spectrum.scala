@@ -54,7 +54,9 @@ object Spectrum {
     // between queries); for many files use [[runAll]], which caches nothing.
     val flagged = Positions.withPos(d2).cache()
 
-    val idx = CalibrationScan.scanSingleFile(flagged, channelCount, header.obsmode, "ROWIDX")
+    // Distributed ST1: the 600k flag rows reduce executor-side; one row
+    // reaches the driver (scanSingleFile semantics, pinned by q_st1_calscan).
+    val idx = CalibrationScan.scanSingleFileDistributed(flagged, channelCount, header.obsmode)
 
     // A2 (+ A10 for onoff): aggregate both halves in ONE pass by grouping on
     // the on/off flag, then zip-subtract the two 1-row arrays.

@@ -55,25 +55,27 @@ object QueryUtil {
       (col("l_partkey") % 7).cast("double"), (col("l_suppkey") % 5).cast("double"))
 
   /** Global 0-based row index over the unique lineitem 4-key order, computed
-    * WITHOUT a single-partition window (VERDICT r3 item 5): row_number within
-    * monotone `l_orderkey` buckets (parallel windows) + cumulative bucket
-    * offsets collected once on the driver (one row per bucket — bounded by
-    * max(l_orderkey)/bucketWidth, a few hundred at any tested SF; at 100 TB
-    * widen the bucket) and broadcast-joined back. Values are identical to
-    * `row_number() OVER (ORDER BY 4-key) - 1` because the bucket is a
-    * monotone function of the leading order column.
+    * WITHOUT a single-partition window over the DATA (VERDICT r3 item 5):
+    * row_number within monotone `l_orderkey` buckets (parallel windows) +
+    * cumulative bucket offsets computed in-plan on the tiny per-bucket
+    * counts frame (one row per bucket — bounded by max(l_orderkey)/
+    * bucketWidth, a few hundred at any tested SF; at 100 TB widen the
+    * bucket) and broadcast-joined back. The offsets running sum IS a
+    * single-partition window, but over the counts frame only — its
+    * `partitionBy(lit(0))` keeps Spark from warning about an empty
+    * partition spec while meaning exactly that. No driver collect: the
+    * former driver-side cumulative loop was an extra job per query.
+    * Values are identical to `row_number() OVER (ORDER BY 4-key) - 1`
+    * because the bucket is a monotone function of the leading order column.
     */
   def withGlobalRowIdx(df: DataFrame, out: String = "ROWIDX",
       bucketWidth: Long = 4096L): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val withB = df.withColumn("__bkt", (col("l_orderkey") / bucketWidth).cast("long"))
-    val counts = withB.groupBy(col("__bkt")).agg(count(lit(1)).as("__cnt"))
-      .orderBy(col("__bkt")).collect()
-    var acc = 0L
-    val offs = counts.toSeq.map { r =>
-      val o = acc; acc += r.getLong(1); (r.getLong(0), o)
-    }.toDF("__bkt", "__off")
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy(col("__bkt")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .drop("__cnt")
     val w = Window.partitionBy(col("__bkt"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
     withB.withColumn("__rn", (row_number().over(w) - 1).cast("long"))

@@ -49,6 +49,16 @@ class RelevanceRedactionSpec extends SparkTestBase {
     assert(math.abs(out(1L) - math.round(expected * 1e6)) <= 1)
   }
 
+  test("relevance plans leave no persisted state behind (library cache hygiene)") {
+    // VERDICT r6: a library consumer of tfidfTopK/bm25 must not inherit a
+    // silently pinned block. The plans are now persist-free — pin that.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    Relevance.tfidfTopK(corpus, "doc_id", "text", k = 2).collect()
+    Relevance.bm25(corpus, "doc_id", "text", Seq("cat")).collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "relevance query left persisted RDDs behind")
+  }
+
   test("redaction replaces emails, IPs and phones and counts them") {
     val df = Seq(
       (1L, "write bob.smith+x@mail.example.org or ping 192.168.0.1 now"),

@@ -42,6 +42,28 @@ object LlmQueries {
   /** e1 unit query vector (dim 64 — the corpus embedding width). */
   private val e1: Array[Double] = { val a = new Array[Double](64); a(0) = 1.0; a }
 
+  /** Agreement certificate between a single-query top-k frame
+    * `(vec_id, cosine)` and a batched multi-query frame
+    * `(qid, vec_id, cosine, rank)` for the same single query: one row
+    * `(paths_agree, n_results)` — paths_agree iff the two (id, score) sets
+    * are identical (full-outer join, bit-exact score compare), n_results
+    * the agreed size. Two independent ranking mechanisms (global
+    * orderBy.limit vs the bounded map-side TopKByScoreAgg) agreeing on the
+    * same pruned search is the oracle-stateable face of the seeded ANN
+    * paths DuckDB cannot reproduce.
+    */
+  private def pathAgreement(one: DataFrame, multi: DataFrame): DataFrame = {
+    val o = one.select(col("vec_id").as("vid_o"), col("cosine").as("cos_o"))
+    val m = multi.select(col("vec_id").as("vid_m"), col("cosine").as("cos_m"))
+    o.join(m, col("vid_o") === col("vid_m"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("vid_o").isNull || col("vid_m").isNull ||
+          col("cos_o") =!= col("cos_m"), 1).otherwise(0)), lit(0L)).as("__mismatch"),
+        count(lit(1)).as("__n"))
+      .select((col("__mismatch") === 0).as("paths_agree"),
+        col("__n").as("n_results"))
+  }
+
   def queries: Map[String, Q] = Map(
     // --- deduplication ------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
@@ -51,23 +73,55 @@ object LlmQueries {
       Dedup.exactDedup(docs(s, dir)).select(col("doc_id")).orderBy(col("doc_id"))),
 
     "q_dedup_minhash" -> ((s, dir) => {
-      // Spark murmur3 isn't reproducible in DuckDB → rows-only check; the
-      // planted near-dups guarantee non-empty candidates at est_jaccard ≥ 0.5.
-      // Signatures are materialized once (localCheckpoint) — the self-join
-      // would otherwise compute them once per side (PLANS.md finding 2).
+      // Planted-recall certificate for the murmur3 MinHash+LSH scale path
+      // (VERDICT r6 item 4: close the rows-only gap). Spark murmur3 isn't
+      // reproducible in DuckDB, so instead of dumping candidate pairs the
+      // query reduces them against the planted ground truth (every doc has
+      // a near-dup at id+1e6) to claims the oracle states exactly:
+      // ≥95% of planted pairs recovered at est_jaccard ≥ 0.5 (measured
+      // 100% at sf0.01, 99.96% at sf0.1), pairs well-formed (id_a < id_b,
+      // at least one candidate per planted pair overall). n_planted anchors
+      // the corpus size. Signatures checkpointed once (PLANS.md finding 2);
+      // candidates checkpointed once — recall and shape both read them.
       val sigs = Dedup.minhashSignatures(aug(s, dir)).localCheckpoint()
-      Dedup.minhashCandidatesFromSigs(sigs)
-        .filter(col("est_jaccard") >= 0.5)
-        .orderBy(col("id_a"), col("id_b"))
+      val cand = Dedup.minhashCandidatesFromSigs(sigs)
+        .filter(col("est_jaccard") >= 0.5).localCheckpoint()
+      val planted = docs(s, dir)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+      val rec = cand.join(planted, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("__rec"))
+      val shape = cand.agg(count(lit(1)).as("__n"),
+        coalesce(sum(when(col("id_a") < col("id_b"), 0).otherwise(1)), lit(0L)).as("__bad"))
+      docs(s, dir).agg(count(lit(1)).as("n_planted"))
+        .crossJoin(rec).crossJoin(shape)
+        .select(
+          (col("__rec") >= col("n_planted") * 0.95).as("recall_ok"),
+          (col("__bad") === 0 && col("__n") >= col("n_planted")).as("pairs_wellformed"),
+          col("n_planted"))
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
-      // Same checkpoint pattern as q_dedup_minhash: without it the band
-      // self-join evaluates the 64-vote signature aggregation once per side
-      // (VERDICT r3 item 2 — 18.8 s driver bench, slowest in the registry).
+      // Planted-recall certificate for the xxhash64 SimHash scale path —
+      // same contract as q_dedup_minhash. SimHash on short docs is noisier
+      // (the 3-word mutation flips more bits): measured recall at
+      // maxHamming 12 is 84% (sf0.01) / 82.5% (sf0.1); the certificate
+      // bound is ≥75%. Signature aggregation checkpointed once (VERDICT r3
+      // item 2 — the band self-join would otherwise run it per side).
       val sigs = Dedup.simhashSignatures(aug(s, dir)).localCheckpoint()
-      Dedup.simhashCandidatesFromSigs(sigs, maxHamming = 12)
-        .orderBy(col("id_a"), col("id_b"))
+      val cand = Dedup.simhashCandidatesFromSigs(sigs, maxHamming = 12)
+        .localCheckpoint()
+      val planted = docs(s, dir)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+      val rec = cand.join(planted, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("__rec"))
+      val shape = cand.agg(count(lit(1)).as("__n"),
+        coalesce(sum(when(col("id_a") < col("id_b"), 0).otherwise(1)), lit(0L)).as("__bad"))
+      docs(s, dir).agg(count(lit(1)).as("n_planted"))
+        .crossJoin(rec).crossJoin(shape)
+        .select(
+          (col("__rec") >= col("n_planted") * 0.75).as("recall_ok"),
+          (col("__bad") === 0 && col("__n") >= col("n_planted")).as("pairs_wellformed"),
+          col("n_planted"))
     }),
 
     "q_dedup_minhash_poly" -> ((s, dir) => {
@@ -121,9 +175,20 @@ object LlmQueries {
       Similarity.bruteForceTopK(emb(s, dir), e1, k = 10)),
 
     "q_sim_ann" -> ((s, dir) => {
-      // LSH planes are a seeded driver-side construct → rows-only check.
+      // Machinery-agreement certificate (VERDICT r6 item 4): the
+      // single-query ANN (global orderBy.limit ranking) and the batched
+      // multi-query ANN (broadcast Hamming-ball join + bounded map-side
+      // TopKByScoreAgg) must return the SAME ranked (id, cosine) list for
+      // the same query — two independent top-k mechanisms agreeing on the
+      // pruned search. The LSH planes are a seeded driver construct DuckDB
+      // can't reproduce; agreement + the exact result count are
+      // oracle-stateable constants. The bucketed frame is checkpointed once
+      // (the stored-column deployment shape) and feeds both paths.
       val planes = Similarity.hyperplanes(numPlanes = 12, dim = 64)
-      Similarity.annTopK(emb(s, dir), e1, planes, k = 10, probeHamming = 5)
+      val be = Similarity.withLshBucket(emb(s, dir), planes).localCheckpoint()
+      pathAgreement(
+        Similarity.annTopKBucketed(be, e1, planes, k = 10, probeHamming = 5),
+        Similarity.annTopKMultiBucketed(be, Seq((0L, e1)), planes, k = 10, probeHamming = 5))
     }),
 
     "q_sim_pairs_exact" -> ((s, dir) => {
@@ -143,12 +208,16 @@ object LlmQueries {
     }),
 
     "q_sim_ivf" -> ((s, dir) => {
-      // IVF coarse-quantizer ANN: deterministic k-means (seeded, sample by
-      // vec_id) → stored cell column → nprobe-cell pruned exact search.
-      // Driver-side training → rows-only check.
+      // Same machinery-agreement contract as q_sim_ann, for the IVF path:
+      // nprobe-cell pruned orderBy.limit vs the batched probe-cells
+      // broadcast join + bounded top-k aggregator, over the stored cell
+      // column (checkpointed once, feeding both paths).
       val e = emb(s, dir)
       val cents = Similarity.trainIvfCentroids(e, k = 8)
-      Similarity.ivfTopK(Similarity.withIvfCell(e, cents), e1, cents, k = 10, nprobe = 3)
+      val celled = Similarity.withIvfCell(e, cents).localCheckpoint()
+      pathAgreement(
+        Similarity.ivfTopK(celled, e1, cents, k = 10, nprobe = 3),
+        Similarity.ivfTopKMulti(celled, Seq((0L, e1)), cents, k = 10, nprobe = 3))
     }),
 
     "q_sim_ann_recall" -> ((s, dir) => {
@@ -199,14 +268,16 @@ object LlmQueries {
     }),
 
     "q_sim_pq" -> ((s, dir) => {
-      // Product-quantization ANN: driver-trained per-subspace codebooks →
-      // stored code column → ADC shortlist in the compressed domain →
-      // exact re-rank. Driver-side training → rows-only check (the recall
-      // certificate below is the hash-checked evidence).
+      // Same machinery-agreement contract for the PQ path: single-query
+      // ADC shortlist + exact re-rank (orderBy.limit twice) vs the batched
+      // compressed-domain scoring + bounded top-k aggregator + re-rank
+      // join, over the stored code column (checkpointed once).
       val e = emb(s, dir)
       val books = Similarity.trainPqCodebooks(e, m = 8, k = 16)
-      Similarity.pqTopKRefined(Similarity.withPqCode(e, books), e1, books,
-        k = 10, shortlist = 80)
+      val coded = Similarity.withPqCode(e, books).localCheckpoint()
+      pathAgreement(
+        Similarity.pqTopKRefined(coded, e1, books, k = 10, shortlist = 80),
+        Similarity.pqTopKMulti(coded, Seq((0L, e1)), books, k = 10, shortlist = 80))
     }),
 
     "q_sim_pq_recall" -> ((s, dir) => {
@@ -603,6 +674,25 @@ object LlmQueries {
         |SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
         |  aa / (sqrt(aa) * sqrt(aa)) AS cosine
         |FROM e ORDER BY id_a, id_b""".stripMargin,
+
+    // The five former rows-only entries, now certificates (VERDICT r6
+    // item 4): constant-or-corpus-derivable claims DuckDB can state.
+    "q_dedup_minhash" ->
+      """SELECT true AS recall_ok, true AS pairs_wellformed,
+        |  CAST(count(*) AS BIGINT) AS n_planted FROM documents""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """SELECT true AS recall_ok, true AS pairs_wellformed,
+        |  CAST(count(*) AS BIGINT) AS n_planted FROM documents""".stripMargin,
+
+    "q_sim_ann" ->
+      "SELECT true AS paths_agree, CAST(10 AS BIGINT) AS n_results",
+
+    "q_sim_ivf" ->
+      "SELECT true AS paths_agree, CAST(10 AS BIGINT) AS n_results",
+
+    "q_sim_pq" ->
+      "SELECT true AS paths_agree, CAST(10 AS BIGINT) AS n_results",
 
     "q_sim_ann_recall" ->
       "SELECT true AS recall_ok",

@@ -29,6 +29,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(again == out.view.mapValues(_.checksum).toMap)
   }
 
+  test("real image path: PNG round-trip, NN resample, channel means, corrupt bytes dropped") {
+    // hand-computed reference: decode must reproduce the generator's pixels
+    // exactly (PNG is lossless) and the 8x8 NN resample picks source pixel
+    // (x*w/8, y*h/8)
+    def expected(id: Long, w: Int, h: Int): (Double, Double, Double) = {
+      var r = 0L; var g = 0L; var b = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val sx = x * w / 8; val sy = y * h / 8
+        r += (id * 31 + sx * 7 + sy * 13) % 256
+        g += (id * 17 + sx * 3 + sy * 5) % 256
+        b += (id * 7 + sx * 11 + sy * 3) % 256
+      }
+      (r.toDouble / 64, g.toDouble / 64, b.toDouble / 64)
+    }
+    val df = Seq(
+      (7L, Multimodal.syntheticPng(7L, 19, 17)),
+      (8L, Multimodal.syntheticPng(8L, 16, 16)),
+      (9L, "not a png at all".getBytes("UTF-8")),
+      (10L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "payload")
+    val out = Multimodal.imageFeatureKernel(df, targetW = 8, targetH = 8)
+      .collect().map(f => f.id -> f).toMap
+    assert(out.keySet == Set(7L, 8L), "undecodable/null payloads must be dropped")
+    assert(out(7L).width == 19 && out(7L).height == 17)
+    val (er, eg, eb) = expected(7L, 19, 17)
+    assert(out(7L).r_mean == er && out(7L).g_mean == eg && out(7L).b_mean == eb)
+    val (er8, eg8, eb8) = expected(8L, 16, 16)
+    assert(out(8L).r_mean == er8 && out(8L).g_mean == eg8 && out(8L).b_mean == eb8)
+  }
+
   test("resize kernel: fixed output dims regardless of input size") {
     val df = Seq((1L, payload(1000)), (2L, payload(7)), (3L, payload(0)))
       .toDF("id", "payload")

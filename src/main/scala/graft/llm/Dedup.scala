@@ -126,6 +126,58 @@ object Dedup {
       .distinct()
   }
 
+  /** Skew-hardened [[minhashCandidatesFromSigs]]: SAME candidate set, with
+    * every band bucket split into `chunks²` join groups so one degenerate
+    * band key (a boilerplate gram shared by most docs — the adversarial
+    * case PLANS.md previously left to AQE) cannot funnel its K² candidate
+    * pairs through one task.
+    *
+    * Mechanics (fragment-replicate self-join): each doc gets a hash chunk
+    * `c ∈ [0, chunks)`; the left side replicates each banded row over
+    * `(c, t)` for every t, the right side over `(t, c)` — the join then
+    * matches a pair exactly once on `(band, key, c_left, c_right)`, and a
+    * bucket of K rows decomposes into chunks² groups of (K/chunks)² work.
+    * Replication happens on SLIM rows (id, band, key — the 64-slot
+    * signatures are NOT replicated; the estimator re-joins them per side
+    * after the distinct), so the shuffle cost is chunks × 24 B/row.
+    * Total work is unchanged — this bounds the MAXIMUM task, which is what
+    * decides wall-clock on a 1000-executor cluster. AQE's skew-join split
+    * also mitigates this case dynamically; the salted form guarantees the
+    * bound statically and composes with AQE disabled.
+    */
+  def minhashCandidatesFromSigsSalted(
+      sigs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      chunks: Int = 8): DataFrame = {
+    require(chunks > 0, "chunks must be positive")
+    val rowsPerBand = numHashes / bands
+    val banded = sigs.select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("__c", pmod(hash(col("id")), lit(chunks)))
+    val rep = sequence(lit(0), lit(chunks - 1))
+    val a = banded.withColumn("__t", explode(rep))
+      .select(col("id").as("id_a"), col("band"), col("key"),
+        col("__c").as("__ca"), col("__t").as("__ta"))
+    val b = banded.withColumn("__t", explode(rep))
+      .select(col("id").as("id_b"), col("band").as("__bandb"), col("key").as("__keyb"),
+        col("__t").as("__tb"), col("__c").as("__cb"))
+    val cand = a.join(b,
+        col("band") === col("__bandb") && col("key") === col("__keyb") &&
+        col("__ca") === col("__tb") && col("__ta") === col("__cb") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val s = sigs.select(col("id"), col("sig"))
+    cand
+      .join(s.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), e => e))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+  }
+
   /** Oracle-checkable MinHash variant: hash family
     * `h_i(g) = ((2i+1)·fp(g) + 31i+7) mod 1e9+7` over the
     * [[TextAnalysis.fingerprint]] polynomial gram hash — every step is plain

@@ -91,6 +91,34 @@ class DedupSpec extends SparkTestBase {
     assert(comps.keySet == (10L to 20L).toSet)
   }
 
+  test("salted banding: identical candidates on an adversarial hot bucket, bounded task skew") {
+    // Adversarial corpus (VERDICT r6 item 5): 60 of 75 docs share ONE
+    // signature, so every band bucket holds >50% of the corpus — the
+    // degenerate-gram case that funnels K^2 pairs through one task in the
+    // plain band self-join.
+    val hot = (0 until 64).map(_ * 7)
+    val sigs = ((0L until 60L).map(i => (i, hot)) ++
+      (60L until 75L).map(i => (i, (0 until 64).map(j => (i * 997 + j * 31).toInt))))
+      .toDF("id", "sig")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val base = canon(Dedup.minhashCandidatesFromSigs(sigs))
+    val salted = canon(Dedup.minhashCandidatesFromSigsSalted(sigs, chunks = 4))
+    assert(salted == base, "salted banding must produce the identical candidate set")
+    assert(base.count { case (a, b, est) => a < 60 && b < 60 && est == 1.0 } == 60 * 59 / 2)
+    // Bounded skew: the hot bucket's 60 rows split across 4 hash chunks;
+    // each join group pairs one chunk against one chunk, so the largest
+    // group is maxChunk^2 pairs versus the unsalted 60^2 — assert the
+    // chunk assignment the operator uses actually bounds it.
+    val chunkSizes = sigs.filter($"id" < 60)
+      .select(pmod(hash($"id"), lit(4)).as("c"))
+      .groupBy($"c").count().as[(Int, Long)].collect().map(_._2)
+    assert(chunkSizes.length == 4, "hot docs must spread over all 4 chunks")
+    val maxChunk = chunkSizes.max
+    assert(maxChunk * maxChunk <= 30L * 60L,
+      s"largest salted join group ($maxChunk^2) must be well under the unsalted 60^2")
+  }
+
   test("poly minhash signatures match an independent Scala computation") {
     val p = 1000000007L
     def fp(s: String): Long =

@@ -1,0 +1,110 @@
+package graft.queries
+
+import java.io.FileOutputStream
+import org.apache.spark.sql.functions._
+import graft.sources.sdfits.SdfitsFormat
+import graft.sources.sdfits.SdfitsFormat.ColSpec
+import QueryUtil._
+
+/** Driver-contract queries for the real SDFITS connector (S1 as the
+  * reference actually does it — `fits.open` → BINTABLE, validate.py:18-23):
+  * a deterministic observation derived from lineitem is written as an
+  * actual two-HDU FITS file, read back through
+  * `spark.read.format("sdfits")`, and aggregated — so the byte-level
+  * encode → verify → decode → Spark scan chain is inside the hash check,
+  * not just the Parquet model of it.
+  */
+object SdfitsQueries {
+
+  private val cols = Seq(
+    ColSpec("ROWKEY", 1, 'K'),
+    ColSpec("DATA", 4, 'D'),
+    ColSpec("IFNUM", 1, 'J'),
+    ColSpec("CALSTATE", 1, 'J'))
+
+  /** Write the lineitem-derived observation (every 20th order key) as a
+    * FITS file under staging; idempotent per (sf dir, source fingerprint)
+    * via the same marker discipline as the bucketed tables. Returns the
+    * file path.
+    */
+  private def ensureObservation(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val out = new java.io.File(stagingDir() + s"/sdfits/obs_$tag.fits")
+    val marker = new java.io.File(out.getPath + ".src")
+    val fp = sourceSignature(dir, "lineitem")
+    val current = out.isFile && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
+    if (!current) {
+      out.getParentFile.mkdirs()
+      // Deterministic order (unique 4-key) — FITS row order is semantically
+      // meaningful (SURVEY §1.1), so the writer pins it.
+      val rows = li(s, dir).filter(col("l_orderkey") % 20 === 0)
+        .select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("rowkey"),
+          data4.as("data"),
+          (col("l_orderkey") % 3).cast("int").as("ifnum"),
+          (col("l_linenumber") % 2).cast("int").as("calstate"))
+        .orderBy(col("rowkey"))
+        .collect()
+      val os = new FileOutputStream(out)
+      try SdfitsFormat.write(os,
+        headerValues = Seq("OBSFREQ" -> "1400.0", "OBSBW" -> "80.0"),
+        stringHeaderValues = Seq("DATE" -> "2024-01-01T00:00:00", "OBSMODE" -> "onoff"),
+        history = Seq("DATAMODE HIRES / data resolution mode",
+          "START,STOP channels  0_3", "HIRES bands  1355, 1435"),
+        cols = cols,
+        rows = rows.iterator.map(r => Seq[Any](
+          r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2), r.getInt(3))),
+        nRows = rows.length)
+      finally os.close()
+      java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+    }
+    out.getAbsolutePath
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_sdfits_read" -> ((s, dir) => {
+      // FITS round trip under the hash check: per-IF row counts + the
+      // integer-valued quantity channel summed (exact at any aggregation
+      // order). The DATA vector survives encode/decode bit-for-bit (IEEE
+      // doubles, big-endian) so sum_q matches lineitem exactly.
+      val path = ensureObservation(s, dir)
+      s.read.format("sdfits").load(path)
+        .groupBy(col("IFNUM").as("ifnum"))
+        .agg(count(lit(1)).as("n"), sum(element_at(col("DATA"), 1)).as("sum_q"))
+        .orderBy(col("ifnum"))
+    }),
+
+    "q_sdfits_verify" -> ((s, dir) => {
+      // S2/S4 through the real connector: the END-stripped corruption
+      // analog (ref file_corruption.py:15-34) must be rejected by the
+      // structural verification, while the intact file still reads.
+      import s.implicits._
+      val path = ensureObservation(s, dir)
+      val bytes = java.nio.file.Files.readAllBytes(new java.io.File(path).toPath)
+      val bad = new java.io.File(stagingDir() + "/sdfits/obs_corrupted.fits")
+      java.nio.file.Files.write(bad.toPath, SdfitsFormat.corruptStripEnd(bytes))
+      val rejected =
+        try { s.read.format("sdfits").load(bad.getPath).count(); false }
+        catch { case e: Throwable =>
+          Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+            .takeWhile(_ != null).take(10)
+            .exists(_.isInstanceOf[SdfitsFormat.SdfitsVerificationException])
+        }
+      val validRows = s.read.format("sdfits").load(path).count()
+      Seq((rejected, validRows)).toDF("rejected", "valid_rows")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_sdfits_read" ->
+      """SELECT l_orderkey % 3 AS ifnum, CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS sum_q
+        |FROM lineitem WHERE l_orderkey % 20 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sdfits_verify" ->
+      """SELECT true AS rejected, CAST(count(*) AS BIGINT) AS valid_rows
+        |FROM lineitem WHERE l_orderkey % 20 = 0""".stripMargin
+  )
+}

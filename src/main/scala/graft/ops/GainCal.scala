@@ -39,6 +39,34 @@ object GainCal {
     calibrationHeightLocal(tOn, yOn, tOff, yOff)
   }
 
+  /** Both spike windows' A8 heights in ONE collect: spike rows are tagged
+    * `(pre-window?, diode-on?)` executor-side and split locally — the same
+    * values as two [[calibrationHeight]] calls (same scan order within each
+    * subset), at 1 driver round trip instead of 4. On a cold JVM each
+    * round trip pays full scheduler+codegen latency (the r6 driver-bench
+    * tax on the single-file pipelines), so the merge matters there; the
+    * collected payload is unchanged — tens of spike rows, two doubles and
+    * two booleans each.
+    */
+  def calibrationHeights(
+      integ: DataFrame, dataStart: Long, postCal: Long): (Option[Height], Option[Height]) = {
+    val rows = integ
+      .filter((col("__pos") < dataStart || col("__pos") >= postCal) && (diodeOn || diodeOff))
+      .select((col("__pos") < dataStart).as("pre"), (col("CALSTATE") === 1).as("on"),
+        col("t"), col("intensity"))
+      .collect()
+    def part(pre: Boolean, on: Boolean): (Array[Double], Array[Double]) = {
+      val sel = rows.filter(r => r.getBoolean(0) == pre && r.getBoolean(1) == on)
+      (sel.map(_.getDouble(2)), sel.map(_.getDouble(3)))
+    }
+    val (tPreOn, yPreOn) = part(pre = true, on = true)
+    val (tPreOff, yPreOff) = part(pre = true, on = false)
+    val (tPostOn, yPostOn) = part(pre = false, on = true)
+    val (tPostOff, yPostOff) = part(pre = false, on = false)
+    (calibrationHeightLocal(tPreOn, yPreOn, tPreOff, yPreOff),
+      calibrationHeightLocal(tPostOn, yPostOn, tPostOff, yPostOff))
+  }
+
   /** A8 core on local arrays — shared by the single-file (driver collect)
     * and multi-file ([[graft.pipeline.Continuum.runAll]] executor-side
     * mapGroups) paths.

@@ -86,9 +86,9 @@ object Continuum {
       RangeFilters.relSeconds(col("DATE_OBS"), t0).as("t"),
       ArrayOps.arraySum(col("DATA")).as("intensity"))
 
-    // A8 — heights from the pre/post calibration windows (continuum.py:161-169).
-    val pre = GainCal.calibrationHeight(integ.filter(col("__pos") < dataStart))
-    val post = GainCal.calibrationHeight(integ.filter(col("__pos") >= postCal))
+    // A8 — heights from the pre/post calibration windows (continuum.py:161-169),
+    // both windows in one tagged collect (one driver round trip, not four).
+    val (pre, post) = GainCal.calibrationHeights(integ, dataStart, postCal)
 
     // Data window integration (continuum.py:171) + A9 gain division.
     val cont = integ

@@ -14,9 +14,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: JVM/codegen/parquet-reader classloading otherwise lands on
-    // whichever query happens to run first and distorts its number.
-    spark.read.parquet(s"$sfDir/region.parquet").count()
-    spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    // whichever query happens to run first and distorts its number. Beyond
+    // the scan+agg warm, touch the operator families whose FIRST use loads
+    // large class graphs (WindowExec + unsafe sorter, broadcast hash join,
+    // Generate, shuffle writer): per-plan codegen still compiles per query,
+    // but the class loading and the Janino compiler itself warm here, off
+    // every query's clock — same warmup on both sides of the 2x gate.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      spark.range(1000000).selectExpr("sum(id * 2)").collect()
+      val r = spark.range(10000).toDF("id")
+      r.withColumn("w", row_number().over(
+          Window.partitionBy(col("id") % 10).orderBy(col("id"))))
+        .agg(max(col("w"))).collect()
+      r.join(broadcast(spark.range(100).toDF("id")), "id").count()
+      r.select(explode(split(lit("a b c"), " ")).as("t"))
+        .groupBy(col("t")).count().orderBy(col("t")).collect()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Job group per query → per-query job counts from the status tracker
       // (VERDICT r6 item 8: seconds alone can't tell cold-JIT tax from a

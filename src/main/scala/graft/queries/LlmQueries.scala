@@ -400,6 +400,24 @@ object LlmQueries {
         .select(col("id"), col("frameIdx"), col("frameLen"))
         .orderBy(col("id"), col("frameIdx"))),
 
+    "q_pack" -> ((s, dir) =>
+      // Sequence packing (concat-and-chunk): deterministic Knuth-mix
+      // shuffle into 4 shards, 512-token chunks; placement (shard, chunk,
+      // offset, spans_boundary) per doc. Pure modular arithmetic + one
+      // running-sum window → bit-exact in the DuckDB oracle.
+      graft.llm.Packing.pack(docs(s, dir), "doc_id",
+          graft.llm.TextAnalysis.tokenCount(col("text")), budget = 512L, shards = 4)
+        .orderBy(col("doc_id"))),
+
+    "q_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: drop corpus docs sharing any 8-token
+      // gram with the benchmark slice (doc_id % 37). Fingerprint join —
+      // the oracle reproduces the polynomial gram hash exactly.
+      val benchmark = docs(s, dir).filter(col("doc_id") % 37 === 0)
+      graft.llm.Decontamination.decontaminate(docs(s, dir), benchmark)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // --- streaming-shaped events aggregation (batch replica of the
     //     Structured Streaming windowed plan in streaming/StreamingCal) ------
     "q_events_window" -> ((s, dir) =>
@@ -636,6 +654,39 @@ object LlmQueries {
         |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 131 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT doc_id, n_tokens,
+        |    (doc_id * 2654435761) % 4294967296 AS mix FROM d),
+        |p AS (SELECT doc_id, n_tokens, CAST(mix % 4 AS INT) AS shard,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY mix % 4 ORDER BY mix, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM m)
+        |SELECT doc_id, n_tokens, shard,
+        |  pre // 512 AS chunk, pre % 512 AS "offset",
+        |  (pre % 512) + n_tokens > 512 AS spans_boundary
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |grams AS (SELECT doc_id,
+        |    CASE WHEN len(w) >= 8
+        |      THEN list_transform(range(1, len(w) - 6), i -> array_to_string(list_slice(w, i, i + 7), ' '))
+        |      ELSE [] END AS gs
+        |  FROM toks),
+        |fp AS (SELECT doc_id, unnest(list_transform(gs, g ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(g) + 1), j -> CAST(ascii(g[j]) AS BIGINT))),
+        |        (acc, c) -> (acc * 131 + c) % 1000000007))) AS f
+        |  FROM grams),
+        |bench AS (SELECT DISTINCT f FROM fp WHERE doc_id % 37 = 0),
+        |bad AS (SELECT DISTINCT doc_id FROM fp WHERE f IN (SELECT f FROM bench))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Sequence packing (concat-and-chunk) and benchmark decontamination. */
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pack: chunk/offset/spans follow the concatenated stream in mix order") {
+    // one shard → a single stream whose order is the Knuth-mix order
+    val docs = Seq((0L, 10L), (1L, 500L), (2L, 20L), (3L, 600L), (4L, 5L))
+      .toDF("doc_id", "n")
+    val out = Packing.pack(docs, "doc_id", col("n"), budget = 512L, shards = 1)
+      .select($"doc_id", $"n_tokens", $"shard", $"chunk", $"offset", $"spans_boundary")
+      .as[(Long, Long, Int, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // independent reference: sort by mix, accumulate
+    def mix(id: Long) = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+    val order = Seq(0L, 1L, 2L, 3L, 4L).sortBy(id => (mix(id), id))
+    val sizes = Map(0L -> 10L, 1L -> 500L, 2L -> 20L, 3L -> 600L, 4L -> 5L)
+    var pre = 0L
+    order.foreach { id =>
+      val (_, n, shard, chunk, off, spans) = out(id)
+      assert(n == sizes(id) && shard == 0)
+      assert(chunk == pre / 512, s"doc $id chunk")
+      assert(off == pre % 512, s"doc $id offset")
+      assert(spans == (pre % 512 + n > 512), s"doc $id spans")
+      pre += n
+    }
+    // a 600-token doc must span a boundary wherever it starts mid-chunk;
+    // sanity: at least one doc spans in this fixture
+    assert(out.values.exists(_._6))
+  }
+
+  test("pack: shards are independent streams, each starting at chunk 0 offset 0") {
+    val docs = (0L until 40L).map(i => (i, 100L)).toDF("doc_id", "n")
+    val out = Packing.pack(docs, "doc_id", col("n"), budget = 256L, shards = 4)
+    val firsts = out.groupBy($"shard")
+      .agg(min(struct($"chunk", $"offset")).as("first"))
+      .select($"first.chunk", $"first.offset").as[(Long, Long)].collect()
+    assert(firsts.length == 4 && firsts.forall(_ == (0L, 0L)))
+    // per-shard token totals agree with chunkStats
+    val stats = Packing.chunkStats(out)
+    val byShard = stats.groupBy($"shard").agg(sum($"n_tokens")).as[(Int, Long)].collect().toMap
+    val direct = out.groupBy($"shard").agg(sum($"n_tokens")).as[(Int, Long)].collect().toMap
+    assert(byShard == direct)
+  }
+
+  test("decontamination: shared 8-gram marks a doc; short and clean docs survive") {
+    val gram = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
+    val corpus = Seq(
+      (1L, s"prefix words here $gram suffix tail words"), // shares the gram
+      (2L, "completely unrelated content with many different words in this document body"),
+      (3L, "too short to gram"), // < 8 tokens → no grams → never contaminated
+      (9L, s"the benchmark sentence contains $gram and more")
+    ).toDF("doc_id", "text")
+    val benchmark = corpus.filter($"doc_id" === 9L)
+    val bad = Decontamination.contaminatedIds(corpus, benchmark)
+      .as[Long].collect().toSet
+    assert(bad == Set(1L, 9L), s"got $bad")
+    val kept = Decontamination.decontaminate(corpus, benchmark)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+}

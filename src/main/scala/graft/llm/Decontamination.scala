@@ -19,10 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
-  /** Distinct `(idCol, __fp)` gram fingerprints of a document frame. */
-  private def gramFps(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  /** `(idCol, __fp)` gram fingerprints of a document frame. */
+  private[llm] def gramFps(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__g"))
       .select(col(idCol), TextAnalysis.fingerprint(col("__g")).as("__fp"))
+
+  /** The distinct benchmark gram-fingerprint set — compute (or persist)
+    * ONCE per benchmark and reuse across batches/streams; it is the small
+    * static side of every contamination check.
+    */
+  def benchmarkFingerprints(
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): DataFrame =
+    gramFps(benchmark, idCol, textCol, n).select(col("__fp")).distinct()
 
   /** Ids of corpus documents sharing ≥1 word n-gram fingerprint with the
     * benchmark. Distinct ids, one row each.
@@ -32,12 +43,11 @@ object Decontamination {
       benchmark: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      n: Int = 8): DataFrame = {
-    val bench = gramFps(benchmark, idCol, textCol, n).select(col("__fp")).distinct()
+      n: Int = 8): DataFrame =
     gramFps(corpus, idCol, textCol, n)
-      .join(broadcast(bench), Seq("__fp"), "left_semi")
+      .join(broadcast(benchmarkFingerprints(benchmark, idCol, textCol, n)),
+        Seq("__fp"), "left_semi")
       .select(col(idCol)).distinct()
-  }
 
   /** The corpus with contaminated documents removed. NO broadcast hint on
     * the anti-join: the contaminated id set is bounded by CORPUS size (in

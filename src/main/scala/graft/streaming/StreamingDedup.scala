@@ -57,6 +57,37 @@ object StreamingDedup {
     * — the join is a broadcast or shuffled equi-join on the band key, never
     * a scan of document bodies.
     */
+  /** Ingestion-time benchmark-contamination gate: flag stream documents
+    * sharing any word n-gram fingerprint with a STATIC benchmark
+    * fingerprint set ([[graft.llm.Decontamination.benchmarkFingerprints]],
+    * computed once). Stateless stream-static broadcast semi-join at gram
+    * granularity — a document colliding on several grams emits one row per
+    * colliding gram (consumers treat the output as a set, same discipline
+    * as [[nearDupAgainstCorpus]]), or pass `tsCol` for watermark-bounded
+    * `dropDuplicatesWithinWatermark` collapsing. The CLEAN side of the
+    * gate is the caller's per-microbatch anti-join (foreachBatch with
+    * [[graft.llm.Decontamination.decontaminate]]) — a per-doc "no gram
+    * matched" aggregation would need unbounded state in-stream.
+    */
+  def contaminatedAgainstBenchmark(
+      stream: DataFrame,
+      benchFps: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      tsCol: Option[String] = None,
+      watermark: String = "10 minutes"): DataFrame = {
+    val withMark = tsCol.fold(stream)(c => stream.withWatermark(c, watermark))
+    val grams = withMark
+      .select(col(idCol).as("stream_id") +: tsCol.toSeq.map(col) :+
+        explode(graft.llm.TextAnalysis.wordNgrams(col(textCol), n)).as("__g"): _*)
+      .withColumn("__fp", graft.llm.TextAnalysis.fingerprint(col("__g")))
+      .drop("__g")
+    val matched = grams.join(broadcast(benchFps), Seq("__fp"), "left_semi")
+      .select(col("stream_id") +: tsCol.toSeq.map(col): _*)
+    tsCol.fold(matched)(_ => matched.dropDuplicatesWithinWatermark("stream_id"))
+  }
+
   def nearDupAgainstCorpus(
       stream: DataFrame,
       corpusSigs: DataFrame,

@@ -101,4 +101,68 @@ class PropertiesSpec extends SparkTestBase {
       assert(got == expected)
     }
   }
+
+  test("packing invariants for random corpora: offsets bounded, streams contiguous") {
+    import org.apache.spark.sql.functions.col
+    val corpusGen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, Gen.choose(1L, 700L))
+    } yield rows.zipWithIndex.map { case (tok, i) => (i.toLong, tok) }
+    forAllSampled(Gen.zip(corpusGen, Gen.choose(1, 4)), n = 8) { case (rows, shards) =>
+      val df = rows.toDF("doc_id", "n")
+      val out = graft.llm.Packing.pack(df, "doc_id", col("n"), budget = 512L, shards = shards)
+        .as[(Long, Long, Int, Long, Long, Boolean)].collect()
+      assert(out.length == rows.length)
+      out.foreach { case (_, n, shard, chunk, off, spans) =>
+        assert(shard >= 0 && shard < shards)
+        assert(off >= 0 && off < 512, "a doc starts strictly inside its chunk")
+        assert(chunk >= 0)
+        assert(spans == (off + n > 512))
+      }
+      // per shard: placements are exactly the running concatenation — the
+      // sorted (chunk*512+offset) positions advance by each doc's tokens
+      out.groupBy(_._3).foreach { case (_, docs) =>
+        val byPos = docs.sortBy(d => d._4 * 512 + d._5)
+        var pre = 0L
+        byPos.foreach { case (_, n, _, chunk, off, _) =>
+          assert(chunk * 512 + off == pre, "stream must be gap-free")
+          pre += n
+        }
+      }
+    }
+  }
+
+  test("sdfits codec: random tables round-trip bit-exactly through write→open→decode") {
+    import graft.sources.sdfits.SdfitsFormat
+    import graft.sources.sdfits.SdfitsFormat.ColSpec
+    val rowGen = for {
+      d <- Gen.choose(-1e12, 1e12)
+      l <- Gen.choose(Long.MinValue / 4, Long.MaxValue / 4)
+      i <- Gen.choose(Int.MinValue / 2, Int.MaxValue / 2)
+      s <- Gen.listOfN(6, Gen.choose(33.toChar, 126.toChar)).map(_.mkString) // no spaces: trailing blanks are insignificant in FITS
+      v <- Gen.listOfN(3, Gen.choose(-1e6, 1e6))
+    } yield Seq[Any](d, l, i, s, v.toArray)
+    val cols = Seq(ColSpec("D1", 1, 'D'), ColSpec("K1", 1, 'K'),
+      ColSpec("J1", 1, 'J'), ColSpec("S1", 8, 'A'), ColSpec("V1", 3, 'D'))
+    forAllSampled(Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, rowGen)), n = 8) { rows =>
+      val bos = new java.io.ByteArrayOutputStream()
+      SdfitsFormat.write(bos, Seq("OBSFREQ" -> "1.0"),
+        Seq("DATE" -> "2024-01-01T00:00:00", "OBSMODE" -> "x"),
+        Nil, cols, rows.iterator, rows.length)
+      val bytes = bos.toByteArray
+      assert(bytes.length % SdfitsFormat.BLOCK == 0)
+      val (_, table) = SdfitsFormat.open(bytes)
+      assert(table.nRows == rows.length)
+      val offs = table.cols.scanLeft(0)(_ + _.bytes)
+      rows.zipWithIndex.foreach { case (expected, r) =>
+        table.cols.zipWithIndex.foreach { case (c, ci) =>
+          val got = SdfitsFormat.decodeCell(bytes, table, r, c, offs(ci))
+          (got, expected(ci)) match {
+            case (g: Array[Double], e: Array[Double]) => assert(g.sameElements(e))
+            case (g, e) => assert(g == e, s"row $r col ${c.name}")
+          }
+        }
+      }
+    }
+  }
 }

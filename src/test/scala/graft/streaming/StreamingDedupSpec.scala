@@ -57,6 +57,43 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream contamination gate flags benchmark-gram collisions, set semantics + watermarked collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val gram = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val benchmark = Seq((9L, s"benchmark material includes $gram verbatim"))
+      .toDF("doc_id", "text")
+    val benchFps = graft.llm.Decontamination.benchmarkFingerprints(benchmark)
+
+    // stateless default: any colliding gram flags the doc (≥1 row per doc)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.contaminatedAgainstBenchmark(
+        input.toDS().toDF("doc_id", "text"), benchFps)
+      .writeStream.format("memory").queryName("scontam").outputMode("append").start()
+    try {
+      input.addData(
+        (100L, s"training text that leaks $gram straight from the benchmark"),
+        (200L, "entirely clean text with no overlap to the benchmark material at all"))
+      q.processAllAvailable()
+      val flagged = spark.table("scontam").select($"stream_id").as[Long].collect().toSet
+      assert(flagged == Set(100L))
+    } finally q.stop()
+
+    // watermarked variant: exactly one row per contaminated doc
+    val input2 = MemoryStream[(Long, Timestamp, String)]
+    val q2 = StreamingDedup.contaminatedAgainstBenchmark(
+        input2.toDS().toDF("doc_id", "ts", "text"), benchFps,
+        tsCol = Some("ts"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("scontam_wm").outputMode("append").start()
+    try {
+      // the leaked doc repeats the gram twice → multiple gram collisions
+      input2.addData(
+        (100L, ts("01"), s"leak one $gram and again $gram end"))
+      q2.processAllAvailable()
+      val rows = spark.table("scontam_wm").select($"stream_id").as[Long].collect().toSeq
+      assert(rows == Seq(100L), s"expected one collapsed row, got $rows")
+    } finally q2.stop()
+  }
+
   test("stream near-dup gate with tsCol collapses band collisions via watermarked state") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(

@@ -49,7 +49,7 @@ object Packing {
         col(idCol),
         col("n_tokens"),
         col("__shard").as("shard"),
-        (col("__pre") / budget).cast("long").as("chunk"),
+        expr(s"__pre DIV ${budget}L").as("chunk"),
         (col("__pre") % budget).as("offset"),
         ((col("__pre") % budget) + col("n_tokens") > budget).as("spans_boundary"))
   }

@@ -666,7 +666,7 @@ object LlmQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
         |  FROM m)
         |SELECT doc_id, n_tokens, shard,
-        |  pre // 512 AS chunk, pre % 512 AS "offset",
+        |  CAST(pre // 512 AS BIGINT) AS chunk, CAST(pre % 512 AS BIGINT) AS "offset",
         |  (pre % 512) + n_tokens > 512 AS spans_boundary
         |FROM p ORDER BY doc_id""".stripMargin,
 

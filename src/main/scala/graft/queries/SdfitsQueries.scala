@@ -2,7 +2,7 @@ package graft.queries
 
 import java.io.FileOutputStream
 import org.apache.spark.sql.functions._
-import graft.sources.sdfits.SdfitsFormat
+import graft.sources.sdfits.{SdfitsFormat, SdfitsWriter}
 import graft.sources.sdfits.SdfitsFormat.ColSpec
 import QueryUtil._
 
@@ -93,6 +93,37 @@ object SdfitsQueries {
         }
       val validRows = s.read.format("sdfits").load(path).count()
       Seq((rejected, validRows)).toDF("rejected", "valid_rows")
+    }),
+
+    "q_sdfits_roundtrip" -> ((s, dir) => {
+      // The WRITE half under the hash check (ref utils.py:216-237): encode
+      // the observation with the distributed writer — executor-side, staged
+      // {base}_{process}{ext} naming — re-read it through the connector,
+      // and return EVERY row, so the whole byte path (schema-derived specs
+      // → big-endian encode → structural verify → decode → Spark scan) is
+      // hashed against lineitem. Written fresh each run: the writer is the
+      // thing being certified.
+      val frame = li(s, dir).filter(col("l_orderkey") % 20 === 0)
+        .select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("rowkey"),
+          data4.as("data"),
+          (col("l_orderkey") % 3).cast("int").as("ifnum"),
+          (col("l_linenumber") % 2).cast("int").as("calstate"))
+      val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+      new java.io.File(stagingDir() + "/sdfits").mkdirs()
+      val out = SdfitsWriter.writeStaged(frame, Seq("rowkey"),
+        stagingDir() + s"/sdfits/rt_$tag.fits", "calibrated",
+        SdfitsWriter.Header(
+          values = Seq("OBSFREQ" -> "1400.0", "OBSBW" -> "80.0"),
+          stringValues = Seq("DATE" -> "2024-01-01T00:00:00", "OBSMODE" -> "onoff")))
+      s.read.format("sdfits").load(out)
+        .select(col("rowkey"),
+          element_at(col("data"), 1).as("d1"),
+          element_at(col("data"), 2).as("d2"),
+          element_at(col("data"), 3).as("d3"),
+          element_at(col("data"), 4).as("d4"),
+          col("ifnum"), col("calstate"))
+        .orderBy(col("rowkey"))
     })
   )
 
@@ -105,6 +136,14 @@ object SdfitsQueries {
 
     "q_sdfits_verify" ->
       """SELECT true AS rejected, CAST(count(*) AS BIGINT) AS valid_rows
-        |FROM lineitem WHERE l_orderkey % 20 = 0""".stripMargin
+        |FROM lineitem WHERE l_orderkey % 20 = 0""".stripMargin,
+
+    "q_sdfits_roundtrip" ->
+      """SELECT l_orderkey * 8 + l_linenumber AS rowkey,
+        |  l_quantity AS d1, l_extendedprice AS d2, l_discount AS d3, l_tax AS d4,
+        |  CAST(l_orderkey % 3 AS INT) AS ifnum,
+        |  CAST(l_linenumber % 2 AS INT) AS calstate
+        |FROM lineitem WHERE l_orderkey % 20 = 0
+        |ORDER BY rowkey""".stripMargin
   )
 }

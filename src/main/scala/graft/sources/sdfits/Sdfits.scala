@@ -15,7 +15,8 @@ object Sdfits {
     * ref utils.py:9-56, validate.py:45).
     */
   def readHeader(path: String): HeaderRecord.Header = {
-    val (primary, _) = SdfitsFormat.open(SdfitsTableProvider.readFully(path))
+    val (primary, _) = SdfitsFormat.open(
+      SdfitsTableProvider.readFully(path, SdfitsTableProvider.driverConf()))
     def need(k: String): String = primary.value(k).getOrElse(
       throw new SdfitsFormat.SdfitsVerificationException(s"primary header missing $k"))
     HeaderRecord.Header(

@@ -5,6 +5,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.SerializableWritable
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -40,9 +42,10 @@ class SdfitsTableProvider extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = SdfitsTableProvider.listFiles(SdfitsTableProvider.pathOf(options))
+    val conf = SdfitsTableProvider.driverConf()
+    val files = SdfitsTableProvider.listFiles(SdfitsTableProvider.pathOf(options), conf)
     require(files.nonEmpty, "sdfits: no input files")
-    val bytes = SdfitsTableProvider.readFully(files.head)
+    val bytes = SdfitsTableProvider.readFully(files.head, conf)
     val (_, table) = SdfitsFormat.open(bytes)
     SdfitsTableProvider.toStructType(table.cols)
   }
@@ -59,9 +62,17 @@ object SdfitsTableProvider {
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("sdfits: 'path' option is required"))
 
-  private[sdfits] def listFiles(path: String): Seq[String] = {
+  /** Session Hadoop configuration when a session is active (fs credentials,
+    * defaultFS, custom schemes — a bare `new Configuration()` would ignore
+    * them and break any configured filesystem), defaults otherwise.
+    */
+  private[sdfits] def driverConf(): Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private[sdfits] def listFiles(path: String, conf: Configuration): Seq[String] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
     if (st.isDirectory)
       fs.listStatus(p).toSeq
@@ -71,9 +82,9 @@ object SdfitsTableProvider {
     else Seq(p.toString)
   }
 
-  private[sdfits] def readFully(path: String): Array[Byte] = {
+  private[sdfits] def readFully(path: String, conf: Configuration): Array[Byte] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
     require(len <= Int.MaxValue, s"sdfits: $path larger than 2 GiB")
     val buf = new Array[Byte](len.toInt)
@@ -120,26 +131,32 @@ private[sdfits] case class SdfitsInputPartition(file: String) extends InputParti
 
 private[sdfits] class SdfitsScan(full: StructType, required: StructType, path: String)
     extends Scan with Batch {
+  // Resolved on the driver (session fs settings apply) and shipped to the
+  // reader tasks via the factory — executors must see the same filesystem
+  // configuration the planner listed files with.
+  private val conf = new SerializableWritable(SdfitsTableProvider.driverConf())
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    SdfitsTableProvider.listFiles(path).map(SdfitsInputPartition.apply).toArray
+    SdfitsTableProvider.listFiles(path, conf.value).map(SdfitsInputPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new SdfitsReaderFactory(full, required)
+    new SdfitsReaderFactory(full, required, conf)
 }
 
-private[sdfits] class SdfitsReaderFactory(full: StructType, required: StructType)
+private[sdfits] class SdfitsReaderFactory(
+    full: StructType, required: StructType,
+    conf: SerializableWritable[Configuration])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SdfitsPartitionReader(partition.asInstanceOf[SdfitsInputPartition].file,
-      full, required)
+      full, required, conf.value)
 }
 
 private[sdfits] class SdfitsPartitionReader(
-    file: String, full: StructType, required: StructType)
+    file: String, full: StructType, required: StructType, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val bytes = SdfitsTableProvider.readFully(file)
+  private val bytes = SdfitsTableProvider.readFully(file, conf)
   private val table: TableSpec = {
     val (_, t) = SdfitsFormat.open(bytes)
     val actual = SdfitsTableProvider.toStructType(t.cols)

@@ -1,0 +1,101 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.sources.sdfits.SdfitsWriter
+import graft.sources.sdfits.SdfitsWriter.Header
+
+/** Byte-level SDFITS write API (the reference's output half, ref
+  * utils.py:216-237): DataFrame → real FITS file → `format("sdfits")`
+  * round trip, staged naming, parallel multi-observation writes, and the
+  * loud failure modes (ragged vectors).
+  */
+class SdfitsWriterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def frame(n: Int) =
+    spark.range(n).select(
+      col("id").as("rowkey"),
+      array(col("id").cast("double"), (col("id") * 2).cast("double"),
+        lit(0.5)).as("data"),
+      (col("id") % 3).cast("int").as("ifnum"),
+      concat(lit("tag"), (col("id") % 4).cast("string")).as("obsmode"))
+
+  test("writeObservation → connector round trip preserves values, order, types") {
+    val dir = Files.createTempDirectory("graft-sw").toFile
+    val path = s"$dir/obs.fits"
+    // shuffle the input so the writer's sort is what pins row order
+    val n = SdfitsWriter.writeObservation(
+      frame(37).orderBy(col("ifnum")), Seq("rowkey"), path,
+      Header(values = Seq("OBSFREQ" -> "1400.0"),
+        stringValues = Seq("DATE" -> "2024-01-01T00:00:00", "OBSMODE" -> "onoff")))
+    assert(n == 37)
+    val back = spark.read.format("sdfits").load(path)
+    assert(back.schema.fieldNames.toSeq == Seq("rowkey", "data", "ifnum", "obsmode"))
+    val rows = back.select($"rowkey", element_at($"data", 2).as("d2"), $"ifnum", $"obsmode")
+      .as[(Long, Double, Int, String)].collect().toSeq
+    assert(rows == (0 until 37).map(i =>
+      (i.toLong, 2.0 * i, i % 3, s"tag${i % 4}")), "row order = sortCols order")
+  }
+
+  test("writeStaged uses {base}_{process}{ext} naming (C11)") {
+    val dir = Files.createTempDirectory("graft-sw-staged").toFile
+    val out = SdfitsWriter.writeStaged(frame(5), Seq("rowkey"),
+      s"$dir/scan7.fits", "calibrated", Header())
+    assert(out == s"$dir/scan7_calibrated.fits")
+    assert(spark.read.format("sdfits").load(out).count() == 5)
+  }
+
+  test("writeObservations: one file per key, written in parallel, manifest matches") {
+    val dir = Files.createTempDirectory("graft-sw-multi").toFile
+    val df = frame(60).withColumn("obs", concat(lit("f"), (col("rowkey") % 4).cast("string")))
+    val manifest = SdfitsWriter.writeObservations(df, "obs", Seq("rowkey"),
+      dir.getAbsolutePath, Header()).as[(String, String, Long)].collect().toSeq
+    assert(manifest.map(_._1) == Seq("f0", "f1", "f2", "f3"))
+    assert(manifest.forall(_._3 == 15))
+    manifest.foreach { case (key, path, nRows) =>
+      val back = spark.read.format("sdfits").load(path)
+      assert(back.count() == nRows)
+      // every row in the file carries its own key, in rowkey order
+      val keys = back.select($"obs", $"rowkey").as[(String, Long)].collect().toSeq
+      assert(keys.map(_._1).forall(_ == key))
+      assert(keys.map(_._2) == keys.map(_._2).sorted)
+    }
+    // all four files read back together through the directory path
+    assert(spark.read.format("sdfits").load(dir.getAbsolutePath).count() == 60)
+  }
+
+  test("ragged vector columns fail loudly (FITS repeats are fixed)") {
+    val ragged = spark.range(4).select(col("id").as("k"),
+      when(col("id") % 2 === 0, array(lit(1.0), lit(2.0)))
+        .otherwise(array(lit(1.0))).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      SdfitsWriter.colSpecsAndCount(ragged)
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
+  test("string width and float vectors derive from the data") {
+    val dir = Files.createTempDirectory("graft-sw-types").toFile
+    val df = spark.range(6).select(
+      col("id").cast("int").as("j"),
+      col("id").as("k"),
+      col("id").cast("double").as("d"),
+      col("id").cast("float").as("e"),
+      array(col("id").cast("float"), lit(1.5f)).as("ef"),
+      concat(lit("s"), col("id")).as("name"))
+    val (cols, n) = SdfitsWriter.colSpecsAndCount(df)
+    assert(n == 6)
+    assert(cols.map(c => (c.name, c.repeat, c.code)) == Seq(
+      ("j", 1, 'J'), ("k", 1, 'K'), ("d", 1, 'D'), ("e", 1, 'E'),
+      ("ef", 2, 'E'), ("name", 2, 'A')))
+    val path = s"$dir/typed.fits"
+    SdfitsWriter.writeObservation(df, Seq("k"), path, Header())
+    val back = spark.read.format("sdfits").load(path)
+      .select($"j", $"k", $"d", $"e", element_at($"ef", 1).as("ef1"), $"name")
+      .as[(Int, Long, Double, Float, Float, String)].collect().toSeq
+    assert(back == (0 until 6).map(i =>
+      (i, i.toLong, i.toDouble, i.toFloat, i.toFloat, s"s$i")))
+  }
+}

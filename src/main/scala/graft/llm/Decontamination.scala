@@ -9,24 +9,33 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: both sides explode to DISTINCT word n-grams and reduce to
   * 8-byte polynomial fingerprints ([[TextAnalysis.fingerprint]] — the
-  * oracle-reproducible rolling hash) before any join, so the match carries
-  * one long per gram instead of the gram text. The benchmark side is
+  * oracle-reproducible rolling hash) before any join. The benchmark side is
   * broadcast — benchmarks are small by definition (an eval set), while the
-  * corpus side never shuffles: contaminated ids come out of a map-side
-  * broadcast semi-join + distinct, and the final filter is a broadcast
-  * anti-join on the (≤ corpus-count) id set. Nothing in the plan is
-  * proportional to corpus² and the corpus text bytes never move.
+  * corpus side never shuffles: contaminated ids come out of map-side
+  * broadcast semi-joins + distinct, and the final filter is an anti-join on
+  * the (≤ corpus-count) id set. Nothing in the plan is proportional to
+  * corpus² and the corpus text bytes never move.
+  *
+  * The match is EXACT, in two stages. A fingerprint-only equi-join would
+  * over-delete at scale: the mod-1e9+7 hash collides pairwise at ~1e-9, so
+  * at ~10¹¹ corpus grams (100 TB) spurious matches are EXPECTED, and each
+  * one silently drops an innocent training document. Stage 1 probes a
+  * long-keyed broadcast set (codegen'd, 8 bytes per benchmark gram — the
+  * cheap filter that rejects ~all grams); stage 2 string-confirms only the
+  * survivors against the benchmark's (fingerprint, gram) pairs — also
+  * benchmark-bounded broadcast, but string equality now runs on a
+  * candidate set ~the true contamination size, not the corpus.
   */
 object Decontamination {
 
-  /** `(idCol, __fp)` gram fingerprints of a document frame. */
+  /** `(idCol, __g, __fp)` — gram text + fingerprint per (doc, gram). */
   private[llm] def gramFps(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__g"))
-      .select(col(idCol), TextAnalysis.fingerprint(col("__g")).as("__fp"))
+      .select(col(idCol), col("__g"), TextAnalysis.fingerprint(col("__g")).as("__fp"))
 
   /** The distinct benchmark gram-fingerprint set — compute (or persist)
     * ONCE per benchmark and reuse across batches/streams; it is the small
-    * static side of every contamination check.
+    * static prefilter side of every contamination check.
     */
   def benchmarkFingerprints(
       benchmark: DataFrame,
@@ -35,8 +44,21 @@ object Decontamination {
       n: Int = 8): DataFrame =
     gramFps(benchmark, idCol, textCol, n).select(col("__fp")).distinct()
 
-  /** Ids of corpus documents sharing ≥1 word n-gram fingerprint with the
-    * benchmark. Distinct ids, one row each.
+  /** Distinct benchmark `(__fp, __g)` pairs — the exact-confirmation side.
+    * Same benchmark-bounded size as the fingerprints plus the gram text.
+    */
+  def benchmarkGrams(
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): DataFrame =
+    gramFps(benchmark, idCol, textCol, n).select(col("__fp"), col("__g")).distinct()
+
+  /** Ids of corpus documents sharing ≥1 word n-gram with the benchmark —
+    * exact string match, fingerprint-prefiltered. Distinct ids, one row
+    * each. A fingerprint collision (different gram, same hash) survives
+    * stage 1 but is rejected by the stage-2 string confirm, so no document
+    * is dropped for a gram it does not actually share.
     */
   def contaminatedIds(
       corpus: DataFrame,
@@ -47,6 +69,8 @@ object Decontamination {
     gramFps(corpus, idCol, textCol, n)
       .join(broadcast(benchmarkFingerprints(benchmark, idCol, textCol, n)),
         Seq("__fp"), "left_semi")
+      .join(broadcast(benchmarkGrams(benchmark, idCol, textCol, n)),
+        Seq("__fp", "__g"), "left_semi")
       .select(col(idCol)).distinct()
 
   /** The corpus with contaminated documents removed. NO broadcast hint on

@@ -409,6 +409,15 @@ object LlmQueries {
           graft.llm.TextAnalysis.tokenCount(col("text")), budget = 512L, shards = 4)
         .orderBy(col("doc_id"))),
 
+    "q_pack_stats" -> ((s, dir) =>
+      // Packing consumer view: per-(shard, chunk) occupancy over the
+      // certified q_pack placement — docs starting in each chunk + their
+      // token mass (≥ budget ⇒ the tail spills into the next chunk).
+      graft.llm.Packing.chunkStats(
+          graft.llm.Packing.pack(docs(s, dir), "doc_id",
+            graft.llm.TextAnalysis.tokenCount(col("text")), budget = 512L, shards = 4))
+        .orderBy(col("shard"), col("chunk"))),
+
     "q_decontaminate" -> ((s, dir) => {
       // Benchmark decontamination: drop corpus docs sharing any 8-token
       // gram with the benchmark slice (doc_id % 37). Fingerprint join —
@@ -670,20 +679,33 @@ object LlmQueries {
         |  (pre % 512) + n_tokens > 512 AS spans_boundary
         |FROM p ORDER BY doc_id""".stripMargin,
 
+    "q_pack_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT doc_id, n_tokens,
+        |    (doc_id * 2654435761) % 4294967296 AS mix FROM d),
+        |p AS (SELECT doc_id, n_tokens, CAST(mix % 4 AS INT) AS shard,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY mix % 4 ORDER BY mix, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM m)
+        |SELECT shard, CAST(pre // 512 AS BIGINT) AS chunk,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_decontaminate" ->
+      // Exact-gram ground truth (the engine fingerprint-prefilters, then
+      // string-confirms — identical result, collision-proof).
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |grams AS (SELECT doc_id,
         |    CASE WHEN len(w) >= 8
         |      THEN list_transform(range(1, len(w) - 6), i -> array_to_string(list_slice(w, i, i + 7), ' '))
         |      ELSE [] END AS gs
         |  FROM toks),
-        |fp AS (SELECT doc_id, unnest(list_transform(gs, g ->
-        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(range(1, length(g) + 1), j -> CAST(ascii(g[j]) AS BIGINT))),
-        |        (acc, c) -> (acc * 131 + c) % 1000000007))) AS f
-        |  FROM grams),
-        |bench AS (SELECT DISTINCT f FROM fp WHERE doc_id % 37 = 0),
-        |bad AS (SELECT DISTINCT doc_id FROM fp WHERE f IN (SELECT f FROM bench))
+        |g AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 37 = 0),
+        |bad AS (SELECT DISTINCT doc_id FROM g WHERE g IN (SELECT g FROM bench))
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,

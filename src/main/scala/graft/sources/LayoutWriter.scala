@@ -102,8 +102,25 @@ object LayoutWriter {
     val marker = new java.io.File(dir, "_GRAFT_BUCKET_SPEC")
     val current = marker.isFile &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == spec
-    if (current && spark.catalog.tableExists(tableName)) false
+    // An existing same-named catalog entry is only trusted if it actually
+    // points at THIS location with THIS bucket spec — a leftover table
+    // registered elsewhere (or bucketed differently) would silently serve
+    // wrong data to the no-shuffle join. Anything that doesn't match (or
+    // can't be read) is dropped and re-registered from the marker spec.
+    def catalogEntryMatches: Boolean =
+      spark.catalog.tableExists(tableName) && (try {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+        val sameLoc = new java.io.File(meta.location).getCanonicalPath ==
+          dir.getCanonicalPath
+        sameLoc && meta.bucketSpec.exists(bs =>
+          bs.numBuckets == numBuckets &&
+            bs.bucketColumnNames == Seq(bucketCol) &&
+            bs.sortColumnNames == sortCol.toSeq)
+      } catch { case _: Exception => false })
+    if (current && catalogEntryMatches) false
     else if (current) {
+      spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
       val sorted = sortCol.fold("")(c => s"SORTED BY (`$c`) ")
       spark.sql(s"CREATE TABLE `$tableName` (${df.schema.toDDL}) USING parquet " +
         s"CLUSTERED BY (`$bucketCol`) ${sorted}INTO $numBuckets BUCKETS " +

@@ -62,4 +62,47 @@ class PackingSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L))
   }
+
+  test("decontamination: an engineered fingerprint collision does not drop a clean doc") {
+    // Two DIFFERENT same-length tokens with equal mod-1e9+7 polynomial hash
+    // (birthday search, deterministic seed). The progressive hash is
+    // prefix-linear — H(prefix+t) = A·131^|t| + P(t) — so swapping t1 for
+    // t2 in an 8-gram yields a different gram with the SAME fingerprint:
+    // exactly the spurious match a fingerprint-only join would act on.
+    val p = 1000000007L
+    def poly(s: String): Long =
+      s.foldLeft(0L)((a, c) => java.lang.Math.floorMod(a * 131L + c.toLong, p))
+    val rnd = new scala.util.Random(42)
+    val seen = scala.collection.mutable.HashMap.empty[Long, String]
+    var pair: Option[(String, String)] = None
+    while (pair.isEmpty) {
+      val t = Array.fill(7)(('a' + rnd.nextInt(26)).toChar).mkString
+      seen.get(poly(t)) match {
+        case Some(u) if u != t => pair = Some((u, t))
+        case _                 => seen(poly(t)) = t
+      }
+    }
+    val (t1, t2) = pair.get
+    val prefix = "one two three four five six seven"
+    val gram1 = s"$prefix $t1" // corpus doc's only 8-gram
+    val gram2 = s"$prefix $t2" // benchmark's only 8-gram — different text
+    assert(gram1 != gram2 && poly(gram1) == poly(gram2), "engineered collision")
+    // the ENGINE's fingerprint kernel must see the collision too, or this
+    // test proves nothing about the prefilter
+    val fps = Seq(gram1, gram2).toDF("g")
+      .select(TextAnalysis.fingerprint($"g")).as[Long].collect()
+    assert(fps(0) == fps(1), "kernel fingerprints collide")
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, gram1),              // fp-collides with the benchmark, shares NO gram
+      (2L, s"intro $shared outro") // genuinely shares a gram
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((9L, s"$gram2 then $shared")).toDF("doc_id", "text")
+    val bad = Decontamination.contaminatedIds(corpus, benchmark)
+      .as[Long].collect().toSet
+    assert(bad == Set(2L), s"collision must not contaminate doc 1; got $bad")
+    val kept = Decontamination.decontaminate(corpus, benchmark)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
 }

@@ -65,6 +65,19 @@ class LayoutWriterSpec extends SparkTestBase {
     // a changed source fingerprint invalidates the published copy
     assert(publish("fp2"), "changed fingerprint must rebuild")
     assert(spark.table("graft_eb_a").count() == 2000)
+
+    // an IMPOSTOR catalog entry — same name, different location/spec — must
+    // not be trusted: the publish re-registers it against the marker's
+    // location (no data rewrite) rather than serving the impostor's files
+    spark.sql("DROP TABLE graft_eb_a")
+    val impostor = Files.createTempDirectory("graft-ensure-bk").toFile.getAbsolutePath + "/x"
+    (1 to 7).map(i => (i.toLong, i.toLong)).toDF("k", "va")
+      .write.option("path", impostor).saveAsTable("graft_eb_a")
+    val beforeFix = mtimes
+    assert(!publish("fp2"), "re-registration, not a rewrite")
+    assert(mtimes == beforeFix, "data files untouched")
+    assert(spark.table("graft_eb_a").count() == 2000,
+      "the catalog entry must point back at the published location")
   }
 
   test("globally-sorted write: disjoint per-file ranges forming a total order") {

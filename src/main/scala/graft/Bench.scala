@@ -33,7 +33,12 @@ object Bench {
       r.select(explode(split(lit("a b c"), " ")).as("t"))
         .groupBy(col("t")).count().orderBy(col("t")).collect()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset (comma-separated names) for local scale smokes —
+    // the driver never sets it, so driver runs always cover the registry.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1).map { case (name, fn) =>
       // Job group per query → per-query job counts from the status tracker
       // (VERDICT r6 item 8: seconds alone can't tell cold-JIT tax from a
       // plan regression; the number of driver actions can).

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-smoke data generator: replicate the sf0.1 fact tables ×N with
+  * key offsets into a larger synthetic scale under `target/` (default
+  * ~sf1: 6M-row lineitem, 50k documents), so accidentally-super-linear
+  * paths surface locally before any driver run. NOT an oracle input —
+  * correctness stays pinned at the driver scales; this exists purely to
+  * measure how per-query wall-clock grows with data.
+  *
+  * Replication must not manufacture degenerate semantics: document copies
+  * get a per-copy vowel permutation (`translate`), so texts across copies
+  * share almost no word 8-grams — near-dup candidate graphs and
+  * decontamination matches grow ~linearly with the copy count instead of
+  * every doc acquiring N−1 exact twins (which would benchmark a quadratic
+  * blow-up the real corpus doesn't have). Lineitem copies shift only
+  * `l_orderkey` (the per-file/per-observation axis), keeping dimension
+  * keys valid. Dimension and untouched tables are byte-copied, preserving
+  * their physical parquet types (events keeps TIMESTAMP(NANOS)).
+  *
+  * Usage: runMain graft.ScaleData [srcDir] [outDir] [copies]
+  */
+object ScaleData {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "target/sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    require(copies >= 1 && copies <= 10, "1..10 copies (one vowel permutation each)")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(out).mkdirs()
+
+    // far above any real key at these scales, far below 2^53
+    val off = 100000000L
+
+    def replicate(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      (0 until copies).map(i => f(base, i)).reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaledata] $t x$copies")
+    }
+
+    replicate("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
+    }
+
+    // 10 distinct vowel permutations — copy 0 is the identity (original text)
+    val perms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
+      "aeoiu", "eiaou", "iueao", "oaiue", "ueoia")
+    replicate("documents") { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * off))
+        .withColumn("text", translate(col("text"), "aeiou", perms(i)))
+    }
+
+    Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "events", "embeddings").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$t.parquet"),
+        java.nio.file.Paths.get(s"$out/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      println(s"[scaledata] $t copied")
+    }
+    spark.stop()
+  }
+}

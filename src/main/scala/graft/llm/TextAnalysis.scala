@@ -220,6 +220,66 @@ object TextAnalysis {
       graft.functions.SigKernels.charNgramCount(col(textCol), charN)
         .cast("long").as(s"n_char$charN"))
 
+  /** Gopher-style repetition metrics per document: duplicate-token fraction
+    * and the share of tokens claimed by the single most frequent bigram —
+    * the cheap signals that catch boilerplate / keyword-stuffed / looping
+    * text which length and punctuation ratios miss.
+    *
+    * Shape at scale: the per-row signals (token count, distinct count) are
+    * native array expressions (no lambda); the top-bigram count is the
+    * exploded formulation — posexplode + per-doc `lead` window + count +
+    * max, one shuffle keyed on the doc id (a per-row HOF would evaluate an
+    * interpreted O(tokens²) fold per document). All fractions are
+    * integer-over-integer divisions — exact in any engine.
+    */
+  def repetitionBy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol),
+      size(tokensWs(col(textCol))).cast("long").as("n_tokens"),
+      size(array_distinct(tokensWs(col(textCol)))).cast("long").as("n_distinct"))
+    val toks = df.select(col(idCol), posexplode(tokensWs(col(textCol))).as(Seq("__pos", "__tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val top = toks
+      .withColumn("__next", lead(col("__tok"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("__tok"), col("__next")).as("__bg"))
+      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("__top"))
+    base.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        coalesce(col("__top"), lit(0L)).as("top_bigram_n"),
+        ((coalesce(col("__top"), lit(0L)) * 2).cast("double") / col("n_tokens"))
+          .as("top_bigram_frac"))
+  }
+
+  /** Corpus-unigram language-model score per document — the CCNet-style
+    * quality proxy: each token contributes `ln(count(token)/total)`, i.e.
+    * docs made of rare tokens score low (gibberish), docs of pure stopwords
+    * score high. Returned as `(id, n_tokens, logp_micro)` with the
+    * contribution rounded to integer micro-nats BEFORE the per-doc sum
+    * (the bm25 exactness discipline: integer-domain cross-row sums are
+    * order-independent, so the oracle matches bit-for-bit).
+    *
+    * Shape at scale: the vocabulary is a token-keyed aggregate (map-side
+    * partials — a stopword never concentrates pre-aggregation rows), kept
+    * DISTRIBUTED and joined back onto the token stream (big-big equi-join
+    * on the token; hot keys stream through sort-merge, same inherent skew
+    * profile as any term-keyed statistic). The grand total rides a one-row
+    * broadcast. Nothing lands on the driver.
+    */
+  def unigramLmScoreBy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokensWs(lower(col(textCol)))).as("__t"))
+    val vocab = toks.groupBy(col("__t")).agg(count(lit(1)).as("__cnt"))
+    val total = toks.agg(count(lit(1)).cast("double").as("__total"))
+    toks.join(vocab, "__t")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp_micro",
+        round(log(col("__cnt").cast("double") / col("__total")) * 1e6).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lp_micro")).as("logp_micro"))
+  }
+
   /** The round-4 exploded formulation of [[ngramCountsBy]] (same values) —
     * kept as the cross-check TextAnalysisSpec pins the kernel against.
     */

@@ -61,4 +61,34 @@ object Sampling {
     val h = pmod(mix32(key), lit(den)) < lit(num)
     (df.filter(!h), df.filter(h))
   }
+
+  /** Domain-mixture downsampling — the pretraining mixing knob: keep each
+    * document of source `s` with probability `min(1, budget(s) / tokens(s))`,
+    * so every source's expected KEPT TOKEN mass equals its budget (sources
+    * over budget thin out, sources under budget pass whole). Sources absent
+    * from `budgets` are dropped.
+    *
+    * Deterministic and exact: the keep gate is the integer comparison
+    * `mix32(key) · T_s < B_s · 2^32` evaluated in DECIMAL(38) — no float
+    * rate, no 64-bit overflow (mix < 2^32 and T_s, B_s < 2^63 keep both
+    * products inside 29 digits), and bit-reproducible in the oracle's
+    * HUGEINT arithmetic. Per-source totals are ONE tiny aggregate
+    * (map-side partials, one row per source) broadcast back; the corpus
+    * itself never shuffles — the plan is scan → broadcast-join → filter.
+    */
+  def weightedByTokenBudget(df: DataFrame, sourceCol: String, key: Column,
+      tokenCount: Column, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = budgets.toSeq.toDF(sourceCol, "__budget")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(tokenCount.cast("long")).as("__tokens"))
+      .join(b, sourceCol) // inner: un-budgeted sources drop here
+    df.join(broadcast(totals), sourceCol)
+      // decimal(10)·decimal(19) → decimal(30): exact, no 64-bit overflow
+      .filter(mix32(key).cast("decimal(10,0)") * col("__tokens").cast("decimal(19,0)") <
+        col("__budget").cast("decimal(19,0)") * lit(4294967296L).cast("decimal(10,0)"))
+      .drop("__tokens", "__budget")
+  }
 }

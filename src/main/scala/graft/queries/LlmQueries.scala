@@ -356,6 +356,18 @@ object LlmQueries {
         .select(col("doc_id"), col("n_2grams").as("n_bigrams"), col("n_char5"))
         .orderBy(col("doc_id"))),
 
+    "q_text_repetition" -> ((s, dir) =>
+      // Gopher-style repetition gates: duplicate-token fraction + top-bigram
+      // token share. Integer-over-integer fractions — exact in the oracle.
+      TextAnalysis.repetitionBy(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q_lm_score" -> ((s, dir) =>
+      // Corpus-unigram LM quality proxy: per-token ln(cnt/total) in integer
+      // micro-nats (rounded BEFORE the per-doc sum — order-independent).
+      TextAnalysis.unigramLmScoreBy(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // --- multimodal plumbing (stub decode — codecs absent in this env) ------
     "q_multimodal" -> ((s, dir) =>
       // ASCII-only payloads (byte == codepoint) make the 64-bit checksum
@@ -709,6 +721,34 @@ object LlmQueries {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct FROM d),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS g
+        |  FROM d WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |t AS (SELECT doc_id, max(c) AS top FROM c GROUP BY 1)
+        |SELECT base.doc_id, n_tokens, n_distinct,
+        |  CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+        |  CAST(coalesce(top, 0) AS BIGINT) AS top_bigram_n,
+        |  CAST(coalesce(top, 0) * 2 AS DOUBLE) / n_tokens AS top_bigram_frac
+        |FROM base LEFT JOIN t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t FROM documents),
+        |v AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+        |lp AS (SELECT doc_id,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE) / (SELECT total FROM tot)) * 1000000.0) AS BIGINT) AS lpm
+        |  FROM toks JOIN v USING (t))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(lpm) AS BIGINT) AS logp_micro
+        |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

@@ -70,6 +70,18 @@ object ScaleQueries {
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
         .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))),
 
+    "q_sample_weighted" -> ((s, dir) => {
+      // Domain-mixture downsampling: per-source token budgets (a rule of
+      // the source number so the oracle re-derives it), keep gate is the
+      // exact integer comparison mix·T_s < B_s·2^32 — scan → broadcast-join
+      // → filter, the corpus never shuffles.
+      val budgets = (0 until 20).map(i => s"src$i" -> (400L + 150L * (i % 5))).toMap
+      Sampling.weightedByTokenBudget(docs(s, dir), "source", col("doc_id"),
+          graft.llm.TextAnalysis.tokenCount(col("text")), budgets)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_tfidf" -> ((s, dir) =>
       Relevance.tfidfTopK(docs(s, dir), "doc_id", "text", k = 5)
         .orderBy(col("id"), col("term"))),
@@ -235,6 +247,19 @@ object ScaleQueries {
         |  FROM lineitem)
         |WHERE rn <= 100
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |t AS (SELECT source, sum(nt) AS tokens FROM d GROUP BY 1),
+        |b AS (SELECT source,
+        |    400 + 150 * (CAST(substr(source, 4) AS INT) % 5) AS budget
+        |  FROM t)
+        |SELECT doc_id, d.source FROM d JOIN t USING (source) JOIN b USING (source)
+        |WHERE CAST((doc_id * 2654435761) % 4294967296 AS HUGEINT) * tokens
+        |    < CAST(budget AS HUGEINT) * 4294967296
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_tfidf" ->
       s"""WITH tf AS (SELECT id, term, count(*) AS tf FROM (

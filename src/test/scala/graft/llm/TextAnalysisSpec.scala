@@ -108,4 +108,42 @@ class TextAnalysisSpec extends SparkTestBase {
       .toDF("a", "b").select(TextAnalysis.jaccard($"a", $"b")).as[Double].head()
     assert(j == 0.5)
   }
+
+  test("repetition metrics: dup-token and top-bigram fractions, degenerate inputs") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),            // 4 tokens, 1 distinct, top bigram "spam spam" ×3
+      (2L, "all tokens here are different"),  // no repetition
+      (3L, "one"),                            // single token → no bigrams
+      (4L, "ab cd ab cd ab")                  // top bigram "ab cd" ×2 of 4 bigrams
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionBy(df, "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"dup_token_frac",
+        $"top_bigram_n", $"top_bigram_frac")
+      .as[(Long, Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m(1L) == ((1L, 4L, 1L, 0.75, 3L, 1.5)))
+    assert(m(2L) == ((2L, 5L, 5L, 0.0, 1L, 0.4)))
+    assert(m(3L) == ((3L, 1L, 1L, 0.0, 0L, 0.0)))
+    assert(m(4L) == ((4L, 5L, 2L, 0.6, 2L, 0.8)))
+  }
+
+  test("unigram LM score: repeated-vocabulary docs outscore rare-vocabulary docs") {
+    // 'the' appears 8x, unique tokens once each → ln(8/N) >> ln(1/N)
+    val df = Seq(
+      (1L, "the the the the"),
+      (2L, "qzx wvu ponm lkj"),
+      (3L, "the the qzx the the")
+    ).toDF("doc_id", "text")
+    val s = TextAnalysis.unigramLmScoreBy(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(s.values.forall(_._3 < 0), "log-probs are negative")
+    // per-token average: common-token doc beats rare-token doc
+    def avg(r: (Long, Long, Long)) = r._3.toDouble / r._2
+    assert(avg(s(1L)) > avg(s(2L)))
+    assert(s(1L)._2 == 4L && s(2L)._2 == 4L && s(3L)._2 == 5L)
+    // exact contribution check: doc 1 is 4 tokens of 'the' (corpus count 8,
+    // total 13) → 4 · round(ln(8/13)·1e6) micro-nats
+    val expected1 = 4L * math.round(math.log(8.0 / 13.0) * 1e6)
+    assert(s(1L)._3 == expected1, s"got ${s(1L)._3}, want $expected1")
+  }
 }

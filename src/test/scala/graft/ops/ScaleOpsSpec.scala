@@ -90,6 +90,28 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(Sampling.stratifiedFirstN(tiny, Seq("g"), col("id"), 5).count() == 3)
   }
 
+  test("weighted token-budget sampling: budget-proportional, deterministic, exact gates") {
+    // two sources: one far over budget (thins), one under budget (passes whole)
+    val df = ((1L to 800L).map(i => (i, "big", 100L)) ++
+      (10001L to 10050L).map(i => (i, "small", 100L))).toDF("id", "src", "nt")
+    val budgets = Map("big" -> 20000L, "small" -> 100000L, "ghost" -> 5L)
+    val kept = Sampling.weightedByTokenBudget(df, "src", col("id"), col("nt"), budgets)
+    val bySrc = kept.groupBy($"src").count().as[(String, Long)].collect().toMap
+    // big: 80k tokens vs 20k budget → keep rate 1/4; small: all 50 rows
+    assert(bySrc("small") == 50L, s"under-budget source must pass whole: $bySrc")
+    assert(math.abs(bySrc("big") - 200L) < 60, s"~25% of big expected: $bySrc")
+    // layout-independent and a pure function of (key, totals, budget)
+    val again = Sampling.weightedByTokenBudget(
+      df.repartition(13), "src", col("id"), col("nt"), budgets)
+    assert(kept.select($"id").as[Long].collect().toSet ==
+      again.select($"id").as[Long].collect().toSet)
+    // un-budgeted sources are dropped
+    val extra = (1L to 10L).map(i => (i + 90000L, "other", 7L)).toDF("id", "src", "nt")
+    val all = Sampling.weightedByTokenBudget(df.unionAll(extra), "src",
+      col("id"), col("nt"), budgets)
+    assert(all.filter($"src" === "other").count() == 0)
+  }
+
   test("profiling summarize computes per-column stats in long format") {
     val df = Seq((1.0, Some(10L)), (2.0, None), (2.0, Some(30L)))
       .toDF("a", "b")

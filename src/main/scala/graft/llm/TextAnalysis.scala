@@ -280,6 +280,52 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum(col("__lp_micro")).as("logp_micro"))
   }
 
+  /** Character-entropy gibberish score per document: Shannon entropy of the
+    * character distribution, in integer micro-nats — near-zero for repeated
+    * single characters, high for diverse text; the standard cheap screen
+    * for binary-junk / keyboard-mash rows that token heuristics miss.
+    *
+    * Shape at scale: explode characters → count per (doc, char) — map-side
+    * partial aggregation, one doc-keyed shuffle — then per-(doc,char)
+    * contributions `-(p)·ln(p)` rounded to micro-nats BEFORE the per-doc
+    * sum (integer-domain cross-row sum: exact under any aggregation order,
+    * oracle-reproducible).
+    */
+  def charEntropyBy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df.select(col(idCol),
+      length(col(textCol)).cast("long").as("__n"),
+      explode(split(col(textCol), "")).as("__c"))
+    chars.groupBy(col(idCol), col("__n"), col("__c")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__p", col("__cnt").cast("double") / greatest(col("__n"), lit(1L)))
+      .withColumn("__e_micro", round(-col("__p") * log(col("__p")) * lit(1e6)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(min(col("__n")).as("n_chars"), sum(col("__e_micro")).as("entropy_micro"))
+  }
+
+  /** Top-V vocabulary coverage per document: the fraction of a doc's tokens
+    * that fall inside the corpus's `topV` most frequent tokens — low
+    * coverage flags out-of-domain or gibberish docs (the vocabulary-filter
+    * quality gate). The top-V pick is tie-broken by token text, so the set
+    * — and every downstream number — is a pure function of the corpus.
+    *
+    * Shape at scale: vocabulary = token-keyed aggregate (map-side
+    * partials); top-V = TakeOrdered over the vocab frame (never a full
+    * sort materialization); the V-row set broadcasts back onto the token
+    * stream — bounded by the caller's V, so the hint is safe.
+    */
+  def vocabCoverageBy(df: DataFrame, idCol: String, textCol: String, topV: Int): DataFrame = {
+    require(topV > 0, "topV must be positive")
+    val toks = df.select(col(idCol), explode(tokensWs(lower(col(textCol)))).as("__t"))
+    val top = toks.groupBy(col("__t")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__t")).limit(topV)
+      .select(col("__t"), lit(1L).as("__in"))
+    toks.join(broadcast(top), Seq("__t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__in"), lit(0L))).as("in_vocab"))
+      .withColumn("coverage", col("in_vocab").cast("double") / col("n_tokens"))
+  }
+
   /** The round-4 exploded formulation of [[ngramCountsBy]] (same values) —
     * kept as the cross-check TextAnalysisSpec pins the kernel against.
     */

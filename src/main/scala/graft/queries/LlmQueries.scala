@@ -368,6 +368,17 @@ object LlmQueries {
       TextAnalysis.unigramLmScoreBy(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "q_text_entropy" -> ((s, dir) =>
+      // Character-entropy gibberish screen in integer micro-nats.
+      TextAnalysis.charEntropyBy(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q_text_vocab" -> ((s, dir) =>
+      // Top-64 vocabulary coverage (tie-broken by token, so the set is a
+      // pure function of the corpus).
+      TextAnalysis.vocabCoverageBy(docs(s, dir), "doc_id", "text", topV = 64)
+        .orderBy(col("doc_id"))),
+
     // --- multimodal plumbing (stub decode — codecs absent in this env) ------
     "q_multimodal" -> ((s, dir) =>
       // ASCII-only payloads (byte == codepoint) make the 64-bit checksum
@@ -749,6 +760,31 @@ object LlmQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(lpm) AS BIGINT) AS logp_micro
         |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_text_entropy" ->
+      """WITH chars AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        |    unnest(list_transform(range(1, length(text) + 1), i -> text[i])) AS c
+        |  FROM documents),
+        |g AS (SELECT doc_id, n, c, count(*) AS cnt FROM chars GROUP BY 1, 2, 3),
+        |e AS (SELECT doc_id, n,
+        |    CAST(round(-(CAST(cnt AS DOUBLE) / greatest(n, 1))
+        |      * ln(CAST(cnt AS DOUBLE) / greatest(n, 1)) * 1000000.0) AS BIGINT) AS em
+        |  FROM g)
+        |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_chars,
+        |  CAST(sum(em) AS BIGINT) AS entropy_micro
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_text_vocab" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t FROM documents),
+        |v AS (SELECT t, count(*) AS cnt FROM toks GROUP BY 1),
+        |top AS (SELECT t FROM v ORDER BY cnt DESC, t LIMIT 64),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN t IN (SELECT t FROM top) THEN 1 ELSE 0 END) AS BIGINT) AS in_vocab
+        |  FROM toks GROUP BY 1)
+        |SELECT doc_id, n_tokens, in_vocab,
+        |  CAST(in_vocab AS DOUBLE) / n_tokens AS coverage
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

@@ -146,4 +146,36 @@ class TextAnalysisSpec extends SparkTestBase {
     val expected1 = 4L * math.round(math.log(8.0 / 13.0) * 1e6)
     assert(s(1L)._3 == expected1, s"got ${s(1L)._3}, want $expected1")
   }
+
+  test("char entropy: uniform text maxes, single-char text scores zero") {
+    val df = Seq(
+      (1L, "aaaaaaaa"),   // one symbol → entropy 0
+      (2L, "abcdefgh"),   // 8 distinct → ln(8) nats
+      (3L, "aabb")        // 2 symbols, uniform → ln(2)
+    ).toDF("doc_id", "text")
+    val e = TextAnalysis.charEntropyBy(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(e(1L) == ((1L, 8L, 0L)))
+    // 8 chars each p=1/8: 8 · round(-(1/8)·ln(1/8)·1e6)
+    assert(e(2L)._3 == 8L * math.round(-(1.0 / 8) * math.log(1.0 / 8) * 1e6))
+    assert(e(3L)._3 == 2L * math.round(-(2.0 / 4) * math.log(2.0 / 4) * 1e6))
+  }
+
+  test("vocab coverage: top-V membership is count-then-token deterministic") {
+    val df = Seq(
+      (1L, "the the the cat"),   // 'the'×3, 'cat'×1
+      (2L, "dog cat the zebra")  // singles + 'the'
+    ).toDF("doc_id", "text")
+    // top-2 by (count desc, token asc): 'the'(4), then 'cat'(2)
+    val v = TextAnalysis.vocabCoverageBy(df, "doc_id", "text", topV = 2)
+      .select($"doc_id", $"n_tokens", $"in_vocab", $"coverage")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(v(1L) == ((1L, 4L, 4L, 1.0)))       // the,the,the,cat all in top-2
+    assert(v(2L) == ((2L, 4L, 2L, 0.5)))       // cat + the
+    // tie at the V boundary breaks by token text: with V=3, 'dog' (count 1)
+    // beats 'zebra' (count 1) alphabetically
+    val v3 = TextAnalysis.vocabCoverageBy(df, "doc_id", "text", topV = 3)
+      .select($"doc_id", $"in_vocab").as[(Long, Long)].collect().toMap
+    assert(v3(2L) == 3L) // dog,cat,the in vocab; zebra out
+  }
 }

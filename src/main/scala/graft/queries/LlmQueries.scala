@@ -411,6 +411,23 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    "q_multimodal_audio" -> ((s, dir) => {
+      // REAL audio decode end to end: deterministic synthetic PCM16 WAVs
+      // generated executor-side (frame counts, rates and channel counts
+      // vary per doc), hand-parsed back through the RIFF chunk walk,
+      // integer features emitted (abs-sum/peak, not float RMS). WAV is
+      // uncompressed and the sample formula closed-form, so the oracle
+      // re-derives every feature exactly in SQL.
+      val gen = udf((id: Long, nf: Int, rate: Int, ch: Int) =>
+        Multimodal.syntheticWav(id, nf, rate, ch))
+      val media = docs(s, dir).select(col("doc_id").cast("long").as("id"))
+        .withColumn("nf", (col("id") % 50 + 100).cast("int"))
+        .withColumn("rate", (lit(8000) + (col("id") % 3) * 4000).cast("int"))
+        .withColumn("ch", (col("id") % 2 + 1).cast("int"))
+        .select(col("id"), gen(col("id"), col("nf"), col("rate"), col("ch")).as("payload"))
+      Multimodal.audioFeatureKernel(media).toDF().orderBy(col("id"))
+    }),
+
     "q_multimodal_frames" -> ((s, dir) =>
       // Frame-sample plumbing (1 → N rows per payload, every 3rd 64-byte
       // frame, truncated tail): ASCII payloads make frame boundaries
@@ -628,6 +645,21 @@ object LlmQueries {
         |  CAST(sum(g) AS DOUBLE) / 64 AS g_mean,
         |  CAST(sum(b) AS DOUBLE) / 64 AS b_mean
         |FROM v GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_multimodal_audio" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id % 50 + 100 AS BIGINT) AS nf,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+        |    CAST(doc_id % 2 + 1 AS INT) AS ch
+        |  FROM documents),
+        |s AS (SELECT id, nf, rate, ch,
+        |    abs(((id * 31 + i.i * 7 + c.c * 13) % 2003) - 1001) AS a
+        |  FROM d, range(0, 150) i(i), range(0, 2) c(c)
+        |  WHERE i.i < nf AND c.c < ch)
+        |SELECT id, ch AS channels, rate AS sample_rate, nf AS n_frames,
+        |  CAST(nf * 1000000 // rate AS BIGINT) AS duration_micros,
+        |  CAST(sum(a) AS BIGINT) AS abs_sum, CAST(max(a) AS INT) AS peak
+        |FROM s GROUP BY 1, 2, 3, 4, 5 ORDER BY id""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH d AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS len

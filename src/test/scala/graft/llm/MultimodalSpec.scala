@@ -84,4 +84,29 @@ class MultimodalSpec extends SparkTestBase {
     val direct = Multimodal.checksum64(payload(200).slice(192, 200))
     assert(frames(1L).find(_.frameIdx == 3L).get.frameChecksum == direct)
   }
+
+  test("real audio path: WAV round-trip, JDK cross-check, corrupt bytes dropped") {
+    val wav = Multimodal.syntheticWav(id = 5L, nFrames = 120, sampleRate = 16000, channels = 2)
+    // cross-check the hand parser against the JDK's own WAV reader
+    val jdk = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(wav))
+    assert(jdk.getFormat.getChannels == 2 && jdk.getFormat.getSampleRate == 16000f)
+    assert(jdk.getFrameLength == 120)
+    val f = Multimodal.decodeWav(wav).get
+    assert(f.channels == 2 && f.sample_rate == 16000 && f.n_frames == 120L)
+    assert(f.duration_micros == 120L * 1000000L / 16000L)
+    // independent feature recomputation from the closed-form sample formula
+    val samples = for (i <- 0 until 120; c <- 0 until 2)
+      yield math.abs(((5L * 31 + i * 7 + c * 13) % 2003 - 1001).toInt)
+    assert(f.abs_sum == samples.map(_.toLong).sum && f.peak == samples.max)
+    // rejection contract: truncated, non-RIFF, and null payloads drop
+    assert(Multimodal.decodeWav(wav.take(40)).isEmpty)
+    assert(Multimodal.decodeWav("not a wav at all, just text bytes....".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+    // kernel shape: undecodable rows silently dropped, good rows decoded
+    val df = Seq((1L, Multimodal.syntheticWav(1L, 50, 8000, 1)),
+      (2L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val out = Multimodal.audioFeatureKernel(df).collect()
+    assert(out.length == 1 && out.head.id == 1L && out.head.n_frames == 50L)
+  }
 }

@@ -10,9 +10,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -43,8 +44,13 @@ class SdfitsTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val conf = SdfitsTableProvider.driverConf()
-    val files = SdfitsTableProvider.listFiles(SdfitsTableProvider.pathOf(options), conf)
-    require(files.nonEmpty, "sdfits: no input files")
+    // A missing/empty path is legal for the WRITE side (the table schema
+    // then comes from the query via ACCEPT_ANY_SCHEMA); reads of it fail
+    // in planInputPartitions with the same "no input files" message.
+    val files =
+      try SdfitsTableProvider.listFiles(SdfitsTableProvider.pathOf(options), conf)
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    if (files.isEmpty) return new StructType()
     val bytes = SdfitsTableProvider.readFully(files.head, conf)
     val (_, table) = SdfitsFormat.open(bytes)
     SdfitsTableProvider.toStructType(table.cols)
@@ -111,13 +117,18 @@ object SdfitsTableProvider {
 }
 
 private[sdfits] class SdfitsTable(schema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"sdfits:$path"
   override def schema(): StructType = schema
+  // ACCEPT_ANY_SCHEMA: on a fresh (empty) write path the table has no
+  // schema to validate against — the write schema is the query's.
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SdfitsScanBuilder(schema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SdfitsWriteBuilder(info, path)
 }
 
 private[sdfits] class SdfitsScanBuilder(full: StructType, path: String)

@@ -76,6 +76,34 @@ class SdfitsWriterSpec extends SparkTestBase {
     assert(e.getMessage.contains("ragged"))
   }
 
+  test("DSv2 write: df.write.format(sdfits) round-trips, one file per partition") {
+    val dir = Files.createTempDirectory("graft-sw-dsv2").toFile.getAbsolutePath + "/obs"
+    frame(40).repartition(3).sortWithinPartitions(col("rowkey"))
+      .write.format("sdfits")
+      .option("header.OBSFREQ", "1400.0")
+      .option("sheader.OBSMODE", "onoff")
+      .option("history.0", "DATAMODE LOWRES / x")
+      .mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".fits"))
+    assert(files.length == 3, s"one file per non-empty partition: ${files.toSeq}")
+    assert(files.forall(f => !f.getName.contains("inprogress")))
+    val back = spark.read.format("sdfits").load(dir)
+    assert(back.count() == 40)
+    assert(back.select(sum($"rowkey")).head().getLong(0) == (0 until 40).sum)
+    // header cards made it through the option plumbing
+    val h = graft.sources.sdfits.SdfitsFormat.open(
+      java.nio.file.Files.readAllBytes(files.head.toPath))._1
+    assert(h.value("OBSFREQ").contains("1400.0") && h.value("OBSMODE").contains("onoff"))
+    assert(h.history == Seq("DATAMODE LOWRES / x"))
+
+    // overwrite replaces the previous observation set
+    frame(10).repartition(1)
+      .write.format("sdfits").mode("overwrite").save(dir)
+    assert(spark.read.format("sdfits").load(dir).count() == 10)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".fits")) == 1)
+  }
+
   test("string width and float vectors derive from the data") {
     val dir = Files.createTempDirectory("graft-sw-types").toFile
     val df = spark.range(6).select(

@@ -132,6 +132,71 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("wav codec: random PCM16 parameters round-trip through synth→decode") {
+    import graft.llm.Multimodal
+    forAllSampled(Gen.zip(Gen.choose(0L, 1L << 40), Gen.choose(1, 300),
+        Gen.oneOf(8000, 16000, 44100), Gen.choose(1, 4)), n = 12) {
+      case (id, frames, rate, ch) =>
+        val wav = Multimodal.syntheticWav(id, frames, rate, ch)
+        val f = Multimodal.decodeWav(wav).get
+        assert(f.channels == ch && f.sample_rate == rate && f.n_frames == frames.toLong)
+        assert(f.duration_micros == frames.toLong * 1000000L / rate)
+        val samples = for (i <- 0 until frames; c <- 0 until ch)
+          yield math.abs(((id * 31 + i.toLong * 7 + c * 13) % 2003 - 1001).toInt)
+        assert(f.abs_sum == samples.map(_.toLong).sum && f.peak == samples.max)
+        // the JDK's own WAV reader agrees on the container fields
+        val jdk = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(wav))
+        assert(jdk.getFrameLength == frames && jdk.getFormat.getChannels == ch)
+    }
+  }
+
+  test("decontamination == exact shared-8-gram semantics for random corpora") {
+    import graft.llm.Decontamination
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta") // tiny vocab → real collisions of grams
+    val docGen = Gen.choose(3, 14).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    forAllSampled(Gen.listOfN(8, docGen), n = 6) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val corpus = rows.toDF("doc_id", "text")
+      val benchmark = corpus.filter($"doc_id" % 3 === 0)
+      def grams(t: String): Set[String] = {
+        val w = t.trim.split("\\s+")
+        if (w.length < 8) Set.empty
+        else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" ")).toSet
+      }
+      val benchGrams = rows.filter(_._1 % 3 == 0).flatMap(r => grams(r._2)).toSet
+      val expectBad = rows.filter(r => grams(r._2).exists(benchGrams)).map(_._1).toSet
+      val gotBad = Decontamination.contaminatedIds(corpus, benchmark)
+        .as[Long].collect().toSet
+      assert(gotBad == expectBad, s"texts=$texts")
+      val kept = Decontamination.decontaminate(corpus, benchmark)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(kept == rows.map(_._1).toSet -- expectBad)
+    }
+  }
+
+  test("weighted token-budget sampling == local gate reimplementation") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Sampling
+    val rowGen = Gen.zip(Gen.choose(0L, 100000L), Gen.oneOf("a", "b"), Gen.choose(1L, 500L))
+    forAllSampled(Gen.zip(Gen.listOfN(30, rowGen), Gen.choose(0L, 20000L)), n = 6) {
+      case (rowsDup, budgetA) =>
+        val rows = rowsDup.distinctBy(_._1)
+        val df = rows.toDF("id", "src", "nt")
+        val budgets = Map("a" -> budgetA, "b" -> 1000000L) // b under budget → all kept
+        val kept = Sampling.weightedByTokenBudget(df, "src", col("id"), col("nt"), budgets)
+          .select($"id").as[Long].collect().toSet
+        val totals = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+        def mix(k: Long) = java.lang.Math.floorMod(k * 2654435761L, 4294967296L)
+        val expect = rows.filter { case (id, s, _) =>
+          BigInt(mix(id)) * totals(s) < BigInt(budgets(s)) * 4294967296L
+        }.map(_._1).toSet
+        assert(kept == expect)
+        assert(rows.filter(_._2 == "b").map(_._1).toSet.subsetOf(kept),
+          "under-budget source passes whole")
+    }
+  }
+
   test("sdfits codec: random tables round-trip bit-exactly through write→open→decode") {
     import graft.sources.sdfits.SdfitsFormat
     import graft.sources.sdfits.SdfitsFormat.ColSpec

@@ -49,4 +49,32 @@ object RangeJoin {
       .filter(col("__pt") >= col("__lo") && col("__pt") <= col("__hi"))
       .drop("__pt", "__bkt", "__lo", "__hi")
   }
+
+  /** Interval×interval OVERLAP join: every `(a, b)` pair with
+    * `a.lo <= b.hi && b.lo <= a.hi` (closed intervals; plus equality on
+    * `equiKeys`). Same bucketization as [[pointInInterval]], both sides
+    * exploded — and NO distinct to dedupe multi-bucket pairs: a pair is
+    * emitted only at its canonical bucket, `floor(max(a.lo, b.lo)/width)`,
+    * which overlapping intervals always share (max(lo) ≤ min(hi) lies in
+    * both bucket ranges) — a pure filter where a dedupe would be a second
+    * shuffle over the candidate set. Output: columns of `a`, then `b`
+    * minus the equi keys; exactly the naive non-equi inner join's rows.
+    */
+  def intervalOverlap(a: DataFrame, alo: Column, ahi: Column,
+      b: DataFrame, blo: Column, bhi: Column,
+      bucketWidth: Double, equiKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(df: DataFrame, lo: Column, hi: Column, p: String): DataFrame =
+      df.withColumn(s"__${p}lo", lo.cast("double"))
+        .withColumn(s"__${p}hi", hi.cast("double"))
+        .filter(col(s"__${p}hi") >= col(s"__${p}lo"))
+        .withColumn("__bkt", explode(sequence(
+          floor(col(s"__${p}lo") / bucketWidth).cast("long"),
+          floor(col(s"__${p}hi") / bucketWidth).cast("long"))))
+    buckets(a, alo, ahi, "a").join(buckets(b, blo, bhi, "b"), equiKeys :+ "__bkt")
+      .filter(col("__alo") <= col("__bhi") && col("__blo") <= col("__ahi"))
+      .filter(col("__bkt") ===
+        floor(greatest(col("__alo"), col("__blo")) / bucketWidth).cast("long"))
+      .drop("__bkt", "__alo", "__ahi", "__blo", "__bhi")
+  }
 }

@@ -54,6 +54,26 @@ object ScaleQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_join_interval" -> ((s, dir) => {
+      // Interval×interval overlap: two order-derived interval sets (integer
+      // bounds → exact predicate), bucketized equi-join with canonical-
+      // bucket dedupe — no nested loop, no distinct.
+      val a = ord(s, dir).filter(col("o_orderkey") % 37 === 0)
+        .select(col("o_orderkey").as("a_key"),
+          ((col("o_orderkey") % 1000) * 10).cast("double").as("a_lo"),
+          ((col("o_orderkey") % 1000) * 10 + (col("o_orderkey") % 5) * 30 + 20)
+            .cast("double").as("a_hi"))
+      val b = ord(s, dir).filter(col("o_orderkey") % 41 === 0)
+        .select(col("o_orderkey").as("b_key"),
+          ((col("o_orderkey") % 900) * 11).cast("double").as("b_lo"),
+          ((col("o_orderkey") % 900) * 11 + (col("o_orderkey") % 7) * 25 + 15)
+            .cast("double").as("b_hi"))
+      RangeJoin.intervalOverlap(a, col("a_lo"), col("a_hi"),
+          b, col("b_lo"), col("b_hi"), bucketWidth = 128.0)
+        .select(col("a_key"), col("b_key"))
+        .orderBy(col("a_key"), col("b_key"))
+    }),
+
     "q_sample_hash" -> ((s, dir) =>
       // Deterministic 10% Bernoulli keyed on l_orderkey: a pure map-side
       // filter (scan → filter, no shuffle), stable under any layout.
@@ -232,6 +252,19 @@ object ScaleQueries {
         |FROM i JOIN lineitem l
         |  ON l.l_extendedprice >= i.lo AND l.l_extendedprice <= i.hi
         |GROUP BY i.o_orderkey ORDER BY i.o_orderkey""".stripMargin,
+
+    "q_join_interval" ->
+      """WITH a AS (SELECT o_orderkey AS a_key,
+        |    (o_orderkey % 1000) * 10 AS a_lo,
+        |    (o_orderkey % 1000) * 10 + (o_orderkey % 5) * 30 + 20 AS a_hi
+        |  FROM orders WHERE o_orderkey % 37 = 0),
+        |b AS (SELECT o_orderkey AS b_key,
+        |    (o_orderkey % 900) * 11 AS b_lo,
+        |    (o_orderkey % 900) * 11 + (o_orderkey % 7) * 25 + 15 AS b_hi
+        |  FROM orders WHERE o_orderkey % 41 = 0)
+        |SELECT a_key, b_key FROM a JOIN b
+        |  ON a_lo <= b_hi AND b_lo <= a_hi
+        |ORDER BY a_key, b_key""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem

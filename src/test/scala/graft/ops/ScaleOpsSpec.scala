@@ -56,6 +56,34 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(!naive.exists(_._2 == 5L)) // degenerate interval matches nothing
   }
 
+  test("interval overlap join equals the naive non-equi join, no duplicate pairs") {
+    val rnd = new scala.util.Random(7)
+    def ivals(n: Int, tag: String) = (1 to n).map { i =>
+      val lo = rnd.nextInt(1000).toDouble
+      (s"$tag$i", lo, lo + rnd.nextInt(120))
+    }.toDF("key", "lo", "hi")
+    val a = ivals(80, "a")
+    val b = ivals(60, "b")
+    val got = RangeJoin.intervalOverlap(
+        a.toDF("a_key", "a_lo", "a_hi"), col("a_lo"), col("a_hi"),
+        b.toDF("b_key", "b_lo", "b_hi"), col("b_lo"), col("b_hi"),
+        bucketWidth = 50.0)
+      .select($"a_key", $"b_key").as[(String, String)].collect().toSeq
+    val naive = a.toDF("a_key", "a_lo", "a_hi")
+      .join(b.toDF("b_key", "b_lo", "b_hi"),
+        col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select($"a_key", $"b_key").as[(String, String)].collect().toSeq
+    assert(got.size == got.toSet.size, "canonical-bucket emit must not duplicate pairs")
+    assert(got.toSet == naive.toSet)
+    // zero-length and touching intervals behave as closed intervals
+    val t1 = Seq(("x", 10.0, 10.0)).toDF("a_key", "a_lo", "a_hi")
+    val t2 = Seq(("y", 10.0, 20.0), ("z", 20.5, 21.0)).toDF("b_key", "b_lo", "b_hi")
+    val touch = RangeJoin.intervalOverlap(t1, col("a_lo"), col("a_hi"),
+        t2, col("b_lo"), col("b_hi"), bucketWidth = 7.0)
+      .select($"b_key").as[String].collect().toSeq
+    assert(touch == Seq("y"))
+  }
+
   test("range join honors extra equi keys") {
     val points = Seq(("u1", 5.0), ("u2", 5.0)).toDF("user", "x")
     val intervals = Seq(("u1", 0.0, 10.0)).toDF("user", "lo", "hi")

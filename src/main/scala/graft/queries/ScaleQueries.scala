@@ -162,6 +162,41 @@ object ScaleQueries {
           graft.ops.Expectations.matches("l_returnflag", "^[ARN]$")))
         .orderBy(col("expectation"))),
 
+    "q_jsonl_ingest" -> ((s, dir) => {
+      // JSONL ingestion with quarantine: documents serialized as JSON
+      // lines with every 50th line corrupted; the reader must route broken
+      // lines to quarantine (count pinned in the certificate) and parse
+      // the rest — output hash-checked against the documents table.
+      import org.apache.spark.sql.types._
+      val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+      val out = new java.io.File(stagingDir() + s"/jsonl/docs_$tag.jsonl")
+      val marker = new java.io.File(out.getPath + ".src")
+      val fp = sourceSignature(dir, "documents")
+      val current = out.isFile && marker.isFile &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
+      if (!current) {
+        out.getParentFile.mkdirs()
+        val rows = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id")).collect()
+        val sb = new StringBuilder
+        rows.foreach { r =>
+          if (r.getLong(0) % 50 == 0) sb.append(s"{broken line ${r.getLong(0)}\n")
+          else sb.append(
+            s"""{"doc_id": ${r.getLong(0)}, "lang": "${r.getString(1)}", "n_chars": ${r.getLong(2)}}\n""")
+        }
+        java.nio.file.Files.write(out.toPath, sb.toString.getBytes("UTF-8"))
+        java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+      }
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("n_chars", LongType)))
+      val (good, bad) = graft.sources.TextIngest.readJsonl(s, out.getAbsolutePath, schema)
+      val nBad = bad.count()
+      val expectBad = docs(s, dir).filter(col("doc_id") % 50 === 0).count()
+      require(nBad == expectBad,
+        s"quarantine must hold exactly the corrupted lines: $nBad != $expectBad")
+      good.orderBy(col("doc_id"))
+    }),
+
     "q_sink_layout" -> ((s, dir) => {
       // Layout-aware sink round-trip: write partitioned by l_returnflag +
       // sorted by l_shipdate, reread one partition, certify (a) the scan
@@ -252,6 +287,10 @@ object ScaleQueries {
         |FROM i JOIN lineitem l
         |  ON l.l_extendedprice >= i.lo AND l.l_extendedprice <= i.hi
         |GROUP BY i.o_orderkey ORDER BY i.o_orderkey""".stripMargin,
+
+    "q_jsonl_ingest" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 50 <> 0 ORDER BY doc_id""".stripMargin,
 
     "q_join_interval" ->
       """WITH a AS (SELECT o_orderkey AS a_key,

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** JSONL corpus ingestion with malformed-row quarantine — the standard
+  * entry point of a training-data pipeline (web corpora ship as JSON
+  * lines, and some fraction of every crawl is broken).
+  *
+  * Implementation: line-oriented `text` scan + `from_json`, which yields a
+  * NULL struct for an unparseable line — rows that parse take their schema
+  * fields, rows that don't carry the raw line into the quarantine frame.
+  * Both halves are filters over the same scan shape (no driver
+  * involvement, no second parse of good rows), and the quarantine keeps
+  * the raw bytes so a fixed parser can replay it later — silently dropping
+  * unparseable rows is how corpora lose data unaccountably. (The built-in
+  * JSON reader's `_corrupt_record` column would be the obvious
+  * alternative, but Spark disallows plans that end up referencing only
+  * that column, which is exactly the quarantine projection.)
+  *
+  * Scale shape: the text scan is splittable by line; schema is
+  * CALLER-SUPPLIED — never inferred, which would scan the corpus twice and
+  * lock in whatever the first sample happened to contain.
+  */
+object TextIngest {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Read JSON-lines at `path` against `schema`; returns (good, quarantined).
+    * `good` has exactly the schema's columns; `quarantined` is one string
+    * column [[CorruptCol]] holding each malformed raw line. A line that
+    * parses but lacks a field is GOOD with that field null (standard JSONL
+    * leniency); only lines that fail to parse as JSON quarantine.
+    *
+    * Corruption detection: `from_json` in PERMISSIVE mode yields an
+    * all-null ROW (not a null struct) for malformed input — which a valid
+    * `{}` line also yields — so the corrupt-record field goes INSIDE the
+    * parse schema, where the parser populates it exactly for lines that
+    * failed.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not already contain $CorruptCol")
+    val withCorrupt = StructType(schema.fields :+
+      StructField(CorruptCol, StringType, nullable = true))
+    val parsed = spark.read.text(path)
+      .withColumn("__p", from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))
+    val good = parsed.filter(col(s"__p.$CorruptCol").isNull)
+      .select(schema.fieldNames.map(f => col(s"__p.$f")).toIndexedSeq: _*)
+    val bad = parsed.filter(col(s"__p.$CorruptCol").isNotNull)
+      .select(col("value").as(CorruptCol))
+    (good, bad)
+  }
+}

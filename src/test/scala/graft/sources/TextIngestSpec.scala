@@ -1,0 +1,41 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import graft.SparkTestBase
+
+/** JSONL ingestion with quarantine: good/bad split, raw-line preservation,
+  * missing-field leniency vs parse-failure strictness.
+  */
+class TextIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+
+  test("good rows parse, malformed lines quarantine with their raw bytes") {
+    val dir = Files.createTempDirectory("graft-jsonl").toFile
+    val f = new java.io.File(dir, "corpus.jsonl")
+    Files.write(f.toPath, Seq(
+      """{"id": 1, "text": "hello"}""",
+      """{broken json""",
+      """{"id": 2, "text": "world"}""",
+      """not json at all""",
+      """{"id": 3}""" // parses; missing field is null, NOT quarantined
+    ).mkString("\n").getBytes("UTF-8"))
+    val (good, bad) = TextIngest.readJsonl(spark, f.getAbsolutePath, schema)
+    assert(good.schema.fieldNames.toSeq == Seq("id", "text"))
+    val rows = good.as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, Some("hello")), (2L, Some("world")), (3L, None)))
+    val q = bad.as[String].collect().toSet
+    assert(q == Set("{broken json", "not json at all"),
+      "quarantine must keep the raw line for replay")
+  }
+
+  test("schema may not claim the corrupt-record column") {
+    val clash = StructType(Seq(StructField(TextIngest.CorruptCol, StringType)))
+    intercept[IllegalArgumentException] {
+      TextIngest.readJsonl(spark, "/nonexistent", clash)
+    }
+  }
+}

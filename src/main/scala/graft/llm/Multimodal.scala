@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * dependencies) for decode → nearest-neighbor resample → channel-mean
   * features. The AUDIO path is REAL too (round 8): [[decodeWav]] /
   * [[audioFeatureKernel]] hand-parse RIFF/WAVE PCM16 — a plain container,
-  * no codec library needed. VIDEO codecs are NOT in this environment, so
-  * that decode kernel remains a clearly-marked deterministic stub
-  * ([[stubDecode]]) — the Spark-side contract (schema, batching,
-  * partitioning, null handling) is real and tested, and a production codec
-  * drops into [[decodeKernel]] without touching the plumbing.
+  * no codec library needed. The VIDEO path is REAL for uncompressed AVI
+  * (round 8): [[decodeAvi]] / [[videoFrameFeatureKernel]] hand-parse the
+  * RIFF/AVI container and its DIB frames. COMPRESSED codecs (JPEG-in-AVI,
+  * H.264, MP3/AAC) are NOT in this environment — a compressed stream
+  * quarantines rather than mis-decodes, and [[stubDecode]] remains the
+  * clearly-marked deterministic stand-in for generic-codec plumbing tests;
+  * a production codec drops into [[decodeKernel]] without touching the
+  * plumbing.
   */
 object Multimodal {
 
@@ -291,6 +294,142 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
           decodeWav(payload).map(_.copy(id = id))
+        }
+      }
+  }
+
+  // --- real video path (hand-parsed RIFF/AVI, uncompressed DIB frames) ----
+
+  /** Integer per-frame features of a decoded uncompressed AVI: channel
+    * SUMS over the frame's pixels (exact integers — the oracle recomputes
+    * them from a known pixel formula bit-for-bit).
+    */
+  final case class VideoFrameFeatures(
+      id: Long, width: Int, height: Int, n_frames: Long, frame_idx: Long,
+      b_sum: Long, g_sum: Long, r_sum: Long)
+
+  /** Deterministic synthetic uncompressed AVI for fixtures (RIFF container,
+    * `00db` DIB frames, 24-bit BGR, rows padded to 4 bytes): pixel channel
+    * values for frame `f` at `(x, y)` are `(id·7 + f·19 + x·11 + y·3) % 256`
+    * (b), `(id·13 + f·5 + x·3 + y·7) % 256` (g), `(id·31 + f·3 + x·7 +
+    * y·13) % 256` (r) — closed forms an SQL oracle re-derives per pixel.
+    */
+  def syntheticAvi(id: Long, frames: Int, w: Int, h: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = stride * h
+    val moviSize = 4 + frames * (8 + frameBytes)
+    val hdrlSize = 4 + 8 + 56
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    fourcc("RIFF"); bb.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(33333) // µs per frame (~30 fps)
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(frames) // dwTotalFrames
+      .putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(moviSize); fourcc("movi")
+    var f = 0
+    while (f < frames) {
+      fourcc("00db"); bb.putInt(frameBytes)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          bb.put(((id * 7 + f * 19 + x * 11 + y * 3) % 256).toByte)
+          bb.put(((id * 13 + f * 5 + x * 3 + y * 7) % 256).toByte)
+          bb.put(((id * 31 + f * 3 + x * 7 + y * 13) % 256).toByte)
+          x += 1
+        }
+        var p = w * 3
+        while (p < stride) { bb.put(0.toByte); p += 1 }
+        y += 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** REAL uncompressed-AVI decode: hand-parsed RIFF walk (`avih` for
+    * dims/frame count, `movi` for `00db`/`00dc` DIB frames; 24-bit BGR,
+    * 4-byte row padding skipped). Emits per-frame channel sums for every
+    * `every`-th frame. None for null / non-AVI / truncated / non-24-bit
+    * payloads — compressed codecs are exactly what this environment lacks,
+    * so a compressed stream quarantines rather than mis-decodes.
+    */
+  def decodeAvi(payload: Array[Byte], every: Int): Option[Seq[VideoFrameFeatures]] = {
+    if (payload == null || payload.length < 12 + 8 + 56 || every <= 0) return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+    if (tag() != "RIFF") return None
+    bb.getInt
+    if (tag() != "AVI ") return None
+    var w = -1; var h = -1; var total = -1L
+    val frames = Seq.newBuilder[(Int, Int)] // (offset, len) of each DIB frame
+    def walkList(end: Int): Unit = {
+      while (bb.position() + 8 <= end) {
+        val id = tag(); val len = bb.getInt
+        if (len < 0 || bb.position() + len > end) throw new java.io.EOFException
+        if (id == "LIST") {
+          val kind = tag()
+          val inner = bb.position() + len - 4
+          if (kind == "hdrl" || kind == "movi") walkList(inner)
+          bb.position(inner + (len & 1))
+        } else {
+          if (id == "avih" && len >= 40) {
+            val p = bb.position()
+            total = bb.getInt(p + 16).toLong
+            w = bb.getInt(p + 32); h = bb.getInt(p + 36)
+          } else if (id == "00db" || id == "00dc") {
+            frames += ((bb.position(), len))
+          }
+          bb.position(bb.position() + len + (len & 1))
+        }
+      }
+    }
+    try walkList(payload.length) catch { case _: Exception => return None }
+    val fs = frames.result()
+    if (w <= 0 || h <= 0 || total != fs.length.toLong) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (fs.exists(_._2 != stride * h)) return None // not 24-bit uncompressed
+    Some((0 until fs.length by every).map { fi =>
+      val (off, _) = fs(fi)
+      var bSum = 0L; var gSum = 0L; var rSum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        val row = off + y * stride
+        while (x < w) {
+          bSum += payload(row + x * 3) & 0xff
+          gSum += payload(row + x * 3 + 1) & 0xff
+          rSum += payload(row + x * 3 + 2) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      VideoFrameFeatures(0L, w, h, fs.length.toLong, fi.toLong, bSum, gSum, rSum)
+    })
+  }
+
+  /** The real-video decode stage: per-partition batch loop, 1 → N rows per
+    * payload (one per sampled frame); undecodable payloads drop.
+    */
+  def videoFrameFeatureKernel(
+      df: DataFrame,
+      every: Int = 3,
+      idCol: String = "id",
+      payloadCol: String = "payload"): Dataset[VideoFrameFeatures] = {
+    require(every > 0, "every must be positive")
+    implicit val enc = Encoders.product[VideoFrameFeatures]
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          decodeAvi(payload, every).toSeq.flatten.map(_.copy(id = id))
         }
       }
   }

@@ -428,6 +428,21 @@ object LlmQueries {
       Multimodal.audioFeatureKernel(media).toDF().orderBy(col("id"))
     }),
 
+    "q_multimodal_video" -> ((s, dir) => {
+      // REAL video decode end to end: deterministic synthetic uncompressed
+      // AVIs (RIFF + 00db DIB frames, per-doc frame counts), hand-parsed
+      // back (avih dims/count, movi walk, row padding skipped), every 3rd
+      // frame's integer channel sums emitted. The container is real and
+      // the pixel formula closed-form, so the oracle re-derives every sum.
+      val gen = udf((id: Long, frames: Int) => Multimodal.syntheticAvi(id, frames, 8, 6))
+      val media = docs(s, dir).select(col("doc_id").cast("long").as("id"))
+        .withColumn("nf", (col("id") % 6 + 8).cast("int"))
+        .select(col("id"), gen(col("id"), col("nf")).as("payload"))
+      Multimodal.videoFrameFeatureKernel(media, every = 3)
+        .toDF()
+        .orderBy(col("id"), col("frame_idx"))
+    }),
+
     "q_multimodal_frames" -> ((s, dir) =>
       // Frame-sample plumbing (1 → N rows per payload, every 3rd 64-byte
       // frame, truncated tail): ASCII payloads make frame boundaries
@@ -660,6 +675,22 @@ object LlmQueries {
         |  CAST(nf * 1000000 // rate AS BIGINT) AS duration_micros,
         |  CAST(sum(a) AS BIGINT) AS abs_sum, CAST(max(a) AS INT) AS peak
         |FROM s GROUP BY 1, 2, 3, 4, 5 ORDER BY id""".stripMargin,
+
+    "q_multimodal_video" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id % 6 + 8 AS BIGINT) AS nf
+        |  FROM documents),
+        |f AS (SELECT id, nf, fi.f AS frame_idx FROM d, range(0, 14) fi(f)
+        |  WHERE fi.f < nf AND fi.f % 3 = 0),
+        |px AS (SELECT id, nf, frame_idx,
+        |    (id * 7 + frame_idx * 19 + gx.x * 11 + gy.y * 3) % 256 AS b,
+        |    (id * 13 + frame_idx * 5 + gx.x * 3 + gy.y * 7) % 256 AS g,
+        |    (id * 31 + frame_idx * 3 + gx.x * 7 + gy.y * 13) % 256 AS r
+        |  FROM f, range(0, 8) gx(x), range(0, 6) gy(y))
+        |SELECT id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height, nf AS n_frames, frame_idx,
+        |  CAST(sum(b) AS BIGINT) AS b_sum, CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum(r) AS BIGINT) AS r_sum
+        |FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY id, frame_idx""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH d AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS len

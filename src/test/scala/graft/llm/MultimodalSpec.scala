@@ -109,4 +109,31 @@ class MultimodalSpec extends SparkTestBase {
     val out = Multimodal.audioFeatureKernel(df).collect()
     assert(out.length == 1 && out.head.id == 1L && out.head.n_frames == 50L)
   }
+
+  test("real video path: uncompressed AVI round-trip, frame sampling, corrupt drops") {
+    // odd width (5) exercises the 4-byte DIB row padding: stride 16, not 15
+    val avi = Multimodal.syntheticAvi(id = 9L, frames = 7, w = 5, h = 4)
+    val got = Multimodal.decodeAvi(avi, every = 2).get
+    assert(got.map(_.frame_idx) == Seq(0L, 2L, 4L, 6L))
+    assert(got.forall(f => f.width == 5 && f.height == 4 && f.n_frames == 7L))
+    // independent recomputation from the closed-form pixel formula
+    got.foreach { fr =>
+      val f = fr.frame_idx
+      def sum(c7: Long, c19: Long, cx: Long, cy: Long) =
+        (for (x <- 0 until 5; y <- 0 until 4)
+          yield (9L * c7 + f * c19 + x * cx + y * cy) % 256).sum
+      assert(fr.b_sum == sum(7, 19, 11, 3), s"frame $f b")
+      assert(fr.g_sum == sum(13, 5, 3, 7), s"frame $f g")
+      assert(fr.r_sum == sum(31, 3, 7, 13), s"frame $f r")
+    }
+    // rejection contract: truncated, non-AVI, and frame-count-mismatched drop
+    assert(Multimodal.decodeAvi(avi.take(60), every = 1).isEmpty)
+    assert(Multimodal.decodeAvi("RIFFxxxxWAVE not an avi".getBytes, every = 1).isEmpty)
+    assert(Multimodal.decodeAvi(null, every = 1).isEmpty)
+    // kernel: 1 → N rows per payload, bad payload dropped
+    val df = Seq((1L, Multimodal.syntheticAvi(1L, 6, 4, 4)),
+      (2L, Array[Byte](82, 73))).toDF("id", "payload")
+    val rows = Multimodal.videoFrameFeatureKernel(df, every = 3).collect()
+    assert(rows.map(r => (r.id, r.frame_idx)).sorted.toSeq == Seq((1L, 0L), (1L, 3L)))
+  }
 }

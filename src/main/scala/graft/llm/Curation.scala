@@ -48,4 +48,37 @@ object Curation {
     Sampling.hashSample(kept, id, sampleNum, sampleDen)
       .select(id).orderBy(id)
   }
+
+  /** The round-8 recipe — the gates a modern pretraining pipeline actually
+    * chains:
+    *
+    *   repetition gate → entropy gate → benchmark decontamination →
+    *   exact dedup → domain-mixture token-budget sampling
+    *
+    * Same stage-order discipline as [[run]]: the doc-local quality gates
+    * (repetition, entropy — one doc-keyed shuffle each over slim columns)
+    * run before the gram-explosion machinery of decontamination; exact
+    * dedup's 32-byte-key shuffle sees only clean survivors; the mixture
+    * sampler is last so source budgets apply to CURATED token mass (its
+    * per-source totals are computed over the deduped frame, by design).
+    * Returns `(idCol, sourceCol)` ordered by id.
+    */
+  def runModern(docs: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source",
+      maxDupFrac: Double = 0.55, minEntropyMicro: Long = 2800000L,
+      budgets: Map[String, Long]): DataFrame = {
+    val id = col(idCol)
+    val rep = TextAnalysis.repetitionBy(docs, idCol, textCol)
+      .filter(col("dup_token_frac") <= maxDupFrac).select(id)
+    val ent = TextAnalysis.charEntropyBy(docs, idCol, textCol)
+      .filter(col("entropy_micro") >= minEntropyMicro).select(id)
+    val gated = docs.select(id, col(textCol), col(sourceCol))
+      .join(rep, idCol).join(ent, idCol)
+    val clean = Decontamination.decontaminate(gated, benchmark, idCol, textCol)
+    val deduped = Dedup.exactDedup(clean, textCol, idCol)
+    Sampling.weightedByTokenBudget(deduped, sourceCol, id,
+        TextAnalysis.tokenCount(col(textCol)), budgets)
+      .select(id, col(sourceCol)).orderBy(id)
+  }
 }

@@ -473,6 +473,17 @@ object LlmQueries {
             graft.llm.TextAnalysis.tokenCount(col("text")), budget = 512L, shards = 4))
         .orderBy(col("shard"), col("chunk"))),
 
+    "q_pipeline_curation2" -> ((s, dir) => {
+      // The round-8 curation recipe end to end: repetition gate → entropy
+      // gate → benchmark decontamination → exact dedup → domain-mixture
+      // token-budget sampling — every stage individually certified, the
+      // composition hash-checked as one frame.
+      val budgets = (0 until 20).map(i => s"src$i" -> (400L + 150L * (i % 5))).toMap
+      graft.llm.Curation.runModern(docs(s, dir),
+        benchmark = docs(s, dir).filter(col("doc_id") % 37 === 0),
+        budgets = budgets)
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       // Benchmark decontamination: drop corpus docs sharing any 8-token
       // gram with the benchmark slice (doc_id % 37). Fingerprint join —
@@ -779,6 +790,46 @@ object LlmQueries {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pipeline_curation2" ->
+      // Chained from the certified fragments of q_text_repetition,
+      // q_text_entropy, q_decontaminate, q_dedup_exact_rows and
+      // q_sample_weighted — one CTE per stage, same thresholds.
+      """WITH w AS (SELECT doc_id, source, text,
+        |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |rep AS (SELECT doc_id FROM w
+        |  WHERE CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.55),
+        |chars AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        |    unnest(list_transform(range(1, length(text) + 1), i -> text[i])) AS c
+        |  FROM documents),
+        |gch AS (SELECT doc_id, n, c, count(*) AS cnt FROM chars GROUP BY 1, 2, 3),
+        |ent AS (SELECT doc_id FROM (
+        |    SELECT doc_id, sum(CAST(round(-(CAST(cnt AS DOUBLE) / greatest(n, 1))
+        |      * ln(CAST(cnt AS DOUBLE) / greatest(n, 1)) * 1000000.0) AS BIGINT)) AS em
+        |    FROM gch GROUP BY 1) WHERE em >= 2800000),
+        |gated AS (SELECT * FROM w WHERE doc_id IN (SELECT doc_id FROM rep)
+        |  AND doc_id IN (SELECT doc_id FROM ent)),
+        |bgr AS (SELECT doc_id,
+        |    CASE WHEN len(w) >= 8 THEN list_transform(range(1, len(w) - 6),
+        |      i -> array_to_string(list_slice(w, i, i + 7), ' ')) ELSE [] END AS gs
+        |  FROM w),
+        |bench AS (SELECT DISTINCT g FROM
+        |  (SELECT unnest(gs) AS g FROM bgr WHERE doc_id % 37 = 0)),
+        |corpg AS (SELECT doc_id, unnest(gs) AS g FROM bgr
+        |  WHERE doc_id IN (SELECT doc_id FROM gated)),
+        |bad AS (SELECT DISTINCT doc_id FROM corpg WHERE g IN (SELECT g FROM bench)),
+        |clean AS (SELECT * FROM gated
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |dedup AS (SELECT * FROM clean
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM clean GROUP BY text)),
+        |tot AS (SELECT source, sum(CAST(len(w) AS BIGINT)) AS tokens
+        |  FROM dedup GROUP BY 1),
+        |b AS (SELECT source,
+        |    400 + 150 * (CAST(substr(source, 4) AS INT) % 5) AS budget FROM tot)
+        |SELECT doc_id, d.source FROM dedup d JOIN tot USING (source) JOIN b USING (source)
+        |WHERE CAST((doc_id * 2654435761) % 4294967296 AS HUGEINT) * tokens
+        |    < CAST(budget AS HUGEINT) * 4294967296
+        |ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       // Exact-gram ground truth (the engine fingerprint-prefilters, then

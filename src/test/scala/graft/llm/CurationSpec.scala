@@ -39,4 +39,30 @@ class CurationSpec extends SparkTestBase {
     assert(half.subsetOf(all))
     assert(half.size < all.size && half.nonEmpty)
   }
+
+  test("runModern: each gate drops its target, survivors sampled by source budget") {
+    val gram = "one two three four five six seven eight"
+    val diverse = "assorted tokens compose sentences exhibiting reasonable entropy levels overall"
+    val docs = Seq(
+      (1L, s"keep doc with $diverse", "srcA"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam", "srcA"), // repetition gate
+      (3L, "aaaaaaaaaa aaaaaaaaaa aaaaaaaaaa aaaaaaaaaa", "srcA"),        // entropy gate
+      (4L, s"contaminated because $gram appears here", "srcA"),          // decontamination
+      (5L, s"keep doc with $diverse", "srcA"),                            // exact dup of 1 → dropped
+      (6L, s"unique survivor number six with $diverse words", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val benchmark = Seq((99L, s"the benchmark holds $gram inside")).toDF("doc_id", "text")
+    // huge budgets → the sampler keeps everything that survives the gates
+    val kept = Curation.runModern(docs, benchmark,
+        maxDupFrac = 0.55, minEntropyMicro = 2000000L,
+        budgets = Map("srcA" -> 1000000L, "srcB" -> 1000000L))
+      .as[(Long, String)].collect().toMap
+    assert(kept.keySet == Set(1L, 6L), s"got $kept")
+    // zero budget for srcB drops its survivors deterministically
+    val noB = Curation.runModern(docs, benchmark,
+        maxDupFrac = 0.55, minEntropyMicro = 2000000L,
+        budgets = Map("srcA" -> 1000000L, "srcB" -> 0L))
+      .as[(Long, String)].collect().toMap
+    assert(noB.keySet == Set(1L))
+  }
 }

@@ -40,12 +40,29 @@ object TextIngest {
     * failed.
     */
   def readJsonl(spark: SparkSession, path: String, schema: StructType)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) =
+    splitJsonl(spark.read.text(path), schema)
+
+  /** Streaming form — the ingestion-time gate: the same split over
+    * `readStream.text(dir)`, so new corpus files route good rows to the
+    * pipeline and broken rows to a quarantine sink as they arrive. Both
+    * halves are STATELESS (pure projections/filters of the stream), so any
+    * output mode / watermark discipline of the surrounding query applies
+    * unchanged.
+    */
+  def readJsonlStream(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) =
+    splitJsonl(spark.readStream.text(path), schema)
+
+  /** The split itself, over ANY one-string-column `value` frame (batch or
+    * streaming — both readers above share it).
+    */
+  def splitJsonl(lines: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not already contain $CorruptCol")
     val withCorrupt = StructType(schema.fields :+
       StructField(CorruptCol, StringType, nullable = true))
-    val parsed = spark.read.text(path)
+    val parsed = lines
       .withColumn("__p", from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))
     val good = parsed.filter(col(s"__p.$CorruptCol").isNull)

@@ -32,10 +32,37 @@ class TextIngestSpec extends SparkTestBase {
       "quarantine must keep the raw line for replay")
   }
 
+  test("streaming ingest: arriving files split into good rows and quarantine") {
+    val dir = Files.createTempDirectory("graft-jsonl-stream").toFile
+    Files.write(new java.io.File(dir, "batch1.jsonl").toPath, Seq(
+      """{"id": 1, "text": "alpha"}""",
+      """}{ mangled""",
+      """{"id": 2, "text": "beta"}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val (good, bad) = TextIngest.readJsonlStream(spark, dir.getAbsolutePath, schema)
+    assert(good.isStreaming && bad.isStreaming)
+    val q1 = good.writeStream.format("memory").queryName("ti_good").start()
+    val q2 = bad.writeStream.format("memory").queryName("ti_bad").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val g = spark.table("ti_good").as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(g == Seq((1L, "alpha"), (2L, "beta")))
+      assert(spark.table("ti_bad").as[String].collect().toSeq == Seq("}{ mangled"))
+      // a second file arrives: only its rows append
+      Files.write(new java.io.File(dir, "batch2.jsonl").toPath,
+        """{"id": 3, "text": "gamma"}""".getBytes("UTF-8"))
+      q1.processAllAvailable()
+      assert(spark.table("ti_good").count() == 3)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("schema may not claim the corrupt-record column") {
+    val dir = Files.createTempDirectory("graft-jsonl-clash").toFile
+    val f = new java.io.File(dir, "x.jsonl")
+    Files.write(f.toPath, "{}".getBytes("UTF-8"))
     val clash = StructType(Seq(StructField(TextIngest.CorruptCol, StringType)))
     intercept[IllegalArgumentException] {
-      TextIngest.readJsonl(spark, "/nonexistent", clash)
+      TextIngest.readJsonl(spark, f.getAbsolutePath, clash)
     }
   }
 }

@@ -58,12 +58,15 @@ object StreamingDedup {
     * a scan of document bodies.
     */
   /** Ingestion-time benchmark-contamination gate: flag stream documents
-    * sharing any word n-gram fingerprint with a STATIC benchmark
-    * fingerprint set ([[graft.llm.Decontamination.benchmarkFingerprints]],
-    * computed once). Stateless stream-static broadcast semi-join at gram
-    * granularity — a document colliding on several grams emits one row per
-    * colliding gram (consumers treat the output as a set, same discipline
-    * as [[nearDupAgainstCorpus]]), or pass `tsCol` for watermark-bounded
+    * sharing any word n-gram with a STATIC benchmark gram set
+    * ([[graft.llm.Decontamination.benchmarkGrams]], computed once). Same
+    * EXACT two-stage match as the batch operator (round 8): a long-keyed
+    * fingerprint broadcast semi-join prefilters, then a string confirm on
+    * the survivors — a fingerprint collision can no longer flag a clean
+    * stream document. Stateless stream-static joins at gram granularity —
+    * a document sharing several grams emits one row per shared gram
+    * (consumers treat the output as a set, same discipline as
+    * [[nearDupAgainstCorpus]]), or pass `tsCol` for watermark-bounded
     * `dropDuplicatesWithinWatermark` collapsing. The CLEAN side of the
     * gate is the caller's per-microbatch anti-join (foreachBatch with
     * [[graft.llm.Decontamination.decontaminate]]) — a per-doc "no gram
@@ -71,7 +74,7 @@ object StreamingDedup {
     */
   def contaminatedAgainstBenchmark(
       stream: DataFrame,
-      benchFps: DataFrame,
+      benchGrams: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 8,
@@ -82,8 +85,9 @@ object StreamingDedup {
       .select(col(idCol).as("stream_id") +: tsCol.toSeq.map(col) :+
         explode(graft.llm.TextAnalysis.wordNgrams(col(textCol), n)).as("__g"): _*)
       .withColumn("__fp", graft.llm.TextAnalysis.fingerprint(col("__g")))
-      .drop("__g")
-    val matched = grams.join(broadcast(benchFps), Seq("__fp"), "left_semi")
+    val matched = grams
+      .join(broadcast(benchGrams.select(col("__fp")).distinct()), Seq("__fp"), "left_semi")
+      .join(broadcast(benchGrams), Seq("__fp", "__g"), "left_semi")
       .select(col("stream_id") +: tsCol.toSeq.map(col): _*)
     tsCol.fold(matched)(_ => matched.dropDuplicatesWithinWatermark("stream_id"))
   }

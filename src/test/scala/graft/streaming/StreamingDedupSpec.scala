@@ -62,12 +62,12 @@ class StreamingDedupSpec extends SparkTestBase {
     val gram = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
     val benchmark = Seq((9L, s"benchmark material includes $gram verbatim"))
       .toDF("doc_id", "text")
-    val benchFps = graft.llm.Decontamination.benchmarkFingerprints(benchmark)
+    val benchGrams = graft.llm.Decontamination.benchmarkGrams(benchmark)
 
-    // stateless default: any colliding gram flags the doc (≥1 row per doc)
+    // stateless default: any shared gram flags the doc (≥1 row per doc)
     val input = MemoryStream[(Long, String)]
     val q = StreamingDedup.contaminatedAgainstBenchmark(
-        input.toDS().toDF("doc_id", "text"), benchFps)
+        input.toDS().toDF("doc_id", "text"), benchGrams)
       .writeStream.format("memory").queryName("scontam").outputMode("append").start()
     try {
       input.addData(
@@ -81,7 +81,7 @@ class StreamingDedupSpec extends SparkTestBase {
     // watermarked variant: exactly one row per contaminated doc
     val input2 = MemoryStream[(Long, Timestamp, String)]
     val q2 = StreamingDedup.contaminatedAgainstBenchmark(
-        input2.toDS().toDF("doc_id", "ts", "text"), benchFps,
+        input2.toDS().toDF("doc_id", "ts", "text"), benchGrams,
         tsCol = Some("ts"), watermark = "10 minutes")
       .writeStream.format("memory").queryName("scontam_wm").outputMode("append").start()
     try {
@@ -92,6 +92,36 @@ class StreamingDedupSpec extends SparkTestBase {
       val rows = spark.table("scontam_wm").select($"stream_id").as[Long].collect().toSeq
       assert(rows == Seq(100L), s"expected one collapsed row, got $rows")
     } finally q2.stop()
+
+    // exact semantics: a fingerprint collision (same hash, different gram —
+    // same construction as the batch PropertiesSpec) must NOT flag the doc
+    val p = 1000000007L
+    def poly(str: String): Long =
+      str.foldLeft(0L)((a, c) => java.lang.Math.floorMod(a * 131L + c.toLong, p))
+    val rnd = new scala.util.Random(42)
+    val seen = scala.collection.mutable.HashMap.empty[Long, String]
+    var pair: Option[(String, String)] = None
+    while (pair.isEmpty) {
+      val t = Array.fill(7)(('a' + rnd.nextInt(26)).toChar).mkString
+      seen.get(poly(t)) match {
+        case Some(u) if u != t => pair = Some((u, t))
+        case _                 => seen(poly(t)) = t
+      }
+    }
+    val (t1, t2) = pair.get
+    val prefix = "one two three four five six seven"
+    val benchGrams2 = graft.llm.Decontamination.benchmarkGrams(
+      Seq((9L, s"$prefix $t2")).toDF("doc_id", "text"))
+    val input3 = MemoryStream[(Long, String)]
+    val q3 = StreamingDedup.contaminatedAgainstBenchmark(
+        input3.toDS().toDF("doc_id", "text"), benchGrams2)
+      .writeStream.format("memory").queryName("scontam_coll").outputMode("append").start()
+    try {
+      input3.addData((300L, s"$prefix $t1")) // fp-collides, shares no gram
+      q3.processAllAvailable()
+      assert(spark.table("scontam_coll").count() == 0,
+        "collision must not flag a clean stream doc")
+    } finally q3.stop()
   }
 
   test("stream near-dup gate with tsCol collapses band collisions via watermarked state") {

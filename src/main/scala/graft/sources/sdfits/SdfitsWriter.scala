@@ -158,6 +158,17 @@ object SdfitsWriter {
       header: Header): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // The key is rendered twice — catalyst cast-to-string for the counts
+    // map, JVM String.valueOf in the write task — which only agree for
+    // string/integer keys (a double would format differently and miss the
+    // map). Restrict rather than risk a silent mismatch.
+    df.schema(fileCol).dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"sdfits: fileCol '$fileCol' must be string/int/long, got ${other.simpleString}")
+    }
     val (cols, _) = colSpecsAndCount(df)
     val fields = df.schema.fields
     val keyIdx = df.schema.fieldIndex(fileCol)

@@ -66,6 +66,14 @@ class SdfitsWriterSpec extends SparkTestBase {
     assert(spark.read.format("sdfits").load(dir.getAbsolutePath).count() == 60)
   }
 
+  test("writeObservations rejects non-integral key columns") {
+    val df = frame(4).withColumn("obs", col("rowkey").cast("double"))
+    val e = intercept[IllegalArgumentException] {
+      SdfitsWriter.writeObservations(df, "obs", Seq("rowkey"), "/tmp/unused", Header())
+    }
+    assert(e.getMessage.contains("string/int/long"))
+  }
+
   test("ragged vector columns fail loudly (FITS repeats are fixed)") {
     val ragged = spark.range(4).select(col("id").as("k"),
       when(col("id") % 2 === 0, array(lit(1.0), lit(2.0)))

@@ -44,9 +44,9 @@ class SdfitsTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val conf = SdfitsTableProvider.driverConf()
-    // A missing/empty path is legal for the WRITE side (the table schema
-    // then comes from the query via ACCEPT_ANY_SCHEMA); reads of it fail
-    // in planInputPartitions with the same "no input files" message.
+    // A missing or fileless path is legal for the WRITE side (the table
+    // schema then comes from the query via ACCEPT_ANY_SCHEMA); READS of
+    // either still fail in planInputPartitions ("no input files").
     val files =
       try SdfitsTableProvider.listFiles(SdfitsTableProvider.pathOf(options), conf)
       catch { case _: java.io.FileNotFoundException => Seq.empty }
@@ -148,8 +148,14 @@ private[sdfits] class SdfitsScan(full: StructType, required: StructType, path: S
   private val conf = new SerializableWritable(SdfitsTableProvider.driverConf())
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    SdfitsTableProvider.listFiles(path, conf.value).map(SdfitsInputPartition.apply).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = SdfitsTableProvider.listFiles(path, conf.value)
+    // An existing-but-fileless directory must fail on READ like a missing
+    // one — a zero-column empty frame would silently hide a bad path.
+    if (files.isEmpty)
+      throw new java.io.FileNotFoundException(s"sdfits: no input files at $path")
+    files.map(SdfitsInputPartition.apply).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new SdfitsReaderFactory(full, required, conf)
 }

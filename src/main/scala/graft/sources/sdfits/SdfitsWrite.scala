@@ -14,7 +14,8 @@ import SdfitsFormat.ColSpec
 
 /** DataSource V2 write half of the sdfits connector:
   * `df.write.format("sdfits").mode("append"|"overwrite").save(dir)` writes
-  * one FITS file PER TASK PARTITION (`part-<partition>.fits`) — the same
+  * one FITS file PER TASK PARTITION (`part-<queryId>-<partition>.fits`;
+  * the job's queryId keeps append jobs additive) — the same
   * file-is-the-parallelism-unit model as the reader, so a write with N
   * partitions encodes N observations in parallel and a directory read
   * re-parallelizes the same way.
@@ -60,7 +61,7 @@ private[sdfits] class SdfitsWriteBuilder(
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new SdfitsBatchWrite(info.schema(), path, doTruncate,
+      new SdfitsBatchWrite(info.schema(), path, doTruncate, info.queryId(),
         SdfitsWrite.headerFromOptions(
           scala.jdk.CollectionConverters.MapHasAsScala(
             info.options().asCaseSensitiveMap()).asScala.toMap))
@@ -68,14 +69,14 @@ private[sdfits] class SdfitsWriteBuilder(
 }
 
 private[sdfits] class SdfitsBatchWrite(
-    schema: StructType, path: String, truncate: Boolean,
+    schema: StructType, path: String, truncate: Boolean, queryId: String,
     header: (Seq[(String, String)], Seq[(String, String)], Seq[String]))
     extends BatchWrite {
 
   private val conf = new SerializableWritable(SdfitsTableProvider.driverConf())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new SdfitsDataWriterFactory(schema, path, header, conf)
+    new SdfitsDataWriterFactory(schema, path, queryId, header, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
@@ -100,19 +101,19 @@ private[sdfits] class SdfitsBatchWrite(
 }
 
 private[sdfits] class SdfitsDataWriterFactory(
-    schema: StructType, path: String,
+    schema: StructType, path: String, queryId: String,
     header: (Seq[(String, String)], Seq[(String, String)], Seq[String]),
     conf: SerializableWritable[Configuration])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SdfitsDataWriter(schema, path, header, conf.value, partitionId, taskId)
+    new SdfitsDataWriter(schema, path, queryId, header, conf.value, partitionId, taskId)
 }
 
 /** Buffers one partition's cells (observation-bounded), derives the fixed
   * FITS repeats, writes the temp file on commit.
   */
 private[sdfits] class SdfitsDataWriter(
-    schema: StructType, path: String,
+    schema: StructType, path: String, queryId: String,
     header: (Seq[(String, String)], Seq[(String, String)], Seq[String]),
     conf: Configuration, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
@@ -169,8 +170,13 @@ private[sdfits] class SdfitsDataWriter(
       }
       ColSpec(f.name, repeat, code)
     }
-    val dest = new Path(path, f"part-$partitionId%05d.fits")
-    val temp = new Path(path, f".part-$partitionId%05d.fits.inprogress-$taskId")
+    // The job's queryId is part of the destination name so append jobs are
+    // additive: two appends into the same directory write disjoint file
+    // sets instead of the second clobbering the first (names derived from
+    // partition ids alone collide across jobs, and commit() deletes dest
+    // before rename — by design, for same-job task retries only).
+    val dest = new Path(path, f"part-$queryId-$partitionId%05d.fits")
+    val temp = new Path(path, f".part-$queryId-$partitionId%05d.fits.inprogress-$taskId")
     val fs = temp.getFileSystem(conf)
     val os = fs.create(temp, true)
     try SdfitsFormat.write(os, header._1, header._2, header._3, cols,

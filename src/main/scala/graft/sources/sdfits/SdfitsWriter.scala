@@ -120,11 +120,25 @@ object SdfitsWriter {
       .foreachPartition { (it: Iterator[Row]) =>
         val p = new Path(path)
         val fs = p.getFileSystem(conf.value)
-        val os = fs.create(p, true)
-        try SdfitsFormat.write(os, hv, sv, hist, cols, it.map(cells(_, fields)), n)
-        finally os.close()
+        writeCommitted(fs, p) { os =>
+          SdfitsFormat.write(os, hv, sv, hist, cols, it.map(cells(_, fields)), n)
+        }
       }
     nRows
+  }
+
+  /** Encode through a dot-prefixed temp file and rename into place, so a
+    * task dying mid-encode never leaves a truncated `.fits` visible (the
+    * reader's listing skips dot-files, and a failed rename fails the task).
+    */
+  private def writeCommitted(fs: org.apache.hadoop.fs.FileSystem, dest: Path)(
+      body: java.io.OutputStream => Unit): Unit = {
+    val temp = new Path(dest.getParent, s".${dest.getName}.inprogress")
+    val os = fs.create(temp, true)
+    try body(os) finally os.close()
+    fs.delete(dest, false) // replace any prior (possibly partial) attempt
+    if (!fs.rename(temp, dest))
+      throw new java.io.IOException(s"sdfits: commit rename failed for $dest")
   }
 
   /** Staged write — the reference's output contract: encode `df` next to
@@ -174,11 +188,29 @@ object SdfitsWriter {
     val keyIdx = df.schema.fieldIndex(fileCol)
     val counts: Map[String, Long] = df.groupBy(col(fileCol).cast("string"))
       .count().as[(String, Long)].collect().toMap
+    require(!counts.contains(null),
+      s"sdfits: fileCol '$fileCol' contains null values — every row needs a file key")
     counts.keys.foreach { k =>
       require(counts(k) <= Int.MaxValue, s"sdfits: file '$k' exceeds one BINTABLE")
     }
-    val pathOf: String => String = k =>
-      s"$outDir/obs_${k.replaceAll("[^A-Za-z0-9._-]+", "_")}.fits"
+    // Sanitization can collide ("a b" and "a_b" both → obs_a_b): distinct
+    // raw keys that share a sanitized name get a raw-key hash suffix, so
+    // two tasks never race on one destination path.
+    val sanitized: Map[String, String] =
+      counts.keys.map(k => k -> s"obs_${k.replaceAll("[^A-Za-z0-9._-]+", "_")}").toMap
+    val byName = sanitized.groupBy(_._2)
+    val pathOf: Map[String, String] = sanitized.map { case (k, base) =>
+      val name =
+        if (byName(base).size == 1) s"$base.fits"
+        else {
+          val digest = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(k.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+          s"${base}_$digest.fits"
+        }
+      k -> s"$outDir/$name"
+    }
+    require(pathOf.values.toSet.size == pathOf.size,
+      "sdfits: unresolvable file-name collision among fileCol keys")
     val conf = new SerializableWritable(spark.sessionState.newHadoopConf())
     val (hv, sv, hist) = (header.values, header.stringValues, header.history)
     df.repartition(col(fileCol))
@@ -191,15 +223,15 @@ object SdfitsWriter {
           val key = String.valueOf(rows.head.get(keyIdx))
           val p = new Path(pathOf(key))
           val fs = p.getFileSystem(fsConf)
-          val os = fs.create(p, true)
           val fileRows = new Iterator[Row] {
             def hasNext: Boolean =
               rows.hasNext && String.valueOf(rows.head.get(keyIdx)) == key
             def next(): Row = rows.next()
           }
-          try SdfitsFormat.write(os, hv, sv, hist, cols,
-            fileRows.map(cells(_, fields)), counts(key).toInt)
-          finally os.close()
+          writeCommitted(fs, p) { os =>
+            SdfitsFormat.write(os, hv, sv, hist, cols,
+              fileRows.map(cells(_, fields)), counts(key).toInt)
+          }
         }
       }
     counts.toSeq.sortBy(_._1)

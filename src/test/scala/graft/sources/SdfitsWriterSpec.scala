@@ -112,6 +112,48 @@ class SdfitsWriterSpec extends SparkTestBase {
       .count(_.getName.endsWith(".fits")) == 1)
   }
 
+  test("DSv2 append is additive: two jobs into one directory keep both file sets") {
+    val dir = Files.createTempDirectory("graft-sw-append").toFile.getAbsolutePath + "/obs"
+    frame(12).repartition(2).write.format("sdfits").mode("append").save(dir)
+    frame(8).repartition(2).write.format("sdfits").mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".fits"))
+    assert(files.length == 4, s"both jobs' files survive: ${files.toSeq}")
+    assert(spark.read.format("sdfits").load(dir).count() == 20)
+  }
+
+  test("writeObservations disambiguates keys that sanitize to the same name") {
+    val dir = Files.createTempDirectory("graft-sw-collide").toFile
+    val df = frame(8).withColumn("obs",
+      when(col("rowkey") % 2 === 0, lit("a b")).otherwise(lit("a_b")))
+    val manifest = SdfitsWriter.writeObservations(df, "obs", Seq("rowkey"),
+      dir.getAbsolutePath, Header()).as[(String, String, Long)].collect().toSeq
+    assert(manifest.map(_._2).distinct.size == 2, s"distinct paths: $manifest")
+    manifest.foreach { case (key, path, nRows) =>
+      val back = spark.read.format("sdfits").load(path)
+      assert(back.count() == nRows)
+      assert(back.select($"obs").as[String].collect().forall(_ == key),
+        s"file $path holds only key '$key'")
+    }
+  }
+
+  test("writeObservations rejects null file keys up front") {
+    val df = frame(4).withColumn("obs",
+      when(col("rowkey") === 0, lit(null).cast("string")).otherwise(lit("ok")))
+    val e = intercept[IllegalArgumentException] {
+      SdfitsWriter.writeObservations(df, "obs", Seq("rowkey"), "/tmp/unused", Header())
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
+  test("reading an existing-but-fileless directory fails like a missing one") {
+    val dir = Files.createTempDirectory("graft-sw-empty").toFile.getAbsolutePath
+    val e = intercept[Exception] {
+      spark.read.format("sdfits").load(dir).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("no input files"),
+      s"got: ${e.getMessage}")
+  }
+
   test("string width and float vectors derive from the data") {
     val dir = Files.createTempDirectory("graft-sw-types").toFile
     val df = spark.range(6).select(

@@ -179,6 +179,20 @@ object SigImpl {
     packVotes(votes)
   }
 
+  /** Polynomial fingerprints of ALL word n-grams, in token order — slot i is
+    * fp of the gram starting at token i, so a posexplode of this array IS
+    * the (position, fingerprint) stream substring-level dedup shuffles:
+    * 8 bytes per gram, no gram text materialized, no window. Empty array
+    * when the doc has fewer than n tokens.
+    */
+  def wordNgramFps(t: UTF8String, n: Int): ArrayData = {
+    val g = grams(toks(t), n)
+    val out = new Array[Long](g.length)
+    var i = 0
+    while (i < g.length) { out(i) = polyFp(g(i)); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Distinct word n-grams, first-occurrence order (array_distinct
     * semantics). Empty array when the doc has fewer than n tokens.
     */
@@ -303,6 +317,18 @@ case class WordNgramsDistinct(child: Expression, n: Int) extends SigKernelExpres
     copy(child = newChild)
 }
 
+case class WordNgramFps(child: Expression, n: Int) extends SigKernelExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_ngram_fps"
+  override def nullSafeEval(input: Any): Any =
+    SigImpl.wordNgramFps(input.asInstanceOf[UTF8String], n)
+  override protected def javaCall(c: String): String =
+    s"graft.functions.SigImpl.wordNgramFps($c, $n)"
+  override protected def withNewChildInternal(newChild: Expression): WordNgramFps =
+    copy(child = newChild)
+}
+
 case class WordNgramCount(child: Expression, n: Int) extends SigKernelExpression {
   require(n >= 1, s"n must be >= 1, got $n")
   override def dataType: DataType = IntegerType
@@ -343,6 +369,9 @@ object SigKernels {
 
   def wordNgramsDistinct(text: Column, n: Int): Column =
     unary(WordNgramsDistinct(_, n))(text)
+
+  def wordNgramFps(text: Column, n: Int): Column =
+    unary(WordNgramFps(_, n))(text)
 
   def wordNgramCount(text: Column, n: Int): Column =
     unary(WordNgramCount(_, n))(text)

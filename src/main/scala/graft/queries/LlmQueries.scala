@@ -39,6 +39,32 @@ object LlmQueries {
 
   private val augSampledSql = s"SELECT * FROM ($augSql) WHERE doc_id % 5 = 0"
 
+  /** documents with cross-document boilerplate planted: a shared 10-token
+    * header on doc_id % 3 == 0 and a shared 10-token footer on doc_id % 5
+    * == 0 (concat_ws skips the null branches) — the substring-dedup
+    * fixture: every planted page is globally unique, so document-level
+    * dedup finds nothing, while the header/footer runs repeat across ~1/3
+    * and ~1/5 of the corpus.
+    */
+  private val boilerHeader =
+    "terms of service apply to all content on this page"
+  private val boilerFooter =
+    "copyright twenty twenty four all rights reserved contact us today"
+
+  private def boilerDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      concat_ws(" ",
+        when(col("doc_id") % 3 === 0, lit(boilerHeader)),
+        col("text"),
+        when(col("doc_id") % 5 === 0, lit(boilerFooter))).as("text"))
+
+  private val boilerDocsSql =
+    s"""SELECT doc_id, concat_ws(' ',
+       |    CASE WHEN doc_id % 3 = 0 THEN '$boilerHeader' END,
+       |    text,
+       |    CASE WHEN doc_id % 5 = 0 THEN '$boilerFooter' END) AS text
+       |  FROM documents""".stripMargin
+
   /** e1 unit query vector (dim 64 — the corpus embedding width). */
   private val e1: Array[Double] = { val a = new Array[Double](64); a(0) = 1.0; a }
 
@@ -71,6 +97,21 @@ object LlmQueries {
 
     "q_dedup_exact_rows" -> ((s, dir) =>
       Dedup.exactDedup(docs(s, dir)).select(col("doc_id")).orderBy(col("doc_id"))),
+
+    "q_dedup_substring" -> ((s, dir) =>
+      // Substring-level exact dedup (Lee et al. 2022): maximal spans of
+      // tokens covered by 8-grams occurring >= 2 times in the corpus, over
+      // the planted-boilerplate fixture. The oracle recomputes positioned
+      // grams, duplicate grams (by exact text — matching the engine's
+      // string-confirmed two-stage), and the gaps-and-islands merge.
+      graft.llm.SubstringDedup.duplicatedSpans(boilerDocs(s, dir), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    "q_dedup_substring_clean" -> ((s, dir) =>
+      // The removal half: duplicated spans stripped, survivors re-joined
+      // with single spaces; span-free docs keep their text verbatim.
+      graft.llm.SubstringDedup.dedupSubstrings(boilerDocs(s, dir), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))),
 
     "q_dedup_minhash" -> ((s, dir) => {
       // Planted-recall certificate for the murmur3 MinHash+LSH scale path
@@ -558,6 +599,45 @@ object LlmQueries {
         |  SELECT doc_id, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_substring" ->
+      s"""WITH docs AS ($boilerDocsSql),
+        |toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w FROM docs),
+        |idx AS (SELECT id, w, unnest(range(1, len(w) - 6)) AS i FROM toks),
+        |grams AS (SELECT id, i - 1 AS pos, array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+        |  FROM idx),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |pos AS (SELECT id, pos FROM grams WHERE gram IN (SELECT gram FROM dup)),
+        |flag AS (SELECT id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS f
+        |  FROM pos),
+        |isl AS (SELECT id, pos,
+        |    sum(f) OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM flag)
+        |SELECT id AS doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 7 AS BIGINT) AS span_end
+        |FROM isl GROUP BY id, g ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_dedup_substring_clean" ->
+      s"""WITH docs AS ($boilerDocsSql),
+        |toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w FROM docs),
+        |idx AS (SELECT id, w, unnest(range(1, len(w) - 6)) AS i FROM toks),
+        |grams AS (SELECT id, i - 1 AS pos, array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+        |  FROM idx),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |pos AS (SELECT id, pos FROM grams WHERE gram IN (SELECT gram FROM dup)),
+        |covered AS (SELECT DISTINCT id, pos + d AS p FROM pos, range(0, 8) t(d)),
+        |tokidx AS (SELECT id, w, unnest(range(1, len(w) + 1)) AS i FROM toks),
+        |tokpos AS (SELECT id, i - 1 AS p, w[i] AS tok FROM tokidx),
+        |surv AS (SELECT t.id, t.p, t.tok FROM tokpos t WHERE NOT EXISTS (
+        |    SELECT 1 FROM covered c WHERE c.id = t.id AND c.p = t.p)),
+        |agg AS (SELECT id, string_agg(tok, ' ' ORDER BY p) AS ctext FROM surv GROUP BY id),
+        |hascov AS (SELECT DISTINCT id FROM covered),
+        |clean AS (SELECT h.id, coalesce(a.ctext, '') AS ctext
+        |  FROM hascov h LEFT JOIN agg a USING (id))
+        |SELECT d.doc_id, coalesce(c.ctext, d.text) AS text
+        |FROM docs d LEFT JOIN clean c ON d.doc_id = c.id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_minhash_poly" ->
       s"""WITH aug AS ($augSampledSql),

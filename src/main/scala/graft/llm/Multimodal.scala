@@ -30,6 +30,14 @@ object Multimodal {
       byteLen: Long,
       checksum: Long)
 
+  /** Quarantine record for a payload that failed to decode: identity,
+    * size, checksum (for replay/accounting — the [[graft.sources.TextIngest]]
+    * contract applied to media) and the decoder's reason. A 100 TB crawl
+    * that silently drops undecodable media loses data unaccountably; every
+    * `*WithQuarantine` kernel routes failures here instead.
+    */
+  final case class Quarantined(id: Long, byte_len: Long, checksum: Long, reason: String)
+
   final case class MediaFeatures(
       id: Long,
       mediaType: String,
@@ -141,12 +149,17 @@ object Multimodal {
     * caller decides whether to drop or quarantine.
     */
   def decodeImage(payload: Array[Byte], targetW: Int, targetH: Int)
-      : Option[(Int, Int, Double, Double, Double)] = {
-    if (payload == null) return None
+      : Option[(Int, Int, Double, Double, Double)] =
+    decodeImageDetail(payload, targetW, targetH).toOption
+
+  /** [[decodeImage]] with the failure reason (Left) for quarantine. */
+  def decodeImageDetail(payload: Array[Byte], targetW: Int, targetH: Int)
+      : Either[String, (Int, Int, Double, Double, Double)] = {
+    if (payload == null) return Left("null_payload")
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: java.io.IOException => null }
-    if (img == null) return None
+    if (img == null) return Left("undecodable")
     val w = img.getWidth; val h = img.getHeight
     var rSum = 0L; var gSum = 0L; var bSum = 0L
     var y = 0
@@ -162,7 +175,7 @@ object Multimodal {
       y += 1
     }
     val n = targetW * targetH
-    Some((w, h, rSum.toDouble / n, gSum.toDouble / n, bSum.toDouble / n))
+    Right((w, h, rSum.toDouble / n, gSum.toDouble / n, bSum.toDouble / n))
   }
 
   /** The real-image decode stage: same per-partition batch shape as
@@ -239,18 +252,23 @@ object Multimodal {
     * for null / non-WAV / non-PCM16 / truncated payloads — same
     * drop-or-quarantine contract as [[decodeImage]].
     */
-  def decodeWav(payload: Array[Byte]): Option[AudioFeatures] = {
-    if (payload == null || payload.length < 44) return None
+  def decodeWav(payload: Array[Byte]): Option[AudioFeatures] =
+    decodeWavDetail(payload).toOption
+
+  /** [[decodeWav]] with the failure reason (Left) for quarantine. */
+  def decodeWavDetail(payload: Array[Byte]): Either[String, AudioFeatures] = {
+    if (payload == null) return Left("null_payload")
+    if (payload.length < 44) return Left("too_short")
     val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
-    if (tag() != "RIFF") return None
+    if (tag() != "RIFF") return Left("not_riff")
     bb.getInt // riff size (trust chunk walk, not this)
-    if (tag() != "WAVE") return None
+    if (tag() != "WAVE") return Left("not_wave")
     var channels = 0; var rate = 0; var bits = 0; var fmtOk = false
     var dataOff = -1; var dataLen = 0
     while (bb.remaining() >= 8 && (dataOff < 0 || !fmtOk)) {
       val id = tag(); val len = bb.getInt
-      if (len < 0 || len > bb.remaining()) return None // truncated chunk
+      if (len < 0 || len > bb.remaining()) return Left("truncated_chunk")
       if (id == "fmt ") {
         val p = bb.position()
         val audioFormat = bb.getShort
@@ -265,7 +283,8 @@ object Multimodal {
         bb.position(bb.position() + len + (len & 1))
       } else bb.position(bb.position() + len + (len & 1))
     }
-    if (!fmtOk || dataOff < 0) return None
+    if (!fmtOk) return Left("not_pcm16")
+    if (dataOff < 0) return Left("no_data_chunk")
     val frameBytes = channels * 2
     val nFrames = dataLen / frameBytes
     var absSum = 0L; var peak = 0
@@ -277,7 +296,7 @@ object Multimodal {
       absSum += a; if (a > peak) peak = a
       o += 2
     }
-    Some(AudioFeatures(0L, channels, rate, nFrames.toLong,
+    Right(AudioFeatures(0L, channels, rate, nFrames.toLong,
       nFrames.toLong * 1000000L / rate, absSum, peak))
   }
 
@@ -361,13 +380,19 @@ object Multimodal {
     * payloads — compressed codecs are exactly what this environment lacks,
     * so a compressed stream quarantines rather than mis-decodes.
     */
-  def decodeAvi(payload: Array[Byte], every: Int): Option[Seq[VideoFrameFeatures]] = {
-    if (payload == null || payload.length < 12 + 8 + 56 || every <= 0) return None
+  def decodeAvi(payload: Array[Byte], every: Int): Option[Seq[VideoFrameFeatures]] =
+    decodeAviDetail(payload, every).toOption
+
+  /** [[decodeAvi]] with the failure reason (Left) for quarantine. */
+  def decodeAviDetail(payload: Array[Byte], every: Int): Either[String, Seq[VideoFrameFeatures]] = {
+    require(every > 0, "every must be positive")
+    if (payload == null) return Left("null_payload")
+    if (payload.length < 12 + 8 + 56) return Left("too_short")
     val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
-    if (tag() != "RIFF") return None
+    if (tag() != "RIFF") return Left("not_riff")
     bb.getInt
-    if (tag() != "AVI ") return None
+    if (tag() != "AVI ") return Left("not_avi")
     var w = -1; var h = -1; var total = -1L
     val frames = Seq.newBuilder[(Int, Int)] // (offset, len) of each DIB frame
     def walkList(end: Int): Unit = {
@@ -391,12 +416,14 @@ object Multimodal {
         }
       }
     }
-    try walkList(payload.length) catch { case _: Exception => return None }
+    try walkList(payload.length) catch { case _: Exception => return Left("truncated") }
     val fs = frames.result()
-    if (w <= 0 || h <= 0 || total != fs.length.toLong) return None
+    if (w <= 0 || h <= 0 || total != fs.length.toLong) return Left("frame_count_mismatch")
     val stride = ((w * 3 + 3) / 4) * 4
-    if (fs.exists(_._2 != stride * h)) return None // not 24-bit uncompressed
-    Some((0 until fs.length by every).map { fi =>
+    // Compressed streams (JPEG-in-AVI, H.264) land here: frame byte counts
+    // don't match the uncompressed DIB size — quarantine, never mis-decode.
+    if (fs.exists(_._2 != stride * h)) return Left("not_uncompressed_24bit")
+    Right((0 until fs.length by every).map { fi =>
       val (off, _) = fs(fi)
       var bSum = 0L; var gSum = 0L; var rSum = 0L
       var y = 0
@@ -432,6 +459,100 @@ object Multimodal {
           decodeAvi(payload, every).toSeq.flatten.map(_.copy(id = id))
         }
       }
+  }
+
+  // --- quarantine side-channels -------------------------------------------
+  //
+  // The TextIngest contract applied to media: one decode pass classifies
+  // every payload as (good, null) or (null, quarantined) — both output
+  // frames are narrow filters of that split frame, so nothing is silently
+  // dropped and quarantined rows keep (id, byte_len, checksum, reason) for
+  // replay once a better codec exists. The two returned Datasets share the
+  // split plan; a caller consuming BOTH at scale should persist the split
+  // frame first (decode is the expensive stage) — the same
+  // store-the-expensive-part seam as the dedup signature frames.
+
+  final case class AudioSplit(good: Option[AudioFeatures], bad: Option[Quarantined])
+  final case class ImageSplit(good: Option[ImageFeatures], bad: Option[Quarantined])
+  final case class VideoSplit(good: Seq[VideoFrameFeatures], bad: Option[Quarantined])
+
+  private def quarantined(id: Long, payload: Array[Byte], reason: String): Quarantined =
+    Quarantined(id, if (payload == null) 0L else payload.length.toLong,
+      checksum64(payload), reason)
+
+  /** [[audioFeatureKernel]] with the quarantine side-channel. */
+  def audioFeatureKernelWithQuarantine(
+      df: DataFrame,
+      idCol: String = "id",
+      payloadCol: String = "payload"): (Dataset[AudioFeatures], Dataset[Quarantined]) = {
+    implicit val enc = Encoders.product[AudioSplit]
+    val split = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          decodeWavDetail(payload) match {
+            case Right(f)     => AudioSplit(Some(f.copy(id = id)), None)
+            case Left(reason) => AudioSplit(None, Some(quarantined(id, payload, reason)))
+          }
+        }
+      }
+    (split.filter(col("good").isNotNull).select(col("good.*"))
+        .as(Encoders.product[AudioFeatures]),
+      split.filter(col("bad").isNotNull).select(col("bad.*"))
+        .as(Encoders.product[Quarantined]))
+  }
+
+  /** [[imageFeatureKernel]] with the quarantine side-channel. */
+  def imageFeatureKernelWithQuarantine(
+      df: DataFrame,
+      targetW: Int = 8,
+      targetH: Int = 8,
+      idCol: String = "id",
+      payloadCol: String = "payload"): (Dataset[ImageFeatures], Dataset[Quarantined]) = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    implicit val enc = Encoders.product[ImageSplit]
+    val split = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          decodeImageDetail(payload, targetW, targetH) match {
+            case Right((w, h, r, g, b)) =>
+              ImageSplit(Some(ImageFeatures(id, w, h, r, g, b)), None)
+            case Left(reason) => ImageSplit(None, Some(quarantined(id, payload, reason)))
+          }
+        }
+      }
+    (split.filter(col("good").isNotNull).select(col("good.*"))
+        .as(Encoders.product[ImageFeatures]),
+      split.filter(col("bad").isNotNull).select(col("bad.*"))
+        .as(Encoders.product[Quarantined]))
+  }
+
+  /** [[videoFrameFeatureKernel]] with the quarantine side-channel (good
+    * side stays 1 → N rows per payload via the frame-array explode).
+    */
+  def videoFrameFeatureKernelWithQuarantine(
+      df: DataFrame,
+      every: Int = 3,
+      idCol: String = "id",
+      payloadCol: String = "payload"): (Dataset[VideoFrameFeatures], Dataset[Quarantined]) = {
+    require(every > 0, "every must be positive")
+    implicit val enc = Encoders.product[VideoSplit]
+    val split = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          decodeAviDetail(payload, every) match {
+            case Right(fs)    => VideoSplit(fs.map(_.copy(id = id)), None)
+            case Left(reason) => VideoSplit(Nil, Some(quarantined(id, payload, reason)))
+          }
+        }
+      }
+    (split.filter(col("bad").isNull).select(explode(col("good")).as("f"))
+        .select(col("f.*")).as(Encoders.product[VideoFrameFeatures]),
+      split.filter(col("bad").isNotNull).select(col("bad.*"))
+        .as(Encoders.product[Quarantined]))
   }
 
   // --- resize ------------------------------------------------------------

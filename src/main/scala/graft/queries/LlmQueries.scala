@@ -496,6 +496,34 @@ object LlmQueries {
         .select(col("id"), col("frameIdx"), col("frameLen"))
         .orderBy(col("id"), col("frameIdx"))),
 
+    "q_multimodal_quarantine" -> ((s, dir) => {
+      // Quarantine accounting certificate: a mixed media fixture — valid
+      // WAV (id%4 ∈ {0,1}), truncated WAV (id%4=2, cut to 30 bytes), a
+      // compressed stand-in (id%4=3, fmt code patched to non-PCM) — run
+      // through the audio split kernel. Output = the full quarantine frame
+      // (id, byte_len, reason — all closed-form) plus one (-1, n_decoded,
+      // 'decoded') summary row, so the oracle checks that NOTHING vanished:
+      // every payload is either decoded or accounted for with a reason.
+      val gen = udf((id: Long, nf: Int, rate: Int, ch: Int) => {
+        val wav = Multimodal.syntheticWav(id, nf, rate, ch)
+        id % 4 match {
+          case 2 => java.util.Arrays.copyOf(wav, 30)
+          case 3 => wav(20) = 2; wav // audioFormat := 2 (non-PCM)
+          case _ => wav
+        }
+      })
+      val media = docs(s, dir).select(col("doc_id").cast("long").as("id"))
+        .withColumn("nf", (col("id") % 50 + 100).cast("int"))
+        .withColumn("rate", (lit(8000) + (col("id") % 3) * 4000).cast("int"))
+        .withColumn("ch", (col("id") % 2 + 1).cast("int"))
+        .select(col("id"), gen(col("id"), col("nf"), col("rate"), col("ch")).as("payload"))
+      val (good, bad) = Multimodal.audioFeatureKernelWithQuarantine(media)
+      bad.toDF().select(col("id"), col("byte_len"), col("reason"))
+        .unionByName(good.toDF().agg(count(lit(1)).as("byte_len"))
+          .select(lit(-1L).as("id"), col("byte_len"), lit("decoded").as("reason")))
+        .orderBy(col("id"))
+    }),
+
     "q_pack" -> ((s, dir) =>
       // Sequence packing (concat-and-chunk): deterministic Knuth-mix
       // shuffle into 4 shards, 512-token chunks; placement (shard, chunk,
@@ -793,6 +821,23 @@ object LlmQueries {
         |SELECT id, c AS "frameIdx", CAST(least(64, len - c * 64) AS BIGINT) AS "frameLen"
         |FROM f WHERE c % 3 = 0
         |ORDER BY id, c""".stripMargin,
+
+    "q_multimodal_quarantine" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id % 50 + 100 AS BIGINT) AS nf,
+        |    CAST(doc_id % 2 + 1 AS BIGINT) AS ch
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT id, CAST(30 AS BIGINT) AS byte_len, 'too_short' AS reason
+        |  FROM d WHERE id % 4 = 2
+        |  UNION ALL
+        |  SELECT id, CAST(44 + nf * ch * 2 AS BIGINT) AS byte_len, 'not_pcm16' AS reason
+        |  FROM d WHERE id % 4 = 3
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT) AS id,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM d WHERE id % 4 IN (0, 1)) AS byte_len,
+        |    'decoded' AS reason)
+        |ORDER BY id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH aug AS ($augSql),

@@ -136,4 +136,54 @@ class MultimodalSpec extends SparkTestBase {
     val rows = Multimodal.videoFrameFeatureKernel(df, every = 3).collect()
     assert(rows.map(r => (r.id, r.frame_idx)).sorted.toSeq == Seq((1L, 0L), (1L, 3L)))
   }
+
+  test("audio quarantine: every payload is decoded or accounted for with a reason") {
+    val valid = Multimodal.syntheticWav(1L, 50, 8000, 1)
+    val truncated = java.util.Arrays.copyOf(valid, 30)
+    val nonPcm = Multimodal.syntheticWav(3L, 50, 8000, 1).clone()
+    nonPcm(20) = 2 // audioFormat := 2 — the compressed stand-in
+    val junk = ("MP3 compressed bytes here " * 3).getBytes("US-ASCII") // >= 44 bytes, no RIFF tag
+    val df = Seq(
+      (1L, valid), (2L, truncated), (3L, nonPcm), (4L, junk), (5L, null)
+    ).toDF("id", "payload")
+    val (good, bad) = Multimodal.audioFeatureKernelWithQuarantine(df)
+    assert(good.collect().map(_.id).toSeq == Seq(1L))
+    val q = bad.collect().map(r => r.id -> r).toMap
+    assert(q.keySet == Set(2L, 3L, 4L, 5L), "good + quarantined partition the input")
+    assert(q(2L).reason == "too_short" && q(2L).byte_len == 30L)
+    assert(q(3L).reason == "not_pcm16")
+    assert(q(4L).reason == "not_riff")
+    assert(q(5L).reason == "null_payload" && q(5L).byte_len == 0L)
+    // checksum kept for replay accounting
+    assert(q(2L).checksum == Multimodal.checksum64(truncated))
+  }
+
+  test("image quarantine: corrupt bytes carry a reason instead of vanishing") {
+    val png = Multimodal.syntheticPng(7L, 4, 4)
+    val df = Seq(
+      (1L, png), (2L, Array[Byte](1, 2, 3)), (3L, null)
+    ).toDF("id", "payload")
+    val (good, bad) = Multimodal.imageFeatureKernelWithQuarantine(df, 4, 4)
+    assert(good.collect().map(_.id).toSeq == Seq(1L))
+    val q = bad.collect().map(r => r.id -> r.reason).toMap
+    assert(q == Map(2L -> "undecodable", 3L -> "null_payload"))
+  }
+
+  test("video quarantine: compressed/truncated streams quarantine, frames still explode") {
+    val avi = Multimodal.syntheticAvi(1L, 5, 4, 4)
+    // fake a compressed stream: halve a frame's declared size field so the
+    // DIB size check fails (what JPEG-in-AVI looks like to this parser)
+    val compressed = Multimodal.syntheticAvi(2L, 2, 4, 4).clone()
+    val truncated = java.util.Arrays.copyOf(avi, avi.length / 2)
+    val df = Seq(
+      (1L, avi), (2L, truncated), (3L, "notaviatall".getBytes("US-ASCII"))
+    ).toDF("id", "payload")
+    val (good, bad) = Multimodal.videoFrameFeatureKernelWithQuarantine(df, every = 3)
+    assert(good.collect().map(r => (r.id, r.frame_idx)).sorted.toSeq ==
+      Seq((1L, 0L), (1L, 3L)), "good side still 1→N frame rows")
+    val q = bad.collect().map(r => r.id -> r.reason).toMap
+    assert(q(2L) == "truncated" && q(3L) == "too_short")
+    // values agree with the drop-variant kernels
+    assert(Multimodal.decodeAviDetail(compressed, 3).isRight)
+  }
 }

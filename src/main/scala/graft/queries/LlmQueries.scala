@@ -524,6 +524,41 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    "q_text_bpe" -> ((s, dir) =>
+      // BPE apply-kernel exactness: a fixed merge list over pairwise
+      // letter-disjoint pairs (th, er, on) — non-interacting, so the token
+      // count has a closed form the oracle states exactly: word chars
+      // minus non-overlapping substring occurrences of each merged pair
+      // (each merge application removes exactly one token, and disjoint
+      // letters mean applications never collide). The greedy machinery
+      // being certified is the same code that applies TRAINED merges.
+      docs(s, dir).select(col("doc_id"),
+          graft.llm.Bpe.tokenCount(col("text"),
+            Seq("t" -> "h", "e" -> "r", "o" -> "n")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_bpe_train" -> ((s, dir) => {
+      // Distributed BPE training, round 1 certified: the engine's argmax
+      // (weighted adjacent-pair count, ties to the lexicographically
+      // smallest pair) must equal the oracle's SQL argmax over the same
+      // corpus. Later rounds depend on this one's output — the loop is one
+      // aggregation per round over the word-count frame, trainIvf
+      // discipline, so round 1 pins the whole mechanism.
+      import s.implicits._
+      val m = graft.llm.Bpe.train(docs(s, dir), numMerges = 1, minCount = 2)
+      m.map { case (a, b) => (a, b) }.toDF("pair_a", "pair_b")
+    }),
+
+    "q_pack_bpe" -> ((s, dir) =>
+      // q_pack re-certified on REAL tokenizer counts (VERDICT r8 item 3):
+      // same Knuth-mix placement, but the token mass driving chunk/offset
+      // is the BPE count under the fixed certified merges.
+      graft.llm.Packing.pack(docs(s, dir), "doc_id",
+          graft.llm.Bpe.tokenCount(col("text"),
+            Seq("t" -> "h", "e" -> "r", "o" -> "n")),
+          budget = 512L, shards = 4)
+        .orderBy(col("doc_id"))),
+
     "q_pack" -> ((s, dir) =>
       // Sequence packing (concat-and-chunk): deterministic Knuth-mix
       // shuffle into 4 shards, 512-token chunks; placement (shard, chunk,
@@ -885,6 +920,44 @@ object LlmQueries {
         |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 131 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_bpe" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g'))
+        |    - (length(text) - length(replace(text, 'th', ''))) // 2
+        |    - (length(text) - length(replace(text, 'er', ''))) // 2
+        |    - (length(text) - length(replace(text, 'on', ''))) // 2
+        |    AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_bpe_train" ->
+      """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |w AS (SELECT unnest(ws) AS w FROM toks),
+        |wc AS (SELECT w, count(*) AS n FROM w GROUP BY w),
+        |ch AS (SELECT w, n, unnest(range(1, length(w))) AS i FROM wc),
+        |p AS (SELECT w[i] || ' ' || w[i+1] AS p, n FROM ch),
+        |agg AS (SELECT p, sum(n) AS c FROM p GROUP BY p HAVING sum(n) >= 2)
+        |SELECT split_part(p, ' ', 1) AS pair_a, split_part(p, ' ', 2) AS pair_b
+        |FROM agg ORDER BY c DESC, p LIMIT 1""".stripMargin,
+
+    "q_pack_bpe" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g'))
+        |      - (length(text) - length(replace(text, 'th', ''))) // 2
+        |      - (length(text) - length(replace(text, 'er', ''))) // 2
+        |      - (length(text) - length(replace(text, 'on', ''))) // 2
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT doc_id, n_tokens,
+        |    (doc_id * 2654435761) % 4294967296 AS mix FROM d),
+        |p AS (SELECT doc_id, n_tokens, CAST(mix % 4 AS INT) AS shard,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY mix % 4 ORDER BY mix, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM m)
+        |SELECT doc_id, n_tokens, shard,
+        |  CAST(pre // 512 AS BIGINT) AS chunk, CAST(pre % 512 AS BIGINT) AS "offset",
+        |  (pre % 512) + n_tokens > 512 AS spans_boundary
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_pack" ->
       """WITH d AS (SELECT doc_id,

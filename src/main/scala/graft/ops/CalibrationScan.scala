@@ -153,9 +153,81 @@ object CalibrationScan {
     }
   }
 
+  /** One-pass streaming form of [[scan]] — same CalIndices for any input
+    * (CalibrationScanSpec pins equivalence on the quirk fixtures and
+    * random sequences), with O(1) state instead of a materialized row
+    * array: the main machine and the fallback-rescan machine run
+    * SIMULTANEOUSLY (the fallback's result is simply discarded when the
+    * main machine completes pre-cal), `rows(ind−1)` becomes a
+    * previous-value register, and the reference's `break` becomes a freeze
+    * flag (the iterator is still drained for the row count and off-start
+    * scan, which the reference reads after its loop anyway).
+    */
+  def scanStreaming(
+      rows: Iterator[Flags],
+      channelCount: Long,
+      headerObsmode: String): CalIndices = {
+    // main machine (ref utils.py:126-178)
+    var dataStart: Option[Int] = None
+    var postCal: Option[Int] = None
+    var counter = 0L
+    var calStarted = false
+    var preCalComplete = false
+    var frozen = false
+    var prevSwp = -1
+    // fallback machine (ref utils.py:180-198), used only if pre-cal never
+    // completes
+    var fbPostCal: Option[Int] = None
+    var fbFrozen = false
+    var fbPrevSwp = -1
+    var offStart = -1
+    var ind = 0
+    while (rows.hasNext) {
+      val r = rows.next()
+      if (!frozen) {
+        if (r.calstate == 1) calStarted = true
+        if (calStarted && r.calstate == 0 && r.swpvalid == 1 && !preCalComplete) {
+          dataStart = Some(ind); preCalComplete = true
+        }
+        if (ind > 0 && preCalComplete && r.swpvalid == 0 && prevSwp == 0) {
+          if (postCal.isEmpty) postCal = Some(ind - 1)
+        } else postCal = None
+        if (preCalComplete && r.calstate == 0 && r.swpvalid == 1) counter += 1
+        if (counter <= 3 * channelCount && r.swpvalid == 0 && dataStart.exists(_ != 0)) {
+          dataStart = None; preCalComplete = false
+        }
+        if (preCalComplete && r.swpvalid == 0 && r.calstate == 1) frozen = true
+        prevSwp = r.swpvalid
+      }
+      if (!fbFrozen) {
+        if (ind > 0 && r.swpvalid == 0 && fbPrevSwp == 0) {
+          if (fbPostCal.isEmpty) fbPostCal = Some(ind - 1)
+        } else fbPostCal = None
+        if (r.swpvalid == 0 && r.calstate == 1) fbFrozen = true
+        fbPrevSwp = r.swpvalid
+      }
+      if (offStart < 0 && r.obsmode != null && r.obsmode.contains("onoff:off")) offStart = ind
+      ind += 1
+    }
+    if (!preCalComplete) { dataStart = Some(0); postCal = fbPostCal }
+    val postCalFinal = postCal.filter(_ != 0).getOrElse(ind - 1)
+    val off =
+      if (headerObsmode == "onoff" && offStart >= 0) Some(offStart) else None
+    CalIndices(dataStart, postCalFinal, off)
+  }
+
   /** Scale path: one scan per file, parallel across files. Input needs
     * FILE_ID + ROWIDX + the three flag columns; everything else is pruned
     * before the shuffle. Returns one row per file with the three indices.
+    *
+    * Mechanics: secondary sort — `repartition(FILE_ID)` +
+    * `sortWithinPartitions(FILE_ID, ROWIDX)` puts each file's rows
+    * consecutive and ordered (Spark's spillable external sort), then one
+    * `mapPartitions` runs [[scanStreaming]] per file, cutting on key
+    * change — the same shape as `SdfitsWriter.writeObservations`. No
+    * per-group row array is ever materialized (the former
+    * `groupByKey.mapGroups` held each file's flags in memory to sort
+    * them — the engine's only per-group in-memory sort, VERDICT r8).
     */
   def scanPerFile(
       df: DataFrame,
@@ -169,14 +241,25 @@ object CalibrationScan {
         col("CALSTATE").cast("int"),
         col("SWPVALID").cast("int"),
         col("OBSMODE").cast("string"))
+      .repartition(col("FILE_ID"))
+      .sortWithinPartitions(col("FILE_ID"), col("ROWIDX"))
       .as[(String, Long, Int, Int, String)]
-      .groupByKey(_._1)
-      .mapGroups { (file, it) =>
-        val rows = it.toArray.sortBy(_._2).map(t => Flags(t._3, t._4, t._5)).toIndexedSeq
-        val r = scan(rows, channelCount, headerObsmode)
+      .mapPartitions { it =>
+        val rows = it.buffered
         def box(o: Option[Int]): java.lang.Long =
           o.map(i => java.lang.Long.valueOf(i.toLong)).orNull
-        (file, box(r.dataStart), r.postCalStart.toLong, box(r.offStart))
+        new Iterator[(String, java.lang.Long, Long, java.lang.Long)] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (String, java.lang.Long, Long, java.lang.Long) = {
+            val file = rows.head._1
+            val fileRows = new Iterator[Flags] {
+              def hasNext: Boolean = rows.hasNext && rows.head._1 == file
+              def next(): Flags = { val t = rows.next(); Flags(t._3, t._4, t._5) }
+            }
+            val r = scanStreaming(fileRows, channelCount, headerObsmode)
+            (file, box(r.dataStart), r.postCalStart.toLong, box(r.offStart))
+          }
+        }
       }
       .toDF("FILE_ID", "data_start", "post_cal_start", "off_start")
   }

@@ -106,4 +106,37 @@ class CalibrationScanSpec extends AnyFunSuite {
     assert(scan(r, 4, "none").dataStart.contains(19))
     assert(scan(r, 1, "none").dataStart.contains(8))
   }
+
+  test("scanStreaming ≡ scan: exhaustive short sequences and random long ones") {
+    // The one-pass O(1)-state form must agree with the reference-exact
+    // array scan on EVERY input: all flag sequences up to length 7 over
+    // the 3 meaningful flag states × obsmode on/off, plus seeded random
+    // length-200 sequences across channel counts.
+    val states = Seq((1, 0), (0, 0), (0, 1))
+    def check(r: IndexedSeq[Flags], cc: Long, mode: String): Unit = {
+      val a = scan(r, cc, mode)
+      val b = CalibrationScan.scanStreaming(r.iterator, cc, mode)
+      assert(a == b, s"mismatch on $r cc=$cc mode=$mode: $a vs $b")
+    }
+    for (len <- 0 to 7) {
+      val combos = Seq.fill(len)(states.indices).foldLeft(Seq(Seq.empty[Int])) {
+        (acc, idxs) => acc.flatMap(p => idxs.map(i => p :+ i))
+      }
+      combos.foreach { p =>
+        val r = p.zipWithIndex.map { case (si, i) =>
+          val (c, s) = states(si)
+          Flags(c, s, if (i % 3 == 2) "onoff:off" else "onoff:on")
+        }.toIndexedSeq
+        check(r, 1, "onoff"); check(r, 1, "none")
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val r = IndexedSeq.fill(200) {
+        val (c, s) = states(rnd.nextInt(3))
+        Flags(c, s, if (rnd.nextInt(10) == 0) "x onoff:off y" else "onoff:on")
+      }
+      check(r, 1 + rnd.nextInt(4), if (rnd.nextBoolean()) "onoff" else "none")
+    }
+  }
 }

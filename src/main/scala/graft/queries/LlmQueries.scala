@@ -588,6 +588,23 @@ object LlmQueries {
         budgets = budgets)
     }),
 
+    "q_pipeline_pretrain" -> ((s, dir) => {
+      // Curate → tokenize → pack, end to end (VERDICT r8 item 6): the
+      // modern curation recipe's survivors get REAL BPE token counts
+      // (the fixed certified merges) and flow straight into packing; the
+      // output is the chunk-occupancy view a pretraining loader reads.
+      // One plan, one oracle over the whole composition.
+      val budgets = (0 until 20).map(i => s"src$i" -> (400L + 150L * (i % 5))).toMap
+      val curated = graft.llm.Curation.runModern(docs(s, dir),
+        benchmark = docs(s, dir).filter(col("doc_id") % 37 === 0),
+        budgets = budgets)
+      val withText = docs(s, dir).join(curated.select(col("doc_id")), "doc_id")
+      val packed = graft.llm.Packing.pack(withText, "doc_id",
+        graft.llm.Bpe.tokenCount(col("text"), Seq("t" -> "h", "e" -> "r", "o" -> "n")),
+        budget = 512L, shards = 4)
+      graft.llm.Packing.chunkStats(packed).orderBy(col("shard"), col("chunk"))
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       // Benchmark decontamination: drop corpus docs sharing any 8-token
       // gram with the benchmark slice (doc_id % 37). Fingerprint join —
@@ -1028,6 +1045,62 @@ object LlmQueries {
         |WHERE CAST((doc_id * 2654435761) % 4294967296 AS HUGEINT) * tokens
         |    < CAST(budget AS HUGEINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_pretrain" ->
+      // The q_pipeline_curation2 stage chain, then the q_text_bpe closed
+      // form for token counts, then the q_pack/q_pack_stats placement —
+      // every fragment individually certified.
+      """WITH w AS (SELECT doc_id, source, text,
+        |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |rep AS (SELECT doc_id FROM w
+        |  WHERE CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.55),
+        |chars AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        |    unnest(list_transform(range(1, length(text) + 1), i -> text[i])) AS c
+        |  FROM documents),
+        |gch AS (SELECT doc_id, n, c, count(*) AS cnt FROM chars GROUP BY 1, 2, 3),
+        |ent AS (SELECT doc_id FROM (
+        |    SELECT doc_id, sum(CAST(round(-(CAST(cnt AS DOUBLE) / greatest(n, 1))
+        |      * ln(CAST(cnt AS DOUBLE) / greatest(n, 1)) * 1000000.0) AS BIGINT)) AS em
+        |    FROM gch GROUP BY 1) WHERE em >= 2800000),
+        |gated AS (SELECT * FROM w WHERE doc_id IN (SELECT doc_id FROM rep)
+        |  AND doc_id IN (SELECT doc_id FROM ent)),
+        |bgr AS (SELECT doc_id,
+        |    CASE WHEN len(w) >= 8 THEN list_transform(range(1, len(w) - 6),
+        |      i -> array_to_string(list_slice(w, i, i + 7), ' ')) ELSE [] END AS gs
+        |  FROM w),
+        |bench AS (SELECT DISTINCT g FROM
+        |  (SELECT unnest(gs) AS g FROM bgr WHERE doc_id % 37 = 0)),
+        |corpg AS (SELECT doc_id, unnest(gs) AS g FROM bgr
+        |  WHERE doc_id IN (SELECT doc_id FROM gated)),
+        |bad AS (SELECT DISTINCT doc_id FROM corpg WHERE g IN (SELECT g FROM bench)),
+        |clean AS (SELECT * FROM gated
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |dedup AS (SELECT * FROM clean
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM clean GROUP BY text)),
+        |tot AS (SELECT source, sum(CAST(len(w) AS BIGINT)) AS tokens
+        |  FROM dedup GROUP BY 1),
+        |b AS (SELECT source,
+        |    400 + 150 * (CAST(substr(source, 4) AS INT) % 5) AS budget FROM tot),
+        |sel AS (SELECT doc_id FROM dedup d JOIN tot USING (source) JOIN b USING (source)
+        |  WHERE CAST((doc_id * 2654435761) % 4294967296 AS HUGEINT) * tokens
+        |      < CAST(budget AS HUGEINT) * 4294967296),
+        |dtok AS (SELECT d.doc_id,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g'))
+        |      - (length(text) - length(replace(text, 'th', ''))) // 2
+        |      - (length(text) - length(replace(text, 'er', ''))) // 2
+        |      - (length(text) - length(replace(text, 'on', ''))) // 2
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents d JOIN sel USING (doc_id)),
+        |m AS (SELECT doc_id, n_tokens,
+        |    (doc_id * 2654435761) % 4294967296 AS mix FROM dtok),
+        |p AS (SELECT doc_id, n_tokens, CAST(mix % 4 AS INT) AS shard,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY mix % 4 ORDER BY mix, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM m)
+        |SELECT shard, CAST(pre // 512 AS BIGINT) AS chunk,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_decontaminate" ->
       // Exact-gram ground truth (the engine fingerprint-prefilters, then

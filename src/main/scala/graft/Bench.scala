@@ -92,5 +92,19 @@ object Bench {
     } catch { case _: java.io.IOException => () } // detail file is best-effort
     println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // Job-count plan-regression gate (opt-in; the driver never sets this):
+    // after the stdout contract line is safely emitted, compare this run's
+    // per-query job counts against the recorded baseline and fail on
+    // growth — job counts are plan-stable where seconds are load-hostage.
+    sys.env.get("SPARK_GRAFT_ASSERT_JOBS").foreach { baselinePath =>
+      val recorded = JobGate.loadBaseline(baselinePath)
+      val actual = results.collect { case (k, _, true, j) => k -> j }.toMap
+      val violations = JobGate.compare(recorded, actual)
+      if (violations.nonEmpty) {
+        violations.foreach(v => System.err.println(s"[jobgate] $v"))
+        sys.exit(1)
+      } else System.err.println(
+        s"[jobgate] ok: ${actual.size} queries within recorded job counts")
+    }
   }
 }

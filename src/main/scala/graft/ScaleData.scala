@@ -61,8 +61,21 @@ object ScaleData {
         .withColumn("text", translate(col("text"), "aeiou", perms(i)))
     }
 
+    // Embedding copies get a per-copy circular dimension shift: norms and
+    // within-copy geometry are preserved (recall structure stays honest),
+    // but copies are NOT exact duplicates of each other — an exact-copy
+    // corpus would hand every query vector 10 coincident near-neighbors
+    // and make any recall number meaningless.
+    replicate("embeddings") { (df, i) =>
+      val d = 64
+      val shifted = transform(sequence(lit(0), lit(d - 1)),
+        j => element_at(col("embedding"), (j + lit(i)) % d + 1))
+      df.withColumn("vec_id", col("vec_id") + lit(i * off))
+        .withColumn("embedding", shifted.cast("array<float>"))
+    }
+
     Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "events", "embeddings").foreach { t =>
+        "orders", "events").foreach { t =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"),
         java.nio.file.Paths.get(s"$out/$t.parquet"),

@@ -125,6 +125,38 @@ object QueryUtil {
         when(col("ROWIDX") < 100, lit("onoff:on")).otherwise(lit("onoff:off")).as("OBSMODE"))
   }
 
+  /** Per-file 0-based row index over the 4-key order, WITHOUT a
+    * file-partitioned window (a fixture with 4 FILE_IDs would sort the
+    * whole table through 4 tasks — the sf1 smoke measured that window at
+    * 8.5 s of q_spectrum_all's 13.9 s): row_number within (file, monotone
+    * orderkey bucket) partitions — parallelism = files × buckets — plus
+    * cumulative per-(file, bucket) offsets from a tiny counts frame,
+    * broadcast back. Values identical to `row_number() OVER (PARTITION BY
+    * file ORDER BY 4-key) − 1` because the bucket is monotone in the
+    * leading order column. The [[withGlobalRowIdx]] trick, per file.
+    */
+  def withPerFileRowIdx(df: DataFrame, fileCol: String, out: String = "ROWIDX",
+      bucketWidth: Long = 4096L): DataFrame = {
+    val withB = df.withColumn("__bkt", (col("l_orderkey") / bucketWidth).cast("long"))
+    val wOff = Window.partitionBy(col(fileCol)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy(col(fileCol), col("__bkt")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .drop("__cnt")
+    val w = Window.partitionBy(col(fileCol), col("__bkt"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    withB.withColumn("__rn", (row_number().over(w) - 1).cast("long"))
+      .join(broadcast(offs), Seq(fileCol, "__bkt"))
+      .withColumn(out, col("__rn") + col("__off"))
+      .drop("__bkt", "__rn", "__off")
+  }
+
+  /** Tiny (file → row count) frame for broadcast, replacing per-file count
+    * windows (same 4-task serialization hazard as the row-index window).
+    */
+  private def fileCounts(df: DataFrame, fileCol: String): DataFrame =
+    df.groupBy(col(fileCol)).agg(count(lit(1)).as("__n"))
+
   /** Multi-file spectrum-flavored observation: FILE_ID = l_orderkey % 4,
     * every row science data (CALSTATE=0, SWPVALID=0), OBSMODE flips to
     * 'onoff:off' at per-file row 100, integer-valued 4-channel DATA (exact
@@ -132,10 +164,7 @@ object QueryUtil {
     */
   def obsSpectrumMulti(s: SparkSession, dir: String): DataFrame = {
     val fid = col("l_orderkey") % 4
-    val w = Window.partitionBy(fid).orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-    li(s, dir)
-      .withColumn("FILE_ID", fid.cast("string"))
-      .withColumn("ROWIDX", (row_number().over(w) - 1).cast("long"))
+    withPerFileRowIdx(li(s, dir).withColumn("FILE_ID", fid.cast("string")), "FILE_ID")
       .select(
         col("FILE_ID"), col("ROWIDX"),
         expr("timestampadd(SECOND, ROWIDX, TIMESTAMP '2024-01-01 00:00:00')").as("DATE_OBS"),
@@ -150,11 +179,9 @@ object QueryUtil {
     */
   def obsMultiFile(s: SparkSession, dir: String): DataFrame = {
     val fid = col("l_orderkey") % 4
-    val w = Window.partitionBy(fid).orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-    li(s, dir)
-      .withColumn("FILE_ID", fid.cast("string"))
-      .withColumn("ROWIDX", (row_number().over(w) - 1).cast("long"))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(fid)))
+    val base = li(s, dir).withColumn("FILE_ID", fid.cast("string"))
+    withPerFileRowIdx(base, "FILE_ID")
+      .join(broadcast(fileCounts(base, "FILE_ID")), "FILE_ID")
       .select(
         col("FILE_ID"), col("ROWIDX"),
         when(col("ROWIDX") < 8 || col("ROWIDX") >= col("__n") - 8, 1).otherwise(0).as("CALSTATE"),
@@ -170,11 +197,9 @@ object QueryUtil {
     */
   def obsMultiFileFull(s: SparkSession, dir: String): DataFrame = {
     val fid = col("l_orderkey") % 4
-    val w = Window.partitionBy(fid).orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-    val base = li(s, dir)
-      .withColumn("FILE_ID", fid.cast("string"))
-      .withColumn("ROWIDX", (row_number().over(w) - 1).cast("long"))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(fid)))
+    val withFid = li(s, dir).withColumn("FILE_ID", fid.cast("string"))
+    val base = withPerFileRowIdx(withFid, "FILE_ID")
+      .join(broadcast(fileCounts(withFid, "FILE_ID")), "FILE_ID")
     val spike = col("ROWIDX") < 16 || col("ROWIDX") >= col("__n") - 16
     val diodeOn = col("ROWIDX") < 8 || col("ROWIDX") >= col("__n") - 8
     base.select(

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd text kernels (the [[VectorKernels]] analog for the text
@@ -58,10 +58,52 @@ case class PolyFingerprint(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object LuhnImpl {
+  /** Luhn checksum over the digits of `s` (non-digits skipped), right to
+    * left, with a 13–19 digit-count gate (the payment-card length range).
+    * Static so interpreted eval and codegen share one body.
+    */
+  def valid(s: UTF8String): Boolean = {
+    val str = s.toString
+    var sum = 0; var n = 0; var dbl = false
+    var i = str.length - 1
+    while (i >= 0) {
+      val c = str.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var d = c - '0'
+        if (dbl) { d *= 2; if (d > 9) d -= 9 }
+        sum += d; dbl = !dbl; n += 1
+      }
+      i -= 1
+    }
+    n >= 13 && n <= 19 && sum % 10 == 0
+  }
+}
+
+/** Luhn validity of a candidate card-number string (separators ignored) —
+  * the confirm step behind credit-card PII detection: the regex finds
+  * digit runs, this kernel rejects the ones that aren't checksummed card
+  * numbers, so ordinary long numbers don't redact.
+  */
+case class LuhnValid(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "luhn_valid"
+  override def nullSafeEval(input: Any): Any =
+    LuhnImpl.valid(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.LuhnImpl.valid($c);")
+  override protected def withNewChildInternal(newChild: Expression): LuhnValid =
+    copy(child = newChild)
+}
+
 object TextKernels {
   /** Codegen'd polynomial rolling hash of a string column
     * (`(h·131 + codePoint) mod 1e9+7`).
     */
   def polyFingerprint(c: Column): Column =
     GraftColumnBridge.column(PolyFingerprint(GraftColumnBridge.expression(c.cast("string"))))
+
+  /** Codegen'd Luhn checksum validity (13–19 digits, separators ignored). */
+  def luhnValid(c: Column): Column =
+    GraftColumnBridge.column(LuhnValid(GraftColumnBridge.expression(c.cast("string"))))
 }

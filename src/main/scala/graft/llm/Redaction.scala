@@ -27,6 +27,12 @@ object Redaction {
     */
   val PhoneRe = "\\+\\d{1,3}([ -]?\\d{3,4}){2,3}\\b"
 
+  /** Payment-card CANDIDATE: 13–19 digits, optional single space/dash
+    * separators. A regex alone over-matches (any long number); candidates
+    * are confirmed by the Luhn checksum kernel before anything redacts.
+    */
+  val CardRe = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
   def redactText(text: Column): Column =
     regexp_replace(
       regexp_replace(
@@ -36,6 +42,23 @@ object Redaction {
 
   def countMatches(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Luhn-confirmed card numbers in `text`, sorted (canonical fold order
+    * for [[redactCards]] — replacement of distinct literals is
+    * order-independent unless one is a substring of another, and sorting
+    * pins even that case to one answer on both engines).
+    */
+  def validCards(text: Column): Column =
+    array_sort(filter(regexp_extract_all(text, lit(CardRe), lit(0)),
+      c => graft.functions.TextKernels.luhnValid(c)))
+
+  /** `text` with every Luhn-valid card candidate replaced by [CARD].
+    * The per-row fold over the (almost always empty) valid-candidate
+    * array is an interpreted HOF — bounded by matches, not text length;
+    * the candidate extraction and Luhn confirm stay codegen'd.
+    */
+  def redactCards(text: Column): Column =
+    aggregate(validCards(text), text, (acc, c) => replace(acc, c, lit("[CARD]")))
 
   /** Adds `redacted` plus per-category match counts (counted BEFORE
     * replacement, so overlapping categories are each reported against the
@@ -47,5 +70,16 @@ object Redaction {
       .withColumn("n_ips", countMatches(t, Ipv4Re))
       .withColumn("n_phones", countMatches(t, PhoneRe))
       .withColumn("redacted", redactText(t))
+  }
+
+  /** Card detection + redaction: candidate count, Luhn-confirmed count,
+    * and the confirmed-only redaction (an invalid 16-digit number is NOT
+    * a card and survives untouched).
+    */
+  def redactCardsBy(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_card_candidates", countMatches(t, CardRe))
+      .withColumn("n_cards", size(validCards(t)))
+      .withColumn("redacted", redactCards(t))
   }
 }

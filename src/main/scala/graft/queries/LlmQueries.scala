@@ -524,6 +524,25 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    "q_text_cards" -> ((s, dir) => {
+      // Luhn-confirmed credit-card PII: planted valid cards (16-digit
+      // separated VISA test number on doc_id%7, 15-digit contiguous Amex
+      // on %13) and an invalid 16-digit decoy (%11). The candidate regex
+      // alone would redact the decoy; the Luhn kernel rejects it — the
+      // oracle recomputes the checksum per candidate in SQL.
+      val t = concat_ws(" ", col("text"),
+        when(col("doc_id") % 7 === 0, lit("4539 1488 0343 6467")),
+        when(col("doc_id") % 11 === 0, lit("1234 5678 9012 3456")),
+        when(col("doc_id") % 13 === 0, lit("379354508162306")))
+      graft.llm.Redaction.redactCardsBy(
+          docs(s, dir).select(col("doc_id"), t.as("text")), "text")
+        .select(col("doc_id"),
+          col("n_card_candidates").cast("long").as("n_card_candidates"),
+          col("n_cards").cast("long").as("n_cards"),
+          col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_bpe" -> ((s, dir) =>
       // BPE apply-kernel exactness: a fixed merge list over pairwise
       // letter-disjoint pairs (th, er, on) — non-interacting, so the token
@@ -937,6 +956,39 @@ object LlmQueries {
         |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 131 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_cards" ->
+      """WITH d2 AS (SELECT doc_id, concat_ws(' ', text,
+        |    CASE WHEN doc_id % 7 = 0 THEN '4539 1488 0343 6467' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN '1234 5678 9012 3456' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN '379354508162306' END) AS text
+        |  FROM documents),
+        |cand AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '\b(?:\d[ -]?){12,18}\d\b')) AS c
+        |  FROM d2),
+        |dd AS (SELECT doc_id, c, regexp_replace(c, '[^0-9]', '', 'g') AS ds FROM cand),
+        |lu AS (SELECT doc_id, c, length(ds) AS n,
+        |    list_sum(list_transform(range(1, length(ds) + 1), i ->
+        |      CASE WHEN i % 2 = 1 THEN CAST(ds[length(ds) + 1 - i] AS INT)
+        |           WHEN CAST(ds[length(ds) + 1 - i] AS INT) * 2 > 9
+        |             THEN CAST(ds[length(ds) + 1 - i] AS INT) * 2 - 9
+        |           ELSE CAST(ds[length(ds) + 1 - i] AS INT) * 2 END)) AS s
+        |  FROM dd),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_card_candidates,
+        |    CAST(sum(CASE WHEN n BETWEEN 13 AND 19 AND s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cards
+        |  FROM lu GROUP BY 1),
+        |valid AS (SELECT doc_id, list_sort(list(c)) AS vc FROM lu
+        |  WHERE n BETWEEN 13 AND 19 AND s % 10 = 0 GROUP BY 1),
+        |red AS (SELECT d2.doc_id,
+        |    CASE WHEN v.vc IS NULL THEN d2.text
+        |         ELSE list_reduce(list_prepend(d2.text, v.vc),
+        |                (acc, c) -> replace(acc, c, '[CARD]')) END AS redacted
+        |  FROM d2 LEFT JOIN valid v USING (doc_id))
+        |SELECT d2.doc_id,
+        |  CAST(coalesce(a.n_card_candidates, 0) AS BIGINT) AS n_card_candidates,
+        |  CAST(coalesce(a.n_cards, 0) AS BIGINT) AS n_cards, r.redacted
+        |FROM d2 LEFT JOIN agg a USING (doc_id) JOIN red r USING (doc_id)
+        |ORDER BY d2.doc_id""".stripMargin,
 
     "q_text_bpe" ->
       """SELECT doc_id,

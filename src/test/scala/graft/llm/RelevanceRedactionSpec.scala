@@ -84,4 +84,36 @@ class RelevanceRedactionSpec extends SparkTestBase {
     val r = Redaction.redact(df, "text").select($"redacted").as[String].head()
     assert(r == "x admin@[IP] y")
   }
+
+  test("card redaction: Luhn-valid cards redact, an invalid 16-digit decoy survives") {
+    val df = Seq(
+      (1L, "pay with 4539 1488 0343 6467 today"),   // valid, separated
+      (2L, "ref 1234 5678 9012 3456 invoice"),      // 16 digits, Luhn-invalid
+      (3L, "amex 379354508162306 works"),           // valid, contiguous 15
+      (4L, "short 4111 1111 and words"),            // too few digits: no candidate
+      (5L, "both 4539 1488 0343 6467 and 1234 5678 9012 3456 here")
+    ).toDF("id", "text")
+    val out = Redaction.redactCardsBy(df, "text")
+      .select($"id", $"n_card_candidates", $"n_cards", $"redacted")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1, 1, "pay with [CARD] today")))
+    assert(out(2L) == ((2L, 1, 0, "ref 1234 5678 9012 3456 invoice")),
+      "decoy candidate counted but NOT redacted")
+    assert(out(3L) == ((3L, 1, 1, "amex [CARD] works")))
+    assert(out(4L) == ((4L, 0, 0, "short 4111 1111 and words")))
+    assert(out(5L) == ((5L, 2, 1, "both [CARD] and 1234 5678 9012 3456 here")))
+  }
+
+  test("luhnValid kernel: length gate and checksum truth table") {
+    import graft.functions.TextKernels.luhnValid
+    val got = Seq(
+      "4539148803436467",      // 16, valid
+      "4539 1488 0343 6467",   // separators ignored
+      "4539148803436468",      // last digit off
+      "379354508162306",       // 15, valid
+      "123456789012",          // 12 digits: under the gate
+      "no digits at all", "")
+      .toDF("c").select(luhnValid($"c")).as[Boolean].collect().toSeq
+    assert(got == Seq(true, true, false, true, false, false, false))
+  }
 }

@@ -52,14 +52,12 @@ object SubstringDedup {
         posexplode(graft.functions.SigKernels.wordNgramFps(col(textCol), k))
           .as(Seq("pos", "__fp")))
 
-  /** Token positions (0-based) whose k-gram occurs ≥ 2 times in the corpus
-    * — exact string match, fingerprint-prefiltered. Returns (idCol, pos).
+  /** Confirmed duplicated occurrences: `(idCol, pos, __g)` rows whose
+    * k-gram STRING occurs ≥ 2 times in the corpus (the shared core of
+    * [[duplicatedPositions]] and [[duplicatedGrams]]).
     */
-  def duplicatedPositions(
-      df: DataFrame,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      k: Int = 50): DataFrame = {
+  private def confirmedOccurrences(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val fps = gramFps(df, idCol, textCol, k)
     // Stage 1: fps occurring >= 2 times. NO broadcast hint — the duplicated
@@ -83,8 +81,45 @@ object SubstringDedup {
     val w = Window.partitionBy(col("__fp"), col("__g"))
     confirmedCand.withColumn("__cnt", count(lit(1)).over(w))
       .filter(col("__cnt") >= 2)
-      .select(col(idCol), col("pos").cast("long").as("pos"))
   }
+
+  /** Token positions (0-based) whose k-gram occurs ≥ 2 times in the corpus
+    * — exact string match, fingerprint-prefiltered. Returns (idCol, pos).
+    */
+  def duplicatedPositions(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 50): DataFrame =
+    confirmedOccurrences(df, idCol, textCol, k)
+      .select(col(idCol), col("pos").cast("long").as("pos"))
+
+  /** The distinct duplicated k-gram STRINGS of a corpus — the reference
+    * set an ingestion-time gate ([[removeKnownSpans]]) ships: compute once
+    * over a representative corpus, persist, apply to new data as a pure
+    * map. One column `gram`.
+    */
+  def duplicatedGrams(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 50): DataFrame =
+    confirmedOccurrences(df, idCol, textCol, k)
+      .select(col("__g").as("gram")).distinct()
+
+  /** Strip every span covered by a KNOWN duplicated-gram set from `text`
+    * — one codegen'd kernel pass per row, stateless: the batch/streaming
+    * ingestion gate for boilerplate already cataloged by a
+    * [[duplicatedGrams]] run. The gram set ships inside the expression
+    * (the [[graft.functions.BpeKernels]] reference-object discipline) —
+    * bounded like a benchmark set, it is the caller's trained artifact.
+    * Matching is exact string equality (no fingerprints — no collision
+    * risk); documents with no covered positions keep their text VERBATIM,
+    * like [[removeSpans]].
+    */
+  def removeKnownSpans(text: org.apache.spark.sql.Column, grams: Seq[String], k: Int)
+      : org.apache.spark.sql.Column =
+    graft.functions.SpanGate.removeKnownSpans(text, grams, k)
 
   /** Maximal duplicated token spans per document: (idCol, span_start,
     * span_end), 0-based inclusive token indices, non-overlapping, sorted.

@@ -65,6 +65,31 @@ object LlmQueries {
        |    CASE WHEN doc_id % 5 = 0 THEN '$boilerFooter' END) AS text
        |  FROM documents""".stripMargin
 
+  /** Shared oracle for the two substring-removal paths (relational
+    * `dedupSubstrings` and the `removeKnownSpans` kernel gate — same
+    * contract, independent implementations).
+    */
+  private lazy val substringCleanSql: String =
+    s"""WITH docs AS ($boilerDocsSql),
+      |toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w FROM docs),
+      |idx AS (SELECT id, w, unnest(range(1, len(w) - 6)) AS i FROM toks),
+      |grams AS (SELECT id, i - 1 AS pos, array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+      |  FROM idx),
+      |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+      |pos AS (SELECT id, pos FROM grams WHERE gram IN (SELECT gram FROM dup)),
+      |covered AS (SELECT DISTINCT id, pos + d AS p FROM pos, range(0, 8) t(d)),
+      |tokidx AS (SELECT id, w, unnest(range(1, len(w) + 1)) AS i FROM toks),
+      |tokpos AS (SELECT id, i - 1 AS p, w[i] AS tok FROM tokidx),
+      |surv AS (SELECT t.id, t.p, t.tok FROM tokpos t WHERE NOT EXISTS (
+      |    SELECT 1 FROM covered c WHERE c.id = t.id AND c.p = t.p)),
+      |agg AS (SELECT id, string_agg(tok, ' ' ORDER BY p) AS ctext FROM surv GROUP BY id),
+      |hascov AS (SELECT DISTINCT id FROM covered),
+      |clean AS (SELECT h.id, coalesce(a.ctext, '') AS ctext
+      |  FROM hascov h LEFT JOIN agg a USING (id))
+      |SELECT d.doc_id, coalesce(c.ctext, d.text) AS text
+      |FROM docs d LEFT JOIN clean c ON d.doc_id = c.id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** e1 unit query vector (dim 64 — the corpus embedding width). */
   private val e1: Array[Double] = { val a = new Array[Double](64); a(0) = 1.0; a }
 
@@ -112,6 +137,20 @@ object LlmQueries {
       // with single spaces; span-free docs keep their text verbatim.
       graft.llm.SubstringDedup.dedupSubstrings(boilerDocs(s, dir), "doc_id", "text", k = 8)
         .orderBy(col("doc_id"))),
+
+    "q_dedup_substring_gate" -> ((s, dir) => {
+      // The INGESTION-GATE path to the same answer: extract the corpus's
+      // duplicated-gram catalog (bounded — the trained artifact), ship it
+      // inside the one-pass removeKnownSpans kernel, apply as a stateless
+      // pure map. Must hash-match the relational q_dedup_substring_clean
+      // oracle exactly — two independent implementations, one contract.
+      val grams = graft.llm.SubstringDedup
+        .duplicatedGrams(boilerDocs(s, dir), "doc_id", "text", k = 8)
+        .collect().map(_.getString(0)).toSeq
+      boilerDocs(s, dir).select(col("doc_id"),
+          graft.llm.SubstringDedup.removeKnownSpans(col("text"), grams, 8).as("text"))
+        .orderBy(col("doc_id"))
+    }),
 
     "q_dedup_minhash" -> ((s, dir) => {
       // Planted-recall certificate for the murmur3 MinHash+LSH scale path
@@ -717,26 +756,11 @@ object LlmQueries {
         |  CAST(max(pos) + 7 AS BIGINT) AS span_end
         |FROM isl GROUP BY id, g ORDER BY doc_id, span_start""".stripMargin,
 
-    "q_dedup_substring_clean" ->
-      s"""WITH docs AS ($boilerDocsSql),
-        |toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w FROM docs),
-        |idx AS (SELECT id, w, unnest(range(1, len(w) - 6)) AS i FROM toks),
-        |grams AS (SELECT id, i - 1 AS pos, array_to_string(list_slice(w, i, i + 7), ' ') AS gram
-        |  FROM idx),
-        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
-        |pos AS (SELECT id, pos FROM grams WHERE gram IN (SELECT gram FROM dup)),
-        |covered AS (SELECT DISTINCT id, pos + d AS p FROM pos, range(0, 8) t(d)),
-        |tokidx AS (SELECT id, w, unnest(range(1, len(w) + 1)) AS i FROM toks),
-        |tokpos AS (SELECT id, i - 1 AS p, w[i] AS tok FROM tokidx),
-        |surv AS (SELECT t.id, t.p, t.tok FROM tokpos t WHERE NOT EXISTS (
-        |    SELECT 1 FROM covered c WHERE c.id = t.id AND c.p = t.p)),
-        |agg AS (SELECT id, string_agg(tok, ' ' ORDER BY p) AS ctext FROM surv GROUP BY id),
-        |hascov AS (SELECT DISTINCT id FROM covered),
-        |clean AS (SELECT h.id, coalesce(a.ctext, '') AS ctext
-        |  FROM hascov h LEFT JOIN agg a USING (id))
-        |SELECT d.doc_id, coalesce(c.ctext, d.text) AS text
-        |FROM docs d LEFT JOIN clean c ON d.doc_id = c.id
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_substring_clean" -> substringCleanSql,
+
+    // Same contract, independent implementation (the removeKnownSpans
+    // kernel gate) — one oracle certifies both paths agree with DuckDB.
+    "q_dedup_substring_gate" -> substringCleanSql,
 
     "q_dedup_minhash_poly" ->
       s"""WITH aug AS ($augSampledSql),

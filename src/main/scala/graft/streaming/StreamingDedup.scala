@@ -92,6 +92,25 @@ object StreamingDedup {
     tsCol.fold(matched)(_ => matched.dropDuplicatesWithinWatermark("stream_id"))
   }
 
+  /** Ingestion-time boilerplate-span gate: strip spans covered by a KNOWN
+    * duplicated-gram catalog (a batch
+    * [[graft.llm.SubstringDedup.duplicatedGrams]] artifact over a
+    * reference corpus) from stream documents — one codegen'd kernel pass
+    * per row, STATELESS (no shuffle, no state store), so it composes with
+    * any output mode / watermark discipline unchanged, exactly like a
+    * filter. The catalog ships inside the expression (bounded: it is the
+    * trained artifact, same discipline as a benchmark gram set or a BPE
+    * merge list); matching is exact string equality, so nothing clean is
+    * ever stripped.
+    */
+  def stripKnownBoilerplate(
+      stream: DataFrame,
+      dupGrams: Seq[String],
+      k: Int,
+      textCol: String = "text"): DataFrame =
+    stream.withColumn(textCol,
+      graft.llm.SubstringDedup.removeKnownSpans(col(textCol), dupGrams, k))
+
   def nearDupAgainstCorpus(
       stream: DataFrame,
       corpusSigs: DataFrame,

@@ -107,6 +107,35 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(cleaned(2L) == "" && cleaned(3L) == "", "fully-covered docs empty")
   }
 
+  test("removeKnownSpans kernel ≡ relational dedupSubstrings when the catalog is the corpus's own grams") {
+    // The ingestion-gate kernel fed the corpus's own duplicated-gram set
+    // must reproduce the relational span pipeline exactly, doc for doc.
+    val corpus = Seq(
+      (1L, s"$header red orange yellow green blue indigo"),
+      (2L, s"$header cat dog bird fish mouse lizard"),
+      (3L, "entirely unique text with no repeats anywhere at all"),
+      (4L, "start one two three four middle one two three four end"),
+      (5L, "a b"),
+      (6L, s"tail first then $header")
+    ).toDF("doc_id", "text")
+    val k = 4
+    val grams = SubstringDedup.duplicatedGrams(corpus, k = k)
+      .as[String].collect().toSeq
+    assert(grams.nonEmpty)
+    val relational = SubstringDedup.dedupSubstrings(corpus, k = k)
+      .as[(Long, String)].collect().toMap
+    val kernel = corpus.select(col("doc_id"),
+        SubstringDedup.removeKnownSpans(col("text"), grams, k).as("text"))
+      .as[(Long, String)].collect().toMap
+    assert(kernel == relational, s"kernel $kernel vs relational $relational")
+    // the gate applied to UNSEEN docs carrying the known boilerplate
+    val fresh = Seq((100L, s"$header completely fresh tail words here")).toDF("doc_id", "text")
+    val cleaned = graft.streaming.StreamingDedup
+      .stripKnownBoilerplate(fresh, grams, k)
+      .as[(Long, String)].collect().head._2
+    assert(cleaned == "completely fresh tail words here")
+  }
+
   test("removeSpans keeps extra columns and only rewrites the text column") {
     val corpus = Seq(
       (1L, s"$header tail1 t1b", "en"),

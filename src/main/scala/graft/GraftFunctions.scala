@@ -65,7 +65,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => CharNgramCount(args(0),
         intLit(args(1), "char_ngram_count", "n"))),
     ("graft_fingerprint", "rolling polynomial fingerprint of a string",
-      (args: Seq[Expression]) => PolyFingerprint(args(0)))
+      (args: Seq[Expression]) => PolyFingerprint(args(0))),
+    ("word_ngram_fps", "fingerprints of ALL word n-grams in position order: (text, n)",
+      (args: Seq[Expression]) => WordNgramFps(args(0),
+        intLit(args(1), "word_ngram_fps", "n"))),
+    ("luhn_valid", "Luhn checksum validity of a candidate card number (13-19 digits)",
+      (args: Seq[Expression]) => LuhnValid(args(0)))
   )
 
   /** Inject into a `SparkSessionExtensions` (the `spark.sql.extensions`

@@ -67,6 +67,29 @@ object Bpe {
     merges
   }
 
+  /** Persist a trained merge list as a tiny (rank, pair_a, pair_b)
+    * parquet — the artifact a production pipeline trains once and ships
+    * to every tokenize job.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "pair_a", "pair_b")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge list saved by [[saveMerges]], in rank order. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[(String, String)] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .orderBy(col("rank"))
+      .select(col("pair_a"), col("pair_b"))
+      .as[(String, String)].collect().toSeq
+  }
+
   /** BPE token count of `text` under `merges` — a codegen'd pure map. */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     BpeKernels.bpeTokenCount(text, merges)

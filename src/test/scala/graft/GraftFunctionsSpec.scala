@@ -17,10 +17,15 @@ class GraftFunctionsSpec extends SparkTestBase {
       "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
         "vec_l2distsq(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS l2, " +
         "word_ngram_count('a b c d', 2) AS n2, " +
-        "graft_fingerprint('abc') AS fp").head()
+        "graft_fingerprint('abc') AS fp, " +
+        "word_ngram_fps('a b c', 2) AS fps, " +
+        "luhn_valid('4539 1488 0343 6467') AS card_ok, " +
+        "luhn_valid('1234 5678 9012 3456') AS card_bad").head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 25.0)
     assert(r.getInt(2) == 3)
+    assert(r.getSeq[Long](4).length == 2, "two 2-grams of a 3-token text")
+    assert(r.getBoolean(5) && !r.getBoolean(6))
     // fingerprint matches the Column-API kernel
     val viaCol = Seq("abc").toDF("t")
       .select(graft.functions.TextKernels.polyFingerprint($"t")).as[Long].head()

@@ -59,6 +59,14 @@ class BpeSpec extends SparkTestBase {
     assert(got == want, s"$got vs $want")
   }
 
+  test("merge list round-trips through parquet in rank order") {
+    val merges = Seq("l" -> "o", "lo" -> "w", "low" -> "e", "a" -> "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toFile
+    val path = s"$dir/merges.parquet"
+    Bpe.saveMerges(spark, merges, path)
+    assert(Bpe.loadMerges(spark, path) == merges, "rank order preserved")
+  }
+
   test("word pairs emitter: multiplicity kept, short words empty") {
     val r = Seq("aba", "x", "").toDF("w")
       .select(BpeKernels.bpeWordPairs(col("w"), Nil)).as[Seq[String]].collect().toSeq

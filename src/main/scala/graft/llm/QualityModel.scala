@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the fastText-shaped hashed linear
+  * classifier modern curation pipelines (CCNet, DCLM, FineWeb-Edu lineage)
+  * run after the heuristic gates: each token hashes to one of `nBuckets`
+  * weight slots, a document's score is the sum of its tokens' weights, and
+  * the logistic of that score is the keep probability.
+  *
+  * Exactness discipline: weights live in integer MICRO-units, so a
+  * document's score is an integer sum — exact under any aggregation order
+  * (Spark partial aggregation ≡ DuckDB sequential sum, the bm25/LM-score
+  * rule) — and only the final logistic touches doubles (rounded to 6
+  * decimals on both sides). Token bucketing uses the oracle-reproducible
+  * polynomial fingerprint.
+  *
+  * Scale shape, scoring: explode tokens → codegen'd fingerprint → bucket →
+  * weight lookup in a literal array → one doc-keyed aggregation. A pure
+  * map + one shuffle; the model (nBuckets longs) rides the plan as a
+  * literal, exactly how a shipped classifier should.
+  *
+  * Scale shape, training: batch gradient descent where each epoch is TWO
+  * aggregations over the corpus (score docs, then per-bucket gradient
+  * sums) and the driver holds only the weight vector (O(nBuckets) state —
+  * the `trainIvfCentroidsDistributed` loop discipline). Per-document
+  * residuals round to micro-units BEFORE the per-bucket sum, so training
+  * is bit-deterministic: same corpus, same epochs → same weights, on any
+  * cluster layout.
+  */
+object QualityModel {
+
+  /** Deterministic per-token bucket: poly-fingerprint mod nBuckets. */
+  private def bucket(tok: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(TextAnalysis.fingerprint(tok), lit(nBuckets.toLong))
+
+  /** Score every document under micro-unit weights: returns
+    * `(idCol, n_tokens, score_micro, prob)` with `score_micro` the exact
+    * integer weight SUM and `prob = round(sigmoid(score_micro /
+    * (1e6 · n_tokens)), 6)` — the fastText MEAN-of-token-weights logit.
+    * Averaging matters: with a sum logit, document LENGTH is a confound
+    * (a corpus where one class runs longer drives every common bucket's
+    * weight in one direction and saturates everything — observed on the
+    * test corpus, where odd doc_ids average ~6% more tokens).
+    */
+  def scoreBy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weightsMicro: Array[Long]): DataFrame = {
+    require(weightsMicro.nonEmpty, "weights must be non-empty")
+    val n = weightsMicro.length
+    val wArr = array(weightsMicro.toIndexedSeq.map(lit(_)): _*)
+    df.select(col(idCol), explode(TextAnalysis.tokensWs(lower(col(textCol)))).as("__t"))
+      .withColumn("__w", element_at(wArr, bucket(col("__t"), n).cast("int") + 1))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("score_micro"))
+      .withColumn("prob",
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("score_micro").cast("double") / (lit(1e6) * col("n_tokens"))))), 6))
+  }
+
+  /** Train micro-unit weights by batch gradient descent on labeled docs
+    * (`labelCol` ∈ {0, 1}), on the same MEAN-feature logit [[scoreBy]]
+    * evaluates (each token contributes `1/n_tokens`). Each epoch: score
+    * under current weights (one aggregation), per-doc residual-per-token
+    * `round((prob − label) · 1e6 / n_tokens)` (an integer from a
+    * deterministic double), then per-bucket gradient = integer sum of
+    * those over token occurrences (second aggregation, O(nBuckets) rows
+    * collected). Update: `w[b] −= round(lrMicro · grad / (1e6 · nDocs))`.
+    * `lrMicro` defaults to 1e8 (lr = 100): mean features are O(1/n_tokens)
+    * small, so the rate carries the token-count scale.
+    */
+  def train(
+      labeled: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      labelCol: String = "label",
+      nBuckets: Int = 1024,
+      epochs: Int = 5,
+      lrMicro: Long = 100000000L): Array[Long] = {
+    require(nBuckets > 0 && epochs >= 0, "nBuckets and epochs must be positive")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val base = labeled.select(col(idCol), col(textCol), col(labelCol).cast("long"))
+      .localCheckpoint()
+    val nDocs = base.count()
+    require(nDocs > 0, "no labeled documents")
+    val toks = base
+      .select(col(idCol), col(labelCol),
+        explode(TextAnalysis.tokensWs(lower(col(textCol)))).as("__t"))
+      .withColumn("__b", bucket(col("__t"), nBuckets))
+      .select(col(idCol), col(labelCol), col("__b"))
+      .localCheckpoint() // buckets don't change across epochs; tokenize once
+    val w = new Array[Long](nBuckets)
+    var epoch = 0
+    while (epoch < epochs) {
+      val wArr = array(w.toIndexedSeq.map(lit(_)): _*)
+      val grads = toks
+        .withColumn("__wv", element_at(wArr, col("__b").cast("int") + 1))
+        .groupBy(col(idCol), col(labelCol))
+        .agg(count(lit(1)).as("__n"), sum(col("__wv")).as("__score"))
+        .withColumn("__err",
+          round((lit(1.0) / (lit(1.0) +
+              exp(-(col("__score").cast("double") / (lit(1e6) * col("__n")))))
+            - col(labelCol).cast("double")) * lit(1e6) / col("__n")).cast("long"))
+        .select(col(idCol), col("__err"))
+        .join(toks.select(col(idCol), col("__b")), Seq(idCol))
+        .groupBy(col("__b")).agg(sum(col("__err")).as("__g"))
+        .as[(Long, Long)].collect()
+      grads.foreach { case (b, g) =>
+        w(b.toInt) -= Math.round(lrMicro.toDouble * g / (1e6 * nDocs))
+      }
+      epoch += 1
+    }
+    w
+  }
+}

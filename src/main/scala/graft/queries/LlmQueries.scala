@@ -563,6 +563,39 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    "q_text_qmodel" -> ((s, dir) => {
+      // Model-based quality scoring (fastText-shaped hashed linear
+      // classifier): weights in integer micro-units derived from a closed
+      // form of the bucket index, so the oracle recomputes the entire
+      // score — token fingerprint → bucket → weight → exact integer sum —
+      // and the final logistic rounds to 6 decimals on both sides.
+      val weights = Array.tabulate(1024)(i =>
+        (i.toLong * 2654435761L) % 1000001L - 500000L)
+      graft.llm.QualityModel.scoreBy(docs(s, dir), "doc_id", "text", weights)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_text_qmodel_train" -> ((s, dir) => {
+      // Distributed training certificate: batch gradient descent on a
+      // linearly-separable planted fixture (marker tokens per class over
+      // real corpus noise). Training is bit-deterministic (per-doc
+      // residuals round to micro-units before the per-bucket integer
+      // gradient sums), so the accuracy claim is a stable boolean.
+      import s.implicits._
+      val labeled = docs(s, dir).select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          when(col("doc_id") % 2 === 1, lit("excellent wonderful superb"))
+            .otherwise(lit("garbage junk spam"))).as("text"),
+        (col("doc_id") % 2).cast("int").as("label"))
+      val w = graft.llm.QualityModel.train(labeled, epochs = 5, nBuckets = 4096)
+      val scored = graft.llm.QualityModel.scoreBy(labeled, "doc_id", "text", w)
+        .join(labeled.select(col("doc_id"), col("label")), "doc_id")
+      val acc = scored
+        .select(when((col("prob") >= 0.5) === (col("label") === 1), 1).otherwise(0).as("ok"))
+        .agg(avg(col("ok"))).head().getDouble(0)
+      Seq(acc >= 0.95).toDF("train_separates")
+    }),
+
     "q_text_cards" -> ((s, dir) => {
       // Luhn-confirmed credit-card PII: planted valid cards (16-digit
       // separated VISA test number on doc_id%7, 15-digit contiguous Amex
@@ -980,6 +1013,25 @@ object LlmQueries {
         |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 131 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_qmodel" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(t) + 1), j -> CAST(ascii(t[j]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) % 1024 AS b
+        |  FROM toks),
+        |w AS (SELECT doc_id, (b * 2654435761) % 1000001 - 500000 AS wm FROM f),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(wm) AS BIGINT) AS score_micro FROM w GROUP BY 1)
+        |SELECT doc_id, n_tokens, score_micro,
+        |  round(1.0 / (1.0 + exp(-(CAST(score_micro AS DOUBLE) / (1000000.0 * n_tokens)))), 6) AS prob
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_text_qmodel_train" ->
+      "SELECT CAST(true AS BOOLEAN) AS train_separates",
 
     "q_text_cards" ->
       """WITH d2 AS (SELECT doc_id, concat_ws(' ', text,

@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Hashed linear quality classifier: scoring exactness (integer-micro
+  * weights, closed-form check), separable training to perfect accuracy,
+  * and bit-deterministic training (same corpus → same weights).
+  */
+class QualityModelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def labeledFixture = {
+    // 40 docs: label-1 docs carry 'excellent' markers, label-0 docs carry
+    // 'garbage' markers, over a shared vocabulary — linearly separable on
+    // the marker buckets.
+    val docs = (0 until 40).map { i =>
+      val label = i % 2
+      val marker = if (label == 1) "excellent wonderful" else "garbage junk"
+      (i.toLong, s"common words here $marker number$i more common text", label)
+    }
+    docs.toDF("doc_id", "text", "label")
+  }
+
+  test("training separates planted labels and is bit-deterministic") {
+    val df = labeledFixture
+    val w1 = QualityModel.train(df, epochs = 5, nBuckets = 512)
+    val w2 = QualityModel.train(df, epochs = 5, nBuckets = 512)
+    assert(w1.toSeq == w2.toSeq, "same corpus, same epochs -> same weights")
+    val scored = QualityModel.scoreBy(df, "doc_id", "text", w1)
+      .join(df.select($"doc_id", $"label"), "doc_id")
+    val acc = scored
+      .select(when(($"prob" >= 0.5) === ($"label" === 1), 1).otherwise(0).as("ok"))
+      .agg(avg($"ok")).head().getDouble(0)
+    assert(acc == 1.0, s"separable fixture must classify perfectly, got $acc")
+  }
+
+  test("scoreBy matches a hand-computed score for known weights") {
+    // every token in bucket b contributes w(b); a 1-bucket model pins the
+    // plumbing: sum = n_tokens * w(0), mean logit = w(0)/1e6 for any length
+    val df = Seq((1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    val out = QualityModel.scoreBy(df, "doc_id", "text", Array(250000L))
+      .select($"doc_id", $"n_tokens", $"score_micro", $"prob")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == 750000L && out(2L)._3 == 250000L)
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    val p = BigDecimal(sig(0.25)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._4 == p && out(2L)._4 == p,
+      "mean logit is length-invariant for a constant model")
+  }
+
+  test("an untrained (zero) model scores probability 0.5 everywhere") {
+    val df = Seq((1L, "anything at all")).toDF("doc_id", "text")
+    val p = QualityModel.scoreBy(df, "doc_id", "text", new Array[Long](64))
+      .select($"prob").as[Double].head()
+    assert(p == 0.5)
+  }
+}

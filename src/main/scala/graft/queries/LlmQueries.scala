@@ -679,6 +679,25 @@ object LlmQueries {
         budgets = budgets)
     }),
 
+    "q_pipeline_curation3" -> ((s, dir) => {
+      // Model-gated curation: repetition gate → model-based quality filter
+      // (the certified closed-form weights; keep iff the exact integer
+      // score_micro >= 0, i.e. mean-logit prob >= 0.5 with no float
+      // boundary) → exact dedup. The composition a post-heuristic modern
+      // pipeline runs, every stage individually certified.
+      val weights = Array.tabulate(1024)(i =>
+        (i.toLong * 2654435761L) % 1000001L - 500000L)
+      val d = docs(s, dir)
+      val rep = TextAnalysis.repetitionBy(d, "doc_id", "text")
+        .filter(col("dup_token_frac") <= 0.55).select(col("doc_id"))
+      val gated = d.join(rep, "doc_id")
+      val kept = graft.llm.QualityModel.scoreBy(gated, "doc_id", "text", weights)
+        .filter(col("score_micro") >= 0).select(col("doc_id"))
+      val surv = gated.join(kept, "doc_id")
+      Dedup.exactDedup(surv, "text", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q_pipeline_pretrain" -> ((s, dir) => {
       // Curate → tokenize → pack, end to end (VERDICT r8 item 6): the
       // modern curation recipe's survivors get REAL BPE token counts
@@ -1172,6 +1191,31 @@ object LlmQueries {
         |SELECT doc_id, d.source FROM dedup d JOIN tot USING (source) JOIN b USING (source)
         |WHERE CAST((doc_id * 2654435761) % 4294967296 AS HUGEINT) * tokens
         |    < CAST(budget AS HUGEINT) * 4294967296
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_curation3" ->
+      // Chained from the q_text_repetition, q_text_qmodel and
+      // q_dedup_exact_rows fragments — same thresholds, exact integer
+      // score gate.
+      """WITH w AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |rep AS (SELECT doc_id FROM w
+        |  WHERE CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.55),
+        |toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM rep)),
+        |f AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(t) + 1), j -> CAST(ascii(t[j]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) % 1024 AS b
+        |  FROM toks),
+        |wm AS (SELECT doc_id, (b * 2654435761) % 1000001 - 500000 AS wm FROM f),
+        |q AS (SELECT doc_id FROM wm GROUP BY doc_id HAVING sum(wm) >= 0),
+        |surv AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM rep)
+        |    AND doc_id IN (SELECT doc_id FROM q))
+        |SELECT doc_id FROM surv
+        |WHERE doc_id IN (SELECT min(doc_id) FROM surv GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
 
     "q_pipeline_pretrain" ->

@@ -84,3 +84,42 @@ object SpanGate {
     GraftColumnBridge.column(
       RemoveKnownSpans(GraftColumnBridge.expression(text.cast("string")), grams, k))
 }
+
+/** One-pass hashed-linear score: tokenize, poly-fingerprint each token to
+  * a weight bucket, sum micro-unit weights — the whole classifier score in
+  * one compiled loop per ROW. Same values as the exploded
+  * [[graft.llm.QualityModel.scoreBy]] aggregation (spec-pinned), but a
+  * PURE MAP: no explode, no shuffle, stateless — the scale path for
+  * applying a trained model to 100 TB, and the streaming-gate form.
+  */
+object HashedLinearScoreImpl {
+  def score(t: UTF8String, w: Array[Long]): Long = {
+    val n = w.length
+    // UTF8String.toLowerCase = Spark's `lower(...)` exactly (Java
+    // Locale-based lowercasing differs on Unicode edge cases)
+    val toks = SigImpl.trimSpaces(t.toLowerCase.toString).split("\\s+", -1)
+    var sum = 0L
+    var i = 0
+    while (i < toks.length) {
+      sum += w((SigImpl.polyFp(toks(i)) % n).toInt)
+      i += 1
+    }
+    sum
+  }
+}
+
+case class HashedLinearScore(child: Expression, weightsMicro: Array[Long])
+    extends UnaryExpression {
+  require(weightsMicro.nonEmpty, "weights must be non-empty")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hashed_linear_score"
+  override def nullSafeEval(input: Any): Any =
+    HashedLinearScoreImpl.score(input.asInstanceOf[UTF8String], weightsMicro)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qmodelWeights", weightsMicro, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashedLinearScoreImpl.score($c, $ref);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HashedLinearScore =
+    copy(child = newChild)
+}

@@ -61,6 +61,35 @@ object QualityModel {
           exp(-(col("score_micro").cast("double") / (lit(1e6) * col("n_tokens"))))), 6))
   }
 
+  /** The kernel form of [[scoreBy]]'s score: the exact integer weight sum
+    * computed in ONE compiled loop per row — no explode, no shuffle,
+    * stateless, so it applies a trained model to a 100 TB corpus (or a
+    * stream) as a pure map. Same values as the aggregation form,
+    * spec-pinned. Pair with `n_tokens` from [[TextAnalysis.tokenCount]]
+    * for the mean-logit probability.
+    */
+  def scoreMicro(text: org.apache.spark.sql.Column, weightsMicro: Array[Long])
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.HashedLinearScore(
+        org.apache.spark.sql.GraftColumnBridge.expression(text.cast("string")),
+        weightsMicro))
+
+  /** One-pass scoring frame via the kernel: same columns and values as
+    * [[scoreBy]], zero shuffles (scan → project).
+    */
+  def scoreByKernel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weightsMicro: Array[Long]): DataFrame =
+    df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        scoreMicro(col(textCol), weightsMicro).as("score_micro"))
+      .withColumn("prob",
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("score_micro").cast("double") / (lit(1e6) * col("n_tokens"))))), 6))
+
   /** Train micro-unit weights by batch gradient descent on labeled docs
     * (`labelCol` ∈ {0, 1}), on the same MEAN-feature logit [[scoreBy]]
     * evaluates (each token contributes `1/n_tokens`). Each epoch: score

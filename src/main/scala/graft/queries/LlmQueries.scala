@@ -90,6 +90,26 @@ object LlmQueries {
       |FROM docs d LEFT JOIN clean c ON d.doc_id = c.id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Shared oracle for the two quality-model scoring paths (exploded
+    * aggregation and the one-pass kernel — same contract, independent
+    * implementations).
+    */
+  private lazy val qmodelSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      |  FROM documents),
+      |f AS (SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(t) + 1), j -> CAST(ascii(t[j]) AS BIGINT))),
+      |      (acc, c) -> (acc * 131 + c) % 1000000007) % 1024 AS b
+      |  FROM toks),
+      |w AS (SELECT doc_id, (b * 2654435761) % 1000001 - 500000 AS wm FROM f),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(wm) AS BIGINT) AS score_micro FROM w GROUP BY 1)
+      |SELECT doc_id, n_tokens, score_micro,
+      |  round(1.0 / (1.0 + exp(-(CAST(score_micro AS DOUBLE) / (1000000.0 * n_tokens)))), 6) AS prob
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** e1 unit query vector (dim 64 — the corpus embedding width). */
   private val e1: Array[Double] = { val a = new Array[Double](64); a(0) = 1.0; a }
 
@@ -575,6 +595,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_qmodel_kernel" -> ((s, dir) => {
+      // The one-pass kernel scorer (scan → project, zero shuffles — the
+      // 100 TB apply path) against the SAME oracle as the aggregation
+      // form: two implementations, one contract.
+      val weights = Array.tabulate(1024)(i =>
+        (i.toLong * 2654435761L) % 1000001L - 500000L)
+      graft.llm.QualityModel.scoreByKernel(docs(s, dir), "doc_id", "text", weights)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_qmodel_train" -> ((s, dir) => {
       // Distributed training certificate: batch gradient descent on a
       // linearly-separable planted fixture (marker tokens per class over
@@ -1033,21 +1063,10 @@ object LlmQueries {
         |    (acc, c) -> (acc * 131 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q_text_qmodel" ->
-      """WITH toks AS (SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
-        |  FROM documents),
-        |f AS (SELECT doc_id,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(range(1, length(t) + 1), j -> CAST(ascii(t[j]) AS BIGINT))),
-        |      (acc, c) -> (acc * 131 + c) % 1000000007) % 1024 AS b
-        |  FROM toks),
-        |w AS (SELECT doc_id, (b * 2654435761) % 1000001 - 500000 AS wm FROM f),
-        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |    CAST(sum(wm) AS BIGINT) AS score_micro FROM w GROUP BY 1)
-        |SELECT doc_id, n_tokens, score_micro,
-        |  round(1.0 / (1.0 + exp(-(CAST(score_micro AS DOUBLE) / (1000000.0 * n_tokens)))), 6) AS prob
-        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_text_qmodel" -> qmodelSql,
+
+    // Same contract, independent implementation (the one-pass kernel).
+    "q_text_qmodel_kernel" -> qmodelSql,
 
     "q_text_qmodel_train" ->
       "SELECT CAST(true AS BOOLEAN) AS train_separates",

@@ -49,6 +49,18 @@ class QualityModelSpec extends SparkTestBase {
       "mean logit is length-invariant for a constant model")
   }
 
+  test("kernel scorer ≡ aggregation scorer (values and schema)") {
+    val df = labeledFixture.select($"doc_id", $"text")
+      .union(Seq((999L, ""), (998L, "  padded   text  "), (997L, "ÜPPER Case Tökens"))
+        .toDF("doc_id", "text"))
+    val weights = Array.tabulate(128)(i => (i.toLong * 97) % 700001L - 350000L)
+    val agg = QualityModel.scoreBy(df, "doc_id", "text", weights)
+      .orderBy($"doc_id").collect().toSeq
+    val ker = QualityModel.scoreByKernel(df, "doc_id", "text", weights)
+      .orderBy($"doc_id").collect().toSeq
+    assert(agg == ker, s"agg $agg vs kernel $ker")
+  }
+
   test("an untrained (zero) model scores probability 0.5 everywhere") {
     val df = Seq((1L, "anything at all")).toDF("doc_id", "text")
     val p = QualityModel.scoreBy(df, "doc_id", "text", new Array[Long](64))

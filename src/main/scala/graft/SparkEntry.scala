@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.queries.{LlmQueries, QueryUtil, RadioQueries, ScaleQueries, SdfitsQueries}
+import graft.queries.{CrawlQueries, LlmQueries, QueryUtil, RadioQueries, ScaleQueries, SdfitsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,11 +22,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RadioQueries.queries ++ LlmQueries.queries ++ ScaleQueries.queries ++
-      SdfitsQueries.queries
+      SdfitsQueries.queries ++ CrawlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RadioQueries.oracleSql ++ LlmQueries.oracleSql ++ ScaleQueries.oracleSql ++
-      SdfitsQueries.oracleSql
+      SdfitsQueries.oracleSql ++ CrawlQueries.oracleSql
 }

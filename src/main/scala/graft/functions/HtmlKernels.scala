@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML → text extraction as a single-pass codegen'd kernel — the stage
+  * between crawl ingestion ([[graft.sources.Warc]]) and every text
+  * operator (quality, dedup, langid): a web corpus arrives as markup, and
+  * the extraction pass is on the 100 TB hot path, so it must be one linear
+  * scan with no allocation beyond the output buffer — no DOM, no regex
+  * backtracking.
+  *
+  * Semantics (the classic tag-stripper contract):
+  *  - `<script>…</script>` and `<style>…</style>` content is DROPPED
+  *    (case-insensitive match, closed by the matching end tag);
+  *  - `<!-- … -->` comments are dropped;
+  *  - every other tag is replaced by a word break (so `<p>a</p><p>b</p>`
+  *    reads "a b", never "ab");
+  *  - character entities decode: the HTML named core (amp, lt, gt, quot,
+  *    apos, nbsp) plus decimal `&#NN;` and hex `&#xNN;`; an unterminated
+  *    or unknown entity passes through literally;
+  *  - whitespace (including NBSP from entity decode) collapses to single
+  *    spaces, trimmed at both ends.
+  *
+  * A truncated page (EOF inside a tag, comment, or script) drops the open
+  * construct and keeps the text extracted so far — crawls are full of
+  * truncated fetches and extraction must not throw mid-corpus.
+  */
+object HtmlImpl {
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u00a0'
+
+  /** True if `s` at `i` starts (case-insensitively) with `word` followed by
+    * a tag-name delimiter (whitespace, '>', '/', or EOF).
+    */
+  private def tagNameAt(s: String, i: Int, word: String): Boolean = {
+    if (i + word.length > s.length) return false
+    var k = 0
+    while (k < word.length) {
+      val c = Character.toLowerCase(s.charAt(i + k))
+      if (c != word.charAt(k)) return false
+      k += 1
+    }
+    val j = i + word.length
+    j >= s.length || isWs(s.charAt(j)) || s.charAt(j) == '>' || s.charAt(j) == '/'
+  }
+
+  /** Index just past the matching `</name…>` end tag, or `s.length` if the
+    * element never closes (truncated page).
+    */
+  private def skipRawElement(s: String, from: Int, name: String): Int = {
+    var i = from
+    while (i < s.length) {
+      if (s.charAt(i) == '<' && i + 1 < s.length && s.charAt(i + 1) == '/' &&
+          tagNameAt(s, i + 2, name)) {
+        var j = i + 2 + name.length
+        while (j < s.length && s.charAt(j) != '>') j += 1
+        return if (j < s.length) j + 1 else s.length
+      }
+      i += 1
+    }
+    s.length
+  }
+
+  /** Decode the entity starting at `i` (which points at '&'). Returns the
+    * decoded char in the low 21 bits and the next index in the high bits —
+    * packed to keep the hot loop allocation-free. If no entity matches,
+    * returns '&' itself with next = i+1 (literal pass-through).
+    */
+  private def entityAt(s: String, i: Int): Long = {
+    def pack(cp: Int, next: Int): Long = (next.toLong << 21) | cp.toLong
+    val semi = {
+      var j = i + 1
+      val lim = math.min(s.length, i + 12) // longest handled entity is short
+      while (j < lim && s.charAt(j) != ';') j += 1
+      if (j < lim && s.charAt(j) == ';') j else -1
+    }
+    if (semi < 0) return pack('&', i + 1)
+    val body = s.substring(i + 1, semi)
+    val lower = body.toLowerCase
+    lower match {
+      case "amp"  => pack('&', semi + 1)
+      case "lt"   => pack('<', semi + 1)
+      case "gt"   => pack('>', semi + 1)
+      case "quot" => pack('"', semi + 1)
+      case "apos" => pack('\'', semi + 1)
+      case "nbsp" => pack(' ', semi + 1)
+      case _ =>
+        if (body.length >= 2 && body.charAt(0) == '#') {
+          val hex = body.charAt(1) == 'x' || body.charAt(1) == 'X'
+          val digits = if (hex) body.substring(2) else body.substring(1)
+          try {
+            val cp = Integer.parseInt(digits, if (hex) 16 else 10)
+            if (cp > 0 && cp <= 0x10ffff) pack(cp, semi + 1) else pack('&', i + 1)
+          } catch { case _: NumberFormatException => pack('&', i + 1) }
+        } else pack('&', i + 1)
+    }
+  }
+
+  /** The extraction pass. Static so interpreted eval and codegen share one
+    * body (the [[LuhnImpl]] discipline).
+    */
+  def extract(input: UTF8String): UTF8String = {
+    val s = input.toString
+    val out = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false // a collapsed whitespace/tag break awaiting text
+    var i = 0
+    def emit(cp: Int): Unit = {
+      if (pendingSpace && out.length > 0) out.append(' ')
+      pendingSpace = false
+      out.appendCodePoint(cp)
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) s.length else end + 3
+        } else if (tagNameAt(s, i + 1, "script")) {
+          val gt = s.indexOf('>', i)
+          i = if (gt < 0) s.length else skipRawElement(s, gt + 1, "script")
+        } else if (tagNameAt(s, i + 1, "style")) {
+          val gt = s.indexOf('>', i)
+          i = if (gt < 0) s.length else skipRawElement(s, gt + 1, "style")
+        } else {
+          val gt = s.indexOf('>', i)
+          i = if (gt < 0) s.length else gt + 1
+        }
+        pendingSpace = true
+      } else if (c == '&') {
+        val packed = entityAt(s, i)
+        val cp = (packed & 0x1fffffL).toInt
+        i = (packed >>> 21).toInt
+        if (isWs(cp.toChar)) pendingSpace = true else emit(cp)
+      } else if (isWs(c)) {
+        pendingSpace = true
+        i += 1
+      } else {
+        val cp = s.codePointAt(i)
+        emit(cp)
+        i += Character.charCount(cp)
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
+/** Codegen wrapper for [[HtmlImpl.extract]]. */
+case class HtmlToText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_to_text"
+  override def nullSafeEval(input: Any): Any =
+    HtmlImpl.extract(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.HtmlImpl.extract($c);")
+  override protected def withNewChildInternal(newChild: Expression): HtmlToText =
+    copy(child = newChild)
+}
+
+object HtmlKernels {
+  /** One-pass HTML → text extraction (tags → word breaks, script/style/
+    * comments dropped, core entities decoded, whitespace collapsed).
+    */
+  def htmlToText(c: Column): Column =
+    GraftColumnBridge.column(HtmlToText(GraftColumnBridge.expression(c.cast("string"))))
+}

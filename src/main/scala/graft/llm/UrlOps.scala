@@ -1,0 +1,142 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL operators — the filtering/dedup keys of a web-crawl pipeline
+  * (C4/RefinedWeb-style curation filters by domain and deduplicates by
+  * normalized URL before any text operator runs, because it's the cheapest
+  * possible gate: pure string ops on a short column).
+  *
+  * Everything here is built from codegen'd string/regexp expressions (no
+  * UDFs), so the gates sit inside whole-stage codegen and push down to the
+  * scan where possible. The parse is the pragmatic crawl-pipeline subset
+  * of RFC 3986: `scheme://host[:port][/path][?query][#fragment]` —
+  * userinfo is not split out (crawlers drop such URLs upstream), and a
+  * URL that doesn't match the shape yields null fields (callers treat
+  * null host as "not a fetchable URL" and quarantine/drop).
+  */
+object UrlOps {
+
+  /** Lowercased scheme, or null if the value doesn't start `scheme:`. */
+  def urlScheme(u: Column): Column =
+    nullIfEmpty(lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+
+  /** Raw authority (between `://` and the first `/?#`), as written. */
+  private def authority(u: Column): Column =
+    regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+
+  /** Lowercased host with any `:port` stripped; null for non-URLs. */
+  def urlHost(u: Column): Column =
+    nullIfEmpty(lower(regexp_replace(authority(u), ":[0-9]*$", "")))
+
+  /** Explicit port as a long, or null when absent. */
+  def urlPort(u: Column): Column =
+    nullIfEmpty(regexp_extract(authority(u), ":([0-9]+)$", 1)).cast("long")
+
+  /** Path component as written; empty path reads as "/" (normal form). */
+  def urlPath(u: Column): Column = {
+    val p = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** Query string (sans `?`), or null when absent. */
+  def urlQuery(u: Column): Column =
+    nullIfEmpty(regexp_extract(u, "\\?([^#]*)", 1))
+
+  private def nullIfEmpty(c: Column): Column = when(c === "", lit(null)).otherwise(c)
+
+  /** Multi-label public suffixes where the registrable domain is THREE
+    * labels (`bbc.co.uk`), not two. The real Public Suffix List is ~9k
+    * entries and ships as data; this literal core covers the common
+    * ccTLD second-level registries and is the lookup the full list would
+    * drop into (an `isin` over a broadcast literal array either way).
+    */
+  val multiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za")
+
+  /** Registrable domain of a host: last two labels, or last three when the
+    * last two form a multi-label public suffix. A host with fewer labels
+    * than needed returns itself. IP-literal hosts return themselves (no
+    * label semantics).
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), last2)
+    // explicit null guard: concat_ws treats null labels as '', so without
+    // it a null host would fall through to an empty-string domain
+    when(host.isNull, lit(null))
+      .when(host.rlike("^[0-9.]+$"), host) // IPv4 literal
+      .when(n <= 2, host)
+      .when(last2.isin(multiLabelSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** Crawl-normal form: scheme and host lowercased, default port dropped
+    * (80 for http, 443 for https), other ports kept, empty path → "/",
+    * query kept as written, fragment dropped. Null for non-URLs (no
+    * scheme/host) — normalization must not fabricate fetchable URLs.
+    */
+  def normalizeUrl(u: Column): Column = {
+    val scheme = urlScheme(u)
+    val host = urlHost(u)
+    val port = urlPort(u)
+    val keepPort = port.isNotNull &&
+      !((scheme === "http" && port === 80) || (scheme === "https" && port === 443))
+    when(scheme.isNull || host.isNull, lit(null)).otherwise(
+      concat(
+        scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port.cast("string"))).otherwise(lit("")),
+        urlPath(u),
+        when(urlQuery(u).isNotNull, concat(lit("?"), urlQuery(u))).otherwise(lit(""))))
+  }
+
+  /** Drop rows whose registrable domain is on the blocklist. For a literal
+    * list this is a codegen'd `isin` gate; a blocklist that is itself a
+    * dataset should go through [[filterBlockedDomainsDf]].
+    */
+  def filterBlockedDomains(df: DataFrame, urlCol: String, blocked: Seq[String]): DataFrame = {
+    val rd = registeredDomain(urlHost(col(urlCol)))
+    df.filter(rd.isNull || !rd.isin(blocked: _*))
+  }
+
+  /** Blocklist-as-dataset form: broadcast LEFT ANTI join on the registrable
+    * domain — the corpus never shuffles (a domain blocklist is millions of
+    * rows at worst, far under broadcast threshold ceilings; if it ever
+    * isn't, drop the hint and the anti join shuffles on the short domain
+    * key, not the documents).
+    */
+  def filterBlockedDomainsDf(df: DataFrame, urlCol: String, blocked: DataFrame): DataFrame = {
+    val withRd = df.withColumn("__rd", registeredDomain(urlHost(col(urlCol))))
+    withRd.join(broadcast(blocked.select(col(blocked.columns.head).as("__blocked"))),
+        withRd("__rd") === col("__blocked"), "left_anti")
+      .drop("__rd")
+  }
+
+  /** URL-level dedup: keep the first row (by `orderCol`, which must be
+    * unique — doc_id is) per normalized URL; rows with null normalized URL
+    * (non-URLs) are all kept — dropping them is a *filter* decision, not a
+    * dedup decision.
+    *
+    * Shape: `min(orderCol)` per URL then join back, NOT a window — a crawl
+    * has hot URLs (one URL fetched millions of times), and a window piles
+    * each key onto one task with no map-side combine, while the min-
+    * aggregate partially aggregates hot keys in place and the join-back
+    * inherits AQE skew handling. Null keys bypass both shuffles entirely.
+    */
+  def dedupByUrl(df: DataFrame, urlCol: String, orderCol: String): DataFrame = {
+    val keyed = df.withColumn("__norm", normalizeUrl(col(urlCol)))
+    val urls = keyed.filter(col("__norm").isNotNull)
+    val firsts = urls.groupBy(col("__norm")).agg(min(col(orderCol)).as("__keep"))
+    urls.join(firsts,
+        urls("__norm") === firsts("__norm") && col(orderCol) === col("__keep"))
+      .drop(firsts("__norm")).drop("__keep")
+      .unionByName(keyed.filter(col("__norm").isNull))
+      .drop("__norm")
+  }
+}

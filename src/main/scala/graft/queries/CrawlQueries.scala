@@ -1,0 +1,339 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Encoders}
+import org.apache.spark.sql.functions._
+import graft.functions.HtmlKernels
+import graft.llm.{LineDedup, TextAnalysis, UrlOps}
+import graft.sources.Warc
+import QueryUtil._
+
+/** Driver-contract queries for the web-crawl ingestion family: WARC
+  * container parsing, HTML → text extraction, URL parse/normalize/
+  * blocklist/dedup, and line-level boilerplate dedup — the stages a
+  * pretraining pipeline runs BEFORE the text operators in
+  * [[LlmQueries]].
+  *
+  * Fixture discipline: the corpus has no URL or markup columns, so pages,
+  * URLs and WARC members are synthesized deterministically from
+  * `documents` rows with closed-form string ops — every derivation is
+  * mirrored in the DuckDB oracle, making the full parse → extract →
+  * filter chain hash-checkable end to end.
+  */
+object CrawlQueries {
+
+  private val warcDate = "2026-08-13T00:00:00Z"
+
+  /** Deterministic per-doc page markup: title/h1 repeat the doc id, the
+    * body carries the document text with a planted entity, and style/
+    * comment/script hide text that extraction must DROP. Extracted form
+    * (closed-form): `Doc N Doc N <text> & fin`.
+    */
+  private def pageHtml = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><style>p{color:red}</style></head><body><h1>Doc "),
+    col("doc_id").cast("string"),
+    lit("</h1><!-- hidden --><p>"), col("text"),
+    lit(" &amp; fin</p><script>var x = 1;</script></body></html>"))
+
+  private val pageTextSql =
+    "'Doc ' || doc_id || ' Doc ' || doc_id || ' ' || text || ' & fin'"
+
+  /** Group docs into WARC members (doc_id % 40 → ~125 records/member at
+    * sf0.01), records ordered by doc_id, payload = `payload` evaluated
+    * per doc (default: the raw text). The per-member buffer is the fixture
+    * ENCODER (bounded, one member at a time); parsing back runs the real
+    * streaming parser.
+    */
+  private def warcFiles(s: SparkSession, dir: String,
+      payload: org.apache.spark.sql.Column = col("text")): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
+    docs(s, dir)
+      .select(col("doc_id").cast("long"), col("source").cast("string"),
+        payload.cast("string"))
+      .as(enc)
+      .groupByKey(_._1 % 40)(Encoders.scalaLong)
+      .mapGroups { (fid, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val recs = rows.map { case (id, src, text) =>
+          (s"http://example.com/$src/$id", warcDate, text.getBytes(UTF_8))
+        }
+        (fid, Warc.encodeFile(recs.toIndexedSeq))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("file_id", "payload")
+  }
+
+  /** Synthesized per-doc URL covering the parse/normalize/blocklist/dedup
+    * cases: mixed-case scheme+host with default port (m=0), multi-label
+    * public suffix with default https port (m=1), blocklisted domain
+    * (m=2), non-default port + PLANTED DUPLICATES via `doc_id % 50`
+    * (m=3), and a non-URL (m=4).
+    */
+  private def urlCol = {
+    val m = col("doc_id") % 5
+    val ids = col("doc_id").cast("string")
+    when(m === 0, concat(lit("HTTP://WWW.Example.COM:80/a/"), ids, lit("/index.html?x=1#frag")))
+      .when(m === 1, concat(lit("https://News.Site.co.uk:443/story/"), ids, lit("#top")))
+      .when(m === 2, concat(lit("http://ads.blocked.net/page?id="), ids))
+      .when(m === 3, concat(lit("https://cdn.example.com:8080/asset/"),
+        (col("doc_id") % 50).cast("string")))
+      .otherwise(concat(lit("not a url "), ids))
+  }
+
+  private val urlSql =
+    """CASE doc_id % 5
+      | WHEN 0 THEN 'HTTP://WWW.Example.COM:80/a/' || doc_id || '/index.html?x=1#frag'
+      | WHEN 1 THEN 'https://News.Site.co.uk:443/story/' || doc_id || '#top'
+      | WHEN 2 THEN 'http://ads.blocked.net/page?id=' || doc_id
+      | WHEN 3 THEN 'https://cdn.example.com:8080/asset/' || (doc_id % 50)
+      | ELSE 'not a url ' || doc_id END""".stripMargin
+
+  /** Oracle-side registrable domain over `h` (a host expression):
+    * last-two labels, last-three when the last two are a multi-label
+    * public suffix — the [[UrlOps.registeredDomain]] contract in SQL.
+    */
+  private def rdSql(h: String): String =
+    s"""CASE
+       | WHEN regexp_matches($h, '^[0-9.]+$$') THEN $h
+       | WHEN len(string_split($h, '.')) <= 2 THEN $h
+       | WHEN regexp_extract($h, '([^.]+[.][^.]+)$$', 1)
+       |      IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+       |          'co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in','co.kr','co.za')
+       |   THEN regexp_extract($h, '([^.]+[.][^.]+[.][^.]+)$$', 1)
+       | ELSE regexp_extract($h, '([^.]+[.][^.]+)$$', 1) END""".stripMargin
+
+  private val boilerLine1 = "home products pricing support about contact sign in"
+  private val boilerLine2 = "copyright twenty twenty six example industries all rights reserved"
+
+  /** documents with planted boilerplate LINES: a shared nav line prepended
+    * on doc_id % 3 == 0 and a shared footer line appended on doc_id % 5 ==
+    * 0 (concat_ws skips null branches), body = the original text as its
+    * own line. Line-dedup at minDocs=50 must remove exactly the planted
+    * lines (each recurs across ≥1/5 of the corpus) and keep every body.
+    */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      concat_ws("\n",
+        when(col("doc_id") % 3 === 0, lit(boilerLine1)),
+        col("text"),
+        when(col("doc_id") % 5 === 0, lit(boilerLine2))).as("text"))
+
+  // ------------------------------------------------------------- queries
+
+  val queries: Map[String, Q] = Map(
+
+    "q_warc_roundtrip" -> ((s, dir) => {
+      // WARC certificate: encode the corpus into multi-record members with
+      // the public record grammar, stream-parse them back, and emit every
+      // header field + the decoded payload — byte-exact against the
+      // closed-form oracle, proving the container round-trips losslessly.
+      val (recs, _) = Warc.parseBytesKernel(warcFiles(s, dir))
+      recs.toDF()
+        .select(col("file_id"), col("record_idx"), col("target_uri"),
+          col("content_length"), col("payload").cast("string").as("text"))
+        .orderBy(col("file_id"), col("record_idx"))
+    }),
+
+    "q_warc_quarantine" -> ((s, dir) => {
+      // Fault-accounting certificate: members corrupted per file_id % 4 —
+      // 1 → last 7 bytes cut (final record's payload truncates), 2 → first
+      // byte stomped (bad magic, zero records recovered), others intact.
+      // Output = quarantine rows + one (-1, total_parsed, 'parsed')
+      // summary, so the oracle proves every record is either parsed or
+      // accounted for with a reason and a survivor count.
+      val corrupt = udf((fid: Long, payload: Array[Byte]) => fid % 4 match {
+        case 1 => java.util.Arrays.copyOf(payload, payload.length - 7)
+        case 2 => payload(0) = 'J'.toByte; payload
+        case _ => payload
+      })
+      val files = warcFiles(s, dir)
+        .select(col("file_id"), corrupt(col("file_id"), col("payload")).as("payload"))
+      val (recs, quar) = Warc.parseBytesKernel(files)
+      quar.toDF().select(col("file_id"), col("records_ok").cast("long"), col("reason"))
+        .unionByName(recs.toDF().agg(count(lit(1)).as("records_ok"))
+          .select(lit(-1L).as("file_id"), col("records_ok"), lit("parsed").as("reason")))
+        .orderBy(col("file_id"))
+    }),
+
+    "q_html_extract" -> ((s, dir) =>
+      // HTML → text certificate: the kernel must keep title/h1/body text,
+      // drop style/comment/script content, decode the planted entity and
+      // collapse the tag breaks to single spaces — the closed-form
+      // extracted string hash-checks per doc.
+      docs(s, dir).select(col("doc_id"),
+          HtmlKernels.htmlToText(pageHtml).as("text"))
+        .orderBy(col("doc_id"))),
+
+    "q_pipeline_crawl" -> ((s, dir) => {
+      // The crawl front-end composed end to end: corpus → HTML pages →
+      // WARC members → streaming parse → HTML extraction → token count,
+      // doc identity recovered from the WARC target URI. One plan, hash-
+      // checked — the certificate that the three new stages compose.
+      val (parsed, _) = Warc.parseBytesKernel(warcFiles(s, dir, payload = pageHtml))
+      parsed.toDF()
+        .select(regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          HtmlKernels.htmlToText(col("payload").cast("string")).as("text"))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_url_parse" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), urlCol.as("url"))
+        .select(col("doc_id"),
+          UrlOps.urlScheme(col("url")).as("scheme"),
+          UrlOps.urlHost(col("url")).as("host"),
+          UrlOps.urlPort(col("url")).as("port"),
+          UrlOps.urlPath(col("url")).as("path"),
+          UrlOps.urlQuery(col("url")).as("query"),
+          UrlOps.registeredDomain(UrlOps.urlHost(col("url"))).as("reg_domain"))
+        .orderBy(col("doc_id"))),
+
+    "q_url_normalize" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), UrlOps.normalizeUrl(urlCol).as("url_norm"))
+        .orderBy(col("doc_id"))),
+
+    "q_url_dedup" -> ((s, dir) =>
+      // URL dedup keeps the first doc per normalized URL (hot keys combine
+      // map-side, not in a window) and passes non-URLs through untouched.
+      UrlOps.dedupByUrl(
+          docs(s, dir).select(col("doc_id"), urlCol.as("url")), "url", "doc_id")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    "q_url_blocklist" -> ((s, dir) =>
+      // Domain blocklist gate: survivors counted per registrable domain
+      // (null = non-URL rows, which the gate must NOT drop).
+      UrlOps.filterBlockedDomains(
+          docs(s, dir).select(col("doc_id"), urlCol.as("url")), "url",
+          Seq("blocked.net", "spam.example"))
+        .groupBy(UrlOps.registeredDomain(UrlOps.urlHost(col("url"))).as("reg_domain"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("reg_domain"))),
+
+    "q_dedup_lines" -> ((s, dir) =>
+      // Line-level boilerplate dedup certificate: planted nav/footer lines
+      // recur across ≥1/5 of the corpus and must vanish from EVERY doc;
+      // every unique body line must survive — output equals the original
+      // corpus text exactly.
+      LineDedup.removeFrequentLines(linedDocs(s, dir), "doc_id", "text", minDocs = 50)
+        .select(col("id").as("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
+
+    "q_dedup_lines_freq" -> ((s, dir) =>
+      // The frequency side of the same gate: exactly the two planted lines
+      // clear minDocs, with exact distinct-doc counts (string-confirmed —
+      // a fingerprint collision cannot inflate these).
+      LineDedup.frequentLines(linedDocs(s, dir), "doc_id", "text", minDocs = 50)
+        .select(col("line"), col("n_docs"))
+        .orderBy(col("line")))
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_warc_roundtrip" ->
+      """WITH d AS (SELECT doc_id, text, source, doc_id % 40 AS file_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 40 ORDER BY doc_id) - 1 AS INT)
+        |      AS record_idx
+        |  FROM documents)
+        |SELECT file_id, record_idx,
+        |  'http://example.com/' || source || '/' || doc_id AS target_uri,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length, text
+        |FROM d ORDER BY file_id, record_idx""".stripMargin,
+
+    "q_warc_quarantine" ->
+      """WITH f AS (SELECT doc_id % 40 AS file_id, count(*) AS n FROM documents GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT file_id, CAST(n - 1 AS BIGINT) AS records_ok,
+        |    'truncated_payload' AS reason FROM f WHERE file_id % 4 = 1
+        |  UNION ALL
+        |  SELECT file_id, CAST(0 AS BIGINT), 'bad_magic' FROM f WHERE file_id % 4 = 2
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), CAST((SELECT sum(CASE WHEN file_id % 4 = 1 THEN n - 1
+        |      WHEN file_id % 4 = 2 THEN 0 ELSE n END) FROM f) AS BIGINT), 'parsed')
+        |ORDER BY file_id""".stripMargin,
+
+    "q_html_extract" ->
+      s"SELECT doc_id, $pageTextSql AS text FROM documents ORDER BY doc_id",
+
+    "q_pipeline_crawl" ->
+      s"""SELECT doc_id, $pageTextSql AS text,
+         |  CAST(6 + len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_url_parse" ->
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         |p AS (SELECT doc_id, url,
+         |    lower(nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), ''))
+         |      AS scheme,
+         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth
+         |  FROM u),
+         |h AS (SELECT doc_id, url, scheme,
+         |    lower(nullif(regexp_replace(auth, ':[0-9]*$$', ''), '')) AS host,
+         |    CAST(nullif(regexp_extract(auth, ':([0-9]+)$$', 1), '') AS BIGINT) AS port
+         |  FROM p)
+         |SELECT doc_id, scheme, host, port,
+         |  CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+         |    THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+         |    END AS path,
+         |  nullif(regexp_extract(url, '[?]([^#]*)', 1), '') AS query,
+         |  ${rdSql("host")} AS reg_domain
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_url_normalize" ->
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         |p AS (SELECT doc_id, url,
+         |    lower(nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), ''))
+         |      AS scheme,
+         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth
+         |  FROM u),
+         |h AS (SELECT doc_id, url, scheme,
+         |    lower(nullif(regexp_replace(auth, ':[0-9]*$$', ''), '')) AS host,
+         |    CAST(nullif(regexp_extract(auth, ':([0-9]+)$$', 1), '') AS BIGINT) AS port
+         |  FROM p)
+         |SELECT doc_id,
+         |  CASE WHEN scheme IS NULL OR host IS NULL THEN NULL
+         |    ELSE scheme || '://' || host ||
+         |      CASE WHEN port IS NOT NULL
+         |          AND NOT ((scheme = 'http' AND port = 80) OR (scheme = 'https' AND port = 443))
+         |        THEN ':' || port ELSE '' END ||
+         |      CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+         |        THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END ||
+         |      CASE WHEN nullif(regexp_extract(url, '[?]([^#]*)', 1), '') IS NOT NULL
+         |        THEN '?' || regexp_extract(url, '[?]([^#]*)', 1) ELSE '' END
+         |    END AS url_norm
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_url_dedup" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 5 IN (0, 1, 2, 4) OR (doc_id % 5 = 3 AND doc_id < 50)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_url_blocklist" ->
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         |h AS (SELECT doc_id,
+         |    lower(nullif(regexp_replace(
+         |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+         |      ':[0-9]*$$', ''), '')) AS host
+         |  FROM u),
+         |r AS (SELECT doc_id, ${rdSql("host")} AS reg_domain FROM h)
+         |SELECT reg_domain, CAST(count(*) AS BIGINT) AS n FROM r
+         |WHERE reg_domain IS NULL OR reg_domain NOT IN ('blocked.net', 'spam.example')
+         |GROUP BY reg_domain ORDER BY reg_domain NULLS FIRST""".stripMargin,
+
+    "q_dedup_lines" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+
+    "q_dedup_lines_freq" ->
+      s"""SELECT * FROM (
+         |  SELECT '$boilerLine1' AS line,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 3 = 0) AS n_docs
+         |  UNION ALL
+         |  SELECT '$boilerLine2' AS line,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 5 = 0) AS n_docs)
+         |ORDER BY line""".stripMargin
+  )
+}

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** HTML → text extraction kernel: tag stripping, raw-element drop, entity
+  * decode, whitespace collapse, truncated-page tolerance — checked through
+  * the Column API (codegen path) against hand-derived expectations.
+  */
+class HtmlKernelsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(html: String*): Seq[String] =
+    html.toDF("h").select(HtmlKernels.htmlToText(col("h")).as("t"))
+      .as[String].collect().toSeq
+
+  test("tags strip to word breaks; whitespace collapses; ends trim") {
+    assert(run("<p>a</p><p>b</p>") == Seq("a b"))
+    assert(run("  <div> hello   <b>bold</b>world </div> ") == Seq("hello bold world"))
+    assert(run("<br/>x<img src='y.png'>z") == Seq("x z"))
+  }
+
+  test("script and style content drops, case-insensitively, attributes allowed") {
+    assert(run("a<script>var x = '<b>not text</b>';</script>b") == Seq("a b"))
+    assert(run("a<STYLE type=\"text/css\">p { color: red }</STYLE>b") == Seq("a b"))
+    assert(run("<scripty>keep</scripty>") == Seq("keep")) // not a script tag
+  }
+
+  test("comments drop; entities decode; unknown entities pass through") {
+    assert(run("a<!-- <p>gone</p> -->b") == Seq("a b"))
+    assert(run("x &amp; y &lt;z&gt; &quot;q&quot; &#65;&#x42;") == Seq("x & y <z> \"q\" AB"))
+    assert(run("5 &undefined; 6") == Seq("5 &undefined; 6"))
+    assert(run("a&nbsp;&nbsp;b") == Seq("a b")) // nbsp collapses as whitespace
+  }
+
+  test("truncated pages keep the text extracted so far") {
+    assert(run("good text <script>never closes") == Seq("good text"))
+    assert(run("good <b unclosed") == Seq("good"))
+    assert(run("good <!-- open comment") == Seq("good"))
+  }
+
+  test("null-safety and empty input") {
+    val out = Seq[Option[String]](None, Some(""), Some("<p></p>"))
+      .toDF("h").select(HtmlKernels.htmlToText(col("h")).as("t"))
+      .as[Option[String]].collect().toSeq
+    assert(out == Seq(None, Some(""), Some("")))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** URL parse/normalize/registered-domain/blocklist/dedup semantics on
+  * hand-picked URLs covering the RFC-subset contract.
+  */
+class UrlOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(u: String): org.apache.spark.sql.DataFrame = Seq(u).toDF("url")
+
+  test("parse splits scheme/host/port/path/query; case folds; fragment ignored") {
+    val r = one("HTTP://WWW.Example.COM:8080/A/b?x=1&y=2#frag")
+      .select(UrlOps.urlScheme($"url"), UrlOps.urlHost($"url"), UrlOps.urlPort($"url"),
+        UrlOps.urlPath($"url"), UrlOps.urlQuery($"url"))
+      .as[(String, String, Option[Long], String, String)].head()
+    assert(r == (("http", "www.example.com", Some(8080L), "/A/b", "x=1&y=2")))
+  }
+
+  test("missing pieces: no port, empty path → '/', no query → null, non-URL → nulls") {
+    val r = one("https://ex.com")
+      .select(UrlOps.urlScheme($"url"), UrlOps.urlHost($"url"), UrlOps.urlPort($"url"),
+        UrlOps.urlPath($"url"), UrlOps.urlQuery($"url"))
+      .as[(String, String, Option[Long], String, Option[String])].head()
+    assert(r == (("https", "ex.com", None, "/", None)))
+    val bad = one("definitely not a url")
+      .select(UrlOps.urlScheme($"url"), UrlOps.urlHost($"url"))
+      .as[(Option[String], Option[String])].head()
+    assert(bad == ((None, None)))
+  }
+
+  test("registeredDomain: two labels, multi-label public suffix, IP, short hosts") {
+    val cases = Seq(
+      "www.example.com" -> "example.com",
+      "a.b.news.co.uk" -> "news.co.uk",
+      "deep.sub.domain.example.org" -> "example.org",
+      "example.com.au" -> "example.com.au",
+      "192.168.0.1" -> "192.168.0.1",
+      "localhost" -> "localhost",
+      "co.uk" -> "co.uk")
+    val got = cases.map(_._1).toDF("h")
+      .select($"h", UrlOps.registeredDomain($"h")).as[(String, String)].collect().toMap
+    cases.foreach { case (h, want) => assert(got(h) == want, s"host $h") }
+  }
+
+  test("normalizeUrl drops default ports and fragments, keeps real ports and query") {
+    val cases = Seq(
+      "HTTP://Ex.COM:80/p#f" -> "http://ex.com/p",
+      "https://Ex.com:443/" -> "https://ex.com/",
+      "https://ex.com:8443/p?a=1#x" -> "https://ex.com:8443/p?a=1",
+      "http://ex.com" -> "http://ex.com/",
+      "nope" -> null)
+    val got = cases.map(_._1).toDF("u")
+      .select($"u", UrlOps.normalizeUrl($"u")).as[(String, Option[String])].collect().toMap
+    cases.foreach { case (u, want) => assert(got(u) == Option(want), s"url $u") }
+  }
+
+  test("blocklist drops by registrable domain; non-URLs survive") {
+    val df = Seq(
+      (1L, "http://ads.blocked.net/x"),
+      (2L, "http://sub.ads.blocked.net/y"),
+      (3L, "http://fine.example.com/z"),
+      (4L, "not a url")).toDF("id", "url")
+    val kept = UrlOps.filterBlockedDomains(df, "url", Seq("blocked.net"))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L))
+    val keptDf = UrlOps.filterBlockedDomainsDf(df, "url", Seq("blocked.net").toDF("domain"))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(keptDf == Seq(3L, 4L))
+  }
+
+  test("dedupByUrl keeps first by order per normalized URL; non-URLs all pass") {
+    val df = Seq(
+      (10L, "http://EX.com:80/a"),
+      (11L, "http://ex.com/a"),      // same normalized URL as 10
+      (12L, "http://ex.com/b"),
+      (13L, "junk"),
+      (14L, "junk")).toDF("id", "url")
+    val kept = UrlOps.dedupByUrl(df, "url", "id").select($"id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(10L, 12L, 13L, 14L))
+  }
+}

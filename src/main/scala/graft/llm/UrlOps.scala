@@ -2,55 +2,49 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.UrlKernels
 
 /** URL operators — the filtering/dedup keys of a web-crawl pipeline
   * (C4/RefinedWeb-style curation filters by domain and deduplicates by
   * normalized URL before any text operator runs, because it's the cheapest
   * possible gate: pure string ops on a short column).
   *
-  * Everything here is built from codegen'd string/regexp expressions (no
-  * UDFs), so the gates sit inside whole-stage codegen and push down to the
-  * scan where possible. The parse is the pragmatic crawl-pipeline subset
-  * of RFC 3986: `scheme://host[:port][/path][?query][#fragment]` —
-  * userinfo is not split out (crawlers drop such URLs upstream), and a
-  * URL that doesn't match the shape yields null fields (callers treat
-  * null host as "not a fetchable URL" and quarantine/drop).
+  * The public API is backed by the single-pass native kernels in
+  * [[graft.functions.UrlKernels]] — one compact codegen'd scan per field.
+  * The original `regexp_extract`-per-field Column formulation lives on as
+  * [[UrlOps.regexSpec]]: it IS the semantics (the DuckDB oracles mirror its
+  * regexes), but inlined ~15 regex engines per row into the generated Java,
+  * and the Janino compile of that expression tree dominated whole queries
+  * at bench scale. `UrlKernelsSpec` pins kernel ≡ regexSpec on fuzzed URLs.
+  *
+  * The parse is the pragmatic crawl-pipeline subset of RFC 3986:
+  * `scheme://host[:port][/path][?query][#fragment]` — userinfo is not
+  * split out (crawlers drop such URLs upstream), and a URL that doesn't
+  * match the shape yields null fields (callers treat null host as "not a
+  * fetchable URL" and quarantine/drop).
   */
 object UrlOps {
 
-  /** Lowercased scheme, or null if the value doesn't start `scheme:`. */
-  def urlScheme(u: Column): Column =
-    nullIfEmpty(lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
-
-  /** Raw authority (between `://` and the first `/?#`), as written. */
-  private def authority(u: Column): Column =
-    regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+  /** Lowercased scheme, or null if the value doesn't start `scheme://`. */
+  def urlScheme(u: Column): Column = UrlKernels.urlScheme(u)
 
   /** Lowercased host with any `:port` stripped; null for non-URLs. */
-  def urlHost(u: Column): Column =
-    nullIfEmpty(lower(regexp_replace(authority(u), ":[0-9]*$", "")))
+  def urlHost(u: Column): Column = UrlKernels.urlHost(u)
 
   /** Explicit port as a long, or null when absent. */
-  def urlPort(u: Column): Column =
-    nullIfEmpty(regexp_extract(authority(u), ":([0-9]+)$", 1)).cast("long")
+  def urlPort(u: Column): Column = UrlKernels.urlPort(u)
 
   /** Path component as written; empty path reads as "/" (normal form). */
-  def urlPath(u: Column): Column = {
-    val p = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    when(p === "", lit("/")).otherwise(p)
-  }
+  def urlPath(u: Column): Column = UrlKernels.urlPath(u)
 
   /** Query string (sans `?`), or null when absent. */
-  def urlQuery(u: Column): Column =
-    nullIfEmpty(regexp_extract(u, "\\?([^#]*)", 1))
-
-  private def nullIfEmpty(c: Column): Column = when(c === "", lit(null)).otherwise(c)
+  def urlQuery(u: Column): Column = UrlKernels.urlQuery(u)
 
   /** Multi-label public suffixes where the registrable domain is THREE
     * labels (`bbc.co.uk`), not two. The real Public Suffix List is ~9k
     * entries and ships as data; this literal core covers the common
     * ccTLD second-level registries and is the lookup the full list would
-    * drop into (an `isin` over a broadcast literal array either way).
+    * drop into (a broadcast hash-set probe either way).
     */
   val multiLabelSuffixes: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk",
@@ -63,42 +57,19 @@ object UrlOps {
     * than needed returns itself. IP-literal hosts return themselves (no
     * label semantics).
     */
-  def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
-    val n = size(labels)
-    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    val last3 = concat_ws(".", element_at(labels, -3), last2)
-    // explicit null guard: concat_ws treats null labels as '', so without
-    // it a null host would fall through to an empty-string domain
-    when(host.isNull, lit(null))
-      .when(host.rlike("^[0-9.]+$"), host) // IPv4 literal
-      .when(n <= 2, host)
-      .when(last2.isin(multiLabelSuffixes: _*), last3)
-      .otherwise(last2)
-  }
+  def registeredDomain(host: Column): Column =
+    UrlKernels.registeredDomain(host, multiLabelSuffixes)
 
   /** Crawl-normal form: scheme and host lowercased, default port dropped
     * (80 for http, 443 for https), other ports kept, empty path → "/",
     * query kept as written, fragment dropped. Null for non-URLs (no
     * scheme/host) — normalization must not fabricate fetchable URLs.
     */
-  def normalizeUrl(u: Column): Column = {
-    val scheme = urlScheme(u)
-    val host = urlHost(u)
-    val port = urlPort(u)
-    val keepPort = port.isNotNull &&
-      !((scheme === "http" && port === 80) || (scheme === "https" && port === 443))
-    when(scheme.isNull || host.isNull, lit(null)).otherwise(
-      concat(
-        scheme, lit("://"), host,
-        when(keepPort, concat(lit(":"), port.cast("string"))).otherwise(lit("")),
-        urlPath(u),
-        when(urlQuery(u).isNotNull, concat(lit("?"), urlQuery(u))).otherwise(lit(""))))
-  }
+  def normalizeUrl(u: Column): Column = UrlKernels.normalizeUrl(u)
 
   /** Drop rows whose registrable domain is on the blocklist. For a literal
-    * list this is a codegen'd `isin` gate; a blocklist that is itself a
-    * dataset should go through [[filterBlockedDomainsDf]].
+    * list this is a codegen'd gate; a blocklist that is itself a dataset
+    * should go through [[filterBlockedDomainsDf]].
     */
   def filterBlockedDomains(df: DataFrame, urlCol: String, blocked: Seq[String]): DataFrame = {
     val rd = registeredDomain(urlHost(col(urlCol)))
@@ -138,5 +109,63 @@ object UrlOps {
       .drop(firsts("__norm")).drop("__keep")
       .unionByName(keyed.filter(col("__norm").isNull))
       .drop("__norm")
+  }
+
+  /** The original regexp formulation of the parse — the executable
+    * specification the kernels and the DuckDB oracles both mirror.
+    * Not for the query path: each field is an independent regex pass and
+    * the composed `normalizeUrl` inlines ~15 of them per row.
+    */
+  object regexSpec {
+
+    def urlScheme(u: Column): Column =
+      nullIfEmpty(lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+
+    private def authority(u: Column): Column =
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+
+    def urlHost(u: Column): Column =
+      nullIfEmpty(lower(regexp_replace(authority(u), ":[0-9]*$", "")))
+
+    def urlPort(u: Column): Column =
+      nullIfEmpty(regexp_extract(authority(u), ":([0-9]+)$", 1)).cast("long")
+
+    def urlPath(u: Column): Column = {
+      val p = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+      when(p === "", lit("/")).otherwise(p)
+    }
+
+    def urlQuery(u: Column): Column =
+      nullIfEmpty(regexp_extract(u, "\\?([^#]*)", 1))
+
+    private def nullIfEmpty(c: Column): Column = when(c === "", lit(null)).otherwise(c)
+
+    def registeredDomain(host: Column): Column = {
+      val labels = split(host, "\\.")
+      val n = size(labels)
+      val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+      val last3 = concat_ws(".", element_at(labels, -3), last2)
+      // explicit null guard: concat_ws treats null labels as '', so without
+      // it a null host would fall through to an empty-string domain
+      when(host.isNull, lit(null))
+        .when(host.rlike("^[0-9.]+$"), host) // IPv4 literal
+        .when(n <= 2, host)
+        .when(last2.isin(multiLabelSuffixes: _*), last3)
+        .otherwise(last2)
+    }
+
+    def normalizeUrl(u: Column): Column = {
+      val scheme = urlScheme(u)
+      val host = urlHost(u)
+      val port = urlPort(u)
+      val keepPort = port.isNotNull &&
+        !((scheme === "http" && port === 80) || (scheme === "https" && port === 443))
+      when(scheme.isNull || host.isNull, lit(null)).otherwise(
+        concat(
+          scheme, lit("://"), host,
+          when(keepPort, concat(lit(":"), port.cast("string"))).otherwise(lit("")),
+          urlPath(u),
+          when(urlQuery(u).isNotNull, concat(lit("?"), urlQuery(u))).otherwise(lit(""))))
+    }
   }
 }

@@ -48,7 +48,8 @@ object CrawlQueries {
     * streaming parser.
     */
   private def warcFiles(s: SparkSession, dir: String,
-      payload: org.apache.spark.sql.Column = col("text")): DataFrame = {
+      payload: org.apache.spark.sql.Column = col("text"),
+      compress: Boolean = false): DataFrame = {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
     docs(s, dir)
       .select(col("doc_id").cast("long"), col("source").cast("string"),
@@ -60,7 +61,9 @@ object CrawlQueries {
         val recs = rows.map { case (id, src, text) =>
           (s"http://example.com/$src/$id", warcDate, text.getBytes(UTF_8))
         }
-        (fid, Warc.encodeFile(recs.toIndexedSeq))
+        val bytes = if (compress) Warc.encodeFileGz(recs.toIndexedSeq)
+          else Warc.encodeFile(recs.toIndexedSeq)
+        (fid, bytes)
       }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .toDF("file_id", "payload")
   }
@@ -130,6 +133,19 @@ object CrawlQueries {
       // header field + the decoded payload — byte-exact against the
       // closed-form oracle, proving the container round-trips losslessly.
       val (recs, _) = Warc.parseBytesKernel(warcFiles(s, dir))
+      recs.toDF()
+        .select(col("file_id"), col("record_idx"), col("target_uri"),
+          col("content_length"), col("payload").cast("string").as("text"))
+        .orderBy(col("file_id"), col("record_idx"))
+    }),
+
+    "q_warc_gz_roundtrip" -> ((s, dir) => {
+      // Compressed-container certificate: the same corpus encoded in the
+      // Common Crawl convention (each record its own gzip member,
+      // concatenated), magic-sniffed and chain-decoded back. The output
+      // contract is identical to q_warc_roundtrip — compression must be
+      // transparent to the parse — so it shares that oracle.
+      val (recs, _) = Warc.parseBytesKernel(warcFiles(s, dir, compress = true))
       recs.toDF()
         .select(col("file_id"), col("record_idx"), col("target_uri"),
           col("content_length"), col("payload").cast("string").as("text"))
@@ -233,6 +249,16 @@ object CrawlQueries {
   // -------------------------------------------------------------- oracles
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_warc_gz_roundtrip" ->
+      """WITH d AS (SELECT doc_id, text, source, doc_id % 40 AS file_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 40 ORDER BY doc_id) - 1 AS INT)
+        |      AS record_idx
+        |  FROM documents)
+        |SELECT file_id, record_idx,
+        |  'http://example.com/' || source || '/' || doc_id AS target_uri,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length, text
+        |FROM d ORDER BY file_id, record_idx""".stripMargin,
 
     "q_warc_roundtrip" ->
       """WITH d AS (SELECT doc_id, text, source, doc_id % 40 AS file_id,

@@ -87,6 +87,31 @@ object Warc {
     out.toByteArray
   }
 
+  /** Gzip `bytes` as a single member (RFC 1952, no optional fields). */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes)
+    gz.close()
+    out.toByteArray
+  }
+
+  /** Encode a compressed file in the Common Crawl convention: EACH record
+    * is its own gzip member and the members are concatenated — so a reader
+    * can skip records without decompressing the rest of the file, and a
+    * corrupt record damages only itself. Parsed back by the same
+    * [[parseBytesKernel]]/[[readFiles]] (gzip sniffed by magic).
+    */
+  def encodeFileGz(records: Seq[(String, String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach { case (uri, date, p) =>
+      val rec = new ByteArrayOutputStream()
+      encodeRecord(rec, "response", uri, date, p)
+      out.write(gzipMember(rec.toByteArray))
+    }
+    out.toByteArray
+  }
+
   // ----------------------------------------------------------------- parse
 
   /** Streaming byte-counting reader: tracks the offset of every consumed
@@ -193,6 +218,16 @@ object Warc {
         } catch {
           case ParseFault(off, reason) => nextRec = fault(off, reason)
           case _: NumberFormatException => nextRec = fault(in.offset, "bad_content_length")
+          // Compressed-input faults surface here from GzipChainStream (a
+          // corrupt/garbage member header, deflate damage, CRC/ISIZE
+          // mismatch, or a member cut mid-stream). For gzip input the
+          // quarantine offset is in DECOMPRESSED coordinates — "how many
+          // good payload bytes came before the fault", the recovery-
+          // accounting number.
+          case e: java.util.zip.ZipException =>
+            nextRec = fault(in.offset, "bad_gzip")
+          case _: EOFException => nextRec = fault(in.offset, "truncated_gzip")
+          case _: java.io.IOException => nextRec = fault(in.offset, "io_error")
         }
       }
 
@@ -222,7 +257,11 @@ object Warc {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.flatMap { case (fileId, bytes) =>
-          parseStream(new ByteArrayInputStream(bytes), fileId).map {
+          // gzip sniffed by magic: a plain member starts "WARC/", never 1f8b
+          val raw = new ByteArrayInputStream(bytes)
+          val in: java.io.InputStream =
+            if (GzipChainStream.looksGzip(bytes)) new GzipChainStream(raw) else raw
+          parseStream(in, fileId).map {
             case Right(r) => WarcSplit(Some(r), None)
             case Left(q)  => WarcSplit(None, Some(q))
           }
@@ -246,7 +285,7 @@ object Warc {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf.value)
     val files = fs.listStatus(root).filter(_.isFile).map(_.getPath.toString)
-      .filter(_.endsWith(".warc")).sorted
+      .filter(p => p.endsWith(".warc") || p.endsWith(".warc.gz")).sorted
     require(files.nonEmpty, s"warc: no input files under $dir")
     val byId = files.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toMap
     implicit val enc = Encoders.product[WarcSplit]
@@ -257,7 +296,9 @@ object Warc {
       .mapPartitions { it =>
         it.flatMap { case (fileId, path) =>
           val p = new Path(path)
-          val in = p.getFileSystem(conf.value).open(p)
+          val fsIn = p.getFileSystem(conf.value).open(p)
+          val in: java.io.InputStream =
+            if (path.endsWith(".gz")) new GzipChainStream(fsIn) else fsIn
           // stream is closed when the iterator drains (both end paths hit it)
           val base = parseStream(in, fileId)
           new Iterator[WarcSplit] {

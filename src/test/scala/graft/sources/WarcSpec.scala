@@ -80,6 +80,93 @@ class WarcSpec extends SparkTestBase {
     assert(q.head.reason == "eof_in_header")
   }
 
+  // ------------------------------------------------------------ gzip chain
+
+  private def mkFileGz(n: Int, tag: String = "g"): Array[Byte] =
+    Warc.encodeFileGz((0 until n).map { i =>
+      (s"http://ex.com/$tag/$i", "2026-08-13T00:00:00Z", s"payload $tag $i".getBytes(UTF_8))
+    })
+
+  private def gzMembers(n: Int, tag: String = "g"): Seq[Array[Byte]] =
+    (0 until n).map { i =>
+      val rec = new java.io.ByteArrayOutputStream()
+      Warc.encodeRecord(rec, "response", s"http://ex.com/$tag/$i",
+        "2026-08-13T00:00:00Z", s"payload $tag $i".getBytes(UTF_8))
+      Warc.gzipMember(rec.toByteArray)
+    }
+
+  test("gz: member-per-record encode sniffs and round-trips via parseBytesKernel") {
+    val (recs, quar) = Warc.parseBytesKernel(Seq((0L, mkFileGz(5))).toDF("file_id", "payload"))
+    assert(quar.count() == 0)
+    val r = recs.collect().sortBy(_.record_idx)
+    assert(r.length == 5)
+    r.zipWithIndex.foreach { case (rec, i) =>
+      assert(rec.target_uri == s"http://ex.com/g/$i")
+      assert(new String(rec.payload, UTF_8) == s"payload g $i")
+    }
+  }
+
+  test("gz: optional header fields (FNAME/FEXTRA/FCOMMENT/FHCRC) are skipped") {
+    val plain = gzMembers(1).head
+    // rebuild the member with every optional field set: fixed header with
+    // FLG = FHCRC|FEXTRA|FNAME|FCOMMENT, then the original deflate
+    // body+trailer (offset 10 of the GZIPOutputStream member)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, (0x02 | 0x04 | 0x08 | 0x10).toByte,
+      0, 0, 0, 0, 0, 0))
+    out.write(Array[Byte](3, 0, 1, 2, 3))          // FEXTRA: len 3 LE + payload
+    out.write("name.warc".getBytes(UTF_8)); out.write(0) // FNAME
+    out.write("a comment".getBytes(UTF_8)); out.write(0) // FCOMMENT
+    out.write(Array[Byte](0x42, 0x24))             // FHCRC (not validated)
+    out.write(plain, 10, plain.length - 10)
+    val parsed = Warc.parseStream(
+      new GzipChainStream(new ByteArrayInputStream(out.toByteArray)), 0L).toSeq
+    assert(parsed.length == 1 && parsed.head.isRight)
+    assert(parsed.head.exists(r => new String(r.payload, UTF_8) == "payload g 0"))
+  }
+
+  test("gz: corrupt middle member quarantines instead of silently truncating") {
+    // THE GZIPInputStream hazard: garbage where member 2's header should
+    // be reads as clean EOF there; the chain decoder must fault instead.
+    val members = gzMembers(3)
+    val bytes = members(0) ++ members(1) ++ members(2)
+    bytes(members(0).length) = 'X'.toByte // stomp member 1's magic
+    val parsed = Warc.parseStream(
+      new GzipChainStream(new ByteArrayInputStream(bytes)), 0L).toSeq
+    assert(parsed.count(_.isRight) == 1)
+    assert(parsed.last.left.exists(q => q.reason == "bad_gzip" && q.records_ok == 1))
+  }
+
+  test("gz: truncated tail and corrupt CRC trailer both quarantine") {
+    val whole = mkFileGz(3)
+    // cut inside the last member's 8-byte trailer: all three records
+    // decompress, the chain faults validating the trailer. (A cut further
+    // left lands mid-deflate and surfaces as truncated_payload /
+    // truncated_gzip depending on which parser read hits it — both
+    // quarantine; this cut point is the deterministic one.)
+    val cut = java.util.Arrays.copyOf(whole, whole.length - 2)
+    val p1 = Warc.parseStream(new GzipChainStream(new ByteArrayInputStream(cut)), 0L).toSeq
+    assert(p1.count(_.isRight) == 3)
+    assert(p1.last.left.exists(q => q.reason == "truncated_gzip" && q.records_ok == 3))
+
+    val crcFlip = whole.clone()
+    crcFlip(whole.length - 6) = (crcFlip(whole.length - 6) ^ 0x55).toByte // CRC32 byte
+    val p2 = Warc.parseStream(new GzipChainStream(new ByteArrayInputStream(crcFlip)), 0L).toSeq
+    assert(p2.count(_.isRight) == 3) // the record itself parsed before the trailer check
+    assert(p2.last.left.exists(_.reason == "bad_gzip"))
+  }
+
+  test("gz: readFiles mixes .warc and .warc.gz in one listing") {
+    val dir = Files.createTempDirectory("graft-warc-gz").toFile
+    Files.write(new java.io.File(dir, "m0.warc").toPath, mkFile(3, "p"))
+    Files.write(new java.io.File(dir, "m1.warc.gz").toPath, mkFileGz(2, "q"))
+    val (recs, quar, names) = Warc.readFiles(spark, dir.getAbsolutePath)
+    assert(names.size == 2)
+    val counts = recs.groupByKey(_.file_id).count().collect().toMap
+    assert(counts == Map(0L -> 3L, 1L -> 2L))
+    assert(quar.count() == 0)
+  }
+
   test("readFiles streams every .warc under a dir, one task per file") {
     val dir = Files.createTempDirectory("graft-warc").toFile
     Files.write(new java.io.File(dir, "m0.warc").toPath, mkFile(4, "x"))

@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
   * [[audioFeatureKernel]] hand-parse RIFF/WAVE PCM16 — a plain container,
   * no codec library needed. The VIDEO path is REAL for uncompressed AVI
   * (round 8): [[decodeAvi]] / [[videoFrameFeatureKernel]] hand-parse the
-  * RIFF/AVI container and its DIB frames. COMPRESSED codecs (JPEG-in-AVI,
-  * H.264, MP3/AAC) are NOT in this environment — a compressed stream
-  * quarantines rather than mis-decodes, and [[stubDecode]] remains the
-  * clearly-marked deterministic stand-in for generic-codec plumbing tests;
-  * a production codec drops into [[decodeKernel]] without touching the
-  * plumbing.
+  * RIFF/AVI container and its DIB frames — and REAL for MJPEG (round 9):
+  * [[decodeMjpegAvi]] / [[mjpegFrameFeatureKernel]] decode JPEG-in-AVI
+  * through the JDK's own JPEG decoder. Codecs with no JDK decoder (H.264,
+  * MP3/AAC) remain env-blocked — such streams quarantine rather than
+  * mis-decode, and [[stubDecode]] remains the clearly-marked deterministic
+  * stand-in for generic-codec plumbing tests; a production codec drops
+  * into [[decodeKernel]] without touching the plumbing.
   */
 object Multimodal {
 
@@ -383,9 +384,12 @@ object Multimodal {
   def decodeAvi(payload: Array[Byte], every: Int): Option[Seq[VideoFrameFeatures]] =
     decodeAviDetail(payload, every).toOption
 
-  /** [[decodeAvi]] with the failure reason (Left) for quarantine. */
-  def decodeAviDetail(payload: Array[Byte], every: Int): Either[String, Seq[VideoFrameFeatures]] = {
-    require(every > 0, "every must be positive")
+  /** Shared RIFF/AVI container walk: `avih` dims + declared frame count,
+    * and the (offset, len) of every `00db`/`00dc` frame chunk under
+    * `movi`. Codec-agnostic — the DIB and MJPEG decoders both start here.
+    */
+  private def aviLayout(payload: Array[Byte])
+      : Either[String, (Int, Int, Long, IndexedSeq[(Int, Int)])] = {
     if (payload == null) return Left("null_payload")
     if (payload.length < 12 + 8 + 56) return Left("too_short")
     val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -394,7 +398,7 @@ object Multimodal {
     bb.getInt
     if (tag() != "AVI ") return Left("not_avi")
     var w = -1; var h = -1; var total = -1L
-    val frames = Seq.newBuilder[(Int, Int)] // (offset, len) of each DIB frame
+    val frames = IndexedSeq.newBuilder[(Int, Int)] // (offset, len) per frame
     def walkList(end: Int): Unit = {
       while (bb.position() + 8 <= end) {
         val id = tag(); val len = bb.getInt
@@ -419,6 +423,16 @@ object Multimodal {
     try walkList(payload.length) catch { case _: Exception => return Left("truncated") }
     val fs = frames.result()
     if (w <= 0 || h <= 0 || total != fs.length.toLong) return Left("frame_count_mismatch")
+    Right((w, h, total, fs))
+  }
+
+  /** [[decodeAvi]] with the failure reason (Left) for quarantine. */
+  def decodeAviDetail(payload: Array[Byte], every: Int): Either[String, Seq[VideoFrameFeatures]] = {
+    require(every > 0, "every must be positive")
+    val (w, h, _, fs) = aviLayout(payload) match {
+      case Left(reason) => return Left(reason)
+      case Right(l)     => l
+    }
     val stride = ((w * 3 + 3) / 4) * 4
     // Compressed streams (JPEG-in-AVI, H.264) land here: frame byte counts
     // don't match the uncompressed DIB size — quarantine, never mis-decode.
@@ -457,6 +471,140 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
           decodeAvi(payload, every).toSeq.flatten.map(_.copy(id = id))
+        }
+      }
+  }
+
+  // --- real compressed-video path (MJPEG in AVI, JDK JPEG decoder) --------
+
+  /** Assemble a RIFF/AVI container around pre-encoded frame chunks
+    * (`chunkId` = "00dc" for compressed, "00db" for DIB). Same layout as
+    * [[syntheticAvi]]'s inline writer, generalized to arbitrary frame
+    * payloads; odd-length chunks get the RIFF pad byte.
+    */
+  def buildAvi(frames: Seq[Array[Byte]], w: Int, h: Int, chunkId: String): Array[Byte] = {
+    val chunkBytes = frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val moviSize = 4 + chunkBytes
+    val hdrlSize = 4 + 8 + 56
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    fourcc("RIFF"); bb.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(33333)
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length)
+      .putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(moviSize); fourcc("movi")
+    frames.foreach { f =>
+      fourcc(chunkId); bb.putInt(f.length); bb.put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+    }
+    bb.array()
+  }
+
+  /** Deterministic synthetic MJPEG AVI for fixtures: each frame is a
+    * SOLID-color JPEG (frame `f`'s color is `r = (id·31 + f·3) % 256`,
+    * `g = (id·13 + f·5) % 256`, `b = (id·7 + f·19) % 256`). JPEG is lossy,
+    * so decoded pixels are NOT the formula values exactly — but a solid
+    * frame decodes within a small quantization tolerance of its color,
+    * which is what the oracle certificate asserts (structure exactly,
+    * content within tolerance).
+    */
+  def syntheticMjpegAvi(id: Long, frames: Int, w: Int, h: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val encoded = (0 until frames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val r = ((id * 31 + f * 3) % 256).toInt
+      val g = ((id * 13 + f * 5) % 256).toInt
+      val b = ((id * 7 + f * 19) % 256).toInt
+      val gfx = img.createGraphics()
+      gfx.setColor(new java.awt.Color(r, g, b))
+      gfx.fillRect(0, 0, w, h)
+      gfx.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    buildAvi(encoded, w, h, "00dc")
+  }
+
+  def decodeMjpegAvi(payload: Array[Byte], every: Int): Option[Seq[VideoFrameFeatures]] =
+    decodeMjpegAviDetail(payload, every).toOption
+
+  /** REAL compressed-video decode — MJPEG (JPEG-in-AVI) through the JDK's
+    * own JPEG decoder: the container walk is [[aviLayout]], each sampled
+    * `00dc` frame must be a standalone JFIF/EXIF JPEG (SOI magic) and is
+    * decoded with `ImageIO`; emitted features are exact integer channel
+    * sums over the DECODED pixels. The lossy-codec certificate contract:
+    * structure (dims, frame count, indices) is oracle-exact, pixel content
+    * is asserted within quantization tolerance query-side. Table-less
+    * MJPEG variants (frames that rely on the out-of-band default Huffman
+    * tables, no DHT segment) fail `ImageIO` and quarantine as
+    * `jpeg_undecodable` — never mis-decoded.
+    */
+  def decodeMjpegAviDetail(payload: Array[Byte], every: Int)
+      : Either[String, Seq[VideoFrameFeatures]] = {
+    require(every > 0, "every must be positive")
+    val (w, h, _, fs) = aviLayout(payload) match {
+      case Left(reason) => return Left(reason)
+      case Right(l)     => l
+    }
+    val isJpeg = fs.forall { case (off, len) =>
+      len >= 2 && (payload(off) & 0xff) == 0xff && (payload(off + 1) & 0xff) == 0xd8
+    }
+    if (!isJpeg) return Left("not_mjpeg")
+    javax.imageio.ImageIO.setUseCache(false)
+    val out = Seq.newBuilder[VideoFrameFeatures]
+    var fi = 0
+    while (fi < fs.length) {
+      if (fi % every == 0) {
+        val (off, len) = fs(fi)
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload, off, len))
+          catch { case _: java.io.IOException => null }
+        if (img == null) return Left("jpeg_undecodable")
+        if (img.getWidth != w || img.getHeight != h) return Left("frame_dim_mismatch")
+        var bSum = 0L; var gSum = 0L; var rSum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            rSum += (rgb >> 16) & 0xff; gSum += (rgb >> 8) & 0xff; bSum += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        out += VideoFrameFeatures(0L, w, h, fs.length.toLong, fi.toLong, bSum, gSum, rSum)
+      }
+      fi += 1
+    }
+    Right(out.result())
+  }
+
+  /** The compressed-video decode stage: same shape as
+    * [[videoFrameFeatureKernel]], MJPEG codec.
+    */
+  def mjpegFrameFeatureKernel(
+      df: DataFrame,
+      every: Int = 3,
+      idCol: String = "id",
+      payloadCol: String = "payload"): Dataset[VideoFrameFeatures] = {
+    require(every > 0, "every must be positive")
+    implicit val enc = Encoders.product[VideoFrameFeatures]
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, payload) =>
+          decodeMjpegAvi(payload, every).toSeq.flatten.map(_.copy(id = id))
         }
       }
   }

@@ -543,6 +543,33 @@ object LlmQueries {
         .orderBy(col("id"), col("frame_idx"))
     }),
 
+    "q_multimodal_mjpeg" -> ((s, dir) => {
+      // REAL compressed-video decode end to end: MJPEG (JPEG-in-AVI)
+      // through the JDK's JPEG codec. JPEG is lossy, so the oracle cannot
+      // re-derive pixel sums — the lossy-codec certificate splits the
+      // contract: container structure (dims, frame counts, sampled
+      // indices) hash-checks exactly, and the decoded per-channel means
+      // are compared Spark-side against the solid fixture colors within
+      // quantization tolerance, surfacing as a color_ok flag the oracle
+      // expects TRUE on every row. Fixture sampled 1-in-10 (JPEG encode is
+      // the expensive stage, and 1/10th of the corpus exercises every
+      // id/frame color residue class the formula produces).
+      val gen = udf((id: Long, frames: Int) => Multimodal.syntheticMjpegAvi(id, frames, 16, 8))
+      val media = docs(s, dir).select(col("doc_id").cast("long").as("id"))
+        .filter(col("id") % 10 === 0)
+        .withColumn("nf", (col("id") % 5 + 4).cast("int"))
+        .select(col("id"), gen(col("id"), col("nf")).as("payload"))
+      val n = lit(16 * 8)
+      def near(sum: org.apache.spark.sql.Column, want: org.apache.spark.sql.Column) =
+        abs(sum.cast("double") / n - want.cast("double")) <= 6.0
+      Multimodal.mjpegFrameFeatureKernel(media, every = 2).toDF()
+        .select(col("id"), col("width"), col("height"), col("n_frames"), col("frame_idx"),
+          (near(col("r_sum"), (col("id") * 31 + col("frame_idx") * 3) % 256) &&
+            near(col("g_sum"), (col("id") * 13 + col("frame_idx") * 5) % 256) &&
+            near(col("b_sum"), (col("id") * 7 + col("frame_idx") * 19) % 256)).as("color_ok"))
+        .orderBy(col("id"), col("frame_idx"))
+    }),
+
     "q_multimodal_frames" -> ((s, dir) =>
       // Frame-sample plumbing (1 → N rows per payload, every 3rd 64-byte
       // frame, truncated tail): ASCII payloads make frame boundaries
@@ -987,6 +1014,16 @@ object LlmQueries {
         |  CAST(sum(b) AS BIGINT) AS b_sum, CAST(sum(g) AS BIGINT) AS g_sum,
         |  CAST(sum(r) AS BIGINT) AS r_sum
         |FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY id, frame_idx""".stripMargin,
+
+    "q_multimodal_mjpeg" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id % 5 + 4 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |f AS (SELECT id, nf, fi.f AS frame_idx FROM d, range(0, 9) fi(f)
+        |  WHERE fi.f < nf AND fi.f % 2 = 0)
+        |SELECT id, CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  nf AS n_frames, frame_idx, TRUE AS color_ok
+        |FROM f ORDER BY id, frame_idx""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH d AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS len

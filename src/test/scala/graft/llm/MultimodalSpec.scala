@@ -137,6 +137,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows.map(r => (r.id, r.frame_idx)).sorted.toSeq == Seq((1L, 0L), (1L, 3L)))
   }
 
+  test("real compressed-video path: MJPEG AVI decodes within JPEG tolerance") {
+    val (w, h) = (16, 8)
+    val avi = Multimodal.syntheticMjpegAvi(id = 9L, frames = 7, w = w, h = h)
+    val got = Multimodal.decodeMjpegAvi(avi, every = 2).get
+    assert(got.map(_.frame_idx) == Seq(0L, 2L, 4L, 6L))
+    assert(got.forall(f => f.width == w && f.height == h && f.n_frames == 7L))
+    // lossy-codec contract: per-channel MEAN within quantization tolerance
+    // of the solid fixture color (structure above is exact)
+    val n = w * h
+    got.foreach { fr =>
+      val f = fr.frame_idx
+      def near(sum: Long, want: Long) = math.abs(sum.toDouble / n - want) <= 6.0
+      assert(near(fr.r_sum, (9L * 31 + f * 3) % 256), s"frame $f r")
+      assert(near(fr.g_sum, (9L * 13 + f * 5) % 256), s"frame $f g")
+      assert(near(fr.b_sum, (9L * 7 + f * 19) % 256), s"frame $f b")
+    }
+    // codec cross-rejection: DIB frames are not MJPEG and vice versa
+    val dib = Multimodal.syntheticAvi(1L, 3, 4, 4)
+    assert(Multimodal.decodeMjpegAviDetail(dib, 1) == Left("not_mjpeg"))
+    assert(Multimodal.decodeAviDetail(avi, 1) == Left("not_uncompressed_24bit"))
+    // a frame that starts like a JPEG but is cut off quarantines
+    val wholeJpeg = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val cutAvi = Multimodal.buildAvi(
+      Seq(java.util.Arrays.copyOf(wholeJpeg, 24)), 4, 4, "00dc")
+    assert(Multimodal.decodeMjpegAviDetail(cutAvi, 1) == Left("jpeg_undecodable"))
+    // kernel: 1 → N rows, id threaded through
+    val df = Seq((5L, Multimodal.syntheticMjpegAvi(5L, 6, 8, 8))).toDF("id", "payload")
+    val rows = Multimodal.mjpegFrameFeatureKernel(df, every = 3).collect()
+    assert(rows.map(r => (r.id, r.frame_idx)).sorted.toSeq == Seq((5L, 0L), (5L, 3L)))
+  }
+
   test("audio quarantine: every payload is decoded or accounted for with a reason") {
     val valid = Multimodal.syntheticWav(1L, 50, 8000, 1)
     val truncated = java.util.Arrays.copyOf(valid, 30)

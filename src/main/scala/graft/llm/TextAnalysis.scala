@@ -326,6 +326,49 @@ object TextAnalysis {
       .withColumn("coverage", col("in_vocab").cast("double") / col("n_tokens"))
   }
 
+  /** Split each document into fixed-size token windows with overlap — the
+    * context-window operator of RAG indexing and eval-set preparation
+    * (chunk size = the embedding/context budget, overlap preserves
+    * cross-boundary context). Output: one row per (doc, chunk) with the
+    * chunk index, its token count, and the chunk text re-joined on single
+    * spaces.
+    *
+    * Windowing contract (exact integer arithmetic, ANSI-safe): chunk `i`
+    * covers tokens `[i·stride, i·stride + chunkTokens)` where `stride =
+    * chunkTokens − overlapTokens`; the number of chunks is
+    * `max(1, ceil((n − overlap) / stride))`, so every token lands in ≥ 1
+    * chunk, consecutive chunks share exactly `overlapTokens` tokens, and
+    * an empty/short document still yields its single (possibly short)
+    * chunk. Tokens are single-space splits ([[tokens]] — the corpus
+    * contract the oracles share).
+    *
+    * Scale shape: pure map + explode, zero shuffles — chunking 100 TB is
+    * scan-bound. Row growth is bounded by ~n/stride per doc.
+    */
+  def chunkByTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    val toks = tokens(col(textCol))
+    // ceil((n - overlap) / stride) in exact integer arithmetic (`/` on
+    // Columns is double division; DIV is the integral one — the Packing
+    // discipline)
+    val nChunks = greatest(lit(1L),
+      expr(s"(size(__toks) - $overlapTokens + ${stride - 1}) DIV $stride").cast("long"))
+    val start = col("chunk_idx") * lit(stride.toLong)
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        size(slice(col("__toks"), (start + 1L).cast("int"), lit(chunkTokens)))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("__toks"), (start + 1L).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** The round-4 exploded formulation of [[ngramCountsBy]] (same values) —
     * kept as the cross-check TextAnalysisSpec pins the kernel against.
     */

@@ -429,6 +429,15 @@ object LlmQueries {
     }),
 
     // --- text analysis ------------------------------------------------------
+    "q_text_chunks" -> ((s, dir) =>
+      // Context-window chunking (RAG/eval prep): 32-token windows, 8-token
+      // overlap, every token covered, consecutive chunks sharing exactly 8
+      // tokens. Pure map + explode (zero shuffles); the oracle re-derives
+      // every window with list slicing over the same single-space tokens.
+      TextAnalysis.chunkByTokens(docs(s, dir), "doc_id", "text",
+          chunkTokens = 32, overlapTokens = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -1086,6 +1095,16 @@ object LlmQueries {
         |  FROM embeddings)
         |SELECT vec_id, d / (n * CAST(1.0 AS DOUBLE)) AS cosine FROM e
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    greatest(1, (len(toks) - 8 + 23) // 24) AS nc FROM t),
+        |e AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_idx FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)]) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)], ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id,

@@ -178,4 +178,32 @@ class TextAnalysisSpec extends SparkTestBase {
       .select($"doc_id", $"in_vocab").as[(Long, Long)].collect().toMap
     assert(v3(2L) == 3L) // dog,cat,the in vocab; zebra out
   }
+
+  test("chunkByTokens: windows, overlap, short/empty docs, every token covered") {
+    val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text10), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(df, "doc_id", "text",
+        chunkTokens = 4, overlapTokens = 1)
+      .as[(Long, Long, Long, String)].collect().sortBy(c => (c._1, c._2)).toSeq
+    // doc 1: 10 tokens, stride 3 → ceil(9/3) = 3 chunks: [1..4],[4..7],[7..10]
+    assert(got.filter(_._1 == 1L) == Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10")))
+    // consecutive chunks share exactly `overlap` tokens; all 10 covered
+    assert(got.filter(_._1 == 1L).flatMap(_._4.split(" ")).distinct.length == 10)
+    // short doc: one sub-size chunk; empty doc: one chunk of the "" token
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0L, 2L, "a b")))
+    assert(got.filter(_._1 == 3L) == Seq((3L, 0L, 1L, "")))
+    // no-overlap windowing partitions the tokens exactly
+    val flat = TextAnalysis.chunkByTokens(df.filter($"doc_id" === 1L), "doc_id", "text",
+        chunkTokens = 3, overlapTokens = 0)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2).toSeq
+    assert(flat.map(_._4).mkString(" ") == text10 && flat.length == 4)
+    // a chunk boundary exactly at n: 10 tokens, chunk 5, overlap 0 → 2 chunks
+    val exact = TextAnalysis.chunkByTokens(df.filter($"doc_id" === 1L), "doc_id", "text",
+        chunkTokens = 5, overlapTokens = 0)
+      .as[(Long, Long, Long, String)].collect()
+    assert(exact.length == 2 && exact.forall(_._3 == 5L))
+  }
 }

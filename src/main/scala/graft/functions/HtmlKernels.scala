@@ -167,4 +167,27 @@ object HtmlKernels {
     */
   def htmlToText(c: Column): Column =
     GraftColumnBridge.column(HtmlToText(GraftColumnBridge.expression(c.cast("string"))))
+
+  import org.apache.spark.sql.functions._
+
+  /** The page's `<meta name="robots" content="…">` directive, lowercased;
+    * null when absent. Pragmatic crawl subset: name-then-content attribute
+    * order, either quote style, any case — the shape real pages emit.
+    * A single codegen'd regex (one pass over the head), matching the
+    * oracle regex textually.
+    */
+  def metaRobots(html: Column): Column = {
+    val r = lower(regexp_extract(html,
+      "(?i)<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']", 1))
+    when(r === "", lit(null)).otherwise(r)
+  }
+
+  /** True when the robots directive asks to be excluded from indexes —
+    * `noindex` as a comma/whitespace-delimited token (not substring: a
+    * hypothetical `nonoindex` value must not match). Null-directive pages
+    * return false: absence of a directive means indexable, and a crawl
+    * gate must not drop them.
+    */
+  def robotsNoindex(html: Column): Column =
+    coalesce(metaRobots(html).rlike("(^|[,\\s])noindex([,\\s]|$)"), lit(false))
 }

@@ -182,6 +182,26 @@ object CrawlQueries {
           HtmlKernels.htmlToText(pageHtml).as("text"))
         .orderBy(col("doc_id"))),
 
+    "q_html_robots" -> ((s, dir) => {
+      // Robots-directive gate certificate: pages planted with a noindex
+      // directive (doc_id % 7 = 0), an index directive in mixed case +
+      // single quotes (doc_id % 7 = 1), or none. Output = parsed directive
+      // + the gate decision per doc — both re-derived closed-form by the
+      // oracle. The gate is token-exact (`noindex` between delimiters),
+      // and directive-less pages stay indexable.
+      val metaTag = when(col("doc_id") % 7 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(col("doc_id") % 7 === 1,
+          lit("<meta NAME='ROBOTS' Content='INDEX, follow'>"))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><head>"), metaTag,
+        lit("<title>T</title></head><body><p>"), col("text"), lit("</p></body></html>"))
+      docs(s, dir).select(col("doc_id"),
+          HtmlKernels.metaRobots(html).as("robots"),
+          HtmlKernels.robotsNoindex(html).as("noindex"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_pipeline_crawl" -> ((s, dir) => {
       // The crawl front-end composed end to end: corpus → HTML pages →
       // WARC members → streaming parse → HTML extraction → token count,
@@ -284,6 +304,13 @@ object CrawlQueries {
 
     "q_html_extract" ->
       s"SELECT doc_id, $pageTextSql AS text FROM documents ORDER BY doc_id",
+
+    "q_html_robots" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'noindex, nofollow'
+        |       WHEN doc_id % 7 = 1 THEN 'index, follow' END AS robots,
+        |  doc_id % 7 = 0 AS noindex
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_pipeline_crawl" ->
       s"""SELECT doc_id, $pageTextSql AS text,

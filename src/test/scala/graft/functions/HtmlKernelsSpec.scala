@@ -45,4 +45,23 @@ class HtmlKernelsSpec extends SparkTestBase {
       .as[Option[String]].collect().toSeq
     assert(out == Seq(None, Some(""), Some("")))
   }
+
+  test("metaRobots: quote styles, case, token-not-substring noindex gate") {
+    val cases = Seq(
+      ("""<head><meta name="robots" content="noindex, nofollow"></head>""",
+        Some("noindex, nofollow"), true),
+      ("""<head><meta NAME='ROBOTS' Content='INDEX, follow'></head>""",
+        Some("index, follow"), false),
+      ("""<head><meta name="robots" content="NOINDEX"></head>""", Some("noindex"), true),
+      // substring must not match the token gate
+      ("""<meta name="robots" content="nonoindexy">""", Some("nonoindexy"), false),
+      ("""<head><title>no directive</title></head>""", None, false),
+      ("""<meta name="viewport" content="width=device-width">""", None, false))
+    val got = cases.map(_._1).toDF("h")
+      .select($"h", HtmlKernels.metaRobots($"h"), HtmlKernels.robotsNoindex($"h"))
+      .as[(String, Option[String], Boolean)].collect().toSeq
+    got.zip(cases).foreach { case ((_, robots, noindex), (html, wantR, wantN)) =>
+      assert(robots == wantR && noindex == wantN, s"html: $html")
+    }
+  }
 }

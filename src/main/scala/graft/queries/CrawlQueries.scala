@@ -123,9 +123,61 @@ object CrawlQueries {
         col("text"),
         when(col("doc_id") % 5 === 0, lit(boilerLine2))).as("text"))
 
+  /** Write a real on-disk WARC directory (8 files, alternating plain /
+    * concatenated-gzip) from every 5th document; idempotent per (sf dir,
+    * source fingerprint) via the sdfits marker discipline. The DSv2
+    * connector query reads THESE bytes — the full listing → sniff →
+    * chain-decode → scan path, not an in-memory model of it.
+    */
+  private def ensureWarcDir(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new java.io.File(stagingDir() + s"/warc/dir_$tag")
+    val marker = new java.io.File(root.getPath + ".src")
+    val fp = sourceSignature(dir, "documents")
+    val current = root.isDirectory && marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
+    if (!current) {
+      root.mkdirs()
+      val enc3 = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
+      val rows = docs(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").cast("long"), col("source").cast("string"),
+          col("text").cast("string"))
+        .as(enc3).collect().sortBy(_._1)
+      rows.groupBy(_._1 % 8).foreach { case (k, rs) =>
+        val recs = rs.sortBy(_._1).toIndexedSeq.map { case (id, src, text) =>
+          (s"http://example.com/$src/$id", warcDate, text.getBytes(UTF_8))
+        }
+        val gz = k % 2 == 1
+        val bytes = if (gz) Warc.encodeFileGz(recs) else Warc.encodeFile(recs)
+        java.nio.file.Files.write(
+          new java.io.File(root, s"w$k.warc" + (if (gz) ".gz" else "")).toPath, bytes)
+      }
+      java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+    }
+    root.getAbsolutePath
+  }
+
   // ------------------------------------------------------------- queries
 
   val queries: Map[String, Q] = Map(
+
+    "q_warc_dsv2" -> ((s, dir) => {
+      // The SQL surface end to end: a real on-disk directory of plain AND
+      // per-record-gzipped WARC files read back through
+      // `spark.read.format("warc")` — listing, suffix dispatch, gzip chain
+      // decode, streaming parse and the fixed record schema all inside the
+      // hash check. doc identity recovered from the target URI; the gz
+      // flag proves each file took the intended codec path.
+      val path = ensureWarcDir(s, dir)
+      s.read.format("warc").load(path)
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("file").endsWith(".gz").as("gz"),
+          col("record_idx").cast("long").as("record_idx"),
+          col("content_length"),
+          col("payload").cast("string").as("text"))
+        .orderBy(col("doc_id"))
+    }),
 
     "q_warc_roundtrip" -> ((s, dir) => {
       // WARC certificate: encode the corpus into multi-record members with
@@ -269,6 +321,15 @@ object CrawlQueries {
   // -------------------------------------------------------------- oracles
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_warc_dsv2" ->
+      """WITH d AS (SELECT doc_id, text, doc_id % 8 AS k,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1 AS BIGINT)
+        |      AS record_idx
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id, k % 2 = 1 AS gz, record_idx,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length, text
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_warc_gz_roundtrip" ->
       """WITH d AS (SELECT doc_id, text, source, doc_id % 40 AS file_id,

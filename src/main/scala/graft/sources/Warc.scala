@@ -132,6 +132,20 @@ object Warc {
       offset += n
       buf
     }
+    /** Consume exactly `n` bytes without materializing them (payload
+      * pruning: a scan that doesn't project `payload` still has to walk
+      * past it, but never allocates it).
+      */
+    def skipFully(n: Int): Unit = {
+      var left = n
+      while (left > 0) {
+        val r = in.read(scratch, 0, math.min(left, scratch.length))
+        if (r < 0) { offset += (n - left); throw new EOFException() }
+        left -= r
+      }
+      offset += n
+    }
+    private val scratch = new Array[Byte](8192)
   }
 
   private final case class ParseFault(offset: Long, reason: String) extends Exception
@@ -158,9 +172,12 @@ object Warc {
   /** Parse all records of one member as a lazy iterator of
     * `Right(record) | Left(quarantine)`; at most one `Left`, always last,
     * after which iteration stops. Constant memory: one header map and one
-    * payload buffer live at a time.
+    * payload buffer live at a time. With `keepPayload = false` the payload
+    * octets are consumed but never buffered (records carry an empty array
+    * and the true `content_length`) — the column-pruned scan path.
     */
-  def parseStream(raw: InputStream, fileId: Long): Iterator[Either[WarcQuarantine, WarcRecord]] =
+  def parseStream(raw: InputStream, fileId: Long, keepPayload: Boolean = true)
+      : Iterator[Either[WarcQuarantine, WarcRecord]] =
     new Iterator[Either[WarcQuarantine, WarcRecord]] {
       private val in = new CountingStream(raw)
       private var idx = 0
@@ -197,8 +214,10 @@ object Warc {
                 case _ => nextRec = fault(in.offset, "bad_content_length"); return
               }
               val payload =
-                try in.readFully(len)
-                catch { case _: EOFException =>
+                try {
+                  if (keepPayload) in.readFully(len)
+                  else { in.skipFully(len); Array.emptyByteArray }
+                } catch { case _: EOFException =>
                   nextRec = fault(in.offset, "truncated_payload"); return }
               // record delimiter: two CRLF
               var d = 0

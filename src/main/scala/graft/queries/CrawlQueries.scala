@@ -267,6 +267,38 @@ object CrawlQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_pipeline_web" -> ((s, dir) => {
+      // The full web-curation front end in ONE plan: WARC members whose
+      // payloads are HTML pages (robots noindex planted on doc_id % 7 = 0)
+      // → streaming parse → robots gate on the RAW markup → HTML → text →
+      // URL assignment → registrable-domain blocklist (drops the
+      // blocked.net fifth) → normalized-URL dedup (keep-first among
+      // SURVIVORS — a planted duplicate whose first fetch was
+      // robots-dropped promotes the next) → minimum-length quality gate.
+      // Every stage's effect is closed-form, so the composed survivor set,
+      // normalized URLs and token counts all hash-check.
+      val htmlRobots = concat(
+        lit("<html><head>"),
+        when(col("doc_id") % 7 === 0,
+          lit("<meta name=\"robots\" content=\"noindex\">")).otherwise(lit("")),
+        lit("<title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body><h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"), lit(" &amp; fin</p></body></html>"))
+      val (parsed, _) = Warc.parseBytesKernel(warcFiles(s, dir, payload = htmlRobots))
+      val pages = parsed.toDF()
+        .select(regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("payload").cast("string").as("html"))
+        .filter(!HtmlKernels.robotsNoindex(col("html")))
+        .select(col("doc_id"), HtmlKernels.htmlToText(col("html")).as("text"))
+        .withColumn("url", urlCol)
+      val unblocked = UrlOps.filterBlockedDomains(pages, "url", Seq("blocked.net"))
+      UrlOps.dedupByUrl(unblocked, "url", "doc_id")
+        .select(col("doc_id"), UrlOps.normalizeUrl(col("url")).as("url_norm"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_url_parse" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), urlCol.as("url"))
         .select(col("doc_id"),
@@ -377,6 +409,25 @@ object CrawlQueries {
       s"""SELECT doc_id, $pageTextSql AS text,
          |  CAST(6 + len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_web" ->
+      """WITH b AS (SELECT doc_id, text FROM documents
+        |    WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 2),
+        |k AS (SELECT doc_id, text,
+        |    CASE WHEN doc_id % 5 = 3
+        |      THEN row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id)
+        |      ELSE 1 END AS rn
+        |  FROM b),
+        |t AS (SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'http://www.example.com/a/' || doc_id || '/index.html?x=1'
+        |      WHEN 1 THEN 'https://news.site.co.uk/story/' || doc_id
+        |      WHEN 3 THEN 'https://cdn.example.com:8080/asset/' || (doc_id % 50)
+        |      END AS url_norm,
+        |    CAST(6 + len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM k WHERE rn = 1)
+        |SELECT doc_id, url_norm, n_tokens FROM t
+        |WHERE n_tokens >= 8 ORDER BY doc_id""".stripMargin,
 
     "q_url_parse" ->
       s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),

@@ -292,6 +292,24 @@ object Warc {
         .as(Encoders.product[WarcQuarantine]))
   }
 
+  /** [[parseBytesKernel]] over a frame of (path, content) blobs — the
+    * shape `format("binaryFile")` delivers in BOTH batch and streaming
+    * (`spark.readStream.format("binaryFile")` with the binary-file
+    * schema), so this is the streaming WARC ingestion gate: stateless
+    * (pure mapPartitions split), new crawl files route records to the
+    * pipeline and faults to a quarantine sink as they land, under
+    * whatever watermark/output-mode discipline the surrounding query
+    * uses. `file_id` is `xxhash64(path)` — stable across retries; keep a
+    * (xxhash64(path), path) projection of the input if names must join
+    * back.
+    */
+  def parseFilesKernel(
+      files: DataFrame,
+      pathCol: String = "path",
+      contentCol: String = "content"): (Dataset[WarcRecord], Dataset[WarcQuarantine]) =
+    parseBytesKernel(
+      files.select(xxhash64(col(pathCol)).as("file_id"), col(contentCol).as("payload")))
+
   /** Read every `*.warc` under `dir`: one task per file, records streamed
     * off the open HDFS/posix stream (a whole member is never buffered).
     * `file_id` is the file's index in the sorted listing; the mapping is

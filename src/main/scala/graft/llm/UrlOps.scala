@@ -111,6 +111,47 @@ object UrlOps {
       .drop("__norm")
   }
 
+  /** Tracking-parameter keys a crawl canonicalizer strips: the `utm_*`
+    * campaign family by prefix plus the common click-identifier keys.
+    * Dropping them merges the millions of per-campaign/per-click aliases
+    * of one page into one canonical URL before URL-level dedup.
+    */
+  val trackingParamKeys: Seq[String] = Seq("gclid", "fbclid", "msclkid", "mc_eid", "igshid")
+
+  /** Remove tracking parameters from a raw query STRING (`a=1&utm_x=2` →
+    * `a=1`); null when nothing survives (the caller then omits the `?`).
+    * A parameter is dropped when its key (before the first `=`) is
+    * `utm_`-prefixed or in [[trackingParamKeys]]. Codegen'd HOF filter —
+    * no UDF, no regex backtracking.
+    */
+  def stripTrackingParams(q: Column): Column = {
+    val kept = filter(split(q, "&"), p => {
+      val k = substring_index(p, "=", 1)
+      !(k.startsWith("utm_") || k.isin(trackingParamKeys: _*))
+    })
+    when(q.isNull || size(kept) === 0, lit(null)).otherwise(array_join(kept, "&"))
+  }
+
+  /** [[normalizeUrl]] + tracking-parameter removal: the canonical form for
+    * URL-level dedup of crawl data, where one article arrives under
+    * thousands of `utm_…`/`gclid` aliases. Same null contract as
+    * [[normalizeUrl]].
+    */
+  def normalizeUrlStrict(u: Column): Column = {
+    val scheme = urlScheme(u)
+    val host = urlHost(u)
+    val port = urlPort(u)
+    val keepPort = port.isNotNull &&
+      !((scheme === "http" && port === 80) || (scheme === "https" && port === 443))
+    val q = stripTrackingParams(urlQuery(u))
+    when(scheme.isNull || host.isNull, lit(null)).otherwise(
+      concat(
+        scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port.cast("string"))).otherwise(lit("")),
+        urlPath(u),
+        when(q.isNotNull, concat(lit("?"), q)).otherwise(lit(""))))
+  }
+
   /** The original regexp formulation of the parse — the executable
     * specification the kernels and the DuckDB oracles both mirror.
     * Not for the query path: each field is an independent regex pass and

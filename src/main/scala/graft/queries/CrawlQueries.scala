@@ -310,6 +310,24 @@ object CrawlQueries {
           UrlOps.registeredDomain(UrlOps.urlHost(col("url"))).as("reg_domain"))
         .orderBy(col("doc_id"))),
 
+    "q_url_canonical" -> ((s, dir) => {
+      // Canonicalization certificate: per-doc URLs planted with utm_*
+      // params around a real one (m=0), only a click id (m=1 — the whole
+      // query must vanish, and the default port with it), no tracking
+      // (m=2), or not a URL (m=3). The oracle states the expected
+      // canonical form closed-form per residue class.
+      val m = col("doc_id") % 4
+      val ids = col("doc_id").cast("string")
+      val u = when(m === 0, concat(lit("https://Ex.COM/p/"), ids,
+          lit("?utm_source=news&x="), ids, lit("&utm_campaign=c#f")))
+        .when(m === 1, concat(lit("http://site.com:80/q?gclid=abc"), ids))
+        .when(m === 2, concat(lit("https://a.io/r/"), ids, lit("?x=1&y=2")))
+        .otherwise(concat(lit("nope "), ids))
+      docs(s, dir).select(col("doc_id"),
+          UrlOps.normalizeUrlStrict(u).as("url_canon"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_url_normalize" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), UrlOps.normalizeUrl(urlCol).as("url_norm"))
         .orderBy(col("doc_id"))),
@@ -447,6 +465,15 @@ object CrawlQueries {
          |  nullif(regexp_extract(url, '[?]([^#]*)', 1), '') AS query,
          |  ${rdSql("host")} AS reg_domain
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_url_canonical" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'https://ex.com/p/' || doc_id || '?x=' || doc_id
+        |    WHEN 1 THEN 'http://site.com/q'
+        |    WHEN 2 THEN 'https://a.io/r/' || doc_id || '?x=1&y=2'
+        |    END AS url_canon
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_url_normalize" ->
       s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),

@@ -71,6 +71,22 @@ class UrlOpsSpec extends SparkTestBase {
     assert(keptDf == Seq(3L, 4L))
   }
 
+  test("normalizeUrlStrict strips tracking params by key, keeps real ones") {
+    val cases = Seq(
+      "https://Ex.COM/p?utm_source=n&x=1&utm_campaign=c#f" -> "https://ex.com/p?x=1",
+      "http://site.com:80/q?gclid=abc" -> "http://site.com/q",
+      "https://a.io/r?x=1&y=2" -> "https://a.io/r?x=1&y=2",
+      // key match is exact/prefixed, not substring: 'xutm_a' and 'agclid' keep
+      "https://a.io/s?xutm_a=1&agclid=2" -> "https://a.io/s?xutm_a=1&agclid=2",
+      // a VALUE containing a tracking key is not a key
+      "https://a.io/t?next=gclid" -> "https://a.io/t?next=gclid",
+      "junk" -> null)
+    val got = cases.map(_._1).toDF("u")
+      .select($"u", UrlOps.normalizeUrlStrict($"u")).as[(String, Option[String])]
+      .collect().toMap
+    cases.foreach { case (u, want) => assert(got(u) == Option(want), s"url $u") }
+  }
+
   test("dedupByUrl keeps first by order per normalized URL; non-URLs all pass") {
     val df = Seq(
       (10L, "http://EX.com:80/a"),

@@ -70,7 +70,23 @@ object GraftFunctions {
       (args: Seq[Expression]) => WordNgramFps(args(0),
         intLit(args(1), "word_ngram_fps", "n"))),
     ("luhn_valid", "Luhn checksum validity of a candidate card number (13-19 digits)",
-      (args: Seq[Expression]) => LuhnValid(args(0)))
+      (args: Seq[Expression]) => LuhnValid(args(0))),
+    ("html_to_text", "one-pass HTML to text extraction (tags stripped, entities decoded)",
+      (args: Seq[Expression]) => HtmlToText(args(0))),
+    ("url_scheme", "lowercased URL scheme, null for non-URLs",
+      (args: Seq[Expression]) => UrlStringPart(args(0), "scheme")),
+    ("url_host", "lowercased URL host, port stripped, null for non-URLs",
+      (args: Seq[Expression]) => UrlStringPart(args(0), "host")),
+    ("url_path", "URL path; empty path reads as '/'",
+      (args: Seq[Expression]) => UrlStringPart(args(0), "path")),
+    ("url_query", "URL query string sans '?', null when absent",
+      (args: Seq[Expression]) => UrlStringPart(args(0), "query")),
+    ("url_normalize", "crawl-normal URL form (case-folded, default ports and fragments dropped)",
+      (args: Seq[Expression]) => UrlStringPart(args(0), "normalize")),
+    ("url_port", "explicit URL port as a long, null when absent",
+      (args: Seq[Expression]) => UrlPort(args(0))),
+    ("registered_domain", "registrable domain of a HOST (core multi-label public suffixes)",
+      (args: Seq[Expression]) => RegisteredDomain(args(0), graft.llm.UrlOps.multiLabelSuffixes))
   )
 
   /** Inject into a `SparkSessionExtensions` (the `spark.sql.extensions`

@@ -26,6 +26,19 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(r.getInt(2) == 3)
     assert(r.getSeq[Long](4).length == 2, "two 2-grams of a 3-token text")
     assert(r.getBoolean(5) && !r.getBoolean(6))
+    val web = spark.sql(
+      "SELECT html_to_text('<p>a &amp; b</p><script>x</script>') AS t, " +
+        "url_scheme('HTTP://Ex.COM/p') AS sch, url_host('HTTP://Ex.COM:8080/p') AS h, " +
+        "url_port('HTTP://Ex.COM:8080/p') AS p, url_path('http://e.co') AS pa, " +
+        "url_query('http://e.co/x?a=1#f') AS q, " +
+        "url_normalize('HTTP://Ex.COM:80/p#f') AS n, " +
+        "registered_domain('a.b.news.co.uk') AS rd").head()
+    assert(web.getString(0) == "a & b")
+    assert(web.getString(1) == "http" && web.getString(2) == "ex.com")
+    assert(web.getLong(3) == 8080L && web.getString(4) == "/")
+    assert(web.getString(5) == "a=1")
+    assert(web.getString(6) == "http://ex.com/p")
+    assert(web.getString(7) == "news.co.uk")
     // fingerprint matches the Column-API kernel
     val viaCol = Seq("abc").toDF("t")
       .select(graft.functions.TextKernels.polyFingerprint($"t")).as[Long].head()

@@ -191,6 +191,30 @@ object CrawlQueries {
         .orderBy(col("file_id"), col("record_idx"))
     }),
 
+    "q_warc_sink" -> ((s, dir) => {
+      // Distributed WARC sink certificate: every 5th doc re-sharded to
+      // one .warc.gz per doc_id % 4 (parallel tasks, member-per-record
+      // gzip, temp + rename commit), then read back through the DSv2
+      // connector — encode → commit → list → chain-decode → parse all
+      // inside the hash check. The shard recovered from the FILE NAME and
+      // the record_idx from the in-shard sort prove placement and order,
+      // not just content.
+      val out = stagingDir() + "/warc_sink/" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+      val src = docs(s, dir).filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") % 4).cast("long").as("shard"),
+          concat(lit("http://example.com/doc/"), col("doc_id")).as("target_uri"),
+          lit(warcDate).as("warc_date"), col("text").cast("binary").as("payload"),
+          col("doc_id"))
+      Warc.writeShards(src, "shard", Seq("doc_id"), out)
+      s.read.format("warc").load(out)
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          regexp_extract(col("file"), "shard_([0-9]+)", 1).cast("long").as("shard"),
+          col("record_idx").cast("long").as("record_idx"),
+          col("payload").cast("string").as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_warc_gz_roundtrip" -> ((s, dir) => {
       // Compressed-container certificate: the same corpus encoded in the
       // Common Crawl convention (each record its own gzip member,
@@ -371,6 +395,13 @@ object CrawlQueries {
   // -------------------------------------------------------------- oracles
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_warc_sink" ->
+      """WITH d AS (SELECT doc_id, text, doc_id % 4 AS shard,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) - 1 AS BIGINT)
+        |      AS record_idx
+        |  FROM documents WHERE doc_id % 5 = 1)
+        |SELECT doc_id, shard, record_idx, text FROM d ORDER BY doc_id""".stripMargin,
 
     "q_warc_dsv2" ->
       """WITH d AS (SELECT doc_id, text, doc_id % 8 AS k,

@@ -292,6 +292,97 @@ object Warc {
         .as(Encoders.product[WarcQuarantine]))
   }
 
+  /** Distributed WARC sink: one `.warc[.gz]` file per distinct `shardCol`
+    * value, written in parallel — the re-sharding step of a crawl pipeline
+    * (curated corpus back into the interchange format). Rows
+    * hash-partition on the shard key; a within-partition sort makes each
+    * shard's rows consecutive so the task cuts a new file on key change
+    * and STREAMS records to the open stream (one record buffered at a
+    * time; with `gzip` each record becomes its own member — the Common
+    * Crawl convention [[encodeFileGz]] documents). Same durability
+    * discipline as the SDFITS writer (`SdfitsWriter.writeCommitted`):
+    * temp-file + rename per file, collision-proofed names (distinct raw
+    * keys sharing a sanitized name get a raw-key hash suffix), null keys
+    * rejected up front. Returns the manifest (shard, path, n_records)
+    * from one slim aggregation.
+    */
+  def writeShards(
+      df: DataFrame,
+      shardCol: String,
+      sortCols: Seq[String],
+      outDir: String,
+      uriCol: String = "target_uri",
+      dateCol: String = "warc_date",
+      payloadCol: String = "payload",
+      gzip: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.schema(shardCol).dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"warc: shardCol '$shardCol' must be string/int/long, got ${other.simpleString}")
+    }
+    val counts: Map[String, Long] = df.groupBy(col(shardCol).cast("string"))
+      .count().as[(String, Long)].collect().toMap
+    require(!counts.contains(null),
+      s"warc: shardCol '$shardCol' contains null values — every row needs a shard key")
+    val ext = if (gzip) ".warc.gz" else ".warc"
+    val sanitized: Map[String, String] =
+      counts.keys.map(k => k -> s"shard_${k.replaceAll("[^A-Za-z0-9._-]+", "_")}").toMap
+    val byName = sanitized.groupBy(_._2)
+    val pathOf: Map[String, String] = sanitized.map { case (k, base) =>
+      val name =
+        if (byName(base).size == 1) s"$base$ext"
+        else {
+          val digest = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(k.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+          s"${base}_$digest$ext"
+        }
+      k -> s"$outDir/$name"
+    }
+    require(pathOf.values.toSet.size == pathOf.size,
+      "warc: unresolvable file-name collision among shardCol keys")
+    val conf = new org.apache.spark.SerializableWritable(
+      spark.sessionState.newHadoopConf())
+    val projCols = Seq(col(shardCol).cast("string").as("__k"),
+      col(uriCol).cast("string").as("__uri"),
+      col(dateCol).cast("string").as("__date"),
+      col(payloadCol).cast("binary").as("__p")) ++ sortCols.map(col)
+    df.select(projCols: _*)
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k") +: sortCols.map(col): _*)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val fsConf = conf.value
+        val rows = it.buffered
+        while (rows.hasNext) {
+          val key = rows.head.getString(0)
+          val dest = new Path(pathOf(key))
+          val fs = dest.getFileSystem(fsConf)
+          // temp + rename: a task dying mid-encode never leaves a
+          // truncated shard visible (listings skip dot-files)
+          val temp = new Path(dest.getParent, s".${dest.getName}.inprogress")
+          val os = fs.create(temp, true)
+          try {
+            while (rows.hasNext && rows.head.getString(0) == key) {
+              val r = rows.next()
+              val rec = new ByteArrayOutputStream()
+              encodeRecord(rec, "response", r.getString(1), r.getString(2),
+                r.getAs[Array[Byte]](3))
+              os.write(if (gzip) gzipMember(rec.toByteArray) else rec.toByteArray)
+            }
+          } finally os.close()
+          fs.delete(dest, false)
+          if (!fs.rename(temp, dest))
+            throw new java.io.IOException(s"warc: commit rename failed for $dest")
+        }
+      }
+    counts.toSeq.sortBy(_._1)
+      .map { case (k, n) => (k, pathOf(k), n) }
+      .toDF(shardCol, "path", "n_records")
+  }
+
   /** [[parseBytesKernel]] over a frame of (path, content) blobs — the
     * shape `format("binaryFile")` delivers in BOTH batch and streaming
     * (`spark.readStream.format("binaryFile")` with the binary-file

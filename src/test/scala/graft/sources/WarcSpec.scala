@@ -167,6 +167,50 @@ class WarcSpec extends SparkTestBase {
     assert(quar.count() == 0)
   }
 
+  test("writeShards: parallel one-file-per-key sink round-trips through both readers") {
+    val dir = Files.createTempDirectory("graft-warc-shards").toFile.getAbsolutePath
+    val rows = (0 until 20).map { i =>
+      (s"shard ${i % 3}", s"http://ex.com/d/$i", "2026-08-13T00:00:00Z",
+        s"body $i".getBytes(UTF_8), i)
+    }
+    val df = rows.toDF("k", "target_uri", "warc_date", "payload", "ord")
+    val manifest = Warc.writeShards(df, "k", Seq("ord"), dir, gzip = true)
+      .as[(String, String, Long)].collect().sortBy(_._1)
+    // keys "shard 0"/"shard 1"/"shard 2" sanitize distinctly → no suffix
+    assert(manifest.map(_._1).toSeq == Seq("shard 0", "shard 1", "shard 2"))
+    assert(manifest.forall(m => m._2.endsWith(".warc.gz") && m._3 == (if (m._1 == "shard 0") 7 else if (m._1 == "shard 1") 7 else 6)))
+    // read back via the file reader: all 20 records, in-shard order by ord
+    val (recs, quar, _) = Warc.readFiles(spark, dir)
+    assert(quar.count() == 0)
+    val got = recs.collect()
+    assert(got.length == 20)
+    assert(got.map(_.target_uri).toSet == rows.map(_._2).toSet)
+    got.groupBy(_.file_id).values.foreach { fileRecs =>
+      val ords = fileRecs.sortBy(_.record_idx)
+        .map(_.target_uri.split("/").last.toInt).toSeq
+      assert(ords == ords.sorted, "in-shard record order follows sortCols")
+    }
+    // and via the DSv2 connector
+    assert(spark.read.format("warc").load(dir).count() == 20)
+    // sanitization collision: "a b" and "a_b" get distinct hashed names
+    val coll = Seq(("a b", "u1", "d", "x".getBytes(UTF_8), 0),
+        ("a_b", "u2", "d", "y".getBytes(UTF_8), 0))
+      .toDF("k", "target_uri", "warc_date", "payload", "ord")
+    val dir2 = Files.createTempDirectory("graft-warc-coll").toFile.getAbsolutePath
+    val m2 = Warc.writeShards(coll, "k", Seq("ord"), dir2, gzip = false)
+      .as[(String, String, Long)].collect()
+    assert(m2.map(_._2).distinct.length == 2)
+    val (r2, _, _) = Warc.readFiles(spark, dir2)
+    assert(r2.collect().map(_.target_uri).sorted.toSeq == Seq("u1", "u2"))
+    // null shard keys are rejected up front, not mid-write
+    val bad = Seq((Option.empty[String], "u", "d", "z".getBytes(UTF_8), 0))
+      .toDF("k", "target_uri", "warc_date", "payload", "ord")
+    val e = intercept[IllegalArgumentException] {
+      Warc.writeShards(bad, "k", Seq("ord"), dir2)
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
   test("readFiles streams every .warc under a dir, one task per file") {
     val dir = Files.createTempDirectory("graft-warc").toFile
     Files.write(new java.io.File(dir, "m0.warc").toPath, mkFile(4, "x"))

@@ -87,4 +87,63 @@ object Decontamination {
       n: Int = 8): DataFrame =
     corpus.join(contaminatedIds(corpus, benchmark, idCol, textCol, n),
       Seq(idCol), "left_anti")
+
+  /** Token positions (0-based) in each corpus doc whose n-gram exactly
+    * matches a benchmark gram — the SPAN-granularity contamination signal.
+    * Same exactness discipline as [[contaminatedIds]] (broadcast
+    * fingerprint prefilter, string confirm on survivors — a collision
+    * cannot mask a clean span as contaminated), with the positioned
+    * stage-2 shape of [[SubstringDedup]]: candidates group per doc so each
+    * doc's text is fetched and tokenized once, one slice per candidate.
+    */
+  def contaminatedPositions(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): DataFrame = {
+    val fps = SubstringDedup.gramFps(corpus, idCol, textCol, n)
+    val cand = fps.join(
+      broadcast(benchmarkFingerprints(benchmark, idCol, textCol, n)),
+      Seq("__fp"), "left_semi")
+    val perDoc = cand.groupBy(col(idCol))
+      .agg(collect_list(struct(col("pos"), col("__fp"))).as("__cs"))
+    corpus.join(perDoc, Seq(idCol))
+      .select(col(idCol), TextAnalysis.tokensWs(col(textCol)).as("__w"),
+        explode(col("__cs")).as("__c"))
+      .select(col(idCol), col("__c.pos").as("pos"), col("__c.__fp").as("__fp"),
+        concat_ws(" ", slice(col("__w"), col("__c.pos") + 1, lit(n))).as("__g"))
+      .join(broadcast(benchmarkGrams(benchmark, idCol, textCol, n)),
+        Seq("__fp", "__g"), "left_semi")
+      .select(col(idCol), col("pos").cast("long").as("pos"))
+  }
+
+  /** Maximal contaminated token spans per doc (gaps-and-islands merge of
+    * [[contaminatedPositions]], n-adjacency).
+    */
+  def contaminatedSpans(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): DataFrame =
+    SubstringDedup.mergePositionsToSpans(
+      contaminatedPositions(corpus, benchmark, idCol, textCol, n), idCol, n)
+
+  /** Span-level decontamination: MASK the benchmark-overlapping spans and
+    * keep the documents — the localized-contamination alternative to
+    * whole-document removal (a long document quoting one benchmark item
+    * loses the quote, not its other ten thousand clean tokens). Documents
+    * with no contamination keep their text VERBATIM; a fully-covered
+    * document becomes the empty string (filter afterwards if empties
+    * should drop).
+    */
+  def maskContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): DataFrame =
+    SubstringDedup.removeSpans(corpus,
+      contaminatedSpans(corpus, benchmark, idCol, textCol, n), idCol, textCol)
 }

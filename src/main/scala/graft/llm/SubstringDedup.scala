@@ -130,10 +130,16 @@ object SubstringDedup {
       df: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      k: Int = 50): DataFrame = {
-    val pos = duplicatedPositions(df, idCol, textCol, k)
-    // Gaps-and-islands: gram at p2 touches the span of p1 < p2 iff
-    // p2 <= p1 + k (overlap or adjacency of [p, p+k-1] windows).
+      k: Int = 50): DataFrame =
+    mergePositionsToSpans(duplicatedPositions(df, idCol, textCol, k), idCol, k)
+
+  /** Gaps-and-islands merge of (idCol, pos) gram positions into maximal
+    * token spans: gram at p2 touches the span of p1 < p2 iff p2 <= p1 + k
+    * (overlap or adjacency of [p, p+k-1] windows). Shared by
+    * [[duplicatedSpans]] and [[Decontamination.contaminatedSpans]]; the
+    * windows are doc-KEYED (never a single-partition WindowExec).
+    */
+  private[llm] def mergePositionsToSpans(pos: DataFrame, idCol: String, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     pos
       .withColumn("__new",

@@ -790,6 +790,28 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "q_decontaminate_spans" -> ((s, dir) => {
+      // Span-level decontamination: a 12-token benchmark string planted at
+      // the FRONT of every 9th doc; masking must remove EXACTLY the
+      // planted span (restoring the original corpus verbatim) and report
+      // 12 masked tokens for contaminated docs, 0 for clean ones. The
+      // restore-the-original contract is the strongest oracle possible:
+      // any over- or under-masking hash-fails against the raw table.
+      val bench = "qz1 qz2 qz3 qz4 qz5 qz6 qz7 qz8 qz9 qz10 qz11 qz12"
+      import s.implicits._
+      val planted = docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 9 === 0, concat(lit(bench + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .withColumn("__np", TextAnalysis.tokenCount(col("text")).cast("long"))
+      val benchmark = Seq((0L, bench)).toDF("doc_id", "text")
+      // n_masked is MEASURED: planted token count (rides through the mask
+      // as an extra column) minus surviving token count.
+      graft.llm.Decontamination.maskContamination(planted, benchmark)
+        .select(col("doc_id"), col("text"),
+          (col("__np") - TextAnalysis.tokenCount(col("text")).cast("long")).as("n_masked"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- streaming-shaped events aggregation (batch replica of the
     //     Structured Streaming windowed plan in streaming/StreamingCal) ------
     "q_events_window" -> ((s, dir) =>
@@ -1364,6 +1386,16 @@ object LlmQueries {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate_spans" ->
+      // The restore-the-original contract: masking the planted span must
+      // yield the raw table back, with exactly 12 tokens reported masked
+      // on the planted docs. (The planted tokens are absent from the
+      // corpus vocabulary, so no organic text can extend or split the
+      // span.)
+      """SELECT doc_id, text,
+        |  CAST(CASE WHEN doc_id % 9 = 0 THEN 12 ELSE 0 END AS BIGINT) AS n_masked
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),

@@ -104,5 +104,31 @@ class PackingSpec extends SparkTestBase {
     val kept = Decontamination.decontaminate(corpus, benchmark)
       .select($"doc_id").as[Long].collect().toSet
     assert(kept == Set(1L))
+    // span-level: the collision must not MASK anything in doc 1 either
+    val masked = Decontamination.maskContamination(corpus, benchmark)
+      .as[(Long, String)].collect().toMap
+    assert(masked(1L) == gram1, "collision must not mask a clean span")
+    assert(masked(2L) == "intro outro", "the genuinely shared gram masks")
+  }
+
+  test("span decontamination masks the planted span and keeps the document") {
+    val bench = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12" // 12 exotic tokens
+    val corpus = Seq(
+      (1L, s"own words before $bench own words after body tokens continue here"),
+      (2L, "a fully clean document with enough tokens to carry several grams along"),
+      (3L, bench), // fully covered → empty string
+      (4L, s"$bench leading contamination then clean tail content")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((9L, bench)).toDF("doc_id", "text")
+    val spans = Decontamination.contaminatedSpans(corpus, benchmark)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 1: bench occupies tokens [3, 14]; doc 3: [0, 11]; doc 4: [0, 11]
+    assert(spans == Seq((1L, 3L, 14L), (3L, 0L, 11L), (4L, 0L, 11L)))
+    val masked = Decontamination.maskContamination(corpus, benchmark)
+      .as[(Long, String)].collect().toMap
+    assert(masked(1L) == "own words before own words after body tokens continue here")
+    assert(masked(2L) == "a fully clean document with enough tokens to carry several grams along")
+    assert(masked(3L) == "")
+    assert(masked(4L) == "leading contamination then clean tail content")
   }
 }

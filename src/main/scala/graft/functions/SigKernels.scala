@@ -241,10 +241,21 @@ abstract class SigKernelExpression extends UnaryExpression {
   /** Java call expression over the child UTF8String variable. */
   protected def javaCall(c: String): String
 
+  /** True when the IMPL can return null for a NON-null input (the codegen
+    * then re-checks the result — only legal for reference-typed results).
+    * Primitive-returning kernels must keep this false: the old guard keyed
+    * on `nullable` (true whenever the CHILD column was nullable, e.g. any
+    * parquet text), emitting `long == null` — which Janino rejects, and
+    * Spark's fallback silently dropped every stage containing the kernel
+    * out of whole-stage codegen. `nullSafeCodeGen` already handles the
+    * child-null case without this check.
+    */
+  protected def implNullable: Boolean = false
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val call = javaCall(c)
-      if (nullable)
+      if (implNullable)
         s"""
            |${ev.value} = $call;
            |${ev.isNull} = (${ev.value} == null);
@@ -259,6 +270,7 @@ case class MinHashMurmurSig(child: Expression, shingleSize: Int, numHashes: Int)
   require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
+  override protected def implNullable: Boolean = true // null for < shingleSize tokens
   override def prettyName: String = "minhash_murmur_sig"
   override def nullSafeEval(input: Any): Any =
     SigImpl.minhashMurmur(input.asInstanceOf[UTF8String], shingleSize, numHashes)
@@ -274,6 +286,7 @@ case class MinHashPolySig(child: Expression, shingleSize: Int, numHashes: Int)
   require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
+  override protected def implNullable: Boolean = true // null for < shingleSize tokens
   override def prettyName: String = "minhash_poly_sig"
   override def nullSafeEval(input: Any): Any =
     SigImpl.minhashPoly(input.asInstanceOf[UTF8String], shingleSize, numHashes)

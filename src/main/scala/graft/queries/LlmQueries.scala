@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, SemDedup, Similarity, TextAnalysis}
 import graft.sources.VerifiedRead
 import QueryUtil._
 
@@ -426,6 +426,23 @@ object LlmQueries {
         .union(e.select(col("vec_id") + 1000000L, col("embedding")))
       Similarity.cosineNearDupCandidates(withCopies, planes, threshold = 0.99)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup (cluster-then-prune semantic dedup) under the same
+      // planted-copy contract as q_sim_neardup: an identical copy shares
+      // its source's k-means cell (identical vector → identical argmin)
+      // and scores cosine(v, v) there, while no distinct-vector pair
+      // reaches 0.99 on this corpus — so the drop set is EXACTLY the
+      // copies. Both members of a copy pair have equal centroid-cosine,
+      // and the keep-rule's tie-break keeps the lower id (the original),
+      // so the oracle is the unaugmented id list — no clustering modeled.
+      val e = emb(s, dir)
+      val cents = Similarity.trainIvfCentroids(e, k = 8)
+      val withCopies = e.select(col("vec_id"), col("embedding"))
+        .union(e.select(col("vec_id") + 1000000L, col("embedding")))
+      SemDedup.semDedup(withCopies, cents, threshold = 0.99)
+        .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
     // --- text analysis ------------------------------------------------------
@@ -1522,6 +1539,9 @@ object LlmQueries {
         |SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
         |  aa / (sqrt(aa) * sqrt(aa)) AS cosine
         |FROM e ORDER BY id_a, id_b""".stripMargin,
+
+    "q_semdedup" ->
+      "SELECT vec_id FROM embeddings ORDER BY vec_id",
 
     // The five former rows-only entries, now certificates (VERDICT r6
     // item 4): constant-or-corpus-derivable claims DuckDB can state.

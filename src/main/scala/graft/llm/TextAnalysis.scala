@@ -280,6 +280,74 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum(col("__lp_micro")).as("logp_micro"))
   }
 
+  /** (id?, prev, w) position stream: each doc's (previous-token, token)
+    * pairs as a PURE MAP over the token array (no positional self-join, no
+    * window) — the first position carries a null context.
+    */
+  private def lmPositions(df: DataFrame, textCol: String, keep: Seq[Column]): DataFrame = {
+    val ts = tokensWs(lower(col(textCol)))
+    val pairs = transform(sequence(lit(1), size(ts)), i => struct(
+      when(i > lit(1), element_at(ts, i - lit(1))).as("prev"),
+      element_at(ts, i).as("w")))
+    df.select(keep :+ explode(pairs).as("__p"): _*)
+      .select(keep ++ Seq(col("__p.prev").as("__prev"), col("__p.w").as("__w")): _*)
+  }
+
+  /** Stupid-Backoff bigram language-model score (Brants et al. 2007, "Large
+    * Language Models in Machine Translation"), trained on `train` and
+    * scored over `df` — the CCNet shape: fit the LM on a trusted reference
+    * corpus (CCNet uses Wikipedia), score the crawl, and gate on the score.
+    * Position i contributes `ln(c(prev,w)/c(prev))` when the reference has
+    * seen the bigram, else the backoff `ln(0.4 · c(w)/N)` (an
+    * unseen-in-reference token clamps c(w) to 1: maximally penalized but
+    * finite); a document's first token has no context and always scores
+    * the backoff branch. Natural text rides the bigram branch; shuffled or
+    * gibberish text of the SAME tokens — invisible to [[unigramLmScoreBy]]
+    * — falls to the penalized backoff. Returns
+    * `(id, n_tokens, n_bigram_hits, logp_micro)`, every contribution
+    * rounded to integer micro-nats BEFORE the per-doc sum (order-exact,
+    * oracle-reproducible); `n_bigram_hits` (seen-context positions) is
+    * itself a usable fluency signal.
+    *
+    * Shape at scale: both position streams are pure maps; the count tables
+    * are token-keyed aggregates with map-side partials, kept DISTRIBUTED
+    * and equi-joined back onto the scored stream — term-keyed joins with
+    * the same inherent skew profile as any term statistic. The grand total
+    * rides a one-row broadcast. Nothing lands on the driver.
+    */
+  def bigramBackoffScoreAgainst(train: DataFrame, df: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+    val trainPos = lmPositions(train, textCol, Seq.empty)
+    val cu = trainPos.groupBy(col("__w")).agg(count(lit(1)).as("__cw"))
+    val cb = trainPos.filter(col("__prev").isNotNull)
+      .groupBy(col("__prev"), col("__w")).agg(count(lit(1)).as("__cbw"))
+    val total = trainPos.agg(count(lit(1)).cast("double").as("__total"))
+    lmPositions(df, textCol, Seq(col(idCol)))
+      .join(cb, Seq("__prev", "__w"), "left") // null prev never matches → backoff
+      .join(cu, Seq("__w"), "left")
+      .join(cu.select(col("__w").as("__prev"), col("__cw").as("__cprev")),
+        Seq("__prev"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__lpm", when(col("__cbw").isNotNull,
+          round(log(col("__cbw").cast("double") / col("__cprev").cast("double")) * 1e6).cast("long"))
+        .otherwise(
+          round(log(lit(alpha) * (coalesce(col("__cw"), lit(1L)).cast("double") / col("__total"))) * 1e6).cast("long")))
+      .withColumn("__hit", when(col("__cbw").isNotNull, lit(1L)).otherwise(lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__hit")).as("n_bigram_hits"),
+        sum(col("__lpm")).as("logp_micro"))
+  }
+
+  /** Self-trained [[bigramBackoffScoreAgainst]]. Degenerate on purpose —
+    * every bigram in the scored corpus is its own evidence, so the backoff
+    * fires only at position 1 — but the bigram branch still separates
+    * common from rare contexts; prefer the reference-trained form as the
+    * quality gate.
+    */
+  def bigramBackoffScoreBy(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.4): DataFrame =
+    bigramBackoffScoreAgainst(df, df, idCol, textCol, alpha)
+
   /** Character-entropy gibberish score per document: Shannon entropy of the
     * character distribution, in integer micro-nats — near-zero for repeated
     * single characters, high for diverse text; the standard cheap screen

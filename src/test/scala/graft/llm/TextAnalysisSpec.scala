@@ -147,6 +147,54 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(s(1L)._3 == expected1, s"got ${s(1L)._3}, want $expected1")
   }
 
+  test("stupid-backoff bigram LM matches an exact reference; shuffled text backs off") {
+    // LM trained on two fluent docs; scored docs reuse the SAME tokens —
+    // identical unigram profile — in natural vs shuffled order, plus one
+    // doc with a token the reference has never seen.
+    val train = Seq(
+      (1L, "the quick fox jumps"),
+      (2L, "the quick fox runs")
+    ).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the quick fox"), // natural: both bigrams seen in train
+      (11L, "quick the fox"), // shuffled: neither bigram seen → backoff
+      (12L, "the zorp fox")   // zorp: unseen token → clamped backoff
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramBackoffScoreAgainst(train, score, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    // Exact reference implementation (same formula, same rounding).
+    val trainDocs = Seq(Seq("the", "quick", "fox", "jumps"), Seq("the", "quick", "fox", "runs"))
+    val all = trainDocs.flatten
+    val cu = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cb = trainDocs.flatMap(t => t.zip(t.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = all.size.toDouble
+    def ref(toks: Seq[String]): (Long, Long) = {
+      val scored = toks.zipWithIndex.map { case (w, i) =>
+        val prev = if (i == 0) None else Some(toks(i - 1))
+        prev.flatMap(p => cb.get((p, w)).map(c =>
+            (math.round(math.log(c.toDouble / cu(p).toDouble) * 1e6), 1L)))
+          .getOrElse((math.round(math.log(0.4 * (cu.getOrElse(w, 1L).toDouble / total)) * 1e6), 0L))
+      }
+      (scored.map(_._2).sum, scored.map(_._1).sum)
+    }
+    val scoreDocs = Map(10L -> Seq("the", "quick", "fox"),
+      11L -> Seq("quick", "the", "fox"), 12L -> Seq("the", "zorp", "fox"))
+    for ((id, toks) <- scoreDocs) {
+      val (hits, lpm) = ref(toks)
+      assert(out(id)._2 == toks.size.toLong)
+      assert(out(id)._3 == hits, s"doc $id hits: got ${out(id)._3}, want $hits")
+      assert(out(id)._4 == lpm, s"doc $id lpm: got ${out(id)._4}, want $lpm")
+    }
+    // the fluency separation a unigram LM cannot make: same tokens, the
+    // natural order rides the bigram branch, the shuffle backs off
+    assert(out(10L)._3 == 2L && out(11L)._3 == 0L)
+    assert(out(10L)._4 > out(11L)._4)
+    // unseen-token doc scores strictly below both
+    assert(out(12L)._4 < out(11L)._4)
+  }
+
   test("char entropy: uniform text maxes, single-char text scores zero") {
     val df = Seq(
       (1L, "aaaaaaaa"),   // one symbol → entropy 0

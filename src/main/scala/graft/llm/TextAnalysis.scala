@@ -338,6 +338,42 @@ object TextAnalysis {
         sum(col("__lpm")).as("logp_micro"))
   }
 
+  /** CCNet-style head/middle/tail split of a corpus by reference-LM score
+    * (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data"): score every document against the
+    * reference LM ([[bigramBackoffScoreAgainst]]), normalize to per-token
+    * negated micro-nats (lower = more fluent), and cut the corpus into
+    * `head` / `middle` / `tail` at two corpus-relative thresholds — the
+    * mean, and the mean of the worse-than-mean remainder. CCNet cuts at
+    * fixed percentiles; percentiles of a 100 TB score column need either a
+    * global sort or a sketch, so this uses the same-spirit relative cut
+    * that stays EXACT at any scale: per-token norms are integer `DIV`s,
+    * both thresholds are integer sums-of-longs divided by counts — no
+    * sort, no window, no sketch, order-independent to the bit.
+    *
+    * Keeps the score columns alongside `bucket`, so the split composes
+    * with downstream gates (CCNet trains on head, samples middle, drops
+    * tail).
+    */
+  def perplexityBuckets(train: DataFrame, df: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+    val scored = bigramBackoffScoreAgainst(train, df, idCol, textCol, alpha)
+      .withColumn("__nn", expr("(-logp_micro) DIV n_tokens")) // positive: lp < 0 always
+    val m1 = scored.agg(sum(col("__nn")).as("__s1"), count(lit(1)).as("__n1"))
+      .select(expr("__s1 DIV greatest(__n1, 1L)").as("__m1"))
+    val s1 = scored.crossJoin(broadcast(m1))
+    val m2 = s1.filter(col("__nn") > col("__m1"))
+      .agg(sum(col("__nn")).as("__s2"), count(lit(1)).as("__n2"))
+      .select(expr("__s2 DIV greatest(__n2, 1L)").as("__m2"))
+    s1.crossJoin(broadcast(m2))
+      .withColumn("bucket",
+        when(col("__nn") <= col("__m1"), lit("head"))
+          .when(col("__nn") <= coalesce(col("__m2"), col("__m1")), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col("n_tokens"), col("n_bigram_hits"),
+        col("logp_micro"), col("bucket"))
+  }
+
   /** Self-trained [[bigramBackoffScoreAgainst]]. Degenerate on purpose —
     * every bigram in the scored corpus is its own evidence, so the backoff
     * fires only at position 1 — but the bigram branch still separates

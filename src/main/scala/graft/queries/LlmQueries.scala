@@ -505,6 +505,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_lm_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail split on the q_lm_backoff scores: exact
+      // integer thresholds (corpus mean of per-token norms, then mean of
+      // the worse-than-mean remainder) — no sort, no window, no sketch.
+      val d = docs(s, dir)
+      TextAnalysis.perplexityBuckets(
+          d.filter(col("doc_id") % 2 === 0), d, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_entropy" -> ((s, dir) =>
       // Character-entropy gibberish screen in integer micro-nats.
       TextAnalysis.charEntropyBy(docs(s, dir), "doc_id", "text")
@@ -1479,6 +1489,43 @@ object LlmQueries {
         |  CAST(sum(hit) AS BIGINT) AS n_bigram_hits,
         |  CAST(sum(lpm) AS BIGINT) AS logp_micro
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_lm_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |tr AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t WHERE doc_id % 2 = 0),
+        |trpos AS (SELECT CASE WHEN i > 1 THEN ts[i - 1] END AS prev, ts[i] AS w FROM tr),
+        |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM trpos GROUP BY 1),
+        |cb AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS cbw
+        |  FROM trpos WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM trpos),
+        |sp AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t),
+        |pos AS (SELECT doc_id, CASE WHEN i > 1 THEN ts[i - 1] END AS prev, ts[i] AS w FROM sp),
+        |sc AS (SELECT pos.doc_id,
+        |    CASE WHEN cb.cbw IS NOT NULL
+        |      THEN CAST(round(ln(CAST(cb.cbw AS DOUBLE) / CAST(cp.cw AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      ELSE CAST(round(ln(0.4 * (CAST(coalesce(cu.cw, 1) AS DOUBLE)
+        |        / (SELECT total FROM tot))) * 1000000.0) AS BIGINT)
+        |    END AS lpm,
+        |    CASE WHEN cb.cbw IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM pos
+        |  LEFT JOIN cb ON pos.prev = cb.prev AND pos.w = cb.w
+        |  LEFT JOIN cu ON pos.w = cu.w
+        |  LEFT JOIN cu cp ON pos.prev = cp.w),
+        |doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(hit) AS BIGINT) AS n_bigram_hits,
+        |    CAST(sum(lpm) AS BIGINT) AS logp_micro
+        |  FROM sc GROUP BY 1),
+        |nn AS (SELECT doc_id, n_tokens, n_bigram_hits, logp_micro,
+        |    CAST((-logp_micro) // n_tokens AS BIGINT) AS nnv FROM doc),
+        |m1 AS (SELECT CAST(sum(nnv) // greatest(count(*), 1) AS BIGINT) AS m1v FROM nn),
+        |m2 AS (SELECT CAST(sum(nnv) // greatest(count(*), 1) AS BIGINT) AS m2v
+        |  FROM nn WHERE nnv > (SELECT m1v FROM m1))
+        |SELECT doc_id, n_tokens, n_bigram_hits, logp_micro,
+        |  CASE WHEN nnv <= (SELECT m1v FROM m1) THEN 'head'
+        |       WHEN nnv <= coalesce((SELECT m2v FROM m2), (SELECT m1v FROM m1)) THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM nn ORDER BY doc_id""".stripMargin,
 
     "q_text_entropy" ->
       """WITH chars AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,

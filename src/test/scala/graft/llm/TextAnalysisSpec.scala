@@ -195,6 +195,41 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(12L)._4 < out(11L)._4)
   }
 
+  test("perplexity buckets: fluent docs head, shuffled middle, gibberish tail") {
+    val train = Seq(
+      (1L, "the quick fox jumps over the lazy dog"),
+      (2L, "the quick fox runs past the lazy dog")
+    ).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the quick fox jumps"),   // all bigrams seen → lowest norm
+      (11L, "fox quick the jumps"),   // same tokens shuffled → backoff norms
+      (12L, "zzq wvx plm qqj")        // unseen everything → worst norm
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(train, score, "doc_id", "text")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(out(10L) == "head", s"got $out")
+    assert(out(12L) == "tail", s"got $out")
+    // the shuffled doc sits strictly between: not head (above the mean
+    // pulled down by doc 10) — middle or tail depending on the gap; pin
+    // the exact thresholds instead of guessing:
+    val nn = TextAnalysis.bigramBackoffScoreAgainst(train, score, "doc_id", "text")
+      .selectExpr("doc_id", "(-logp_micro) DIV n_tokens AS nn")
+      .as[(Long, Long)].collect().toMap
+    val m1 = nn.values.sum / nn.size
+    val above = nn.values.filter(_ > m1)
+    val m2 = above.sum / above.size
+    def expected(v: Long) = if (v <= m1) "head" else if (v <= m2) "middle" else "tail"
+    for ((id, v) <- nn) assert(out(id) == expected(v), s"doc $id: $v m1=$m1 m2=$m2")
+  }
+
+  test("perplexity buckets: an all-identical corpus is all head") {
+    val train = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b c"), (11L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(train, score, "doc_id", "text")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(out.values.forall(_ == "head"), s"got $out")
+  }
+
   test("char entropy: uniform text maxes, single-char text scores zero") {
     val df = Seq(
       (1L, "aaaaaaaa"),   // one symbol → entropy 0

@@ -412,6 +412,72 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** The persisted face of exact dedup on a ROLLING corpus: one 32-byte
+    * row per distinct content hash. Write this once per ingested batch
+    * (append the survivors' hashes) and the next batch dedups against the
+    * whole corpus history without ever touching prior document bodies.
+    */
+  def hashCatalog(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(sha2(col(textCol), 256).as("content_hash")).distinct()
+
+  /** Incremental exact dedup: admit only batch documents whose content is
+    * (a) first within the batch (row_number over the content hash) and
+    * (b) absent from the persisted catalog (anti-join on the 32-byte key).
+    * This is how a continuously-crawled corpus stays exact-deduped without
+    * re-processing history: the catalog grows by [[hashCatalog]] of each
+    * batch's survivors, and each ingest is one hash-keyed anti-join —
+    * prior batches' bodies are never read again. When the batch is much
+    * smaller than the catalog, `graft.ops.BloomPrune` composes in front to
+    * cut the catalog scan to probable matches.
+    */
+  def exactDedupIncremental(batch: DataFrame, catalog: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    batch.withColumn("__h", sha2(col(textCol), 256))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(catalog.select(col("content_hash").as("__h")), Seq("__h"), "left_anti")
+      .drop("__h", "__rn")
+  }
+
+  /** Cross-corpus MinHash candidates: batch signatures vs a PERSISTED
+    * catalog of prior-batch signatures, equi-joined on exploded (band, key)
+    * — the incremental twin of [[minhashCandidatesFromSigs]] (same banding,
+    * same slim-pair shuffle discipline), for near-dup dedup of a new crawl
+    * batch against corpus history without an all-pairs pass.
+    */
+  def minhashIncrementalCandidates(batchSigs: DataFrame, catalogSigs: DataFrame,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def banded(s: DataFrame) = s
+      .select(col("id"), col("sig"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    val a = banded(batchSigs).alias("a")
+    val b = banded(catalogSigs).alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("id_batch"), col("b.id").as("id_catalog"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), e => e))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Incremental near-dup dedup: drop every batch document whose signature
+    * confirms (estimated Jaccard ≥ threshold) against ANY catalog
+    * signature. Candidates come from the band equi-join, the confirm is the
+    * positional-agreement estimate, and only the (small) drop-id set ships
+    * into the anti-join — prior batches are represented purely by their
+    * stored signatures.
+    */
+  def minhashDedupIncremental(batch: DataFrame, batchSigs: DataFrame,
+      catalogSigs: DataFrame, threshold: Double,
+      numHashes: Int = 64, bands: Int = 16,
+      idCol: String = "doc_id"): DataFrame = {
+    val drop = minhashIncrementalCandidates(batchSigs, catalogSigs, numHashes, bands)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_batch").as(idCol)).distinct()
+    batch.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** n-gram Jaccard near-dup: candidates from a cheap blocking key, then
     * exact Jaccard on word n-gram sets. Exposed with explicit blocking to
     * stay O(candidates), not O(n²).

@@ -143,6 +143,62 @@ object LlmQueries {
     "q_dedup_exact_rows" -> ((s, dir) =>
       Dedup.exactDedup(docs(s, dir)).select(col("doc_id")).orderBy(col("doc_id"))),
 
+    "q_dedup_incremental" -> ((s, dir) => {
+      // Rolling-corpus exact dedup: the even half is the already-ingested
+      // history (represented ONLY by its 32-byte hash catalog), the batch
+      // is the odd half plus planted re-crawls of history (+1e6) and a
+      // within-batch duplicate run (+2e6). Survivors must be exactly the
+      // odd originals: catalog hits and batch-internal copies both drop.
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val prior = d.filter(col("doc_id") % 2 === 0)
+      val newDocs = d.filter(col("doc_id") % 2 === 1)
+      val batch = newDocs
+        .union(prior.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .union(newDocs.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      Dedup.exactDedupIncremental(batch, Dedup.hashCatalog(prior))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_incr_minhash" -> ((s, dir) => {
+      // Near-dup twin of q_dedup_incremental: history (the full corpus) is
+      // represented ONLY by stored MinHash signatures; the batch is a
+      // planted re-crawl of every history doc (+1e6, three words appended
+      // — the aug mutation) plus one guaranteed-novel doc per odd id whose
+      // text is doc-keyed sha2 hex (an alien token space: its shingles
+      // cannot collide with natural English, or each other). NOTE the
+      // corpus itself carries natural near-dup pairs (est 1.0 at sf0.01) —
+      // which is why the novel side is synthetic: "kept" must be provable
+      // without modeling minhash. Certificate discipline as
+      // q_dedup_minhash: ≥95% of re-crawls dropped at est ≥ 0.5, every
+      // novel doc kept, n_prior anchors the size.
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val novel = d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), concat_ws(" ",
+          sha2(concat(lit("novel-a"), col("doc_id").cast("string")), 256),
+          sha2(concat(lit("novel-b"), col("doc_id").cast("string")), 256),
+          sha2(concat(lit("novel-c"), col("doc_id").cast("string")), 256),
+          sha2(concat(lit("novel-d"), col("doc_id").cast("string")), 256)).as("text"))
+      val batch = novel
+        .union(d.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graft dup tail")).as("text")))
+      val kept = Dedup.minhashDedupIncremental(batch,
+          Dedup.minhashSignatures(batch).localCheckpoint(),
+          Dedup.minhashSignatures(d).localCheckpoint(),
+          threshold = 0.5)
+        .localCheckpoint()
+      val keptPlanted = kept.filter(col("doc_id") >= 1000000L)
+        .agg(count(lit(1)).as("__kp"))
+      val keptNovel = kept.filter(col("doc_id") < 1000000L)
+        .agg(count(lit(1)).as("__kn"))
+      d.agg(count(lit(1)).as("n_prior"))
+        .crossJoin(novel.agg(count(lit(1)).as("__nn")))
+        .crossJoin(keptPlanted).crossJoin(keptNovel)
+        .select(
+          (col("__kp") <= col("n_prior") * 0.05).as("recrawls_dropped"),
+          (col("__kn") === col("__nn")).as("novel_kept"),
+          col("n_prior"))
+    }),
+
     "q_dedup_substring" -> ((s, dir) =>
       // Substring-level exact dedup (Lee et al. 2022): maximal spans of
       // tokens covered by 8-grams occurring >= 2 times in the corpus, over
@@ -915,6 +971,21 @@ object LlmQueries {
         |  SELECT doc_id, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH prior AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 2 = 1),
+        |f AS (SELECT doc_id, text,
+        |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM batch)
+        |SELECT doc_id FROM f
+        |WHERE rn = 1 AND sha256(text) NOT IN (SELECT h FROM prior)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incr_minhash" ->
+      """SELECT true AS recrawls_dropped, true AS novel_kept,
+        |  CAST(count(*) AS BIGINT) AS n_prior FROM documents""".stripMargin,
 
     "q_dedup_substring" ->
       s"""WITH docs AS ($boilerDocsSql),

@@ -119,6 +119,49 @@ class DedupSpec extends SparkTestBase {
       s"largest salted join group ($maxChunk^2) must be well under the unsalted 60^2")
   }
 
+  test("incremental exact dedup: catalog hits and within-batch copies drop, new content survives") {
+    val prior = Seq(
+      (1L, "already ingested page one"),
+      (2L, "already ingested page two")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a genuinely new page"),
+      (11L, "already ingested page two"), // catalog hit → drop
+      (12L, "another new page"),
+      (13L, "another new page"),          // within-batch dup → drop
+      (14L, "a genuinely new page")       // within-batch dup of 10 → drop
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exactDedupIncremental(batch, Dedup.hashCatalog(prior))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(10L, 12L))
+  }
+
+  test("incremental exact dedup: an empty catalog reduces to plain exact dedup") {
+    val batch = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val empty = Dedup.hashCatalog(batch.filter(col("doc_id") < 0))
+    val kept = Dedup.exactDedupIncremental(batch, empty)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+  }
+
+  test("incremental minhash dedup: near-dups of catalog docs drop, distinct content survives") {
+    val prior = docs.filter(col("doc_id") === 1 || col("doc_id") === 3)
+      .select(col("doc_id"), col("text"))
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away house"), // near-dup of 1
+      (11L, "entirely unrelated text on gzip member chains and warc parsing today")
+    ).toDF("doc_id", "text")
+    val batchSigs = Dedup.minhashSignatures(batch)
+    val catSigs = Dedup.minhashSignatures(prior)
+    val kept = Dedup.minhashDedupIncremental(batch, batchSigs, catSigs, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L))
+    val cands = Dedup.minhashIncrementalCandidates(batchSigs, catSigs)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_batch", "id_catalog").as[(Long, Long)].collect().toSet
+    assert(cands === Set((10L, 1L)))
+  }
+
   test("poly minhash signatures match an independent Scala computation") {
     val p = 1000000007L
     def fp(s: String): Long =

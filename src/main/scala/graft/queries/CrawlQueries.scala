@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Encoders}
 import org.apache.spark.sql.functions._
 import graft.functions.HtmlKernels
 import graft.llm.{LineDedup, TextAnalysis, UrlOps}
-import graft.sources.Warc
+import graft.sources.{TokenShards, Warc}
 import QueryUtil._
 
 /** Driver-contract queries for the web-crawl ingestion family: WARC
@@ -215,6 +215,44 @@ object CrawlQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_token_shards" -> ((s, dir) => {
+      // Trainer-sink certificate: every doc tokenized to hashed ids (a
+      // deterministic stand-in for a vocab lookup), sharded doc_id % 4,
+      // written as .gtok binary shards (temp + rename commit, in-file key,
+      // trailer counts + CRC32), read back through binaryFile, and
+      // compared row-for-row — placement (shard), in-file order (seq_idx
+      // vs the in-shard doc_id rank) and every token value sit inside
+      // roundtrip_ok; total_tokens cross-checks the MANIFEST's trailer
+      // sums against the corpus's own token count, which the oracle states
+      // independently. (The rank window partitions on 4 shard keys —
+      // certificate-only; production consumers read the manifest.)
+      val out = stagingDir() + "/gtok/" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+      val src = docs(s, dir).select(
+          (col("doc_id") % 4).cast("long").as("shard"),
+          col("doc_id").as("chunk"),
+          transform(split(trim(lower(col("text"))), "\\s+"),
+            t => pmod(xxhash64(t), lit(65536)).cast("int")).as("tokens"))
+        .localCheckpoint()
+      val manifest = TokenShards.write(src, out).localCheckpoint()
+      val expected = src.withColumn("seq_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("chunk"))).cast("long") - 1L)
+      val bad = TokenShards.read(s, out)
+        .select(col("shard").cast("long").as("shard"), col("seq_idx"),
+          col("tokens").as("__rt"))
+        .join(expected.select(col("shard"), col("seq_idx"), col("tokens")),
+          Seq("shard", "seq_idx"), "full")
+        .filter(col("__rt").isNull || col("tokens").isNull ||
+          !(col("__rt") === col("tokens")))
+        .agg(count(lit(1)).as("__bad"))
+      val totals = manifest.agg(sum(col("n_tokens")).as("__mtok"))
+        .crossJoin(src.agg(sum(size(col("tokens"))).cast("long").as("total_tokens"),
+          count(lit(1)).as("n_docs")))
+      bad.crossJoin(totals).select(
+        (col("__bad") === 0 && col("__mtok") === col("total_tokens")).as("roundtrip_ok"),
+        col("n_docs"), col("total_tokens"))
+    }),
+
     "q_warc_gz_roundtrip" -> ((s, dir) => {
       // Compressed-container certificate: the same corpus encoded in the
       // Common Crawl convention (each record its own gzip member,
@@ -402,6 +440,12 @@ object CrawlQueries {
         |      AS record_idx
         |  FROM documents WHERE doc_id % 5 = 1)
         |SELECT doc_id, shard, record_idx, text FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_token_shards" ->
+      """SELECT true AS roundtrip_ok, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
+        |    AS total_tokens
+        |FROM documents""".stripMargin,
 
     "q_warc_dsv2" ->
       """WITH d AS (SELECT doc_id, text, doc_id % 8 AS k,

@@ -839,6 +839,29 @@ object LlmQueries {
         budgets = budgets)
     }),
 
+    "q_pipeline_ccnet" -> ((s, dir) => {
+      // The CCNet recipe end to end (Wenzek et al. 2020): line-level
+      // boilerplate dedup → language ID (keep en) → reference-LM
+      // perplexity buckets (LM trained on the survivors' even half) →
+      // drop the tail. On this corpus the line-dedup stage is a verified
+      // identity (no line recurs across ≥50 docs — q_dedup_lines pins
+      // that), so the oracle composes langid + buckets while the Spark
+      // plan still runs the real operator.
+      val deduped = graft.llm.LineDedup
+        .removeFrequentLines(docs(s, dir), "doc_id", "text", minDocs = 50)
+        .select(col("id").as("doc_id"), col("text"))
+      val en = deduped.join(
+          TextAnalysis.langIdBy(deduped, "doc_id", "text")
+            .filter(col("lang_id") === "en").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .localCheckpoint() // feeds the LM train side, score side and join-back
+      TextAnalysis.perplexityBuckets(
+          en.filter(col("doc_id") % 2 === 0), en, "doc_id", "text")
+        .filter(col("bucket") =!= "tail")
+        .select(col("doc_id"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_pipeline_curation3" -> ((s, dir) => {
       // Model-gated curation: repetition gate → model-based quality filter
       // (the certified closed-form weights; keep iff the exact integer
@@ -1597,6 +1620,56 @@ object LlmQueries {
         |       WHEN nnv <= coalesce((SELECT m2v FROM m2), (SELECT m1v FROM m1)) THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM nn ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_ccnet" ->
+      """WITH lt AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |v AS (SELECT doc_id, text,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','es','un'], x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un','une'], x))) AS s_fr,
+        |    len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) AS s_zh
+        |  FROM lt),
+        |en AS (SELECT doc_id, text FROM v
+        |  WHERE greatest(s_de, s_en, s_es, s_fr, s_zh) > 0
+        |    AND s_zh < greatest(s_de, s_en, s_es, s_fr, s_zh)
+        |    AND s_fr < greatest(s_de, s_en, s_es, s_fr, s_zh)
+        |    AND s_es < greatest(s_de, s_en, s_es, s_fr, s_zh)
+        |    AND s_en = greatest(s_de, s_en, s_es, s_fr, s_zh)),
+        |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM en),
+        |tr AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t WHERE doc_id % 2 = 0),
+        |trpos AS (SELECT CASE WHEN i > 1 THEN ts[i - 1] END AS prev, ts[i] AS w FROM tr),
+        |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM trpos GROUP BY 1),
+        |cb AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS cbw
+        |  FROM trpos WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM trpos),
+        |sp AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t),
+        |pos AS (SELECT doc_id, CASE WHEN i > 1 THEN ts[i - 1] END AS prev, ts[i] AS w FROM sp),
+        |sc AS (SELECT pos.doc_id,
+        |    CASE WHEN cb.cbw IS NOT NULL
+        |      THEN CAST(round(ln(CAST(cb.cbw AS DOUBLE) / CAST(cp.cw AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      ELSE CAST(round(ln(0.4 * (CAST(coalesce(cu.cw, 1) AS DOUBLE)
+        |        / (SELECT total FROM tot))) * 1000000.0) AS BIGINT)
+        |    END AS lpm,
+        |    CASE WHEN cb.cbw IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM pos
+        |  LEFT JOIN cb ON pos.prev = cb.prev AND pos.w = cb.w
+        |  LEFT JOIN cu ON pos.w = cu.w
+        |  LEFT JOIN cu cp ON pos.prev = cp.w),
+        |doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(lpm) AS BIGINT) AS logp_micro
+        |  FROM sc GROUP BY 1),
+        |nn AS (SELECT doc_id, CAST((-logp_micro) // n_tokens AS BIGINT) AS nnv FROM doc),
+        |m1 AS (SELECT CAST(sum(nnv) // greatest(count(*), 1) AS BIGINT) AS m1v FROM nn),
+        |m2 AS (SELECT CAST(sum(nnv) // greatest(count(*), 1) AS BIGINT) AS m2v
+        |  FROM nn WHERE nnv > (SELECT m1v FROM m1)),
+        |b AS (SELECT doc_id,
+        |  CASE WHEN nnv <= (SELECT m1v FROM m1) THEN 'head'
+        |       WHEN nnv <= coalesce((SELECT m2v FROM m2), (SELECT m1v FROM m1)) THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |  FROM nn)
+        |SELECT doc_id, bucket FROM b WHERE bucket != 'tail' ORDER BY doc_id""".stripMargin,
 
     "q_text_entropy" ->
       """WITH chars AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,

@@ -478,6 +478,24 @@ object Dedup {
     batch.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Pairwise exact-content overlap between labeled sources — the leakage
+    * audit a multi-source corpus runs before training (is the eval set in
+    * the crawl? do two vendors resell the same scrape?). Each (content,
+    * source) pair reduces to a 32-byte hash BEFORE the self equi-join on
+    * the hash (never on bodies, never all-pairs), and only source pairs
+    * with at least one shared document materialize. `source_a < source_b`
+    * emits each unordered pair once.
+    */
+  def overlapMatrix(df: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val hs = df.select(sha2(col(textCol), 256).as("h"),
+      col(sourceCol).cast("string").as("src")).distinct()
+    val a = hs.alias("a"); val b = hs.alias("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** n-gram Jaccard near-dup: candidates from a cheap blocking key, then
     * exact Jaccard on word n-gram sets. Exposed with explicit blocking to
     * stay O(candidates), not O(n²).

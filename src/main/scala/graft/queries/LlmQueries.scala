@@ -159,6 +159,19 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "q_source_overlap" -> ((s, dir) => {
+      // Cross-source leakage audit: the corpus (clean across sources —
+      // zero natural exact overlap) plus a planted 'evalset' built from
+      // every 37th doc; the matrix must show exactly each source's share
+      // of the planted eval docs and no other pair.
+      val d = docs(s, dir)
+      val withEval = d.select(col("source"), col("text"))
+        .union(d.filter(col("doc_id") % 37 === 0)
+          .select(lit("evalset").as("source"), col("text")))
+      Dedup.overlapMatrix(withEval)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     "q_dedup_incr_minhash" -> ((s, dir) => {
       // Near-dup twin of q_dedup_incremental: history (the full corpus) is
       // represented ONLY by stored MinHash signatures; the batch is a
@@ -1009,6 +1022,15 @@ object LlmQueries {
     "q_dedup_incr_minhash" ->
       """SELECT true AS recrawls_dropped, true AS novel_kept,
         |  CAST(count(*) AS BIGINT) AS n_prior FROM documents""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH hs AS (SELECT DISTINCT sha256(text) AS h, source AS src FROM (
+        |    SELECT text, source FROM documents
+        |    UNION ALL SELECT text, 'evalset' FROM documents WHERE doc_id % 37 = 0))
+        |SELECT a.src AS source_a, b.src AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.src < b.src
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_substring" ->
       s"""WITH docs AS ($boilerDocsSql),

@@ -162,6 +162,23 @@ class DedupSpec extends SparkTestBase {
     assert(cands === Set((10L, 1L)))
   }
 
+  test("overlap matrix counts shared contents per source pair, omits empty pairs") {
+    val df = Seq(
+      ("web", "alpha"), ("web", "beta"), ("web", "gamma"),
+      ("books", "alpha"), ("books", "delta"),
+      ("eval", "alpha"), ("eval", "beta"),
+      ("clean", "epsilon"),
+      ("web", "alpha") // duplicate within a source counts once
+    ).toDF("source", "text")
+    val m = Dedup.overlapMatrix(df)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(m === Map(
+      ("books", "web") -> 1L,   // alpha
+      ("books", "eval") -> 1L,  // alpha
+      ("eval", "web") -> 2L))   // alpha, beta — and no row for 'clean'
+  }
+
   test("poly minhash signatures match an independent Scala computation") {
     val p = 1000000007L
     def fp(s: String): Long =

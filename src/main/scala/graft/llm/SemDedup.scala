@@ -91,7 +91,10 @@ object SemDedup {
     val cells = withCell(df, centroids, idCol, embCol)
     val pairs = cellPairs(df, centroids, threshold, idCol, embCol)
     val comps = Dedup.nearDupComponents(pairs) // (id, comp)
+    // O(candidate nodes) frame with two consumers (representative pick +
+    // drop join) — materialized so the cell-join subtree runs once.
     val ranked = withCentroidCosine(cells.join(comps, "id"), centroids)
+      .localCheckpoint()
     val reps = ranked.groupBy(col("comp"))
       .agg(min_by(col("id"), struct(col("ccos"), col("id"))).as("rep"))
     val drop = ranked.join(reps, "comp")

@@ -357,8 +357,12 @@ object TextAnalysis {
     */
   def perplexityBuckets(train: DataFrame, df: DataFrame,
       idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+    // Materialized once: three consumers (both threshold aggregates and the
+    // final projection) would otherwise each replay the full LM-score join
+    // pipeline — three corpus passes (round-9 plan audit).
     val scored = bigramBackoffScoreAgainst(train, df, idCol, textCol, alpha)
       .withColumn("__nn", expr("(-logp_micro) DIV n_tokens")) // positive: lp < 0 always
+      .localCheckpoint()
     val m1 = scored.agg(sum(col("__nn")).as("__s1"), count(lit(1)).as("__n1"))
       .select(expr("__s1 DIV greatest(__n1, 1L)").as("__m1"))
     val s1 = scored.crossJoin(broadcast(m1))

@@ -378,6 +378,32 @@ object TextAnalysis {
         col("logp_micro"), col("bucket"))
   }
 
+  /** Train and COLLECT the Stupid-Backoff LM as a deployable artifact
+    * ([[graft.functions.FrozenLm]]): both count tables aggregate
+    * distributed (map-side partials, token keys) and only the RESULT —
+    * O(reference vocab + reference bigram vocab), the trained artifact,
+    * never the corpus — lands on the driver, the same boundedness
+    * discipline as a benchmark gram catalog or a BPE merge list (CCNet
+    * ships the equivalent KenLM binary to every worker). The frozen form
+    * scores documents as a one-pass kernel with no joins and no state:
+    * the batch apply for "score corpus B against corpus A's LM", and the
+    * ONLY shape that composes with a stream
+    * ([[graft.streaming.StreamingLmGate]]).
+    */
+  def freezeLm(train: DataFrame, textCol: String = "text",
+      alpha: Double = 0.4): graft.functions.FrozenLm = {
+    val s = train.sparkSession
+    import s.implicits._
+    val pos = lmPositions(train, textCol, Seq.empty).localCheckpoint()
+    val cu = pos.groupBy(col("__w")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val cb = pos.filter(col("__prev").isNotNull)
+      .select(concat_ws(" ", col("__prev"), col("__w")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    graft.functions.FrozenLm(cu, cb, cu.values.sum.toDouble, alpha)
+  }
+
   /** Self-trained [[bigramBackoffScoreAgainst]]. Degenerate on purpose —
     * every bigram in the scored corpus is its own evidence, so the backoff
     * fires only at position 1 — but the bigram branch still separates

@@ -110,6 +110,37 @@ object LlmQueries {
       |  round(1.0 / (1.0 + exp(-(CAST(score_micro AS DOUBLE) / (1000000.0 * n_tokens)))), 6) AS prob
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Shared oracle for the two Stupid-Backoff scoring paths (the
+    * relational join pipeline and the frozen-LM one-pass kernel — same
+    * contract, independent implementations).
+    */
+  private lazy val lmBackoffSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+      |tr AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t WHERE doc_id % 2 = 0),
+      |trpos AS (SELECT CASE WHEN i > 1 THEN ts[i - 1] END AS prev, ts[i] AS w FROM tr),
+      |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM trpos GROUP BY 1),
+      |cb AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS cbw
+      |  FROM trpos WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM trpos),
+      |sp AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t),
+      |pos AS (SELECT doc_id, CASE WHEN i > 1 THEN ts[i - 1] END AS prev, ts[i] AS w FROM sp),
+      |sc AS (SELECT pos.doc_id,
+      |    CASE WHEN cb.cbw IS NOT NULL
+      |      THEN CAST(round(ln(CAST(cb.cbw AS DOUBLE) / CAST(cp.cw AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      ELSE CAST(round(ln(0.4 * (CAST(coalesce(cu.cw, 1) AS DOUBLE)
+      |        / (SELECT total FROM tot))) * 1000000.0) AS BIGINT)
+      |    END AS lpm,
+      |    CASE WHEN cb.cbw IS NOT NULL THEN 1 ELSE 0 END AS hit
+      |  FROM pos
+      |  LEFT JOIN cb ON pos.prev = cb.prev AND pos.w = cb.w
+      |  LEFT JOIN cu ON pos.w = cu.w
+      |  LEFT JOIN cu cp ON pos.prev = cp.w)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(hit) AS BIGINT) AS n_bigram_hits,
+      |  CAST(sum(lpm) AS BIGINT) AS logp_micro
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** e1 unit query vector (dim 64 — the corpus embedding width). */
   private val e1: Array[Double] = { val a = new Array[Double](64); a(0) = 1.0; a }
 
@@ -571,6 +602,19 @@ object LlmQueries {
       val d = docs(s, dir)
       TextAnalysis.bigramBackoffScoreAgainst(
           d.filter(col("doc_id") % 2 === 0), d, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_lm_frozen" -> ((s, dir) => {
+      // The DEPLOYED form of q_lm_backoff: the LM trained on the even half
+      // is frozen to a driver artifact (O(reference vocab), the CCNet
+      // KenLM-binary shape) and applied as a one-pass kernel — no joins,
+      // no aggregation over positions. Must hash-match the SAME oracle as
+      // the relational pipeline: two independent implementations, one
+      // contract (the q_dedup_substring_gate discipline).
+      val d = docs(s, dir)
+      val lm = TextAnalysis.freezeLm(d.filter(col("doc_id") % 2 === 0), "text")
+      graft.streaming.StreamingLmGate.scoreWithFrozenLm(d, lm)
         .orderBy(col("doc_id"))
     }),
 
@@ -1579,32 +1623,10 @@ object LlmQueries {
         |  CAST(sum(lpm) AS BIGINT) AS logp_micro
         |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q_lm_backoff" ->
-      """WITH t AS (SELECT doc_id,
-        |    string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
-        |tr AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t WHERE doc_id % 2 = 0),
-        |trpos AS (SELECT CASE WHEN i > 1 THEN ts[i - 1] END AS prev, ts[i] AS w FROM tr),
-        |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM trpos GROUP BY 1),
-        |cb AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS cbw
-        |  FROM trpos WHERE prev IS NOT NULL GROUP BY 1, 2),
-        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM trpos),
-        |sp AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t),
-        |pos AS (SELECT doc_id, CASE WHEN i > 1 THEN ts[i - 1] END AS prev, ts[i] AS w FROM sp),
-        |sc AS (SELECT pos.doc_id,
-        |    CASE WHEN cb.cbw IS NOT NULL
-        |      THEN CAST(round(ln(CAST(cb.cbw AS DOUBLE) / CAST(cp.cw AS DOUBLE)) * 1000000.0) AS BIGINT)
-        |      ELSE CAST(round(ln(0.4 * (CAST(coalesce(cu.cw, 1) AS DOUBLE)
-        |        / (SELECT total FROM tot))) * 1000000.0) AS BIGINT)
-        |    END AS lpm,
-        |    CASE WHEN cb.cbw IS NOT NULL THEN 1 ELSE 0 END AS hit
-        |  FROM pos
-        |  LEFT JOIN cb ON pos.prev = cb.prev AND pos.w = cb.w
-        |  LEFT JOIN cu ON pos.w = cu.w
-        |  LEFT JOIN cu cp ON pos.prev = cp.w)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(sum(hit) AS BIGINT) AS n_bigram_hits,
-        |  CAST(sum(lpm) AS BIGINT) AS logp_micro
-        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_lm_backoff" -> lmBackoffSql,
+
+    // Kernel twin of q_lm_backoff — same contract, same oracle.
+    "q_lm_frozen" -> lmBackoffSql,
 
     "q_lm_buckets" ->
       """WITH t AS (SELECT doc_id,

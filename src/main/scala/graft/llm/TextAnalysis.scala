@@ -318,10 +318,19 @@ object TextAnalysis {
   def bigramBackoffScoreAgainst(train: DataFrame, df: DataFrame,
       idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
     val trainPos = lmPositions(train, textCol, Seq.empty)
+    // The count tables are materialized once: they are O(train vocab) —
+    // the artifact, not the corpus — and without this the plan evaluates
+    // the train-side explode FIVE times (cu twice for the w/prev probes,
+    // cb, the grand total, and nothing reused: round-9 plan audit counted
+    // 5 parquet scans). With it: train explodes once per table, the score
+    // side once. N = Σ c(w) reads the materialized cu (sum of longs —
+    // exactly the position count).
     val cu = trainPos.groupBy(col("__w")).agg(count(lit(1)).as("__cw"))
+      .localCheckpoint()
+    val total = cu.agg(sum(col("__cw")).cast("double").as("__total"))
     val cb = trainPos.filter(col("__prev").isNotNull)
       .groupBy(col("__prev"), col("__w")).agg(count(lit(1)).as("__cbw"))
-    val total = trainPos.agg(count(lit(1)).cast("double").as("__total"))
+      .localCheckpoint()
     lmPositions(df, textCol, Seq(col(idCol)))
       .join(cb, Seq("__prev", "__w"), "left") // null prev never matches → backoff
       .join(cu, Seq("__w"), "left")

@@ -1,0 +1,155 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Conversation (SFT / chat) data operators — the post-pretraining half of
+  * a training-data pipeline. Pretraining curation treats a document as one
+  * string; instruction-tuning data is a SEQUENCE of (role, content) turns
+  * with structural invariants (roles alternate, the model's reply comes
+  * last, no empty turns) that plain document operators can't check, plus
+  * its own dedup granularity (two conversations are duplicates when their
+  * full turn sequences match, regardless of ids) and its own render step
+  * (a chat template flattens turns back into one trainable string).
+  *
+  * Input shape: a TURNS frame — one row per turn, keyed by a conversation
+  * id and an intra-conversation turn index. This is the scalable
+  * representation: turns of one conversation co-locate under the
+  * conversation key, every operator below is a keyed window or keyed
+  * aggregation on that key (one shuffle, reused across the chained steps
+  * by Catalyst since the partitioning is identical), and nothing ever
+  * materializes an unbounded array on the driver. A conversation's turns
+  * must fit one executor task — the same bound the per-file cal scan
+  * documents, and inherent to "render this conversation as one string".
+  */
+object Conversations {
+
+  /** Per-conversation structural validation, flat one-row-per-conversation
+    * output: (id, n_turns, first_role, alternates, has_empty,
+    * ends_with_assistant, valid).
+    *
+    * The alternation contract is the OpenAI/ShareGPT chat shape: an
+    * optional leading `system` turn, then strictly alternating
+    * user/assistant starting at user. `valid` additionally requires ≥ 2
+    * turns, no empty content, and an assistant turn last (an SFT example
+    * with no final assistant reply has no training target).
+    */
+  def validate(turns: DataFrame, convCol: String, idxCol: String,
+               roleCol: String, contentCol: String): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+    // Per-turn expected role: position p after the optional system prefix
+    // must be user for even p, assistant for odd p. first_value over the
+    // conversation-keyed window makes "did this conversation open with
+    // system?" available per-turn without a second pass over the data.
+    val perTurn = turns.select(
+        col(convCol).as("id"), col(idxCol).as("idx"),
+        col(roleCol).as("role"), col(contentCol).as("content"))
+      .withColumn("first_role", first(col("role")).over(w))
+      .withColumn("p",
+        row_number().over(w) - when(col("first_role") === "system", 2).otherwise(1))
+      .withColumn("role_ok",
+        // the system turn itself (p = -1) is ok by definition
+        (col("p") === -1) ||
+        (col("p") % 2 === 0 && col("role") === "user") ||
+        (col("p") % 2 === 1 && col("role") === "assistant"))
+    // The window already hash-partitioned by the conversation key, so this
+    // aggregation reuses that exchange — one shuffle for the whole check.
+    perTurn.groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        min_by(col("role"), col("idx")).as("first_role"),
+        min(col("role_ok").cast("int")).cast("boolean").as("alternates"),
+        max((length(trim(col("content"))) === 0).cast("int")).cast("boolean")
+          .as("has_empty"),
+        (max_by(col("role"), col("idx")) === "assistant").as("ends_with_assistant"))
+      .withColumn("valid",
+        col("alternates") && !col("has_empty") && col("ends_with_assistant") &&
+          col("n_turns") >= 2)
+  }
+
+  /** Per-conversation size/shape stats: turn count and whitespace-token /
+    * char mass split by role — the numbers an SFT packing budget or a
+    * turn-length filter keys on. One keyed aggregation.
+    */
+  def stats(turns: DataFrame, convCol: String, idxCol: String,
+            roleCol: String, contentCol: String): DataFrame =
+    turns.groupBy(col(convCol).as("id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col(roleCol) === "user",
+          TextAnalysis.tokenCount(col(contentCol))).otherwise(0L)).as("user_tokens"),
+        sum(when(col(roleCol) === "assistant",
+          TextAnalysis.tokenCount(col(contentCol))).otherwise(0L)).as("assistant_tokens"),
+        sum(length(col(contentCol)).cast("long")).as("total_chars"))
+
+  /** Content hash of a conversation: sha2-256 over the turn sequence in
+    * index order, roles included, with US (0x1f) / RS (0x1e) as field / record
+    * separators (characters that cannot appear in normal text, so two
+    * different turn sequences cannot collide by concatenation). The
+    * conversation-level analog of [[Dedup.exactDedup]]'s document hash.
+    */
+  def contentHash(turns: DataFrame, convCol: String, idxCol: String,
+                  roleCol: String, contentCol: String): DataFrame =
+    turns.groupBy(col(convCol).as("id"))
+      .agg(array_sort(collect_list(struct(col(idxCol).as("i"),
+        concat(col(roleCol), lit("\u001f"), col(contentCol)).as("t")))).as("ts"))
+      .select(col("id"),
+        sha2(array_join(transform(col("ts"), x => x.getField("t")), "\u001e"), 256)
+          .as("conv_hash"))
+
+  /** Exact conversation dedup: (id, conv_hash, n_dups, keep) — `keep` is
+    * true for the lowest id of each identical turn sequence. The hash
+    * group is a second keyed shuffle, but on a 32-byte key: turn TEXT
+    * shuffles once (into [[contentHash]]'s conversation-keyed
+    * aggregation), never again.
+    */
+  def dedupExact(turns: DataFrame, convCol: String, idxCol: String,
+                 roleCol: String, contentCol: String): DataFrame = {
+    val hashed = contentHash(turns, convCol, idxCol, roleCol, contentCol)
+    val w = Window.partitionBy(col("conv_hash"))
+    hashed
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .withColumn("keep", col("id") === min(col("id")).over(w))
+  }
+
+  /** Render each conversation through a ChatML-shaped template —
+    * `<|im_start|>role\ncontent<|im_end|>\n` per turn, concatenated in
+    * index order — and emit the flattened trainable string plus its
+    * whitespace-token count (the packing-budget input). One keyed
+    * aggregation; the template is applied per-turn BEFORE the reassembly
+    * so the concat is a single `array_join`.
+    */
+  def render(turns: DataFrame, convCol: String, idxCol: String,
+             roleCol: String, contentCol: String): DataFrame =
+    turns.groupBy(col(convCol).as("id"))
+      .agg(array_sort(collect_list(struct(col(idxCol).as("i"),
+        concat(lit("<|im_start|>"), col(roleCol), lit("\n"),
+          col(contentCol), lit("<|im_end|>\n")).as("t")))).as("ts"))
+      .select(col("id"),
+        array_join(transform(col("ts"), x => x.getField("t")), "").as("rendered"))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("rendered")))
+
+  /** Preference-pair (DPO/RLHF) integrity check, one row per pair:
+    * (id, chosen_empty, rejected_empty, identical, prompt_dup, keep,
+    * valid). `identical` catches the degenerate pair that contributes no
+    * preference signal; `prompt_dup`/`keep` dedup pairs that share a
+    * prompt (lowest id wins — training on two pairs with the same prompt
+    * double-weights it). The prompt group is keyed on the prompt's
+    * sha2-256, so prompt text never shuffles.
+    */
+  def preferenceCheck(pairs: DataFrame, idCol: String, promptCol: String,
+                      chosenCol: String, rejectedCol: String): DataFrame = {
+    val w = Window.partitionBy(col("prompt_hash"))
+    pairs.select(col(idCol).as("id"),
+        sha2(col(promptCol), 256).as("prompt_hash"),
+        (length(trim(col(chosenCol))) === 0).as("chosen_empty"),
+        (length(trim(col(rejectedCol))) === 0).as("rejected_empty"),
+        (col(chosenCol) === col(rejectedCol)).as("identical"))
+      .withColumn("prompt_dup", count(lit(1)).over(w) > 1)
+      .withColumn("keep", col("id") === min(col("id")).over(w))
+      .withColumn("valid",
+        !col("chosen_empty") && !col("rejected_empty") && !col("identical"))
+      .drop("prompt_hash")
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver corpus (TESTDATA.md) and any staged
   * output. One file per table: `{dir}/{name}.parquet`.
@@ -31,6 +31,13 @@ object Tables {
     val df = load(spark, dir, "events")
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (df.schema("ts").dataType == TimestampNTZType)
+      // Corpus revisions ship plain TIMESTAMP(MICROS) with no UTC flag;
+      // Spark 4 infers TIMESTAMP_NTZ, which unix_micros/window reject.
+      // The session timezone is pinned UTC, so the NTZ→LTZ cast maps each
+      // wall-clock to the same instant DuckDB's naive read uses — derived
+      // epoch-microsecond comparisons stay exact.
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 }

@@ -19,11 +19,26 @@ import graft.functions.ArrayOps
   * Spark shape, and why it scales:
   *   - the cluster assignment is the stored-IVF-cell machinery
   *     ([[Similarity.withIvfCell]]): a codegen'd argmin over k literal
-  *     centroids, a pure map — write the cell once, partition by it, and
-  *     the candidate join becomes co-located;
+  *     centroids, a pure map. [[semDedup]] computes it ONCE and
+  *     `localCheckpoint`s the slim (id, emb, cell) projection, so the
+  *     scan + O(k·dim)-per-row argmin is not re-run by the self-join's two
+  *     sides and the ranking join (the materialized copy costs one write of
+  *     the embeddings projection — the self-join's shuffle would have
+  *     written comparable bytes anyway);
   *   - candidate pairs come from a self EQUI-join on the cell id — never
-  *     all-pairs. Work is Σ|cell|²; k is the knob that bounds it (the paper
-  *     uses k ≈ √n·c; at 100 TB you raise k, not executor memory);
+  *     all-pairs. Work is Σ|cell|²; k is the knob that bounds it. Derive it
+  *     with [[deriveK]]: at a fixed target occupancy t, k = n/t keeps the
+  *     pair work at n·t — LINEAR in corpus size (the paper's k ≈ √(n·c) is
+  *     the same idea with t growing as √n; fixed t is the stricter bound);
+  *   - a fat-cell guard: k-means makes no balance promise, and one
+  *     degenerate cell (a boilerplate embedding attractor) would go
+  *     quadratic alone. Cells beyond `maxCellSize` split into
+  *     ceil(|cell|/maxCellSize) sub-buckets keyed by a CONTENT hash of the
+  *     embedding (`xxhash64`), so byte-identical vectors always stay
+  *     co-bucketed and exact duplicates are never missed; distinct
+  *     near-dups split across sub-buckets of a fat cell are missed — the
+  *     same bounded-miss trade the method already accepts at cluster
+  *     boundaries, bought here for a hard O(maxCellSize²) per-bucket bound;
   *   - grouping near-dups into components and anti-joining the drop set
   *     reuses the lexical pipeline's [[Dedup.nearDupComponents]] /
   *     keep-rows discipline — frames involved are O(candidates), far
@@ -33,9 +48,38 @@ import graft.functions.ArrayOps
   * Known method property (inherent to SemDeDup, not this implementation):
   * a near-dup pair split across a cluster boundary is not compared and
   * survives. The paper accepts this miss rate; raising k trades more misses
-  * for less work, lowering k the reverse.
+  * for less work, lowering k the reverse. The fat-cell guard extends the
+  * same contract to within-cell sub-buckets.
   */
 object SemDedup {
+
+  /** Default fat-cell guard: a cell at this size costs ~8M cosine pairs —
+    * bounded seconds on one task — and real k-means cells at a sane k sit
+    * far below it, so the guard only fires on degenerate skew.
+    */
+  val DefaultMaxCellSize: Int = 4096
+
+  /** Corpus-derived cluster count: k = ⌈n / targetCellSize⌉, clamped.
+    *
+    * At fixed target occupancy t the within-cell pair work is
+    * Σ|cell|² ≈ n·t — linear in n, so 100× the corpus means 100× the work,
+    * not 10,000×. This is the scale-safe replacement for a caller-pinned
+    * constant k (which at 100× data gives 100×-fat cells and quadratic
+    * blowup).
+    *
+    * `kMax` defaults to 4096 because [[Similarity.ivfCell]] folds the
+    * centroids in as codegen literals (cost and code size O(k·dim) per
+    * row); past that, train with
+    * [[Similarity.trainIvfCentroidsDistributed]] and assign through a
+    * two-level quantizer instead of raising the clamp.
+    */
+  def deriveK(n: Long, targetCellSize: Int = 128,
+      kMin: Int = 4, kMax: Int = 4096): Int = {
+    require(targetCellSize > 0, s"targetCellSize must be positive: $targetCellSize")
+    require(kMin >= 1 && kMax >= kMin, s"bad clamp [$kMin, $kMax]")
+    val k = math.ceil(math.max(n, 0L).toDouble / targetCellSize)
+    math.min(math.max(k, kMin.toDouble), kMax.toDouble).toInt
+  }
 
   /** (id, emb, cell) projection with the stored cluster id. */
   private def withCell(df: DataFrame, centroids: Array[Array[Double]],
@@ -43,23 +87,50 @@ object SemDedup {
     df.select(col(idCol).as("id"), col(embCol).as("emb"),
       Similarity.ivfCell(col(embCol), centroids).as("cell"))
 
+  /** The fat-cell guard: split any cell beyond `maxCellSize` members into
+    * content-hash sub-buckets (see class doc). The per-cell counts frame is
+    * k rows — broadcast, never shuffled against the corpus. Cells under the
+    * cap get nsub = 1 → sub = 0, i.e. exactly the unguarded join key.
+    */
+  private def saltedCells(cells: DataFrame, maxCellSize: Int): DataFrame = {
+    require(maxCellSize > 0, s"maxCellSize must be positive: $maxCellSize")
+    val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    cells.join(broadcast(counts), "cell")
+      .withColumn("sub",
+        pmod(xxhash64(col("emb")),
+          greatest(lit(1L), ceil(col("cell_n").cast("double") / maxCellSize)
+            .cast("long"))).cast("int"))
+      .drop("cell_n")
+  }
+
+  /** Within-(cell, sub-bucket) candidate pairs over a pre-assigned frame:
+    * self equi-join (`id_a < id_b` halves the matches), exact cosine on the
+    * co-bucketed candidates only.
+    */
+  private def pairsFromCells(cells: DataFrame, threshold: Double): DataFrame = {
+    val a = cells.alias("a"); val b = cells.alias("b")
+    a.join(b, col("a.cell") === col("b.cell") && col("a.sub") === col("b.sub")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        ArrayOps.cosine(col("a.emb"), col("b.emb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Within-cluster semantic near-dup candidate pairs: self equi-join on
-    * the cell id (`id_a < id_b` halves the matches), exact cosine on the
-    * co-clustered candidates only. Output: (id_a, id_b, cosine ≥ threshold).
+    * (cell id, fat-cell sub-bucket). Output: (id_a, id_b, cosine ≥
+    * threshold). Standalone form — recomputes the cell assignment lazily;
+    * [[semDedup]] materializes it once instead.
     */
   def cellPairs(
       df: DataFrame,
       centroids: Array[Array[Double]],
       threshold: Double,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val cells = withCell(df, centroids, idCol, embCol)
-    val a = cells.alias("a"); val b = cells.alias("b")
-    a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        ArrayOps.cosine(col("a.emb"), col("b.emb")).as("cosine"))
-      .filter(col("cosine") >= threshold)
-  }
+      embCol: String = "embedding",
+      maxCellSize: Int = DefaultMaxCellSize): DataFrame =
+    pairsFromCells(
+      saltedCells(withCell(df, centroids, idCol, embCol), maxCellSize),
+      threshold)
 
   /** Cosine of each row's embedding to its OWN cluster centroid — the
     * paper's keep-rule ranking. The k-row centroid frame broadcasts; the
@@ -87,9 +158,14 @@ object SemDedup {
       centroids: Array[Array[Double]],
       threshold: Double,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val cells = withCell(df, centroids, idCol, embCol)
-    val pairs = cellPairs(df, centroids, threshold, idCol, embCol)
+      embCol: String = "embedding",
+      maxCellSize: Int = DefaultMaxCellSize): DataFrame = {
+    // Materialize the assignment once: consumed by the per-cell counts agg,
+    // both self-join sides, and the ranking join — four otherwise-repeated
+    // runs of the scan + O(k·dim) argmin.
+    val cells = withCell(df, centroids, idCol, embCol).localCheckpoint()
+    val salted = saltedCells(cells, maxCellSize)
+    val pairs = pairsFromCells(salted, threshold)
     val comps = Dedup.nearDupComponents(pairs) // (id, comp)
     // O(candidate nodes) frame with two consumers (representative pick +
     // drop join) — materialized so the cell-join subtree runs once.

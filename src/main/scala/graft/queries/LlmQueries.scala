@@ -537,8 +537,16 @@ object LlmQueries {
       // copies. Both members of a copy pair have equal centroid-cosine,
       // and the keep-rule's tie-break keeps the lower id (the original),
       // so the oracle is the unaugmented id list — no clustering modeled.
+      // k is CORPUS-DERIVED (SemDedup.deriveK): fixed target cell
+      // occupancy keeps the within-cell pair work linear in corpus size —
+      // a pinned constant k would go quadratic at 100× data. More cells
+      // never add pairs, and identical copies share cell AND content-hash
+      // sub-bucket, so the planted-copy contract is k-independent.
       val e = emb(s, dir)
-      val cents = Similarity.trainIvfCentroids(e, k = 8)
+      val n = 2L * e.count()
+      val k = SemDedup.deriveK(n)
+      val cents = Similarity.trainIvfCentroids(e, k = k,
+        sampleN = math.max(2048, 16 * k))
       val withCopies = e.select(col("vec_id"), col("embedding"))
         .union(e.select(col("vec_id") + 1000000L, col("embedding")))
       SemDedup.semDedup(withCopies, cents, threshold = 0.99)

@@ -61,6 +61,46 @@ class SemDedupSpec extends SparkTestBase {
     assert(kept === Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("deriveK is linear in corpus size and clamps at both ends") {
+    assert(SemDedup.deriveK(4000, targetCellSize = 128) === 32)
+    assert(SemDedup.deriveK(8000, targetCellSize = 128) === 63) // 2× data → 2× k
+    assert(SemDedup.deriveK(10, targetCellSize = 128) === 4) // kMin floor
+    assert(SemDedup.deriveK(0) === 4)
+    assert(SemDedup.deriveK(Long.MaxValue) === 4096) // kMax codegen bound
+    intercept[IllegalArgumentException](SemDedup.deriveK(100, targetCellSize = 0))
+  }
+
+  test("fat-cell guard: identical copies survive salting; drop set unchanged") {
+    // One cell holds 6 distinct members plus an identical planted copy —
+    // maxCellSize = 2 forces the cell into ≥4 content-hash sub-buckets.
+    // Byte-identical vectors hash identically, so the (30, 31) copy pair is
+    // ALWAYS co-bucketed and found; the distinct members never reach 0.999
+    // cosine, so the drop set is exactly the copy regardless of how the
+    // sub-buckets fall.
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (30L, Array(1.00f, 0.00f, 0f)),
+      (31L, Array(1.00f, 0.00f, 0f)), // identical copy of 30
+      (32L, Array(1.00f, 0.10f, 0f)),
+      (33L, Array(1.00f, 0.20f, 0f)),
+      (34L, Array(1.00f, 0.30f, 0f)),
+      (35L, Array(1.00f, 0.40f, 0f)),
+      (36L, Array(0.00f, 1.00f, 0f)) // other cell, untouched
+    ).toDF("vec_id", "embedding")
+    val kept = SemDedup.semDedup(df, centroids, threshold = 0.999,
+        maxCellSize = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(30L, 32L, 33L, 34L, 35L, 36L))
+    // And the guard really bounds the compared pairs: unguarded the fat
+    // cell yields C(6,2) = 15 candidate joins; sub-bucketed strictly fewer
+    // reach the cosine filter (the planted pair among them).
+    val unguarded = SemDedup.cellPairs(df, centroids, threshold = -1.0)
+      .count()
+    val guarded = SemDedup.cellPairs(df, centroids, threshold = -1.0,
+      maxCellSize = 2).count()
+    assert(guarded < unguarded)
+  }
+
   test("cross-cluster near-dups are missed by construction (documented)") {
     // cos(1,5) ≈ 0.625/ (1 * 0.9605) — actually compute: not a near-dup at
     // 0.995; use a genuinely near pair split by the boundary instead.

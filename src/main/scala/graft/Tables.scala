@@ -15,20 +15,40 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` ships with INT64 TIMESTAMP(NANOS) — a parquet type Spark 4
-    * refuses outright ([PARQUET_TYPE_ILLEGAL]). Sessions that read it must
-    * set `spark.sql.legacy.parquet.nanosAsLong=true` AT BUILD TIME (Verify,
-    * Bench and the test harness all do) so the nanos arrive as a long; this
-    * loader then truncates to microseconds, which matches DuckDB's
-    * `epoch_us` truncation on the same column, so oracle comparisons on
-    * derived integer times are exact. The conf is required at session build
-    * rather than set here: a mid-session `conf.set` would silently change
-    * the behavior of every other parquet read (round-2 verdict finding #6).
+  /** `events` ships as INT64 TIMESTAMP(NANOS) in some corpus revisions — a
+    * parquet type Spark 4 refuses outright ([PARQUET_TYPE_ILLEGAL]) unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` is set AT BUILD TIME
+    * (Verify, Bench and the test harness all do) so the nanos arrive as a
+    * long; this loader then truncates to microseconds, which matches
+    * DuckDB's `epoch_us` truncation on the same column, so oracle
+    * comparisons on derived integer times are exact. MICROS-revision
+    * corpora read fine without the conf, so it is NOT required up front —
+    * a NANOS read that fails for lack of it is rethrown with the fix
+    * spelled out. The conf must come from session build rather than a
+    * `conf.set` here: a mid-session set would silently change the behavior
+    * of every other parquet read (round-2 verdict finding #6).
+    *
+    * The session timezone must be UTC: both normalizations below target the
+    * instant type, and the NANOS div-1000 long as well as the NTZ
+    * wall-clock only map to DuckDB's naive epoch values when no zone offset
+    * intervenes. Asserted here rather than assumed, so a future non-UTC
+    * session fails loudly instead of silently shifting every derived
+    * epoch-microsecond value (round-9 advice).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
-    val df = load(spark, dir, "events")
+    require(spark.conf.get("spark.sql.session.timeZone", "") == "UTC",
+      "set spark.sql.session.timeZone=UTC at session build to read events.parquet " +
+        "(instant normalization below is only DuckDB-exact under UTC)")
+    val df =
+      try load(spark, dir, "events")
+      catch {
+        case e: Throwable
+            if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") &&
+              spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true" =>
+          throw new IllegalStateException(
+            "events.parquet carries INT64 TIMESTAMP(NANOS); set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true at session build to read it", e)
+      }
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else if (df.schema("ts").dataType == TimestampNTZType)

@@ -29,11 +29,15 @@ import org.apache.spark.sql.functions._
   *     onto the slim stream shuffles 24-byte rows, never text.
   *  3. Stage 2 (exact confirm): gram TEXT is re-derived ONLY for surviving
   *     candidates (grouped per doc, one slice per candidate position), and
-  *     a (fp, gram) count window keeps grams whose true occurrence count is
-  *     ≥ 2 — a fingerprint collision (different gram, same fp) survives
-  *     stage 1 but is rejected here, so no unique text is ever removed.
-  *     Shuffled text is proportional to the DUPLICATED volume + collisions,
-  *     not the corpus.
+  *     a (fp, gram) groupBy-count + semi-join keeps grams whose true
+  *     occurrence count is ≥ 2 — a fingerprint collision (different gram,
+  *     same fp) survives stage 1 but is rejected here, so no unique text is
+  *     ever removed. Shuffled text is proportional to the DUPLICATED volume
+  *     + collisions, not the corpus. The count is an AGGREGATE, not a
+  *     window: hash-agg map-side partials collapse a mega-hot boilerplate
+  *     gram to one row per input partition, and the semi-join back is an
+  *     equi-join AQE can skew-split — a count window over the same key
+  *     would funnel all 10⁷ occurrences of one gram into a single task.
   *  4. Positions merge into spans with a per-doc gaps-and-islands window
   *     (two spans starting at p1 < p2 touch iff p2 ≤ p1 + k).
   *
@@ -71,16 +75,23 @@ object SubstringDedup {
     // slice per candidate position.
     val perDoc = candPos.groupBy(col(idCol))
       .agg(collect_list(struct(col("pos"), col("__fp"))).as("__cs"))
+    // Materialized once (duplicated-volume-bounded, never corpus-sized):
+    // consumed by the count agg AND the confirm join below, which would
+    // otherwise each re-run the doc join + tokenize + slice subtree.
     val confirmedCand = df.join(perDoc, Seq(idCol))
       .select(col(idCol), TextAnalysis.tokensWs(col(textCol)).as("__w"),
         explode(col("__cs")).as("__c"))
       .select(col(idCol), col("__c.pos").as("pos"), col("__c.__fp").as("__fp"),
         concat_ws(" ", slice(col("__w"), col("__c.pos") + 1, lit(k))).as("__g"))
+      .localCheckpoint()
     // True occurrence count per gram STRING (all occurrences of a
     // duplicated fp survive stage 1, so counting candidates = full count).
-    val w = Window.partitionBy(col("__fp"), col("__g"))
-    confirmedCand.withColumn("__cnt", count(lit(1)).over(w))
+    // Skew-safe by construction: see step 3 of the class doc.
+    val confirmedGrams = confirmedCand.groupBy(col("__fp"), col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= 2)
+      .select(col("__fp"), col("__g"))
+    confirmedCand.join(confirmedGrams, Seq("__fp", "__g"), "left_semi")
   }
 
   /** Token positions (0-based) whose k-gram occurs ≥ 2 times in the corpus

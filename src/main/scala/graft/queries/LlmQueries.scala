@@ -865,6 +865,19 @@ object LlmQueries {
       m.map { case (a, b) => (a, b) }.toDF("pair_a", "pair_b")
     }),
 
+    "q_text_bpe_incr" -> ((s, dir) => {
+      // The incremental-pair-count trainer (one Spark job total — the
+      // 32k-merge production path) certified against the per-round
+      // re-segmentation trainer on the real corpus: identical merge
+      // lists, in order. BpeSpec pins the O(1)-jobs property; this query
+      // pins corpus-scale equivalence under the correctness gate.
+      import s.implicits._
+      val d = docs(s, dir)
+      val dist = graft.llm.Bpe.train(d, numMerges = 8, minCount = 2)
+      val incr = graft.llm.Bpe.trainIncremental(d, numMerges = 8, minCount = 2)
+      Seq((dist == incr, dist.size.toLong)).toDF("merges_equal", "n_merges")
+    }),
+
     "q_pack_bpe" -> ((s, dir) =>
       // q_pack re-certified on REAL tokenizer counts (VERDICT r8 item 3):
       // same Knuth-mix placement, but the token mass driving chunk/offset
@@ -1406,6 +1419,9 @@ object LlmQueries {
         |agg AS (SELECT p, sum(n) AS c FROM p GROUP BY p HAVING sum(n) >= 2)
         |SELECT split_part(p, ' ', 1) AS pair_a, split_part(p, ' ', 2) AS pair_b
         |FROM agg ORDER BY c DESC, p LIMIT 1""".stripMargin,
+
+    "q_text_bpe_incr" ->
+      "SELECT true AS merges_equal, CAST(8 AS BIGINT) AS n_merges",
 
     "q_pack_bpe" ->
       """WITH d AS (SELECT doc_id,

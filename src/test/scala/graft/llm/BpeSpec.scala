@@ -25,6 +25,48 @@ class BpeSpec extends SparkTestBase {
     assert(merges4 == Seq("l" -> "o", "lo" -> "w", "low" -> "e", "lowe" -> "r"))
   }
 
+  test("incremental trainer certifies equivalent to the distributed one") {
+    val corpus = Seq("low low low", "lower lowest").toDF("text")
+    assert(Bpe.trainIncremental(corpus, numMerges = 10, minCount = 2)
+      == Bpe.train(corpus, numMerges = 10, minCount = 2))
+    assert(Bpe.trainIncremental(corpus, numMerges = 4, minCount = 1)
+      == Bpe.train(corpus, numMerges = 4, minCount = 1))
+    // A corpus with interacting merges, repeats inside words (the
+    // non-overlapping sweep), and count ties broken lexicographically.
+    val tricky = Seq("aaaa aaaa baab", "abab ccc ab", "mississippi mississippi")
+      .toDF("text")
+    for (mc <- Seq(1L, 2L); nm <- Seq(3, 8, 20))
+      assert(Bpe.trainIncremental(tricky, numMerges = nm, minCount = mc)
+        == Bpe.train(tricky, numMerges = nm, minCount = mc),
+        s"diverged at numMerges=$nm minCount=$mc")
+  }
+
+  test("incremental trainer: O(1) Spark jobs regardless of merge count") {
+    val corpus = Seq("low low low", "lower lowest", "a b ab abc").toDF("text")
+      .localCheckpoint() // pin the input so both runs plan identically
+    val sc = spark.sparkContext
+    def jobsFor(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group, interruptOnCancel = false)
+      body
+      sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    val j2 = jobsFor("bpe_incr_2")(Bpe.trainIncremental(corpus, numMerges = 2, minCount = 1))
+    val j16 = jobsFor("bpe_incr_16")(Bpe.trainIncremental(corpus, numMerges = 16, minCount = 1))
+    assert(j16 === j2, "job count must not grow with the merge count")
+    assert(j16 <= 4, s"expected O(1) jobs total, got $j16")
+  }
+
+  test("incremental trainer: maxWords overflow fails loudly, minWordCount prunes") {
+    val corpus = Seq("a b c d e f g h").toDF("text")
+    val e = intercept[IllegalArgumentException](
+      Bpe.trainIncremental(corpus, numMerges = 2, minCount = 1, maxWords = 3))
+    assert(e.getMessage.contains("maxWords"))
+    // rare-word pruning: with every word count-1 pruned away, nothing trains
+    assert(Bpe.trainIncremental(corpus, numMerges = 2, minCount = 1,
+      minWordCount = 2L) === Seq())
+  }
+
   test("apply: chained merges, token sequence and count agree") {
     val merges = Seq("l" -> "o", "lo" -> "w", "low" -> "e")
     val out = Seq("lowest low", "", "unrelated").toDF("text")

@@ -398,19 +398,69 @@ object TextAnalysis {
     * the batch apply for "score corpus B against corpus A's LM", and the
     * ONLY shape that composes with a stream
     * ([[graft.streaming.StreamingLmGate]]).
+    *
+    * Pruning (CCNet's real artifact is a PRUNED KenLM; an unpruned table
+    * bloats driver memory and task serialization as the reference corpus
+    * grows): `minUnigramCount` / `minBigramCount` drop rare entries at the
+    * AGGREGATE, distributed, before anything collects; `maxUnigrams` /
+    * `maxBigrams` cap the tables at the top-K by (count desc, key asc —
+    * deterministic). Defaults keep the artifact EXACT. The certified
+    * deviation contract of a pruned artifact vs the unpruned scorer:
+    *   - positions whose bigram AND both unigrams survive score
+    *     BIT-IDENTICALLY (`total` stays the unpruned position count, so
+    *     retained backoff scores do not move);
+    *   - a pruned-bigram position falls to the (exact) backoff branch of
+    *     its word — the score Stupid-Backoff itself assigns an unseen
+    *     bigram;
+    *   - a pruned-unigram backoff position clamps c(w) to 1, shifting by
+    *     exactly round(ln(c(w))·1e6) ≤ ln(minUnigramCount)·1e6 micro-nats;
+    *   - the "bigram kept ⇒ context kept" invariant the kernel relies on
+    *     is preserved by construction (bigrams of a pruned context are
+    *     dropped with it).
+    * TextAnalysisSpec pins all four properties; q_lm_frozen_pruned
+    * certifies the pruned kernel against an independently-pruned DuckDB
+    * oracle.
     */
   def freezeLm(train: DataFrame, textCol: String = "text",
-      alpha: Double = 0.4): graft.functions.FrozenLm = {
+      alpha: Double = 0.4,
+      minUnigramCount: Long = 1L,
+      minBigramCount: Long = 1L,
+      maxUnigrams: Int = Int.MaxValue,
+      maxBigrams: Int = Int.MaxValue): graft.functions.FrozenLm = {
     val s = train.sparkSession
     import s.implicits._
     val pos = lmPositions(train, textCol, Seq.empty).localCheckpoint()
-    val cu = pos.groupBy(col("__w")).agg(count(lit(1)).as("n"))
+    val cuAll = pos.groupBy(col("__w")).agg(count(lit(1)).as("n"))
+    // N is the UNPRUNED position count — retained entries score identically
+    // to the exact artifact.
+    val total = cuAll.agg(sum(col("n"))).as[Long].head()
+    val cuKeptF0 =
+      if (minUnigramCount > 1L) cuAll.filter(col("n") >= minUnigramCount) else cuAll
+    val cuKeptF =
+      if (maxUnigrams != Int.MaxValue)
+        cuKeptF0.orderBy(col("n").desc, col("__w")).limit(maxUnigrams)
+      else cuKeptF0
+    val pruningActive = minUnigramCount > 1L || minBigramCount > 1L ||
+      maxUnigrams != Int.MaxValue || maxBigrams != Int.MaxValue
+    val cu = cuKeptF.as[(String, Long)].collect().toMap
+    val cbAll = pos.filter(col("__prev").isNotNull)
+      .groupBy(col("__prev"), col("__w")).agg(count(lit(1)).as("n"))
+    val cbMin =
+      if (minBigramCount > 1L) cbAll.filter(col("n") >= minBigramCount) else cbAll
+    // Keep the kernel's "bigram present ⇒ context present" invariant:
+    // bigrams whose context unigram was pruned go with it.
+    val cbKept0 =
+      if (pruningActive)
+        cbMin.join(cuKeptF.select(col("__w").as("__prev")), Seq("__prev"), "left_semi")
+      else cbMin
+    val cbKept =
+      if (maxBigrams != Int.MaxValue)
+        cbKept0.orderBy(col("n").desc, col("__prev"), col("__w")).limit(maxBigrams)
+      else cbKept0
+    val cb = cbKept
+      .select(concat_ws(" ", col("__prev"), col("__w")).as("k"), col("n"))
       .as[(String, Long)].collect().toMap
-    val cb = pos.filter(col("__prev").isNotNull)
-      .select(concat_ws(" ", col("__prev"), col("__w")).as("k"))
-      .groupBy(col("k")).agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect().toMap
-    graft.functions.FrozenLm(cu, cb, cu.values.sum.toDouble, alpha)
+    graft.functions.FrozenLm(cu, cb, total.toDouble, alpha)
   }
 
   /** Self-trained [[bigramBackoffScoreAgainst]]. Degenerate on purpose —

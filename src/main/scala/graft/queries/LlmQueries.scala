@@ -626,6 +626,20 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_lm_frozen_pruned" -> ((s, dir) => {
+      // The PRUNED deployable artifact (CCNet's real KenLM is pruned):
+      // min-count pruning applied at the distributed aggregate, N kept
+      // unpruned so retained entries score exactly. Certified the
+      // q_lm_frozen way — the pruned kernel must hash-match a DuckDB
+      // oracle that reproduces the pruning independently (HAVING +
+      // context semi-join).
+      val d = docs(s, dir)
+      val lm = TextAnalysis.freezeLm(d.filter(col("doc_id") % 2 === 0), "text",
+        minUnigramCount = 2L, minBigramCount = 2L)
+      graft.streaming.StreamingLmGate.scoreWithFrozenLm(d, lm)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_lm_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail split on the q_lm_backoff scores: exact
       // integer thresholds (corpus mean of per-token norms, then mean of
@@ -1651,6 +1665,35 @@ object LlmQueries {
 
     // Kernel twin of q_lm_backoff — same contract, same oracle.
     "q_lm_frozen" -> lmBackoffSql,
+
+    "q_lm_frozen_pruned" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |tr AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t WHERE doc_id % 2 = 0),
+        |trpos AS (SELECT CASE WHEN i > 1 THEN ts[i - 1] END AS prev, ts[i] AS w FROM tr),
+        |cua AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM trpos GROUP BY 1),
+        |cu AS (SELECT w, cw FROM cua WHERE cw >= 2),
+        |cb0 AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS cbw
+        |  FROM trpos WHERE prev IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 2),
+        |cbk AS (SELECT cb0.prev, cb0.w, cb0.cbw FROM cb0 JOIN cu ON cb0.prev = cu.w),
+        |tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS total FROM cua),
+        |sp AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t),
+        |pos AS (SELECT doc_id, CASE WHEN i > 1 THEN ts[i - 1] END AS prev, ts[i] AS w FROM sp),
+        |sc AS (SELECT pos.doc_id,
+        |    CASE WHEN cbk.cbw IS NOT NULL
+        |      THEN CAST(round(ln(CAST(cbk.cbw AS DOUBLE) / CAST(cp.cw AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      ELSE CAST(round(ln(0.4 * (CAST(coalesce(cu.cw, 1) AS DOUBLE)
+        |        / (SELECT total FROM tot))) * 1000000.0) AS BIGINT)
+        |    END AS lpm,
+        |    CASE WHEN cbk.cbw IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM pos
+        |  LEFT JOIN cbk ON pos.prev = cbk.prev AND pos.w = cbk.w
+        |  LEFT JOIN cu ON pos.w = cu.w
+        |  LEFT JOIN cu cp ON pos.prev = cp.w)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(hit) AS BIGINT) AS n_bigram_hits,
+        |  CAST(sum(lpm) AS BIGINT) AS logp_micro
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_lm_buckets" ->
       """WITH t AS (SELECT doc_id,

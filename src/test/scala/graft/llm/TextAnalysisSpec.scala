@@ -195,6 +195,44 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(12L)._4 < out(11L)._4)
   }
 
+  test("frozen LM pruning: retained entries exact, shifts bounded, invariant held") {
+    import graft.streaming.StreamingLmGate
+    def rhu(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    // counts by construction: a=4, b=2, c=1; bigrams (a,a)=3, (b,b)=1; N=7
+    val train = Seq((1L, "a a a a"), (2L, "b b"), (3L, "c")).toDF("doc_id", "text")
+    val full = TextAnalysis.freezeLm(train)
+    val pruned = TextAnalysis.freezeLm(train,
+      minUnigramCount = 3, minBigramCount = 2)
+    // what survives: exactly the frequent entries, counts untouched, N unpruned
+    assert(pruned.unigrams === Map("a" -> 4L))
+    assert(pruned.bigrams === Map("a a" -> 3L))
+    assert(pruned.total === full.total && full.total === 7.0)
+    // kept-bigram-implies-kept-context invariant
+    assert(pruned.bigrams.keySet.forall(k => pruned.unigrams.contains(k.split(" ")(0))))
+
+    def score(lm: graft.functions.FrozenLm, text: String): Long =
+      StreamingLmGate.scoreWithFrozenLm(Seq((0L, text)).toDF("doc_id", "text"), lm)
+        .select("logp_micro").as[Long].head()
+    // a doc touching only retained entries scores BIT-identically
+    assert(score(pruned, "a a a") === score(full, "a a a"))
+    // pruned-unigram backoff position: clamp to 1 shifts by exactly
+    // round(ln(0.4·2/7)e6) − round(ln(0.4·1/7)e6) ≈ ln(c(w))·1e6, within
+    // the ln(minUnigramCount) bound
+    val shift = score(full, "b") - score(pruned, "b")
+    assert(shift === rhu(math.log(0.4 * 2.0 / 7.0) * 1e6) - rhu(math.log(0.4 * 1.0 / 7.0) * 1e6))
+    assert(shift <= math.ceil(math.log(3) * 1e6).toLong)
+    // pruned-bigram position falls to the word's backoff branch
+    assert(score(pruned, "b b") ===
+      2 * rhu(math.log(0.4 * 1.0 / 7.0) * 1e6)) // both positions clamp
+    assert(score(full, "b b") ===
+      rhu(math.log(0.4 * 2.0 / 7.0) * 1e6) + rhu(math.log(1.0 / 2.0) * 1e6))
+    // top-K caps: deterministic, invariant preserved
+    val capped = TextAnalysis.freezeLm(train, maxUnigrams = 1, maxBigrams = 1)
+    assert(capped.unigrams === Map("a" -> 4L))
+    assert(capped.bigrams === Map("a a" -> 3L))
+  }
+
   test("perplexity buckets: fluent docs head, shuffled middle, gibberish tail") {
     val train = Seq(
       (1L, "the quick fox jumps over the lazy dog"),

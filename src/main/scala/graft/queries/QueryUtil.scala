@@ -136,12 +136,20 @@ object QueryUtil {
     * leading order column. The [[withGlobalRowIdx]] trick, per file.
     */
   def withPerFileRowIdx(df: DataFrame, fileCol: String, out: String = "ROWIDX",
-      bucketWidth: Long = 4096L): DataFrame = {
+      bucketWidth: Long = 4096L, fileCountCol: Option[String] = None): DataFrame = {
     val withB = df.withColumn("__bkt", (col("l_orderkey") / bucketWidth).cast("long"))
     val wOff = Window.partitionBy(col(fileCol)).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = withB.groupBy(col(fileCol), col("__bkt")).agg(count(lit(1)).as("__cnt"))
+    // Per-file TOTALS ride the same tiny counts frame when requested
+    // (window over the full file partition) — a separate groupBy(file)
+    // count would scan the input a second time and materialize a second
+    // broadcast stage for the same information.
+    val wTot = Window.partitionBy(col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs0 = withB.groupBy(col(fileCol), col("__bkt")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+    val offs = fileCountCol
+      .fold(offs0)(n => offs0.withColumn(n, sum(col("__cnt")).over(wTot)))
       .drop("__cnt")
     val w = Window.partitionBy(col(fileCol), col("__bkt"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
@@ -150,12 +158,6 @@ object QueryUtil {
       .withColumn(out, col("__rn") + col("__off"))
       .drop("__bkt", "__rn", "__off")
   }
-
-  /** Tiny (file → row count) frame for broadcast, replacing per-file count
-    * windows (same 4-task serialization hazard as the row-index window).
-    */
-  private def fileCounts(df: DataFrame, fileCol: String): DataFrame =
-    df.groupBy(col(fileCol)).agg(count(lit(1)).as("__n"))
 
   /** Multi-file spectrum-flavored observation: FILE_ID = l_orderkey % 4,
     * every row science data (CALSTATE=0, SWPVALID=0), OBSMODE flips to
@@ -180,8 +182,7 @@ object QueryUtil {
   def obsMultiFile(s: SparkSession, dir: String): DataFrame = {
     val fid = col("l_orderkey") % 4
     val base = li(s, dir).withColumn("FILE_ID", fid.cast("string"))
-    withPerFileRowIdx(base, "FILE_ID")
-      .join(broadcast(fileCounts(base, "FILE_ID")), "FILE_ID")
+    withPerFileRowIdx(base, "FILE_ID", fileCountCol = Some("__n"))
       .select(
         col("FILE_ID"), col("ROWIDX"),
         when(col("ROWIDX") < 8 || col("ROWIDX") >= col("__n") - 8, 1).otherwise(0).as("CALSTATE"),
@@ -198,8 +199,7 @@ object QueryUtil {
   def obsMultiFileFull(s: SparkSession, dir: String): DataFrame = {
     val fid = col("l_orderkey") % 4
     val withFid = li(s, dir).withColumn("FILE_ID", fid.cast("string"))
-    val base = withPerFileRowIdx(withFid, "FILE_ID")
-      .join(broadcast(fileCounts(withFid, "FILE_ID")), "FILE_ID")
+    val base = withPerFileRowIdx(withFid, "FILE_ID", fileCountCol = Some("__n"))
     val spike = col("ROWIDX") < 16 || col("ROWIDX") >= col("__n") - 16
     val diodeOn = col("ROWIDX") < 8 || col("ROWIDX") >= col("__n") - 8
     base.select(

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Per-job breakdown of a registered query — the diagnostic behind the
+  * driver's job-count gate. Bench records only the per-query TOTAL; when a
+  * count moves, this main shows WHICH actions fired: one line per Spark
+  * job with its call site and stage count.
+  *
+  * Usage: tools/run_main.sh graft.tools.JobAudit <queryName> [sfDir]
+  */
+object JobAudit {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: JobAudit <queryName> [sfDir]")
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = js.stageInfos.map(si => s"${si.name}(${si.numTasks}t)").mkString(" | ")
+        jobs.add((js.jobId, js.stageInfos.size, site))
+      }
+    })
+    val fn = graft.SparkEntry.queries(name)
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+    val sec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // listener bus settle
+    println(f"== $name: ${jobs.size} jobs, $sec%.2f s ==")
+    jobs.forEach { case (id, nStages, site) =>
+      println(f"job $id%3d  stages=$nStages%2d  $site")
+    }
+    spark.stop()
+  }
+}

@@ -28,12 +28,6 @@ object Spectrum {
 
   def run(df: DataFrame, header: Header, p: Params): DataFrame = {
     val spark = df.sparkSession
-    // channelCount = 1: the spectrum path reads only the scan's offStart,
-    // which is threshold-independent (see runAll) — computing the real
-    // sweep-interleave factor here would cost a full-table aggregation job
-    // whose result cannot affect the output.
-    val channelCount = 1L
-
     // F1+F2 — feed/pol + science-data filter (spectrum.py:28-33).
     var d = df.filter(
       col("IFNUM") === p.ifnum && col("PLNUM") === p.plnum &&
@@ -47,20 +41,38 @@ object Spectrum {
 
     // Bucketed per-file position (graft.ops.Positions): a constant FILE_ID
     // would constant-fold a plain per-file window's partition key away and
-    // funnel every row through one WindowExec partition. flagged is cached:
-    // the ST1 scan and the final aggregation both read it. Not unpersisted
-    // here (the returned frame is lazy) — cache lifecycle is the caller's
-    // (spark.catalog.clearCache() after consumption; the harness does this
-    // between queries); for many files use [[runAll]], which caches nothing.
-    val flagged = Positions.withPos(d2).cache()
+    // funnel every row through one WindowExec partition. flagged is cached
+    // SLIM (only the three columns both consumers read — the off probe and
+    // the A2 aggregate): the materialization is the per-row cost here. Not
+    // unpersisted here (the returned frame is lazy) — cache lifecycle is
+    // the caller's (spark.catalog.clearCache() after consumption; the
+    // harness does this between queries); for many files use [[runAll]],
+    // which caches nothing.
+    val flagged = Positions.withPos(d2)
+      .select(col("__pos"), col("DATA"), col("OBSMODE"))
+      .cache()
 
-    // Distributed ST1: the 600k flag rows reduce executor-side; one row
-    // reaches the driver (scanSingleFile semantics, pinned by q_st1_calscan).
-    val idx = CalibrationScan.scanSingleFileDistributed(flagged, channelCount, header.obsmode)
+    // ST1, spectrum form: the spectrum path reads ONLY the scan's
+    // offStart, which is the index of the FIRST row (in __pos order) whose
+    // OBSMODE contains 'onoff:off' (CalibrationScan.scanStreaming's
+    // offStart register) — i.e. min(__pos) over a contains filter, a fully
+    // PARALLEL aggregation. The sequential per-file state machine
+    // (secondary sort + one ordered pass) is only needed for
+    // dataStart/postCal, which the spectrum path never reads — running it
+    // here serialized the whole table through one task (the sf1 smoke's
+    // super-constant stage: 10x data = 10x single-task scan while every
+    // other stage parallelizes). Gated on header.obsmode == "onoff"
+    // exactly like CalIndices.off.
+    val offStart: Option[Int] =
+      if (header.obsmode == "onoff") {
+        val r = flagged.filter(col("OBSMODE").contains("onoff:off"))
+          .agg(min(col("__pos"))).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0).toInt)
+      } else None
 
     // A2 (+ A10 for onoff): aggregate both halves in ONE pass by grouping on
     // the on/off flag, then zip-subtract the two 1-row arrays.
-    val spec: DataFrame = idx.offStart.filter(_ != 0) match { // Python truthiness: off index 0 = falsy (spectrum.py:62)
+    val spec: DataFrame = offStart.filter(_ != 0) match { // Python truthiness: off index 0 = falsy (spectrum.py:62)
       case Some(off) =>
         // ONE aggregation pass: group on the on/off flag, then fold the two
         // rows with first(when(...)) — a filter+crossJoin here would run the
@@ -113,14 +125,23 @@ object Spectrum {
       .withColumn("__pos",
         (row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("FILE_ID")).orderBy(col("ROWIDX"))) - 1).cast("long"))
-      .select(col("FILE_ID"), col("ROWIDX"), col("__pos"), col("DATA"),
-        col("CALSTATE"), col("SWPVALID"), col("OBSMODE"))
+      .select(col("FILE_ID"), col("__pos"), col("DATA"), col("OBSMODE"))
       .localCheckpoint()
 
-    // Per-file off index (channelCount is irrelevant to off_start — the scan
-    // threshold only gates data_start, which the spectrum path doesn't use).
-    val offs = CalibrationScan.scanPerFile(flagged, 1L, header.obsmode)
-      .select(col("FILE_ID"), col("off_start"))
+    // Per-file off index, spectrum form (see [[run]]): offStart is
+    // min(__pos) over an OBSMODE-contains filter per file — a parallel
+    // groupBy aggregate, not the sequential per-file state machine (which
+    // only dataStart/postCal need, and the spectrum path reads neither).
+    // Null when the header isn't onoff or the file has no off rows, like
+    // CalIndices.off.
+    val offs =
+      if (header.obsmode == "onoff")
+        flagged.groupBy(col("FILE_ID"))
+          .agg(min(when(col("OBSMODE").contains("onoff:off"), col("__pos")))
+            .as("off_start"))
+      else
+        flagged.groupBy(col("FILE_ID"))
+          .agg(first(lit(null).cast("long")).as("off_start"))
 
     // Python truthiness (ref spectrum.py:62): off index 0 or absent → no split.
     val halves = flagged

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 
 /** Per-job breakdown of a registered query — the diagnostic behind the
@@ -24,10 +24,17 @@ object JobAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String)]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val durs = new java.util.concurrent.ConcurrentHashMap[Int, Double]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
+        starts.put(js.jobId, js.time)
         val site = js.stageInfos.map(si => s"${si.name}(${si.numTasks}t)").mkString(" | ")
         jobs.add((js.jobId, js.stageInfos.size, site))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val s = starts.getOrDefault(je.jobId, je.time)
+        durs.put(je.jobId, (je.time - s) / 1e3)
       }
     })
     val fn = graft.SparkEntry.queries(name)
@@ -37,7 +44,8 @@ object JobAudit {
     Thread.sleep(500) // listener bus settle
     println(f"== $name: ${jobs.size} jobs, $sec%.2f s ==")
     jobs.forEach { case (id, nStages, site) =>
-      println(f"job $id%3d  stages=$nStages%2d  $site")
+      val d = durs.getOrDefault(id, -1.0)
+      println(f"job $id%3d  $d%6.2f s  stages=$nStages%2d  $site")
     }
     spark.stop()
   }

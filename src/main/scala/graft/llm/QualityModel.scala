@@ -116,12 +116,18 @@ object QualityModel {
       .localCheckpoint()
     val nDocs = base.count()
     require(nDocs > 0, "no labeled documents")
+    // Buckets don't change across epochs: tokenize once, checkpoint, and
+    // spread by doc id to session parallelism FIRST — every epoch re-scans
+    // this frame twice (score agg + gradient join, both doc-id-keyed), and
+    // a single-file training set would otherwise serialize all E epochs
+    // through one task. One bounded shuffle amortized over the loop.
     val toks = base
       .select(col(idCol), col(labelCol),
         explode(TextAnalysis.tokensWs(lower(col(textCol)))).as("__t"))
       .withColumn("__b", bucket(col("__t"), nBuckets))
       .select(col(idCol), col(labelCol), col("__b"))
-      .localCheckpoint() // buckets don't change across epochs; tokenize once
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .localCheckpoint()
     val w = new Array[Long](nBuckets)
     var epoch = 0
     while (epoch < epochs) {

@@ -607,7 +607,7 @@ object LlmQueries {
       // (the "reference" corpus), scored over every document — odd docs
       // carry contexts and tokens the reference never saw, exercising the
       // bigram, backoff, and unseen-token-clamp branches at corpus scale.
-      val d = docs(s, dir)
+      val d = docsSpread(s, dir)
       TextAnalysis.bigramBackoffScoreAgainst(
           d.filter(col("doc_id") % 2 === 0), d, "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -620,7 +620,7 @@ object LlmQueries {
       // no aggregation over positions. Must hash-match the SAME oracle as
       // the relational pipeline: two independent implementations, one
       // contract (the q_dedup_substring_gate discipline).
-      val d = docs(s, dir)
+      val d = docsSpread(s, dir)
       val lm = TextAnalysis.freezeLm(d.filter(col("doc_id") % 2 === 0), "text")
       graft.streaming.StreamingLmGate.scoreWithFrozenLm(d, lm)
         .orderBy(col("doc_id"))
@@ -633,7 +633,7 @@ object LlmQueries {
       // q_lm_frozen way — the pruned kernel must hash-match a DuckDB
       // oracle that reproduces the pruning independently (HAVING +
       // context semi-join).
-      val d = docs(s, dir)
+      val d = docsSpread(s, dir)
       val lm = TextAnalysis.freezeLm(d.filter(col("doc_id") % 2 === 0), "text",
         minUnigramCount = 2L, minBigramCount = 2L)
       graft.streaming.StreamingLmGate.scoreWithFrozenLm(d, lm)
@@ -644,7 +644,7 @@ object LlmQueries {
       // CCNet head/middle/tail split on the q_lm_backoff scores: exact
       // integer thresholds (corpus mean of per-token norms, then mean of
       // the worse-than-mean remainder) — no sort, no window, no sketch.
-      val d = docs(s, dir)
+      val d = docsSpread(s, dir)
       TextAnalysis.perplexityBuckets(
           d.filter(col("doc_id") % 2 === 0), d, "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -939,13 +939,20 @@ object LlmQueries {
       // identity (no line recurs across ≥50 docs — q_dedup_lines pins
       // that), so the oracle composes langid + buckets while the Spark
       // plan still runs the real operator.
-      val deduped = graft.llm.LineDedup
-        .removeFrequentLines(docs(s, dir), "doc_id", "text", minDocs = 50)
+      // langId as the certified COLUMN form (langIdBy's kernel twin —
+      // TextAnalysisSpec pins agreement): a pure-map filter keeps the
+      // expensive line-dedup subtree evaluated ONCE into the checkpoint;
+      // the aggregation form + semi-join ran it twice.
+      val en = graft.llm.LineDedup
+        .removeFrequentLines(docsSpread(s, dir), "doc_id", "text", minDocs = 50)
         .select(col("id").as("doc_id"), col("text"))
-      val en = deduped.join(
-          TextAnalysis.langIdBy(deduped, "doc_id", "text")
-            .filter(col("lang_id") === "en").select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
+        .filter(TextAnalysis.langId(col("text")) === "en")
+        // Respread before materializing: AQE coalesces the line-dedup
+        // joins' small shuffles to ONE partition (few MB of text), and an
+        // unspread checkpoint would serialize every downstream LM position
+        // explode through one task — the docsSpread parallelism must be
+        // re-asserted at the checkpoint boundary.
+        .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint() // feeds the LM train side, score side and join-back
       TextAnalysis.perplexityBuckets(
           en.filter(col("doc_id") % 2 === 0), en, "doc_id", "text")

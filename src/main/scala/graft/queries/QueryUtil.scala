@@ -30,6 +30,19 @@ object QueryUtil {
   def li(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "lineitem")
   def ord(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "orders")
   def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+
+  /** [[docs]] spread to session parallelism. The sf corpora are single
+    * parquet files, so every scan is ONE task and CPU-heavy per-doc
+    * pipelines (LM position explodes, line shingling) run single-threaded
+    * end to end — a small-file artifact a real corpus never has (a
+    * multi-file 100 TB scan gets thousands of tasks from
+    * maxPartitionBytes). One explicit round-robin repartition up front
+    * restores the parallelism the scan would have at scale; map-only
+    * queries keep reading [[docs]] directly — there the shuffle would cost
+    * more than it buys.
+    */
+  def docsSpread(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).repartition(s.sparkContext.defaultParallelism)
   def emb(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
   def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 

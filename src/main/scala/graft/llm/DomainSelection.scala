@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023, "Data
+  * Selection for Language Models via Importance Resampling"): pick the raw
+  * documents whose hashed-n-gram distribution looks like a TARGET domain
+  * (Wikipedia, code, a benchmark's training split), by importance weight
+  *
+  *   log w(doc) = Σ_features [ log p_target(b) − log p_source(b) ]
+  *
+  * over hashed uni+bigram feature buckets, then sample proportionally via
+  * Gumbel top-k. The standard recipe for "give me 10M documents that look
+  * like my domain" — upstream of curation, downstream of dedup.
+  *
+  * Exactness discipline (the [[TextAnalysis.bigramBackoffScoreAgainst]]
+  * contract): every per-feature log-ratio is rounded to integer micro-nats
+  * BEFORE the per-doc sum, so the weight is an exact integer under any
+  * aggregation order and the DuckDB oracle reproduces it bit-for-bit. The
+  * feature hash is the certified poly fingerprint
+  * ([[TextAnalysis.fingerprint]], oracle-expressible as a `list_reduce`);
+  * smoothing is add-one over the bucket space.
+  *
+  * Shape at scale:
+  *   - the feature stream is a pure map (tokenize → hash → explode); the
+  *     count tables are bucket-keyed aggregates with map-side partials,
+  *     at most `nBuckets` rows each — they join back BROADCAST;
+  *   - the corpus is never shuffled: the only corpus-sized frames are the
+  *     map-side feature stream and the per-doc weight aggregate (doc-keyed);
+  *   - the feature subtree is deliberately evaluated twice (source counts +
+  *     scoring) rather than materialized — at 100 TB a re-run pure map is
+  *     cheaper than persisting the exploded position stream;
+  *   - resampling is a k-row top-k, not a global sort of the corpus.
+  */
+object DomainSelection {
+
+  /** Hashed feature-bucket stream `(idCol, __b)`: unigram buckets
+    * `fp(w) % nBuckets` plus bigram buckets `fp(w1 ⊔ w2) % nBuckets`, with
+    * multiplicity (DSIR's n ∈ {1,2} hashed n-grams).
+    */
+  private[llm] def features(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    val ts = TextAnalysis.tokensWs(lower(col(textCol)))
+    val uni = transform(ts, t =>
+      pmod(TextAnalysis.fingerprint(t), lit(nBuckets.toLong)))
+    // sequence(2, n) counts DOWN when n < 2 (the charNgrams guard).
+    val bi = when(size(ts) >= 2,
+      transform(sequence(lit(2), size(ts)), i =>
+        pmod(TextAnalysis.fingerprint(
+          concat(element_at(ts, i - 1), lit(" "), element_at(ts, i))),
+          lit(nBuckets.toLong))))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(col(idCol), explode(concat(uni, bi)).as("__b"))
+  }
+
+  /** Per-document DSIR importance weights of `raw` against `target`:
+    * `(idCol, n_feats, logw_micro)` with `logw_micro` the exact integer
+    * sum of per-feature micro-nat log-ratios
+    * `round(ln((c_t(b)+1)/(N_t+nBuckets))·1e6) −
+    *  round(ln((c_s(b)+1)/(N_s+nBuckets))·1e6)`,
+    * source counts taken from `raw` itself (the paper's q = the raw pool).
+    */
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      nBuckets: Int = 8192): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val nB = lit(nBuckets.toDouble)
+    val fRaw = features(raw, idCol, textCol, nBuckets)
+    val fTgt = features(target, idCol, textCol, nBuckets)
+    val tc = fTgt.groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val sc = fRaw.groupBy(col("__b")).agg(count(lit(1)).as("__cs"))
+    val nt = fTgt.agg(count(lit(1)).cast("double").as("__nt"))
+    val ns = fRaw.agg(count(lit(1)).cast("double").as("__ns"))
+    fRaw
+      .join(broadcast(tc), Seq("__b"), "left")
+      .join(broadcast(sc), Seq("__b"), "left")
+      .crossJoin(broadcast(nt))
+      .crossJoin(broadcast(ns))
+      .withColumn("__lr",
+        round(log((coalesce(col("__ct"), lit(0L)).cast("double") + 1.0) /
+          (col("__nt") + nB)) * 1e6).cast("long")
+        - round(log((coalesce(col("__cs"), lit(0L)).cast("double") + 1.0) /
+          (col("__ns") + nB)) * 1e6).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__lr")).as("logw_micro"))
+  }
+
+  /** Gumbel top-k importance resampling: keep the `k` documents with the
+    * largest `logw/1e6 + Gumbel(u_doc)` keys — equivalent to sampling k
+    * docs without replacement with probability ∝ w (the Gumbel-max trick),
+    * made DETERMINISTIC by deriving each doc's uniform from the certified
+    * poly fingerprint of its id: u = (fp(id)+1)/1000000008 ∈ (0, 1).
+    * Keys round to 6 decimals (the transcendental-parity rule), ties break
+    * by id. Returns `(idCol, logw_micro, gumbel_key)`, key-descending.
+    */
+  def resampleTopK(
+      raw: DataFrame,
+      target: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      nBuckets: Int = 8192): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = importanceWeights(raw, target, idCol, textCol, nBuckets)
+    val u = (TextAnalysis.fingerprint(col(idCol).cast("string"))
+      .cast("double") + 1.0) / 1000000008.0
+    w.withColumn("gumbel_key",
+        round(col("logw_micro").cast("double") / 1e6 + -log(-log(u)), 6))
+      .select(col(idCol), col("logw_micro"), col("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
+}

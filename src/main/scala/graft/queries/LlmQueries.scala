@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.llm.{Dedup, Multimodal, SemDedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, DomainSelection, Multimodal, SemDedup, Similarity, TextAnalysis}
 import graft.sources.VerifiedRead
 import QueryUtil._
 
@@ -109,6 +109,33 @@ object LlmQueries {
       |SELECT doc_id, n_tokens, score_micro,
       |  round(1.0 / (1.0 + exp(-(CAST(score_micro AS DOUBLE) / (1000000.0 * n_tokens)))), 6) AS prob
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Shared DSIR CTE chain: hashed uni+bigram buckets (the certified poly
+    * fingerprint as a `list_reduce`), add-one-smoothed target/source
+    * counts, per-feature micro-nat log-ratios summed per doc. Target =
+    * doc_id % 3 == 0, nBuckets = 8192 — mirrors q_dsir_weights exactly.
+    */
+  private lazy val dsirAggSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+      |pos AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t),
+      |feats AS (SELECT doc_id, ts[i] AS g FROM pos
+      |  UNION ALL SELECT doc_id, ts[i-1] || ' ' || ts[i] AS g FROM pos WHERE i > 1),
+      |fb AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(g) + 1), j -> CAST(ascii(g[j]) AS BIGINT))),
+      |    (acc, c) -> (acc * 131 + c) % 1000000007) % 8192 AS b FROM feats),
+      |tfb AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM fb WHERE doc_id % 3 = 0 GROUP BY 1),
+      |sfb AS (SELECT b, CAST(count(*) AS BIGINT) AS cs FROM fb GROUP BY 1),
+      |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM fb WHERE doc_id % 3 = 0),
+      |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM fb),
+      |lr AS (SELECT fb.doc_id,
+      |    CAST(round(ln((CAST(coalesce(tfb.ct, 0) AS DOUBLE) + 1.0)
+      |      / ((SELECT n FROM nt) + 8192.0)) * 1000000.0) AS BIGINT)
+      |  - CAST(round(ln((CAST(coalesce(sfb.cs, 0) AS DOUBLE) + 1.0)
+      |      / ((SELECT n FROM ns) + 8192.0)) * 1000000.0) AS BIGINT) AS lrm
+      |  FROM fb LEFT JOIN tfb ON fb.b = tfb.b LEFT JOIN sfb ON fb.b = sfb.b),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+      |    CAST(sum(lrm) AS BIGINT) AS logw_micro FROM lr GROUP BY 1)""".stripMargin
 
   /** Shared oracle for the two Stupid-Backoff scoring paths (the
     * relational join pipeline and the frozen-LM one-pass kernel — same
@@ -648,6 +675,29 @@ object LlmQueries {
       TextAnalysis.perplexityBuckets(
           d.filter(col("doc_id") % 2 === 0), d, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    "q_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights (Xie et al. 2023): hashed uni+bigram
+      // log-ratios of a target domain (doc_id % 3 == 0) vs the raw pool,
+      // integer micro-nats rounded per feature BEFORE the per-doc sum —
+      // the oracle recomputes the entire chain (poly fingerprint →
+      // bucket → smoothed counts → log-ratio) independently.
+      val d = docsSpread(s, dir)
+      DomainSelection.importanceWeights(
+          d, d.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          nBuckets = 8192)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dsir_sample" -> ((s, dir) => {
+      // Gumbel top-k importance resampling on the q_dsir_weights scores:
+      // deterministic (per-doc uniform from the certified id fingerprint),
+      // k-row top-k — never a global sort of the corpus.
+      val d = docsSpread(s, dir)
+      DomainSelection.resampleTopK(
+        d, d.filter(col("doc_id") % 3 === 0), k = 100, "doc_id", "text",
+        nBuckets = 8192)
     }),
 
     "q_text_entropy" -> ((s, dir) =>
@@ -1788,6 +1838,23 @@ object LlmQueries {
         |       ELSE 'tail' END AS bucket
         |  FROM nn)
         |SELECT doc_id, bucket FROM b WHERE bucket != 'tail' ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_weights" ->
+      s"""$dsirAggSql
+        |SELECT doc_id, n_feats, logw_micro FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_sample" ->
+      s"""$dsirAggSql,
+        |keys AS (SELECT doc_id, logw_micro,
+        |    round(CAST(logw_micro AS DOUBLE) / 1000000.0
+        |      + (- ln(- ln((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |            j -> CAST(ascii(CAST(doc_id AS VARCHAR)[j]) AS BIGINT))),
+        |          (acc, c) -> (acc * 131 + c) % 1000000007) AS DOUBLE) + 1.0)
+        |        / 1000000008.0))), 6) AS gumbel_key
+        |  FROM agg)
+        |SELECT doc_id, logw_micro, gumbel_key FROM keys
+        |ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_text_entropy" ->
       """WITH chars AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,

@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The Gopher quality-rule gate (Rae et al. 2021, "Scaling Language Models:
+  * Methods, Analysis & Insights from Training Gopher", Appendix A) — the
+  * rule set RefinedWeb and FineWeb start from: cheap structural checks that
+  * together drop machine-generated and boilerplate pages before any model
+  * gets involved. One pure-map pass; every rule a column.
+  *
+  * Exactness discipline: every ratio threshold is expressed as an INTEGER
+  * cross-multiplication (`10·symbols ≤ n_words` instead of
+  * `symbols/n_words ≤ 0.1`), so each rule is a boolean over integers —
+  * bit-stable in any engine, no float division anywhere.
+  *
+  * Shape at scale: a single projection over the corpus — no shuffle, no
+  * join, no aggregation; composes in front of the dedup/LM stages the way
+  * the curation pipelines order their gates (cheap pure maps first).
+  *
+  * Word bounds are parameters (the paper's 50..100k): the driver corpus
+  * documents are shorter than a web crawl's, so registered queries pin
+  * bounds fitting the fixture while the operator keeps the paper defaults.
+  */
+object GopherRules {
+
+  /** Gopher's stopword-presence list (Appendix A: "contains at least two
+    * of the following English words").
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document rule columns + the conjunction:
+    * `(idCol, n_words, r_word_count, r_mean_word_len, r_symbol_ratio,
+    * r_ellipsis_lines, r_bullet_lines, r_alpha_words, r_stopwords, keep)`.
+    */
+  def apply(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Long = 50L,
+      maxWords: Long = 100000L): DataFrame = {
+    val text = col(textCol)
+    val words = TextAnalysis.tokensWs(text)
+    val nWords = size(words).cast("long")
+    // Σ word lengths (integer) for the mean-word-length bounds [3, 10].
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    // '#' occurrences + '...' occurrences (non-overlapping, like replace).
+    val nHash = ((length(text) - length(replace(text, lit("#"), lit("")))))
+      .cast("long")
+    val nEllipsis = ((length(text) - length(replace(text, lit("..."), lit(""))))
+      / lit(3)).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val nEllipsisLines = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val nBulletLines = size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("- "))).cast("long")
+    val nAlphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(filter(
+      array(Stopwords.map(lit(_)): _*),
+      sw => array_contains(transform(words, w => lower(w)), sw))).cast("long")
+    df.select(
+        col(idCol),
+        nWords.as("n_words"),
+        (nWords >= minWords && nWords <= maxWords).as("r_word_count"),
+        // 3 ≤ sumLen/n ≤ 10  ⇔  3n ≤ sumLen ∧ sumLen ≤ 10n (integers)
+        (sumLen >= lit(3L) * nWords && sumLen <= lit(10L) * nWords)
+          .as("r_mean_word_len"),
+        // (hash + ellipsis)/words ≤ 0.1  ⇔  10·(hash+ellipsis) ≤ words
+        (lit(10L) * (nHash + nEllipsis) <= nWords).as("r_symbol_ratio"),
+        // ellipsis-terminated lines ≤ 30%  ⇔  10·count ≤ 3·lines
+        (lit(10L) * nEllipsisLines <= lit(3L) * nLines).as("r_ellipsis_lines"),
+        // bullet-led lines ≤ 90%  ⇔  10·count ≤ 9·lines
+        (lit(10L) * nBulletLines <= lit(9L) * nLines).as("r_bullet_lines"),
+        // words with an alphabetic char ≥ 80%  ⇔  5·count ≥ 4·words
+        (lit(5L) * nAlphaWords >= lit(4L) * nWords).as("r_alpha_words"),
+        (nStop >= 2L).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+        col("r_ellipsis_lines") && col("r_bullet_lines") &&
+        col("r_alpha_words") && col("r_stopwords"))
+  }
+}

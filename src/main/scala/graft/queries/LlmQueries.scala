@@ -677,6 +677,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_gopher_rules" -> ((s, dir) =>
+      // The Gopher quality-rule gate (Rae et al. 2021 Appendix A — the
+      // RefinedWeb/FineWeb starting rule set) as one pure-map projection:
+      // every ratio threshold an integer cross-multiplication, so each
+      // rule is a boolean over integers and the oracle reproduces the
+      // whole row bit-for-bit.
+      graft.llm.GopherRules(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights (Xie et al. 2023): hashed uni+bigram
       // log-ratios of a target domain (doc_id % 3 == 0) vs the raw pool,
@@ -1838,6 +1847,41 @@ object LlmQueries {
         |       ELSE 'tail' END AS bucket
         |  FROM nn)
         |SELECT doc_id, bucket FROM b WHERE bucket != 'tail' ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(ws, x -> CAST(length(x) AS BIGINT))),
+        |      (a, b) -> a + b) AS sum_len,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ell,
+        |    string_split(text, chr(10)) AS lines,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> ends_with(l, '...'))) AS BIGINT) AS n_ell_lines,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> starts_with(l, '•') OR starts_with(l, '- '))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      sw -> list_contains(list_transform(ws, x -> lower(x)), sw))) AS BIGINT) AS n_stop
+        |  FROM w),
+        |r AS (SELECT doc_id, n_words,
+        |    n_words >= 50 AND n_words <= 100000 AS r_word_count,
+        |    sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS r_mean_word_len,
+        |    10 * (n_hash + n_ell) <= n_words AS r_symbol_ratio,
+        |    10 * n_ell_lines <= 3 * CAST(len(lines) AS BIGINT) AS r_ellipsis_lines,
+        |    10 * n_bullet <= 9 * CAST(len(lines) AS BIGINT) AS r_bullet_lines,
+        |    5 * n_alpha >= 4 * n_words AS r_alpha_words,
+        |    n_stop >= 2 AS r_stopwords
+        |  FROM m)
+        |SELECT doc_id, n_words, r_word_count, r_mean_word_len, r_symbol_ratio,
+        |  r_ellipsis_lines, r_bullet_lines, r_alpha_words, r_stopwords,
+        |  r_word_count AND r_mean_word_len AND r_symbol_ratio AND
+        |  r_ellipsis_lines AND r_bullet_lines AND r_alpha_words AND
+        |  r_stopwords AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_dsir_weights" ->
       s"""$dsirAggSql

@@ -71,10 +71,17 @@ object DomainSelection {
     val nB = lit(nBuckets.toDouble)
     val fRaw = features(raw, idCol, textCol, nBuckets)
     val fTgt = features(target, idCol, textCol, nBuckets)
+    // The count tables are the TRAINED ARTIFACT (≤ nBuckets rows each) —
+    // materialized once so the corpus-sized feature explode runs once per
+    // side, and the totals are derived FROM them (Σ counts = positions)
+    // instead of separate aggregations: without this the feature subtree
+    // evaluated five times (two counts, two totals, scoring).
     val tc = fTgt.groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+      .localCheckpoint()
     val sc = fRaw.groupBy(col("__b")).agg(count(lit(1)).as("__cs"))
-    val nt = fTgt.agg(count(lit(1)).cast("double").as("__nt"))
-    val ns = fRaw.agg(count(lit(1)).cast("double").as("__ns"))
+      .localCheckpoint()
+    val nt = tc.agg(sum(col("__ct")).cast("double").as("__nt"))
+    val ns = sc.agg(sum(col("__cs")).cast("double").as("__ns"))
     fRaw
       .join(broadcast(tc), Seq("__b"), "left")
       .join(broadcast(sc), Seq("__b"), "left")

@@ -677,6 +677,34 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_c4_rules" -> ((s, dir) => {
+      // The C4 cleaning rules (Raffel et al. 2020 §2.2): line retention
+      // (terminal punctuation + ≥5 words) and the document drops (braces,
+      // lorem ipsum, javascript). The corpus text is a single unpunctuated
+      // line, so the fixture synthesizes multi-line structure
+      // deterministically (the q_text_cards discipline — construction
+      // mirrored verbatim in the oracle): a proper first sentence from the
+      // text, a too-short line, two extra proper sentences on doc_id % 3,
+      // and the three drop markers on doc_id % 7 / % 11 / % 13 — every
+      // rule exercised in both directions.
+      val structured = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          concat(substring(col("text"), 1, 80), lit(" ends properly here.")),
+          lit("short."),
+          when(col("doc_id") % 3 === 0,
+            lit("Another proper sentence appears right here now.\n" +
+              "And a third proper sentence completes the trio."))
+            .otherwise(lit("plain filler line without punctuation")),
+          when(col("doc_id") % 7 === 0, lit("code marker { inside }"))
+            .otherwise(lit("nothing here")),
+          when(col("doc_id") % 11 === 0, lit("Lorem Ipsum dolor sits."))
+            .otherwise(lit("regular words only")),
+          when(col("doc_id") % 13 === 0, lit("Please enable JavaScript today."))
+            .otherwise(lit("no scripts at all"))).as("text"))
+      graft.llm.C4Rules(structured, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_gopher_rules" -> ((s, dir) =>
       // The Gopher quality-rule gate (Rae et al. 2021 Appendix A — the
       // RefinedWeb/FineWeb starting rule set) as one pure-map projection:
@@ -1847,6 +1875,40 @@ object LlmQueries {
         |       ELSE 'tail' END AS bucket
         |  FROM nn)
         |SELECT doc_id, bucket FROM b WHERE bucket != 'tail' ORDER BY doc_id""".stripMargin,
+
+    "q_c4_rules" ->
+      """WITH d2 AS (SELECT doc_id,
+        |    substr(text, 1, 80) || ' ends properly here.' || chr(10) ||
+        |    'short.' || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'Another proper sentence appears right here now.' || chr(10)
+        |        || 'And a third proper sentence completes the trio.'
+        |      ELSE 'plain filler line without punctuation' END || chr(10) ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'code marker { inside }'
+        |      ELSE 'nothing here' END || chr(10) ||
+        |    CASE WHEN doc_id % 11 = 0 THEN 'Lorem Ipsum dolor sits.'
+        |      ELSE 'regular words only' END || chr(10) ||
+        |    CASE WHEN doc_id % 13 = 0 THEN 'Please enable JavaScript today.'
+        |      ELSE 'no scripts at all' END AS text
+        |  FROM documents),
+        |k AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |        OR ends_with(l, '"'))
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5) AS kept
+        |  FROM d2),
+        |r AS (SELECT doc_id,
+        |    coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |    CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |    len(kept) >= 3 AS r_min_sentences,
+        |    NOT contains(text, '{') AND NOT contains(text, '}') AS r_no_braces,
+        |    NOT contains(lower(text), 'lorem ipsum') AS r_no_lorem,
+        |    NOT contains(lower(text), 'javascript') AS r_no_javascript
+        |  FROM k)
+        |SELECT doc_id, clean_text, n_lines_kept, r_min_sentences, r_no_braces,
+        |  r_no_lorem, r_no_javascript,
+        |  r_min_sentences AND r_no_braces AND r_no_lorem AND r_no_javascript AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_gopher_rules" ->
       """WITH w AS (SELECT doc_id, text,

@@ -51,6 +51,62 @@ object LlmQueries {
   private val boilerFooter =
     "copyright twenty twenty four all rights reserved contact us today"
 
+  /** Deterministic multi-line structure over the (single-line,
+    * unpunctuated) documents corpus — the C4/FineWeb fixture: a proper
+    * first sentence from the text, a too-short line, two extra proper
+    * sentences on doc_id % 3, and the three C4 drop markers on
+    * doc_id % 7 / % 11 / % 13. Mirrored verbatim by the `d2` CTE in the
+    * q_c4_rules / q_pipeline_fineweb oracles.
+    */
+  private def structuredDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      concat_ws("\n",
+        concat(substring(col("text"), 1, 80), lit(" ends properly here.")),
+        lit("short."),
+        when(col("doc_id") % 3 === 0,
+          lit("Another proper sentence appears right here now.\n" +
+            "And a third proper sentence completes the trio."))
+          .otherwise(lit("plain filler line without punctuation")),
+        when(col("doc_id") % 7 === 0, lit("code marker { inside }"))
+          .otherwise(lit("nothing here")),
+        when(col("doc_id") % 11 === 0, lit("Lorem Ipsum dolor sits."))
+          .otherwise(lit("regular words only")),
+        when(col("doc_id") % 13 === 0, lit("Please enable JavaScript today."))
+          .otherwise(lit("no scripts at all"))).as("text"))
+
+  /** The q_c4_rules fixture CTE — shared prefix of the two C4-family
+    * oracles (mirrors [[structuredDocs]] expression by expression).
+    */
+  private lazy val c4FixtureSql: String =
+    """WITH d2 AS (SELECT doc_id,
+      |    substr(text, 1, 80) || ' ends properly here.' || chr(10) ||
+      |    'short.' || chr(10) ||
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN 'Another proper sentence appears right here now.' || chr(10) ||
+      |        'And a third proper sentence completes the trio.'
+      |      ELSE 'plain filler line without punctuation' END || chr(10) ||
+      |    CASE WHEN doc_id % 7 = 0 THEN 'code marker { inside }'
+      |      ELSE 'nothing here' END || chr(10) ||
+      |    CASE WHEN doc_id % 11 = 0 THEN 'Lorem Ipsum dolor sits.'
+      |      ELSE 'regular words only' END || chr(10) ||
+      |    CASE WHEN doc_id % 13 = 0 THEN 'Please enable JavaScript today.'
+      |      ELSE 'no scripts at all' END AS text
+      |  FROM documents),
+      |k AS (SELECT doc_id, text,
+      |    list_filter(string_split(text, chr(10)), l ->
+      |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+      |        OR ends_with(l, '"'))
+      |      AND len(string_split_regex(trim(l), '\s+')) >= 5) AS kept
+      |  FROM d2),
+      |c4 AS (SELECT doc_id,
+      |    coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+      |    CAST(len(kept) AS BIGINT) AS n_lines_kept,
+      |    len(kept) >= 3 AS r_min_sentences,
+      |    NOT contains(text, '{') AND NOT contains(text, '}') AS r_no_braces,
+      |    NOT contains(lower(text), 'lorem ipsum') AS r_no_lorem,
+      |    NOT contains(lower(text), 'javascript') AS r_no_javascript
+      |  FROM k)""".stripMargin
+
   private def boilerDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       concat_ws(" ",
@@ -687,22 +743,29 @@ object LlmQueries {
       // text, a too-short line, two extra proper sentences on doc_id % 3,
       // and the three drop markers on doc_id % 7 / % 11 / % 13 — every
       // rule exercised in both directions.
-      val structured = docs(s, dir).select(col("doc_id"),
-        concat_ws("\n",
-          concat(substring(col("text"), 1, 80), lit(" ends properly here.")),
-          lit("short."),
-          when(col("doc_id") % 3 === 0,
-            lit("Another proper sentence appears right here now.\n" +
-              "And a third proper sentence completes the trio."))
-            .otherwise(lit("plain filler line without punctuation")),
-          when(col("doc_id") % 7 === 0, lit("code marker { inside }"))
-            .otherwise(lit("nothing here")),
-          when(col("doc_id") % 11 === 0, lit("Lorem Ipsum dolor sits."))
-            .otherwise(lit("regular words only")),
-          when(col("doc_id") % 13 === 0, lit("Please enable JavaScript today."))
-            .otherwise(lit("no scripts at all"))).as("text"))
-      graft.llm.C4Rules(structured, "doc_id", "text")
+      graft.llm.C4Rules(structuredDocs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    "q_pipeline_fineweb" -> ((s, dir) => {
+      // FineWeb-shaped curation (Penedo et al. 2024): C4 line cleaning →
+      // structural quality gate on the CLEANED text (the Gopher subset
+      // with both-direction variance on this corpus: word floor + mean
+      // word length + symbol ratio + alphabetic share) → exact dedup of
+      // survivors. Every stage individually certified (q_c4_rules,
+      // q_gopher_rules, q_dedup_exact_rows); this query pins the
+      // composition. Output: surviving ids with their cleaned-text size.
+      val cleaned = graft.llm.C4Rules(structuredDocs(s, dir), "doc_id", "text")
+        .filter(col("keep"))
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val gated = graft.llm.GopherRules(cleaned, "doc_id", "text",
+          minWords = 10L)
+        .filter(col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_alpha_words"))
+        .select(col("doc_id"), col("n_words"))
+      val surv = cleaned.join(gated, "doc_id")
+      Dedup.exactDedup(surv, "text", "doc_id")
+        .select(col("doc_id"), col("n_words")).orderBy(col("doc_id"))
     }),
 
     "q_gopher_rules" -> ((s, dir) =>
@@ -1877,38 +1940,34 @@ object LlmQueries {
         |SELECT doc_id, bucket FROM b WHERE bucket != 'tail' ORDER BY doc_id""".stripMargin,
 
     "q_c4_rules" ->
-      """WITH d2 AS (SELECT doc_id,
-        |    substr(text, 1, 80) || ' ends properly here.' || chr(10) ||
-        |    'short.' || chr(10) ||
-        |    CASE WHEN doc_id % 3 = 0
-        |      THEN 'Another proper sentence appears right here now.' || chr(10)
-        |        || 'And a third proper sentence completes the trio.'
-        |      ELSE 'plain filler line without punctuation' END || chr(10) ||
-        |    CASE WHEN doc_id % 7 = 0 THEN 'code marker { inside }'
-        |      ELSE 'nothing here' END || chr(10) ||
-        |    CASE WHEN doc_id % 11 = 0 THEN 'Lorem Ipsum dolor sits.'
-        |      ELSE 'regular words only' END || chr(10) ||
-        |    CASE WHEN doc_id % 13 = 0 THEN 'Please enable JavaScript today.'
-        |      ELSE 'no scripts at all' END AS text
-        |  FROM documents),
-        |k AS (SELECT doc_id, text,
-        |    list_filter(string_split(text, chr(10)), l ->
-        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
-        |        OR ends_with(l, '"'))
-        |      AND len(string_split_regex(trim(l), '\s+')) >= 5) AS kept
-        |  FROM d2),
-        |r AS (SELECT doc_id,
-        |    coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
-        |    CAST(len(kept) AS BIGINT) AS n_lines_kept,
-        |    len(kept) >= 3 AS r_min_sentences,
-        |    NOT contains(text, '{') AND NOT contains(text, '}') AS r_no_braces,
-        |    NOT contains(lower(text), 'lorem ipsum') AS r_no_lorem,
-        |    NOT contains(lower(text), 'javascript') AS r_no_javascript
-        |  FROM k)
+      s"""$c4FixtureSql
         |SELECT doc_id, clean_text, n_lines_kept, r_min_sentences, r_no_braces,
         |  r_no_lorem, r_no_javascript,
         |  r_min_sentences AND r_no_braces AND r_no_lorem AND r_no_javascript AS keep
-        |FROM r ORDER BY doc_id""".stripMargin,
+        |FROM c4 ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_fineweb" ->
+      s"""$c4FixtureSql,
+        |keptd AS (SELECT doc_id, clean_text AS text FROM c4
+        |  WHERE r_min_sentences AND r_no_braces AND r_no_lorem AND r_no_javascript),
+        |g AS (SELECT doc_id, text,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(trim(text), '\\s+'),
+        |        x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS sum_len,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ell,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha
+        |  FROM keptd),
+        |gg AS (SELECT doc_id, text, n_words FROM g
+        |  WHERE n_words >= 10 AND n_words <= 100000
+        |    AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+        |    AND 10 * (n_hash + n_ell) <= n_words
+        |    AND 5 * n_alpha >= 4 * n_words),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM gg GROUP BY text)
+        |SELECT gg.doc_id, gg.n_words FROM gg JOIN dd ON gg.doc_id = dd.doc_id
+        |ORDER BY gg.doc_id""".stripMargin,
 
     "q_gopher_rules" ->
       """WITH w AS (SELECT doc_id, text,

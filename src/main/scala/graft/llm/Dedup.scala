@@ -377,16 +377,18 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
         .groupBy(col("src")).agg(min(col("dcomp")).as("nbr_min"))
+      // The changed flag is computed IN the update projection (new comp vs
+      // old comp side by side), so convergence is a filter over the
+      // just-materialized checkpoint — the former separate join of the new
+      // labels against the old ones cost a shuffle per iteration.
+      val newComp = least(col("comp"), coalesce(col("nbr_min"), col("comp")))
       val updated = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .select(col("id"), newComp.as("comp"),
+          (newComp =!= col("comp")).as("__changed"))
         .localCheckpoint()
-      converged = updated
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev"))
-        .head(1).isEmpty
-      labels = updated
+      converged = updated.filter(col("__changed")).head(1).isEmpty
+      labels = updated.select(col("id"), col("comp"))
       i += 1
     }
     // Silent non-convergence would return intermediate labels and dedup

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.llm.{C4Rules, GopherRules}
+
+/** The C4 and Gopher gates are stateless pure-map projections, so they
+  * must compose with Structured Streaming UNCHANGED — stream output ==
+  * batch output over a real MemoryStream, the property that lets the same
+  * gate definition serve the backfill and the live ingest path (the
+  * [[StreamingLmGate]] contract, extended to the round-10 quality gates).
+  */
+class StreamingQualityGatesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docsSeq = Seq(
+    (1L, "This first sentence carries enough words to stay.\n" +
+      "And the second sentence also keeps its place here.\n" +
+      "Finally the third sentence closes the set properly."),
+    (2L, "short junk\nno punctuation at all"),
+    (3L, "Lorem ipsum filler with markers { inside } of code.")
+  )
+
+  test("C4 gate: stream rows == batch rows over a MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = C4Rules(input.toDS().toDF("doc_id", "text"))
+      .filter(col("keep")).select("doc_id")
+      .writeStream.format("memory").queryName("c4gate").outputMode("append").start()
+    try {
+      input.addData(docsSeq.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docsSeq.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("c4gate").as[Long].collect().toSet
+      val batch = C4Rules(docsSeq.toDF("doc_id", "text"))
+        .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set(1L), s"only the prose doc passes: $streamed")
+    } finally q.stop()
+  }
+
+  test("Gopher gate: stream rows == batch rows over a MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = GopherRules(input.toDS().toDF("doc_id", "text"), minWords = 5)
+      .select("doc_id", "keep")
+      .writeStream.format("memory").queryName("gophergate").outputMode("append").start()
+    try {
+      input.addData(docsSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gophergate").as[(Long, Boolean)].collect().toSet
+      val batch = GopherRules(docsSeq.toDF("doc_id", "text"), minWords = 5)
+        .select("doc_id", "keep").as[(Long, Boolean)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}

@@ -253,6 +253,45 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Segment-level repetition metrics — the line/paragraph half of
+    * Gopher's repetition family (Rae et al. 2021 Appendix A;
+    * [[repetitionBy]] covers the token/bigram half): per document, the
+    * fraction of segments that are duplicates and the fraction of
+    * CHARACTERS sitting in occurrences beyond each segment's first — the
+    * signal that catches copy-pasted boilerplate blocks which token-level
+    * fractions dilute.
+    *
+    * `sep` picks the segment granularity ("\n" lines, "\n\n" paragraphs);
+    * `prefix` names the output columns (`n_<prefix>s`,
+    * `n_distinct_<prefix>s`, `dup_<prefix>_frac`,
+    * `dup_<prefix>_char_frac`).
+    *
+    * Shape at scale: explode segments → groupBy(doc, segment) with
+    * map-side partials → one doc-keyed aggregate; all fractions are
+    * integer-over-integer doubles (exact in any engine). Duplicated-char
+    * mass per group is (count − 1) · length — occurrences beyond the
+    * first.
+    */
+  def segmentRepetitionBy(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", prefix: String = "line"): DataFrame = {
+    val segs = df.select(col(idCol),
+      explode(split(col(textCol), sep)).as("__seg"))
+    val grouped = segs.groupBy(col(idCol), col("__seg"))
+      .agg(count(lit(1)).as("__c"),
+        first(length(col("__seg")).cast("long")).as("__len"))
+    grouped.groupBy(col(idCol))
+      .agg(sum(col("__c")).as(s"n_${prefix}s"),
+        count(lit(1)).as(s"n_distinct_${prefix}s"),
+        sum((col("__c") - 1) * col("__len")).as("__dupc"),
+        sum(col("__c") * col("__len")).as("__totc"))
+      .select(col(idCol), col(s"n_${prefix}s"), col(s"n_distinct_${prefix}s"),
+        ((col(s"n_${prefix}s") - col(s"n_distinct_${prefix}s")).cast("double")
+          / col(s"n_${prefix}s")).as(s"dup_${prefix}_frac"),
+        when(col("__totc") === 0L, lit(0.0))
+          .otherwise(col("__dupc").cast("double") / col("__totc"))
+          .as(s"dup_${prefix}_char_frac"))
+  }
+
   /** Corpus-unigram language-model score per document — the CCNet-style
     * quality proxy: each token contributes `ln(count(token)/total)`, i.e.
     * docs made of rare tokens score low (gibberish), docs of pure stopwords

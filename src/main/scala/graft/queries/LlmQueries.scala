@@ -768,6 +768,27 @@ object LlmQueries {
         .select(col("doc_id"), col("n_words")).orderBy(col("doc_id"))
     }),
 
+    "q_text_repetition_segments" -> ((s, dir) => {
+      // The line/paragraph half of Gopher's repetition family. The corpus
+      // is a single line, so the fixture builds two paragraphs with
+      // deterministic repeats (a duplicated line inside paragraph one on
+      // doc_id % 2, the whole paragraph duplicated on doc_id % 3) —
+      // construction mirrored verbatim in the oracle, both granularities
+      // from the same parameterized operator.
+      val p = concat(substring(col("text"), 1, 40), lit("\nsecond line here"),
+        when(col("doc_id") % 2 === 0,
+            concat(lit("\n"), substring(col("text"), 1, 40)))
+          .otherwise(lit("\nthird line differs")))
+      val q = when(col("doc_id") % 3 === 0, p)
+        .otherwise(lit("a different closing paragraph"))
+      val structured = docs(s, dir).select(col("doc_id"),
+        concat(p, lit("\n\n"), q).as("text"))
+      val lines = TextAnalysis.segmentRepetitionBy(structured, "doc_id", "text")
+      val paras = TextAnalysis.segmentRepetitionBy(structured, "doc_id", "text",
+        sep = "\n\n", prefix = "para")
+      lines.join(paras, "doc_id").orderBy(col("doc_id"))
+    }),
+
     "q_gopher_rules" -> ((s, dir) =>
       // The Gopher quality-rule gate (Rae et al. 2021 Appendix A — the
       // RefinedWeb/FineWeb starting rule set) as one pure-map projection:
@@ -1938,6 +1959,42 @@ object LlmQueries {
         |       ELSE 'tail' END AS bucket
         |  FROM nn)
         |SELECT doc_id, bucket FROM b WHERE bucket != 'tail' ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition_segments" ->
+      """WITH d2 AS (SELECT doc_id,
+        |    substr(text, 1, 40) || chr(10) || 'second line here' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || substr(text, 1, 40)
+        |      ELSE chr(10) || 'third line differs' END AS p
+        |  FROM documents),
+        |d3 AS (SELECT doc_id, p || chr(10) || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN p
+        |      ELSE 'a different closing paragraph' END AS text
+        |  FROM d2),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS seg FROM d3),
+        |lg AS (SELECT doc_id, seg, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(length(seg) AS BIGINT) AS len FROM l GROUP BY 1, 2),
+        |la AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_lines,
+        |    CAST(sum((c - 1) * len) AS BIGINT) AS dupc,
+        |    CAST(sum(c * len) AS BIGINT) AS totc
+        |  FROM lg GROUP BY 1),
+        |pp AS (SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS seg FROM d3),
+        |pg AS (SELECT doc_id, seg, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(length(seg) AS BIGINT) AS len FROM pp GROUP BY 1, 2),
+        |pa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_paras,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_paras,
+        |    CAST(sum((c - 1) * len) AS BIGINT) AS dupc,
+        |    CAST(sum(c * len) AS BIGINT) AS totc
+        |  FROM pg GROUP BY 1)
+        |SELECT la.doc_id, n_lines, n_distinct_lines,
+        |  CAST(n_lines - n_distinct_lines AS DOUBLE) / n_lines AS dup_line_frac,
+        |  CASE WHEN la.totc = 0 THEN 0.0
+        |    ELSE CAST(la.dupc AS DOUBLE) / la.totc END AS dup_line_char_frac,
+        |  n_paras, n_distinct_paras,
+        |  CAST(n_paras - n_distinct_paras AS DOUBLE) / n_paras AS dup_para_frac,
+        |  CASE WHEN pa.totc = 0 THEN 0.0
+        |    ELSE CAST(pa.dupc AS DOUBLE) / pa.totc END AS dup_para_char_frac
+        |FROM la JOIN pa ON la.doc_id = pa.doc_id ORDER BY la.doc_id""".stripMargin,
 
     "q_c4_rules" ->
       s"""$c4FixtureSql

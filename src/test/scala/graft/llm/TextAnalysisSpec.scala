@@ -195,6 +195,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(12L)._4 < out(11L)._4)
   }
 
+  test("segment repetition: duplicate lines and their character mass") {
+    val df = Seq(
+      // 4 lines: 'aa' twice (2 chars each), 'bbb', 'c' → dup_line_frac 1/4,
+      // dup chars = 2 of total 2+2+3+1 = 8
+      (1L, "aa\nbbb\naa\nc"),
+      (2L, "x\ny\nz"), // no dups
+      (3L, "pp\npp\npp") // all one line: frac 2/3, chars 4/6
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.segmentRepetitionBy(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 3L, 1.0 / 4, 2.0 / 8)))
+    assert(got(2L) === ((2L, 3L, 3L, 0.0, 0.0)))
+    assert(got(3L) === ((3L, 3L, 1L, 2.0 / 3, 4.0 / 6)))
+    // paragraph granularity: same machinery on the "\n\n" separator
+    val paras = Seq((10L, "para one\n\npara two\n\npara one"))
+      .toDF("doc_id", "text")
+    val p = TextAnalysis.segmentRepetitionBy(paras, "doc_id", "text",
+        sep = "\n\n", prefix = "para")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(p === ((10L, 3L, 2L, 1.0 / 3, 8.0 / 24)))
+  }
+
   test("frozen LM pruning: retained entries exact, shifts bounded, invariant held") {
     import graft.streaming.StreamingLmGate
     def rhu(v: Double): Long = java.math.BigDecimal.valueOf(v)

@@ -88,6 +88,50 @@ object Decontamination {
     corpus.join(contaminatedIds(corpus, benchmark, idCol, textCol, n),
       Seq(idCol), "left_anti")
 
+  /** SEMANTIC decontamination — the embedding-space companion to the
+    * lexical n-gram gate: drop corpus documents whose embedding is within
+    * `threshold` cosine of ANY benchmark embedding (catches paraphrased /
+    * reformatted eval leakage that no exact n-gram survives; the check
+    * modern model cards run alongside exact decontamination).
+    *
+    * Shape at scale: the benchmark frame is eval-set-sized — BOUNDED, like
+    * a gram catalog — so it broadcasts whole and the corpus is never
+    * shuffled: one codegen'd pass computes each corpus row's max cosine
+    * against the broadcast benchmark vectors via the [[Similarity]] IVF
+    * discipline's exact kernels (an `exists` over the broadcast side), and
+    * the contaminated-id set feeds the usual `left_anti`. Work is
+    * O(corpus × |benchmark|) multiply-adds, embarrassingly parallel, no
+    * candidate-pair materialization.
+    */
+  def semanticContaminatedIds(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    // Broadcast nested-loop SEMI join on the cosine predicate: each corpus
+    // row short-circuits at its first over-threshold benchmark match, and
+    // only (idCol) survives. A literal-folded OR of per-vector cosines
+    // would bake |benchmark|·dim doubles into generated code — fine for 10
+    // vectors, fatal for an eval set.
+    val b = broadcast(benchmark.select(col(embCol).as("__bemb")))
+    corpus.join(b,
+        graft.functions.ArrayOps.cosine(col(embCol), col("__bemb")) >= threshold,
+        "left_semi")
+      .select(col(idCol))
+  }
+
+  /** The corpus with semantically-contaminated rows removed. */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    corpus.join(
+      semanticContaminatedIds(corpus, benchmark, threshold, idCol, embCol),
+      Seq(idCol), "left_anti")
+
   /** Token positions (0-based) in each corpus doc whose n-gram exactly
     * matches a benchmark gram — the SPAN-granularity contamination signal.
     * Same exactness discipline as [[contaminatedIds]] (broadcast

@@ -611,6 +611,19 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      // Embedding-space decontamination under the planted-copy contract:
+      // the benchmark IS the vec_id % 17 slice of the corpus, so every
+      // contaminated row matches itself at cosine 1 while no distinct
+      // pair reaches 0.99 on this corpus (the q_sim_neardup property) —
+      // the drop set is exactly the % 17 rows, oracle-stateable without
+      // modeling any geometry.
+      val e = emb(s, dir)
+      val bench = e.filter(col("vec_id") % 17 === 0).select(col("embedding"))
+      graft.llm.Decontamination.semanticDecontaminate(e, bench, threshold = 0.99)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     "q_semdedup" -> ((s, dir) => {
       // SemDeDup (cluster-then-prune semantic dedup) under the same
       // planted-copy contract as q_sim_neardup: an identical copy shares
@@ -2178,6 +2191,9 @@ object LlmQueries {
 
     "q_semdedup" ->
       "SELECT vec_id FROM embeddings ORDER BY vec_id",
+
+    "q_decontaminate_semantic" ->
+      "SELECT vec_id FROM embeddings WHERE vec_id % 17 <> 0 ORDER BY vec_id",
 
     // The five former rows-only entries, now certificates (VERDICT r6
     // item 4): constant-or-corpus-derivable claims DuckDB can state.

@@ -63,6 +63,23 @@ class PackingSpec extends SparkTestBase {
     assert(kept == Set(2L, 3L))
   }
 
+  test("semantic decontamination: identical embeddings drop, near-misses survive") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),  // identical to the benchmark vector
+      (2L, Array(0.9f, 0.5f, 0.0f)),  // cos ≈ 0.874 < 0.99 → survives
+      (3L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal → survives
+      (4L, Array(2.0f, 0.0f, 0.0f))   // scaled copy: cosine 1 → drops
+    ).toDF("vec_id", "embedding")
+    val benchmark = Seq((100L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val bad = Decontamination.semanticContaminatedIds(corpus, benchmark, 0.99)
+      .as[Long].collect().toSet
+    assert(bad === Set(1L, 4L))
+    val kept = Decontamination.semanticDecontaminate(corpus, benchmark, 0.99)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+  }
+
   test("decontamination: an engineered fingerprint collision does not drop a clean doc") {
     // Two DIFFERENT same-length tokens with equal mod-1e9+7 polynomial hash
     // (birthday search, deterministic seed). The progressive hash is

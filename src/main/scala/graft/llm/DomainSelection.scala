@@ -72,14 +72,18 @@ object DomainSelection {
     val fRaw = features(raw, idCol, textCol, nBuckets)
     val fTgt = features(target, idCol, textCol, nBuckets)
     // The count tables are the TRAINED ARTIFACT (≤ nBuckets rows each) —
-    // materialized once so the corpus-sized feature explode runs once per
-    // side, and the totals are derived FROM them (Σ counts = positions)
-    // instead of separate aggregations: without this the feature subtree
-    // evaluated five times (two counts, two totals, scoring).
-    val tc = fTgt.groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    // both sides aggregate in ONE tagged-union pass and ONE checkpoint
+    // action (separate per-side checkpoints re-ran the corpus scan and its
+    // upstream shuffles once per action), and the totals are derived FROM
+    // the tables (Σ counts = positions) instead of separate aggregations:
+    // the corpus is touched exactly twice overall — here and in the
+    // scoring pass below.
+    val counts = fTgt.select(lit(true).as("__tgt"), col("__b"))
+      .unionAll(fRaw.select(lit(false).as("__tgt"), col("__b")))
+      .groupBy(col("__tgt"), col("__b")).agg(count(lit(1)).as("__n"))
       .localCheckpoint()
-    val sc = fRaw.groupBy(col("__b")).agg(count(lit(1)).as("__cs"))
-      .localCheckpoint()
+    val tc = counts.filter(col("__tgt")).select(col("__b"), col("__n").as("__ct"))
+    val sc = counts.filter(!col("__tgt")).select(col("__b"), col("__n").as("__cs"))
     val nt = tc.agg(sum(col("__ct")).cast("double").as("__nt"))
     val ns = sc.agg(sum(col("__cs")).cast("double").as("__ns"))
     fRaw

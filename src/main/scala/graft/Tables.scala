@@ -39,11 +39,22 @@ object Tables {
     require(spark.conf.get("spark.sql.session.timeZone", "") == "UTC",
       "set spark.sql.session.timeZone=UTC at session build to read events.parquet " +
         "(instant normalization below is only DuckDB-exact under UTC)")
+    def mentionsNanos(t: Throwable): Boolean = {
+      var cur = t
+      while (cur != null) {
+        if (String.valueOf(cur.getMessage).contains("PARQUET_TYPE_ILLEGAL")) return true
+        cur = cur.getCause
+      }
+      false
+    }
     val df =
       try load(spark, dir, "events")
       catch {
+        // Walk the cause chain: Spark may surface the schema-conversion
+        // failure wrapped in a SparkException whose own message lacks the
+        // error class, and the remediation hint must not be lost.
         case e: Throwable
-            if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") &&
+            if mentionsNanos(e) &&
               spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true" =>
           throw new IllegalStateException(
             "events.parquet carries INT64 TIMESTAMP(NANOS); set " +

@@ -42,9 +42,14 @@ object C4Rules {
       minLineWords: Int = 5,
       minSentences: Int = 3): DataFrame = {
     val text = col(textCol)
-    val keptLines = filter(split(text, "\n"), l => lineKeep(l, minLineWords))
+    // Materialize the retained-lines array once (the GopherRules staging
+    // discipline): it feeds three output columns, and HOFs re-evaluate
+    // interpreted when inlined.
+    val staged = df.select(col(idCol), text,
+      filter(split(text, "\n"), l => lineKeep(l, minLineWords)).as("__kept"))
+    val keptLines = col("__kept")
     val lowered = lower(text)
-    df.select(
+    staged.select(
         col(idCol),
         concat_ws("\n", keptLines).as("clean_text"),
         size(keptLines).cast("long").as("n_lines_kept"),

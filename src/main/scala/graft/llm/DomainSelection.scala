@@ -84,6 +84,11 @@ object DomainSelection {
       .localCheckpoint()
     val tc = counts.filter(col("__tgt")).select(col("__b"), col("__n").as("__ct"))
     val sc = counts.filter(!col("__tgt")).select(col("__b"), col("__n").as("__cs"))
+    // Fail loudly on an empty side (cheap: reads the materialized counts):
+    // an empty target would otherwise propagate NULL totals through every
+    // log-ratio and rank garbage silently.
+    require(!tc.isEmpty, "empty target corpus: no features to fit p_target")
+    require(!sc.isEmpty, "empty raw corpus: no features to fit p_source")
     val nt = tc.agg(sum(col("__ct")).cast("double").as("__nt"))
     val ns = sc.agg(sum(col("__cs")).cast("double").as("__ns"))
     fRaw

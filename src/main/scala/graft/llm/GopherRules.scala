@@ -41,7 +41,16 @@ object GopherRules {
       minWords: Long = 50L,
       maxWords: Long = 100000L): DataFrame = {
     val text = col(textCol)
-    val words = TextAnalysis.tokensWs(text)
+    // The token/line arrays materialize ONCE in a preceding projection:
+    // higher-order functions evaluate interpreted, and inlining `words`
+    // into five rule expressions would re-split the full text five-plus
+    // times per row (CollapseProject keeps non-cheap expressions in their
+    // own projection, so this split survives optimization).
+    val staged = df.select(col(idCol), text,
+      TextAnalysis.tokensWs(text).as("__ws"),
+      transform(TextAnalysis.tokensWs(text), w => lower(w)).as("__lws"),
+      split(text, "\n").as("__lines"))
+    val words = col("__ws")
     val nWords = size(words).cast("long")
     // Σ word lengths (integer) for the mean-word-length bounds [3, 10].
     val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
@@ -50,7 +59,7 @@ object GopherRules {
       .cast("long")
     val nEllipsis = ((length(text) - length(replace(text, lit("..."), lit(""))))
       / lit(3)).cast("long")
-    val lines = split(text, "\n")
+    val lines = col("__lines")
     val nLines = size(lines).cast("long")
     val nEllipsisLines = size(filter(lines, l => l.endsWith("..."))).cast("long")
     val nBulletLines = size(filter(lines, l =>
@@ -58,8 +67,8 @@ object GopherRules {
     val nAlphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
     val nStop = size(filter(
       array(Stopwords.map(lit(_)): _*),
-      sw => array_contains(transform(words, w => lower(w)), sw))).cast("long")
-    df.select(
+      sw => array_contains(col("__lws"), sw))).cast("long")
+    staged.select(
         col(idCol),
         nWords.as("n_words"),
         (nWords >= minWords && nWords <= maxWords).as("r_word_count"),

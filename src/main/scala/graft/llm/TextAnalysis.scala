@@ -274,8 +274,11 @@ object TextAnalysis {
     */
   def segmentRepetitionBy(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n", prefix: String = "line"): DataFrame = {
+    // Pattern.quote: Spark split() takes a REGEX; the separator contract
+    // here (and in the DuckDB oracle's string_split) is a LITERAL — an
+    // unquoted ". " or "|" would split on every character.
     val segs = df.select(col(idCol),
-      explode(split(col(textCol), sep)).as("__seg"))
+      explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("__seg"))
     val grouped = segs.groupBy(col(idCol), col("__seg"))
       .agg(count(lit(1)).as("__c"),
         first(length(col("__seg")).cast("long")).as("__len"))

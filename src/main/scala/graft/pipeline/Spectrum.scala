@@ -48,9 +48,12 @@ object Spectrum {
     // the caller's (spark.catalog.clearCache() after consumption; the
     // harness does this between queries); for many files use [[runAll]],
     // which caches nothing.
-    val flagged = Positions.withPos(d2)
+    // Cache only when the off probe will read the frame a second time (the
+    // onoff branch): otherwise the single A2 aggregate is the only
+    // consumer and the cache would be pure materialization overhead.
+    val flagged0 = Positions.withPos(d2)
       .select(col("__pos"), col("DATA"), col("OBSMODE"))
-      .cache()
+    val flagged = if (header.obsmode == "onoff") flagged0.cache() else flagged0
 
     // ST1, spectrum form: the spectrum path reads ONLY the scan's
     // offStart, which is the index of the FIRST row (in __pos order) whose

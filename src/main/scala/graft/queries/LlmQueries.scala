@@ -768,9 +768,13 @@ object LlmQueries {
       // survivors. Every stage individually certified (q_c4_rules,
       // q_gopher_rules, q_dedup_exact_rows); this query pins the
       // composition. Output: surviving ids with their cleaned-text size.
+      // Materialized once: `gated` derives from `cleaned` AND joins back
+      // onto it — unmaterialized, the C4 subtree would plan on both join
+      // sides (the repo's multi-consumer checkpoint discipline).
       val cleaned = graft.llm.C4Rules(structuredDocs(s, dir), "doc_id", "text")
         .filter(col("keep"))
         .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint()
       val gated = graft.llm.GopherRules(cleaned, "doc_id", "text",
           minWords = 10L)
         .filter(col("r_word_count") && col("r_mean_word_len") &&

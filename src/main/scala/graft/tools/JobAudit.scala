@@ -37,7 +37,13 @@ object JobAudit {
         durs.put(je.jobId, (je.time - s) / 1e3)
       }
     })
-    val fn = graft.SparkEntry.queries(name)
+    val registry = graft.SparkEntry.queries
+    require(registry.contains(name), {
+      val near = registry.keys.filter(_.contains(name.stripPrefix("q_"))).toSeq.sorted
+      s"unknown query '$name'" +
+        (if (near.nonEmpty) s"; did you mean: ${near.mkString(", ")}" else "")
+    })
+    val fn = registry(name)
     val t0 = System.nanoTime()
     fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
     val sec = (System.nanoTime() - t0) / 1e9

@@ -42,16 +42,20 @@ object DomainSelection {
   private[llm] def features(df: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): DataFrame = {
     val ts = TextAnalysis.tokensWs(lower(col(textCol)))
-    val uni = transform(ts, t =>
-      pmod(TextAnalysis.fingerprint(t), lit(nBuckets.toLong)))
+    // Build the gram STRINGS inside the (interpreted) HOF lambdas — cheap
+    // concats — and explode FIRST; the per-character fingerprint fold then
+    // runs as a codegen'd kernel over the flat column. Folding it into the
+    // lambda put the expensive part on the interpreted path: ~22M deep
+    // megamorphic eval calls per corpus pass, measured 4-6× slower and
+    // badly JIT-warmup-sensitive (first such query in a JVM paid ~6×).
     // sequence(2, n) counts DOWN when n < 2 (the charNgrams guard).
     val bi = when(size(ts) >= 2,
       transform(sequence(lit(2), size(ts)), i =>
-        pmod(TextAnalysis.fingerprint(
-          concat(element_at(ts, i - 1), lit(" "), element_at(ts, i))),
-          lit(nBuckets.toLong))))
-      .otherwise(array().cast("array<bigint>"))
-    df.select(col(idCol), explode(concat(uni, bi)).as("__b"))
+        concat(element_at(ts, i - 1), lit(" "), element_at(ts, i))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(concat(ts, bi)).as("__g"))
+      .select(col(idCol),
+        pmod(TextAnalysis.fingerprint(col("__g")), lit(nBuckets.toLong)).as("__b"))
   }
 
   /** Per-document DSIR importance weights of `raw` against `target`:

@@ -32,6 +32,12 @@ object Bench {
       r.join(broadcast(spark.range(100).toDF("id")), "id").count()
       r.select(explode(split(lit("a b c"), " ")).as("t"))
         .groupBy(col("t")).count().orderBy(col("t")).collect()
+      // The poly-fingerprint kernel backs the dedup/DSIR/qmodel families;
+      // its first ~10k evaluations run pre-C2 (measured: whichever
+      // fingerprint-heavy query lands first in a JVM paid up to 3×).
+      spark.range(100000).selectExpr("cast(id as string) AS s")
+        .select(graft.llm.TextAnalysis.fingerprint(col("s")).as("f"))
+        .agg(max(col("f"))).collect()
     }
     // Optional subset (comma-separated names) for local scale smokes —
     // the driver never sets it, so driver runs always cover the registry.

@@ -73,6 +73,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => LuhnValid(args(0))),
     ("html_to_text", "one-pass HTML to text extraction (tags stripped, entities decoded)",
       (args: Seq[Expression]) => HtmlToText(args(0))),
+    ("html_hrefs", "anchor href targets in document order (script/style/comments excluded)",
+      (args: Seq[Expression]) => HtmlHrefs(args(0))),
+    ("norm_text", "NFC normalization + control strip + space/tab collapse + end trim",
+      (args: Seq[Expression]) => NormText(args(0))),
     ("url_scheme", "lowercased URL scheme, null for non-URLs",
       (args: Seq[Expression]) => UrlStringPart(args(0), "scheme")),
     ("url_host", "lowercased URL host, port stripped, null for non-URLs",

@@ -31,13 +31,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HtmlImpl {
 
-  private def isWs(c: Char): Boolean =
+  private[functions] def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u00a0'
 
   /** True if `s` at `i` starts (case-insensitively) with `word` followed by
     * a tag-name delimiter (whitespace, '>', '/', or EOF).
     */
-  private def tagNameAt(s: String, i: Int, word: String): Boolean = {
+  private[functions] def tagNameAt(s: String, i: Int, word: String): Boolean = {
     if (i + word.length > s.length) return false
     var k = 0
     while (k < word.length) {
@@ -52,7 +52,7 @@ object HtmlImpl {
   /** Index just past the matching `</name…>` end tag, or `s.length` if the
     * element never closes (truncated page).
     */
-  private def skipRawElement(s: String, from: Int, name: String): Int = {
+  private[functions] def skipRawElement(s: String, from: Int, name: String): Int = {
     var i = from
     while (i < s.length) {
       if (s.charAt(i) == '<' && i + 1 < s.length && s.charAt(i + 1) == '/' &&
@@ -149,6 +149,106 @@ object HtmlImpl {
   }
 }
 
+/** Anchor-href extraction — the crawl link-graph feeder. One linear scan
+  * (the [[HtmlImpl]] discipline: no DOM, no regex): walks the tag stream,
+  * skips comments and script/style raw content (an href inside a JS string
+  * is not a link), and for each `<a …>` start tag returns the value of its
+  * FIRST `href` attribute.
+  *
+  * Attribute contract (pragmatic crawl subset, fuzz-pinned in the spec):
+  * `href` matches case-insensitively as a whole attribute name, `=` may
+  * carry whitespace on either side, the value may be double-quoted,
+  * single-quoted, or an unquoted token (ended by whitespace or '>').
+  * Empty values and anchors without an href (pure fragment targets) yield
+  * nothing; an unterminated quote (truncated fetch) drops that anchor and
+  * scanning continues — extraction must not throw mid-corpus.
+  */
+object HrefImpl {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** True if the tag body `[from, to)` has "href" (ci) at `i` as a whole
+    * attribute name (preceded by tag-name/attr delimiter, followed by
+    * optional ws then '=').
+    */
+  private def hrefAt(s: String, i: Int, to: Int): Int = {
+    if (i + 4 > to) return -1
+    if (Character.toLowerCase(s.charAt(i)) != 'h' ||
+        Character.toLowerCase(s.charAt(i + 1)) != 'r' ||
+        Character.toLowerCase(s.charAt(i + 2)) != 'e' ||
+        Character.toLowerCase(s.charAt(i + 3)) != 'f') return -1
+    var j = i + 4
+    while (j < to && HtmlImpl.isWs(s.charAt(j))) j += 1
+    if (j < to && s.charAt(j) == '=') j + 1 else -1
+  }
+
+  def hrefs(input: UTF8String): ArrayData = {
+    val s = input.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '<') {
+        if (s.startsWith("<!--", i)) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) s.length else end + 3
+        } else if (HtmlImpl.tagNameAt(s, i + 1, "script")) {
+          val gt = s.indexOf('>', i)
+          i = if (gt < 0) s.length else HtmlImpl.skipRawElement(s, gt + 1, "script")
+        } else if (HtmlImpl.tagNameAt(s, i + 1, "style")) {
+          val gt = s.indexOf('>', i)
+          i = if (gt < 0) s.length else HtmlImpl.skipRawElement(s, gt + 1, "style")
+        } else if (HtmlImpl.tagNameAt(s, i + 1, "a")) {
+          val gtRaw = s.indexOf('>', i)
+          val gt = if (gtRaw < 0) s.length else gtRaw
+          var j = i + 2
+          var done = false
+          while (j < gt && !done) {
+            if (HtmlImpl.isWs(s.charAt(j - 1))) { // attr names start after ws
+              val vStart = hrefAt(s, j, gt)
+              if (vStart >= 0) {
+                var v = vStart
+                while (v < gt && HtmlImpl.isWs(s.charAt(v))) v += 1
+                if (v < gt && (s.charAt(v) == '"' || s.charAt(v) == '\'')) {
+                  val q = s.charAt(v)
+                  val close = s.indexOf(q, v + 1)
+                  if (close >= 0 && close < gt && close > v + 1)
+                    out += UTF8String.fromString(s.substring(v + 1, close))
+                } else {
+                  var e = v
+                  while (e < gt && !HtmlImpl.isWs(s.charAt(e)) && s.charAt(e) != '>') e += 1
+                  if (e > v) out += UTF8String.fromString(s.substring(v, e))
+                }
+                done = true
+              }
+            }
+            j += 1
+          }
+          i = if (gtRaw < 0) s.length else gt + 1
+        } else {
+          val gt = s.indexOf('>', i)
+          i = if (gt < 0) s.length else gt + 1
+        }
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Codegen wrapper for [[HrefImpl.hrefs]]: `html_hrefs(html)` →
+  * `array<string>` of raw anchor targets in document order (empty array
+  * for a page without links — null only for null input).
+  */
+case class HtmlHrefs(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "html_hrefs"
+  override def nullSafeEval(input: Any): Any =
+    HrefImpl.hrefs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.HrefImpl.hrefs($c);")
+  override protected def withNewChildInternal(newChild: Expression): HtmlHrefs =
+    copy(child = newChild)
+}
+
 /** Codegen wrapper for [[HtmlImpl.extract]]. */
 case class HtmlToText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -167,6 +267,12 @@ object HtmlKernels {
     */
   def htmlToText(c: Column): Column =
     GraftColumnBridge.column(HtmlToText(GraftColumnBridge.expression(c.cast("string"))))
+
+  /** Raw anchor targets (`<a href=…>`) in document order — the link-graph
+    * feeder; comments and script/style content do not contribute.
+    */
+  def hrefs(c: Column): Column =
+    GraftColumnBridge.column(HtmlHrefs(GraftColumnBridge.expression(c.cast("string"))))
 
   import org.apache.spark.sql.functions._
 

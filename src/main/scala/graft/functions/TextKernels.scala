@@ -96,6 +96,58 @@ case class LuhnValid(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Text normalization — the very first cleaning stage of a pretraining
+  * pipeline (before tokenization, dedup, or any fingerprinting: two
+  * byte-different but canonically-equal strings must dedup together).
+  * Contract, chosen to be statable in standard SQL so the DuckDB oracle can
+  * restate it independently (`nfc_normalize` + two regexp_replace + trim):
+  *
+  *  1. Unicode NFC (canonical composition — `e` + U+0301 → `é`);
+  *  2. control characters (U+0000–U+001F except `\n`/`\t`, and U+007F)
+  *     are removed — `\r` is a control, so CRLF becomes `\n`;
+  *  3. runs of spaces and tabs collapse to a single space (newlines are
+  *     preserved: paragraph structure feeds line-level ops downstream);
+  *  4. leading/trailing SPACES of the whole string trim (a trailing
+  *     newline survives — only the space-collapse residue trims).
+  *
+  * One pass after the NFC call; NFC itself is the JDK's `Normalizer`
+  * (conformant Unicode canonical composition, the same algorithm
+  * utf8proc-based engines implement).
+  */
+object NormImpl {
+  def norm(input: UTF8String): UTF8String = {
+    val s = java.text.Normalizer.normalize(input.toString,
+      java.text.Normalizer.Form.NFC)
+    val out = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t') pendingSpace = true
+      else if ((c < ' ' && c != '\n') || c == '\u007f') () // control: drop
+      else {
+        if (pendingSpace && out.length > 0) out.append(' ')
+        pendingSpace = false
+        out.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
+/** Codegen wrapper for [[NormImpl.norm]] (`norm_text`). */
+case class NormText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "norm_text"
+  override def nullSafeEval(input: Any): Any =
+    NormImpl.norm(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.NormImpl.norm($c);")
+  override protected def withNewChildInternal(newChild: Expression): NormText =
+    copy(child = newChild)
+}
+
 object TextKernels {
   /** Codegen'd polynomial rolling hash of a string column
     * (`(h·131 + codePoint) mod 1e9+7`).
@@ -106,4 +158,10 @@ object TextKernels {
   /** Codegen'd Luhn checksum validity (13–19 digits, separators ignored). */
   def luhnValid(c: Column): Column =
     GraftColumnBridge.column(LuhnValid(GraftColumnBridge.expression(c.cast("string"))))
+
+  /** Unicode-NFC text normalization + control strip + space/tab collapse
+    * (see [[NormImpl]] for the exact 4-step contract).
+    */
+  def normText(c: Column): Column =
+    GraftColumnBridge.column(NormText(GraftColumnBridge.expression(c.cast("string"))))
 }

@@ -165,6 +165,12 @@ object UrlImpl {
 case class UrlStringPart(child: Expression, part: String) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = s"url_$part"
+  // Value-null-producing (an absent scheme/host/query is null even for a
+  // non-null input), so nullability must NOT inherit from the child: with a
+  // non-nullable child (e.g. explode of a containsNull=false array) the
+  // inherited `false` makes codegen emit `false = true;` — a Janino compile
+  // error that silently drops the whole stage to interpreted eval.
+  override def nullable: Boolean = true
   private val f: UTF8String => UTF8String = part match {
     case "scheme"    => UrlImpl.scheme
     case "host"      => UrlImpl.host
@@ -188,6 +194,7 @@ case class UrlStringPart(child: Expression, part: String) extends UnaryExpressio
 case class UrlPort(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "url_port"
+  override def nullable: Boolean = true // portless URLs are null (see UrlStringPart)
   override def nullSafeEval(input: Any): Any = {
     val p = UrlImpl.port(input.asInstanceOf[UTF8String])
     if (p == null) null else p.longValue

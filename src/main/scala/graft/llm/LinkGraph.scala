@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HtmlKernels
+
+/** Host-level link analysis over a crawled corpus — the stage that turns a
+  * page archive into a domain authority signal. Crawl curation recipes use
+  * link centrality both as a quality prior (Common Crawl's harmonic/PageRank
+  * host rankings) and as a seed-selection input for the next crawl; neither
+  * the reference nor the earlier crawl family covered the graph view, so
+  * this module closes it: pages → registered-domain edges → PageRank.
+  *
+  * Scale design (100 TB of WARC → ~10⁸ registered domains):
+  *  - edge extraction is a map-side pass (href kernel + URL kernels, all
+  *    codegen'd) followed by ONE `groupBy(src,dst)` shuffle whose rows are
+  *    slim domain pairs — page text never shuffles;
+  *  - PageRank iterates shuffle joins keyed on `src`/`dst` — uniform unless
+  *    the web graph's natural hubs dominate, which AQE skew-join splits;
+  *    the edge+outdegree frame is `localCheckpoint`ed ONCE (it feeds every
+  *    iteration) so the corpus scan never re-runs;
+  *  - ranks are integer micro-units (see [[pageRank]]) — exact under any
+  *    partial-aggregation order, so results are reproducible run-to-run
+  *    and hash-checkable against a sequential oracle. For deep iteration
+  *    counts, checkpoint `ranks` every few rounds to truncate lineage
+  *    (3 damped rounds — this module's default — does not need it).
+  */
+object LinkGraph {
+
+  /** Weighted registered-domain edge list from a page frame: extract every
+    * anchor href ([[HtmlKernels.hrefs]]), keep absolute http(s) targets,
+    * resolve source host and target host to registered domains, drop
+    * self-edges (intra-site navigation is not an authority signal), and
+    * count link multiplicity per (src, dst).
+    *
+    * Output: `src_domain, dst_domain, links` — one shuffle, slim keys.
+    */
+  def hostEdges(pages: DataFrame, srcHost: Column, html: Column): DataFrame =
+    pages
+      .select(
+        UrlOps.registeredDomain(lower(srcHost)).as("src_domain"),
+        explode(HtmlKernels.hrefs(html)).as("href"))
+      .where(lower(UrlOps.urlScheme(col("href"))).isin("http", "https"))
+      .withColumn("dst_domain",
+        UrlOps.registeredDomain(lower(UrlOps.urlHost(col("href")))))
+      .where(col("dst_domain").isNotNull &&
+        col("dst_domain") =!= col("src_domain"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("links"))
+
+  /** PageRank in integer micro-rank units: every node starts at 1 000 000 µ,
+    * and each synchronous round recomputes
+    *
+    *   rank' = 150 000 + Σ_in ((rank_src div outdeg_src) · 850 000 div 1 000 000)
+    *
+    * i.e. the classic damping-0.85 update with BOTH divisions truncated to
+    * integers and the damping applied PER EDGE. The integer form is chosen
+    * deliberately: contributions are exact longs, so the cross-row sum is
+    * associative (bit-identical under Spark's partial aggregation and a
+    * sequential oracle), and per-edge damping keeps every addend ≤ 850 000·
+    * rank_src/outdeg — no intermediate exceeds 2⁶³ even for a 10⁸-in-degree
+    * hub. Dangling nodes (no outlinks) simply leak their rank, the standard
+    * simplification. Truncation costs < 1 µ-unit per edge per round vs the
+    * real-valued recurrence — negligible against rank magnitudes of 10⁶.
+    *
+    * `edges` is any frame with `src_domain`/`dst_domain` columns (weights
+    * ignored: the link GRAPH is what ranks, not link multiplicity).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+      .distinct()
+    // One materialization feeds the node set and every iteration's join.
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
+    val nodes = withDeg.select(col("src").as("domain"))
+      .union(withDeg.select(col("dst").as("domain")))
+      .distinct()
+      .localCheckpoint()
+    var ranks = nodes.select(col("domain"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      val sums = withDeg
+        .join(ranks, col("src") === col("domain"))
+        .select(col("dst"),
+          expr("(rank div outdeg) * 850000 div 1000000").as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("s"))
+      ranks = nodes
+        .join(sums, nodes("domain") === sums("dst"), "left")
+        .select(nodes("domain"), (lit(150000L) + coalesce(col("s"), lit(0L))).as("rank"))
+    }
+    ranks
+  }
+}

@@ -15,6 +15,14 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(text, " ")
   def tokensWs(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Stage-zero Unicode hygiene (NFC + control strip + space/tab collapse
+    * + end trim — [[graft.functions.NormImpl]] has the exact contract):
+    * run BEFORE tokenization or any fingerprint/signature so canonically
+    * equal but byte-different text dedups together. One codegen'd pass.
+    */
+  def normalizeText(text: Column): Column =
+    graft.functions.TextKernels.normText(text)
+
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(tokensWs(text))
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{Encoders}
 import org.apache.spark.sql.functions._
 import graft.functions.HtmlKernels
@@ -106,6 +106,79 @@ object CrawlQueries {
        |          'co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in','co.kr','co.za')
        |   THEN regexp_extract($h, '([^.]+[.][^.]+[.][^.]+)$$', 1)
        | ELSE regexp_extract($h, '([^.]+[.][^.]+)$$', 1) END""".stripMargin
+
+  // ----------------------------------------------------- link-graph fixture
+
+  /** Link-graph host pool: 23 registrable domains `h0 … h22`, every
+    * `k % 4 == 3` one under the multi-label suffix `co.uk` (exercising the
+    * registered-domain contract), served from a `www.` / `news.` subdomain
+    * so host ≠ domain everywhere.
+    */
+  private def lgHostForm(k: Column): Column =
+    when(k % 4 === 3, concat(lit("news.h"), k.cast("string"), lit(".co.uk")))
+      .otherwise(concat(lit("www.h"), k.cast("string"), lit(".com")))
+
+  private def lgHostSql(k: String): String =
+    s"CASE WHEN ($k) % 4 = 3 THEN 'news.h' || ($k) || '.co.uk' ELSE 'www.h' || ($k) || '.com' END"
+
+  /** Oracle-side registrable domain of the fixture hosts (closed form:
+    * the pool only ever prefixes `www.` / `news.`).
+    */
+  private val lgDstSql =
+    """regexp_replace(lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), '^(www|news)\.', '')"""
+
+  private def lgDomSql(k: String): String =
+    s"CASE WHEN ($k) % 4 = 3 THEN 'h' || ($k) || '.co.uk' ELSE 'h' || ($k) || '.com' END"
+
+  /** Per-doc crawl page with planted anchors: two in-pool http(s) links
+    * (one host-varying per doc), a MIXED-CASE absolute link on doc_id % 7
+    * (normalization must fold it into h5.com), a SELF link on doc_id % 13
+    * (the edge builder must drop it), and mailto/relative targets (the
+    * scheme gate must drop them). Script content stays anchor-free here —
+    * suppression inside script/comments is the kernel spec's job, while
+    * this fixture keeps every planted anchor oracle-extractable.
+    */
+  private def linkedPages(s: SparkSession, dir: String): DataFrame = {
+    val ids = col("doc_id").cast("string")
+    val k = col("doc_id") % 23
+    val anchors = concat(
+      lit("<a href=\"https://"), lgHostForm((k + 7) % 23), lit("/a/"), ids, lit("\">one</a>"),
+      lit("<a href=\"https://"), lgHostForm(col("doc_id") % 11 + 12), lit("/b/"), ids, lit("\">two</a>"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("<a href=\"HTTPS://WWW.H5.COM/mix/"), ids, lit("\">mix</a>"))).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        concat(lit("<a href=\"https://"), lgHostForm(k), lit("/self\">me</a>"))).otherwise(lit("")),
+      lit("<a href=\"mailto:ed@h1.com\">mail</a><a href=\"/rel/p\">rel</a>"))
+    docs(s, dir).select(col("doc_id"), lgHostForm(k).as("host"),
+      concat(lit("<html><body><h1>Doc "), ids, lit("</h1><p>"), col("text"),
+        lit("</p>"), anchors, lit("<script>var x = 1;</script></body></html>")).as("html"))
+  }
+
+  /** Oracle mirror of [[linkedPages]]'s planted hrefs (closed form, one row
+    * per anchor; the CASE branches yield NULL rows the scheme gate drops).
+    */
+  private val lgLinksSql =
+    s"""links AS (SELECT doc_id, unnest(list_value(
+       |    'https://' || ${lgHostSql("(doc_id % 23 + 7) % 23")} || '/a/' || doc_id,
+       |    'https://' || ${lgHostSql("doc_id % 11 + 12")} || '/b/' || doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://WWW.H5.COM/mix/' || doc_id END,
+       |    CASE WHEN doc_id % 13 = 0 THEN 'https://' || ${lgHostSql("doc_id % 23")} || '/self' END,
+       |    'mailto:ed@h1.com', '/rel/p')) AS href
+       |  FROM documents),
+       |lg_edges_w AS (SELECT ${lgDomSql("doc_id % 23")} AS src_domain, $lgDstSql AS dst_domain
+       |  FROM links WHERE regexp_matches(lower(href), '^https?://'))""".stripMargin
+
+  /** One damped integer micro-rank power-iteration round as a CTE pair —
+    * the sequential mirror of [[graft.llm.LinkGraph.pageRank]]'s update
+    * (`//` is DuckDB floor division ≡ Spark `div` on the nonnegative
+    * quantities here).
+    */
+  private def lgRankStepSql(i: Int): String =
+    s"""c$i AS (SELECT e.dst, sum((r.rank_micro // o.deg) * 850000 // 1000000) AS s
+       |  FROM lg_edges e JOIN lg_outdeg o ON e.src = o.src JOIN r${i - 1} r ON r.domain = e.src
+       |  GROUP BY e.dst),
+       |r$i AS (SELECT n.domain, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS rank_micro
+       |  FROM lg_nodes n LEFT JOIN c$i c ON c.dst = n.domain)""".stripMargin
 
   private val boilerLine1 = "home products pricing support about contact sign in"
   private val boilerLine2 = "copyright twenty twenty six example industries all rights reserved"
@@ -427,7 +500,26 @@ object CrawlQueries {
       // a fingerprint collision cannot inflate these).
       LineDedup.frequentLines(linedDocs(s, dir), "doc_id", "text", minDocs = 50)
         .select(col("line"), col("n_docs"))
-        .orderBy(col("line")))
+        .orderBy(col("line"))),
+
+    "q_link_graph" -> ((s, dir) =>
+      // Host link graph: href kernel → scheme gate → registered-domain
+      // resolution → weighted (src, dst) edges. Planted self links and
+      // mailto/relative targets must vanish; the mixed-case link must fold
+      // into h5.com. One slim-key shuffle — page text never moves.
+      graft.llm.LinkGraph.hostEdges(linkedPages(s, dir), col("host"), col("html"))
+        .orderBy(col("src_domain"), col("dst_domain"))),
+
+    "q_link_pagerank" -> ((s, dir) =>
+      // Domain authority: 3 damped power-iteration rounds in integer
+      // micro-rank units over the distinct-edge graph — exact under any
+      // aggregation order, so the full iterative join chain hash-matches
+      // the sequential oracle CTEs.
+      graft.llm.LinkGraph.pageRank(
+          graft.llm.LinkGraph.hostEdges(linkedPages(s, dir), col("host"), col("html")),
+          iters = 3)
+        .select(col("domain"), col("rank").as("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("domain")))
   )
 
   // -------------------------------------------------------------- oracles
@@ -601,6 +693,25 @@ object CrawlQueries {
          |  UNION ALL
          |  SELECT '$boilerLine2' AS line,
          |    (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 5 = 0) AS n_docs)
-         |ORDER BY line""".stripMargin
+         |ORDER BY line""".stripMargin,
+
+    "q_link_graph" ->
+      s"""WITH $lgLinksSql
+         |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS links
+         |FROM lg_edges_w WHERE dst_domain <> src_domain
+         |GROUP BY src_domain, dst_domain
+         |ORDER BY src_domain, dst_domain""".stripMargin,
+
+    "q_link_pagerank" ->
+      s"""WITH $lgLinksSql,
+         |lg_edges AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst
+         |  FROM lg_edges_w WHERE dst_domain <> src_domain),
+         |lg_outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM lg_edges GROUP BY src),
+         |lg_nodes AS (SELECT src AS domain FROM lg_edges UNION SELECT dst FROM lg_edges),
+         |r0 AS (SELECT domain, CAST(1000000 AS BIGINT) AS rank_micro FROM lg_nodes),
+         |${lgRankStepSql(1)},
+         |${lgRankStepSql(2)},
+         |${lgRankStepSql(3)}
+         |SELECT domain, rank_micro FROM r3 ORDER BY rank_micro DESC, domain""".stripMargin
   )
 }

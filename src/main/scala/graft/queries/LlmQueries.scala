@@ -670,6 +670,17 @@ object LlmQueries {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    "q_text_normalize" -> ((s, dir) =>
+      // Unicode hygiene certificate: planted combining accents (NFC must
+      // compose them), BEL/CR controls (must vanish), tab + space runs
+      // (must collapse), padded ends (must trim) — the one-pass kernel
+      // against DuckDB's independent nfc_normalize + regex restatement.
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.normalizeText(concat(
+            lit("  cafe\u0301 \u0007au lait\tA\u030Ab  "), col("text"),
+            lit(" \r\nend  "))).as("norm"))
+        .orderBy(col("doc_id"))),
+
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langIdBy(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -1567,6 +1578,14 @@ object LlmQueries {
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 131 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    nfc_normalize('  cafe' || chr(769) || ' ' || chr(7) || 'au lait' || chr(9) ||
+        |      'A' || chr(778) || 'b  ' || text || ' ' || chr(13) || chr(10) || 'end  '),
+        |    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g'), ' ') AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_qmodel" -> qmodelSql,

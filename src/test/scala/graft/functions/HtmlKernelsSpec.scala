@@ -64,4 +64,32 @@ class HtmlKernelsSpec extends SparkTestBase {
       assert(robots == wantR && noindex == wantN, s"html: $html")
     }
   }
+
+  private def hrefs(html: String*): Seq[Seq[String]] =
+    html.toDF("h").select(HtmlKernels.hrefs(col("h")).as("a"))
+      .as[Seq[String]].collect().toSeq
+
+  test("hrefs: quote styles, attribute order, case, first-href-wins") {
+    assert(hrefs("""<a href="http://x.com/1">t</a> <a href='y'>u</a>""") ==
+      Seq(Seq("http://x.com/1", "y")))
+    assert(hrefs("""<a class="big" HREF=plain rel="nofollow">t</a>""") ==
+      Seq(Seq("plain")))
+    assert(hrefs("""<A href = "spaced">t</A>""") == Seq(Seq("spaced")))
+    assert(hrefs("""<a href="first" href="second">t</a>""") == Seq(Seq("first")))
+  }
+
+  test("hrefs: anchors inside script/style/comments do not count") {
+    assert(hrefs(
+      """<a href="real">r</a><script>var s = '<a href="js">x</a>';</script>
+        |<!-- <a href="ghost">g</a> --><style>a[href="css"]{}</style>""".stripMargin) ==
+      Seq(Seq("real")))
+  }
+
+  test("hrefs: empty values, missing href, truncation, no anchors") {
+    assert(hrefs("""<a href="">e</a><a name="frag">f</a>""") == Seq(Seq()))
+    assert(hrefs("""<a href="unterminated""") == Seq(Seq()))
+    assert(hrefs("plain text, no anchors") == Seq(Seq()))
+    // an abbreviation tag is not an anchor
+    assert(hrefs("""<abbr href="nope">a</abbr>""") == Seq(Seq()))
+  }
 }

@@ -1,0 +1,50 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Link-graph family: href → registered-domain edge extraction (scheme
+  * gate, self-edge drop, case folding, multiplicity) and the integer
+  * micro-rank PageRank against hand-computed power-iteration values.
+  */
+class LinkGraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hostEdges: scheme gate, self-edges drop, domains fold, links count") {
+    val pages = Seq(
+      ("www.one.com",
+        """<a href="https://www.two.com/a">1</a><a href="HTTPS://WWW.TWO.COM/b">2</a>
+          |<a href="https://news.three.co.uk/c">3</a>
+          |<a href="http://www.one.com/self">me</a>
+          |<a href="mailto:x@two.com">m</a><a href="/rel/p">r</a>""".stripMargin),
+      ("news.three.co.uk", """<a href="https://www.one.com/x">1</a>"""))
+      .toDF("host", "html")
+    val got = LinkGraph.hostEdges(pages, col("host"), col("html"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("one.com", "two.com", 2L),        // mixed-case link folds in
+      ("one.com", "three.co.uk", 1L),    // multi-label suffix resolves
+      ("three.co.uk", "one.com", 1L)))   // self/mailto/relative all gone
+  }
+
+  test("pageRank: hand-computed integer micro-rank, two damped rounds") {
+    // A→B, A→C, B→A, C→A: outdeg A=2, B=C=1.
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "A"), ("C", "A"))
+      .toDF("src_domain", "dst_domain")
+    // r1: A = 150000 + 2·850000 = 1850000; B = C = 150000 + 425000 = 575000
+    // r2: A = 150000 + 2·(575000·850000 div 10⁶)        = 1127500
+    //     B = C = 150000 + (1850000 div 2)·850000 div 10⁶ = 936250
+    val got = LinkGraph.pageRank(edges, iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 1127500L, "B" -> 936250L, "C" -> 936250L))
+  }
+
+  test("pageRank: dangling destination keeps base rank plus inbound") {
+    // B has no outlinks: it must still appear as a node, receive inbound
+    // rank, and simply leak its own (the standard simplification).
+    val edges = Seq(("A", "B")).toDF("src_domain", "dst_domain")
+    val got = LinkGraph.pageRank(edges, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 150000L, "B" -> (150000L + 850000L)))
+  }
+}

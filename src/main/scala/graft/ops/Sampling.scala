@@ -76,6 +76,40 @@ object Sampling {
     * (map-side partials, one row per source) broadcast back; the corpus
     * itself never shuffles — the plan is scan → broadcast-join → filter.
     */
+  /** Epoch-based mixture UP-sampling — the other half of the mixing knob
+    * ([[weightedByTokenBudget]] thins over-budget sources; this repeats
+    * under-represented ones, the standard published-recipe shape where
+    * high-quality sources run >1 epoch). Each source carries a repeat
+    * factor in MILLI-epochs (2500 = 2.5 epochs); a row gets
+    * `factor div 1000` copies plus one more iff
+    * `mix32(key) mod 1000 < factor mod 1000`, so realized copies are a
+    * deterministic function of the key, expected copies are exactly
+    * factor/1000, and fractions < 1 downsample (factor 0 drops the
+    * source). Unlisted sources pass through at one epoch.
+    *
+    * Copies are tagged with a 0-based `epoch` column so downstream
+    * shuffles (packing, the global training-order sort) spread them —
+    * repeats must not be adjacent in the training stream. Map-side only:
+    * scan → broadcast factor join → explode(sequence); the corpus never
+    * shuffles and the explode multiplies rows AFTER any pushed-down
+    * column pruning.
+    */
+  def upsampleEpochs(df: DataFrame, sourceCol: String, key: Column,
+      epochsMilli: Map[String, Long]): DataFrame = {
+    require(epochsMilli.values.forall(_ >= 0), "epoch factors must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val f = epochsMilli.toSeq.toDF(sourceCol, "__fm")
+    df.join(broadcast(f), Seq(sourceCol), "left")
+      .withColumn("__fm", coalesce(col("__fm"), lit(1000L)))
+      .withColumn("__copies", expr("__fm div 1000") +
+        when(pmod(mix32(key), lit(1000L)) < pmod(col("__fm"), lit(1000L)), lit(1L))
+          .otherwise(lit(0L)))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__fm", "__copies")
+  }
+
   def weightedByTokenBudget(df: DataFrame, sourceCol: String, key: Column,
       tokenCount: Column, budgets: Map[String, Long]): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")

@@ -102,6 +102,18 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_sample_epochs" -> ((s, dir) =>
+      // Epoch up-sampling: src0 runs 2.5 epochs, src1 exactly 3, src2
+      // thins to 0.7, src3 drops, the rest pass at 1 — realized copies
+      // keyed on doc_id, each tagged with its 0-based epoch index.
+      // Broadcast factor join + map-side explode; the corpus never
+      // shuffles.
+      Sampling.upsampleEpochs(docs(s, dir).select(col("doc_id"), col("source")),
+          "source", col("doc_id"),
+          Map("src0" -> 2500L, "src1" -> 3000L, "src2" -> 700L, "src3" -> 0L))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
+
     "q_text_tfidf" -> ((s, dir) =>
       Relevance.tfidfTopK(docs(s, dir), "doc_id", "text", k = 5)
         .orderBy(col("id"), col("term"))),
@@ -332,6 +344,18 @@ object ScaleQueries {
         |WHERE CAST((doc_id * 2654435761) % 4294967296 AS HUGEINT) * tokens
         |    < CAST(budget AS HUGEINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_epochs" ->
+      """WITH f AS (SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 3000
+        |      WHEN 'src2' THEN 700 WHEN 'src3' THEN 0 ELSE 1000 END AS fm
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, fm // 1000 +
+        |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < fm % 1000
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM f)
+        |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS epoch
+        |FROM c ORDER BY doc_id, epoch""".stripMargin,
 
     "q_text_tfidf" ->
       s"""WITH tf AS (SELECT id, term, count(*) AS tf FROM (

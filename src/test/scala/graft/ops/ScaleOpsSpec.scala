@@ -140,6 +140,32 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(all.filter($"src" === "other").count() == 0)
   }
 
+  test("epoch up-sampling: copy counts, epoch tags, determinism, drops") {
+    val df = ((1L to 400L).map(i => (i, "up")) ++
+      (1001L to 1400L).map(i => (i, "down")) ++
+      (2001L to 2010L).map(i => (i, "gone")) ++
+      (3001L to 3010L).map(i => (i, "unlisted"))).toDF("id", "src")
+    val out = Sampling.upsampleEpochs(df, "src", col("id"),
+      Map("up" -> 2250L, "down" -> 400L, "gone" -> 0L))
+    val bySrc = out.groupBy($"src").count().as[(String, Long)].collect().toMap
+    // up: 2.25 epochs over 400 rows → ≈900 copies (2 guaranteed + ~25%)
+    assert(bySrc("up") >= 800 && math.abs(bySrc("up") - 900L) < 80, s"$bySrc")
+    assert(math.abs(bySrc("down") - 160L) < 60, s"~40% of down expected: $bySrc")
+    assert(!bySrc.contains("gone"), s"factor-0 source must drop: $bySrc")
+    assert(bySrc("unlisted") == 10L, s"unlisted passes at one epoch: $bySrc")
+    // every multi-copy row carries consecutive 0-based epoch tags
+    val epochs = out.filter($"src" === "up").groupBy($"id")
+      .agg(collect_list($"epoch").as("es")).as[(Long, Seq[Long])].collect()
+    epochs.foreach { case (id, es) =>
+      assert(es.sorted == (0L until es.length).toSeq, s"id $id epochs $es")
+    }
+    // layout-independent: same realized multiset under a different layout
+    val again = Sampling.upsampleEpochs(df.repartition(13), "src", col("id"),
+      Map("up" -> 2250L, "down" -> 400L, "gone" -> 0L))
+    assert(out.select($"id", $"epoch").as[(Long, Long)].collect().toSet ==
+      again.select($"id", $"epoch").as[(Long, Long)].collect().toSet)
+  }
+
   test("profiling summarize computes per-column stats in long format") {
     val df = Seq((1.0, Some(10L)), (2.0, None), (2.0, Some(30L)))
       .toDF("a", "b")

@@ -77,6 +77,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => HtmlHrefs(args(0))),
     ("norm_text", "NFC normalization + control strip + space/tab collapse + end trim",
       (args: Seq[Expression]) => NormText(args(0))),
+    ("robots_rules", "wildcard-agent (allow, prefix) rules of a robots.txt body",
+      (args: Seq[Expression]) => RobotsWildcardRules(args(0))),
     ("url_scheme", "lowercased URL scheme, null for non-URLs",
       (args: Seq[Expression]) => UrlStringPart(args(0), "scheme")),
     ("url_host", "lowercased URL host, port stripped, null for non-URLs",

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** robots.txt parsing — the crawl-compliance side the robots-META gate
+  * ([[HtmlKernels.robotsNoindex]]) does not cover: `/robots.txt` governs
+  * which PATHS may be fetched at all, and a curation pipeline that rebuilds
+  * a crawl frontier (or audits an existing one) needs it as data.
+  *
+  * Parsed subset (the classic grammar; one linear pass over the file):
+  *  - lines end at `\n` (a trailing `\r` is trimmed); `#` starts a comment;
+  *  - directives match case-insensitively: `User-agent`, `Disallow`,
+  *    `Allow` — anything else (Sitemap, Crawl-delay, …) is skipped;
+  *  - consecutive `User-agent` lines open a record shared by those agents;
+  *    a `User-agent` line after rules starts a NEW record;
+  *  - only records naming agent `*` contribute (this library models a
+  *    generic research crawler, not per-bot identities);
+  *  - rules keep file order as `(allow, prefix)` structs; an empty
+  *    `Disallow:` value (the "allow everything" idiom) contributes no rule,
+  *    which downstream longest-prefix matching treats identically.
+  *
+  * Matching itself (longest prefix wins, ties prefer Allow — the published
+  * Google/REP semantics) lives in [[graft.llm.RobotsTxt]] as a relational
+  * fold so the per-URL decision stays a broadcast-join projection.
+  */
+object RobotsImpl {
+
+  private def directive(line: String, name: String): String = {
+    // returns the trimmed value if `line` starts with `name:` (ci), else null
+    if (line.length < name.length + 1) return null
+    var i = 0
+    while (i < name.length) {
+      if (Character.toLowerCase(line.charAt(i)) != name.charAt(i)) return null
+      i += 1
+    }
+    // optional whitespace between name and ':'
+    while (i < line.length && (line.charAt(i) == ' ' || line.charAt(i) == '\t')) i += 1
+    if (i >= line.length || line.charAt(i) != ':') return null
+    line.substring(i + 1).trim
+  }
+
+  def wildcardRules(input: UTF8String): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var inAgents = false   // inside a run of consecutive User-agent lines
+    var applies = false    // current record names agent "*"
+    for (raw <- input.toString.split('\n')) {
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+        .stripSuffix("\r")
+      if (line.nonEmpty) {
+        val ua = directive(line, "user-agent")
+        if (ua != null) {
+          if (!inAgents) { inAgents = true; applies = false } // new record
+          if (ua == "*") applies = true
+        } else {
+          inAgents = false
+          val dis = directive(line, "disallow")
+          val allow = if (dis == null) directive(line, "allow") else null
+          if (applies) {
+            if (dis != null && dis.nonEmpty)
+              out += new GenericInternalRow(Array[Any](false, UTF8String.fromString(dis)))
+            else if (allow != null && allow.nonEmpty)
+              out += new GenericInternalRow(Array[Any](true, UTF8String.fromString(allow)))
+          }
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Codegen wrapper for [[RobotsImpl.wildcardRules]]:
+  * `robots_rules(txt)` → `array<struct<allow:boolean, prefix:string>>`
+  * in file order (empty array when no wildcard-agent record exists).
+  */
+case class RobotsWildcardRules(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("allow", BooleanType, nullable = false),
+      StructField("prefix", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "robots_rules"
+  override def nullSafeEval(input: Any): Any =
+    RobotsImpl.wildcardRules(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.RobotsImpl.wildcardRules($c);")
+  override protected def withNewChildInternal(newChild: Expression): RobotsWildcardRules =
+    copy(child = newChild)
+}
+
+object RobotsKernels {
+  /** Wildcard-agent (allow, prefix) rules of a robots.txt body, file order. */
+  def wildcardRules(c: Column): Column =
+    GraftColumnBridge.column(RobotsWildcardRules(GraftColumnBridge.expression(c.cast("string"))))
+}

@@ -118,6 +118,24 @@ object CrawlQueries {
     when(k % 4 === 3, concat(lit("news.h"), k.cast("string"), lit(".co.uk")))
       .otherwise(concat(lit("www.h"), k.cast("string"), lit(".com")))
 
+  private def lgDomForm(k: Column): Column =
+    when(k % 4 === 3, concat(lit("h"), k.cast("string"), lit(".co.uk")))
+      .otherwise(concat(lit("h"), k.cast("string"), lit(".com")))
+
+  /** Per-domain robots.txt pool: k%3==0 a full policy (a googlebot-only
+    * block record the wildcard parser must IGNORE, then a wildcard record
+    * with Disallow/Allow/Disallow — longest-prefix + allow-wins both
+    * exercised), k%3==1 the classic "Disallow:" empty allow-all idiom,
+    * k%3==2 no wildcard record at all (only googlebot) → everything
+    * allowed. Comments and unknown directives planted throughout.
+    */
+  private def lgRobotsTxt(k: Column): Column =
+    when(k % 3 === 0, lit("# corpus policy\nUser-agent: googlebot\nDisallow: /\n\n" +
+      "User-agent: *\nDisallow: /private\nAllow: /private/pub\nDisallow: /tmp\n" +
+      "Sitemap: https://example.com/s.xml\n"))
+      .when(k % 3 === 1, lit("User-agent: *\nDisallow:\n"))
+      .otherwise(lit("User-agent: googlebot\nCrawl-delay: 5\nDisallow: /\n"))
+
   private def lgHostSql(k: String): String =
     s"CASE WHEN ($k) % 4 = 3 THEN 'news.h' || ($k) || '.co.uk' ELSE 'www.h' || ($k) || '.com' END"
 
@@ -519,7 +537,45 @@ object CrawlQueries {
           graft.llm.LinkGraph.hostEdges(linkedPages(s, dir), col("host"), col("html")),
           iters = 3)
         .select(col("domain"), col("rank").as("rank_micro"))
-        .orderBy(col("rank_micro").desc, col("domain")))
+        .orderBy(col("rank_micro").desc, col("domain"))),
+
+    "q_url_robots_gate" -> ((s, dir) => {
+      // robots.txt frontier compliance: per-domain policies parse ONCE
+      // (kernel), broadcast as rule arrays, and each URL's path decides by
+      // longest-prefix/allow-wins fold — /private drops, /private/pub
+      // survives via Allow, /tmp drops, googlebot-only and allow-all
+      // domains pass everything. Scan → broadcast join → filter.
+      val ids = col("doc_id").cast("string")
+      val k = col("doc_id") % 23
+      val m = col("doc_id") % 5
+      val path = when(m === 0, concat(lit("/private/x"), ids))
+        .when(m === 1, concat(lit("/private/pub/y"), ids))
+        .when(m === 2, concat(lit("/tmp/z"), ids))
+        .when(m === 3, concat(lit("/ok/w"), ids))
+        .otherwise(lit("/private"))
+      val urls = docs(s, dir).select(col("doc_id"),
+        concat(lit("https://"), lgHostForm(k), path).as("url"))
+      val robots = docs(s, dir).select((col("doc_id") % 23).as("__k")).distinct()
+        .select(lgDomForm(col("__k")).as("domain"),
+          lgRobotsTxt(col("__k")).as("robots_txt"))
+      graft.llm.RobotsTxt.allowedGate(urls, "url", robots, "domain", "robots_txt")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_pipeline_linkgate" -> ((s, dir) => {
+      // Authority-prior curation: the link graph ranks the corpus's OWN
+      // domains, then docs served from domains that end at or above the
+      // initial rank mass (rank_micro ≥ 10⁶ — net rank gainers) pass.
+      // The ranks frame is domain-sized — the doc join broadcasts.
+      val pages = linkedPages(s, dir)
+      val ranks = graft.llm.LinkGraph.pageRank(
+        graft.llm.LinkGraph.hostEdges(pages, col("host"), col("html")), iters = 3)
+      pages.select(col("doc_id"),
+          graft.llm.UrlOps.registeredDomain(lower(col("host"))).as("domain"))
+        .join(broadcast(ranks.where(col("rank") >= 1000000L)), "domain")
+        .select(col("doc_id"), col("domain"), col("rank").as("rank_micro"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   // -------------------------------------------------------------- oracles
@@ -712,6 +768,32 @@ object CrawlQueries {
          |${lgRankStepSql(1)},
          |${lgRankStepSql(2)},
          |${lgRankStepSql(3)}
-         |SELECT domain, rank_micro FROM r3 ORDER BY rank_micro DESC, domain""".stripMargin
+         |SELECT domain, rank_micro FROM r3 ORDER BY rank_micro DESC, domain""".stripMargin,
+
+    "q_url_robots_gate" ->
+      s"""SELECT doc_id,
+         |  'https://' || ${lgHostSql("doc_id % 23")} ||
+         |    CASE doc_id % 5 WHEN 0 THEN '/private/x' || doc_id
+         |      WHEN 1 THEN '/private/pub/y' || doc_id
+         |      WHEN 2 THEN '/tmp/z' || doc_id
+         |      WHEN 3 THEN '/ok/w' || doc_id
+         |      ELSE '/private' END AS url
+         |FROM documents
+         |WHERE (doc_id % 23) % 3 <> 0 OR doc_id % 5 IN (1, 3)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_linkgate" ->
+      s"""WITH $lgLinksSql,
+         |lg_edges AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst
+         |  FROM lg_edges_w WHERE dst_domain <> src_domain),
+         |lg_outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM lg_edges GROUP BY src),
+         |lg_nodes AS (SELECT src AS domain FROM lg_edges UNION SELECT dst FROM lg_edges),
+         |r0 AS (SELECT domain, CAST(1000000 AS BIGINT) AS rank_micro FROM lg_nodes),
+         |${lgRankStepSql(1)},
+         |${lgRankStepSql(2)},
+         |${lgRankStepSql(3)}
+         |SELECT d.doc_id, r.domain, r.rank_micro
+         |FROM documents d JOIN r3 r ON r.domain = ${lgDomSql("d.doc_id % 23")}
+         |WHERE r.rank_micro >= 1000000 ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -75,6 +75,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => HtmlToText(args(0))),
     ("html_hrefs", "anchor href targets in document order (script/style/comments excluded)",
       (args: Seq[Expression]) => HtmlHrefs(args(0))),
+    ("html_anchors", "anchor (href, text) struct pairs in document order",
+      (args: Seq[Expression]) => HtmlAnchors(args(0))),
     ("norm_text", "NFC normalization + control strip + space/tab collapse + end trim",
       (args: Seq[Expression]) => NormText(args(0))),
     ("robots_rules", "wildcard-agent (allow, prefix) rules of a robots.txt body",

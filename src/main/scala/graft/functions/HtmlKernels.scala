@@ -181,6 +181,35 @@ object HrefImpl {
     if (j < to && s.charAt(j) == '=') j + 1 else -1
   }
 
+  /** The first href attribute VALUE inside the tag body `[from, to)`, or
+    * null when absent/empty/unterminated — the scan [[hrefs]] and
+    * [[AnchorImpl.anchors]] share.
+    */
+  private[functions] def firstHref(s: String, from: Int, to: Int): UTF8String = {
+    var j = from
+    while (j < to) {
+      if (HtmlImpl.isWs(s.charAt(j - 1))) { // attr names start after ws
+        val vStart = hrefAt(s, j, to)
+        if (vStart >= 0) {
+          var v = vStart
+          while (v < to && HtmlImpl.isWs(s.charAt(v))) v += 1
+          if (v < to && (s.charAt(v) == '"' || s.charAt(v) == '\'')) {
+            val q = s.charAt(v)
+            val close = s.indexOf(q, v + 1)
+            return if (close >= 0 && close < to && close > v + 1)
+              UTF8String.fromString(s.substring(v + 1, close)) else null
+          } else {
+            var e = v
+            while (e < to && !HtmlImpl.isWs(s.charAt(e)) && s.charAt(e) != '>') e += 1
+            return if (e > v) UTF8String.fromString(s.substring(v, e)) else null
+          }
+        }
+      }
+      j += 1
+    }
+    null
+  }
+
   def hrefs(input: UTF8String): ArrayData = {
     val s = input.toString
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -199,29 +228,8 @@ object HrefImpl {
         } else if (HtmlImpl.tagNameAt(s, i + 1, "a")) {
           val gtRaw = s.indexOf('>', i)
           val gt = if (gtRaw < 0) s.length else gtRaw
-          var j = i + 2
-          var done = false
-          while (j < gt && !done) {
-            if (HtmlImpl.isWs(s.charAt(j - 1))) { // attr names start after ws
-              val vStart = hrefAt(s, j, gt)
-              if (vStart >= 0) {
-                var v = vStart
-                while (v < gt && HtmlImpl.isWs(s.charAt(v))) v += 1
-                if (v < gt && (s.charAt(v) == '"' || s.charAt(v) == '\'')) {
-                  val q = s.charAt(v)
-                  val close = s.indexOf(q, v + 1)
-                  if (close >= 0 && close < gt && close > v + 1)
-                    out += UTF8String.fromString(s.substring(v + 1, close))
-                } else {
-                  var e = v
-                  while (e < gt && !HtmlImpl.isWs(s.charAt(e)) && s.charAt(e) != '>') e += 1
-                  if (e > v) out += UTF8String.fromString(s.substring(v, e))
-                }
-                done = true
-              }
-            }
-            j += 1
-          }
+          val href = firstHref(s, i + 2, gt)
+          if (href != null) out += href
           i = if (gtRaw < 0) s.length else gt + 1
         } else {
           val gt = s.indexOf('>', i)
@@ -231,6 +239,91 @@ object HrefImpl {
     }
     new GenericArrayData(out.toArray)
   }
+}
+
+/** Anchor (href, text) pairs — [[HrefImpl]] plus the anchor's own TEXT,
+  * the query-independent relevance signal web curation aggregates per
+  * TARGET domain ("what the web calls this site"). The anchor text is the
+  * extraction ([[HtmlImpl.extract]]) of everything between the `<a …>`
+  * start tag and its matching `</a>`; anchors without an href, with an
+  * empty value, or left unclosed by a truncated fetch yield nothing.
+  */
+object AnchorImpl {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** Index of the `<` of the first `</a…>` end tag at/after `from`, or -1
+    * if the element never closes (truncated page).
+    */
+  private def findEndTag(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length) {
+      if (s.charAt(i) == '<' && i + 1 < s.length && s.charAt(i + 1) == '/' &&
+          HtmlImpl.tagNameAt(s, i + 2, "a")) return i
+      i += 1
+    }
+    -1
+  }
+
+  def anchors(input: UTF8String): ArrayData = {
+    val s = input.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '<') {
+        if (s.startsWith("<!--", i)) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) s.length else end + 3
+        } else if (HtmlImpl.tagNameAt(s, i + 1, "script")) {
+          val gt = s.indexOf('>', i)
+          i = if (gt < 0) s.length else HtmlImpl.skipRawElement(s, gt + 1, "script")
+        } else if (HtmlImpl.tagNameAt(s, i + 1, "style")) {
+          val gt = s.indexOf('>', i)
+          i = if (gt < 0) s.length else HtmlImpl.skipRawElement(s, gt + 1, "style")
+        } else if (HtmlImpl.tagNameAt(s, i + 1, "a")) {
+          val gtRaw = s.indexOf('>', i)
+          if (gtRaw < 0) { i = s.length }
+          else {
+            val href = HrefImpl.firstHref(s, i + 2, gtRaw)
+            val end = findEndTag(s, gtRaw + 1) // start of the matching </a
+            if (end < 0) i = s.length // truncated: drop the open anchor
+            else {
+              if (href != null) {
+                val text = HtmlImpl.extract(
+                  UTF8String.fromString(s.substring(gtRaw + 1, end)))
+                out += new GenericInternalRow(Array[Any](href, text))
+              }
+              val endGt = s.indexOf('>', end)
+              i = if (endGt < 0) s.length else endGt + 1
+            }
+          }
+        } else {
+          val gt = s.indexOf('>', i)
+          i = if (gt < 0) s.length else gt + 1
+        }
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Codegen wrapper for [[AnchorImpl.anchors]]: `html_anchors(html)` →
+  * `array<struct<href:string, text:string>>` in document order.
+  */
+case class HtmlAnchors(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("href", StringType, nullable = false),
+      StructField("text", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "html_anchors"
+  override def nullSafeEval(input: Any): Any =
+    AnchorImpl.anchors(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.AnchorImpl.anchors($c);")
+  override protected def withNewChildInternal(newChild: Expression): HtmlAnchors =
+    copy(child = newChild)
 }
 
 /** Codegen wrapper for [[HrefImpl.hrefs]]: `html_hrefs(html)` →
@@ -273,6 +366,12 @@ object HtmlKernels {
     */
   def hrefs(c: Column): Column =
     GraftColumnBridge.column(HtmlHrefs(GraftColumnBridge.expression(c.cast("string"))))
+
+  /** Anchor (href, text) pairs in document order — the anchor-text
+    * relevance signal; same suppression rules as [[hrefs]].
+    */
+  def anchors(c: Column): Column =
+    GraftColumnBridge.column(HtmlAnchors(GraftColumnBridge.expression(c.cast("string"))))
 
   import org.apache.spark.sql.functions._
 

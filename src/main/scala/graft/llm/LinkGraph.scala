@@ -49,6 +49,41 @@ object LinkGraph {
       .groupBy("src_domain", "dst_domain")
       .agg(count(lit(1)).as("links"))
 
+  /** Anchor-text profile per TARGET domain — "what the web calls this
+    * site", the query-independent relevance signal (anchor terms describe
+    * the target better than the target's own boilerplate). Same gates as
+    * [[hostEdges]] (http(s) only, self-references excluded), then anchor
+    * text tokenizes to lowercase whitespace terms and the top `k` terms
+    * per target domain survive, ranked by distinct-mention count with a
+    * lexicographic tie-break (deterministic, oracle-matchable).
+    *
+    * Scale: the heavy `groupBy(dst_domain, term)` count shuffles slim
+    * (domain, term) pairs only; the top-k window then runs on the
+    * domain×term AGGREGATE (one row per pair), not the corpus.
+    */
+  def anchorTerms(pages: DataFrame, srcHost: Column, html: Column,
+      k: Int = 3): DataFrame = {
+    val counts = pages
+      .select(
+        UrlOps.registeredDomain(lower(srcHost)).as("src_domain"),
+        explode(HtmlKernels.anchors(html)).as("a"))
+      .where(lower(UrlOps.urlScheme(col("a.href"))).isin("http", "https"))
+      .withColumn("dst_domain",
+        UrlOps.registeredDomain(lower(UrlOps.urlHost(col("a.href")))))
+      .where(col("dst_domain").isNotNull &&
+        col("dst_domain") =!= col("src_domain"))
+      .select(col("dst_domain"),
+        explode(split(lower(trim(col("a.text"))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("dst_domain", "term")
+      .agg(count(lit(1)).as("mentions"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst_domain").orderBy(col("mentions").desc, col("term"))
+    counts.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** PageRank in integer micro-rank units: every node starts at 1 000 000 µ,
     * and each synchronous round recomputes
     *

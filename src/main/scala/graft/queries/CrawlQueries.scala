@@ -562,6 +562,15 @@ object CrawlQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_link_anchors" -> ((s, dir) =>
+      // Anchor-text profile: the top term per TARGET domain by mention
+      // count (ties lexicographic). Domains 12-22 draw both "one" (j1
+      // links, ~n/23 mentions) and "two" (j2 links, ~n/11) so "two" must
+      // win there; h5.com additionally draws "mix" (~n/7) which must beat
+      // both; self-anchor "me" and mailto "mail" must not appear.
+      graft.llm.LinkGraph.anchorTerms(linkedPages(s, dir), col("host"), col("html"), k = 1)
+        .orderBy(col("dst_domain"))),
+
     "q_pipeline_linkgate" -> ((s, dir) => {
       // Authority-prior curation: the link graph ranks the corpus's OWN
       // domains, then docs served from domains that end at or above the
@@ -769,6 +778,26 @@ object CrawlQueries {
          |${lgRankStepSql(2)},
          |${lgRankStepSql(3)}
          |SELECT domain, rank_micro FROM r3 ORDER BY rank_micro DESC, domain""".stripMargin,
+
+    "q_link_anchors" ->
+      s"""WITH alinks AS (SELECT doc_id, unnest(list_value(
+         |    {href: 'https://' || ${lgHostSql("(doc_id % 23 + 7) % 23")} || '/a/' || doc_id, t: 'one'},
+         |    {href: 'https://' || ${lgHostSql("doc_id % 11 + 12")} || '/b/' || doc_id, t: 'two'},
+         |    CASE WHEN doc_id % 7 = 0 THEN {href: 'HTTPS://WWW.H5.COM/mix/' || doc_id, t: 'mix'} END,
+         |    CASE WHEN doc_id % 13 = 0 THEN {href: 'https://' || ${lgHostSql("doc_id % 23")} || '/self', t: 'me'} END,
+         |    {href: 'mailto:ed@h1.com', t: 'mail'}, {href: '/rel/p', t: 'rel'})) AS a
+         |  FROM documents),
+         |am AS (SELECT ${lgDomSql("doc_id % 23")} AS src_domain,
+         |    regexp_replace(lower(regexp_extract(a.href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), '^(www|news)\\.', '') AS dst_domain,
+         |    a.t AS term
+         |  FROM alinks WHERE regexp_matches(lower(a.href), '^https?://')),
+         |ac AS (SELECT dst_domain, term, CAST(count(*) AS BIGINT) AS mentions
+         |  FROM am WHERE dst_domain <> src_domain GROUP BY 1, 2),
+         |rk AS (SELECT dst_domain, term, mentions,
+         |    row_number() OVER (PARTITION BY dst_domain ORDER BY mentions DESC, term) AS rn
+         |  FROM ac)
+         |SELECT dst_domain, term, mentions FROM rk WHERE rn = 1
+         |ORDER BY dst_domain""".stripMargin,
 
     "q_url_robots_gate" ->
       s"""SELECT doc_id,

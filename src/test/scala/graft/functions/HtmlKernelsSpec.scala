@@ -85,6 +85,21 @@ class HtmlKernelsSpec extends SparkTestBase {
       Seq(Seq("real")))
   }
 
+  test("anchors: (href, text) pairs; inner markup strips; truncation drops") {
+    val got = Seq(
+      """<a href="http://x.com">Example <b>Site</b></a> mid <a href='y'>two</a>""",
+      """<a name="frag">no href</a><a href="z"></a><a href="w">kept</a>""",
+      """<script><a href="js">x</a></script><a href="real">r &amp; s</a>""",
+      """<a href="trunc">never closes""")
+      .toDF("h").select(HtmlKernels.anchors(col("h")).as("a"))
+      .as[Seq[(String, String)]].collect().toSeq
+    assert(got == Seq(
+      Seq(("http://x.com", "Example Site"), ("y", "two")),
+      Seq(("z", ""), ("w", "kept")),
+      Seq(("real", "r & s")),
+      Seq()))
+  }
+
   test("hrefs: empty values, missing href, truncation, no anchors") {
     assert(hrefs("""<a href="">e</a><a name="frag">f</a>""") == Seq(Seq()))
     assert(hrefs("""<a href="unterminated""") == Seq(Seq()))

@@ -39,6 +39,21 @@ class LinkGraphSpec extends SparkTestBase {
     assert(got == Map("A" -> 1127500L, "B" -> 936250L, "C" -> 936250L))
   }
 
+  test("anchorTerms: per-target term counts, top-k rank, gates hold") {
+    val pages = Seq(
+      ("www.one.com",
+        """<a href="https://www.two.com/a">great search site</a>
+          |<a href="https://www.two.com/b">search</a>
+          |<a href="http://www.one.com/self">home</a>
+          |<a href="mailto:x@two.com">mail me</a>""".stripMargin),
+      ("www.three.com", """<a href="https://www.two.com/c">search engine</a>"""))
+      .toDF("host", "html")
+    val got = LinkGraph.anchorTerms(pages, col("host"), col("html"), k = 2)
+      .as[(String, String, Long)].collect().toSet
+    // two.com: search×3, engine/great/site×1 → top-2 = search, engine (lex)
+    assert(got == Set(("two.com", "search", 3L), ("two.com", "engine", 1L)))
+  }
+
   test("pageRank: dangling destination keeps base rank plus inbound") {
     // B has no outlinks: it must still appear as a node, receive inbound
     // rank, and simply leak its own (the standard simplification).

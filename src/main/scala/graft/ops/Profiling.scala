@@ -70,6 +70,34 @@ object Profiling {
       .orderBy(col(colName))
   }
 
+  /** Sketch-prefiltered heavy hitters — same answer as [[heavyHitters]],
+    * different memory contract: ONE Count-Min grid (`d·w` longs, 32 KB at
+    * the defaults) replaces the distinct-value aggregate state, so the
+    * path survives cardinalities where even two-level hash aggregation
+    * spills (10¹⁰⁺ distinct web tokens). Pass 1 builds the mergeable grid
+    * and the row total in one job (the grid is a BOUNDED driver collect —
+    * d·w counters regardless of data size); pass 2 probes every row
+    * map-side against the frozen grid and only sketch-cleared rows enter
+    * the exact confirm aggregate. CMS never under-counts, so no true
+    * heavy hitter can miss the prefilter, and the exact confirm discards
+    * its false positives: the output is bit-identical to the exact path —
+    * certified by the shared oracle.
+    */
+  def cmsHeavyHitters(df: DataFrame, colName: String, minShare: Double,
+      d: Int = 4, w: Int = 4096): DataFrame = {
+    require(minShare > 0 && minShare <= 1, "minShare must be in (0, 1]")
+    val built = df.agg(
+      graft.functions.CmsSketch.build(d, w)(col(colName)).as("g"),
+      count(col(colName)).as("n")).head()
+    val sketch = built.getSeq[Long](0).toArray
+    val threshold = math.ceil(built.getLong(1) * minShare)
+    df.filter(
+        graft.functions.CmsSketch.estimate(col(colName), sketch, d, w) >= threshold)
+      .groupBy(col(colName)).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .orderBy(col(colName))
+  }
+
   /** Boolean certificate that the quantile sketch honors its error bound on
     * this dataset: for each probability p, rank(approx_value) must be within
     * n/accuracy of p·n. Deterministic (the sketch is deterministic for a

@@ -152,6 +152,16 @@ object ScaleQueries {
     "q_profile_heavy" -> ((s, dir) =>
       Profiling.heavyHitters(li(s, dir), "l_partkey", minShare = 0.0005)),
 
+    "q_profile_cms" -> ((s, dir) =>
+      // Bounded-memory heavy hitters over the token stream: CMS grid
+      // prefilter (32 KB state at any cardinality) + exact confirm over
+      // only the cleared slice. CMS never under-counts, so the output is
+      // bit-identical to the exact aggregate — which IS the oracle.
+      Profiling.cmsHeavyHitters(
+        docs(s, dir).select(explode(
+          split(trim(lower(col("text"))), "\\s+")).as("term")),
+        "term", minShare = 0.002)),
+
     "q_upsert" -> ((s, dir) => {
       // Keyed MERGE: a 10% correction batch (quantity + 100) upserted into
       // the full table; updates win per key, untouched rows survive.
@@ -421,6 +431,14 @@ object ScaleQueries {
         |GROUP BY l_partkey
         |HAVING count(*) >= ceil((SELECT count(*) FROM lineitem) * 0.0005)
         |ORDER BY l_partkey""".stripMargin,
+
+    "q_profile_cms" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS n FROM t
+        |GROUP BY term
+        |HAVING count(*) >= ceil((SELECT count(*) FROM t) * 0.002)
+        |ORDER BY term""".stripMargin,
 
     "q_upsert" ->
       """WITH t AS (SELECT l_orderkey * 8 + l_linenumber AS k, l_quantity AS q FROM lineitem),

@@ -136,6 +136,12 @@ object CrawlQueries {
       .when(k % 3 === 1, lit("User-agent: *\nDisallow:\n"))
       .otherwise(lit("User-agent: googlebot\nCrawl-delay: 5\nDisallow: /\n"))
 
+  /** One robots.txt row per fixture domain ([[lgRobotsTxt]] policies). */
+  private def lgRobotsFrame(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select((col("doc_id") % 23).as("__k")).distinct()
+      .select(lgDomForm(col("__k")).as("domain"),
+        lgRobotsTxt(col("__k")).as("robots_txt"))
+
   private def lgHostSql(k: String): String =
     s"CASE WHEN ($k) % 4 = 3 THEN 'news.h' || ($k) || '.co.uk' ELSE 'www.h' || ($k) || '.com' END"
 
@@ -555,10 +561,38 @@ object CrawlQueries {
         .otherwise(lit("/private"))
       val urls = docs(s, dir).select(col("doc_id"),
         concat(lit("https://"), lgHostForm(k), path).as("url"))
-      val robots = docs(s, dir).select((col("doc_id") % 23).as("__k")).distinct()
-        .select(lgDomForm(col("__k")).as("domain"),
-          lgRobotsTxt(col("__k")).as("robots_txt"))
-      graft.llm.RobotsTxt.allowedGate(urls, "url", robots, "domain", "robots_txt")
+      graft.llm.RobotsTxt.allowedGate(urls, "url", lgRobotsFrame(s, dir),
+          "domain", "robots_txt")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_pipeline_frontier" -> ((s, dir) => {
+      // Crawl-frontier construction end to end: robots.txt compliance →
+      // domain blocklist → canonical URL dedup (planted alias groups via
+      // doc_id % 115 paths; min doc_id survives) → per-host politeness
+      // cap (hash-ordered first-5 per domain — stratifiedFirstN doubles
+      // as the host-budget knob). Every stage is the registry operator,
+      // composed; only the slim URL frame ever shuffles.
+      val ids = col("doc_id").cast("string")
+      val k = col("doc_id") % 23
+      val m = col("doc_id") % 5
+      val path = when(m === 0, concat(lit("/private/x"), ids))
+        .when(m === 1, concat(lit("/private/pub/y"), ids))
+        .when(m === 2, concat(lit("/tmp/z"), ids))
+        .when(m === 3, concat(lit("/ok/w"), (col("doc_id") % 115).cast("string")))
+        .otherwise(lit("/private"))
+      val urls = docs(s, dir).select(col("doc_id"),
+        concat(lit("https://"), lgHostForm(k), path).as("url"))
+      val gated = graft.llm.RobotsTxt.allowedGate(urls, "url",
+        lgRobotsFrame(s, dir), "domain", "robots_txt")
+      val unblocked = UrlOps.filterBlockedDomains(gated, "url",
+        Seq("h7.co.uk", "h10.com"))
+      val deduped = UrlOps.dedupByUrl(unblocked, "url", "doc_id")
+      graft.ops.Sampling.stratifiedFirstN(
+          deduped.withColumn("__dom",
+            UrlOps.registeredDomain(UrlOps.urlHost(col("url")))),
+          Seq("__dom"), col("doc_id"), n = 5)
+        .select(col("doc_id"), col("url"))
         .orderBy(col("doc_id"))
     }),
 
@@ -810,6 +844,25 @@ object CrawlQueries {
          |FROM documents
          |WHERE (doc_id % 23) % 3 <> 0 OR doc_id % 5 IN (1, 3)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_frontier" ->
+      s"""WITH u AS (SELECT doc_id, ${lgDomSql("doc_id % 23")} AS domain,
+         |    'https://' || ${lgHostSql("doc_id % 23")} ||
+         |      CASE doc_id % 5 WHEN 0 THEN '/private/x' || doc_id
+         |        WHEN 1 THEN '/private/pub/y' || doc_id
+         |        WHEN 2 THEN '/tmp/z' || doc_id
+         |        WHEN 3 THEN '/ok/w' || (doc_id % 115)
+         |        ELSE '/private' END AS url,
+         |    doc_id % 23 AS k, doc_id % 5 AS m
+         |  FROM documents),
+         |g AS (SELECT * FROM u
+         |  WHERE ((k % 3) <> 0 OR m IN (1, 3))
+         |    AND k NOT IN (7, 10)
+         |    AND (m NOT IN (3, 4) OR doc_id < 115)),
+         |r AS (SELECT doc_id, url, row_number() OVER (PARTITION BY domain
+         |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+         |  FROM g)
+         |SELECT doc_id, url FROM r WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
 
     "q_pipeline_linkgate" ->
       s"""WITH $lgLinksSql,

@@ -23,6 +23,20 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     graft.functions.TextKernels.normText(text)
 
+  /** Sentence segmentation — the boundary provider for chunking, span
+    * decontamination and repetition metrics when token windows must not
+    * cut mid-sentence. Punctuation-run splitter, stated as one regex both
+    * engines run identically (`[^.!?]+[.!?]*`: a sentence is a maximal
+    * punctuation-free run plus its trailing terminator run, so "Done..."
+    * stays one sentence); segments trim and empties drop. The HOF
+    * trim/filter runs per-sentence (a handful of elements), not
+    * per-character — outside finding-15 territory.
+    */
+  def sentences(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)), trim(_)),
+      _ =!= "")
+
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(tokensWs(text))
 

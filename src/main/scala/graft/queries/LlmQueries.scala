@@ -681,6 +681,17 @@ object LlmQueries {
             lit(" \r\nend  "))).as("norm"))
         .orderBy(col("doc_id"))),
 
+    "q_text_sentences" -> ((s, dir) =>
+      // Sentence segmentation: planted multi-terminator tail ("Done..."
+      // stays whole, empties drop) over every doc; (doc_id, sent_idx)
+      // keys the order both engines must agree on.
+      docs(s, dir).select(col("doc_id"),
+          posexplode(TextAnalysis.sentences(
+            concat(col("text"), lit(". Tail one! Done... ok? Fin.")))))
+        .select(col("doc_id"), col("pos").cast("long").as("sent_idx"),
+          col("col").as("sentence"))
+        .orderBy(col("doc_id"), col("sent_idx"))),
+
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langIdBy(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -1579,6 +1590,16 @@ object LlmQueries {
         |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 131 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_sentences" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_extract_all(text || '. Tail one! Done... ok? Fin.', '[^.!?]+[.!?]*'),
+        |      x -> trim(x)), x -> x <> '') AS l
+        |  FROM documents)
+        |SELECT doc_id, CAST(unnest(range(len(l))) AS BIGINT) AS sent_idx,
+        |  unnest(l) AS sentence
+        |FROM s ORDER BY doc_id, sent_idx""".stripMargin,
 
     "q_text_normalize" ->
       """SELECT doc_id,

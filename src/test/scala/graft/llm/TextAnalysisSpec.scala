@@ -350,4 +350,15 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(Long, Long, Long, String)].collect()
     assert(exact.length == 2 && exact.forall(_._3 == 5L))
   }
+
+  test("sentence segmentation: terminator runs, trims, empties, no-punct text") {
+    def run(t: String): Seq[String] =
+      Seq(t).toDF("t").select(TextAnalysis.sentences($"t").as("s"))
+        .as[Seq[String]].collect().head
+    assert(run("One two. Three!  Four? Done... yes") ==
+      Seq("One two.", "Three!", "Four?", "Done...", "yes"))
+    assert(run("no terminators at all") == Seq("no terminators at all"))
+    assert(run("!!!") == Seq()) // pure punctuation: no sentence content
+    assert(run("a. . b.") == Seq("a.", ".", "b.")) // lone-dot segment survives trim
+  }
 }

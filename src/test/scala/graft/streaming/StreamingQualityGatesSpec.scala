@@ -56,4 +56,26 @@ class StreamingQualityGatesSpec extends SparkTestBase {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("robots gate: stream-static form filters a live URL stream like batch") {
+    // The gate is a broadcast stream-static join + a projection fold, so
+    // it must run UNCHANGED on a stream — the live-crawl frontier path.
+    implicit val sqlCtx = spark.sqlContext
+    val robots = Seq(("d.com", "User-agent: *\nDisallow: /p\nAllow: /p/ok\n"))
+      .toDF("domain", "robots_txt")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.llm.RobotsTxt.allowedGate(
+        input.toDS().toDF("id", "url"), "url", robots, "domain", "robots_txt")
+      .select("id")
+      .writeStream.format("memory").queryName("robogate").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "https://www.d.com/p/x"),    // disallowed
+        (2L, "https://www.d.com/p/ok/y"), // allow-wins
+        (3L, "https://other.com/p/x"))    // no policy → allowed
+      q.processAllAvailable()
+      val streamed = spark.table("robogate").as[Long].collect().toSet
+      assert(streamed == Set(2L, 3L))
+    } finally q.stop()
+  }
 }

@@ -110,12 +110,50 @@ object Sampling {
       .drop("__fm", "__copies")
   }
 
+  /** Temperature-weighted mixture budgets — the published-recipe α knob
+    * (sampling weight ∝ size^α, α < 1 flattens the source distribution so
+    * huge crawls stop drowning small curated sets; α = 1/2 here). Returns
+    * one `(source, budget)` row per source with
+    *
+    *   budget_s = globalBudget · ⌊√tokens_s⌋ div Σ ⌊√tokens_s⌋
+    *
+    * — the square root is floored to an integer BEFORE the normalizing
+    * sum so every quantity after the (correctly-rounded, engine-identical
+    * IEEE) sqrt is exact integer arithmetic: no summation-order ulp can
+    * flip a budget, and the result feeds [[weightedByTokenBudget]]
+    * unchanged. One tiny aggregate (a row per source); the corpus itself
+    * is only scanned for token totals.
+    */
+  def temperatureBudgets(df: DataFrame, sourceCol: String,
+      tokenCount: Column, globalBudget: Long): DataFrame = {
+    require(globalBudget >= 0, "globalBudget must be non-negative")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(tokenCount.cast("long")).as("__tokens"))
+      .withColumn("__st", floor(sqrt(col("__tokens"))).cast("long"))
+    val denom = totals.agg(sum(col("__st")).as("__den"))
+    totals.crossJoin(broadcast(denom))
+      .select(col(sourceCol),
+        expr(s"$globalBudget * __st div __den").as("budget"))
+  }
+
   def weightedByTokenBudget(df: DataFrame, sourceCol: String, key: Column,
       tokenCount: Column, budgets: Map[String, Long]): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     val spark = df.sparkSession
     import spark.implicits._
-    val b = budgets.toSeq.toDF(sourceCol, "__budget")
+    weightedByTokenBudgetDf(df, sourceCol, key, tokenCount,
+      budgets.toSeq.toDF(sourceCol, "__budget"))
+  }
+
+  /** Budgets-as-dataset form of [[weightedByTokenBudget]] — the shape
+    * [[temperatureBudgets]] (or any computed mixing policy) feeds without
+    * a driver round-trip. First column = source, second = budget.
+    */
+  def weightedByTokenBudgetDf(df: DataFrame, sourceCol: String, key: Column,
+      tokenCount: Column, budgets: DataFrame): DataFrame = {
+    val b = budgets.select(
+      col(budgets.columns.head).as(sourceCol),
+      col(budgets.columns(1)).cast("long").as("__budget"))
     val totals = df.groupBy(col(sourceCol))
       .agg(sum(tokenCount.cast("long")).as("__tokens"))
       .join(b, sourceCol) // inner: un-budgeted sources drop here

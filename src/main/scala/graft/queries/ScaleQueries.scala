@@ -102,6 +102,19 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_sample_temperature" -> ((s, dir) => {
+      // α=1/2 temperature mixing: budgets ∝ ⌊√tokens⌋ of each source,
+      // normalized to a 20k-token global budget, then the standard
+      // token-budget keep gate. Integer after the (engine-identical IEEE)
+      // sqrt, so no summation-order ulp can flip a budget.
+      val d = docs(s, dir)
+      val nt = graft.llm.TextAnalysis.tokenCount(col("text"))
+      Sampling.weightedByTokenBudgetDf(d, "source", col("doc_id"), nt,
+          Sampling.temperatureBudgets(d, "source", nt, globalBudget = 20000L))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_sample_epochs" -> ((s, dir) =>
       // Epoch up-sampling: src0 runs 2.5 epochs, src1 exactly 3, src2
       // thins to 0.7, src3 drops, the rest pass at 1 — realized copies
@@ -351,6 +364,20 @@ object ScaleQueries {
         |    400 + 150 * (CAST(substr(source, 4) AS INT) % 5) AS budget
         |  FROM t)
         |SELECT doc_id, d.source FROM d JOIN t USING (source) JOIN b USING (source)
+        |WHERE CAST((doc_id * 2654435761) % 4294967296 AS HUGEINT) * tokens
+        |    < CAST(budget AS HUGEINT) * 4294967296
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_temperature" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |t AS (SELECT source, sum(nt) AS tokens,
+        |    CAST(floor(sqrt(sum(nt))) AS BIGINT) AS st
+        |  FROM d GROUP BY 1),
+        |b AS (SELECT source, tokens,
+        |    20000 * st // (SELECT sum(st) FROM t) AS budget FROM t)
+        |SELECT doc_id, d.source FROM d JOIN b USING (source)
         |WHERE CAST((doc_id * 2654435761) % 4294967296 AS HUGEINT) * tokens
         |    < CAST(budget AS HUGEINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,

@@ -140,6 +140,21 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(all.filter($"src" === "other").count() == 0)
   }
 
+  test("temperature budgets: sqrt-proportional, integer-exact, feeds the gate") {
+    // big: 40000 tokens (st=200), small: 400 tokens (st=20) → budgets 10:1
+    val df = ((1L to 400L).map(i => (i, "big", 100L)) ++
+      (10001L to 10004L).map(i => (i, "small", 100L))).toDF("id", "src", "nt")
+    val b = Sampling.temperatureBudgets(df, "src", col("nt"), globalBudget = 11000L)
+      .as[(String, Long)].collect().toMap
+    assert(b == Map("big" -> 10000L, "small" -> 1000L))
+    assert(b.values.sum <= 11000L)
+    // the Df form gates with those budgets: big thins to ~1/4, small passes
+    val kept = Sampling.weightedByTokenBudgetDf(df, "src", col("id"), col("nt"),
+        Sampling.temperatureBudgets(df, "src", col("nt"), 11000L))
+      .groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 4L && math.abs(kept("big") - 100L) < 40, s"$kept")
+  }
+
   test("epoch up-sampling: copy counts, epoch tags, determinism, drops") {
     val df = ((1L to 400L).map(i => (i, "up")) ++
       (1001L to 1400L).map(i => (i, "down")) ++

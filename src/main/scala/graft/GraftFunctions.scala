@@ -81,6 +81,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => NormText(args(0))),
     ("robots_rules", "wildcard-agent (allow, prefix) rules of a robots.txt body",
       (args: Seq[Expression]) => RobotsWildcardRules(args(0))),
+    ("robots_sitemaps", "Sitemap directive values of a robots.txt body (agent-independent)",
+      (args: Seq[Expression]) => RobotsSitemaps(args(0))),
     ("url_scheme", "lowercased URL scheme, null for non-URLs",
       (args: Seq[Expression]) => UrlStringPart(args(0), "scheme")),
     ("url_host", "lowercased URL host, port stripped, null for non-URLs",

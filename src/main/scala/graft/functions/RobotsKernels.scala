@@ -46,6 +46,23 @@ object RobotsImpl {
     line.substring(i + 1).trim
   }
 
+  /** `Sitemap:` directive values, file order — agent-independent per the
+    * REP (sitemaps sit outside user-agent records), so this scan ignores
+    * grouping entirely. The crawl-frontier seed source.
+    */
+  def sitemaps(input: UTF8String): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    for (raw <- input.toString.split('\n')) {
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      if (line.nonEmpty) {
+        val sm = directive(line, "sitemap")
+        if (sm != null && sm.nonEmpty) out += UTF8String.fromString(sm)
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def wildcardRules(input: UTF8String): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var inAgents = false   // inside a run of consecutive User-agent lines
@@ -96,8 +113,27 @@ case class RobotsWildcardRules(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen wrapper for [[RobotsImpl.sitemaps]]: `robots_sitemaps(txt)` →
+  * `array<string>` of Sitemap directive values in file order.
+  */
+case class RobotsSitemaps(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "robots_sitemaps"
+  override def nullSafeEval(input: Any): Any =
+    RobotsImpl.sitemaps(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.RobotsImpl.sitemaps($c);")
+  override protected def withNewChildInternal(newChild: Expression): RobotsSitemaps =
+    copy(child = newChild)
+}
+
 object RobotsKernels {
   /** Wildcard-agent (allow, prefix) rules of a robots.txt body, file order. */
   def wildcardRules(c: Column): Column =
     GraftColumnBridge.column(RobotsWildcardRules(GraftColumnBridge.expression(c.cast("string"))))
+
+  /** Sitemap directive values (agent-independent) — frontier seeds. */
+  def sitemaps(c: Column): Column =
+    GraftColumnBridge.column(RobotsSitemaps(GraftColumnBridge.expression(c.cast("string"))))
 }

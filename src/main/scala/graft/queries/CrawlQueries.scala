@@ -130,9 +130,9 @@ object CrawlQueries {
     * allowed. Comments and unknown directives planted throughout.
     */
   private def lgRobotsTxt(k: Column): Column =
-    when(k % 3 === 0, lit("# corpus policy\nUser-agent: googlebot\nDisallow: /\n\n" +
+    when(k % 3 === 0, concat(lit("# corpus policy\nUser-agent: googlebot\nDisallow: /\n\n" +
       "User-agent: *\nDisallow: /private\nAllow: /private/pub\nDisallow: /tmp\n" +
-      "Sitemap: https://example.com/s.xml\n"))
+      "Sitemap: https://"), lgHostForm(k), lit("/sitemap.xml\n")))
       .when(k % 3 === 1, lit("User-agent: *\nDisallow:\n"))
       .otherwise(lit("User-agent: googlebot\nCrawl-delay: 5\nDisallow: /\n"))
 
@@ -566,6 +566,14 @@ object CrawlQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_url_sitemaps" -> ((s, dir) =>
+      // Frontier seeds: Sitemap directives are agent-independent, so only
+      // the k%3==0 policies (the only ones carrying one) contribute —
+      // exactly one per such domain, pointing at its own host.
+      lgRobotsFrame(s, dir).select(col("domain"),
+          explode(graft.functions.RobotsKernels.sitemaps(col("robots_txt"))).as("sitemap"))
+        .orderBy(col("domain"))),
+
     "q_pipeline_frontier" -> ((s, dir) => {
       // Crawl-frontier construction end to end: robots.txt compliance →
       // domain blocklist → canonical URL dedup (planted alias groups via
@@ -844,6 +852,12 @@ object CrawlQueries {
          |FROM documents
          |WHERE (doc_id % 23) % 3 <> 0 OR doc_id % 5 IN (1, 3)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_url_sitemaps" ->
+      s"""SELECT ${lgDomSql("k")} AS domain,
+         |  'https://' || ${lgHostSql("k")} || '/sitemap.xml' AS sitemap
+         |FROM (SELECT DISTINCT doc_id % 23 AS k FROM documents)
+         |WHERE k % 3 = 0 ORDER BY domain""".stripMargin,
 
     "q_pipeline_frontier" ->
       s"""WITH u AS (SELECT doc_id, ${lgDomSql("doc_id % 23")} AS domain,

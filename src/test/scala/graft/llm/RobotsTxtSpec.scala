@@ -42,6 +42,21 @@ class RobotsTxtSpec extends SparkTestBase {
     assert(rules("") == Seq())
   }
 
+  test("sitemaps: agent-independent, any record, comments stripped") {
+    val txt =
+      """User-agent: googlebot
+        |Sitemap: https://a/s1.xml
+        |User-agent: *
+        |Disallow: /x
+        |sitemap: https://a/s2.xml  # lowercase directive, trailing comment
+        |Sitemap:
+        |""".stripMargin
+    val got = Seq(txt).toDF("t")
+      .select(explode(RobotsKernels.sitemaps(col("t"))).as("s"))
+      .as[String].collect().toSeq
+    assert(got == Seq("https://a/s1.xml", "https://a/s2.xml")) // empty value skipped
+  }
+
   test("gate: longest prefix wins, ties prefer Allow, absent domain allows") {
     val robots = Seq(
       ("d.com", "User-agent: *\nDisallow: /p\nAllow: /p/ok\nDisallow: /p/ok\n"),

@@ -132,6 +132,89 @@ object Decontamination {
       semanticContaminatedIds(corpus, benchmark, threshold, idCol, embCol),
       Seq(idCol), "left_anti")
 
+  /** FUZZY (MinHash) decontamination — near-duplicate benchmark overlap,
+    * the gate the exact n-gram check cannot provide: a lightly reworded or
+    * re-whitespaced eval item shares no 8-gram with its source, but its
+    * shingle set — and therefore its MinHash signature — barely moves.
+    * Drops every corpus document whose estimated Jaccard against ANY
+    * benchmark document reaches `threshold` (the discipline used for The
+    * Stack / StarCoder training sets).
+    *
+    * Shape at scale, one pass over the corpus:
+    *   - corpus and benchmark both reduce to numHashes-slot MinHash
+    *     signatures (codegen'd kernel; the corpus text never shuffles);
+    *   - the benchmark side explodes to LSH band keys and broadcasts —
+    *     bands × |benchmark| rows carrying one signature each (~0.5 KB at
+    *     64 slots), eval-set-bounded like the gram catalogs above. For an
+    *     unusually large benchmark drop the hint and let AQE decide;
+    *   - candidates come from the broadcast (band, key) equi-join — never
+    *     corpus × benchmark — and the signature estimator (matching-slot
+    *     fraction) confirms in the SAME map task, since the broadcast row
+    *     already carries the benchmark signature: no second join, no
+    *     candidate-pair shuffle; only the (≤ corpus) contaminated-id set
+    *     moves.
+    *
+    * Estimator caveat (inherent to MinHash, not this plan): est-Jaccard at
+    * 64 slots has σ ≈ 0.05 near t=0.8, so documents straddling the
+    * threshold can flip either way; band collisions below threshold are
+    * rejected by the estimator, and a doc with no benchmark band collision
+    * is never inspected (P(miss) = (1−t^r)^b — <1e-5 at t=0.8 with 16×4).
+    * `poly = true` swaps in the polynomial hash family and plain band keys
+    * ([[Dedup.minhashSignaturesPoly]] / [[Dedup.lshBandKeysPlain]]) so a
+    * SQL oracle can reproduce every slot exactly; murmur3 + xxhash64 band
+    * keys stay the scale default.
+    */
+  def fuzzyContaminatedIds(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      poly: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide into bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    def sigs(df: DataFrame): DataFrame =
+      if (poly) Dedup.minhashSignaturesPoly(df, idCol, textCol, numHashes, shingleSize)
+      else Dedup.minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    def keys(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (poly) Dedup.lshBandKeysPlain(sig, bands, rowsPerBand)
+      else Dedup.lshBandKeys(sig, bands, rowsPerBand)
+    val c = sigs(corpus)
+      .select(col("id"), col("sig"), explode(keys(col("sig"))).as("bk"))
+      .select(col("id"), col("sig"),
+        col("bk.band").as("__band"), col("bk.key").as("__key"))
+    val b = sigs(benchmark)
+      .select(col("sig").as("__bsig"), explode(keys(col("sig"))).as("bk"))
+      .select(col("__bsig"), col("bk.band").as("__band"), col("bk.key").as("__key"))
+    c.join(broadcast(b), Seq("__band", "__key"))
+      .filter(size(filter(zip_with(col("sig"), col("__bsig"), (x, y) => x === y),
+          e => e)).cast("double") / lit(numHashes.toDouble) >= threshold)
+      .select(col("id").as(idCol)).distinct()
+  }
+
+  /** The corpus with fuzzily-contaminated documents removed. Same
+    * no-broadcast-hint reasoning as [[decontaminate]]: the drop set is
+    * corpus-bounded in the worst case.
+    */
+  def fuzzyDecontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      poly: Boolean = false): DataFrame =
+    corpus.join(
+      fuzzyContaminatedIds(corpus, benchmark, threshold, idCol, textCol,
+        numHashes, bands, shingleSize, poly),
+      Seq(idCol), "left_anti")
+
   /** Token positions (0-based) in each corpus doc whose n-gram exactly
     * matches a benchmark gram — the SPAN-granularity contamination signal.
     * Same exactness discipline as [[contaminatedIds]] (broadcast

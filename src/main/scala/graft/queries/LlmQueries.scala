@@ -624,6 +624,20 @@ object LlmQueries {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    "q_decontaminate_fuzzy" -> ((s, dir) => {
+      // MinHash fuzzy decontamination, poly/plain form: the oracle
+      // replays the ENTIRE pipeline in SQL — polynomial signatures, plain
+      // band keys, broadcast band join, slot-fraction estimator — so this
+      // is exact replication, no planted contract needed. Benchmark =
+      // the doc_id % 23 slice (each drops itself at est 1, plus any
+      // organic ≥0.8 near-dup the oracle finds identically).
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 23 === 0)
+      graft.llm.Decontamination.fuzzyDecontaminate(d, bench,
+          threshold = 0.8, poly = true)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q_semdedup" -> ((s, dir) => {
       // SemDeDup (cluster-then-prune semantic dedup) under the same
       // planted-copy contract as q_sim_neardup: an identical copy shares
@@ -2238,6 +2252,34 @@ object LlmQueries {
 
     "q_decontaminate_semantic" ->
       "SELECT vec_id FROM embeddings WHERE vec_id % 17 <> 0 ORDER BY vec_id",
+
+    "q_decontaminate_fuzzy" ->
+      // Full replay of the poly MinHash fuzzy gate: signatures, plain band
+      // keys (4-slot slices), band join against the % 23 benchmark slice,
+      // matching-slot estimator at 0.8 — byte-for-byte the engine pipeline.
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |grams AS (SELECT doc_id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1), i -> array_to_string(list_slice(w, i, i + 2), ' '))
+        |      ELSE [] END AS gs
+        |  FROM toks),
+        |sigs AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        |      list_min(list_transform(gs, g ->
+        |        ((2 * i + 1) * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(range(1, length(g) + 1), j -> CAST(ascii(g[j]) AS BIGINT))),
+        |            (acc, c) -> (acc * 131 + c) % 1000000007)
+        |          + (31 * i + 7)) % 1000000007))) AS sig
+        |  FROM grams WHERE len(gs) > 0),
+        |banded AS (SELECT doc_id, sig, b AS band,
+        |    array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS key
+        |  FROM sigs, range(0, 16) t(b)),
+        |bad AS (SELECT DISTINCT c.doc_id
+        |  FROM banded c JOIN banded bm ON c.band = bm.band AND c.key = bm.key
+        |  WHERE bm.doc_id % 23 = 0
+        |    AND CAST(len(list_filter(range(1, 65), i -> c.sig[i] = bm.sig[i])) AS DOUBLE) / 64.0 >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
 
     // The five former rows-only entries, now certificates (VERDICT r6
     // item 4): constant-or-corpus-derivable claims DuckDB can state.

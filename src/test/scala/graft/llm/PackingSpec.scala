@@ -63,6 +63,50 @@ class PackingSpec extends SparkTestBase {
     assert(kept == Set(2L, 3L))
   }
 
+  test("fuzzy decontamination: reworded near-dup drops where exact misses; clean/short docs survive") {
+    // 48-token benchmark doc; the reworded copy swaps one token every 8
+    // positions, so NO 8-gram survives (exact decontamination is blind to
+    // it) while the 2-shingle set stays majority-shared (true Jaccard
+    // ≈ 0.6) — the case fuzzy decontamination exists for. The fuzzy gate
+    // runs at 32 bands × 2 rows: at J ≈ 0.6 the per-band collision
+    // probability is J² ≈ 0.35, so P(no collision in 32 bands) < 1e-5 —
+    // the fixture is deterministic in practice, not threshold-marginal.
+    val base = (1 to 48).map(i => s"tok$i")
+    val reworded = base.zipWithIndex
+      .map { case (t, i) => if (i % 8 == 3) s"swp$i" else t }
+    val corpus = Seq(
+      (1L, reworded.mkString(" ")),            // fuzzy ≥ 0.4, no shared 8-gram
+      (2L, base.mkString(" ")),                // identical → est 1 at any threshold
+      (3L, "entirely different words about another topic with zero shingles in common here"),
+      (4L, "two tokens")                       // < 3 tokens → no signature → clean
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, base.mkString(" "))).toDF("doc_id", "text")
+    // Exact gate misses the reworded copy entirely…
+    val exactBad = Decontamination.contaminatedIds(corpus, benchmark)
+      .as[Long].collect().toSet
+    assert(exactBad == Set(2L), s"got $exactBad")
+    // …the fuzzy gate catches it (murmur scale path and oracle poly path
+    // agree on the drop set for this fixture).
+    val fuzzyBad = Decontamination.fuzzyContaminatedIds(corpus, benchmark, 0.4,
+        bands = 32, shingleSize = 2)
+      .as[Long].collect().toSet
+    assert(fuzzyBad == Set(1L, 2L), s"got $fuzzyBad")
+    val fuzzyBadPoly = Decontamination
+      .fuzzyContaminatedIds(corpus, benchmark, 0.4, bands = 32,
+        shingleSize = 2, poly = true)
+      .as[Long].collect().toSet
+    assert(fuzzyBadPoly == Set(1L, 2L), s"got $fuzzyBadPoly")
+    val kept = Decontamination.fuzzyDecontaminate(corpus, benchmark, 0.4,
+        bands = 32, shingleSize = 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+    // Tight threshold: only the verbatim copy trips it.
+    val strict = Decontamination.fuzzyContaminatedIds(corpus, benchmark, 0.95,
+        bands = 32, shingleSize = 2)
+      .as[Long].collect().toSet
+    assert(strict == Set(2L), s"got $strict")
+  }
+
   test("semantic decontamination: identical embeddings drop, near-misses survive") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),  // identical to the benchmark vector

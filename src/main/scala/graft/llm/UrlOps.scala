@@ -118,6 +118,34 @@ object UrlOps {
     */
   val trackingParamKeys: Seq[String] = Seq("gclid", "fbclid", "msclkid", "mc_eid", "igshid")
 
+  /** Per-host politeness schedule — the fetch-plan step after frontier
+    * construction: every URL gets a `slot` (fetch round) such that at most
+    * `perSlot` URLs of one host land in the same round. A fetcher fleet
+    * that processes slots in order respects per-host rate limits GLOBALLY
+    * — across all executors — without runtime coordination, because the
+    * coordination is precomputed into the data:
+    * `slot = (rank − 1) div perSlot` where rank is the URL's position
+    * within its host ordered by (`orderCol`, url) — priority first,
+    * deterministic URL tie-break.
+    *
+    * Scale shape: one window partitioned by host. Sequencing a host's URLs
+    * is inherently per-host-serial (that is the semantics of politeness),
+    * so the partition-by-host sort is the minimal possible shuffle, and
+    * Spark's window sort is spill-backed — a mega-host costs disk, not
+    * memory. Rows whose host is null (non-URLs) are not fetchable: they
+    * pass through with a null slot rather than occupying fetch rounds.
+    */
+  def politenessSlots(df: DataFrame, urlCol: String, orderCol: String,
+      perSlot: Int = 1): DataFrame = {
+    require(perSlot >= 1, s"perSlot must be >= 1: $perSlot")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col(orderCol), col(urlCol))
+    df.withColumn("host", urlHost(col(urlCol)))
+      .withColumn("slot",
+        when(col("host").isNull, lit(null).cast("long"))
+          .otherwise(floor((row_number().over(w) - 1) / lit(perSlot))))
+  }
+
   /** Remove tracking parameters from a raw query STRING (`a=1&utm_x=2` →
     * `a=1`); null when nothing survives (the caller then omits the `?`).
     * A parameter is dropped when its key (before the first `=`) is

@@ -509,6 +509,17 @@ object CrawlQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("reg_domain"))),
 
+    "q_url_politeness" -> ((s, dir) =>
+      // Per-host fetch-round assignment at 2 URLs/host/round, priority =
+      // doc_id: the %50 planted-duplicate cdn URLs exercise the URL
+      // tie-break, the non-URL rows (m=4) must pass through with a null
+      // slot. The oracle replays the window exactly.
+      UrlOps.politenessSlots(
+          docs(s, dir).select(col("doc_id"), urlCol.as("url")),
+          "url", "doc_id", perSlot = 2)
+        .select(col("doc_id"), col("host"), col("slot"))
+        .orderBy(col("doc_id"))),
+
     "q_dedup_lines" -> ((s, dir) =>
       // Line-level boilerplate dedup certificate: planted nav/footer lines
       // recur across ≥1/5 of the corpus and must vanish from EVERY doc;
@@ -789,6 +800,21 @@ object CrawlQueries {
          |SELECT reg_domain, CAST(count(*) AS BIGINT) AS n FROM r
          |WHERE reg_domain IS NULL OR reg_domain NOT IN ('blocked.net', 'spam.example')
          |GROUP BY reg_domain ORDER BY reg_domain NULLS FIRST""".stripMargin,
+
+    "q_url_politeness" ->
+      // Window replay: rank within host by (doc_id, url), 2 per round;
+      // null-host rows keep a null slot.
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         |h AS (SELECT doc_id, url,
+         |    lower(nullif(regexp_replace(
+         |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+         |      ':[0-9]*$$', ''), '')) AS host
+         |  FROM u)
+         |SELECT doc_id, host,
+         |  CASE WHEN host IS NULL THEN NULL
+         |    ELSE CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id, url) - 1) // 2 AS BIGINT)
+         |  END AS slot
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_dedup_lines" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",

@@ -87,6 +87,30 @@ class UrlOpsSpec extends SparkTestBase {
     cases.foreach { case (u, want) => assert(got(u) == Option(want), s"url $u") }
   }
 
+  test("politenessSlots: ≤ perSlot URLs per host per round, priority order, null host → null slot") {
+    val df = Seq(
+      (5L, "http://a.com/p5"), (1L, "http://a.com/p1"), (3L, "http://a.com/p3"),
+      (2L, "http://a.com/p2"), (4L, "http://a.com/p4"),
+      (6L, "http://b.org/x"), (7L, "http://b.org/y"),
+      (8L, "not a url")).toDF("id", "url")
+    val out = UrlOps.politenessSlots(df, "url", "id", perSlot = 2)
+      .select($"id", $"host", $"slot")
+      .as[(Long, Option[String], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // a.com by priority (id): 1,2 → slot 0; 3,4 → slot 1; 5 → slot 2
+    assert(Seq(1L, 2L).forall(out(_)._3.contains(0L)))
+    assert(Seq(3L, 4L).forall(out(_)._3.contains(1L)))
+    assert(out(5L)._3.contains(2L))
+    // b.org schedules independently from round 0
+    assert(out(6L)._3.contains(0L) && out(7L)._3.contains(0L))
+    // non-URL: null host, null slot, row preserved
+    assert(out(8L)._2.isEmpty && out(8L)._3.isEmpty)
+    // global invariant: no (host, slot) bucket exceeds perSlot
+    val buckets = out.values.collect { case (_, Some(h), Some(sl)) => (h, sl) }
+      .groupBy(identity).map(_._2.size)
+    assert(buckets.forall(_ <= 2))
+  }
+
   test("dedupByUrl keeps first by order per normalized URL; non-URLs all pass") {
     val df = Seq(
       (10L, "http://EX.com:80/a"),

@@ -178,4 +178,60 @@ object SemDedup {
       .select(col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** SSL-prototypes pruning (Sorscher et al. 2022, "Beyond neural scaling
+    * laws"): drop the most PROTOTYPICAL `dropFraction` of each k-means
+    * cell — the members closest to their centroid, i.e. the easy,
+    * redundant examples — keeping the informative periphery. In the D4
+    * recipe (Tirumala et al. 2023) this runs AFTER [[semDedup]]:
+    * duplicates first, then prototypes ([[d4]] composes the two).
+    *
+    * Per cell, the `floor(dropFraction · |cell|)` members ranked first by
+    * (centroid-cosine DESC, id ASC) are dropped — deterministic under
+    * cosine ties, and a cell too small for its share (|cell| < 1/f)
+    * drops nothing rather than rounding a member away.
+    *
+    * Shape at scale: cell assignment + centroid cosine are one codegen'd
+    * map pass (k-row centroid frame broadcast); the ranking is ONE window
+    * partitioned by cell — no pair work at all, unlike the dedup step, so
+    * this prunes arbitrarily large corpora at shuffle-sort cost. The
+    * window's per-cell sort is spill-backed; a degenerate fat cell costs
+    * disk, not memory, and no guard is needed because nothing here is
+    * quadratic.
+    */
+  def prunePrototypes(
+      df: DataFrame,
+      centroids: Array[Array[Double]],
+      dropFraction: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(dropFraction >= 0.0 && dropFraction < 1.0,
+      s"dropFraction must be in [0, 1): $dropFraction")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("ccos").desc, col("id"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    val drop = withCentroidCosine(withCell(df, centroids, idCol, embCol), centroids)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .filter(col("__rk") <= floor(col("__n") * lit(dropFraction)))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via Document
+    * De-Duplication and Diversification"): [[semDedup]] then
+    * [[prunePrototypes]] over the SAME clustering — remove semantic
+    * near-duplicates, then thin the prototypical cores of what remains.
+    */
+  def d4(
+      df: DataFrame,
+      centroids: Array[Array[Double]],
+      threshold: Double,
+      dropFraction: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      maxCellSize: Int = DefaultMaxCellSize): DataFrame =
+    prunePrototypes(
+      semDedup(df, centroids, threshold, idCol, embCol, maxCellSize),
+      centroids, dropFraction, idCol, embCol)
 }

@@ -663,6 +663,50 @@ object LlmQueries {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    "q_prune_prototypes" -> ((s, dir) => {
+      // SSL-prototypes pruning certificate. The drop set depends on the
+      // trained k-means geometry, so instead of modeling it the query
+      // PROVES the contract relationally and returns stateable facts:
+      //   subset_ok — kept ⊆ input;
+      //   frac_ok   — every cell dropped exactly floor(0.25·|cell|);
+      //   order_ok  — within each cell every dropped member precedes every
+      //               kept member in (centroid-cosine DESC, id ASC) order,
+      //               checked via per-cell min/max over the lexicographic
+      //               sort key (no pair join);
+      //   n_in      — corpus size (oracle-derivable).
+      import s.implicits._
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val k = SemDedup.deriveK(e.count())
+      val cents = Similarity.trainIvfCentroids(e, k = k,
+        sampleN = math.max(2048, 16 * k))
+      val kept = SemDedup.prunePrototypes(e, cents, dropFraction = 0.25)
+        .select(col("vec_id").as("id")).localCheckpoint()
+      val cframe = cents.zipWithIndex.map { case (c, i) => (i, c) }
+        .toSeq.toDF("cell", "cvec")
+      val cells = e.select(col("vec_id").as("id"), col("embedding").as("emb"),
+          Similarity.ivfCell(col("embedding"), cents).as("cell"))
+        .join(broadcast(cframe), "cell")
+        .withColumn("ccos", graft.functions.ArrayOps.cosine(col("emb"), col("cvec")))
+        .withColumn("skey", struct((col("ccos") * -1).as("nc"), col("id").as("id")))
+      val marked = cells
+        .join(kept.withColumn("__k", lit(true)), Seq("id"), "left")
+        .withColumn("is_kept", coalesce(col("__k"), lit(false)))
+      val perCell = marked.groupBy(col("cell")).agg(
+        count(lit(1)).as("n"),
+        sum(when(!col("is_kept"), 1L).otherwise(0L)).as("nd"),
+        max(when(!col("is_kept"), col("skey"))).as("maxd"),
+        min(when(col("is_kept"), col("skey"))).as("mink"))
+      val fracOrder = perCell.agg(
+        min(col("nd") === floor(col("n") * lit(0.25))).as("frac_ok"),
+        min(col("maxd").isNull || col("mink").isNull || col("maxd") < col("mink"))
+          .as("order_ok"))
+      val subset = kept.join(e.select(col("vec_id").as("id")), Seq("id"), "left_anti")
+        .agg((count(lit(1)) === 0).as("subset_ok"))
+      val nIn = e.agg(count(lit(1)).as("n_in"))
+      subset.crossJoin(fracOrder).crossJoin(nIn)
+        .select(col("subset_ok"), col("frac_ok"), col("order_ok"), col("n_in"))
+    }),
+
     // --- text analysis ------------------------------------------------------
     "q_text_chunks" -> ((s, dir) =>
       // Context-window chunking (RAG/eval prep): 32-token windows, 8-token
@@ -2249,6 +2293,10 @@ object LlmQueries {
 
     "q_semdedup" ->
       "SELECT vec_id FROM embeddings ORDER BY vec_id",
+
+    "q_prune_prototypes" ->
+      """SELECT true AS subset_ok, true AS frac_ok, true AS order_ok,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_in""".stripMargin,
 
     "q_decontaminate_semantic" ->
       "SELECT vec_id FROM embeddings WHERE vec_id % 17 <> 0 ORDER BY vec_id",

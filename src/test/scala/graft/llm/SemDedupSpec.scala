@@ -101,6 +101,54 @@ class SemDedupSpec extends SparkTestBase {
     assert(guarded < unguarded)
   }
 
+  test("prunePrototypes drops the floor(f·n) most-prototypical per cell, deterministically") {
+    val s = spark; import s.implicits._
+    // Cell A (x-axis), 5 members at decreasing centroid-cosine; cell B,
+    // 2 members (floor(0.4·2) = 0 → B drops nothing).
+    val df = Seq(
+      (1L, Array(1.0f, 0.00f, 0f)), // ccos = 1.0         — most prototypical
+      (2L, Array(1.0f, 0.10f, 0f)), // ccos ≈ 0.995       — 2nd
+      (3L, Array(1.0f, 0.30f, 0f)),
+      (4L, Array(1.0f, 0.50f, 0f)),
+      (5L, Array(1.0f, 0.80f, 0f)), // least prototypical in A
+      (6L, Array(0.0f, 1.00f, 0f)),
+      (7L, Array(0.2f, 1.00f, 0f))
+    ).toDF("vec_id", "embedding")
+    // f = 0.4: cell A (n=5) drops floor(2.0) = 2 → ids 1, 2; cell B keeps both.
+    val kept = SemDedup.prunePrototypes(df, centroids, dropFraction = 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L, 5L, 6L, 7L))
+    // ties on ccos resolve by lowest id first: two copies of the centroid
+    // direction → the lower id drops.
+    val ties = Seq(
+      (10L, Array(1.0f, 0f, 0f)), (11L, Array(2.0f, 0f, 0f)), // both ccos 1.0
+      (12L, Array(1.0f, 0.5f, 0f)), (13L, Array(1.0f, 0.9f, 0f))
+    ).toDF("vec_id", "embedding")
+    val keptTies = SemDedup.prunePrototypes(ties, centroids, dropFraction = 0.25)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptTies === Set(11L, 12L, 13L))
+    // f = 0 is the identity
+    assert(SemDedup.prunePrototypes(df, centroids, 0.0).count() === 7L)
+  }
+
+  test("d4 composes: near-dups first, then prototype cores of the survivors") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.00f, 0f)),  // semantic dup pair with 2 (cos ≈ 0.99989)
+      (2L, Array(1.0f, 0.02f, 0f)),  // kept by semDedup (off-centroid outlier)
+      (3L, Array(1.0f, 0.30f, 0f)),
+      (4L, Array(1.0f, 0.60f, 0f)),
+      (5L, Array(1.0f, 1.00f, 0f)),  // ccos ≈ 0.707, least prototypical in A
+      (6L, Array(0.0f, 1.00f, 0f))
+    ).toDF("vec_id", "embedding")
+    // semDedup at 0.995 drops 1 (keeps outlier 2) → survivors 2,3,4,5 in A,
+    // 6 in B. prunePrototypes f=0.25: cell A (n=4) drops floor(1.0) = 1 —
+    // its most prototypical survivor, 2; cell B (n=1) drops nothing.
+    val kept = SemDedup.d4(df, centroids, threshold = 0.995, dropFraction = 0.25)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L, 5L, 6L))
+  }
+
   test("cross-cluster near-dups are missed by construction (documented)") {
     // cos(1,5) ≈ 0.625/ (1 * 0.9605) — actually compute: not a near-dup at
     // 0.995; use a genuinely near pair split by the boundary instead.

@@ -1160,6 +1160,83 @@ object LlmQueries {
       Seq((dist == incr, dist.size.toLong)).toDF("merges_equal", "n_merges")
     }),
 
+    "q_text_unigram" -> ((s, dir) =>
+      // Unigram-LM Viterbi-kernel exactness: a fixed piece table holding
+      // only the letter-disjoint pairs (th, er, on) — every other code
+      // point segments via the OOV single fallback at one token per
+      // char, and using a pair always beats two singles, so the optimal
+      // segmentation has the same closed form as the BPE cert: word chars
+      // minus non-overlapping occurrences of each pair (disjoint letters
+      // — applications never collide, and a 2-char pattern with distinct
+      // chars cannot overlap itself). The lattice machinery being
+      // certified is the same code that applies TRAINED piece tables.
+      docs(s, dir).select(col("doc_id"),
+          graft.llm.UnigramLm.tokenCount(col("text"),
+            Seq("th" -> -1.0, "er" -> -1.0, "on" -> -1.0))
+            .cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_unigram_train" -> ((s, dir) => {
+      // EM training certificate — the trained artifact's contract,
+      // relationally proven and stateable:
+      //   coverage_ok — every single character of the corpus is a piece
+      //                 (full coverage by construction: singles are
+      //                 seeded from the corpus and never pruned);
+      //   norm_ok     — piece probabilities sum to 1;
+      //   tokens_ok   — corpus tokens ≤ corpus chars AND ≥ corpus words
+      //                 (each word ≥ 1 piece, each piece ≥ 1 char);
+      //   n_pieces    — the requested vocab size, reached exactly.
+      import s.implicits._
+      val d = docs(s, dir)
+      val pieces = graft.llm.UnigramLm.train(d, vocabSize = 200,
+        maxPieceLen = 4, seedSize = 1024, emIters = 2)
+      val vocab = pieces.map(_._1).toSet
+      val corpusChars = d.select(explode(split(
+          regexp_replace(col("text"), "\\s+", ""), "")).as("ch"))
+        .filter(col("ch") =!= "").distinct()
+      val covered = corpusChars
+        .join(vocab.toSeq.toDF("ch"), Seq("ch"), "left_anti")
+        .agg((count(lit(1)) === 0).as("coverage_ok"))
+      val z = pieces.map { case (_, lp) => math.exp(lp) }.sum
+      val stats = d.agg(
+        sum(graft.llm.UnigramLm.tokenCount(col("text"), pieces).cast("long")).as("toks"),
+        sum(length(regexp_replace(col("text"), "\\s+", "")).cast("long")).as("chars"),
+        sum(graft.llm.TextAnalysis.tokenCount(col("text")).cast("long")).as("words"))
+        .select((col("toks") <= col("chars") && col("toks") >= col("words"))
+          .as("tokens_ok"))
+      covered.crossJoin(stats)
+        .select(col("coverage_ok"),
+          lit(math.abs(z - 1.0) < 1e-9).as("norm_ok"),
+          col("tokens_ok"),
+          lit(pieces.size.toLong).as("n_pieces"))
+    }),
+
+    "q_text_unigram_estep" -> ((s, dir) => {
+      // Distributed EM E-step (one kernel aggregation over the word-count
+      // frame — the path when the word vocabulary exceeds the driver)
+      // certified against the driver E-step on the real corpus: same
+      // piece set, expected counts equal to 1e-9 relative.
+      import s.implicits._
+      val d = docs(s, dir)
+      val pieces = graft.llm.UnigramLm.train(d, vocabSize = 200,
+        maxPieceLen = 4, seedSize = 1024, emIters = 1)
+      val words = graft.llm.Bpe.wordCounts(d).localCheckpoint()
+      val table = graft.functions.UnigramImpl.tableOf(pieces)
+      val driver = scala.collection.mutable.HashMap.empty[String, Double]
+      words.as[(String, Long)].collect().foreach { case (w, n) =>
+        graft.functions.UnigramImpl.expectedCounts(w, table).foreach {
+          case (p, g) => driver.update(p, driver.getOrElse(p, 0.0) + g * n)
+        }
+      }
+      val dist = graft.llm.UnigramLm.expectedCountsDistributed(words, pieces)
+        .as[(String, Double)].collect().toMap
+      val ok = dist.keySet == driver.keySet.toSet &&
+        dist.forall { case (p, v) =>
+          math.abs(v - driver(p)) <= 1e-9 * math.max(1.0, math.abs(driver(p)))
+        }
+      Seq(Tuple1(ok)).toDF("estep_ok")
+    }),
+
     "q_pack_bpe" -> ((s, dir) =>
       // q_pack re-certified on REAL tokenizer counts (VERDICT r8 item 3):
       // same Knuth-mix placement, but the token mass driving chunk/offset
@@ -1707,6 +1784,25 @@ object LlmQueries {
         |  CAST(coalesce(a.n_cards, 0) AS BIGINT) AS n_cards, r.redacted
         |FROM d2 LEFT JOIN agg a USING (doc_id) JOIN red r USING (doc_id)
         |ORDER BY d2.doc_id""".stripMargin,
+
+    "q_text_unigram" ->
+      // Same closed form as q_text_bpe: optimal lattice segmentation under
+      // letter-disjoint pair pieces = chars − non-overlapping pair
+      // occurrences (see the query comment for why greedy = optimal here).
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g'))
+        |    - (length(text) - length(replace(text, 'th', ''))) // 2
+        |    - (length(text) - length(replace(text, 'er', ''))) // 2
+        |    - (length(text) - length(replace(text, 'on', ''))) // 2
+        |    AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_unigram_train" ->
+      """SELECT true AS coverage_ok, true AS norm_ok, true AS tokens_ok,
+        |  CAST(200 AS BIGINT) AS n_pieces""".stripMargin,
+
+    "q_text_unigram_estep" ->
+      "SELECT true AS estep_ok",
 
     "q_text_bpe" ->
       """SELECT doc_id,

@@ -1237,6 +1237,34 @@ object LlmQueries {
       Seq(Tuple1(ok)).toDF("estep_ok")
     }),
 
+    "q_pack_unigram" -> ((s, dir) =>
+      // Packing on REAL unigram-tokenizer counts — the q_pack_bpe contract
+      // with the Viterbi kernel as the token-mass source: same Knuth-mix
+      // placement, token counts from the certified fixed piece table.
+      graft.llm.Packing.pack(docs(s, dir), "doc_id",
+          graft.llm.UnigramLm.tokenCount(col("text"),
+            Seq("th" -> -1.0, "er" -> -1.0, "on" -> -1.0)),
+          budget = 512L, shards = 4)
+        .orderBy(col("doc_id"))),
+
+    "q_text_fertility" -> ((s, dir) =>
+      // Tokenizer fertility (tokens per word) and compression (chars per
+      // token) — the metrics a tokenizer report card carries, here under
+      // the certified fixed piece table so the oracle states both in
+      // closed form. One double division per metric, mirrored textually.
+      docs(s, dir).select(col("doc_id"),
+          graft.llm.UnigramLm.tokenCount(col("text"),
+            Seq("th" -> -1.0, "er" -> -1.0, "on" -> -1.0))
+            .cast("long").as("n_tokens"),
+          graft.llm.TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"),
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_chars"))
+        .select(col("doc_id"),
+          (col("n_tokens").cast("double") /
+            nullif(col("n_words"), lit(0L)).cast("double")).as("fertility"),
+          (col("n_chars").cast("double") /
+            nullif(col("n_tokens"), lit(0L)).cast("double")).as("compression"))
+        .orderBy(col("doc_id"))),
+
     "q_pack_bpe" -> ((s, dir) =>
       // q_pack re-certified on REAL tokenizer counts (VERDICT r8 item 3):
       // same Knuth-mix placement, but the token mass driving chunk/offset
@@ -1825,6 +1853,43 @@ object LlmQueries {
 
     "q_text_bpe_incr" ->
       "SELECT true AS merges_equal, CAST(8 AS BIGINT) AS n_merges",
+
+    "q_pack_unigram" ->
+      // Identical to q_pack_bpe's oracle: the fixed letter-disjoint piece
+      // table yields the same closed-form token count for the optimal
+      // lattice segmentation as for greedy BPE merges.
+      """WITH d AS (SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g'))
+        |      - (length(text) - length(replace(text, 'th', ''))) // 2
+        |      - (length(text) - length(replace(text, 'er', ''))) // 2
+        |      - (length(text) - length(replace(text, 'on', ''))) // 2
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT doc_id, n_tokens,
+        |    (doc_id * 2654435761) % 4294967296 AS mix FROM d),
+        |p AS (SELECT doc_id, n_tokens, CAST(mix % 4 AS INT) AS shard,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY mix % 4 ORDER BY mix, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM m)
+        |SELECT doc_id, n_tokens, shard,
+        |  CAST(pre // 512 AS BIGINT) AS chunk, CAST(pre % 512 AS BIGINT) AS "offset",
+        |  (pre % 512) + n_tokens > 512 AS spans_boundary
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_text_fertility" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g'))
+        |      - (length(text) - length(replace(text, 'th', ''))) // 2
+        |      - (length(text) - length(replace(text, 'er', ''))) // 2
+        |      - (length(text) - length(replace(text, 'on', ''))) // 2
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n_tokens AS DOUBLE) / CAST(nullif(n_words, 0) AS DOUBLE) AS fertility,
+        |  CAST(n_chars AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE) AS compression
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_pack_bpe" ->
       """WITH d AS (SELECT doc_id,

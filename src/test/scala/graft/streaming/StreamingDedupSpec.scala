@@ -57,6 +57,42 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream fuzzy-decontamination gate agrees with the batch operator") {
+    // The ingestion-time shape of Decontamination.fuzzyContaminatedIds:
+    // the benchmark's signatures are the static side of
+    // nearDupAgainstCorpus, and the flagged stream ids must equal the
+    // batch operator's drop set on the same documents — same signatures,
+    // same bands, same estimator, so agreement is exact, not approximate.
+    implicit val sqlCtx = spark.sqlContext
+    val benchmark = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog and runs far away home"))
+      .toDF("doc_id", "text")
+    val docsAll = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away house"),
+      (2L, "entirely novel text with no overlap to anything stored before now"),
+      (3L, "the quick brown fox jumps over the lazy dog and runs far away home"))
+      .toDF("doc_id", "text")
+    val batchBad = graft.llm.Decontamination
+      .fuzzyContaminatedIds(docsAll, benchmark, 0.5)
+      .as[Long].collect().toSet
+    val benchSigs = Dedup.minhashSignatures(benchmark)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.nearDupAgainstCorpus(
+        input.toDS().toDF("doc_id", "text"), benchSigs)
+      .filter($"est_jaccard" >= 0.5)
+      .writeStream.format("memory").queryName("sfuzzy").outputMode("append").start()
+    try {
+      input.addData((1L, "the quick brown fox jumps over the lazy dog and runs far away house"),
+        (2L, "entirely novel text with no overlap to anything stored before now"),
+        (3L, "the quick brown fox jumps over the lazy dog and runs far away home"))
+      q.processAllAvailable()
+      val streamBad = spark.table("sfuzzy").select($"stream_id")
+        .as[Long].collect().toSet
+      assert(streamBad == batchBad && batchBad == Set(1L, 3L),
+        s"stream $streamBad vs batch $batchBad")
+    } finally q.stop()
+  }
+
   test("stream contamination gate flags benchmark-gram collisions, set semantics + watermarked collapse") {
     implicit val sqlCtx = spark.sqlContext
     val gram = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens

@@ -29,7 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
 final class UnigramTable(
     val lp: java.util.HashMap[String, java.lang.Double],
     val maxLen: Int,
-    val unkLp: Double) extends Serializable
+    val unkLp: Double,
+    /** piece → id, ids dense in piece-ascending order — the vocab a token
+      * sink stores; OOV segments (unknown singles) have no id and encode
+      * as -1 (callers decide whether to keep a sentinel or drop).
+      */
+    val ids: java.util.HashMap[String, Integer]) extends Serializable
 
 object UnigramImpl {
 
@@ -47,7 +52,9 @@ object UnigramImpl {
     // so any input still segments.
     var minLp = 0.0
     pieces.foreach { case (_, s) => if (s < minLp) minLp = s }
-    new UnigramTable(m, maxLen, minLp - 30.0)
+    val ids = new java.util.HashMap[String, Integer](pieces.size * 2)
+    pieces.map(_._1).sorted.zipWithIndex.foreach { case (p, i) => ids.put(p, i) }
+    new UnigramTable(m, maxLen, minLp - 30.0, ids)
   }
 
   private def cps(word: String): Array[String] = {
@@ -218,6 +225,23 @@ object UnigramImpl {
     new GenericArrayData(out.toArray)
   }
 
+  /** Token IDS of a TEXT: Viterbi pieces mapped through the dense
+    * piece-ascending vocabulary; an OOV single (no id) encodes -1.
+    */
+  def tokenIds(t: UTF8String, table: Table): ArrayData = {
+    val w = words(t)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < w.length) {
+      viterbi(w(i), table).foreach { s =>
+        val id = table.ids.get(s)
+        out += (if (id == null) -1 else id.intValue())
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** E-step pairs of ONE WORD as (piece, gamma) structs. */
   def estep(t: UTF8String, table: Table): ArrayData = {
     val pairs = expectedCounts(t.toString, table)
@@ -273,6 +297,18 @@ case class UnigramTokens(child: Expression, pieces: Seq[(String, Double)])
     copy(child = newChild)
 }
 
+case class UnigramTokenIds(child: Expression, pieces: Seq[(String, Double)])
+    extends UnigramKernelExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "unigram_token_ids"
+  override def nullSafeEval(input: Any): Any =
+    UnigramImpl.tokenIds(input.asInstanceOf[UTF8String], table)
+  override protected def javaCall(c: String, t: String): String =
+    s"graft.functions.UnigramImpl.tokenIds($c, $t)"
+  override protected def withNewChildInternal(newChild: Expression): UnigramTokenIds =
+    copy(child = newChild)
+}
+
 case class UnigramEStep(child: Expression, pieces: Seq[(String, Double)])
     extends UnigramKernelExpression {
   override def dataType: DataType = ArrayType(
@@ -301,4 +337,7 @@ object UnigramKernels {
 
   def unigramEStep(word: Column, pieces: Seq[(String, Double)]): Column =
     unary(UnigramEStep(_, pieces))(word)
+
+  def unigramTokenIds(text: Column, pieces: Seq[(String, Double)]): Column =
+    unary(UnigramTokenIds(_, pieces))(text)
 }

@@ -201,4 +201,16 @@ object UnigramLm {
   /** Full unigram token sequence of `text`. */
   def tokens(text: Column, pieces: Seq[(String, Double)]): Column =
     UnigramKernels.unigramTokens(text, pieces)
+
+  /** Token IDS of `text` under the dense piece-ascending vocabulary — the
+    * integer stream a token-shard sink stores; OOV singles encode -1.
+    */
+  def tokenIds(text: Column, pieces: Seq[(String, Double)]): Column =
+    UnigramKernels.unigramTokenIds(text, pieces)
+
+  /** The dense id ↔ piece vocabulary of a trained table, id-ascending —
+    * ship it next to the shards so a trainer can decode.
+    */
+  def vocabulary(pieces: Seq[(String, Double)]): Seq[(Int, String)] =
+    pieces.map(_._1).sorted.zipWithIndex.map { case (p, i) => (i, p) }
 }

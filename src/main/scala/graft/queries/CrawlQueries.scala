@@ -350,6 +350,45 @@ object CrawlQueries {
         col("n_docs"), col("total_tokens"))
     }),
 
+    "q_shards_unigram" -> ((s, dir) => {
+      // The trainer-sink path with a REAL tokenizer end to end: train a
+      // unigram piece table on the corpus, encode every doc to dense
+      // vocabulary ids (codegen'd Viterbi kernel; full single-char
+      // coverage → no OOV, certified no id is -1), write .gtok shards,
+      // read them back, DECODE ids → pieces through the id-ascending
+      // vocabulary (literal array lookup) and compare against direct
+      // Viterbi tokens — the full encode → store → decode loop a
+      // pretraining pipeline runs, certified lossless.
+      val pieces = graft.llm.UnigramLm.train(docs(s, dir), vocabSize = 200,
+        maxPieceLen = 4, seedSize = 1024, emIters = 2)
+      val vocabArr = array(graft.llm.UnigramLm.vocabulary(pieces)
+        .map { case (_, p) => lit(p) }: _*)
+      val out = stagingDir() + "/gtok_uni/" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+      val src = docs(s, dir).select(
+          (col("doc_id") % 4).cast("long").as("shard"),
+          col("doc_id").as("chunk"),
+          graft.llm.UnigramLm.tokenIds(col("text"), pieces).as("tokens"),
+          graft.llm.UnigramLm.tokens(col("text"), pieces).as("__direct"))
+        .localCheckpoint()
+      TokenShards.write(src, out).count() // manifest materializes the sink
+      val expected = src.withColumn("seq_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("chunk"))).cast("long") - 1L)
+      val decoded = TokenShards.read(s, out)
+        .select(col("shard").cast("long").as("shard"), col("seq_idx"),
+          transform(col("tokens"), i => element_at(vocabArr, i + 1)).as("__dec"))
+      val bad = decoded
+        .join(expected.select(col("shard"), col("seq_idx"),
+          col("__direct"), col("tokens")),
+          Seq("shard", "seq_idx"), "full")
+        .filter(col("__dec").isNull || col("__direct").isNull ||
+          !(col("__dec") === col("__direct")) ||
+          exists(col("tokens"), i => i < 0))
+        .agg(count(lit(1)).as("__bad"))
+      bad.crossJoin(src.agg(count(lit(1)).as("n_docs")))
+        .select((col("__bad") === 0).as("roundtrip_ok"), col("n_docs"))
+    }),
+
     "q_warc_gz_roundtrip" -> ((s, dir) => {
       // Compressed-container certificate: the same corpus encoded in the
       // Common Crawl convention (each record its own gzip member,
@@ -650,6 +689,10 @@ object CrawlQueries {
         |      AS record_idx
         |  FROM documents WHERE doc_id % 5 = 1)
         |SELECT doc_id, shard, record_idx, text FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_shards_unigram" ->
+      """SELECT true AS roundtrip_ok, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents""".stripMargin,
 
     "q_token_shards" ->
       """SELECT true AS roundtrip_ok, CAST(count(*) AS BIGINT) AS n_docs,

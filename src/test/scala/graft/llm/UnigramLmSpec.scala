@@ -81,6 +81,23 @@ class UnigramLmSpec extends SparkTestBase {
     assert(a == b && a.nonEmpty)
   }
 
+  test("tokenIds: dense piece-ascending vocabulary, decode identity, OOV = -1") {
+    val s = spark; import s.implicits._
+    val pieces = Seq("a" -> -3.0, "b" -> -3.0, "ab" -> -1.0)
+    // ids follow piece-ascending order: a=0, ab=1, b=2
+    assert(UnigramLm.vocabulary(pieces) == Seq((0, "a"), (1, "ab"), (2, "b")))
+    val df = Seq((1L, "ab a b"), (2L, "axb")).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        UnigramLm.tokenIds($"text", pieces).as("ids"),
+        UnigramLm.tokens($"text", pieces).as("toks"))
+      .as[(Long, Seq[Int], Seq[String])].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == Seq(1, 0, 2)) // [ab, a, b]
+    assert(got(2L)._2 == Seq(0, -1, 2)) // OOV 'x' has no id
+    // decode identity on the in-vocab doc
+    val vocab = UnigramLm.vocabulary(pieces).map(_._2)
+    assert(got(1L)._2.map(vocab(_)) == got(1L)._3)
+  }
+
   test("distributed E-step matches the driver E-step") {
     val s = spark; import s.implicits._
     val corpus = Seq.tabulate(20)(i =>

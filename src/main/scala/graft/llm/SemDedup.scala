@@ -82,7 +82,7 @@ object SemDedup {
   }
 
   /** (id, emb, cell) projection with the stored cluster id. */
-  private def withCell(df: DataFrame, centroids: Array[Array[Double]],
+  private[llm] def withCell(df: DataFrame, centroids: Array[Array[Double]],
       idCol: String, embCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(embCol).as("emb"),
       Similarity.ivfCell(col(embCol), centroids).as("cell"))
@@ -92,7 +92,7 @@ object SemDedup {
     * k rows — broadcast, never shuffled against the corpus. Cells under the
     * cap get nsub = 1 → sub = 0, i.e. exactly the unguarded join key.
     */
-  private def saltedCells(cells: DataFrame, maxCellSize: Int): DataFrame = {
+  private[llm] def saltedCells(cells: DataFrame, maxCellSize: Int): DataFrame = {
     require(maxCellSize > 0, s"maxCellSize must be positive: $maxCellSize")
     val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
     cells.join(broadcast(counts), "cell")

@@ -663,6 +663,29 @@ object LlmQueries {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    "q_bitext_margin" -> ((s, dir) => {
+      // Margin-based bitext mining under the planted-pair contract: Y is
+      // X's identical copy (+1e6 ids), so every source's best candidate
+      // is its translation twin at cosine ~1 while no distinct pair
+      // reaches 0.99 on this corpus (the q_sim_neardup property). The
+      // mined set is filtered margin ≥ 1 (an identity the ratio margin
+      // satisfies for any best match: the k-NN averages never exceed the
+      // best cosine) AND cosine ≥ 0.99 — together exactly the planted
+      // pairs, independent of the trained cell geometry; the margin
+      // VALUES are pinned by BitextMiningSpec's hand-computed fixtures.
+      val e = emb(s, dir)
+      val n = 2L * e.count()
+      val k = SemDedup.deriveK(n)
+      val cents = Similarity.trainIvfCentroids(e, k = k,
+        sampleN = math.max(2048, 16 * k))
+      val x = e.select(col("vec_id"), col("embedding"))
+      val y = e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      graft.llm.BitextMining.minePairs(x, y, cents, threshold = 1.0)
+        .filter(col("cosine") >= 0.99)
+        .select(col("src_id"), col("tgt_id"))
+        .orderBy(col("src_id"))
+    }),
+
     "q_prune_prototypes" -> ((s, dir) => {
       // SSL-prototypes pruning certificate. The drop set depends on the
       // trained k-means geometry, so instead of modeling it the query
@@ -2454,6 +2477,10 @@ object LlmQueries {
 
     "q_semdedup" ->
       "SELECT vec_id FROM embeddings ORDER BY vec_id",
+
+    "q_bitext_margin" ->
+      """SELECT vec_id AS src_id, vec_id + 1000000 AS tgt_id
+        |FROM embeddings ORDER BY src_id""".stripMargin,
 
     "q_prune_prototypes" ->
       """SELECT true AS subset_ok, true AS frac_ok, true AS order_ok,

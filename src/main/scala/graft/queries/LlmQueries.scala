@@ -730,6 +730,21 @@ object LlmQueries {
         .select(col("subset_ok"), col("frac_ok"), col("order_ok"), col("n_in"))
     }),
 
+    "q_corpus_drift" -> ((s, dir) => {
+      // Drift report between the corpus and a mutated refresh (the even
+      // slice with two repeated drift tokens and one new word appended):
+      // vocabulary Jaccard and unseen token mass are exact integer
+      // ratios; mean length delta is two integer-sum divisions; the
+      // Jensen–Shannon divergence sums PER-WORD INTEGER micro-nats, so
+      // the only cross-row float summation in the operator is gone and
+      // the oracle replays every term bit-for-bit (single-expression
+      // double arithmetic mirrored textually).
+      val ref = docs(s, dir)
+      val cand = ref.filter(col("doc_id") % 2 === 0)
+        .withColumn("text", concat(col("text"), lit(" zdrift zdrift qnew")))
+      graft.llm.CorpusDrift.report(ref, cand)
+    }),
+
     // --- text analysis ------------------------------------------------------
     "q_text_chunks" -> ((s, dir) =>
       // Context-window chunking (RAG/eval prep): 32-token windows, 8-token
@@ -2481,6 +2496,37 @@ object LlmQueries {
     "q_bitext_margin" ->
       """SELECT vec_id AS src_id, vec_id + 1000000 AS tgt_id
         |FROM embeddings ORDER BY src_id""".stripMargin,
+
+    "q_corpus_drift" ->
+      """WITH refc AS (SELECT doc_id, text FROM documents),
+        |cand AS (SELECT doc_id, text || ' zdrift zdrift qnew' AS text
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |wa AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM refc),
+        |ca_t AS (SELECT w, CAST(count(*) AS BIGINT) AS ca FROM wa GROUP BY w),
+        |wb AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM cand),
+        |cb_t AS (SELECT w, CAST(count(*) AS BIGINT) AS cb FROM wb GROUP BY w),
+        |j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM ca_t FULL OUTER JOIN cb_t ON ca_t.w = cb_t.w),
+        |t AS (SELECT sum(ca) AS tota, sum(cb) AS totb,
+        |    CAST(count(*) AS BIGINT) AS vunion,
+        |    sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS vboth,
+        |    sum(CASE WHEN ca = 0 THEN cb ELSE 0 END) AS unseen_cb FROM j),
+        |p AS (SELECT j.ca, j.cb,
+        |    CAST(j.ca AS DOUBLE) / CAST(t.tota AS DOUBLE) AS a,
+        |    CAST(j.cb AS DOUBLE) / CAST(t.totb AS DOUBLE) AS b
+        |  FROM j, t),
+        |js AS (SELECT sum(CAST(round((
+        |      (CASE WHEN ca > 0 THEN a * ln(a / ((a + b) / 2)) ELSE 0.0 END * 0.5) +
+        |      (CASE WHEN cb > 0 THEN b * ln(b / ((a + b) / 2)) ELSE 0.0 END * 0.5)
+        |    ) * 1000000.0) AS BIGINT)) AS js_micro_nats FROM p),
+        |l AS (SELECT
+        |    (SELECT CAST(sum(length(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM cand)
+        |      - (SELECT CAST(sum(length(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM refc)
+        |      AS mean_len_delta)
+        |SELECT CAST(t.vboth AS DOUBLE) / CAST(t.vunion AS DOUBLE) AS vocab_jaccard,
+        |  CAST(t.unseen_cb AS DOUBLE) / CAST(t.totb AS DOUBLE) AS unseen_mass,
+        |  l.mean_len_delta, js.js_micro_nats
+        |FROM t, js, l""".stripMargin,
 
     "q_prune_prototypes" ->
       """SELECT true AS subset_ok, true AS frac_ok, true AS order_ok,

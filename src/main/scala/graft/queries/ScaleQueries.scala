@@ -197,6 +197,20 @@ object ScaleQueries {
           graft.ops.Expectations.matches("l_returnflag", "^[ARN]$")))
         .orderBy(col("expectation"))),
 
+    "q_orc_roundtrip" -> ((s, dir) => {
+      // Columnar-format breadth: the corpus written as ORC (the other
+      // Spark-native columnar format — what an upstream Hive/Hadoop
+      // system would hand a training pipeline), read back and
+      // hash-checked column-for-column against the source table. The
+      // write is executor-side and partition-parallel like any sink; the
+      // read is a DSv2 scan with the same pushdown surface as parquet.
+      val out = stagingDir() + "/orc/docs_" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+      docs(s, dir).select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy(col("doc_id"))
+    }),
+
     "q_jsonl_ingest" -> ((s, dir) => {
       // JSONL ingestion with quarantine: documents serialized as JSON
       // lines with every 50th line corrupted; the reader must route broken
@@ -322,6 +336,10 @@ object ScaleQueries {
         |FROM i JOIN lineitem l
         |  ON l.l_extendedprice >= i.lo AND l.l_extendedprice <= i.hi
         |GROUP BY i.o_orderkey ORDER BY i.o_orderkey""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q_jsonl_ingest" ->
       """SELECT doc_id, lang, n_chars FROM documents

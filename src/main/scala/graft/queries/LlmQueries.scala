@@ -686,6 +686,59 @@ object LlmQueries {
         .orderBy(col("src_id"))
     }),
 
+    "q_embed_pca" -> ((s, dir) => {
+      // PCA model certificate over the real embeddings, dims 64 → 16:
+      //   ortho_ok    — component rows orthonormal (driver check on the
+      //                 fitted model, max |W·Wᵀ − I| < 1e-9);
+      //   sorted_ok   — explained variances non-increasing and ≥ 0;
+      //   mean_ok     — the projected corpus mean is ~0 in the leading
+      //                 dim (relational, the centering proof);
+      //   var_ok      — the projected variance of the leading dim equals
+      //                 the model's top eigenvalue (relational, the
+      //                 "eigenvalue = variance along component" proof);
+      //   identity_ok — identical embeddings project to byte-identical
+      //                 vectors (hash-join on the projected bytes between
+      //                 the corpus and its +1e6 copy — n exact matches);
+      //   n_dims      — the requested output dimension.
+      import s.implicits._
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val model = graft.llm.EmbeddingPca.fit(e, dims = 16)
+      val w = model.components.map(_.toArray).toArray
+      val d = model.mean.length
+      val orthoErr = (for (i <- w.indices; j <- w.indices) yield {
+        var s0 = 0.0
+        var k = 0
+        while (k < d) { s0 += w(i)(k) * w(j)(k); k += 1 }
+        math.abs(s0 - (if (i == j) 1.0 else 0.0))
+      }).max
+      val sortedOk = model.variances.zip(model.variances.tail)
+        .forall { case (a, b) => a >= b } && model.variances.forall(_ >= -1e-12)
+      val proj = e.select(col("vec_id"),
+          graft.llm.EmbeddingPca.transform(col("embedding"), model).as("p"))
+        .localCheckpoint()
+      val meanVar = proj.select(
+          avg(element_at(col("p"), 1).cast("double")).as("m0"),
+          avg(pow(element_at(col("p"), 1).cast("double"), 2)).as("s0"))
+        .select(
+          (abs(col("m0")) < 1e-3).as("mean_ok"),
+          (abs((col("s0") - col("m0") * col("m0")) - lit(model.variances.head))
+            < lit(1e-3) * lit(math.max(model.variances.head, 1.0))).as("var_ok"))
+      val copies = e.select((col("vec_id") + 1000000L).as("cid"), col("embedding"))
+      val matches = proj
+        .join(copies.select(col("cid"),
+            graft.llm.EmbeddingPca.transform(col("embedding"), model).as("p")),
+          Seq("p"))
+        .filter(col("cid") === col("vec_id") + 1000000L)
+        .agg(count(lit(1)).as("nm"))
+        .crossJoin(e.agg(count(lit(1)).as("ne")))
+        .select((col("nm") === col("ne")).as("identity_ok"))
+      meanVar.crossJoin(matches).select(
+        lit(orthoErr < 1e-9).as("ortho_ok"),
+        lit(sortedOk).as("sorted_ok"),
+        col("mean_ok"), col("var_ok"), col("identity_ok"),
+        lit(16L).as("n_dims"))
+    }),
+
     "q_prune_prototypes" -> ((s, dir) => {
       // SSL-prototypes pruning certificate. The drop set depends on the
       // trained k-means geometry, so instead of modeling it the query
@@ -2496,6 +2549,11 @@ object LlmQueries {
     "q_bitext_margin" ->
       """SELECT vec_id AS src_id, vec_id + 1000000 AS tgt_id
         |FROM embeddings ORDER BY src_id""".stripMargin,
+
+    "q_embed_pca" ->
+      """SELECT true AS ortho_ok, true AS sorted_ok, true AS mean_ok,
+        |  true AS var_ok, true AS identity_ok,
+        |  CAST(16 AS BIGINT) AS n_dims""".stripMargin,
 
     "q_corpus_drift" ->
       """WITH refc AS (SELECT doc_id, text FROM documents),

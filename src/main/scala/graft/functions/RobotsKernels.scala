@@ -91,6 +91,37 @@ object RobotsImpl {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** The wildcard-agent record's `Crawl-delay` in whole seconds (ceil of
+    * a decimal value — the conservative read), or null when no applying
+    * record carries one / the value does not parse. Record grouping is
+    * IDENTICAL to [[wildcardRules]]: a googlebot-only record's delay must
+    * not throttle a generic crawler. First applying directive wins.
+    */
+  def crawlDelaySeconds(input: UTF8String): Any = {
+    var inAgents = false
+    var applies = false
+    for (raw <- input.toString.split('\n')) {
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+        .stripSuffix("\r")
+      if (line.nonEmpty) {
+        val ua = directive(line, "user-agent")
+        if (ua != null) {
+          if (!inAgents) { inAgents = true; applies = false }
+          if (ua == "*") applies = true
+        } else {
+          inAgents = false
+          val cd = directive(line, "crawl-delay")
+          if (applies && cd != null && cd.nonEmpty) {
+            try return math.ceil(cd.toDouble).toLong
+            catch { case _: NumberFormatException => () }
+          }
+        }
+      }
+    }
+    null
+  }
 }
 
 /** Codegen wrapper for [[RobotsImpl.wildcardRules]]:
@@ -128,6 +159,24 @@ case class RobotsSitemaps(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen wrapper for [[RobotsImpl.crawlDelaySeconds]]:
+  * `robots_crawl_delay(txt)` → nullable BIGINT seconds.
+  */
+case class RobotsCrawlDelay(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_crawl_delay"
+  override def nullSafeEval(input: Any): Any =
+    RobotsImpl.crawlDelaySeconds(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object cdRes = graft.functions.RobotsImpl.crawlDelaySeconds($c);
+      if (cdRes == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) cdRes).longValue(); }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): RobotsCrawlDelay =
+    copy(child = newChild)
+}
+
 object RobotsKernels {
   /** Wildcard-agent (allow, prefix) rules of a robots.txt body, file order. */
   def wildcardRules(c: Column): Column =
@@ -136,4 +185,8 @@ object RobotsKernels {
   /** Sitemap directive values (agent-independent) — frontier seeds. */
   def sitemaps(c: Column): Column =
     GraftColumnBridge.column(RobotsSitemaps(GraftColumnBridge.expression(c.cast("string"))))
+
+  /** Wildcard-record Crawl-delay in whole seconds (null when absent). */
+  def crawlDelay(c: Column): Column =
+    GraftColumnBridge.column(RobotsCrawlDelay(GraftColumnBridge.expression(c.cast("string"))))
 }

@@ -138,12 +138,25 @@ object UrlOps {
   def politenessSlots(df: DataFrame, urlCol: String, orderCol: String,
       perSlot: Int = 1): DataFrame = {
     require(perSlot >= 1, s"perSlot must be >= 1: $perSlot")
+    politenessSlotsBy(df, urlCol, orderCol, lit(perSlot))
+  }
+
+  /** [[politenessSlots]] with a PER-ROW rate column — the robots-aware
+    * form: `perSlot` typically derives from the host's `Crawl-delay`
+    * ([[graft.functions.RobotsKernels.crawlDelay]]), e.g.
+    * `greatest(lit(1), floor(roundSeconds / delay))`, so a host asking
+    * for a 10-second delay gets fewer fetches per round than one with no
+    * constraint. The rate must be host-constant (it parameterizes the
+    * host's schedule); same single-window shape as the fixed-rate form.
+    */
+  def politenessSlotsBy(df: DataFrame, urlCol: String, orderCol: String,
+      perSlot: org.apache.spark.sql.Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host")).orderBy(col(orderCol), col(urlCol))
     df.withColumn("host", urlHost(col(urlCol)))
       .withColumn("slot",
         when(col("host").isNull, lit(null).cast("long"))
-          .otherwise(floor((row_number().over(w) - 1) / lit(perSlot))))
+          .otherwise(floor((row_number().over(w) - 1) / perSlot)))
   }
 
   /** Remove tracking parameters from a raw query STRING (`a=1&utm_x=2` →

@@ -132,6 +132,7 @@ object CrawlQueries {
   private def lgRobotsTxt(k: Column): Column =
     when(k % 3 === 0, concat(lit("# corpus policy\nUser-agent: googlebot\nDisallow: /\n\n" +
       "User-agent: *\nDisallow: /private\nAllow: /private/pub\nDisallow: /tmp\n" +
+      "Crawl-delay: 4\n" +
       "Sitemap: https://"), lgHostForm(k), lit("/sitemap.xml\n")))
       .when(k % 3 === 1, lit("User-agent: *\nDisallow:\n"))
       .otherwise(lit("User-agent: googlebot\nCrawl-delay: 5\nDisallow: /\n"))
@@ -559,6 +560,32 @@ object CrawlQueries {
         .select(col("doc_id"), col("host"), col("slot"))
         .orderBy(col("doc_id"))),
 
+    "q_url_politeness_robots" -> ((s, dir) => {
+      // Robots-aware politeness: each host's fetch rate derives from its
+      // PARSED wildcard Crawl-delay (the codegen kernel — k%3==0 domains
+      // declare 4 s → floor(8/4) = 2 fetches per 8-second round; the
+      // googlebot-only delay at k%3==2 must be IGNORED → default 4), then
+      // the per-host fetch-round window. The oracle states the rate
+      // closed-form per k residue and replays the window.
+      val ids = col("doc_id").cast("string")
+      val k = col("doc_id") % 23
+      val urls = docs(s, dir).select(col("doc_id"),
+        concat(lit("https://"), lgHostForm(k), lit("/p"), ids).as("url"))
+      val delays = lgRobotsFrame(s, dir).select(col("domain"),
+        graft.functions.RobotsKernels.crawlDelay(col("robots_txt")).as("delay"))
+      val withRate = urls
+        .join(broadcast(delays),
+          UrlOps.registeredDomain(UrlOps.urlHost(col("url"))) === col("domain"),
+          "left")
+        .withColumn("per_slot",
+          when(col("delay").isNotNull,
+            greatest(lit(1L), floor(lit(8L) / col("delay"))))
+          .otherwise(lit(4L)))
+      UrlOps.politenessSlotsBy(withRate, "url", "doc_id", col("per_slot"))
+        .select(col("doc_id"), col("host"), col("per_slot"), col("slot"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_lines" -> ((s, dir) =>
       // Line-level boilerplate dedup certificate: planted nav/footer lines
       // recur across ≥1/5 of the corpus and must vanish from EVERY doc;
@@ -858,6 +885,18 @@ object CrawlQueries {
          |    ELSE CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id, url) - 1) // 2 AS BIGINT)
          |  END AS slot
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_url_politeness_robots" ->
+      s"""WITH u AS (SELECT doc_id, doc_id % 23 AS k,
+         |    'https://' || ${lgHostSql("doc_id % 23")} || '/p' || doc_id AS url
+         |  FROM documents),
+         |r AS (SELECT doc_id, url, ${lgHostSql("k")} AS host,
+         |    CAST(CASE WHEN k % 3 = 0 THEN 2 ELSE 4 END AS BIGINT) AS per_slot
+         |  FROM u)
+         |SELECT doc_id, host, per_slot,
+         |  CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id, url) - 1)
+         |    // per_slot AS BIGINT) AS slot
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_dedup_lines" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",

@@ -57,6 +57,41 @@ class RobotsTxtSpec extends SparkTestBase {
     assert(got == Seq("https://a/s1.xml", "https://a/s2.xml")) // empty value skipped
   }
 
+  test("crawl-delay: wildcard record only, first wins, ceil of decimals, null otherwise") {
+    val s = spark; import s.implicits._
+    val cases = Seq(
+      // wildcard record carries the delay
+      ("User-agent: *\nCrawl-delay: 4\nDisallow: /x\n", Some(4L)),
+      // googlebot-only delay is NOT ours
+      ("User-agent: googlebot\nCrawl-delay: 5\nDisallow: /\n", None),
+      // both records: wildcard's value wins for us
+      ("User-agent: googlebot\nCrawl-delay: 9\n\nUser-agent: *\nCrawl-delay: 2\n", Some(2L)),
+      // decimal rounds UP (conservative), comment stripped
+      ("User-agent: *\nCrawl-delay: 1.5 # be nice\n", Some(2L)),
+      // first applying directive wins
+      ("User-agent: *\nCrawl-delay: 3\nCrawl-delay: 7\n", Some(3L)),
+      // unparsable → skipped; none left → null
+      ("User-agent: *\nCrawl-delay: soon\n", None),
+      ("User-agent: *\nDisallow: /\n", None))
+    val got = cases.map(_._1).toDF("t")
+      .select($"t", graft.functions.RobotsKernels.crawlDelay($"t"))
+      .as[(String, Option[Long])].collect().toMap
+    cases.foreach { case (t, want) => assert(got(t) == want, s"robots:\n$t") }
+  }
+
+  test("politenessSlotsBy: per-host rate column drives independent round sizes") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "http://slow.com/a", 1L), (2L, "http://slow.com/b", 1L),
+      (3L, "http://fast.com/a", 2L), (4L, "http://fast.com/b", 2L),
+      (5L, "http://fast.com/c", 2L)).toDF("id", "url", "rate")
+    val out = UrlOps.politenessSlotsBy(df, "url", "id", col("rate"))
+      .select($"id", $"slot").as[(Long, Option[Long])].collect().toMap
+    // slow.com at 1/round: rounds 0, 1; fast.com at 2/round: 0, 0, 1
+    assert(out(1L).contains(0L) && out(2L).contains(1L))
+    assert(out(3L).contains(0L) && out(4L).contains(0L) && out(5L).contains(1L))
+  }
+
   test("gate: longest prefix wins, ties prefer Allow, absent domain allows") {
     val robots = Seq(
       ("d.com", "User-agent: *\nDisallow: /p\nAllow: /p/ok\nDisallow: /p/ok\n"),

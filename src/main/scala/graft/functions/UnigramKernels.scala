@@ -202,6 +202,98 @@ object UnigramImpl {
   private def words(t: UTF8String): Array[String] =
     SigImpl.trimSpaces(t.toString).split("\\s+", -1)
 
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform double in [0, 1) from a counter-mode splitmix64 stream. */
+  private def unit(seed: Long, ctr: Int): Double =
+    ((splitmix64(seed + ctr) >>> 11).toDouble) / (1L << 53).toDouble
+
+  /** SAMPLED segmentation of ONE word from p(seg)^alpha (Kudo 2018
+    * subword regularization, forward-filtering backward-sampling):
+    * forward alphas under alpha-scaled piece scores, then draw each
+    * ending piece backwards with probability ∝ exp(F(i−l) + alpha·lp −
+    * F(i)). The stream is COUNTER-MODE splitmix64 seeded by
+    * (seed, polynomial word hash) — fully deterministic per (word, seed),
+    * engine- and partitioning-independent, so augmentation epochs are
+    * reproducible by construction. alpha → ∞ concentrates on the Viterbi
+    * path; alpha = 0 samples segmentations uniformly by count mass.
+    */
+  def sampleSeg(word: String, t: Table, alpha: Double, seed: Long): Array[String] = {
+    val c = cps(word)
+    val n = c.length
+    if (n == 0) return Array.empty[String]
+    def pieceAt(j: Int, l: Int): String = {
+      val sb = new java.lang.StringBuilder()
+      var k = j
+      while (k < j + l) { sb.append(c(k)); k += 1 }
+      sb.toString
+    }
+    def lpOf(piece: String, l: Int): Double = {
+      val b = t.lp.get(piece)
+      if (b != null) b.doubleValue() * alpha
+      else if (l == 1) t.unkLp * alpha
+      else Double.NegativeInfinity
+    }
+    val f = new Array[Double](n + 1)
+    var i = 1
+    while (i <= n) {
+      f(i) = Double.NegativeInfinity
+      var l = 1
+      val lMax = math.min(t.maxLen, i)
+      while (l <= lMax) {
+        val lp = lpOf(pieceAt(i - l, l), l)
+        if (lp != Double.NegativeInfinity) f(i) = logsumexp(f(i), f(i - l) + lp)
+        l += 1
+      }
+      i += 1
+    }
+    if (f(n) == Double.NegativeInfinity) return Array(word)
+    var h = 0L
+    var k = 0
+    while (k < word.length) { h = h * 131 + word.charAt(k).toLong; k += 1 }
+    val base = splitmix64(seed ^ h)
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    var pos = n
+    var ctr = 0
+    while (pos > 0) {
+      val u = unit(base, ctr); ctr += 1
+      // walk lengths ascending, accumulating normalized posteriors
+      var acc = 0.0
+      var chosen = -1
+      var l = 1
+      val lMax = math.min(t.maxLen, pos)
+      while (l <= lMax && chosen < 0) {
+        val lp = lpOf(pieceAt(pos - l, l), l)
+        if (lp != Double.NegativeInfinity) {
+          acc += math.exp(f(pos - l) + lp - f(pos))
+          if (u < acc) chosen = l
+        }
+        l += 1
+      }
+      if (chosen < 0) chosen = lMax // fp slack: take the last viable length
+      out += pieceAt(pos - chosen, chosen)
+      pos -= chosen
+    }
+    out.reverseIterator.toArray
+  }
+
+  /** Sampled token sequence of a TEXT (per-word FFBS, word order kept). */
+  def sampleTokens(t: UTF8String, table: Table, alpha: Double, seed: Long): ArrayData = {
+    val w = words(t)
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var i = 0
+    while (i < w.length) {
+      sampleSeg(w(i), table, alpha, seed).foreach(s => out += UTF8String.fromString(s))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Total unigram token count of a TEXT (whitespace words, each Viterbi-
     * segmented).
     */
@@ -309,6 +401,18 @@ case class UnigramTokenIds(child: Expression, pieces: Seq[(String, Double)])
     copy(child = newChild)
 }
 
+case class UnigramSampleTokens(child: Expression, pieces: Seq[(String, Double)],
+    alpha: Double, seed: Long) extends UnigramKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_sample_tokens"
+  override def nullSafeEval(input: Any): Any =
+    UnigramImpl.sampleTokens(input.asInstanceOf[UTF8String], table, alpha, seed)
+  override protected def javaCall(c: String, t: String): String =
+    s"graft.functions.UnigramImpl.sampleTokens($c, $t, ${alpha}D, ${seed}L)"
+  override protected def withNewChildInternal(newChild: Expression): UnigramSampleTokens =
+    copy(child = newChild)
+}
+
 case class UnigramEStep(child: Expression, pieces: Seq[(String, Double)])
     extends UnigramKernelExpression {
   override def dataType: DataType = ArrayType(
@@ -340,4 +444,8 @@ object UnigramKernels {
 
   def unigramTokenIds(text: Column, pieces: Seq[(String, Double)]): Column =
     unary(UnigramTokenIds(_, pieces))(text)
+
+  def unigramSampleTokens(text: Column, pieces: Seq[(String, Double)],
+      alpha: Double, seed: Long): Column =
+    unary(UnigramSampleTokens(_, pieces, alpha, seed))(text)
 }

@@ -213,4 +213,15 @@ object UnigramLm {
     */
   def vocabulary(pieces: Seq[(String, Double)]): Seq[(Int, String)] =
     pieces.map(_._1).sorted.zipWithIndex.map { case (p, i) => (i, p) }
+
+  /** SAMPLED token sequence of `text` from p(seg)^alpha — Kudo 2018
+    * subword regularization, the augmentation that trains models robust
+    * to segmentation ambiguity. Deterministic per (word, seed) by
+    * counter-mode hashing (not per-partition RNG state), so an epoch's
+    * augmentation is reproducible and engine-independent; vary `seed`
+    * per epoch for fresh samples.
+    */
+  def sampleTokens(text: Column, pieces: Seq[(String, Double)],
+      alpha: Double, seed: Long): Column =
+    UnigramKernels.unigramSampleTokens(text, pieces, alpha, seed)
 }

@@ -1328,6 +1328,25 @@ object LlmQueries {
       Seq(Tuple1(ok)).toDF("estep_ok")
     }),
 
+    "q_text_unigram_sample" -> ((s, dir) => {
+      // Subword-regularization sampling certificate (Kudo 2018): one
+      // seeded sample per doc from p(seg)^0.5 under the trained table
+      // must remain a VALID segmentation — concatenation reconstructs
+      // the whitespace-stripped text — for every document. The
+      // counter-mode (text, seed) stream makes the sample deterministic
+      // with no per-partition RNG state; alpha/seed semantics are pinned
+      // by UnigramLmSpec (alpha→∞ equals Viterbi, seeds reproduce).
+      import s.implicits._
+      val d = docs(s, dir)
+      val pieces = graft.llm.UnigramLm.train(d, vocabSize = 200,
+        maxPieceLen = 4, seedSize = 1024, emIters = 2)
+      d.select(
+          (concat_ws("", graft.llm.UnigramLm.sampleTokens(col("text"), pieces,
+            alpha = 0.5, seed = 42L))
+            === regexp_replace(col("text"), "\\s+", "")).as("ok"))
+        .agg(min(col("ok")).as("valid_ok"), count(lit(1)).as("n_docs"))
+    }),
+
     "q_pack_unigram" -> ((s, dir) =>
       // Packing on REAL unigram-tokenizer counts — the q_pack_bpe contract
       // with the Viterbi kernel as the token-mass source: same Knuth-mix
@@ -1922,6 +1941,10 @@ object LlmQueries {
 
     "q_text_unigram_estep" ->
       "SELECT true AS estep_ok",
+
+    "q_text_unigram_sample" ->
+      """SELECT true AS valid_ok, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents""".stripMargin,
 
     "q_text_bpe" ->
       """SELECT doc_id,

@@ -98,6 +98,31 @@ class UnigramLmSpec extends SparkTestBase {
     assert(got(1L)._2.map(vocab(_)) == got(1L)._3)
   }
 
+  test("sampled segmentation: valid, seed-deterministic, alpha->inf = Viterbi") {
+    val s = spark; import s.implicits._
+    val pieces = Seq("a" -> -3.0, "b" -> -3.0, "ab" -> -1.0, "ba" -> -1.2)
+    val df = Seq((1L, "abab ab a"), (2L, "bababa")).toDF("doc_id", "text")
+    def sample(alpha: Double, seed: Long) =
+      df.select($"doc_id", UnigramLm.sampleTokens($"text", pieces, alpha, seed))
+        .as[(Long, Seq[String])].collect().toMap
+    // validity: concatenation reconstructs the whitespace-stripped text
+    val s1 = sample(1.0, 7L)
+    val stripped1 = "abab ab a".replaceAll("\\s+", "")
+    val stripped2 = "bababa"
+    assert(s1(1L).mkString == stripped1, s"${s1(1L)}")
+    assert(s1(2L).mkString == stripped2, s"${s1(2L)}")
+    // determinism: same seed → identical; different seed → usually different
+    assert(sample(1.0, 7L) == sample(1.0, 7L))
+    // alpha large → the argmax path (Viterbi) for every word
+    val hard = sample(60.0, 3L)
+    val vit = df.select($"doc_id", UnigramLm.tokens($"text", pieces))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(hard == vit, s"$hard vs $vit")
+    // alpha 0: still valid segmentations
+    val loose = sample(0.0, 11L)
+    assert(loose(2L).mkString == stripped2)
+  }
+
   test("distributed E-step matches the driver E-step") {
     val s = spark; import s.implicits._
     val corpus = Seq.tabulate(20)(i =>

@@ -65,6 +65,26 @@ object UnigramImpl {
     out
   }
 
+  /** The shared lattice scaffolding (ONE definition — viterbi, the
+    * E-step and the sampler must never drift apart): the piece text at
+    * (j, j+l) over the code-point array, and its (alpha-scaled) score —
+    * unknown SINGLES fall back to `unkLp`, unknown multi-code-point
+    * spans are non-viable (−Inf).
+    */
+  private def pieceAt(c: Array[String], j: Int, l: Int): String = {
+    val sb = new java.lang.StringBuilder()
+    var k = j
+    while (k < j + l) { sb.append(c(k)); k += 1 }
+    sb.toString
+  }
+
+  private def lpOf(t: Table, piece: String, l: Int, alpha: Double): Double = {
+    val b = t.lp.get(piece)
+    if (b != null) b.doubleValue() * alpha
+    else if (l == 1) t.unkLp * alpha
+    else Double.NegativeInfinity
+  }
+
   /** Viterbi segmentation of ONE word: the piece sequence maximizing the
     * summed log-probability. `best[i]` scans ending pieces from length 1
     * up and updates on STRICTLY greater score, so ties resolve to the
@@ -82,15 +102,7 @@ object UnigramImpl {
       var l = 1
       val lMax = math.min(t.maxLen, i)
       while (l <= lMax) {
-        val sb = new java.lang.StringBuilder()
-        var k = i - l
-        while (k < i) { sb.append(c(k)); k += 1 }
-        val piece = sb.toString
-        val lpBoxed = t.lp.get(piece)
-        val lp =
-          if (lpBoxed != null) lpBoxed.doubleValue()
-          else if (l == 1) t.unkLp
-          else Double.NegativeInfinity
+        val lp = lpOf(t, pieceAt(c, i - l, l), l, 1.0)
         if (lp != Double.NegativeInfinity) {
           val s = best(i - l) + lp
           if (s > best(i)) { best(i) = s; back(i) = l }
@@ -103,10 +115,7 @@ object UnigramImpl {
     var pos = n
     while (pos > 0) {
       val l = back(pos)
-      val sb = new java.lang.StringBuilder()
-      var k = pos - l
-      while (k < pos) { sb.append(c(k)); k += 1 }
-      out += sb.toString
+      out += pieceAt(c, pos - l, l)
       pos -= l
     }
     out.reverseIterator.toArray
@@ -129,18 +138,6 @@ object UnigramImpl {
     val c = cps(word)
     val n = c.length
     if (n == 0) return Array.empty[(String, Double)]
-    def pieceAt(j: Int, l: Int): String = {
-      val sb = new java.lang.StringBuilder()
-      var k = j
-      while (k < j + l) { sb.append(c(k)); k += 1 }
-      sb.toString
-    }
-    def lpOf(piece: String, l: Int): Double = {
-      val b = t.lp.get(piece)
-      if (b != null) b.doubleValue()
-      else if (l == 1) t.unkLp
-      else Double.NegativeInfinity
-    }
     val alpha = new Array[Double](n + 1)
     val beta = new Array[Double](n + 1)
     var i = 1
@@ -149,7 +146,7 @@ object UnigramImpl {
       var l = 1
       val lMax = math.min(t.maxLen, i)
       while (l <= lMax) {
-        val lp = lpOf(pieceAt(i - l, l), l)
+        val lp = lpOf(t, pieceAt(c, i - l, l), l, 1.0)
         if (lp != Double.NegativeInfinity)
           alpha(i) = logsumexp(alpha(i), alpha(i - l) + lp)
         l += 1
@@ -165,7 +162,7 @@ object UnigramImpl {
       var l = 1
       val lMax = math.min(t.maxLen, n - i)
       while (l <= lMax) {
-        val lp = lpOf(pieceAt(i, l), l)
+        val lp = lpOf(t, pieceAt(c, i, l), l, 1.0)
         if (lp != Double.NegativeInfinity)
           beta(i) = logsumexp(beta(i), lp + beta(i + l))
         l += 1
@@ -178,7 +175,7 @@ object UnigramImpl {
       var l = 1
       val lMax = math.min(t.maxLen, n - j)
       while (l <= lMax) {
-        val piece = pieceAt(j, l)
+        val piece = pieceAt(c, j, l)
         if (t.lp.get(piece) != null) {
           val lp = t.lp.get(piece).doubleValue()
           val g = math.exp(alpha(j) + lp + beta(j + l) - z)
@@ -227,18 +224,6 @@ object UnigramImpl {
     val c = cps(word)
     val n = c.length
     if (n == 0) return Array.empty[String]
-    def pieceAt(j: Int, l: Int): String = {
-      val sb = new java.lang.StringBuilder()
-      var k = j
-      while (k < j + l) { sb.append(c(k)); k += 1 }
-      sb.toString
-    }
-    def lpOf(piece: String, l: Int): Double = {
-      val b = t.lp.get(piece)
-      if (b != null) b.doubleValue() * alpha
-      else if (l == 1) t.unkLp * alpha
-      else Double.NegativeInfinity
-    }
     val f = new Array[Double](n + 1)
     var i = 1
     while (i <= n) {
@@ -246,7 +231,7 @@ object UnigramImpl {
       var l = 1
       val lMax = math.min(t.maxLen, i)
       while (l <= lMax) {
-        val lp = lpOf(pieceAt(i - l, l), l)
+        val lp = lpOf(t, pieceAt(c, i - l, l), l, alpha)
         if (lp != Double.NegativeInfinity) f(i) = logsumexp(f(i), f(i - l) + lp)
         l += 1
       }
@@ -262,21 +247,27 @@ object UnigramImpl {
     var ctr = 0
     while (pos > 0) {
       val u = unit(base, ctr); ctr += 1
-      // walk lengths ascending, accumulating normalized posteriors
+      // walk lengths ascending, accumulating normalized posteriors; the
+      // fp-slack fallback must land on a VIABLE length (the posteriors
+      // sum to ~1 with float error, and an unconditional lMax could name
+      // a multi-cp span absent from the vocabulary — a zero-probability,
+      // id-less piece)
       var acc = 0.0
       var chosen = -1
+      var lastViable = -1
       var l = 1
       val lMax = math.min(t.maxLen, pos)
       while (l <= lMax && chosen < 0) {
-        val lp = lpOf(pieceAt(pos - l, l), l)
+        val lp = lpOf(t, pieceAt(c, pos - l, l), l, alpha)
         if (lp != Double.NegativeInfinity) {
+          lastViable = l
           acc += math.exp(f(pos - l) + lp - f(pos))
           if (u < acc) chosen = l
         }
         l += 1
       }
-      if (chosen < 0) chosen = lMax // fp slack: take the last viable length
-      out += pieceAt(pos - chosen, chosen)
+      if (chosen < 0) chosen = lastViable // fp slack: last viable length
+      out += pieceAt(c, pos - chosen, chosen)
       pos -= chosen
     }
     out.reverseIterator.toArray

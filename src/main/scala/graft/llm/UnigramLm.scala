@@ -70,6 +70,10 @@ object UnigramLm {
     require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
     require(pruneFraction > 0.0 && pruneFraction < 1.0,
       s"pruneFraction must be in (0, 1): $pruneFraction")
+    // emIters = 0 would leave lastExp empty and silently degrade pruning
+    // to alphabetical order while returning seed-frequency probs — a
+    // structurally valid but meaningless artifact. Fail loudly instead.
+    require(emIters >= 1, s"emIters must be >= 1: $emIters")
     val rows = Bpe.wordCounts(df, textCol)
       .filter(col("n") >= minWordCount)
       .orderBy(col("n").desc, col("w"))

@@ -151,12 +151,18 @@ object UrlOps {
     */
   def politenessSlotsBy(df: DataFrame, urlCol: String, orderCol: String,
       perSlot: org.apache.spark.sql.Column): DataFrame = {
+    // Null-host (non-URL) rows bypass the window entirely: they all hash
+    // to ONE window partition, so sorting them to assign a slot that the
+    // null branch then discards would build a straggler task out of the
+    // discard pile. Output columns `host`/`slot` replace same-named
+    // caller columns.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host")).orderBy(col(orderCol), col(urlCol))
-    df.withColumn("host", urlHost(col(urlCol)))
-      .withColumn("slot",
-        when(col("host").isNull, lit(null).cast("long"))
-          .otherwise(floor((row_number().over(w) - 1) / perSlot)))
+    val keyed = df.withColumn("host", urlHost(col(urlCol)))
+    keyed.filter(col("host").isNotNull)
+      .withColumn("slot", floor((row_number().over(w) - 1) / perSlot))
+      .unionByName(keyed.filter(col("host").isNull)
+        .withColumn("slot", lit(null).cast("long")))
   }
 
   /** Remove tracking parameters from a raw query STRING (`a=1&utm_x=2` →

@@ -37,7 +37,11 @@ object Conversations {
     */
   def validate(turns: DataFrame, convCol: String, idxCol: String,
                roleCol: String, contentCol: String): DataFrame = {
-    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+    // Window over the RENAMED columns: the projection below drops the
+    // caller's names, so the window must key on the canonical ones (this
+    // was wrong before the query surface exercised it — the window named
+    // convCol after the rename and never resolved).
+    val w = Window.partitionBy(col("id")).orderBy(col("idx"))
     // Per-turn expected role: position p after the optional system prefix
     // must be user for even p, assistant for odd p. first_value over the
     // conversation-keyed window makes "did this conversation open with
@@ -129,6 +133,35 @@ object Conversations {
       .select(col("id"),
         array_join(transform(col("ts"), x => x.getField("t")), "").as("rendered"))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("rendered")))
+
+  /** Loss-mask spans for SFT: the character ranges [start_char, end_char)
+    * of [[render]]'s output that are TRAINABLE — each assistant turn's
+    * content plus its `<|im_end|>\n` terminator (the completion + EOS the
+    * loss is computed on); role headers and non-assistant turns are
+    * masked. One row per assistant turn, (id, start_char, end_char), so a
+    * packer can map char spans to token spans after tokenization.
+    *
+    * Offsets are pure arithmetic over per-turn rendered lengths
+    * (12 + |role| + 1 + |content| + 11 — the template constants), summed
+    * by ONE conversation-keyed running window: no string is ever
+    * re-scanned, and the spans provably index [[render]]'s concatenation
+    * because both derive from the same per-turn template.
+    */
+  def lossMaskSpans(turns: DataFrame, convCol: String, idxCol: String,
+                    roleCol: String, contentCol: String): DataFrame = {
+    val turnLen = (lit(12) + length(col(roleCol)) + lit(1) +
+      length(col(contentCol)) + lit(11)).cast("long")
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns
+      .withColumn("__len", turnLen)
+      .withColumn("__off", coalesce(sum(col("__len")).over(w), lit(0L)))
+      .filter(col(roleCol) === "assistant")
+      .select(col(convCol).as("id"),
+        (col("__off") + lit(12L) + length(col(roleCol)) + lit(1L))
+          .cast("long").as("start_char"),
+        (col("__off") + col("__len")).as("end_char"))
+  }
 
   /** Preference-pair (DPO/RLHF) integrity check, one row per pair:
     * (id, chosen_empty, rejected_empty, identical, prompt_dup, keep,

@@ -18,6 +18,21 @@ import QueryUtil._
   */
 object LlmQueries {
 
+  /** Chat-turns fixture over documents: conv = doc_id % 50, turn rank
+    * j = doc_id div 50, strict user/assistant alternation by j's parity —
+    * every conversation is valid chat shape and ends with an assistant
+    * turn at every corpus size (turns-per-conversation block counts stay
+    * even, and the sf1 replica's +1e8 id offsets preserve both the
+    * residue and the parity, so rank parity and j parity stay in
+    * lockstep across copies).
+    */
+  private def convTurns(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      (col("doc_id") % 50).as("conv"), col("doc_id").as("idx"),
+      when(expr("(doc_id div 50) % 2") === 0, lit("user"))
+        .otherwise(lit("assistant")).as("role"),
+      col("text"))
+
   /** documents ∪ mutated copy (near-dup planted per doc). */
   private def aug(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
@@ -782,6 +797,75 @@ object LlmQueries {
       subset.crossJoin(fracOrder).crossJoin(nIn)
         .select(col("subset_ok"), col("frac_ok"), col("order_ok"), col("n_in"))
     }),
+
+    // --- conversation (SFT/chat) data --------------------------------------
+    "q_conv_validate" -> ((s, dir) =>
+      // Chat-shape validation over the turns fixture: alternation,
+      // emptiness, final-assistant and min-length checks, one row per
+      // conversation. The oracle replays every flag from the same
+      // construction (alternation is true by the fixture's parity-lockstep
+      // argument, stated closed-form).
+      graft.llm.Conversations.validate(convTurns(s, dir),
+          "conv", "idx", "role", "text")
+        .orderBy(col("id"))),
+
+    "q_conv_stats" -> ((s, dir) =>
+      // Per-conversation packing-budget stats: turn count, token mass by
+      // role, char mass — exact integer aggregation, oracle-replayed.
+      graft.llm.Conversations.stats(convTurns(s, dir),
+          "conv", "idx", "role", "text")
+        .orderBy(col("id"))),
+
+    "q_conv_render" -> ((s, dir) =>
+      // ChatML-shaped rendering: per-turn template then one ordered
+      // array_join per conversation; the oracle rebuilds the exact string
+      // with string_agg ORDER BY idx and recounts tokens.
+      graft.llm.Conversations.render(convTurns(s, dir),
+          "conv", "idx", "role", "text")
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .orderBy(col("id"))),
+
+    "q_conv_dedup" -> ((s, dir) => {
+      // Exact conversation dedup under planted clones (+1000 conv ids,
+      // identical turn sequences): every hash group has exactly the
+      // original and its clone, lowest id keeps. Turn text shuffles once
+      // (into the conversation-keyed hash aggregation), the dup group is
+      // a 32-byte-key window.
+      val t = convTurns(s, dir)
+      val withClones = t.unionByName(
+        t.select((col("conv") + 1000).as("conv"), col("idx"), col("role"),
+          col("text")))
+      graft.llm.Conversations.dedupExact(withClones,
+          "conv", "idx", "role", "text")
+        .select(col("id"), col("n_dups"), col("keep"))
+        .orderBy(col("id"))
+    }),
+
+    "q_conv_prefs" -> ((s, dir) => {
+      // Preference-pair integrity: planted empty chosen (%17), identical
+      // pair (%19), and shared prompts (doc_id % 100 groups). Every flag
+      // is recomputed by the oracle from the same construction — no
+      // closed-form assumption about the text.
+      val pairs = docs(s, dir).select(col("doc_id"),
+        concat(lit("prompt "), (col("doc_id") % 100).cast("string")).as("prompt"),
+        when(col("doc_id") % 17 === 0, lit("")).otherwise(col("text")).as("chosen"),
+        when(col("doc_id") % 19 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" alt"))).as("rejected"))
+      graft.llm.Conversations.preferenceCheck(pairs,
+          "doc_id", "prompt", "chosen", "rejected")
+        .orderBy(col("id"))
+    }),
+
+    "q_conv_loss_mask" -> ((s, dir) =>
+      // SFT loss-mask spans: [start_char, end_char) of each assistant
+      // turn's trainable region in the rendered string — pure offset
+      // arithmetic over per-turn template lengths, one running window;
+      // the oracle replays the same arithmetic and ConversationsSpec pins
+      // that extracting the spans from render()'s output yields exactly
+      // content + terminator.
+      graft.llm.Conversations.lossMaskSpans(convTurns(s, dir),
+          "conv", "idx", "role", "text")
+        .orderBy(col("id"), col("start_char"))),
 
     "q_corpus_drift" -> ((s, dir) => {
       // Drift report between the corpus and a mutated refresh (the even
@@ -2577,6 +2661,81 @@ object LlmQueries {
       """SELECT true AS ortho_ok, true AS sorted_ok, true AS mean_ok,
         |  true AS var_ok, true AS identity_ok,
         |  CAST(16 AS BIGINT) AS n_dims""".stripMargin,
+
+    "q_conv_validate" ->
+      """WITH t AS (SELECT doc_id % 50 AS id, doc_id AS idx,
+        |    CASE WHEN (doc_id // 50) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    text FROM documents)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_turns,
+        |  min_by(role, idx) AS first_role,
+        |  true AS alternates,
+        |  CAST(max(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BOOLEAN)
+        |    AS has_empty,
+        |  max_by(role, idx) = 'assistant' AS ends_with_assistant,
+        |  count(*) >= 2
+        |    AND max(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) = 0
+        |    AND max_by(role, idx) = 'assistant' AS valid
+        |FROM t GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_conv_stats" ->
+      """WITH t AS (SELECT doc_id % 50 AS id,
+        |    CASE WHEN (doc_id // 50) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    text FROM documents)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(sum(CASE WHEN role = 'user'
+        |    THEN len(string_split_regex(trim(text), '\s+')) ELSE 0 END) AS BIGINT)
+        |    AS user_tokens,
+        |  CAST(sum(CASE WHEN role = 'assistant'
+        |    THEN len(string_split_regex(trim(text), '\s+')) ELSE 0 END) AS BIGINT)
+        |    AS assistant_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM t GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_conv_render" ->
+      """WITH t AS (SELECT doc_id % 50 AS id, doc_id AS idx,
+        |    CASE WHEN (doc_id // 50) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    text FROM documents),
+        |r AS (SELECT id,
+        |    string_agg('<|im_start|>' || role || chr(10) || text || '<|im_end|>' || chr(10),
+        |      '' ORDER BY idx) AS rendered
+        |  FROM t GROUP BY id)
+        |SELECT id, rendered,
+        |  CAST(len(string_split_regex(trim(rendered), '\s+')) AS BIGINT) AS n_tokens
+        |FROM r ORDER BY id""".stripMargin,
+
+    "q_conv_dedup" ->
+      """WITH ids AS (SELECT DISTINCT doc_id % 50 AS id FROM documents),
+        |all_ids AS (SELECT id FROM ids UNION ALL SELECT id + 1000 FROM ids)
+        |SELECT id, CAST(2 AS BIGINT) AS n_dups, id < 1000 AS keep
+        |FROM all_ids ORDER BY id""".stripMargin,
+
+    "q_conv_prefs" ->
+      """WITH p AS (SELECT doc_id AS id, 'prompt ' || (doc_id % 100) AS prompt,
+        |    CASE WHEN doc_id % 17 = 0 THEN '' ELSE text END AS chosen,
+        |    CASE WHEN doc_id % 19 = 0 THEN text ELSE text || ' alt' END AS rejected
+        |  FROM documents)
+        |SELECT id,
+        |  length(trim(chosen)) = 0 AS chosen_empty,
+        |  length(trim(rejected)) = 0 AS rejected_empty,
+        |  chosen = rejected AS identical,
+        |  count(*) OVER (PARTITION BY prompt) > 1 AS prompt_dup,
+        |  id = min(id) OVER (PARTITION BY prompt) AS keep,
+        |  NOT (length(trim(chosen)) = 0) AND NOT (length(trim(rejected)) = 0)
+        |    AND NOT (chosen = rejected) AS valid
+        |FROM p ORDER BY id""".stripMargin,
+
+    "q_conv_loss_mask" ->
+      """WITH t AS (SELECT doc_id % 50 AS id, doc_id AS idx,
+        |    CASE WHEN (doc_id // 50) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    text FROM documents),
+        |l AS (SELECT *, CAST(12 + length(role) + 1 + length(text) + 11 AS BIGINT) AS tlen
+        |  FROM t),
+        |o AS (SELECT *, coalesce(sum(tlen) OVER (PARTITION BY id ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM l)
+        |SELECT id,
+        |  CAST(off + 12 + length(role) + 1 AS BIGINT) AS start_char,
+        |  CAST(off + tlen AS BIGINT) AS end_char
+        |FROM o WHERE role = 'assistant' ORDER BY id, start_char""".stripMargin,
 
     "q_corpus_drift" ->
       """WITH refc AS (SELECT doc_id, text FROM documents),

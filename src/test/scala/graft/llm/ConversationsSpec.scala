@@ -1,0 +1,92 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Conversation (SFT/chat) operators: shape validation edge cases, render
+  * exactness, loss-mask span extraction identity, dedup tie-break, and
+  * preference-pair flags.
+  */
+class ConversationsSpec extends SparkTestBase {
+
+  private def turns(rows: (Long, Long, String, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("conv", "idx", "role", "content")
+  }
+
+  test("validate: system prefix ok, broken alternation/empty/user-ending flagged") {
+    val s = spark; import s.implicits._
+    val t = turns(
+      // conv 1: system, user, assistant — valid
+      (1L, 0L, "system", "be nice"), (1L, 1L, "user", "hi"), (1L, 2L, "assistant", "hello"),
+      // conv 2: user, user — alternation broken, ends wrong
+      (2L, 0L, "user", "a"), (2L, 1L, "user", "b"),
+      // conv 3: user, assistant but empty assistant content
+      (3L, 0L, "user", "q"), (3L, 1L, "assistant", "  "),
+      // conv 4: single turn — too short
+      (4L, 0L, "user", "alone"),
+      // conv 5: user, assistant, user — ends with user
+      (5L, 0L, "user", "q"), (5L, 1L, "assistant", "a"), (5L, 2L, "user", "thx"))
+    val v = Conversations.validate(t, "conv", "idx", "role", "content")
+      .select($"id", $"alternates", $"has_empty", $"ends_with_assistant", $"valid")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(v(1L) == (1L, true, false, true, true))
+    assert(v(2L)._2 == false && v(2L)._5 == false)
+    assert(v(3L)._3 == true && v(3L)._5 == false)
+    assert(v(4L)._5 == false) // < 2 non-system turns happens to be 1 turn total
+    assert(v(5L)._4 == false && v(5L)._5 == false)
+  }
+
+  test("render + lossMaskSpans: extracting each span yields content + terminator") {
+    val s = spark; import s.implicits._
+    val t = turns(
+      (1L, 0L, "user", "what is spark"),
+      (1L, 1L, "assistant", "a distributed engine"),
+      (1L, 2L, "user", "thanks"),
+      (1L, 3L, "assistant", "welcome"))
+    val rendered = Conversations.render(t, "conv", "idx", "role", "content")
+      .select($"rendered").as[String].head()
+    val spans = Conversations.lossMaskSpans(t, "conv", "idx", "role", "content")
+      .orderBy($"start_char")
+      .select($"start_char", $"end_char").as[(Long, Long)].collect()
+    assert(spans.length == 2)
+    val cut = spans.map { case (a, b) => rendered.substring(a.toInt, b.toInt) }
+    assert(cut(0) == "a distributed engine<|im_end|>\n", s"got '${cut(0)}'")
+    assert(cut(1) == "welcome<|im_end|>\n")
+    // masked regions are exactly the complement: role headers + user turns
+    assert(rendered.startsWith("<|im_start|>user\nwhat is spark<|im_end|>\n"))
+  }
+
+  test("dedupExact: same turn sequence with different idx values is a duplicate") {
+    val s = spark; import s.implicits._
+    val t = turns(
+      (1L, 0L, "user", "q"), (1L, 1L, "assistant", "a"),
+      (2L, 10L, "user", "q"), (2L, 20L, "assistant", "a"), // same sequence, other idx
+      (3L, 0L, "user", "different"), (3L, 1L, "assistant", "a"))
+    val d = Conversations.dedupExact(t, "conv", "idx", "role", "content")
+      .select($"id", $"n_dups", $"keep").as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(d(1L) == (1L, 2L, true))
+    assert(d(2L) == (2L, 2L, false))
+    assert(d(3L) == (3L, 1L, true))
+  }
+
+  test("preferenceCheck flags empties, identical pairs and prompt dups") {
+    val s = spark; import s.implicits._
+    val pairs = Seq(
+      (1L, "p1", "good", "bad"),
+      (2L, "p1", "also", "fine"),   // dup prompt with 1 → keep only 1
+      (3L, "p2", "", "bad"),        // empty chosen
+      (4L, "p3", "same", "same"))   // identical
+      .toDF("id", "prompt", "chosen", "rejected")
+    val c = Conversations.preferenceCheck(pairs, "id", "prompt", "chosen", "rejected")
+      .select($"id", $"chosen_empty", $"identical", $"prompt_dup", $"keep", $"valid")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(c(1L)._4 == true && c(1L)._5 == true && c(1L)._6 == true)
+    assert(c(2L)._4 == true && c(2L)._5 == false && c(2L)._6 == true)
+    assert(c(3L)._2 == true && c(3L)._6 == false)
+    assert(c(4L)._3 == true && c(4L)._6 == false)
+  }
+}

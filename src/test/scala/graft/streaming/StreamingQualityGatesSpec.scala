@@ -78,4 +78,53 @@ class StreamingQualityGatesSpec extends SparkTestBase {
       assert(streamed == Set(2L, 3L))
     } finally q.stop()
   }
+
+  test("unigram token-budget gate: stateless kernel filter, stream == batch") {
+    // The trained-tokenizer count is a pure codegen map (the piece table
+    // rides inside the expression), so a token-budget gate composes with
+    // streaming unchanged — the property that prices ingest against the
+    // SAME tokenizer the trainer uses.
+    implicit val sqlCtx = spark.sqlContext
+    val pieces = Seq("th" -> -1.0, "er" -> -1.0, "on" -> -1.0)
+    val rows = Seq((1L, "the other one keeps going on and on with many words"),
+      (2L, "hi"), (3L, "this other longer row also carries plenty of words on it"))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .filter(graft.llm.UnigramLm.tokenCount(col("text"), pieces) >= 20)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("unigate").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("unigate").as[Long].collect().toSet
+      val batch = rows.toDF("doc_id", "text")
+        .filter(graft.llm.UnigramLm.tokenCount(col("text"), pieces) >= 20)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch && streamed == Set(1L, 3L), s"$streamed")
+    } finally q.stop()
+  }
+
+  test("PCA projection: stateless kernel map, stream == batch") {
+    // Projection through a fitted model is a pure map — embeddings
+    // compress at ingest with no state store, same artifact as the batch
+    // index build.
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.llm.EmbeddingPca.Model(
+      mean = Seq(0.0, 0.0, 0.0, 0.0),
+      components = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0)),
+      variances = Seq(2.0, 1.0))
+    val rows = Seq((1L, Array(1f, 2f, 3f, 4f)), (2L, Array(-1f, 0f, 1f, 0f)))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDS().toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.llm.EmbeddingPca.transform(col("embedding"), model).as("p"))
+      .writeStream.format("memory").queryName("pcamap").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pcamap")
+        .as[(Long, Seq[Float])].collect().toMap
+      assert(streamed(1L) == Seq(1f, 2f) && streamed(2L) == Seq(-1f, 0f))
+    } finally q.stop()
+  }
 }

@@ -54,6 +54,41 @@ object Packing {
         ((col("__pre") % budget) + col("n_tokens") > budget).as("spans_boundary"))
   }
 
+  /** Per-chunk document-boundary segments — the attention-mask input a
+    * trainer needs for packed sequences (block-diagonal attention: tokens
+    * must not attend across document boundaries inside one chunk). For
+    * every chunk a document touches, one row
+    * `(shard, chunk_idx, id, start, len)`: the segment the doc occupies in
+    * that chunk (`start` = its in-chunk offset, 0 on continuation chunks).
+    *
+    * Pure map + explode over [[pack]]'s output — a doc spanning k chunks
+    * emits k rows, so the frame is stream-sized, never token-sized, and
+    * no shuffle is added beyond pack's own window.
+    */
+  def chunkBoundaries(packed: DataFrame, idCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val pre = col("chunk") * budget + col("offset")
+    // DIV, not `/`: Spark's `/` on longs is double division (exact only
+    // by accident); DIV is the integral quotient, the same operator pack
+    // itself uses for chunk assignment.
+    val lastChunk = expr(
+      s"(chunk * ${budget}L + offset + n_tokens - 1L) DIV ${budget}L")
+    val lastEnd = ((pre + col("n_tokens") - 1) % budget) + 1
+    packed.filter(col("n_tokens") > 0)
+      .withColumn("__last", lastChunk)
+      .withColumn("__le", lastEnd)
+      .select(col("shard"), col(idCol), col("chunk"), col("offset"),
+        col("__last"), col("__le"),
+        explode(sequence(col("chunk"), col("__last"))).as("chunk_idx"))
+      .select(col("shard"), col("chunk_idx"), col(idCol),
+        when(col("chunk_idx") === col("chunk"), col("offset"))
+          .otherwise(lit(0L)).as("start"),
+        (when(col("chunk_idx") === col("__last"), col("__le"))
+          .otherwise(lit(budget)) -
+         when(col("chunk_idx") === col("chunk"), col("offset"))
+          .otherwise(lit(0L))).as("len"))
+  }
+
   /** Per-(shard, chunk) occupancy — the packing-efficiency view: how many
     * documents START in each chunk and how many tokens the chunk holds from
     * them (≥ budget means the tail spills into the next chunk). One

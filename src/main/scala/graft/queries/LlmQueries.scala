@@ -1469,6 +1469,19 @@ object LlmQueries {
           budget = 512L, shards = 4)
         .orderBy(col("doc_id"))),
 
+    "q_pack_boundaries" -> ((s, dir) =>
+      // Block-diagonal attention metadata: per chunk, the document
+      // segments occupying it (start offset + length, continuation
+      // chunks from 0) — a doc spanning k chunks emits k rows. The
+      // oracle replays pack's placement then unnests each doc's covered
+      // chunk range with the same integral arithmetic.
+      graft.llm.Packing.chunkBoundaries(
+          graft.llm.Packing.pack(docs(s, dir), "doc_id",
+            graft.llm.TextAnalysis.tokenCount(col("text")),
+            budget = 512L, shards = 4),
+          "doc_id", budget = 512L)
+        .orderBy(col("shard"), col("chunk_idx"), col("start"))),
+
     "q_pack" -> ((s, dir) =>
       // Sequence packing (concat-and-chunk): deterministic Knuth-mix
       // shuffle into 4 shards, 512-token chunks; placement (shard, chunk,
@@ -2051,6 +2064,29 @@ object LlmQueries {
 
     "q_text_bpe_incr" ->
       "SELECT true AS merges_equal, CAST(8 AS BIGINT) AS n_merges",
+
+    "q_pack_boundaries" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT doc_id, n_tokens,
+        |    (doc_id * 2654435761) % 4294967296 AS mix FROM d),
+        |p AS (SELECT doc_id, n_tokens, CAST(mix % 4 AS INT) AS shard,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY mix % 4 ORDER BY mix, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM m WHERE n_tokens > 0),
+        |c AS (SELECT shard, doc_id, n_tokens, pre,
+        |    pre // 512 AS first_chunk, (pre + n_tokens - 1) // 512 AS last_chunk,
+        |    pre % 512 AS off, ((pre + n_tokens - 1) % 512) + 1 AS last_end
+        |  FROM p),
+        |e AS (SELECT shard, doc_id, first_chunk, last_chunk, off, last_end,
+        |    unnest(range(CAST(first_chunk AS BIGINT), CAST(last_chunk + 1 AS BIGINT))) AS chunk_idx
+        |  FROM c)
+        |SELECT shard, CAST(chunk_idx AS BIGINT) AS chunk_idx, doc_id,
+        |  CAST(CASE WHEN chunk_idx = first_chunk THEN off ELSE 0 END AS BIGINT) AS start,
+        |  CAST((CASE WHEN chunk_idx = last_chunk THEN last_end ELSE 512 END)
+        |    - (CASE WHEN chunk_idx = first_chunk THEN off ELSE 0 END) AS BIGINT) AS len
+        |FROM e ORDER BY shard, chunk_idx, start""".stripMargin,
 
     "q_pack_unigram" ->
       // Identical to q_pack_bpe's oracle: the fixed letter-disjoint piece

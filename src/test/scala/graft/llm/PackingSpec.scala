@@ -46,6 +46,37 @@ class PackingSpec extends SparkTestBase {
     assert(byShard == direct)
   }
 
+  test("chunkBoundaries: segments tile chunks exactly, per-doc lens sum to n_tokens") {
+    val docs = Seq((0L, 10L), (1L, 500L), (2L, 20L), (3L, 600L), (4L, 5L))
+      .toDF("doc_id", "n")
+    val packed = Packing.pack(docs, "doc_id", col("n"), budget = 512L, shards = 1)
+    val segs = Packing.chunkBoundaries(packed, "doc_id", budget = 512L)
+      .select($"chunk_idx", $"doc_id", $"start", $"len")
+      .as[(Long, Long, Long, Long)].collect()
+    // per-doc coverage: the segment lengths of each doc sum to its tokens
+    val byDoc = segs.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(byDoc == Map(0L -> 10L, 1L -> 500L, 2L -> 20L, 3L -> 600L, 4L -> 5L))
+    // chunk tiling: within each chunk, segments are disjoint, ordered and
+    // gap-free from 0 (full chunks end exactly at the budget)
+    segs.groupBy(_._1).foreach { case (ci, ss) =>
+      val sorted = ss.sortBy(_._3)
+      var cursor = 0L
+      sorted.foreach { case (_, _, start, len) =>
+        assert(start == cursor, s"chunk $ci gap at $start (cursor $cursor)")
+        cursor = start + len
+      }
+      assert(cursor <= 512L)
+    }
+    // a spanning doc's continuation rows start at 0
+    val doc3 = segs.filter(_._2 == 3L).sortBy(_._1)
+    assert(doc3.length >= 2 && doc3.tail.forall(_._3 == 0L))
+    // total mass: all chunks but the last are exactly full
+    val chunkTotals = segs.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val lastChunk = chunkTotals.keys.max
+    chunkTotals.foreach { case (ci, tot) =>
+      if (ci < lastChunk) assert(tot == 512L, s"chunk $ci holds $tot") }
+  }
+
   test("decontamination: shared 8-gram marks a doc; short and clean docs survive") {
     val gram = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
     val corpus = Seq(

@@ -230,4 +230,51 @@ class PropertiesSpec extends SparkTestBase {
       }
     }
   }
+
+  // ---- unigram-LM tokenizer invariants (random piece tables + words) ----
+
+  private val unigramGen: Gen[(Seq[(String, Double)], String)] = for {
+    // random multi-char pieces over a 4-letter alphabet + all singles
+    nMulti <- Gen.choose(0, 8)
+    multis <- Gen.listOfN(nMulti, for {
+      len <- Gen.choose(2, 4)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString)
+    lps <- Gen.listOfN(nMulti + 4, Gen.choose(-8.0, -0.5))
+    wordLen <- Gen.choose(0, 12)
+    // the word may contain 'e' — OOV relative to the table
+    word <- Gen.listOfN(wordLen, Gen.oneOf('a', 'b', 'c', 'd', 'e'))
+  } yield {
+    val pieces = (Seq("a", "b", "c", "d") ++ multis.distinct)
+      .zip(lps).map { case (p, lp) => p -> lp }
+    (pieces, word.mkString)
+  }
+
+  test("unigram viterbi/sampling: segmentations always reconstruct the word; sampling is seed-stable") {
+    import graft.functions.UnigramImpl
+    forAllSampled(unigramGen, n = 60) { case (pieces, word) =>
+      val t = UnigramImpl.tableOf(pieces)
+      val vit = UnigramImpl.viterbi(word, t)
+      assert(vit.mkString == word, s"viterbi on '$word': ${vit.toSeq}")
+      // every emitted multi-char piece is in-vocabulary (OOV only singles)
+      vit.filter(_.length > 1).foreach(p =>
+        assert(pieces.exists(_._1 == p), s"viterbi OOV multi '$p'"))
+      Seq(0.0, 0.7, 5.0).foreach { alpha =>
+        val s1 = UnigramImpl.sampleSeg(word, t, alpha, 7L)
+        val s2 = UnigramImpl.sampleSeg(word, t, alpha, 7L)
+        assert(s1.toSeq == s2.toSeq, "seed determinism")
+        assert(s1.mkString == word, s"sample on '$word': ${s1.toSeq}")
+        s1.filter(_.length > 1).foreach(p =>
+          assert(pieces.exists(_._1 == p), s"sample OOV multi '$p'"))
+      }
+      // expected counts: the per-word gamma mass equals the expected
+      // segment count, which is bounded by [1, |word|] for non-empty words
+      if (word.nonEmpty && word.forall(ch => ch != 'e')) {
+        val g = UnigramImpl.expectedCounts(word, t)
+        val mass = g.map(_._2).sum
+        assert(mass >= 1.0 - 1e-9 && mass <= word.length + 1e-9,
+          s"gamma mass $mass for '$word'")
+      }
+    }
+  }
 }

@@ -867,6 +867,37 @@ object LlmQueries {
           "conv", "idx", "role", "text")
         .orderBy(col("id"), col("start_char"))),
 
+    "q_pipeline_sft" -> ((s, dir) => {
+      // SFT data prep end to end: shape-validate → exact conversation
+      // dedup → ChatML render → token-budget packing, every stage the
+      // registry operator, composed. Planted hazards: conv+1000 clones
+      // (identical sequences — dedup must keep only the originals) and
+      // conv+2000 all-user mutants (alternation broken — validate must
+      // drop them). The oracle replays all four stages in SQL over the
+      // same construction; only slim conversation-keyed frames shuffle.
+      val t = convTurns(s, dir)
+      val hazards = t.unionByName(
+          t.select((col("conv") + 1000).as("conv"), col("idx"), col("role"),
+            col("text")))
+        .unionByName(
+          t.select((col("conv") + 2000).as("conv"), col("idx"),
+            lit("user").as("role"), col("text")))
+      val valid = graft.llm.Conversations.validate(hazards,
+          "conv", "idx", "role", "text")
+        .filter(col("valid")).select(col("id"))
+      val kept = graft.llm.Conversations.dedupExact(hazards,
+          "conv", "idx", "role", "text")
+        .filter(col("keep")).select(col("id"))
+      val survivors = hazards
+        .join(valid, hazards("conv") === valid("id"), "left_semi")
+        .join(kept, hazards("conv") === kept("id"), "left_semi")
+      val rendered = graft.llm.Conversations.render(survivors,
+        "conv", "idx", "role", "text")
+      graft.llm.Packing.pack(rendered, "id", col("n_tokens"),
+          budget = 512L, shards = 2)
+        .orderBy(col("id"))
+    }),
+
     "q_corpus_drift" -> ((s, dir) => {
       // Drift report between the corpus and a mutated refresh (the even
       // slice with two repeated drift tokens and one new word appended):
@@ -2697,6 +2728,36 @@ object LlmQueries {
       """SELECT true AS ortho_ok, true AS sorted_ok, true AS mean_ok,
         |  true AS var_ok, true AS identity_ok,
         |  CAST(16 AS BIGINT) AS n_dims""".stripMargin,
+
+    "q_pipeline_sft" ->
+      // Full four-stage replay: validate keeps the conversations that are
+      // long enough, non-empty and assistant-terminated (the planted
+      // all-user mutants fail, and the clone family loses to dedup's
+      // lowest-id keep — leaving exactly the original valid ids), then
+      // render + the q_pack window over the rendered token mass.
+      """WITH t AS (SELECT doc_id % 50 AS id, doc_id AS idx,
+        |    CASE WHEN (doc_id // 50) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    text FROM documents),
+        |v AS (SELECT id FROM t GROUP BY id
+        |  HAVING count(*) >= 2
+        |    AND max(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) = 0
+        |    AND max_by(role, idx) = 'assistant'),
+        |r AS (SELECT t.id,
+        |    string_agg('<|im_start|>' || role || chr(10) || text || '<|im_end|>' || chr(10),
+        |      '' ORDER BY idx) AS rendered
+        |  FROM t JOIN v ON t.id = v.id GROUP BY t.id),
+        |d AS (SELECT id,
+        |    CAST(len(string_split_regex(trim(rendered), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM r),
+        |m AS (SELECT id, n_tokens, (id * 2654435761) % 4294967296 AS mix FROM d),
+        |p AS (SELECT id, n_tokens, CAST(mix % 2 AS INT) AS shard,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY mix % 2 ORDER BY mix, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM m)
+        |SELECT id, n_tokens, shard,
+        |  CAST(pre // 512 AS BIGINT) AS chunk, CAST(pre % 512 AS BIGINT) AS "offset",
+        |  (pre % 512) + n_tokens > 512 AS spans_boundary
+        |FROM p ORDER BY id""".stripMargin,
 
     "q_conv_validate" ->
       """WITH t AS (SELECT doc_id % 50 AS id, doc_id AS idx,

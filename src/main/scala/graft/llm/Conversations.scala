@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Conversations {
 
+  /** The ChatML-shaped template, defined ONCE — [[render]]'s concat and
+    * [[lossMaskSpans]]'s offset arithmetic both derive from these, so the
+    * template cannot drift apart from the spans indexing it.
+    */
+  val TurnOpen = "<|im_start|>"
+  val RoleSep = "\n"
+  val TurnClose = "<|im_end|>\n"
+
   /** Per-conversation structural validation, flat one-row-per-conversation
     * output: (id, n_turns, first_role, alternates, has_empty,
     * ends_with_assistant, valid).
@@ -128,8 +136,8 @@ object Conversations {
              roleCol: String, contentCol: String): DataFrame =
     turns.groupBy(col(convCol).as("id"))
       .agg(array_sort(collect_list(struct(col(idxCol).as("i"),
-        concat(lit("<|im_start|>"), col(roleCol), lit("\n"),
-          col(contentCol), lit("<|im_end|>\n")).as("t")))).as("ts"))
+        concat(lit(TurnOpen), col(roleCol), lit(RoleSep),
+          col(contentCol), lit(TurnClose)).as("t")))).as("ts"))
       .select(col("id"),
         array_join(transform(col("ts"), x => x.getField("t")), "").as("rendered"))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("rendered")))
@@ -141,16 +149,25 @@ object Conversations {
     * masked. One row per assistant turn, (id, start_char, end_char), so a
     * packer can map char spans to token spans after tokenization.
     *
+    * Offsets are UNICODE CODE-POINT indices (what Spark's `length` and
+    * DuckDB's `length` both count) — a JVM consumer slicing the rendered
+    * string must use code-point-aware offsets (`String.offsetByCodePoints`),
+    * not raw UTF-16 `substring`, or astral-plane characters (emoji) shift
+    * every later span (ConversationsSpec pins this with a supplementary-
+    * character fixture).
+    *
     * Offsets are pure arithmetic over per-turn rendered lengths
-    * (12 + |role| + 1 + |content| + 11 — the template constants), summed
-    * by ONE conversation-keyed running window: no string is ever
-    * re-scanned, and the spans provably index [[render]]'s concatenation
-    * because both derive from the same per-turn template.
+    * (|TurnOpen| + |role| + |RoleSep| + |content| + |TurnClose| — the
+    * shared template constants), summed by ONE conversation-keyed running
+    * window: no string is ever re-scanned, and the spans provably index
+    * [[render]]'s concatenation because both derive from the same
+    * template definition.
     */
   def lossMaskSpans(turns: DataFrame, convCol: String, idxCol: String,
                     roleCol: String, contentCol: String): DataFrame = {
-    val turnLen = (lit(12) + length(col(roleCol)) + lit(1) +
-      length(col(contentCol)) + lit(11)).cast("long")
+    val turnLen = (lit(TurnOpen.length) + length(col(roleCol)) +
+      lit(RoleSep.length) + length(col(contentCol)) +
+      lit(TurnClose.length)).cast("long")
     val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     turns
@@ -158,8 +175,8 @@ object Conversations {
       .withColumn("__off", coalesce(sum(col("__len")).over(w), lit(0L)))
       .filter(col(roleCol) === "assistant")
       .select(col(convCol).as("id"),
-        (col("__off") + lit(12L) + length(col(roleCol)) + lit(1L))
-          .cast("long").as("start_char"),
+        (col("__off") + lit(TurnOpen.length.toLong) + length(col(roleCol)) +
+          lit(RoleSep.length.toLong)).cast("long").as("start_char"),
         (col("__off") + col("__len")).as("end_char"))
   }
 

@@ -38,6 +38,16 @@ class ConversationsSpec extends SparkTestBase {
     assert(v(5L)._4 == false && v(5L)._5 == false)
   }
 
+  /** Code-point-aware slice — span offsets count code points (the
+    * documented contract), so consumers must NOT use raw UTF-16
+    * `substring`.
+    */
+  private def cpSlice(s: String, start: Long, end: Long): String = {
+    val a = s.offsetByCodePoints(0, start.toInt)
+    val b = s.offsetByCodePoints(0, end.toInt)
+    s.substring(a, b)
+  }
+
   test("render + lossMaskSpans: extracting each span yields content + terminator") {
     val s = spark; import s.implicits._
     val t = turns(
@@ -51,11 +61,32 @@ class ConversationsSpec extends SparkTestBase {
       .orderBy($"start_char")
       .select($"start_char", $"end_char").as[(Long, Long)].collect()
     assert(spans.length == 2)
-    val cut = spans.map { case (a, b) => rendered.substring(a.toInt, b.toInt) }
+    val cut = spans.map { case (a, b) => cpSlice(rendered, a, b) }
     assert(cut(0) == "a distributed engine<|im_end|>\n", s"got '${cut(0)}'")
     assert(cut(1) == "welcome<|im_end|>\n")
     // masked regions are exactly the complement: role headers + user turns
     assert(rendered.startsWith("<|im_start|>user\nwhat is spark<|im_end|>\n"))
+  }
+
+  test("lossMaskSpans offsets are CODE POINTS: astral chars don't shift later spans") {
+    val s = spark; import s.implicits._
+    // The user turn carries two astral-plane emoji (1 code point, 2 UTF-16
+    // units each): a raw substring consumer would be short by 2 on every
+    // later span; the code-point contract keeps spans exact.
+    val emoji = new String(Character.toChars(0x1F600))
+    val t = turns(
+      (1L, 0L, "user", s"look $emoji$emoji wow"),
+      (1L, 1L, "assistant", "nice one"))
+    val rendered = Conversations.render(t, "conv", "idx", "role", "content")
+      .select($"rendered").as[String].head()
+    val spans = Conversations.lossMaskSpans(t, "conv", "idx", "role", "content")
+      .select($"start_char", $"end_char").as[(Long, Long)].collect()
+    assert(spans.length == 1)
+    assert(cpSlice(rendered, spans.head._1, spans.head._2)
+      == "nice one<|im_end|>\n")
+    // and the naive UTF-16 substring is demonstrably WRONG here
+    assert(rendered.substring(spans.head._1.toInt, spans.head._2.toInt)
+      != "nice one<|im_end|>\n")
   }
 
   test("dedupExact: same turn sequence with different idx values is a duplicate") {

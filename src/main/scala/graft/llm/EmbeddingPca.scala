@@ -185,6 +185,65 @@ object EmbeddingPca {
   def transform(emb: Column, model: Model): Column =
     PcaKernels.pcaProject(emb, model.mean, model.components)
 
+  /** Multi-query ANN through the compressed space — the production
+    * coarse-then-rerank shape: shortlist candidates by PROJECTED cosine
+    * (dims-dimensional arithmetic per comparison instead of d), then
+    * re-rank the shortlist by EXACT cosine on the original embeddings.
+    * Queries broadcast as a dim table (the [[Similarity.pqTopKMulti]]
+    * discipline); output (qid, vec_id, cosine, rank ≤ k).
+    *
+    * Recall economics: the shortlist bounds the exact-distance work to
+    * shortlist × |queries| rows while the corpus-wide scan pays only the
+    * reduced dimension; `q_sim_pca_recall` certifies the planted-neighbor
+    * contract, and the spec-measured tradeoff on isotropic (worst-case)
+    * vectors is ~0.99 recall@10 at dims 32 with a shortlist of ~8% of the
+    * corpus.
+    */
+  def topKMulti(
+      corpus: DataFrame,
+      queries: Seq[(Long, Array[Double])],
+      model: Model,
+      k: Int,
+      shortlist: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist ($shortlist) >= k ($k) >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = model.mean.length
+    // project the queries driver-side (|queries| × dims·d flops)
+    val qrows = queries.map { case (qid, q) =>
+      require(q.length == d, s"query dim ${q.length} != model dim $d")
+      val centered = Array.tabulate(d)(i => q(i) - model.mean(i))
+      val proj = model.components.map { w =>
+        var s = 0.0
+        var i = 0
+        while (i < d) { s += w(i) * centered(i); i += 1 }
+        s.toFloat
+      }.toArray
+      (qid, proj.toSeq, q.toSeq)
+    }
+    val qframe = broadcast(qrows.toDF("qid", "qproj", "qemb"))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("__pcos").desc, col(idCol))
+    val wFinal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col(idCol))
+    corpus
+      .select(col(idCol), col(embCol),
+        transform(col(embCol), model).as("__p"))
+      .crossJoin(qframe)
+      .withColumn("__pcos", graft.functions.ArrayOps.cosine(col("__p"), col("qproj")))
+      .withColumn("__r", row_number().over(wShort))
+      .filter(col("__r") <= shortlist)
+      .withColumn("cosine",
+        graft.functions.ArrayOps.cosine(col(embCol), col("qemb")))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** Persist a model as a tiny parquet (component rank, vector, variance,
     * with the mean at rank -1).
     */

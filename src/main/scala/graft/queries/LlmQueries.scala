@@ -701,6 +701,23 @@ object LlmQueries {
         .orderBy(col("src_id"))
     }),
 
+    "q_sim_pca_recall" -> ((s, dir) => {
+      // Planted-neighbor recall for the PCA coarse-then-rerank path (the
+      // q_sim_pq_recall contract): 10 perturbed corpus vectors answered
+      // by a projected-space shortlist + exact re-rank; ≥ 9/10 must
+      // surface their source in the top-10. Robust at any corpus size:
+      // the source is the query's near-identical twin, so its PROJECTED
+      // cosine is ~1 and it always makes the shortlist.
+      val e = emb(s, dir)
+      val model = graft.llm.EmbeddingPca.fit(e, dims = 32)
+      val qs = Similarity.perturbedQueries(e, n = 10)
+      val hits = graft.llm.EmbeddingPca.topKMulti(e, qs, model,
+          k = 10, shortlist = 100)
+        .filter(col("vec_id") === col("qid")).count()
+      import s.implicits._
+      Seq(hits >= 9L).toDF("recall_ok")
+    }),
+
     "q_embed_pca" -> ((s, dir) => {
       // PCA model certificate over the real embeddings, dims 64 → 16:
       //   ortho_ok    — component rows orthonormal (driver check on the
@@ -2723,6 +2740,9 @@ object LlmQueries {
     "q_bitext_margin" ->
       """SELECT vec_id AS src_id, vec_id + 1000000 AS tgt_id
         |FROM embeddings ORDER BY src_id""".stripMargin,
+
+    "q_sim_pca_recall" ->
+      "SELECT true AS recall_ok",
 
     "q_embed_pca" ->
       """SELECT true AS ortho_ok, true AS sorted_ok, true AS mean_ok,

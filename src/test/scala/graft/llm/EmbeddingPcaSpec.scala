@@ -64,6 +64,23 @@ class EmbeddingPcaSpec extends SparkTestBase {
     assert(got(1L) == got(2L))
   }
 
+  test("topKMulti: planted twin always surfaces; ranks dense from 1") {
+    val s = spark; import s.implicits._
+    // 40 deterministic 8-dim vectors; query = vector 5 exactly → its twin
+    // must be rank 1 with cosine ~1 even through a 3-dim projection.
+    val df = (0 until 40).map(i =>
+        (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val m = EmbeddingPca.fit(df, dims = 3)
+    val q5 = Array.tabulate(8)(j => ((5 * 7 + j * 3) % 11 - 5).toDouble)
+    val out = EmbeddingPca.topKMulti(df, Seq((5L, q5)), m, k = 5, shortlist = 15)
+      .orderBy($"rank").select($"vec_id", $"cosine", $"rank")
+      .as[(Long, Double, Int)].collect()
+    assert(out.length == 5)
+    assert(out.head._1 == 5L && math.abs(out.head._2 - 1.0) < 1e-12)
+    assert(out.map(_._3).toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
   test("save/load round-trips the model exactly") {
     val s = spark; import s.implicits._
     val df = (0 until 32).map(i =>

@@ -246,6 +246,41 @@ object ScaleQueries {
       good.orderBy(col("doc_id"))
     }),
 
+    "q_csv_ingest" -> ((s, dir) => {
+      // CSV ingestion with quarantine — the delimited-corpus twin of
+      // q_jsonl_ingest: every 50th line corrupted (untypeable doc_id →
+      // from_csv PERMISSIVE routes it to the in-schema corrupt column);
+      // quarantine count pinned, survivors hash-checked.
+      import org.apache.spark.sql.types._
+      val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+      val out = new java.io.File(stagingDir() + s"/csv/docs_$tag.csv")
+      val marker = new java.io.File(out.getPath + ".src")
+      val fp = sourceSignature(dir, "documents")
+      val current = out.isFile && marker.isFile &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
+      if (!current) {
+        out.getParentFile.mkdirs()
+        val rows = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id")).collect()
+        val sb = new StringBuilder
+        rows.foreach { r =>
+          if (r.getLong(0) % 50 == 0)
+            sb.append(s"notanumber,${r.getString(1)},${r.getLong(2)}\n")
+          else sb.append(s"${r.getLong(0)},${r.getString(1)},${r.getLong(2)}\n")
+        }
+        java.nio.file.Files.write(out.toPath, sb.toString.getBytes("UTF-8"))
+        java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+      }
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("n_chars", LongType)))
+      val (good, bad) = graft.sources.TextIngest.readCsv(s, out.getAbsolutePath, schema)
+      val nBad = bad.count()
+      val expectBad = docs(s, dir).filter(col("doc_id") % 50 === 0).count()
+      require(nBad == expectBad,
+        s"quarantine must hold exactly the corrupted lines: $nBad != $expectBad")
+      good.orderBy(col("doc_id"))
+    }),
+
     "q_sink_layout" -> ((s, dir) => {
       // Layout-aware sink round-trip: write partitioned by l_returnflag +
       // sorted by l_shipdate, reread one partition, certify (a) the scan
@@ -342,6 +377,10 @@ object ScaleQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "q_jsonl_ingest" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 50 <> 0 ORDER BY doc_id""".stripMargin,
+
+    "q_csv_ingest" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 50 <> 0 ORDER BY doc_id""".stripMargin,
 

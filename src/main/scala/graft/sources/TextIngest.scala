@@ -54,6 +54,44 @@ object TextIngest {
       : (DataFrame, DataFrame) =
     splitJsonl(spark.readStream.text(path), schema)
 
+  /** CSV twin of [[readJsonl]] — delimited corpora (TSV exports, metadata
+    * dumps) with the same quarantine contract: caller-supplied schema,
+    * malformed lines kept verbatim, both halves filters over one
+    * splittable text scan. `from_csv` in PERMISSIVE mode populates the
+    * in-schema corrupt-record field exactly like `from_json` (wrong arity
+    * or an untypeable field → the raw line lands in [[CorruptCol]]).
+    * Pass `options` for delimiter etc. (defaults: comma, no header — a
+    * header line quarantines loudly rather than parsing as data).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      options: Map[String, String] = Map.empty): (DataFrame, DataFrame) =
+    splitCsv(spark.read.text(path), schema, options)
+
+  /** Streaming form of [[readCsv]] — both halves stateless, as with
+    * [[readJsonlStream]].
+    */
+  def readCsvStream(spark: SparkSession, path: String, schema: StructType,
+      options: Map[String, String] = Map.empty): (DataFrame, DataFrame) =
+    splitCsv(spark.readStream.text(path), schema, options)
+
+  /** The CSV split over any one-string-column `value` frame. */
+  def splitCsv(lines: DataFrame, schema: StructType,
+      options: Map[String, String] = Map.empty): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not already contain $CorruptCol")
+    val withCorrupt = StructType(schema.fields :+
+      StructField(CorruptCol, StringType, nullable = true))
+    val parsed = lines
+      .withColumn("__p", from_csv(col("value"), withCorrupt,
+        options ++ Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> CorruptCol)))
+    val good = parsed.filter(col(s"__p.$CorruptCol").isNull)
+      .select(schema.fieldNames.map(f => col(s"__p.$f")).toIndexedSeq: _*)
+    val bad = parsed.filter(col(s"__p.$CorruptCol").isNotNull)
+      .select(col("value").as(CorruptCol))
+    (good, bad)
+  }
+
   /** The split itself, over ANY one-string-column `value` frame (batch or
     * streaming — both readers above share it).
     */

@@ -56,6 +56,26 @@ class TextIngestSpec extends SparkTestBase {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("csv: good rows parse, wrong arity and untypeable fields quarantine") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("csvingest")
+    val f = dir.resolve("part.csv").toFile
+    java.nio.file.Files.write(f.toPath,
+      ("1,en,100\n" +
+       "notanumber,de,50\n" +   // untypeable id → quarantine
+       "2,fr\n" +               // wrong arity → quarantine
+       "3,es,75\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("n_chars", LongType)))
+    val (good, bad) = TextIngest.readCsv(spark, f.getAbsolutePath, schema)
+    val g = good.orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(g == Seq((1L, "en", 100L), (3L, "es", 75L)))
+    val b = bad.as[String].collect().toSet
+    assert(b == Set("notanumber,de,50", "2,fr"))
+  }
+
   test("schema may not claim the corrupt-record column") {
     val dir = Files.createTempDirectory("graft-jsonl-clash").toFile
     val f = new java.io.File(dir, "x.jsonl")

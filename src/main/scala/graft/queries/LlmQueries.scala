@@ -973,6 +973,32 @@ object LlmQueries {
           col("col").as("sentence"))
         .orderBy(col("doc_id"), col("sent_idx"))),
 
+    "q_text_badwords" -> ((s, dir) => {
+      // C4 badwords gate (Raffel 2020 §2.2 drops any page containing a
+      // word from the published blocklist): ONE Aho–Corasick pass —
+      // O(text + matches) per row regardless of pattern count, vs the
+      // naive O(patterns × text) that a 2k-entry blocklist makes a
+      // 2000× scan blow-up at corpus scale. Boundary semantics proved
+      // on real data: "art" must never match inside the planted "smart"
+      // (every doc) — only the standalone " art" planted on every 7th
+      // doc; "merge batch" exercises a phrase crossing a space;
+      // "naughty" never occurs. The oracle replays the boundary rule as
+      // one regex per pattern — exactly the per-pattern scan the
+      // automaton collapses.
+      val pats = Seq("slow", "vector", "merge batch", "art", "naughty")
+      val t = lower(concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" smart art"))
+          .otherwise(lit(" smart"))))
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.AcKernels.acMatches(t, pats).as("__m"))
+        .select(col("doc_id"),
+          array_join(col("__m"), ",").as("matched"),
+          size(col("__m")).cast("long").as("n_matched"),
+          (size(col("__m")) === 0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langIdBy(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -2026,6 +2052,21 @@ object LlmQueries {
         |      'A' || chr(778) || 'b  ' || text || ' ' || chr(13) || chr(10) || 'end  '),
         |    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g'), ' ') AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_badwords" ->
+      """WITH p(pat) AS (VALUES ('slow'),('vector'),('merge batch'),('art'),('naughty')),
+        |t AS (SELECT doc_id,
+        |    lower(text || CASE WHEN doc_id % 7 = 0 THEN ' smart art' ELSE ' smart' END) AS tx
+        |  FROM documents),
+        |m AS (SELECT DISTINCT t.doc_id, p.pat FROM t, p
+        |  WHERE regexp_matches(t.tx, '(^|[^a-z0-9])' || p.pat || '([^a-z0-9]|$)')),
+        |a AS (SELECT doc_id, string_agg(pat, ',' ORDER BY pat) AS matched,
+        |    count(*) AS n FROM m GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.matched, '') AS matched,
+        |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_matched,
+        |  a.doc_id IS NULL AS keep
+        |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_text_qmodel" -> qmodelSql,
 

@@ -1409,6 +1409,40 @@ object LlmQueries {
       Seq((dist == incr, dist.size.toLong)).toDF("merges_equal", "n_merges")
     }),
 
+    "q_text_wordpiece" -> ((s, dir) => {
+      // WordPiece apply-kernel exactness (completes the tokenizer trio
+      // next to q_text_bpe / q_text_unigram, same closed-form trick):
+      // vocab = corpus singles (a..y, NOT z) in plain and ## forms plus
+      // the letter-disjoint pairs th/er/on in both forms. Greedy
+      // longest-match-first then counts word chars minus non-overlapping
+      // occurrences of each pair — no pattern's second char is any
+      // pattern's first char, so greedy consumption can never block or
+      // create an occurrence. The planted " zap" word exercises classic
+      // whole-word-UNK (z is not in the vocab): exactly +1 token per doc.
+      val singles = ('a' to 'y').map(_.toString)
+      val vocab = singles.flatMap(c => Seq(c, "##" + c)) ++
+        Seq("th", "##th", "er", "##er", "on", "##on")
+      docs(s, dir).select(col("doc_id"),
+          graft.llm.WordPiece.tokenCount(
+            concat(col("text"), lit(" zap")), vocab)
+            .cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_text_wordpiece_train" -> ((s, dir) => {
+      // WordPiece training, round 1 certified: the engine's argmax over
+      // the likelihood-gain score count(ab)/(count(a)·count(b)) — exact
+      // rational comparison via BigInt cross-multiplication, ties to the
+      // lexicographically smallest pair — must equal the oracle's
+      // HUGEINT cross-multiplied NOT-EXISTS argmax over the same corpus
+      // statistics. Later rounds depend on this one's output (the
+      // q_text_bpe_train discipline: round 1 pins the whole mechanism,
+      // WordPieceSpec pins incremental == from-scratch for deep rounds).
+      import s.implicits._
+      val m = graft.llm.WordPiece.train(docs(s, dir), numMerges = 1, minCount = 2)
+      m.map { case (a, b) => (a, b) }.toDF("pair_a", "pair_b")
+    }),
+
     "q_text_unigram" -> ((s, dir) =>
       // Unigram-LM Viterbi-kernel exactness: a fixed piece table holding
       // only the letter-disjoint pairs (th, er, on) — every other code
@@ -2153,6 +2187,35 @@ object LlmQueries {
 
     "q_text_bpe_incr" ->
       "SELECT true AS merges_equal, CAST(8 AS BIGINT) AS n_merges",
+
+    "q_text_wordpiece" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g'))
+        |    - (length(text) - length(replace(text, 'th', ''))) // 2
+        |    - (length(text) - length(replace(text, 'er', ''))) // 2
+        |    - (length(text) - length(replace(text, 'on', ''))) // 2
+        |    + 1 AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_wordpiece_train" ->
+      """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |w AS (SELECT unnest(ws) AS w FROM toks),
+        |wc AS (SELECT w, count(*) AS n FROM w GROUP BY w),
+        |syms AS (SELECT w, n, i,
+        |    CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END AS s
+        |  FROM (SELECT w, n, unnest(range(1, length(w)+1)) AS i FROM wc)),
+        |symc AS (SELECT s, sum(n) AS c FROM syms GROUP BY s),
+        |pairs AS (SELECT a.s AS pa, b.s AS pb, a.n
+        |  FROM syms a JOIN syms b ON a.w = b.w AND b.i = a.i + 1),
+        |pc AS (SELECT pa, pb, sum(n) AS c FROM pairs GROUP BY pa, pb
+        |  HAVING sum(n) >= 2),
+        |sc AS (SELECT p.pa, p.pb, p.c, sa.c AS ca, sb.c AS cb
+        |  FROM pc p JOIN symc sa ON sa.s = p.pa JOIN symc sb ON sb.s = p.pb)
+        |SELECT pa AS pair_a, pb AS pair_b FROM sc x
+        |WHERE NOT EXISTS (SELECT 1 FROM sc y WHERE
+        |  CAST(y.c AS HUGEINT) * x.ca * x.cb > CAST(x.c AS HUGEINT) * y.ca * y.cb
+        |  OR (CAST(y.c AS HUGEINT) * x.ca * x.cb = CAST(x.c AS HUGEINT) * y.ca * y.cb
+        |      AND (y.pa || ' ' || y.pb) < (x.pa || ' ' || x.pb)))""".stripMargin,
 
     "q_pack_boundaries" ->
       """WITH d AS (SELECT doc_id,

@@ -339,6 +339,36 @@ object ScaleQueries {
         .withColumn("range_pruned", lit(files <= 2L))
     }),
 
+    "q_sink_zorder" -> ((s, dir) => {
+      // Z-order clustered layout (Morton curve — the Delta/Iceberg
+      // OPTIMIZE ZORDER shape): 2-D box filters prune DIRECTORIES, which
+      // neither a single-column sort nor hash partitioning can do for
+      // two dimensions at once. Rows are rank-bucketized on a 16×16
+      // integer grid off the corpus min/max, bit-interleaved, and
+      // written one directory per top-4-z-bit bucket; the reader turns
+      // the (quarter-x × half-y) box into its intersecting bucket list
+      // driver-side and pushes `zb IN (…)` into the scan — plan-time
+      // partition pruning, certified by files-read ≤ bucket-list size
+      // and bucket-list < 16. The oracle replays every integer (bucket
+      // grid, interleave, box, bucket enumeration) in SQL.
+      val out = stagingDir() + "/zorder_lineitem"
+      val zm = graft.sources.ZOrderLayout.writeZOrdered(
+        li(s, dir).select(col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity")),
+        out, "l_partkey", "l_suppkey", bits = 4, bucketBits = 4)
+      val x1 = zm.minX; val x2 = zm.minX + (zm.maxX - zm.minX) / 4
+      val y1 = zm.minY + (zm.maxY - zm.minY) / 2; val y2 = zm.maxY
+      val bl = graft.sources.ZOrderLayout.bucketsForBox(zm, x1, x2, y1, y2)
+      val back = graft.sources.ZOrderLayout.readBox(
+        s, out, zm, "l_partkey", "l_suppkey", x1, x2, y1, y2)
+      val filesRead = back.select(input_file_name()).distinct().count()
+      back.agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("zb").cast("long")).as("n_buckets_box"))
+        .withColumn("n_buckets_list", lit(bl.size.toLong))
+        .withColumn("dir_pruned", lit(bl.size < 16))
+        .withColumn("files_ok", lit(filesRead <= bl.size))
+    }),
+
     "q_pipeline_curation" -> ((s, dir) => {
       // End-to-end curation (language → quality → exact dedup → near-dup
       // cluster keep → deterministic 1/2 sample) over the planted-near-dup
@@ -565,6 +595,37 @@ object ScaleQueries {
     "q_sink_sorted" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, true AS range_pruned
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+
+    "q_sink_zorder" ->
+      """WITH m AS (SELECT CAST(min(l_partkey) AS BIGINT) AS nx, CAST(max(l_partkey) AS BIGINT) AS xx,
+        |    CAST(min(l_suppkey) AS BIGINT) AS ny, CAST(max(l_suppkey) AS BIGINT) AS xy
+        |  FROM lineitem),
+        |b AS (SELECT nx, xx, ny, xy,
+        |    nx AS x1, nx + (xx - nx) // 4 AS x2,
+        |    ny + (xy - ny) // 2 AS y1, xy AS y2 FROM m),
+        |r AS (SELECT l.l_quantity,
+        |    least(15, (l.l_partkey - b.nx) * 16 // (b.xx - b.nx + 1)) AS bx,
+        |    least(15, (l.l_suppkey - b.ny) * 16 // (b.xy - b.ny + 1)) AS byy
+        |  FROM lineitem l, b
+        |  WHERE l.l_partkey BETWEEN b.x1 AND b.x2 AND l.l_suppkey BETWEEN b.y1 AND b.y2),
+        |zrows AS (SELECT l_quantity,
+        |    ((bx % 2)*1 + (byy % 2)*2 + ((bx//2) % 2)*4 + ((byy//2) % 2)*8
+        |     + ((bx//4) % 2)*16 + ((byy//4) % 2)*32 + ((bx//8) % 2)*64 + ((byy//8) % 2)*128) // 16 AS zb
+        |  FROM r),
+        |cells AS (SELECT DISTINCT
+        |    ((gx.bx % 2)*1 + (gy.byy % 2)*2 + ((gx.bx//2) % 2)*4 + ((gy.byy//2) % 2)*8
+        |     + ((gx.bx//4) % 2)*16 + ((gy.byy//4) % 2)*32 + ((gx.bx//8) % 2)*64 + ((gy.byy//8) % 2)*128) // 16 AS zb
+        |  FROM
+        |    (SELECT unnest(range(least(15, (b.x1 - b.nx) * 16 // (b.xx - b.nx + 1)),
+        |                         least(15, (b.x2 - b.nx) * 16 // (b.xx - b.nx + 1)) + 1)) AS bx FROM b) gx,
+        |    (SELECT unnest(range(least(15, (b.y1 - b.ny) * 16 // (b.xy - b.ny + 1)),
+        |                         least(15, (b.y2 - b.ny) * 16 // (b.xy - b.ny + 1)) + 1)) AS byy FROM b) gy)
+        |SELECT CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty,
+        |  CAST(count(DISTINCT zb) AS BIGINT) AS n_buckets_box,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_buckets_list,
+        |  (SELECT count(*) < 16 FROM cells) AS dir_pruned,
+        |  true AS files_ok
+        |FROM zrows""".stripMargin,
 
     // Composition of the certified fragments: q_text_langid + q_text_quality
     // (gates), q_dedup_exact_rows (exact), q_dedup_minhash_poly +

@@ -1726,6 +1726,27 @@ object LlmQueries {
           col("n"), col("vmin"), col("vmax"))
         .orderBy(col("event_type"), col("win_us"))),
 
+    "q_events_join_within" -> ((s, dir) => {
+      // Click → purchase attribution: per-user inner join bounded to a
+      // 30-minute event-time horizon — the canonical stream-stream join,
+      // run through the SAME StreamingJoin.joinWithin the streaming twin
+      // uses (withWatermark is a batch no-op; StreamingJoinSpec certifies
+      // micro-batched == this batch output and watermark state
+      // eviction). The time-range conjunct is what bounds streaming
+      // state; in batch it is the interval-join pruning predicate.
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("buy_ts"))
+      graft.streaming.StreamingJoin.joinWithin(
+          clicks, buys, "user_id", "click_ts", "buy_ts",
+          within = "30 minutes", watermark = "1 hour")
+        .select(col("user_id"), unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("buy_ts")).as("buy_us"))
+        .orderBy(col("user_id"), col("click_us"), col("buy_us"))
+    }),
+
     "q_events_sessions" -> ((s, dir) =>
       // Session windows (30-min inactivity gap) per user — the dynamic-gap
       // streaming windowing Spark adds beyond fixed windows; batch replica
@@ -2812,6 +2833,14 @@ object LlmQueries {
 
     "q_s2_verified_read" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+
+    "q_events_join_within" ->
+      """SELECT c.user_id, CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+        |  CAST(epoch_us(p.ts) AS BIGINT) AS buy_us
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_us, buy_us""".stripMargin,
 
     "q_events_sessions" ->
       """WITH m AS (SELECT user_id, ts, value,

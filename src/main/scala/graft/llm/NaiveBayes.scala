@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial naive-Bayes text classifier — the supervised companion to
+  * the heuristic [[TextAnalysis.langId]] and the hashed-logistic
+  * [[QualityModel]]: the fastText-style bag-of-words linear classifier a
+  * pipeline trains on labeled seed data (language ID from labeled
+  * corpora, domain routing, quality tiers) and applies corpus-wide.
+  *
+  * Everything is relational — the model is a (label, word, weight)
+  * DataFrame, not a driver artifact, so vocabulary size is unbounded
+  * (the [[TextAnalysis.bigramBackoffScoreAgainst]] discipline: count
+  * tables are token-keyed aggregates with map-side partials, scoring is
+  * an equi-join back onto the token stream, nothing lands on the
+  * driver).
+  *
+  * Exactness: every log term rounds to integer micro-nats BEFORE any
+  * cross-row sum (the bm25/LM discipline), so per-doc scores are exact
+  * integer sums — order-independent, bit-reproducible, and the DuckDB
+  * oracle replays them. Add-1 (Laplace) smoothing over the train
+  * vocabulary; out-of-vocabulary tokens at apply time score the
+  * per-class unseen weight ln(1/(total_c + V)).
+  */
+object NaiveBayes {
+
+  /** Trained model, all lazy DataFrames:
+    * `model`  — (label, __w, __wt) dense over train-vocab × classes;
+    * `classes`— (label, __prior, __unseen) one row per class (tiny:
+    *            broadcast at apply);
+    * `vocab`  — (__w) the train vocabulary (the OOV membership probe).
+    */
+  final case class NbModel(model: DataFrame, classes: DataFrame, vocab: DataFrame)
+
+  /** Fit on labeled text. Two token-keyed aggregations over the train
+    * corpus; the dense (vocab × classes) weight table materializes the
+    * smoothed log-probabilities.
+    */
+  def trainModel(train: DataFrame, labelCol: String, textCol: String): NbModel = {
+    val toks = train.select(col(labelCol).as("__l"),
+      explode(TextAnalysis.tokensWs(lower(col(textCol)))).as("__w"))
+    val cw = toks.groupBy(col("__l"), col("__w")).agg(count(lit(1)).as("__c"))
+    val ct = cw.groupBy(col("__l")).agg(sum(col("__c")).as("__t"))
+    val vocab = toks.select(col("__w")).distinct()
+    val nv = vocab.agg(count(lit(1)).as("__v"))
+    val nd = train.groupBy(col(labelCol).as("__l")).agg(count(lit(1)).as("__nd"))
+    val ntot = train.agg(count(lit(1)).as("__n"))
+    val classes = ct.join(nd, "__l")
+      .crossJoin(broadcast(ntot)).crossJoin(broadcast(nv))
+      .select(col("__l"),
+        round(log(col("__nd").cast("double") / col("__n").cast("double")) * 1e6)
+          .cast("long").as("__prior"),
+        round(log(lit(1.0) / (col("__t") + col("__v")).cast("double")) * 1e6)
+          .cast("long").as("__unseen"),
+        col("__t"))
+    val model = vocab.crossJoin(classes.select(col("__l"), col("__t")))
+      .join(cw, Seq("__l", "__w"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("__l"), col("__w"),
+        round(log((coalesce(col("__c"), lit(0L)) + 1L).cast("double")
+          / (col("__t") + col("__v")).cast("double")) * 1e6)
+          .cast("long").as("__wt"))
+    NbModel(model, classes.select(col("__l"), col("__prior"), col("__unseen")), vocab)
+  }
+
+  /** Classify: per doc, argmax over classes of
+    * prior + Σ_tokens weight(token, class) — exact integer micro-nat
+    * sums; ties break to the smallest label (deterministic, both
+    * engines). Returns (idCol, pred, score_micro). An all-whitespace
+    * document tokenizes to one empty-string token (the [[TextAnalysis
+    * .tokensWs]] / DuckDB string_split_regex shared contract), so EVERY
+    * document gets a prediction — an empty doc scores prior + unseen.
+    *
+    * Shape at scale: in-vocab tokens equi-join the weight table on the
+    * token (C rows per token — C is the class count, a small constant);
+    * OOV tokens cross the broadcast C-row class frame. One (doc, class)
+    * aggregation, one per-doc window for the argmax.
+    */
+  def classify(df: DataFrame, idCol: String, textCol: String, m: NbModel): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokensWs(lower(col(textCol)))).as("__w"))
+    val inv = toks.join(m.model, "__w")
+      .select(col(idCol), col("__l"), col("__wt"))
+    val oov = toks.join(m.vocab, Seq("__w"), "left_anti")
+      .crossJoin(broadcast(m.classes))
+      .select(col(idCol), col("__l"), col("__unseen").as("__wt"))
+    val scores = inv.union(oov)
+      .groupBy(col(idCol), col("__l"))
+      .agg(sum(col("__wt")).as("__s"))
+      .join(broadcast(m.classes.select(col("__l"), col("__prior"))), "__l")
+      .select(col(idCol), col("__l"),
+        (col("__s") + col("__prior")).as("score_micro"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("__l").asc)
+    scores.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__l").as("pred"), col("score_micro"))
+  }
+}

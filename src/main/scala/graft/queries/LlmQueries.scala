@@ -973,6 +973,23 @@ object LlmQueries {
           col("col").as("sentence"))
         .orderBy(col("doc_id"), col("sent_idx"))),
 
+    "q_text_nb_langid" -> ((s, dir) => {
+      // Trained (supervised) language classifier — multinomial naive
+      // Bayes on the labeled half of the corpus, applied to the holdout
+      // half: the fastText-style seed-data→corpus-wide loop, fully
+      // relational (the model is a vocab×classes weight FRAME, not a
+      // driver artifact). Every log weight rounds to integer micro-nats
+      // before the per-doc sum, so scores are exact integer sums and
+      // the oracle replays training AND prediction bit-for-bit,
+      // including the argmax tie-break (score desc, label asc).
+      val d = docs(s, dir)
+      val m = graft.llm.NaiveBayes.trainModel(
+        d.filter(col("doc_id") % 2 === 0), "lang", "text")
+      graft.llm.NaiveBayes.classify(
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text", m)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_badwords" -> ((s, dir) => {
       // C4 badwords gate (Raffel 2020 §2.2 drops any page containing a
       // word from the published blocklist): ONE Aho–Corasick pass —
@@ -2107,6 +2124,43 @@ object LlmQueries {
         |      'A' || chr(778) || 'b  ' || text || ' ' || chr(13) || chr(10) || 'end  '),
         |    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g'), ' ') AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_nb_langid" ->
+      """WITH tr AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |cw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+        |ct AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cw GROUP BY 1),
+        |voc AS (SELECT DISTINCT w FROM tr),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+        |pri AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ndoc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE doc_id % 2 = 0),
+        |cls AS (SELECT ct.lang, ct.t,
+        |    CAST(round(ln(CAST(pri.nd AS DOUBLE) / CAST((SELECT n FROM ndoc) AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS prior_micro,
+        |    CAST(round(ln(1.0 / CAST(ct.t + (SELECT v FROM nv) AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS unseen_micro
+        |  FROM ct JOIN pri ON ct.lang = pri.lang),
+        |model AS (SELECT cls.lang, voc.w,
+        |    CAST(round(ln(CAST(coalesce(cw.c, 0) + 1 AS DOUBLE)
+        |      / CAST(cls.t + (SELECT v FROM nv) AS DOUBLE)) * 1000000.0) AS BIGINT) AS wt
+        |  FROM voc CROSS JOIN cls
+        |  LEFT JOIN cw ON cw.lang = cls.lang AND cw.w = voc.w),
+        |ho AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |inv AS (SELECT ho.doc_id, m.lang, m.wt FROM ho JOIN model m ON ho.w = m.w),
+        |oov AS (SELECT ho.doc_id, cls.lang, cls.unseen_micro AS wt
+        |  FROM (SELECT ho.doc_id, ho.w FROM ho ANTI JOIN voc ON ho.w = voc.w) ho
+        |  CROSS JOIN cls),
+        |allw AS (SELECT * FROM inv UNION ALL SELECT * FROM oov),
+        |sc AS (SELECT doc_id, lang, CAST(sum(wt) AS BIGINT) AS s FROM allw GROUP BY 1, 2),
+        |fin AS (SELECT sc.doc_id, sc.lang, sc.s + cls.prior_micro AS score_micro
+        |  FROM sc JOIN cls ON sc.lang = cls.lang),
+        |rk AS (SELECT doc_id, lang, score_micro,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, lang) AS rn
+        |  FROM fin)
+        |SELECT doc_id, lang AS pred, CAST(score_micro AS BIGINT) AS score_micro
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_text_badwords" ->
       """WITH p(pat) AS (VALUES ('slow'),('vector'),('merge batch'),('art'),('naughty')),

@@ -341,6 +341,24 @@ object LlmQueries {
           col("n_prior"))
     }),
 
+    "q_dedup_spans3" -> ((s, dir) => {
+      // C4's three-sentence-span dedup (Raffel 2020 §2.2: discard all
+      // but one occurrence of any three-sentence span). Fixture plants a
+      // shared 4-sentence boilerplate tail on every doc: the
+      // (Subscribe, Follow, Thanks) span is identical corpus-wide, so
+      // exactly ONE doc (global first by (doc_id, start)) keeps it and
+      // every other doc loses those three sentences while its unique
+      // leading sentence survives. The oracle replays sentence
+      // segmentation, span keying, the first-occurrence pick and the
+      // overlap-union removal in SQL.
+      val aug = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" End. Subscribe now! Follow us. Thanks.")).as("text"))
+      graft.llm.SentenceSpanDedup.dedupSpans(aug, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("text"), col("n_sents"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_substring" -> ((s, dir) =>
       // Substring-level exact dedup (Lee et al. 2022): maximal spans of
       // tokens covered by 8-grams occurring >= 2 times in the corpus, over
@@ -1131,6 +1149,30 @@ object LlmQueries {
         .select(col("doc_id"), col("n_words")).orderBy(col("doc_id"))
     }),
 
+    "q_pipeline_c4" -> ((s, dir) => {
+      // The FULL C4 pipeline (Raffel 2020 §2.2) — all three published
+      // stages composed, each individually certified: line cleaning +
+      // document gates (q_c4_rules) → badwords blocklist drop on the
+      // cleaned text (q_text_badwords's Aho–Corasick automaton) →
+      // three-sentence-span dedup (q_dedup_spans3; the planted
+      // subscribe/follow/thanks tail is exactly the trailing boilerplate
+      // the span stage exists to strip — one survivor keeps it, every
+      // other loses all spans touching it). Stage order is scale order:
+      // the map-side gates run first, the dedup shuffles see only
+      // survivors.
+      val cleaned = graft.llm.C4Rules(structuredDocs(s, dir), "doc_id", "text")
+        .filter(col("keep"))
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val pats = Seq("slow", "vector")
+      val gated = cleaned.filter(
+        !graft.functions.AcKernels.acAnyMatch(lower(col("text")), pats))
+      val aug = gated.select(col("doc_id"),
+        concat(col("text"), lit(" Subscribe now! Follow us. Thanks.")).as("text"))
+      graft.llm.SentenceSpanDedup.dedupSpans(aug, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("text"), col("n_sents"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_repetition_segments" -> ((s, dir) => {
       // The line/paragraph half of Gopher's repetition family. The corpus
       // is a single line, so the fixture builds two paragraphs with
@@ -1861,6 +1903,30 @@ object LlmQueries {
         |SELECT id AS doc_id, CAST(min(pos) AS BIGINT) AS span_start,
         |  CAST(max(pos) + 7 AS BIGINT) AS span_end
         |FROM isl GROUP BY id, g ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_dedup_spans3" ->
+      """WITH aug AS (SELECT doc_id, text || ' End. Subscribe now! Follow us. Thanks.' AS text
+        |  FROM documents),
+        |sn AS (SELECT doc_id, list_filter(list_transform(
+        |    regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)), x -> x <> '') AS l
+        |  FROM aug),
+        |sents AS (SELECT doc_id, unnest(range(len(l))) AS j, l FROM sn),
+        |s AS (SELECT doc_id, j, l[j+1] AS st FROM sents),
+        |spans AS (SELECT doc_id, j AS i,
+        |    l[j+1] || chr(31) || l[j+2] || chr(31) || l[j+3] AS span
+        |  FROM sents WHERE j + 3 <= len(l)),
+        |occ AS (SELECT doc_id, i,
+        |    row_number() OVER (PARTITION BY span ORDER BY doc_id, i) AS rn
+        |  FROM spans),
+        |rem AS (SELECT DISTINCT doc_id, j FROM
+        |  (SELECT doc_id, unnest([i, i+1, i+2]) AS j FROM occ WHERE rn > 1)),
+        |kept AS (SELECT s.doc_id, s.j, s.st
+        |  FROM s ANTI JOIN rem ON s.doc_id = rem.doc_id AND s.j = rem.j),
+        |outt AS (SELECT doc_id, string_agg(st, ' ' ORDER BY j) AS text,
+        |    CAST(count(*) AS BIGINT) AS n_sents FROM kept GROUP BY doc_id)
+        |SELECT a.doc_id, coalesce(o.text, '') AS text, coalesce(o.n_sents, 0) AS n_sents
+        |FROM aug a LEFT JOIN outt o ON a.doc_id = o.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
 
     "q_dedup_substring_clean" -> substringCleanSql,
 
@@ -2739,6 +2805,36 @@ object LlmQueries {
         |  r_no_lorem, r_no_javascript,
         |  r_min_sentences AND r_no_braces AND r_no_lorem AND r_no_javascript AS keep
         |FROM c4 ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_c4" ->
+      s"""$c4FixtureSql,
+        |surv AS (SELECT doc_id, clean_text AS text FROM c4
+        |  WHERE r_min_sentences AND r_no_braces AND r_no_lorem AND r_no_javascript),
+        |bw AS (SELECT doc_id, text FROM surv
+        |  WHERE NOT EXISTS (SELECT 1 FROM (VALUES ('slow'),('vector')) p(pat)
+        |    WHERE regexp_matches(lower(surv.text),
+        |      '(^|[^a-z0-9])' || p.pat || '([^a-z0-9]|${"$"})'))),
+        |aug AS (SELECT doc_id, text || ' Subscribe now! Follow us. Thanks.' AS text FROM bw),
+        |sn AS (SELECT doc_id, list_filter(list_transform(
+        |    regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)), x -> x <> '') AS l
+        |  FROM aug),
+        |sents AS (SELECT doc_id, unnest(range(len(l))) AS j, l FROM sn),
+        |s AS (SELECT doc_id, j, l[j+1] AS st FROM sents),
+        |spans AS (SELECT doc_id, j AS i,
+        |    l[j+1] || chr(31) || l[j+2] || chr(31) || l[j+3] AS span
+        |  FROM sents WHERE j + 3 <= len(l)),
+        |occ AS (SELECT doc_id, i,
+        |    row_number() OVER (PARTITION BY span ORDER BY doc_id, i) AS rn
+        |  FROM spans),
+        |rem AS (SELECT DISTINCT doc_id, j FROM
+        |  (SELECT doc_id, unnest([i, i+1, i+2]) AS j FROM occ WHERE rn > 1)),
+        |kept AS (SELECT s.doc_id, s.j, s.st
+        |  FROM s ANTI JOIN rem ON s.doc_id = rem.doc_id AND s.j = rem.j),
+        |outt AS (SELECT doc_id, string_agg(st, ' ' ORDER BY j) AS text,
+        |    CAST(count(*) AS BIGINT) AS n_sents FROM kept GROUP BY doc_id)
+        |SELECT a.doc_id, coalesce(o.text, '') AS text, coalesce(o.n_sents, 0) AS n_sents
+        |FROM aug a LEFT JOIN outt o ON a.doc_id = o.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
 
     "q_pipeline_fineweb" ->
       s"""$c4FixtureSql,

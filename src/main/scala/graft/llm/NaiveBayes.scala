@@ -37,13 +37,27 @@ object NaiveBayes {
   /** Fit on labeled text. Two token-keyed aggregations over the train
     * corpus; the dense (vocab × classes) weight table materializes the
     * smoothed log-probabilities.
+    *
+    * The sufficient statistic (the (label, word, count) table) and the
+    * multi-consumer frames (vocab, classes) are `localCheckpoint`ed —
+    * the LM count-table discipline, PLANS.md finding 14: classify
+    * consumes them from several branches (in-vocab join, OOV anti-join,
+    * prior join), and unmaterialized the whole training subtree
+    * re-evaluates per consumer (measured: 28 driver jobs vs 15). The
+    * dense weight table itself stays lazy — it has one consumer and
+    * derives only from checkpointed frames.
     */
   def trainModel(train: DataFrame, labelCol: String, textCol: String): NbModel = {
-    val toks = train.select(col(labelCol).as("__l"),
-      explode(TextAnalysis.tokensWs(lower(col(textCol)))).as("__w"))
-    val cw = toks.groupBy(col("__l"), col("__w")).agg(count(lit(1)).as("__c"))
+    // ONE corpus pass reduces training text to its sufficient statistic —
+    // the (label, word, count) table; every other frame derives from it,
+    // so checkpointing it keeps the corpus scan out of all downstream
+    // branches (the doc-count scans on `train` are column-pruned counts).
+    val cw = train.select(col(labelCol).as("__l"),
+        explode(TextAnalysis.tokensWs(lower(col(textCol)))).as("__w"))
+      .groupBy(col("__l"), col("__w")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     val ct = cw.groupBy(col("__l")).agg(sum(col("__c")).as("__t"))
-    val vocab = toks.select(col("__w")).distinct()
+    val vocab = cw.select(col("__w")).distinct().localCheckpoint()
     val nv = vocab.agg(count(lit(1)).as("__v"))
     val nd = train.groupBy(col(labelCol).as("__l")).agg(count(lit(1)).as("__nd"))
     val ntot = train.agg(count(lit(1)).as("__n"))
@@ -55,6 +69,7 @@ object NaiveBayes {
         round(log(lit(1.0) / (col("__t") + col("__v")).cast("double")) * 1e6)
           .cast("long").as("__unseen"),
         col("__t"))
+      .localCheckpoint()
     val model = vocab.crossJoin(classes.select(col("__l"), col("__t")))
       .join(cw, Seq("__l", "__w"), "left")
       .crossJoin(broadcast(nv))
@@ -62,7 +77,8 @@ object NaiveBayes {
         round(log((coalesce(col("__c"), lit(0L)) + 1L).cast("double")
           / (col("__t") + col("__v")).cast("double")) * 1e6)
           .cast("long").as("__wt"))
-    NbModel(model, classes.select(col("__l"), col("__prior"), col("__unseen")), vocab)
+    NbModel(model,
+      classes.select(col("__l"), col("__prior"), col("__unseen")), vocab)
   }
 
   /** Classify: per doc, argmax over classes of

@@ -68,6 +68,68 @@ object CrawlQueries {
       .toDF("file_id", "payload")
   }
 
+  /** WET-shaped members (Common Crawl text-conversion layer): each file
+    * leads with a `warcinfo` record, carries one `conversion` record per
+    * doc, and every 7th doc also plants a `request` record the WET layer
+    * must DROP. Same container grammar, parsed by the same streaming
+    * kernel.
+    */
+  private def wetFiles(s: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
+    docs(s, dir)
+      .select(col("doc_id").cast("long"), col("source").cast("string"),
+        col("text").cast("string"))
+      .as(enc)
+      .groupByKey(_._1 % 40)(Encoders.scalaLong)
+      .mapGroups { (fid, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val recs =
+          Seq(("warcinfo", s"wet:$fid", warcDate,
+            s"software: graft-wet $fid".getBytes(UTF_8))) ++
+          rows.flatMap { case (id, src, text) =>
+            val conv = ("conversion", s"http://example.com/$src/$id", warcDate,
+              text.getBytes(UTF_8))
+            if (id % 7 == 0)
+              Seq(conv, ("request", s"http://example.com/$src/$id", warcDate,
+                "GET / HTTP/1.1".getBytes(UTF_8)))
+            else Seq(conv)
+          }
+        (fid, Warc.encodeFileOfTypes(recs.toIndexedSeq))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("file_id", "payload")
+  }
+
+  /** WAT-shaped members (Common Crawl metadata layer): `metadata` records
+    * carrying per-doc JSON; every 11th doc plants a CORRUPT payload the
+    * JSON layer must surface as a null struct, not a task failure.
+    */
+  private def watFiles(s: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.STRING, Encoders.STRING)
+    docs(s, dir)
+      .select(col("doc_id").cast("long"), col("source").cast("string"),
+        col("text").cast("string"), col("lang").cast("string"))
+      .as(enc)
+      .groupByKey(_._1 % 40)(Encoders.scalaLong)
+      .mapGroups { (fid, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val recs =
+          Seq(("warcinfo", s"wat:$fid", warcDate,
+            s"software: graft-wat $fid".getBytes(UTF_8))) ++
+          rows.map { case (id, src, text, lang) =>
+            val uri = s"http://example.com/$src/$id"
+            val json =
+              if (id % 11 == 0) "{not json"
+              else {
+                val nWords = text.trim.split("\\s+").length
+                s"""{"uri":"$uri","n_words":$nWords,"lang":"$lang"}"""
+              }
+            ("metadata", uri, warcDate, json.getBytes(UTF_8))
+          }
+        (fid, Warc.encodeFileOfTypes(recs.toIndexedSeq))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("file_id", "payload")
+  }
+
   /** Synthesized per-doc URL covering the parse/normalize/blocklist/dedup
     * cases: mixed-case scheme+host with default port (m=0), multi-label
     * public suffix with default https port (m=1), blocklisted domain
@@ -287,6 +349,41 @@ object CrawlQueries {
         .select(col("file_id"), col("record_idx"), col("target_uri"),
           col("content_length"), col("payload").cast("string").as("text"))
         .orderBy(col("file_id"), col("record_idx"))
+    }),
+
+    "q_warc_wet" -> ((s, dir) => {
+      // WET (Common Crawl text-conversion) layer: mixed-type members —
+      // warcinfo header, conversion text records, planted request noise
+      // on every 7th doc — parse through the same streaming kernel; the
+      // WET projection must keep exactly the conversion records and
+      // decode their payload as the original document text.
+      val (recs, _) = Warc.parseBytesKernel(wetFiles(s, dir))
+      Warc.wetText(recs.toDF())
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("text"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_warc_wat" -> ((s, dir) => {
+      // WAT (Common Crawl metadata) layer: metadata records parse as JSON
+      // under a caller schema; the planted corrupt payload (every 11th
+      // doc) must surface as a parse-failed row (all-null fields), never a
+      // task failure.
+      import org.apache.spark.sql.types._
+      val (recs, _) = Warc.parseBytesKernel(watFiles(s, dir))
+      val schema = StructType(Seq(
+        StructField("uri", StringType), StructField("n_words", LongType),
+        StructField("lang", StringType)))
+      Warc.watMetadata(recs.toDF(), schema)
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          // from_json yields an all-NULL-fields struct for a corrupt
+          // payload (PERMISSIVE), not a null struct — probe a field that
+          // every valid record carries.
+          col("meta.uri").isNotNull.as("json_ok"),
+          col("meta.n_words").as("n_words"), col("meta.lang").as("lang"))
+        .orderBy(col("doc_id"))
     }),
 
     "q_warc_sink" -> ((s, dir) => {
@@ -755,6 +852,17 @@ object CrawlQueries {
         |  'http://example.com/' || source || '/' || doc_id AS target_uri,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length, text
         |FROM d ORDER BY file_id, record_idx""".stripMargin,
+
+    "q_warc_wet" ->
+      """SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_warc_wat" ->
+      """SELECT doc_id, doc_id % 11 <> 0 AS json_ok,
+        |  CASE WHEN doc_id % 11 <> 0
+        |    THEN CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_words,
+        |  CASE WHEN doc_id % 11 <> 0 THEN lang END AS lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_warc_quarantine" ->
       """WITH f AS (SELECT doc_id % 40 AS file_id, count(*) AS n FROM documents GROUP BY 1)

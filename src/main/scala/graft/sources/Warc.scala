@@ -87,6 +87,39 @@ object Warc {
     out.toByteArray
   }
 
+  /** Encode a member from explicit (warcType, uri, date, payload) records
+    * — the WET/WAT fixture encoder: Common Crawl's derivative files are
+    * ordinary WARC containers whose records are `conversion` (extracted
+    * text) or `metadata` (JSON) instead of `response`, led by a
+    * `warcinfo` header record. Same grammar, same parser.
+    */
+  def encodeFileOfTypes(records: Seq[(String, String, String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach { case (t, uri, date, p) => encodeRecord(out, t, uri, date, p) }
+    out.toByteArray
+  }
+
+  /** The WET text layer of a parsed record frame: `conversion` records
+    * decoded as UTF-8 text; warcinfo/request/response rows drop. A pure
+    * filter+projection — WET "support" is record-type discipline, not a
+    * second parser.
+    */
+  def wetText(records: DataFrame): DataFrame =
+    records.filter(col("warc_type") === "conversion")
+      .select(col("file_id"), col("record_idx"), col("target_uri"),
+        col("payload").cast("string").as("text"))
+
+  /** The WAT metadata layer: `metadata` records parsed as JSON with a
+    * caller-supplied schema (`from_json`, PERMISSIVE — a corrupt payload
+    * surfaces as an all-null-fields struct for the caller's quarantine
+    * policy, never a task failure; probe a required field to detect it).
+    */
+  def watMetadata(records: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    records.filter(col("warc_type") === "metadata")
+      .select(col("file_id"), col("record_idx"), col("target_uri"),
+        from_json(col("payload").cast("string"), schema).as("meta"))
+
   /** Gzip `bytes` as a single member (RFC 1952, no optional fields). */
   def gzipMember(bytes: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()

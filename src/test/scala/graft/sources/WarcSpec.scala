@@ -222,4 +222,26 @@ class WarcSpec extends SparkTestBase {
     assert(counts == Map(0L -> 4L, 1L -> 2L))
     assert(quar.count() == 0)
   }
+
+  test("WET/WAT layers: type filter, text decode, corrupt-JSON surfacing") {
+    import org.apache.spark.sql.types._
+    val bytes = Warc.encodeFileOfTypes(Seq(
+      ("warcinfo", "wet:0", "2026-08-13T00:00:00Z", "software: graft".getBytes(UTF_8)),
+      ("conversion", "http://ex.com/a/1", "2026-08-13T00:00:00Z", "hello text".getBytes(UTF_8)),
+      ("request", "http://ex.com/a/1", "2026-08-13T00:00:00Z", "GET /".getBytes(UTF_8)),
+      ("metadata", "http://ex.com/a/1", "2026-08-13T00:00:00Z",
+        """{"uri":"http://ex.com/a/1","n_words":2}""".getBytes(UTF_8)),
+      ("metadata", "http://ex.com/a/2", "2026-08-13T00:00:00Z", "{broken".getBytes(UTF_8))))
+    val recs = Warc.parseStream(new ByteArrayInputStream(bytes), 0L)
+      .collect { case Right(r) => r }.toSeq.toDS().toDF()
+    val wet = Warc.wetText(recs).collect()
+    assert(wet.length === 1)
+    assert(wet(0).getAs[String]("text") === "hello text")
+    val schema = StructType(Seq(
+      StructField("uri", StringType), StructField("n_words", LongType)))
+    val wat = Warc.watMetadata(recs, schema)
+      .selectExpr("target_uri", "meta.uri IS NOT NULL AS ok", "meta.n_words")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(wat === Map("http://ex.com/a/1" -> true, "http://ex.com/a/2" -> false))
+  }
 }

@@ -127,4 +127,26 @@ class StreamingQualityGatesSpec extends SparkTestBase {
       assert(streamed(1L) == Seq(1f, 2f) && streamed(2L) == Seq(-1f, 0f))
     } finally q.stop()
   }
+
+  test("badwords gate: the Aho-Corasick kernel filters a stream like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val pats = Seq("spam", "buy now")
+    val rows = Seq((1L, "clean prose only"), (2L, "please buy now"),
+      (3L, "spammy but not spam-bounded? no: spam."), (4L, "buynow unbounded"))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .filter(!graft.functions.AcKernels.acAnyMatch(lower(col("text")), pats))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("bwgate").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bwgate").as[Long].collect().toSet
+      val batch = rows.toDF("doc_id", "text")
+        .filter(!graft.functions.AcKernels.acAnyMatch(lower(col("text")), pats))
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set(1L, 4L))
+    } finally q.stop()
+  }
 }

@@ -1008,6 +1008,24 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_nb_confusion" -> ((s, dir) => {
+      // The evaluation half of the trained classifier: the per-class
+      // confusion matrix on the holdout — what a pipeline inspects
+      // before trusting a gate corpus-wide. Same model, same holdout;
+      // the truth label joins back on the doc id and the counts are a
+      // two-key aggregate.
+      val d = docs(s, dir)
+      val m = graft.llm.NaiveBayes.trainModel(
+        d.filter(col("doc_id") % 2 === 0), "lang", "text")
+      graft.llm.NaiveBayes.classify(
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text", m)
+        .join(d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang").as("truth")), "doc_id")
+        .groupBy(col("truth"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("truth"), col("pred"))
+    }),
+
     "q_text_badwords" -> ((s, dir) => {
       // C4 badwords gate (Raffel 2020 §2.2 drops any page containing a
       // word from the published blocklist): ONE Aho–Corasick pass —
@@ -1850,6 +1868,44 @@ object LlmQueries {
         .agg(count(lit(1)).as("n")))
   )
 
+  /** Shared CTE prefix of the naive-Bayes oracles: train + score +
+    * ranked predictions (`rk`); each oracle appends its own final SELECT.
+    */
+  private lazy val nbCteSql: String =
+    """WITH tr AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |cw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+        |ct AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cw GROUP BY 1),
+        |voc AS (SELECT DISTINCT w FROM tr),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+        |pri AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ndoc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE doc_id % 2 = 0),
+        |cls AS (SELECT ct.lang, ct.t,
+        |    CAST(round(ln(CAST(pri.nd AS DOUBLE) / CAST((SELECT n FROM ndoc) AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS prior_micro,
+        |    CAST(round(ln(1.0 / CAST(ct.t + (SELECT v FROM nv) AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS unseen_micro
+        |  FROM ct JOIN pri ON ct.lang = pri.lang),
+        |model AS (SELECT cls.lang, voc.w,
+        |    CAST(round(ln(CAST(coalesce(cw.c, 0) + 1 AS DOUBLE)
+        |      / CAST(cls.t + (SELECT v FROM nv) AS DOUBLE)) * 1000000.0) AS BIGINT) AS wt
+        |  FROM voc CROSS JOIN cls
+        |  LEFT JOIN cw ON cw.lang = cls.lang AND cw.w = voc.w),
+        |ho AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |inv AS (SELECT ho.doc_id, m.lang, m.wt FROM ho JOIN model m ON ho.w = m.w),
+        |oov AS (SELECT ho.doc_id, cls.lang, cls.unseen_micro AS wt
+        |  FROM (SELECT ho.doc_id, ho.w FROM ho ANTI JOIN voc ON ho.w = voc.w) ho
+        |  CROSS JOIN cls),
+        |allw AS (SELECT * FROM inv UNION ALL SELECT * FROM oov),
+        |sc AS (SELECT doc_id, lang, CAST(sum(wt) AS BIGINT) AS s FROM allw GROUP BY 1, 2),
+        |fin AS (SELECT sc.doc_id, sc.lang, sc.s + cls.prior_micro AS score_micro
+        |  FROM sc JOIN cls ON sc.lang = cls.lang),
+        |rk AS (SELECT doc_id, lang, score_micro,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, lang) AS rn
+        |  FROM fin)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
@@ -2192,41 +2248,16 @@ object LlmQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_nb_langid" ->
-      """WITH tr AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |cw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
-        |ct AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cw GROUP BY 1),
-        |voc AS (SELECT DISTINCT w FROM tr),
-        |nv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
-        |pri AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd
-        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
-        |ndoc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE doc_id % 2 = 0),
-        |cls AS (SELECT ct.lang, ct.t,
-        |    CAST(round(ln(CAST(pri.nd AS DOUBLE) / CAST((SELECT n FROM ndoc) AS DOUBLE))
-        |      * 1000000.0) AS BIGINT) AS prior_micro,
-        |    CAST(round(ln(1.0 / CAST(ct.t + (SELECT v FROM nv) AS DOUBLE))
-        |      * 1000000.0) AS BIGINT) AS unseen_micro
-        |  FROM ct JOIN pri ON ct.lang = pri.lang),
-        |model AS (SELECT cls.lang, voc.w,
-        |    CAST(round(ln(CAST(coalesce(cw.c, 0) + 1 AS DOUBLE)
-        |      / CAST(cls.t + (SELECT v FROM nv) AS DOUBLE)) * 1000000.0) AS BIGINT) AS wt
-        |  FROM voc CROSS JOIN cls
-        |  LEFT JOIN cw ON cw.lang = cls.lang AND cw.w = voc.w),
-        |ho AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-        |  FROM documents WHERE doc_id % 2 = 1),
-        |inv AS (SELECT ho.doc_id, m.lang, m.wt FROM ho JOIN model m ON ho.w = m.w),
-        |oov AS (SELECT ho.doc_id, cls.lang, cls.unseen_micro AS wt
-        |  FROM (SELECT ho.doc_id, ho.w FROM ho ANTI JOIN voc ON ho.w = voc.w) ho
-        |  CROSS JOIN cls),
-        |allw AS (SELECT * FROM inv UNION ALL SELECT * FROM oov),
-        |sc AS (SELECT doc_id, lang, CAST(sum(wt) AS BIGINT) AS s FROM allw GROUP BY 1, 2),
-        |fin AS (SELECT sc.doc_id, sc.lang, sc.s + cls.prior_micro AS score_micro
-        |  FROM sc JOIN cls ON sc.lang = cls.lang),
-        |rk AS (SELECT doc_id, lang, score_micro,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, lang) AS rn
-        |  FROM fin)
+      s"""$nbCteSql
         |SELECT doc_id, lang AS pred, CAST(score_micro AS BIGINT) AS score_micro
         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_text_nb_confusion" ->
+      s"""$nbCteSql,
+        |p AS (SELECT doc_id, lang AS pred FROM rk WHERE rn = 1)
+        |SELECT d.lang AS truth, p.pred, CAST(count(*) AS BIGINT) AS n
+        |FROM p JOIN documents d ON p.doc_id = d.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_text_badwords" ->
       """WITH p(pat) AS (VALUES ('slow'),('vector'),('merge batch'),('art'),('naughty')),

@@ -97,4 +97,73 @@ object Packing {
   def chunkStats(packed: DataFrame): DataFrame =
     packed.groupBy(col("shard"), col("chunk"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  /** Length-bucketed batching — the PAD-regime packer ([[pack]] is the
+    * concat-and-chunk regime): documents are never split, each is padded
+    * to a power-of-two fraction of `budget` and grouped with same-bucket
+    * documents, `2^k` to a sequence. SFT and inference serving batch this
+    * way (a whole conversation must stay in one sequence with its loss
+    * mask); naive single-bucket batching pads everything to `budget`,
+    * this bounds waste to <50% of each slot by construction and in
+    * practice far less.
+    *
+    * Bucket math is exact integers, replayable in SQL:
+    * `k = floor(log2(budget DIV len))` computed as a SUM OF INDICATORS
+    * (#{i ≥ 1 : 2^i ≤ q}) — a log-based floor is an ln-ratio in both
+    * engines and can land at 2.9999… exactly where the boundary matters;
+    * the indicator sum is pure integer comparison. Slot width
+    * `budget / 2^k`, capacity `2^k` docs per sequence. Sequence
+    * assignment is `row_number DIV capacity` within (bucket, shard) —
+    * the shard (the [[pack]] Knuth mix) is the parallelism/skew knob: a
+    * dominant bucket spreads over `shards` windows instead of one task.
+    *
+    * Output per doc: `(id, n_tokens, bucket, padded_len, shard, seq_idx,
+    * slot, oversize)`; documents longer than `budget` (or empty) carry
+    * `oversize = true` and null placement — the caller's truncate/split
+    * policy, surfaced, never silently dropped.
+    */
+  def lengthBuckets(
+      df: DataFrame,
+      idCol: String,
+      tokenCount: Column,
+      budget: Long,
+      shards: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0, "shards must be positive")
+    val mix = pmod(col(idCol).cast("long") * 2654435761L, lit(4294967296L))
+    val maxK = 63 - java.lang.Long.numberOfLeadingZeros(budget)
+    val q = expr(s"${budget}L DIV n_tokens")
+    val kOfQ = (1 to maxK).map(i => when(q >= (1L << i), 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    val base = df.select(col(idCol), tokenCount.cast("long").as("n_tokens"))
+      .withColumn("__mix", mix)
+      .withColumn("bucket",
+        when(col("n_tokens") >= 1L && col("n_tokens") <= budget, kOfQ))
+      .withColumn("__cap", pow(lit(2.0), col("bucket")).cast("long"))
+      .withColumn("padded_len", expr(s"${budget}L DIV __cap"))
+      .withColumn("shard",
+        when(col("bucket").isNotNull, (col("__mix") % shards).cast("int")))
+    val w = Window.partitionBy(col("bucket"), col("shard")).orderBy(col(idCol))
+    base
+      .withColumn("__rn",
+        when(col("bucket").isNotNull, row_number().over(w).cast("long") - 1L))
+      .select(col(idCol), col("n_tokens"), col("bucket"), col("padded_len"),
+        col("shard"),
+        expr("__rn DIV __cap").as("seq_idx"),
+        (col("__rn") % col("__cap")).as("slot"),
+        col("bucket").isNull.as("oversize"))
+  }
+
+  /** Per-bucket efficiency view over [[lengthBuckets]]: sequences built,
+    * tokens carried, and occupancy in exact integer micro-units
+    * (Σ tokens · 1e6 DIV (n_seqs · budget) — the padding-waste readout).
+    */
+  def lengthBucketStats(bucketed: DataFrame, budget: Long): DataFrame =
+    bucketed.filter(!col("oversize"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("shard"), col("seq_idx")).as("n_seqs"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("occupancy_micro",
+        expr(s"(sum_tokens * 1000000L) DIV (n_seqs * ${budget}L)"))
 }

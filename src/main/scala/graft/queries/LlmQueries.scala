@@ -1008,6 +1008,38 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_pack_lenbucket" -> ((s, dir) => {
+      // Length-bucketed batching (the PAD-regime packer — SFT/serving
+      // batches whole docs): power-of-two slot widths off budget=128,
+      // 2^k docs per sequence, assignment = row_number DIV capacity
+      // within (bucket, shard). Every 50th doc doubles its text so the
+      // oversize path (null placement, surfaced flag) runs on real
+      // rows. Bucket k is a SUM OF INTEGER INDICATORS, not a float
+      // log2 — exact in both engines at the power-of-two boundaries.
+      val aug = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.llm.Packing.lengthBuckets(aug, "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 128L, shards = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_pack_lenbucket_stats" -> ((s, dir) => {
+      // The efficiency readout: per-bucket sequence counts and occupancy
+      // in exact integer micro-units — the padding-waste number that
+      // justifies bucketing over pad-to-budget.
+      val aug = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.llm.Packing.lengthBucketStats(
+          graft.llm.Packing.lengthBuckets(aug, "doc_id",
+            TextAnalysis.tokenCount(col("text")), budget = 128L, shards = 4),
+          budget = 128L)
+        .orderBy(col("bucket"))
+    }),
+
     "q_text_nb_confusion" -> ((s, dir) => {
       // The evaluation half of the trained classifier: the per-class
       // confusion matrix on the holdout — what a pipeline inspects
@@ -1868,6 +1900,33 @@ object LlmQueries {
         .agg(count(lit(1)).as("n")))
   )
 
+  /** Shared CTE prefix of the length-bucket oracles: doubled-text
+    * fixture, token counts, indicator-sum bucket k, capacity/padded/shard
+    * and the ranked row (`r`); each oracle appends its final SELECT.
+    */
+  private lazy val lenBucketCteSql: String =
+    """WITH aug AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 50 = 0 THEN text || ' ' || text ELSE text END AS text
+      |  FROM documents),
+      |d AS (SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n FROM aug),
+      |b AS (SELECT doc_id, n, (doc_id * 2654435761) % 4294967296 AS mix,
+      |    CASE WHEN n >= 1 AND n <= 128 THEN
+      |      (CASE WHEN 128 // n >= 2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN 128 // n >= 4 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN 128 // n >= 8 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN 128 // n >= 16 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN 128 // n >= 32 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN 128 // n >= 64 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN 128 // n >= 128 THEN 1 ELSE 0 END) END AS k
+      |  FROM d),
+      |c AS (SELECT doc_id, n, k, CAST(pow(2, k) AS BIGINT) AS cap,
+      |    128 // CAST(pow(2, k) AS BIGINT) AS padded,
+      |    CASE WHEN k IS NOT NULL THEN CAST(mix % 4 AS INT) END AS shard FROM b),
+      |r AS (SELECT *, CASE WHEN k IS NOT NULL THEN
+      |      row_number() OVER (PARTITION BY k, shard ORDER BY doc_id) - 1 END AS rn
+      |  FROM c)""".stripMargin
+
   /** Shared CTE prefix of the naive-Bayes oracles: train + score +
     * ranked predictions (`rk`); each oracle appends its own final SELECT.
     */
@@ -2246,6 +2305,23 @@ object LlmQueries {
         |      'A' || chr(778) || 'b  ' || text || ' ' || chr(13) || chr(10) || 'end  '),
         |    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g'), ' ') AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pack_lenbucket" ->
+      s"""$lenBucketCteSql
+        |SELECT doc_id, n AS n_tokens, CAST(k AS BIGINT) AS bucket,
+        |  CAST(padded AS BIGINT) AS padded_len, shard,
+        |  CAST(rn // cap AS BIGINT) AS seq_idx, CAST(rn % cap AS BIGINT) AS slot,
+        |  k IS NULL AS oversize
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_pack_lenbucket_stats" ->
+      s"""$lenBucketCteSql
+        |SELECT CAST(k AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT shard * 1000000 + rn // cap) AS BIGINT) AS n_seqs,
+        |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |  CAST((sum(n) * 1000000) // (count(DISTINCT shard * 1000000 + rn // cap) * 128)
+        |    AS BIGINT) AS occupancy_micro
+        |FROM r WHERE k IS NOT NULL GROUP BY k ORDER BY bucket""".stripMargin,
 
     "q_text_nb_langid" ->
       s"""$nbCteSql

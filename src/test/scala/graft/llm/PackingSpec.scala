@@ -223,4 +223,69 @@ class PackingSpec extends SparkTestBase {
     assert(masked(3L) == "")
     assert(masked(4L) == "leading contamination then clean tail content")
   }
+
+  test("lengthBuckets: power-of-two slot widths, boundary lengths exact") {
+    // budget 64: len 64 → bucket 0 (padded 64); 33..64 → 0? No: q=64//64=1
+    // → k=0; len 33 → q=1 → k=0; len 32 → q=2 → k=1 (padded 32);
+    // len 17 → q=3 → k=1; len 16 → q=4 → k=2 (padded 16); len 1 → q=64 →
+    // k=6 (padded 1). Exact boundaries are where a float log2 would
+    // wobble — pinned here.
+    val rows = Seq((1L, 64L), (2L, 33L), (3L, 32L), (4L, 17L), (5L, 16L),
+      (6L, 1L), (7L, 65L), (8L, 0L)).toDF("id", "n")
+    val got = Packing.lengthBuckets(rows, "id", $"n", budget = 64L, shards = 1)
+      .select($"id", $"bucket", $"padded_len", $"oversize")
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === (0L, 64L, false))
+    assert(got(2L) === (0L, 64L, false))
+    assert(got(3L) === (1L, 32L, false))
+    assert(got(4L) === (1L, 32L, false))
+    assert(got(5L) === (2L, 16L, false))
+    assert(got(6L) === (6L, 1L, false))
+    assert(got(7L) === (-1L, -1L, true))  // longer than budget
+    assert(got(8L) === (-1L, -1L, true))  // empty
+  }
+
+  test("lengthBuckets: capacity packing fills 2^k slots then opens a new sequence") {
+    val rows = (0L until 10L).map(i => (i, 16L)).toDF("id", "n") // bucket 2, cap 4
+    val got = Packing.lengthBuckets(rows, "id", $"n", budget = 64L, shards = 1)
+      .select($"id", $"seq_idx", $"slot")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // shard constant (1 shard) → ids in order: 4 per sequence
+    (0L until 10L).foreach { i =>
+      assert(got(i) === (i / 4, i % 4), s"id=$i")
+    }
+  }
+
+  test("lengthBuckets: assignment is layout-independent and never overfills") {
+    val rnd = new scala.util.Random(3L)
+    val rows = (0L until 300L).map(i => (i, (1 + rnd.nextInt(80)).toLong))
+    val a = Packing.lengthBuckets(rows.toDF("id", "n"), "id", $"n", 64L, 4)
+    val b = Packing.lengthBuckets(rows.toDF("id", "n").repartition(7), "id", $"n", 64L, 4)
+    val sa = a.collect().map(_.toSeq).toSet
+    assert(sa === b.collect().map(_.toSeq).toSet)
+    // no sequence carries more than budget once padded: Σ padded ≤ budget
+    val over = a.filter(!$"oversize")
+      .groupBy($"bucket", $"shard", $"seq_idx")
+      .agg(sum($"padded_len").as("s")).filter($"s" > 64L).count()
+    assert(over === 0L)
+  }
+
+  test("lengthBucketStats: occupancy beats pad-to-budget on mixed lengths") {
+    val rnd = new scala.util.Random(9L)
+    val rows = (0L until 400L).map(i => (i, (1 + rnd.nextInt(64)).toLong)).toDF("id", "n")
+    val bucketed = Packing.lengthBuckets(rows, "id", $"n", 64L, 2)
+    val stats = Packing.lengthBucketStats(bucketed, 64L).collect()
+    val nSeqs = stats.map(_.getAs[Long]("n_seqs")).sum
+    val sumTok = stats.map(_.getAs[Long]("sum_tokens")).sum
+    // pad-to-budget batches one doc per sequence: 400 sequences at
+    // occupancy mean(n)/64. Bucketing must build FAR fewer sequences,
+    // and its overall occupancy (Σ tokens / (Σ seqs · 64)) must beat the
+    // naive batcher's even though partial final sequences drag on it.
+    assert(nSeqs < 400L, s"n_seqs=$nSeqs")
+    val bucketedOcc = sumTok.toDouble / (nSeqs * 64L)
+    val naiveOcc = sumTok.toDouble / (400L * 64L)
+    assert(bucketedOcc > naiveOcc * 1.5, s"bucketed=$bucketedOcc naive=$naiveOcc")
+  }
 }

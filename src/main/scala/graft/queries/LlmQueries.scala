@@ -1040,6 +1040,30 @@ object LlmQueries {
         .orderBy(col("bucket"))
     }),
 
+    "q_pipeline_route" -> ((s, dir) => {
+      // Classifier-routed mixture — the seed-data→corpus-wide loop
+      // closed end to end: train the NB classifier on the labeled half,
+      // PREDICT the unlabeled half, and budget the mixture on the
+      // PREDICTED class (en-heavy budget, 800 tokens elsewhere) through
+      // the exact integer token-budget gate. Every stage individually
+      // certified (q_text_nb_langid, q_sample_weighted); this pins the
+      // composition — routing decisions and keep set, bit-exact.
+      val d = docs(s, dir)
+      val m = graft.llm.NaiveBayes.trainModel(
+        d.filter(col("doc_id") % 2 === 0), "lang", "text")
+      val pred = graft.llm.NaiveBayes.classify(
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text", m)
+        .select(col("doc_id"), col("pred"))
+      val routed = d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text")).join(pred, "doc_id")
+      val budgets = Map("en" -> 3000L, "de" -> 800L, "es" -> 800L,
+        "fr" -> 800L, "zh" -> 800L)
+      graft.ops.Sampling.weightedByTokenBudget(routed, "pred", col("doc_id"),
+          TextAnalysis.tokenCount(col("text")), budgets)
+        .select(col("doc_id"), col("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_nb_confusion" -> ((s, dir) => {
       // The evaluation half of the trained classifier: the per-class
       // confusion matrix on the holdout — what a pipeline inspects
@@ -2327,6 +2351,19 @@ object LlmQueries {
       s"""$nbCteSql
         |SELECT doc_id, lang AS pred, CAST(score_micro AS BIGINT) AS score_micro
         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_route" ->
+      s"""$nbCteSql,
+        |p AS (SELECT doc_id, lang AS pred FROM rk WHERE rn = 1),
+        |dd AS (SELECT d.doc_id, p.pred,
+        |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS nt
+        |  FROM documents d JOIN p ON d.doc_id = p.doc_id),
+        |t AS (SELECT pred, sum(nt) AS tokens FROM dd GROUP BY 1),
+        |bb AS (SELECT pred, CASE pred WHEN 'en' THEN 3000 ELSE 800 END AS budget FROM t)
+        |SELECT dd.doc_id, dd.pred FROM dd JOIN t USING (pred) JOIN bb USING (pred)
+        |WHERE CAST((doc_id * 2654435761) % 4294967296 AS HUGEINT) * tokens
+        |    < CAST(budget AS HUGEINT) * 4294967296
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_nb_confusion" ->
       s"""$nbCteSql,

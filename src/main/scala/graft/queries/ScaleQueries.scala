@@ -369,6 +369,25 @@ object ScaleQueries {
         .withColumn("files_ok", lit(filesRead <= bl.size))
     }),
 
+    "q_schema_evolution" -> ((s, dir) => {
+      // Schema-evolution read: revision 1 (even docs) predates the
+      // `lang` column, revision 2 carries it. The merged read unions the
+      // footers at PLAN time (zero bytes rewritten — the property that
+      // makes adding a column to a petabyte corpus free) with NULL
+      // backfill on old files; the revision report is the migration
+      // dashboard: per revision, rows and added-column coverage.
+      val out = stagingDir() + "/schema_evo/" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+      val d = docs(s, dir)
+      d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("n_chars"))
+        .write.mode("overwrite").parquet(out + "/rev=1")
+      d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(out + "/rev=2")
+      val merged = graft.sources.SchemaEvolution.readMerged(s, out)
+      graft.sources.SchemaEvolution.revisionReport(merged, "rev", Seq("lang"))
+        .orderBy(col("rev"))
+    }),
+
     "q_pipeline_curation" -> ((s, dir) => {
       // End-to-end curation (language → quality → exact dedup → near-dup
       // cluster keep → deterministic 1/2 sample) over the planted-near-dup
@@ -595,6 +614,15 @@ object ScaleQueries {
     "q_sink_sorted" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, true AS range_pruned
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+
+    "q_schema_evolution" ->
+      """WITH e AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
+        |o AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 1)
+        |SELECT 1 AS rev, CAST((SELECT n FROM e) AS BIGINT) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_lang
+        |UNION ALL
+        |SELECT 2, CAST((SELECT n FROM o) AS BIGINT), CAST((SELECT n FROM o) AS BIGINT)
+        |ORDER BY rev""".stripMargin,
 
     "q_sink_zorder" ->
       """WITH m AS (SELECT CAST(min(l_partkey) AS BIGINT) AS nx, CAST(max(l_partkey) AS BIGINT) AS xx,

@@ -163,4 +163,28 @@ object Sampling {
         col("__budget").cast("decimal(19,0)") * lit(4294967296L).cast("decimal(10,0)"))
       .drop("__tokens", "__budget")
   }
+
+  /** EXACT top-fraction selection by a score column — the
+    * FineWeb-Edu-style "keep the best X% by classifier score" gate, with
+    * a total (score desc, tie asc) order so the boundary is
+    * deterministic and cross-engine exact.
+    *
+    * Plans as sort + limit, which Spark executes as per-partition top-k
+    * + single k-row merge (TakeOrdered shape — k·partitions rows move,
+    * never the corpus). That is the right plan while k fits one task's
+    * memory (here: a count job + the top-k job). For corpus-scale k
+    * (billions of survivors), flip to the threshold form: an approx
+    * quantile picks the score cutoff, a map-side filter gates, and the
+    * boundary run of equal scores is resolved by the tie key — same
+    * result, no global k-row materialization.
+    */
+  def topFractionByScore(df: DataFrame, score: Column, frac: Double,
+      tie: Column): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    val n = df.count()
+    val k = math.ceil(frac * n).toLong
+    require(k <= Int.MaxValue,
+      s"k=$k exceeds the sort+limit path; use the quantile-threshold form")
+    df.orderBy(score.desc, tie.asc).limit(k.toInt)
+  }
 }

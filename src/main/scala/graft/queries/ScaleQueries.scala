@@ -369,6 +369,18 @@ object ScaleQueries {
         .withColumn("files_ok", lit(filesRead <= bl.size))
     }),
 
+    "q_sample_topfrac" -> ((s, dir) =>
+      // Exact top-30%-by-quality selection (the FineWeb-Edu gate shape):
+      // total (score desc, doc_id) order makes the boundary
+      // deterministic; plans as per-partition top-k + k-row merge, never
+      // a corpus materialization. The oracle replays the quality formula
+      // and the ranked cut.
+      Sampling.topFractionByScore(
+          docs(s, dir).select(col("doc_id"),
+            graft.llm.TextAnalysis.qualityScore(col("text")).as("quality")),
+          col("quality"), frac = 0.3, tie = col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     "q_schema_evolution" -> ((s, dir) => {
       // Schema-evolution read: revision 1 (even docs) predates the
       // `lang` column, revision 2 carries it. The merged read unions the
@@ -614,6 +626,20 @@ object ScaleQueries {
     "q_sink_sorted" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, true AS range_pruned
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+
+    "q_sample_topfrac" ->
+      """WITH sc AS (SELECT doc_id,
+        |  (CASE WHEN CAST(length(text) AS DOUBLE) >= 50 AND CAST(length(text) AS DOUBLE) <= 10000
+        |     THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |   + CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |   + (CAST(1.0 AS DOUBLE) - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)) * 5, CAST(1.0 AS DOUBLE)))
+        |  ) / CAST(3.0 AS DOUBLE) AS quality
+        |  FROM documents),
+        |r AS (SELECT doc_id, quality,
+        |    row_number() OVER (ORDER BY quality DESC, doc_id) AS rn FROM sc)
+        |SELECT doc_id, quality FROM r
+        |WHERE rn <= ceil(0.3 * (SELECT count(*) FROM sc))
+        |ORDER BY doc_id""".stripMargin,
 
     "q_schema_evolution" ->
       """WITH e AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),

@@ -238,6 +238,20 @@ object WordPiece {
       .select(col("piece")).as[String].collect().toSeq
   }
 
+  /** Detokenize a WordPiece token sequence: `##` pieces glue to the
+    * previous token, plain pieces start a new space-separated word —
+    * the inverse of [[tokens]] up to whitespace normalization
+    * (`decode(tokens(t)) == single-space word join of t` whenever no
+    * word fell to UNK; WordPieceSpec pins the round trip). Column-HOF
+    * form (interpreted) — decode is a cert/debug surface, not a corpus
+    * hot path; token sinks store ids.
+    */
+  def decode(tokens: Column): Column =
+    aggregate(tokens, lit(""), (acc, t) =>
+      when(t.startsWith("##"), concat(acc, t.substr(lit(3), length(t))))
+        .when(acc === "", t)
+        .otherwise(concat(acc, lit(" "), t)))
+
   /** WordPiece token count of `text` — a codegen'd pure map. */
   def tokenCount(text: Column, pieces: Seq[String], unk: String = "[UNK]"): Column =
     WordPieceKernels.wordpieceTokenCount(text, pieces, unk)

@@ -180,6 +180,33 @@ class WordPieceSpec extends SparkTestBase {
     assert(!toks.contains("[UNK]"))
   }
 
+  test("decode inverts tokens up to whitespace normalization (corpus round trip)") {
+    val s = spark
+    import s.implicits._
+    val vocab = ('a' to 'z').flatMap(c => Seq(c.toString, "##" + c)) ++
+      Seq("th", "##th", "er", "##er", "on", "##on")
+    val texts = Seq("the quick brown fox", "  padded   spacing\tacross words ",
+      "thththerer on on", "x")
+    val got = texts.toDF("text")
+      .select(col("text"),
+        WordPiece.decode(WordPiece.tokens(col("text"), vocab)).as("rt"))
+      .as[(String, String)].collect().toMap
+    texts.foreach { t =>
+      val want = t.trim.split("\\s+").mkString(" ")
+      assert(got(t) === want, s"text=[$t]")
+    }
+  }
+
+  test("decode leaves [UNK] tokens visible (a lossy word stays flagged)") {
+    val s = spark
+    import s.implicits._
+    val vocab = Seq("a", "##a", "b", "##b")
+    val got = Seq("ab zq ab").toDF("text")
+      .select(WordPiece.decode(WordPiece.tokens(col("text"), vocab)))
+      .as[String].head()
+    assert(got === "ab [UNK] ab")
+  }
+
   test("vocab artifact round trip") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("wp_vocab").toString

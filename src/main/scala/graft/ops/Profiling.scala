@@ -127,4 +127,23 @@ object Profiling {
     }
     Seq(ok).toDF("within_bound")
   }
+
+  /** Release manifest — the accounting a dataset SHIP step records: per
+    * source, document/token/char counts plus an ORDER-INDEPENDENT
+    * content checksum (sum of per-doc polynomial fingerprints): two
+    * releases match iff their manifests match, regardless of file
+    * layout, partitioning, or row order. One aggregation pass with
+    * map-side partials; exact integers end to end (fingerprints are
+    * < 1e9+7, so the Long sum is exact below ~9·10⁹ documents per
+    * source — past that, pre-reduce the sum modulo a prime).
+    */
+  def releaseManifest(df: DataFrame, sourceCol: String, idCol: String,
+      textCol: String): DataFrame =
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"),
+        sum(graft.functions.TextKernels.polyFingerprint(col(textCol)))
+          .as("checksum"))
 }

@@ -369,6 +369,15 @@ object ScaleQueries {
         .withColumn("files_ok", lit(filesRead <= bl.size))
     }),
 
+    "q_corpus_manifest" -> ((s, dir) =>
+      // Release manifest: per-source doc/token/char counts, id range and
+      // an order-independent content checksum (Σ per-doc polynomial
+      // fingerprints) — two releases match iff their manifests match,
+      // independent of layout or row order. One map-side-partial
+      // aggregation; every value an exact integer the oracle re-derives.
+      graft.ops.Profiling.releaseManifest(docs(s, dir), "source", "doc_id", "text")
+        .orderBy(col("source"))),
+
     "q_sample_topfrac" -> ((s, dir) =>
       // Exact top-30%-by-quality selection (the FineWeb-Edu gate shape):
       // total (score desc, doc_id) order makes the boundary
@@ -626,6 +635,16 @@ object ScaleQueries {
     "q_sink_sorted" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, true AS range_pruned
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+
+    "q_corpus_manifest" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007)) AS BIGINT) AS checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_sample_topfrac" ->
       """WITH sc AS (SELECT doc_id,

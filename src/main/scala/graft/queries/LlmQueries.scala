@@ -523,6 +523,30 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_sim_hardneg" -> ((s, dir) => {
+      // Hard-negative mining — the training-data op behind retrieval /
+      // embedding fine-tuning: per anchor, the exact top-1 neighbor is
+      // the POSITIVE and ranks 2..4 the hard negatives (similar enough
+      // to teach the margin, not the match). Anchors broadcast against
+      // one corpus pass (the batched top-k shape); the per-anchor rank
+      // is a window partitioned by anchor. Cosine is the certified
+      // pair kernel (q_sim_pairs_exact), so scores replay bit-exact.
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") % 50 === 0).alias("q")
+      val c = e.alias("c")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("anchor")).orderBy(col("cosine").desc, col("cand"))
+      q.join(c, col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("anchor"), col("c.vec_id").as("cand"),
+          graft.functions.ArrayOps.cosine(
+            col("q.embedding"), col("c.embedding")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 4)
+        .select(col("anchor"), col("rank").cast("long").as("rank"),
+          col("cand"), col("cosine"), (col("rank") === 1).as("is_positive"))
+        .orderBy(col("anchor"), col("rank"))
+    }),
+
     "q_sim_ivf" -> ((s, dir) => {
       // Same machinery-agreement contract as q_sim_ann, for the IVF path:
       // nprobe-cell pruned orderBy.limit vs the batched probe-cells
@@ -2280,6 +2304,22 @@ object LlmQueries {
         |      / (a.nrm * b.nrm) AS cosine
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sim_hardneg" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, q) -> p + q)) AS nrm
+        |  FROM embeddings),
+        |qa AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |sc AS (SELECT q.vec_id AS anchor, c.vec_id AS cand,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (p, q2) -> p + q2)
+        |      / (q.nrm * c.nrm) AS cosine
+        |  FROM qa q JOIN e c ON q.vec_id <> c.vec_id),
+        |r AS (SELECT anchor, cand, cosine,
+        |    row_number() OVER (PARTITION BY anchor ORDER BY cosine DESC, cand) AS rank FROM sc)
+        |SELECT anchor, CAST(rank AS BIGINT) AS rank, cand, cosine, rank = 1 AS is_positive
+        |FROM r WHERE rank <= 4 ORDER BY anchor, rank""".stripMargin,
 
     "q_sim_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS d,

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** Native codegen'd vector kernels for the similarity-search surface.
   *
@@ -91,6 +91,75 @@ case class L2DistSq(left: Expression, right: Expression) extends VectorFoldExpre
     copy(left = newLeft, right = newRight)
 }
 
+/** Static argmin shared by interpreted eval and codegen (the [[PcaImpl]]
+  * discipline). Returns -1 for the null cases (null element / dimension
+  * mismatch); the expression maps -1 to SQL NULL.
+  */
+object NearestCellImpl {
+  def nearest(a: ArrayData, cents: Array[Array[Double]]): Int = {
+    val n = a.numElements()
+    var best = Double.PositiveInfinity
+    var bi = 0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      if (cent.length != n) return -1
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) return -1
+        val f = a.getDouble(i) - cent(i)
+        d += f * f
+        i += 1
+      }
+      if (d < best) { best = d; bi = c }
+      c += 1
+    }
+    bi
+  }
+}
+
+/** argminᵢ ‖emb − Cᵢ‖² with the centroid matrix riding the expression as ONE
+  * reference object — the IVF/SemDeDup cell assignment. The previous form,
+  * `array_min(array(struct(l2DistSq(emb, C₀), 0), …))`, builds a Catalyst
+  * tree of k·dim literal nodes: at the corpus-derived k the SemDeDup
+  * discipline requires (k ≈ n/128), analysis + optimizer passes over that
+  * tree dominated the assignment job (measured 12.6 s of a 21 s query at
+  * k = 157, dim = 64). Same IEEE distance-accumulation order and same
+  * lowest-index tie-break as the struct-min tree, so stored cell columns
+  * and every oracle-checked result are unchanged. Divergence only on inputs
+  * the old tree never saw in practice: null element / dimension mismatch →
+  * NULL here (the struct-min form folded nulls into its ordering).
+  */
+case class NearestCell(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_nearest_cell"
+
+  override def nullSafeEval(v: Any): Any = {
+    val r = NearestCellImpl.nearest(v.asInstanceOf[ArrayData], matrix)
+    if (r < 0) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("cell")
+      s"""
+         |final int $r = graft.functions.NearestCellImpl.nearest($c, $ref);
+         |if ($r < 0) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
 object VectorKernels {
   private def binary(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
     GraftColumnBridge.column(f(
@@ -102,4 +171,12 @@ object VectorKernels {
 
   /** Codegen'd squared L2 distance of two numeric array columns. */
   def l2DistSq(a: Column, b: Column): Column = binary(L2DistSq.apply)(a, b)
+
+  /** Codegen'd nearest-centroid assignment over a reference-object matrix. */
+  def nearestCell(emb: Column, centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "nearestCell: empty centroid matrix")
+    GraftColumnBridge.column(NearestCell(
+      GraftColumnBridge.expression(emb.cast("array<double>")),
+      centroids.map(_.toSeq).toSeq))
+  }
 }

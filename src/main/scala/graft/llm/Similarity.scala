@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.functions.ArrayOps
 
@@ -304,13 +304,11 @@ object Similarity {
     * (distance, index) structs, each distance a native
     * [[graft.functions.L2DistSq]] kernel).
     */
-  def ivfCell(emb: Column, centroids: Array[Array[Double]]): Column = {
-    val cells = centroids.zipWithIndex.map { case (c, i) =>
-      val cl = array(c.map(lit(_)).toIndexedSeq: _*)
-      struct(graft.functions.VectorKernels.l2DistSq(emb, cl).as("d"), lit(i).as("i"))
-    }
-    array_min(array(cells.toIndexedSeq: _*)).getField("i")
-  }
+  def ivfCell(emb: Column, centroids: Array[Array[Double]]): Column =
+    // One reference-object kernel, not a k-branch struct-min tree: identical
+    // assignments (same IEEE order, same lowest-index tie-break — see
+    // [[graft.functions.NearestCell]]), O(1) Catalyst tree size at any k.
+    graft.functions.VectorKernels.nearestCell(emb, centroids)
 
   /** Assign the stored IVF cell column — write once, partition/cluster the
     * table by it, and queries prune to `nprobe` cells of I/O.
@@ -584,5 +582,51 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         ArrayOps.cosine(col("a.emb"), col("b.emb")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Corpus-scale hard-negative mining over IVF-cell candidates — the
+    * full-corpus-anchors counterpart of the exact bounded-batch miner
+    * (`q_sim_hardneg`): every anchor's candidates come from its IVF cell
+    * EQUI-join, never the |anchors|·|corpus| cross product, so work is
+    * Σ|cellA|·|cell| and stays linear when the cell count scales with the
+    * corpus ([[SemDedup.deriveK]]). Per anchor the top-ranked candidate is
+    * the POSITIVE and ranks 2..negK+1 the hard negatives. The fat-cell
+    * guard reuses [[SemDedup.saltedCells]] (content-hash sub-buckets bound
+    * one degenerate cell; identical/planted-near vectors co-bucket under
+    * the cell-size default). Known miss — a true nearest neighbor split
+    * across a cell boundary — is the standard IVF approximate-kNN trade,
+    * certified by the planted-anchor recall query (`q_sim_hardneg_ann`).
+    * Determinism: rank ties break on ascending candidate id.
+    */
+  def hardNegativesCells(
+      df: DataFrame,
+      centroids: Array[Array[Double]],
+      isAnchor: Column => Column,
+      negK: Int = 3,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      maxCellSize: Int = SemDedup.DefaultMaxCellSize): DataFrame = {
+    require(negK >= 1, s"negK must be >= 1: $negK")
+    // One assignment pass (the expensive codegen'd argmin), checkpointed:
+    // the salt count and both join sides read the same cell column.
+    val assigned = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+        ivfCell(col(embCol), centroids).as("cell"))
+      .localCheckpoint()
+    val salted = SemDedup.saltedCells(assigned, maxCellSize)
+    val anchors = salted.filter(isAnchor(col("id")))
+      .select(col("id").as("anchor"), col("emb").as("__ae"),
+        col("cell"), col("sub"))
+    val cand = anchors
+      .join(salted.select(col("id").as("cand"), col("emb").as("__ce"),
+        col("cell"), col("sub")), Seq("cell", "sub"))
+      .filter(col("anchor") =!= col("cand"))
+      .select(col("anchor"), col("cand"),
+        ArrayOps.cosine(col("__ae"), col("__ce")).as("cosine"))
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("cosine").desc, col("cand"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= negK + 1)
+      .select(col("anchor"), col("rank").cast("long").as("rank"), col("cand"),
+        col("cosine"), (col("rank") === 1).as("is_positive"))
   }
 }

@@ -531,8 +531,14 @@ object LlmQueries {
       // one corpus pass (the batched top-k shape); the per-anchor rank
       // is a window partitioned by anchor. Cosine is the certified
       // pair kernel (q_sim_pairs_exact), so scores replay bit-exact.
+      // The anchor set is a BOUNDED batch (vec_id < 2000 caps it at 40
+      // anchors at any corpus size — identical rows at both driver
+      // scales): exact mining is O(|batch|·n) per batch and production
+      // tiles anchor batches; an anchor set growing WITH the corpus
+      // would be O(n²/50) — the full-corpus-anchors path is
+      // q_sim_hardneg_ann, which mines within IVF cells instead.
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val q = e.filter(col("vec_id") % 50 === 0).alias("q")
+      val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000).alias("q")
       val c = e.alias("c")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("anchor")).orderBy(col("cosine").desc, col("cand"))
@@ -545,6 +551,48 @@ object LlmQueries {
         .select(col("anchor"), col("rank").cast("long").as("rank"),
           col("cand"), col("cosine"), (col("rank") === 1).as("is_positive"))
         .orderBy(col("anchor"), col("rank"))
+    }),
+
+    "q_sim_hardneg_ann" -> ((s, dir) => {
+      // The SCALE path for hard-negative mining (full-corpus anchors):
+      // candidates from the IVF-cell equi-join, never |anchors|·|corpus|.
+      // Certified by the planted-neighbor contract (q_sim_ivf_recall's
+      // discipline): 10 perturbed corpus vectors join the corpus as
+      // anchors; each must surface its source as the mined POSITIVE
+      // (rank 1, cosine ≈ 1) for ≥ 9/10, and every planted anchor must
+      // yield the full negK negatives with cosine ≤ its positive's.
+      // k is corpus-derived (the SemDedup discipline: cells scale with
+      // the corpus, bounding per-cell candidate work), and the planted-id
+      // offset is derived from max(vec_id) — a CONSTANT offset silently
+      // swallowed every replicated-id row as an anchor at the 10x scale.
+      val e = emb(s, dir)
+      val n = e.count()
+      val cents = Similarity.trainIvfCentroids(e, k = SemDedup.deriveK(n))
+      val plantOff = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+      val planted = s.createDataFrame(
+        s.sparkContext.parallelize(
+          Similarity.perturbedQueries(e, n = 10).map { case (qid, v) =>
+            org.apache.spark.sql.Row(qid + plantOff, v.toSeq)
+          }, 1),
+        new org.apache.spark.sql.types.StructType()
+          .add("vec_id", "long").add("embedding", "array<double>"))
+      val corpus = e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(planted)
+      val mined = Similarity.hardNegativesCells(
+          corpus, cents, id => id >= plantOff, negK = 3)
+        .filter(col("anchor") >= plantOff)
+        .localCheckpoint()
+      val hits = mined.filter(col("rank") === 1 &&
+        col("cand") === col("anchor") - plantOff).count()
+      val shapeOk = mined.groupBy(col("anchor")).agg(count(lit(1)).as("n"))
+        .filter(col("n") =!= 4L).count() == 0 &&
+        mined.filter(col("rank") > 1).alias("m")
+          .join(mined.filter(col("rank") === 1).alias("p"),
+            col("m.anchor") === col("p.anchor"))
+          .filter(col("m.cosine") > col("p.cosine")).count() == 0
+      import s.implicits._
+      Seq((hits >= 9L, shapeOk)).toDF("recall_ok", "shape_ok")
     }),
 
     "q_sim_ivf" -> ((s, dir) => {
@@ -2310,7 +2358,7 @@ object LlmQueries {
         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, q) -> p + q)) AS nrm
         |  FROM embeddings),
-        |qa AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |qa AS (SELECT * FROM e WHERE vec_id % 50 = 0 AND vec_id < 2000),
         |sc AS (SELECT q.vec_id AS anchor, c.vec_id AS cand,
         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |      list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (p, q2) -> p + q2)
@@ -2320,6 +2368,11 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY anchor ORDER BY cosine DESC, cand) AS rank FROM sc)
         |SELECT anchor, CAST(rank AS BIGINT) AS rank, cand, cosine, rank = 1 AS is_positive
         |FROM r WHERE rank <= 4 ORDER BY anchor, rank""".stripMargin,
+
+    // Planted-neighbor recall certificate (assertions run Spark-side; the
+    // oracle states the expected verdict — q_sim_ivf_recall's pattern).
+    "q_sim_hardneg_ann" ->
+      "SELECT true AS recall_ok, true AS shape_ok",
 
     "q_sim_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS d,

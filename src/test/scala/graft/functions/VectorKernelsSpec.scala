@@ -68,6 +68,37 @@ class VectorKernelsSpec extends SparkTestBase {
       }
   }
 
+  test("nearestCell: kernel == the struct-min tree it replaced, codegen == interpreted") {
+    // 40 random 8-dim vectors, 7 random centroids (including one exact copy
+    // of a data vector so a zero distance is exercised).
+    val data = Seq.fill(40)(vec(8))
+    val cents = (Seq.fill(6)(vec(8)) :+ data.head).map(_.toArray).toArray
+    val df = data.map(Tuple1(_)).toDF("emb")
+    // The replaced formulation, verbatim: array_min over k (l2DistSq, i) structs.
+    val tree = {
+      val cells = cents.zipWithIndex.map { case (c, i) =>
+        struct(VectorKernels.l2DistSq($"emb",
+          array(c.map(lit(_)).toIndexedSeq: _*)).as("d"), lit(i).as("i"))
+      }
+      array_min(array(cells.toIndexedSeq: _*)).getField("i")
+    }
+    val got = df.select(VectorKernels.nearestCell($"emb", cents).as("kernel"),
+      tree.as("tree")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // Interpreted path agrees with codegen.
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = df.select(VectorKernels.nearestCell($"emb", cents)).collect()
+      got.zip(interp).foreach { case (a, b) => assert(a.getInt(0) == b.getInt(0)) }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("float arrays are accepted (cast to double at the column wrapper)") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
     assert(df.select(VectorKernels.dot($"a", $"b")).head().getDouble(0) == 11.0)

@@ -154,4 +154,41 @@ class SimilaritySpec extends SparkTestBase {
       assert(cos > 0.9999, s"query $id drifted from its source (cos=$cos)")
     }
   }
+
+  test("hard negatives over IVF cells: positive is the in-cell nearest, ranks ordered") {
+    // Same 3-tight-cluster construction as the IVF test: every vector's
+    // true nearest neighbor shares its cell, so the cell-join miner must
+    // agree with a per-cell brute force exactly.
+    val pts = (0 until 30).map { i =>
+      val axis = i % 3
+      val base = Array.fill(4)(0.05f * ((i * 7) % 3))
+      base(axis) = 1.0f
+      ((i + 1).toLong, base.toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(df, k = 3, sampleN = 30, iters = 5)
+    val mined = Similarity.hardNegativesCells(df, cents, id => id <= 3L, negK = 2)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(mined.keySet == Set(1L, 2L, 3L))
+    // Driver-side reference: cells + exact cosine within each anchor's cell.
+    val cells = Similarity.withIvfCell(df, cents)
+      .select("vec_id", "ivf_cell").as[(Long, Int)].collect().toMap
+    val embs = pts.toMap.view.mapValues(_.map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    mined.foreach { case (anchor, rows) =>
+      assert(rows.map(_._2).toSeq == Seq(1L, 2L, 3L)) // positive + 2 negatives
+      assert(rows.head._5 && rows.tail.forall(!_._5))
+      // ranks are ordered by cosine desc, and rank 1 matches the per-cell argmax
+      assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq)
+      val expected = embs.keys
+        .filter(id => id != anchor && cells(id) == cells(anchor))
+        .map(id => (cos(embs(anchor), embs(id)), id))
+        .toSeq.sortBy { case (c, id) => (-c, id) }.head._2
+      assert(rows.head._3 == expected, s"anchor $anchor positive mismatch")
+    }
+  }
 }

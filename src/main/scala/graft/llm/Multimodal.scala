@@ -123,16 +123,67 @@ object Multimodal {
     * `(id·7 + x·11 + y·3) % 256` (b) — a closed form an SQL oracle can
     * re-derive per grid cell.
     */
-  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] =
+    syntheticPng(id, w, h, 0)
+
+  /** [[syntheticPng]] with a saturating brightness offset (`min(c + bright,
+    * 255)` per channel) — the near-duplicate perturbation for the
+    * perceptual-hash dedup fixture: gradient SIGNS (what dHash encodes)
+    * survive a uniform brightness shift except where a channel clamps.
+    */
+  def syntheticPng(id: Long, w: Int, h: Int, bright: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
-        val g = ((id * 17 + x * 3 + y * 5) % 256).toInt
-        val b = ((id * 7 + x * 11 + y * 3) % 256).toInt
+        val r = math.min(((id * 31 + x * 7 + y * 13) % 256).toInt + bright, 255)
+        val g = math.min(((id * 17 + x * 3 + y * 5) % 256).toInt + bright, 255)
+        val b = math.min(((id * 7 + x * 11 + y * 3) % 256).toInt + bright, 255)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Textured synthetic PNG for the PERCEPTUAL-hash fixture: channel values
+    * are `((id·2+c₁) · (x²·a + y²·b + xy·d + e)) mod 251`, clamped to 250
+    * after the `bright` shift — nonlinear in the pixel position with an
+    * id-dependent multiplier over a PRIME modulus, still a closed form an
+    * SQL oracle re-derives. Two wrong fixtures this replaces: (a)
+    * [[syntheticPng]]'s linear formula — two ids differ by a CONSTANT
+    * offset mod 256, so gradient signs (what dHash encodes) mostly agree
+    * and every same-size pair reads as a near-duplicate; (b) the same
+    * multiplicative form mod 256 — a power-of-two modulus makes ids ≡ mod
+    * 128 share multipliers (and ±128 collide on even cells), re-correlating
+    * the corpus. And because ANY integer polynomial in id is periodic mod
+    * the modulus, a single-multiplier form mod 251 still twins ids 251
+    * apart (the 9×8 resample quantizes away their small (w, h) difference —
+    * dHash's resize-invariance working as designed, measured 1445
+    * hamming-0 twins at 5000 docs). The second multiplier from the
+    * QUOTIENT id/251 stretches the period to 251² = 63001 ids, beyond any
+    * per-copy id range; the saturating `bright` shift still yields a true
+    * planted near-dup.
+    */
+  def syntheticPngTextured(id: Long, w: Int, h: Int, bright: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val q = id / 251
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val q1 = x * x * 3 + y * y * 7 + x * y + 1L
+        val q2 = x * x * 5 + y * y * 3 + x + 2L
+        val q3 = x * x * 7 + y * y * 5 + y + 3L
+        val r = math.min((((id * 2 + 1) * q1 + (q * 3 + 1) * q2) % 251).toInt + bright, 250)
+        val g = math.min((((id * 2 + 3) * q2 + (q * 3 + 2) * q3) % 251).toInt + bright, 250)
+        val b = math.min((((id * 2 + 5) * q3 + (q * 3 + 3) * q1) % 251).toInt + bright, 250)
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -203,6 +254,114 @@ object Multimodal {
           }
         }
       }
+  }
+
+  // --- perceptual-hash image dedup (dHash over the real decode path) ------
+
+  /** 64-bit difference hash of a decoded image, carried as two UNSIGNED
+    * 32-bit halves in `long` columns: `hi`/`lo` stay in [0, 2³²), so every
+    * band/XOR/bit_count on either engine runs on non-negative BIGINTs — no
+    * signed-overflow games at bit 63 (DuckDB errors where Java wraps).
+    */
+  final case class ImageDHash(
+      id: Long, width: Int, height: Int, dhash_hi: Long, dhash_lo: Long)
+
+  /** dHash (difference hash — the standard perceptual near-dup signature
+    * for image corpora): nearest-neighbor resample onto a 9×8 grid of gray
+    * SUMS (r+g+b as exact integers — gradient comparison is invariant to
+    * the usual /3), bit (x, y) = gray(x+1, y) > gray(x, y), position
+    * y·8+x. Robust to uniform brightness shift (signs survive except where
+    * a channel clamps) — which is exactly what the fixture perturbs.
+    */
+  def dHashDetail(payload: Array[Byte]): Either[String, (Int, Int, Long, Long)] = {
+    if (payload == null) return Left("null_payload")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return Left("undecodable")
+    val w = img.getWidth; val h = img.getHeight
+    val gray = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      val sy = (y.toLong * h / 8).toInt
+      var x = 0
+      while (x < 9) {
+        val sx = (x.toLong * w / 9).toInt
+        val rgb = img.getRGB(sx, sy)
+        gray(y)(x) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L; var lo = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(y)(x + 1) > gray(y)(x)) {
+          val pos = y * 8 + x
+          if (pos < 32) lo |= 1L << pos else hi |= 1L << (pos - 32)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Right((w, h, hi, lo))
+  }
+
+  /** The dHash stage: same per-partition batch shape as
+    * [[imageFeatureKernel]]; undecodable payloads are dropped (compose with
+    * [[imageFeatureKernelWithQuarantine]] upstream when accounting matters).
+    */
+  def imageDHashKernel(
+      df: DataFrame,
+      idCol: String = "id",
+      payloadCol: String = "payload"): Dataset[ImageDHash] = {
+    implicit val enc = Encoders.product[ImageDHash]
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, payload) =>
+          dHashDetail(payload).toOption.map { case (w, h, hi, lo) =>
+            ImageDHash(id, w, h, hi, lo)
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs by banded dHash: the 64-bit hash splits
+    * into four 16-bit bands; a pair within Hamming distance ≤ 3·16 shares
+    * at least one exact band (pigeonhole — the SimHash discipline), so
+    * candidates come from a band equi-join, never all pairs. Exact Hamming
+    * distance (`bit_count` over the XORed halves) then confirms against
+    * `maxHamming`. Scale note: a degenerate band value (e.g. a corpus of
+    * constant-color thumbnails, all hash 0) funnels its bucket through one
+    * task — the [[Dedup.minhashCandidatesFromSigsSalted]] fragment-
+    * replicate split is the template if a real corpus hits it.
+    */
+  def dHashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 48,
+      s"maxHamming in [0, 48] (beyond 3 bands apart, banding cannot guarantee recall): $maxHamming")
+    val mask = lit(0xFFFFL)
+    val bands = array(
+      struct(lit(0).as("band"), col("dhash_lo").bitwiseAND(mask).as("key")),
+      struct(lit(1).as("band"), shiftright(col("dhash_lo"), 16).bitwiseAND(mask).as("key")),
+      struct(lit(2).as("band"), col("dhash_hi").bitwiseAND(mask).as("key")),
+      struct(lit(3).as("band"), shiftright(col("dhash_hi"), 16).bitwiseAND(mask).as("key")))
+    val banded = hashes.select(col("id"), col("dhash_hi"), col("dhash_lo"),
+        explode(bands).as("bk"))
+      .select(col("id"), col("dhash_hi"), col("dhash_lo"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (bit_count(col("a.dhash_hi").bitwiseXOR(col("b.dhash_hi"))) +
+         bit_count(col("a.dhash_lo").bitwiseXOR(col("b.dhash_lo"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // --- real audio path (hand-parsed RIFF/WAVE PCM16 — no codec libs) ------

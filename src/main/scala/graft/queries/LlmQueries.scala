@@ -1474,6 +1474,35 @@ object LlmQueries {
         .orderBy(col("id"), col("frame_idx"))
     }),
 
+    "q_multimodal_phash" -> ((s, dir) => {
+      // Perceptual-hash image dedup (the LAION-style near-dup stage):
+      // REAL PNG decode → dHash (9×8 gray-sum gradient signs, 64 bits as
+      // two unsigned 32-bit halves) → banded equi-join (four 16-bit
+      // bands, pigeonhole-complete to Hamming 48) → exact bit_count
+      // confirm ≤ 10. Fixture plants near-duplicates: every id%10==9 doc
+      // re-renders id−4's image with a saturating +4 brightness shift —
+      // gradient signs survive except where a channel clamps, so the
+      // planted pair sits a few bits apart while unrelated hashes sit
+      // ~32 apart. PNG is lossless and the pixel formula closed-form, so
+      // the oracle re-derives every hash, band, and Hamming distance in
+      // SQL — a full hash check of a perceptual dedup over a real codec.
+      // The TEXTURED generator (nonlinear in position) is load-bearing:
+      // syntheticPng's linear formula gives all same-size images nearly
+      // the same gradient signs, reading the whole corpus as near-dups.
+      val gen = udf((gid: Long, w: Int, h: Int, br: Int) =>
+        Multimodal.syntheticPngTextured(gid, w, h, br))
+      val media = docs(s, dir).select(col("doc_id").cast("long").as("id"))
+        .withColumn("gid",
+          when(col("id") % 10 === 9, col("id") - 4).otherwise(col("id")))
+        .withColumn("br", when(col("id") % 10 === 9, lit(4)).otherwise(lit(0)))
+        .withColumn("w", (col("gid") % 7 + 16).cast("int"))
+        .withColumn("h", (col("gid") % 5 + 16).cast("int"))
+        .select(col("id"), gen(col("gid"), col("w"), col("h"), col("br")).as("payload"))
+      val hashes = Multimodal.imageDHashKernel(media).toDF()
+      Multimodal.dHashNearDupPairs(hashes, maxHamming = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_multimodal_frames" -> ((s, dir) =>
       // Frame-sample plumbing (1 → N rows per payload, every 3rd 64-byte
       // frame, truncated tail): ASCII payloads make frame boundaries
@@ -2298,6 +2327,52 @@ object LlmQueries {
         |SELECT id, CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
         |  nf AS n_frames, frame_idx, TRUE AS color_ok
         |FROM f ORDER BY id, frame_idx""".stripMargin,
+
+    // Full SQL replay of the perceptual dedup: hash, bands, Hamming all
+    // re-derived from the closed-form pixel formula (+4 clamp on planted
+    // near-dups). hi/lo ride as unsigned 32-bit halves in BIGINTs so no
+    // shift touches bit 63 (DuckDB errors on signed overflow; Java wraps).
+    "q_multimodal_phash" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(CASE WHEN doc_id % 10 = 9 THEN doc_id - 4 ELSE doc_id END AS BIGINT) AS gid,
+        |    CASE WHEN doc_id % 10 = 9 THEN 4 ELSE 0 END AS br
+        |  FROM documents),
+        |dd AS (SELECT id, gid, br, gid // 251 AS qq,
+        |    gid % 7 + 16 AS w, gid % 5 + 16 AS h FROM d),
+        |s AS (SELECT id, gid, qq, br, x.x AS x, y.y AS y,
+        |    (x.x * w) // 9 AS sx, (y.y * h) // 8 AS sy
+        |  FROM dd, range(0, 9) x(x), range(0, 8) y(y)),
+        |p AS (SELECT id, gid, qq, br, x, y,
+        |    sx * sx * 3 + sy * sy * 7 + sx * sy + 1 AS q1,
+        |    sx * sx * 5 + sy * sy * 3 + sx + 2 AS q2,
+        |    sx * sx * 7 + sy * sy * 5 + sy + 3 AS q3
+        |  FROM s),
+        |g AS (SELECT id, x, y,
+        |    least(((gid * 2 + 1) * q1 + (qq * 3 + 1) * q2) % 251 + br, 250)
+        |  + least(((gid * 2 + 3) * q2 + (qq * 3 + 2) * q3) % 251 + br, 250)
+        |  + least(((gid * 2 + 5) * q3 + (qq * 3 + 3) * q1) % 251 + br, 250) AS gray
+        |  FROM p),
+        |b AS (SELECT g1.id, g1.x, g1.y,
+        |    CASE WHEN g2.gray > g1.gray THEN 1 ELSE 0 END AS bit
+        |  FROM g g1 JOIN g g2 ON g1.id = g2.id AND g1.y = g2.y AND g2.x = g1.x + 1
+        |  WHERE g1.x < 8),
+        |hsh AS (SELECT id,
+        |    CAST(sum(CASE WHEN y * 8 + x >= 32 THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN y * 8 + x < 32 THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM b GROUP BY id),
+        |banded AS (SELECT id, hi, lo, bb.b AS band,
+        |    CASE bb.b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |              WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS key
+        |  FROM hsh, range(0, 4) bb(b)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+        |    a.hi AS ha, a.lo AS la, b2.hi AS hb, b2.lo AS lb
+        |  FROM banded a JOIN banded b2
+        |    ON a.band = b2.band AND a.key = b2.key AND a.id < b2.id),
+        |ham AS (SELECT id_a, id_b,
+        |    CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+        |  FROM cand)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH d AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS len

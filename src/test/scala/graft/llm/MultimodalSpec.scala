@@ -223,4 +223,36 @@ class MultimodalSpec extends SparkTestBase {
     // values agree with the drop-variant kernels
     assert(Multimodal.decodeAviDetail(compressed, 3).isRight)
   }
+
+  test("dHash: brightness-shifted near-dup lands within threshold, strangers far apart") {
+    val base = Multimodal.syntheticPngTextured(42L, 18, 17, 0)
+    val bright = Multimodal.syntheticPngTextured(42L, 18, 17, 4)
+    val other = Multimodal.syntheticPngTextured(43L, 18, 17, 0)
+    val Right((w, h, hiA, loA)) = Multimodal.dHashDetail(base)
+    val Right((_, _, hiB, loB)) = Multimodal.dHashDetail(bright)
+    val Right((_, _, hiC, loC)) = Multimodal.dHashDetail(other)
+    assert(w == 18 && h == 17)
+    // halves stay unsigned 32-bit (the BIGINT-safe contract)
+    Seq(hiA, loA, hiB, loB, hiC, loC).foreach(v => assert(v >= 0L && v < (1L << 32)))
+    def ham(h1: Long, l1: Long, h2: Long, l2: Long) =
+      java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+    assert(ham(hiA, loA, hiB, loB) <= 10, "brightness shift must keep gradient signs")
+    assert(ham(hiA, loA, hiC, loC) > 16, "different image must hash far away")
+    // corrupt bytes fail loudly, not silently
+    assert(Multimodal.dHashDetail("notapng".getBytes("US-ASCII")) == Left("undecodable"))
+  }
+
+  test("dHash near-dup pairs: banded join surfaces exactly the planted pair") {
+    val gen = (gid: Long, w: Int, h: Int, br: Int) => Multimodal.syntheticPngTextured(gid, w, h, br)
+    // 20 distinct images plus one brightness-shifted copy of id 3 as id 100.
+    val rows = (0L until 20L).map(i => (i, gen(i, 16 + (i % 5).toInt, 16, 0))) :+
+      ((100L, gen(3L, 19, 16, 4)))
+    val df = rows.toDF("id", "payload")
+    val hashes = Multimodal.imageDHashKernel(df).toDF()
+    val pairs = Multimodal.dHashNearDupPairs(hashes, maxHamming = 10)
+      .as[(Long, Long, Long)].collect().sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).contains((3L, 100L)), s"planted pair missing: ${pairs.toSeq}")
+    // threshold respected on every returned pair
+    assert(pairs.forall(_._3 <= 10))
+  }
 }

@@ -111,6 +111,54 @@ object UrlOps {
       .drop("__norm")
   }
 
+  /** Corpus-level per-domain document cap — the RefinedWeb/FineWeb
+    * anti-domination stage: keep at most `maxPerDomain` documents per
+    * registered domain, best-first by (`scoreCol` desc, `tieCol` asc), so
+    * no single site dominates the training mixture however many pages it
+    * contributed to the crawl.
+    *
+    * Shape: one rank window per domain, and the `row_number ≤ k` filter
+    * sits DIRECTLY above the window so Spark's rank-limit pushdown plans
+    * it as WindowGroupLimit with a Partial pass before the exchange —
+    * each map task keeps a bounded top-k per group, so a mega-domain
+    * costs O(cap) memory map-side (the unbounded-window hot-key hazard
+    * [[dedupByUrl]] documents does not apply; certified by the
+    * plan-shape spec). Null-domain rows (non-URLs) pass through with a
+    * null rank rather than occupying cap slots.
+    */
+  def capPerDomain(df: DataFrame, hostCol: String, scoreCol: String,
+      tieCol: String, maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1: $maxPerDomain")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col(scoreCol).desc, col(tieCol))
+    val keyed = df.withColumn("domain", registeredDomain(lower(col(hostCol))))
+    keyed.filter(col("domain").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerDomain)
+      .withColumn("domain_rank", col("__rn").cast("long")).drop("__rn")
+      .unionByName(keyed.filter(col("domain").isNull)
+        .withColumn("domain_rank", lit(null).cast("long")))
+  }
+
+  /** Keep the NEWEST snapshot of each URL — the re-crawl dedup between
+    * successive crawl dumps (the same page fetched in every dump must
+    * enter the corpus once, as its latest version). Argmax by
+    * (`tsCol`, remaining columns in frame order — the deterministic
+    * tie-break for equal timestamps) via one `max(struct(…))` aggregation:
+    * map-side partials collapse a hot URL before the exchange (the
+    * [[dedupByUrl]] discipline — a window would pile every snapshot of a
+    * hot URL onto one task). Null-URL rows pass through untouched.
+    */
+  def keepLatestSnapshot(df: DataFrame, urlCol: String, tsCol: String): DataFrame = {
+    val rest = df.columns.filterNot(c => c == urlCol || c == tsCol).toSeq
+    val packed = struct((tsCol +: rest).map(col): _*)
+    val kept = df.filter(col(urlCol).isNotNull)
+      .groupBy(col(urlCol))
+      .agg(max(packed).as("__top"))
+      .select(col(urlCol) +: (tsCol +: rest).map(c => col(s"__top.`$c`").as(c)): _*)
+    kept.unionByName(df.filter(col(urlCol).isNull).select(kept.columns.map(col): _*))
+  }
+
   /** Tracking-parameter keys a crawl canonicalizer strips: the `utm_*`
     * campaign family by prefix plus the common click-identifier keys.
     * Dropping them merges the millions of per-campaign/per-click aliases

@@ -636,6 +636,41 @@ object CrawlQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    "q_url_domaincap" -> ((s, dir) => {
+      // Corpus-level per-domain cap (RefinedWeb/FineWeb's anti-domination
+      // stage — distinct from fetch politeness: this bounds what enters
+      // the TRAINING MIXTURE): keep the best 5 docs per registered domain
+      // by (score desc, doc_id). The row_number ≤ k filter sits directly
+      // on the window so it plans as WindowGroupLimit — bounded map-side
+      // top-k per domain (plan pinned by UrlOpsSpec). Domains via the
+      // registered-domain kernel over the 23-host link-graph pool (the
+      // co.uk multi-label suffix exercised every 4th host).
+      val k = col("doc_id") % 23
+      val pages = docs(s, dir).select(col("doc_id"),
+        lgHostForm(k).as("host"),
+        ((col("doc_id") * 37) % 100).as("score"))
+      UrlOps.capPerDomain(pages, "host", "score", "doc_id", maxPerDomain = 5)
+        .select(col("doc_id"), col("host"), col("score"), col("domain"),
+          col("domain_rank"))
+        .orderBy(col("domain"), col("domain_rank"))
+    }),
+
+    "q_url_snapshot" -> ((s, dir) => {
+      // Keep-newest-snapshot re-crawl dedup (the same page fetched in
+      // every crawl dump enters the corpus once, as its latest version):
+      // 200 URLs × ~n/200 snapshots; max(struct) per URL — map-side
+      // partials collapse hot URLs, no per-URL window buffering.
+      val p = col("doc_id") % 200
+      val snaps = docs(s, dir).select(col("doc_id"),
+        concat(lit("https://h"), (p % 23).cast("string"), lit(".com/p/"),
+          p.cast("string")).as("url"),
+        (col("doc_id") + 1000).as("fetch_ts"),
+        length(col("text")).cast("long").as("text_len"))
+      UrlOps.keepLatestSnapshot(snaps, "url", "fetch_ts")
+        .select(col("url"), col("fetch_ts"), col("doc_id"), col("text_len"))
+        .orderBy(col("url"))
+    }),
+
     "q_url_blocklist" -> ((s, dir) =>
       // Domain blocklist gate: survivors counted per registrable domain
       // (null = non-URL rows, which the gate must NOT drop).
@@ -966,6 +1001,27 @@ object CrawlQueries {
       """SELECT doc_id FROM documents
         |WHERE doc_id % 5 IN (0, 1, 2, 4) OR (doc_id % 5 = 3 AND doc_id < 50)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_url_domaincap" ->
+      s"""WITH p AS (SELECT doc_id, ${lgHostSql("doc_id % 23")} AS host,
+         |    (doc_id * 37) % 100 AS score, ${lgDomSql("doc_id % 23")} AS domain
+         |  FROM documents),
+         |r AS (SELECT doc_id, host, score, domain,
+         |    row_number() OVER (PARTITION BY domain ORDER BY score DESC, doc_id) AS rn
+         |  FROM p)
+         |SELECT doc_id, host, score, domain, CAST(rn AS BIGINT) AS domain_rank
+         |FROM r WHERE rn <= 5 ORDER BY domain, domain_rank""".stripMargin,
+
+    "q_url_snapshot" ->
+      """WITH s AS (SELECT doc_id,
+        |    'https://h' || ((doc_id % 200) % 23) || '.com/p/' || (doc_id % 200) AS url,
+        |    doc_id + 1000 AS fetch_ts, CAST(length(text) AS BIGINT) AS text_len
+        |  FROM documents),
+        |r AS (SELECT doc_id, url, fetch_ts, text_len,
+        |    row_number() OVER (PARTITION BY url ORDER BY fetch_ts DESC) AS rn
+        |  FROM s)
+        |SELECT url, fetch_ts, doc_id, text_len FROM r WHERE rn = 1
+        |ORDER BY url""".stripMargin,
 
     "q_url_blocklist" ->
       s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),

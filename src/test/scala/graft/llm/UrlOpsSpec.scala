@@ -122,4 +122,45 @@ class UrlOpsSpec extends SparkTestBase {
       .as[Long].collect().sorted.toSeq
     assert(kept == Seq(10L, 12L, 13L, 14L))
   }
+
+  test("capPerDomain: best-k per registered domain, WindowGroupLimit plan, null pass-through") {
+    // 6 docs on a.com (subdomains fold into one registered domain),
+    // 2 on b.co.uk (multi-label suffix), 1 null host.
+    val df = Seq(
+      (1L, "www.a.com", 50L), (2L, "cdn.a.com", 90L), (3L, "a.com", 70L),
+      (4L, "www.a.com", 90L), (5L, "a.com", 10L), (6L, "www.a.com", 30L),
+      (7L, "news.b.co.uk", 5L), (8L, "b.co.uk", 99L),
+      (9L, null.asInstanceOf[String], 42L)).toDF("id", "host", "score")
+    val capped = UrlOps.capPerDomain(df, "host", "score", "id", maxPerDomain = 3)
+    val rows = capped.as[(Long, String, Long, String, java.lang.Long)].collect()
+      .map(r => (r._4, r._5, r._1)).sortBy(t => (Option(t._1).getOrElse(""), Option(t._2).map(_.toLong).getOrElse(99L)))
+    // a.com keeps ids 2,4 (score 90, id tiebreak) then 3 (70); 1/5/6 dropped
+    assert(rows.filter(_._1 == "a.com").map(t => (t._2.toLong, t._3)).toSeq ==
+      Seq((1L, 2L), (2L, 4L), (3L, 3L)))
+    // b.co.uk under cap: both kept, best-first
+    assert(rows.filter(_._1 == "b.co.uk").map(t => (t._2.toLong, t._3)).toSeq ==
+      Seq((1L, 8L), (2L, 7L)))
+    // null host passes through with null rank
+    assert(rows.exists(t => t._1 == null && t._2 == null && t._3 == 9L))
+    // the rank filter must plan as WindowGroupLimit (bounded map-side
+    // top-k), not a full window sort feeding a filter
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("keepLatestSnapshot: newest per URL via max-struct agg, null URL passes") {
+    val df = Seq(
+      (1L, "http://x.com/a", 100L, "v1"), (2L, "http://x.com/a", 300L, "v3"),
+      (3L, "http://x.com/a", 200L, "v2"), (4L, "http://x.com/b", 50L, "only"),
+      (5L, null.asInstanceOf[String], 999L, "junk")).toDF("id", "url", "ts", "body")
+    val kept = UrlOps.keepLatestSnapshot(df.select($"url", $"ts", $"id", $"body"), "url", "ts")
+      .as[(String, Long, Long, String)].collect().sortBy(r => Option(r._1).getOrElse(""))
+    assert(kept.length == 3)
+    assert(kept.find(_._1 == "http://x.com/a").get == (("http://x.com/a", 300L, 2L, "v3")))
+    assert(kept.find(_._1 == "http://x.com/b").get == (("http://x.com/b", 50L, 4L, "only")))
+    assert(kept.exists(r => r._1 == null && r._3 == 5L))
+    // the keep is an aggregation (map-side combine on hot URLs), never a window
+    val plan = UrlOps.keepLatestSnapshot(df, "url", "ts").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
 }

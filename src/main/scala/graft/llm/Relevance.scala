@@ -134,4 +134,59 @@ object Relevance {
       .groupBy(col("id"))
       .agg(sum(col("contrib_micro")).as("score_micro"))
   }
+
+  /** The [[toks]] tokenizer, published for judgment fixtures that must use
+    * the EXACT relevance tokenization (membership tests etc.).
+    */
+  def tokens(text: Column): Column = toks(text)
+
+  /** Ranking-quality metrics of a retrieval run against relevance
+    * judgments — the eval harness behind retrieval / RAG training-data
+    * work: recall@k, precision@k, MRR and nDCG@k per query.
+    *
+    * Inputs: `ranked` = (query_id, id, rank) with rank 1-based;
+    * `judgments` = (query_id, id) relevant pairs (assumed distinct). Every
+    * JUDGED query gets a result row — a ranker that returned nothing for a
+    * query scores 0, it does not vanish from the report.
+    *
+    * Exactness (the integer micro-unit discipline): each nDCG gain
+    * `round(1e6 / log2(rank+1))` rounds to an integer micro BEFORE any
+    * sum — and is only ever evaluated at ranks 1..k, a finite table both
+    * engines agree on — so cross-row sums are integer-exact under any
+    * aggregation order; recall/precision/MRR/nDCG ratios are exact integer
+    * divisions (the `(a − a mod b)/b` Column idiom, IEEE-exact < 2⁵³).
+    *
+    * Shape at scale: the ranked frame is top-k per query (k rows/query by
+    * construction), judgments join on (query_id, id), and every aggregate
+    * is per-query with map-side combine — nothing buffers a query group.
+    */
+  def rankingMetrics(ranked: DataFrame, judgments: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def exactDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    def gainOf(rank: Column): Column =
+      round(lit(1000000.0) / log2(rank.cast("double") + lit(1.0))).cast("long")
+    val rel = judgments.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val hit = ranked.filter(col("rank") <= k)
+      .join(judgments, Seq("query_id", "id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("hits"), min(col("rank")).as("__fr"),
+        sum(gainOf(col("rank"))).as("__dcg"))
+    val idcg = aggregate(
+      sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
+      lit(0L), (s, r) => s + gainOf(r))
+    rel.join(hit, Seq("query_id"), "left")
+      .na.fill(0L, Seq("hits", "__dcg"))
+      .withColumn("recall_micro", exactDiv(col("hits") * 1000000L, col("n_rel")))
+      .withColumn("precision_micro", exactDiv(col("hits") * 1000000L, lit(k.toLong)))
+      .withColumn("mrr_micro",
+        when(col("__fr").isNull, 0L)
+          .otherwise(exactDiv(lit(1000000L), col("__fr"))))
+      .withColumn("__idcg", idcg)
+      .withColumn("ndcg_micro",
+        when(col("__idcg") > 0L, exactDiv(col("__dcg") * 1000000L, col("__idcg")))
+          .otherwise(lit(0L)))
+      .select(col("query_id"), col("n_rel"), col("hits"), col("recall_micro"),
+        col("precision_micro"), col("mrr_micro"), col("ndcg_micro"))
+  }
 }

@@ -135,6 +135,34 @@ object ScaleQueries {
       Relevance.bm25(docs(s, dir), "doc_id", "text", bm25Terms)
         .orderBy(col("id"))),
 
+    "q_text_retrieval_eval" -> ((s, dir) => {
+      // Retrieval-eval harness (the RAG / retrieval-training data-quality
+      // report): BM25 top-10 per query, judged against closed-form
+      // relevance (a doc is relevant iff it contains EVERY query term —
+      // same tokenizer as the scorer), scored as recall/precision@10, MRR
+      // and nDCG@10 in integer micro-units. Rank shape is scale-correct:
+      // global orderBy.limit(k) (TakeOrdered — no full sort) per query,
+      // then row_number over the k-row frame only.
+      val d = docs(s, dir)
+      val qs = Seq(0L -> Seq("join", "hash"), 1L -> Seq("filter", "scan"),
+        2L -> Seq("window", "sort"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_micro").desc, col("id"))
+      val ranked = qs.map { case (qid, terms) =>
+        Relevance.bm25(d, "doc_id", "text", terms)
+          .orderBy(col("score_micro").desc, col("id")).limit(10)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select(lit(qid).as("query_id"), col("id"), col("rank"))
+      }.reduce(_ unionByName _)
+      val judgments = qs.map { case (qid, terms) =>
+        d.filter(terms.map(t =>
+            array_contains(Relevance.tokens(col("text")), t)).reduce(_ && _))
+          .select(lit(qid).as("query_id"), col("doc_id").as("id"))
+      }.reduce(_ unionByName _)
+      Relevance.rankingMetrics(ranked, judgments, k = 10)
+        .orderBy(col("query_id"))
+    }),
+
     "q_text_redact" -> ((s, dir) => {
       // The corpus carries no PII, so plant one email, one IP and one phone
       // per doc deterministically; redact and hash-compare the full
@@ -551,6 +579,57 @@ object ScaleQueries {
         |  FROM tf t JOIN idf i USING (term) JOIN lens l USING (id))
         |SELECT id, CAST(sum(cm) AS BIGINT) AS score_micro FROM c
         |GROUP BY id ORDER BY id""".stripMargin,
+
+    // Full replay of BM25 ranking + judgments + metrics. nDCG gains are
+    // round(1e6/log2(rank+1)) — only ever evaluated at ranks 1..10, a
+    // finite table both engines agree on; every cross-row sum is integer.
+    "q_text_retrieval_eval" ->
+      s"""WITH qt AS (SELECT * FROM (VALUES (0, 'join'), (0, 'hash'),
+        |    (1, 'filter'), (1, 'scan'), (2, 'window'), (2, 'sort')) AS t(query_id, term)),
+        |toks AS (SELECT doc_id AS id, unnest($toksSql) AS term FROM documents),
+        |lens AS (SELECT doc_id AS id, CAST(len($toksSql) AS DOUBLE) AS len FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |a AS (SELECT sum(len) / (SELECT n FROM n) AS avglen FROM lens),
+        |tf AS (SELECT id, term, count(*) AS tf FROM toks
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY id, term),
+        |idf AS (SELECT term, ln(1.0 + ((SELECT n FROM n) - CAST(count(*) AS DOUBLE) + 0.5)
+        |    / (CAST(count(*) AS DOUBLE) + 0.5)) AS idf
+        |  FROM tf GROUP BY term),
+        |c AS (SELECT q.query_id, t.id, CAST(round(i.idf * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+        |        + 0.75 * l.len / (SELECT avglen FROM a))) * 1000000.0) AS BIGINT) AS cm
+        |  FROM qt q JOIN tf t USING (term) JOIN idf i USING (term) JOIN lens l USING (id)),
+        |scores AS (SELECT query_id, id, CAST(sum(cm) AS BIGINT) AS score_micro
+        |  FROM c GROUP BY query_id, id),
+        |ranked AS (SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, id) AS rank FROM scores),
+        |rk AS (SELECT * FROM ranked WHERE rank <= 10),
+        |jm AS (SELECT q.query_id, t.id, count(DISTINCT t.term) AS nm
+        |  FROM qt q JOIN tf t USING (term) GROUP BY q.query_id, t.id),
+        |qsize AS (SELECT query_id, count(*) AS nq FROM qt GROUP BY query_id),
+        |jd AS (SELECT m.query_id, m.id FROM jm m JOIN qsize s USING (query_id)
+        |  WHERE m.nm = s.nq),
+        |rel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM jd GROUP BY query_id),
+        |hits AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits,
+        |    min(r.rank) AS fr,
+        |    sum(CAST(round(1000000 / log2(r.rank + 1)) AS BIGINT)) AS dcg
+        |  FROM rk r JOIN jd USING (query_id, id) GROUP BY r.query_id),
+        |m AS (SELECT rel.query_id, rel.n_rel, coalesce(h.hits, 0) AS hits,
+        |    h.fr, coalesce(h.dcg, 0) AS dcg
+        |  FROM rel LEFT JOIN hits h USING (query_id)),
+        |pre AS (SELECT r.r AS i,
+        |    sum(CAST(round(1000000 / log2(r2.r + 1)) AS BIGINT)) AS idcg
+        |  FROM range(1, 11) r(r), range(1, 11) r2(r) WHERE r2.r <= r.r
+        |  GROUP BY r.r),
+        |i AS (SELECT m.query_id, p.idcg FROM m
+        |  JOIN pre p ON p.i = least(m.n_rel, 10))
+        |SELECT CAST(m.query_id AS BIGINT) AS query_id, m.n_rel, m.hits,
+        |  CAST((m.hits * 1000000) // m.n_rel AS BIGINT) AS recall_micro,
+        |  CAST((m.hits * 1000000) // 10 AS BIGINT) AS precision_micro,
+        |  CAST(CASE WHEN m.fr IS NULL THEN 0 ELSE 1000000 // m.fr END AS BIGINT) AS mrr_micro,
+        |  CAST(CASE WHEN i.idcg > 0 THEN (m.dcg * 1000000) // i.idcg ELSE 0 END AS BIGINT) AS ndcg_micro
+        |FROM m JOIN i USING (query_id) ORDER BY m.query_id""".stripMargin,
 
     "q_text_redact" ->
       """WITH p AS (SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR)

@@ -116,4 +116,27 @@ class RelevanceRedactionSpec extends SparkTestBase {
       .toDF("c").select(luhnValid($"c")).as[Boolean].collect().toSeq
     assert(got == Seq(true, true, false, true, false, false, false))
   }
+
+  test("rankingMetrics: recall/precision/MRR/nDCG on a hand-computed fixture") {
+    // q0: relevant {1,2,3}; ranked [2@1, 9@2, 1@3] (k=3) → hits 2,
+    //   recall 2/3, precision 2/3, MRR 1 (first hit at rank 1),
+    //   dcg = g(1)+g(3) = 1000000+500000, idcg = g(1)+g(2)+g(3).
+    // q1: relevant {4}; ranked [7@1, 8@2] → all zero except n_rel.
+    // q2: relevant {5}; ranker returned NOTHING → still reported, zeros.
+    val ranked = Seq((0L, 2L, 1L), (0L, 9L, 2L), (0L, 1L, 3L),
+      (1L, 7L, 1L), (1L, 8L, 2L)).toDF("query_id", "id", "rank")
+    val judged = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (2L, 5L))
+      .toDF("query_id", "id")
+    val got = Relevance.rankingMetrics(ranked, judged, k = 3)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    val g1 = 1000000L                       // round(1e6/log2(2))
+    val g2 = math.round(1e6 / (math.log(3) / math.log(2)))  // 630930
+    val g3 = 500000L                        // round(1e6/log2(4))
+    val ndcg0 = (g1 + g3) * 1000000L / (g1 + g2 + g3)
+    assert(got == Seq(
+      (0L, 3L, 2L, 666666L, 666666L, 1000000L, ndcg0),
+      (1L, 1L, 0L, 0L, 0L, 0L, 0L),
+      (2L, 1L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }

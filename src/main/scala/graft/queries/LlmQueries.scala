@@ -1295,6 +1295,44 @@ object LlmQueries {
         .select(col("doc_id"), col("n_words")).orderBy(col("doc_id"))
     }),
 
+    "q_pipeline_funnel" -> ((s, dir) => {
+      // The curation FUNNEL report — the observability face of the
+      // fineweb pipeline (every production pipeline ships one: how many
+      // docs entered each stage, how many each stage dropped, where the
+      // corpus went). Same stages as q_pipeline_fineweb (C4 clean →
+      // structural gate on cleaned text → exact dedup), but the output
+      // is the per-stage (entering, dropped, surviving) accounting.
+      // Shape: ONE lazy plan — four one-row aggregates crossJoin-
+      // broadcast into a 3-row explode; the dedup count is
+      // countDistinct(text), not a materialized group frame.
+      val cleaned = graft.llm.C4Rules(structuredDocs(s, dir), "doc_id", "text")
+        .localCheckpoint()
+      val c4kept = cleaned.filter(col("keep"))
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val qkept = graft.llm.GopherRules(c4kept, "doc_id", "text", minWords = 10L)
+        .filter(col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_alpha_words"))
+        .select(col("doc_id"))
+        .join(c4kept, "doc_id")
+      val nTotal = cleaned.agg(count(lit(1)).as("n_total"))
+      val nC4 = c4kept.agg(count(lit(1)).as("n_c4"))
+      val nQ = qkept.agg(count(lit(1)).as("n_q"))
+      val nD = qkept.agg(countDistinct(col("text")).as("n_d"))
+      nTotal.crossJoin(broadcast(nC4)).crossJoin(broadcast(nQ))
+        .crossJoin(broadcast(nD))
+        .select(explode(array(
+          struct(lit("1_c4_clean").as("stage"), col("n_total").as("entering"),
+            (col("n_total") - col("n_c4")).as("dropped"), col("n_c4").as("surviving")),
+          struct(lit("2_quality_gate").as("stage"), col("n_c4").as("entering"),
+            (col("n_c4") - col("n_q")).as("dropped"), col("n_q").as("surviving")),
+          struct(lit("3_exact_dedup").as("stage"), col("n_q").as("entering"),
+            (col("n_q") - col("n_d")).as("dropped"), col("n_d").as("surviving"))
+        )).as("f"))
+        .select(col("f.stage"), col("f.entering"), col("f.dropped"),
+          col("f.surviving"))
+        .orderBy(col("stage"))
+    }),
+
     "q_pipeline_c4" -> ((s, dir) => {
       // The FULL C4 pipeline (Raffel 2020 §2.2) — all three published
       // stages composed, each individually certified: line cleaning +
@@ -3147,6 +3185,36 @@ object LlmQueries {
         |SELECT a.doc_id, coalesce(o.text, '') AS text, coalesce(o.n_sents, 0) AS n_sents
         |FROM aug a LEFT JOIN outt o ON a.doc_id = o.doc_id
         |ORDER BY a.doc_id""".stripMargin,
+
+    "q_pipeline_funnel" ->
+      s"""$c4FixtureSql,
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |keptd AS (SELECT doc_id, clean_text AS text FROM c4
+        |  WHERE r_min_sentences AND r_no_braces AND r_no_lorem AND r_no_javascript),
+        |g AS (SELECT doc_id, text,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(trim(text), '\\s+'),
+        |        x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS sum_len,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ell,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha
+        |  FROM keptd),
+        |gg AS (SELECT doc_id, text FROM g
+        |  WHERE n_words >= 10 AND n_words <= 100000
+        |    AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+        |    AND 10 * (n_hash + n_ell) <= n_words
+        |    AND 5 * n_alpha >= 4 * n_words),
+        |cnt AS (SELECT (SELECT n FROM tot) AS n_total,
+        |    CAST((SELECT count(*) FROM keptd) AS BIGINT) AS n_c4,
+        |    CAST((SELECT count(*) FROM gg) AS BIGINT) AS n_q,
+        |    CAST((SELECT count(DISTINCT text) FROM gg) AS BIGINT) AS n_d)
+        |SELECT '1_c4_clean' AS stage, n_total AS entering,
+        |  n_total - n_c4 AS dropped, n_c4 AS surviving FROM cnt
+        |UNION ALL SELECT '2_quality_gate', n_c4, n_c4 - n_q, n_q FROM cnt
+        |UNION ALL SELECT '3_exact_dedup', n_q, n_q - n_d, n_d FROM cnt
+        |ORDER BY stage""".stripMargin,
 
     "q_pipeline_fineweb" ->
       s"""$c4FixtureSql,

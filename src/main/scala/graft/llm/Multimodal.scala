@@ -331,18 +331,22 @@ object Multimodal {
   }
 
   /** Near-duplicate image pairs by banded dHash: the 64-bit hash splits
-    * into four 16-bit bands; a pair within Hamming distance ≤ 3·16 shares
-    * at least one exact band (pigeonhole — the SimHash discipline), so
-    * candidates come from a band equi-join, never all pairs. Exact Hamming
-    * distance (`bit_count` over the XORed halves) then confirms against
-    * `maxHamming`. Scale note: a degenerate band value (e.g. a corpus of
-    * constant-color thumbnails, all hash 0) funnels its bucket through one
-    * task — the [[Dedup.minhashCandidatesFromSigsSalted]] fragment-
-    * replicate split is the template if a real corpus hits it.
+    * into four 16-bit bands and candidates come from a band equi-join,
+    * never all pairs; exact Hamming distance (`bit_count` over the XORed
+    * halves) then confirms against `maxHamming`. Recall contract
+    * (pigeonhole over 4 bands): a pair is GUARANTEED a shared band only
+    * when Hamming ≤ 3 (fewer mismatches than bands → one band clean);
+    * pairs at 4..maxHamming surface only when their mismatches happen to
+    * cluster outside some band — the standard LSH trade (more bands →
+    * higher guaranteed radius at more candidate cost). Scale note: a
+    * degenerate band value (e.g. a corpus of constant-color thumbnails,
+    * all hash 0) funnels its bucket through one task — the
+    * [[Dedup.minhashCandidatesFromSigsSalted]] fragment-replicate split
+    * is the template if a real corpus hits it.
     */
   def dHashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 48,
-      s"maxHamming in [0, 48] (beyond 3 bands apart, banding cannot guarantee recall): $maxHamming")
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming in [0, 64): $maxHamming")
     val mask = lit(0xFFFFL)
     val bands = array(
       struct(lit(0).as("band"), col("dhash_lo").bitwiseAND(mask).as("key")),
@@ -458,6 +462,140 @@ object Multimodal {
     }
     Right(AudioFeatures(0L, channels, rate, nFrames.toLong,
       nFrames.toLong * 1000000L / rate, absSum, peak))
+  }
+
+  /** Textured synthetic PCM16 WAV for the AUDIO-fingerprint fixture:
+    * sample magnitude `|((id·2+1)·(i²·5+i·3+c·17+7) + (id/2003)·(i²·3+i·11+1))
+    * mod 2003 − 1001|` with the source sample's sign — nonlinear in the
+    * frame index with id- and quotient-derived multipliers (the
+    * [[syntheticPngTextured]] lesson applied to audio: [[syntheticWav]]'s
+    * linear formula phase-shifts one sawtooth, so ids with nearby phases
+    * fingerprint nearly identically). `scaleNum/scaleDen` applies a
+    * saturating-free integer amplitude scale on the MAGNITUDE
+    * (`mag·num / den`, floor — nonneg, so floor == truncation in every
+    * engine): the near-duplicate perturbation a volume-normalized re-rip
+    * produces, which energy-ORDER fingerprints are designed to survive.
+    */
+  def syntheticWavTextured(id: Long, nFrames: Int, sampleRate: Int,
+      channels: Int, scaleNum: Int = 1, scaleDen: Int = 1): Array[Byte] = {
+    require(scaleNum >= 0 && scaleDen >= 1, s"bad scale $scaleNum/$scaleDen")
+    val dataLen = nFrames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val q = id / 2003
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val raw = (((id * 2 + 1) * (i.toLong * i * 5 + i * 3 + c * 17 + 7) +
+          q * (i.toLong * i * 3 + i * 11 + 1)) % 2003).toInt
+        val s = raw - 1001
+        val m = (math.abs(s).toLong * scaleNum / scaleDen).toInt
+        bb.putShort((if (s < 0) -m else m).toShort)
+        c += 1
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** 64-bit audio fingerprint of a decoded PCM16 WAV (the chromaprint
+    * idea reduced to its deterministic core): 65 near-equal windows over
+    * the frame axis (window of frame i = `i·65 / nFrames`), per-window
+    * energy = Σ|sample| over all channels, bit f = mean-energy(f+1) >
+    * mean-energy(f) — compared CROSS-MULTIPLIED (`E(f+1)·n(f) >
+    * E(f)·n(f+1)`, exact integers), because window SIZES (1–2 frames at
+    * fixture lengths) depend only on nFrames and raw energy sums would
+    * make every same-length clip fingerprint alike. Halves are unsigned
+    * 32-bit in `long`s — the [[ImageDHash]] BIGINT-safe contract, so the
+    * same banded [[dHashNearDupPairs]] join serves audio unchanged.
+    * Amplitude-scale invariance: scaling magnitudes by num/den scales
+    * every window energy near-uniformly, so mean-energy ORDER survives up
+    * to floor-truncation noise — the property the fixture certifies.
+    */
+  def wavFingerprintDetail(payload: Array[Byte]): Either[String, (Int, Long, Long, Long)] = {
+    if (payload == null) return Left("null_payload")
+    if (payload.length < 44) return Left("too_short")
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+    if (tag() != "RIFF") return Left("not_riff")
+    bb.getInt
+    if (tag() != "WAVE") return Left("not_wave")
+    var channels = 0; var rate = 0; var fmtOk = false
+    var dataOff = -1; var dataLen = 0
+    while (bb.remaining() >= 8 && (dataOff < 0 || !fmtOk)) {
+      val id = tag(); val len = bb.getInt
+      if (len < 0 || len > bb.remaining()) return Left("truncated_chunk")
+      if (id == "fmt ") {
+        val p = bb.position()
+        val audioFormat = bb.getShort
+        channels = bb.getShort
+        rate = bb.getInt
+        bb.getInt; bb.getShort
+        val bits = bb.getShort
+        fmtOk = audioFormat == 1 && bits == 16 && channels > 0 && rate > 0
+        bb.position(p + len + (len & 1))
+      } else if (id == "data") {
+        dataOff = bb.position(); dataLen = len
+        bb.position(bb.position() + len + (len & 1))
+      } else bb.position(bb.position() + len + (len & 1))
+    }
+    if (!fmtOk) return Left("not_pcm16")
+    if (dataOff < 0) return Left("no_data_chunk")
+    val frameBytes = channels * 2
+    val nFrames = dataLen / frameBytes
+    if (nFrames < 65) return Left("too_few_frames")
+    val energy = new Array[Long](65)
+    val sizes = new Array[Long](65)
+    var i = 0
+    while (i < nFrames) {
+      val w = (i.toLong * 65 / nFrames).toInt
+      sizes(w) += channels
+      var c = 0
+      while (c < channels) {
+        energy(w) += math.abs(bb.getShort(dataOff + (i * channels + c) * 2).toInt)
+        c += 1
+      }
+      i += 1
+    }
+    var hi = 0L; var lo = 0L
+    var f = 0
+    while (f < 64) {
+      if (energy(f + 1) * sizes(f) > energy(f) * sizes(f + 1)) {
+        if (f < 32) lo |= 1L << f else hi |= 1L << (f - 32)
+      }
+      f += 1
+    }
+    Right((channels, nFrames.toLong, hi, lo))
+  }
+
+  final case class AudioFingerprint(
+      id: Long, channels: Int, n_frames: Long, dhash_hi: Long, dhash_lo: Long)
+
+  /** The audio-fingerprint stage: per-partition batch shape, undecodable
+    * payloads dropped (quarantine composes upstream).
+    */
+  def audioFingerprintKernel(
+      df: DataFrame,
+      idCol: String = "id",
+      payloadCol: String = "payload"): Dataset[AudioFingerprint] = {
+    implicit val enc = Encoders.product[AudioFingerprint]
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          wavFingerprintDetail(payload).toOption.map { case (ch, nf, hi, lo) =>
+            AudioFingerprint(id, ch, nf, hi, lo)
+          }
+        }
+      }
   }
 
   /** The real-audio decode stage: same per-partition batch shape as

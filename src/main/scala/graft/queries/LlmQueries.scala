@@ -1516,7 +1516,8 @@ object LlmQueries {
       // Perceptual-hash image dedup (the LAION-style near-dup stage):
       // REAL PNG decode → dHash (9×8 gray-sum gradient signs, 64 bits as
       // two unsigned 32-bit halves) → banded equi-join (four 16-bit
-      // bands, pigeonhole-complete to Hamming 48) → exact bit_count
+      // bands, recall guaranteed to Hamming 3, probabilistic above —
+      // the planted pairs sit at 0..3 here) → exact bit_count
       // confirm ≤ 10. Fixture plants near-duplicates: every id%10==9 doc
       // re-renders id−4's image with a saturating +4 brightness shift —
       // gradient signs survive except where a channel clamps, so the
@@ -1538,6 +1539,39 @@ object LlmQueries {
         .select(col("id"), gen(col("gid"), col("w"), col("h"), col("br")).as("payload"))
       val hashes = Multimodal.imageDHashKernel(media).toDF()
       Multimodal.dHashNearDupPairs(hashes, maxHamming = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_multimodal_audiofp" -> ((s, dir) => {
+      // Perceptual AUDIO dedup over the real WAV path (the chromaprint
+      // idea reduced to its deterministic core): PCM16 decode → 65-window
+      // energy fingerprint (mean-energy gradient signs, cross-multiplied
+      // — window sizes depend only on clip length, so raw sums would
+      // fingerprint every same-length clip alike) → the SAME banded join
+      // + bit_count confirm as the image path. Fixture plants
+      // volume-normalized re-rips: every id%10==9 doc re-renders id−4's
+      // clip at 7/8 amplitude (integer magnitude scale — energy ORDER
+      // survives up to floor noise). WAV is uncompressed and the sample
+      // formula closed-form, so the oracle re-derives every magnitude,
+      // window energy, fingerprint bit, band and Hamming distance.
+      // Banding recall is guaranteed only to Hamming 3; the fixture's
+      // planted pairs mostly sit at 0–3 and the handful farther out
+      // surface (or not) identically in both engines.
+      val gen = udf((gid: Long, nf: Int, rate: Int, ch: Int, num: Int, den: Int) =>
+        Multimodal.syntheticWavTextured(gid, nf, rate, ch, num, den))
+      val media = docs(s, dir).select(col("doc_id").cast("long").as("id"))
+        .withColumn("gid",
+          when(col("id") % 10 === 9, col("id") - 4).otherwise(col("id")))
+        .withColumn("num", when(col("id") % 10 === 9, lit(7)).otherwise(lit(1)))
+        .withColumn("den", when(col("id") % 10 === 9, lit(8)).otherwise(lit(1)))
+        .withColumn("nf", (col("gid") % 50 + 100).cast("int"))
+        .withColumn("rate", (lit(8000) + (col("gid") % 3) * 4000).cast("int"))
+        .withColumn("ch", (col("gid") % 2 + 1).cast("int"))
+        .select(col("id"), gen(col("gid"), col("nf"), col("rate"), col("ch"),
+          col("num"), col("den")).as("payload"))
+      val fps = Multimodal.audioFingerprintKernel(media).toDF()
+        .select(col("id"), col("dhash_hi"), col("dhash_lo"))
+      Multimodal.dHashNearDupPairs(fps, maxHamming = 10)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -2397,6 +2431,45 @@ object LlmQueries {
         |hsh AS (SELECT id,
         |    CAST(sum(CASE WHEN y * 8 + x >= 32 THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x - 32)) ELSE 0 END) AS BIGINT) AS hi,
         |    CAST(sum(CASE WHEN y * 8 + x < 32 THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM b GROUP BY id),
+        |banded AS (SELECT id, hi, lo, bb.b AS band,
+        |    CASE bb.b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |              WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS key
+        |  FROM hsh, range(0, 4) bb(b)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+        |    a.hi AS ha, a.lo AS la, b2.hi AS hb, b2.lo AS lb
+        |  FROM banded a JOIN banded b2
+        |    ON a.band = b2.band AND a.key = b2.key AND a.id < b2.id),
+        |ham AS (SELECT id_a, id_b,
+        |    CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+        |  FROM cand)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Full SQL replay of the audio-fingerprint dedup: magnitudes, window
+    // energies, cross-multiplied gradient bits, bands and Hamming all
+    // re-derived from the closed-form sample formula.
+    "q_multimodal_audiofp" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(CASE WHEN doc_id % 10 = 9 THEN doc_id - 4 ELSE doc_id END AS BIGINT) AS gid,
+        |    CASE WHEN doc_id % 10 = 9 THEN 7 ELSE 1 END AS num,
+        |    CASE WHEN doc_id % 10 = 9 THEN 8 ELSE 1 END AS den
+        |  FROM documents),
+        |dd AS (SELECT id, gid, num, den, gid % 50 + 100 AS nf,
+        |    gid % 2 + 1 AS ch, gid // 2003 AS qq FROM d),
+        |sm AS (SELECT id, (i.i * 65) // nf AS w,
+        |    (abs((((gid * 2 + 1) * (i.i * i.i * 5 + i.i * 3 + c.c * 17 + 7)
+        |      + qq * (i.i * i.i * 3 + i.i * 11 + 1)) % 2003) - 1001) * num) // den AS m
+        |  FROM dd, range(0, 150) i(i), range(0, 2) c(c)
+        |  WHERE i.i < nf AND c.c < ch),
+        |e AS (SELECT id, w, CAST(sum(m) AS BIGINT) AS en,
+        |    CAST(count(*) AS BIGINT) AS n FROM sm GROUP BY id, w),
+        |b AS (SELECT a.id, a.w AS f,
+        |    CASE WHEN b2.en * a.n > a.en * b2.n THEN 1 ELSE 0 END AS bit
+        |  FROM e a JOIN e b2 ON a.id = b2.id AND b2.w = a.w + 1 WHERE a.w < 64),
+        |hsh AS (SELECT id,
+        |    CAST(sum(CASE WHEN f >= 32 THEN bit * (CAST(1 AS BIGINT) << (f - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN f < 32 THEN bit * (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS lo
         |  FROM b GROUP BY id),
         |banded AS (SELECT id, hi, lo, bb.b AS band,
         |    CASE bb.b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535

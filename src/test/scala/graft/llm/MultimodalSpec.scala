@@ -242,6 +242,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.dHashDetail("notapng".getBytes("US-ASCII")) == Left("undecodable"))
   }
 
+  test("audio fingerprint: amplitude-scaled re-rip lands near, strangers far, short clips reject") {
+    val base = Multimodal.syntheticWavTextured(42L, 120, 8000, 2)
+    val scaled = Multimodal.syntheticWavTextured(42L, 120, 8000, 2, scaleNum = 7, scaleDen = 8)
+    val other = Multimodal.syntheticWavTextured(43L, 120, 8000, 2)
+    val Right((ch, nf, hiA, loA)) = Multimodal.wavFingerprintDetail(base)
+    val Right((_, _, hiB, loB)) = Multimodal.wavFingerprintDetail(scaled)
+    val Right((_, _, hiC, loC)) = Multimodal.wavFingerprintDetail(other)
+    assert(ch == 2 && nf == 120L)
+    Seq(hiA, loA, hiB, loB, hiC, loC).foreach(v => assert(v >= 0L && v < (1L << 32)))
+    def ham(h1: Long, l1: Long, h2: Long, l2: Long) =
+      java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+    assert(ham(hiA, loA, hiB, loB) <= 10, "amplitude scale must keep energy order")
+    assert(ham(hiA, loA, hiC, loC) > 16, "different clip must fingerprint far away")
+    assert(Multimodal.wavFingerprintDetail(
+      Multimodal.syntheticWavTextured(1L, 40, 8000, 1)) == Left("too_few_frames"))
+    assert(Multimodal.wavFingerprintDetail("junk".getBytes("US-ASCII")) == Left("too_short"))
+  }
+
+  test("audio fingerprint pairs: the image-path banded join serves audio unchanged") {
+    val rows = (0L until 20L).map(i =>
+      (i, Multimodal.syntheticWavTextured(i, 100 + (i % 7).toInt, 8000, 1))) :+
+      ((100L, Multimodal.syntheticWavTextured(3L, 103, 8000, 1, 7, 8)))
+    val df = rows.toDF("id", "payload")
+    val fps = Multimodal.audioFingerprintKernel(df).toDF()
+      .select($"id", $"dhash_hi", $"dhash_lo")
+    val pairs = Multimodal.dHashNearDupPairs(fps, maxHamming = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).contains((3L, 100L)), s"planted pair missing: ${pairs.toSeq}")
+    assert(pairs.forall(_._3 <= 10))
+  }
+
   test("dHash near-dup pairs: banded join surfaces exactly the planted pair") {
     val gen = (gid: Long, w: Int, h: Int, br: Int) => Multimodal.syntheticPngTextured(gid, w, h, br)
     // 20 distinct images plus one brightness-shifted copy of id 3 as id 100.

@@ -202,4 +202,59 @@ object Conversations {
         !col("chosen_empty") && !col("rejected_empty") && !col("identical"))
       .drop("prompt_hash")
   }
+
+  /** Bradley–Terry strength estimation from pairwise preference outcomes
+    * (Hunter 2004's MM iteration) — the aggregation step between raw
+    * preference pairs and a reward-model prior: which systems/annotator
+    * policies actually win, on a common scale.
+    *
+    *   pᵢ ← Wᵢ / Σ_{j≠i} n_ij / (pᵢ + pⱼ),  normalized to p₀ = 1 each round.
+    *
+    * Integer micro discipline, so the fixed iteration count replays
+    * bit-exactly in SQL: strengths live as integer micros, every division
+    * is the round-half-up `(2a + b) / (2b)` integer form, and each
+    * denominator TERM rounds to an integer before the per-system sum —
+    * aggregation order cannot move anything (magnitudes stay < 2⁶³:
+    * games·10¹² with 2× headroom).
+    *
+    * Scale shape: the win-count aggregation is distributed (one groupBy
+    * over the outcome stream); only the K²-bounded count matrix reaches
+    * the driver for the iteration loop — K is the SYSTEM universe (models
+    * being compared), inherently small, and the loop is O(iters·K²).
+    */
+  def bradleyTerry(outcomes: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 20): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val spark = outcomes.sparkSession
+    import spark.implicits._
+    val wij = outcomes.groupBy(col(winnerCol).cast("long").as("i"),
+        col(loserCol).cast("long").as("j"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val systems = wij.keys.flatMap(p => Seq(p._1, p._2)).toSeq.distinct.sorted
+    require(systems.nonEmpty, "no outcomes")
+    val wins = systems.map(i => i -> wij.collect {
+      case ((w, _), n) if w == i => n }.sum).toMap
+    val games = systems.map(i => i -> systems.map(j =>
+      j -> (wij.getOrElse((i, j), 0L) + wij.getOrElse((j, i), 0L))).toMap).toMap
+    def rdiv(a: Long, b: Long): Long = (2 * a + b) / (2 * b)
+    var p = systems.map(_ -> 1000000L).toMap
+    var it = 0
+    while (it < iters) {
+      val d = systems.map { i =>
+        i -> systems.collect { case j if j != i && games(i)(j) > 0 =>
+          rdiv(games(i)(j) * 1000000000000L, p(i) + p(j)) }.sum
+      }.toMap
+      val raw = systems.map { i =>
+        require(d(i) > 0, s"system $i has no games")
+        i -> rdiv(wins(i) * 1000000000000L, d(i))
+      }.toMap
+      val base = raw(systems.head)
+      require(base > 0, s"anchor system ${systems.head} has zero strength")
+      p = systems.map(i => i -> rdiv(raw(i) * 1000000L, base)).toMap
+      it += 1
+    }
+    systems.map(i => (i, wins(i), p(i)))
+      .toDF("system", "wins", "strength_micro")
+  }
 }

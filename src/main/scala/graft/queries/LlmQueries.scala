@@ -963,6 +963,31 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    "q_conv_bradley_terry" -> ((s, dir) => {
+      // Bradley–Terry strength aggregation of pairwise preferences — the
+      // step between raw preference pairs and a reward-model prior. Each
+      // doc is a match between systems a = doc_id % 8 and
+      // b = (a+1+(doc_id/8) % 7) % 8 (always ≠ a), won by a iff
+      // (doc_id·31) % 17 < 6 + a − b (a planted skill gradient). 20 MM
+      // iterations under the integer micro discipline: every division is
+      // the round-half-up (2a+b)/(2b) integer form, every denominator
+      // term rounds before the sum, strengths normalize to system 0 —
+      // the oracle replays all 20 iterations as generated CTE steps,
+      // bit-exact.
+      val a = col("doc_id") % 8
+      // doc_id/8 must be INTEGER division (Spark Column `/` is double):
+      // the (x − x mod 8)/8 idiom is IEEE-exact below 2^53.
+      val q8 = ((col("doc_id") - pmod(col("doc_id"), lit(8))) / 8).cast("long")
+      val b = (a + lit(1) + q8 % 7) % 8
+      val winA = (col("doc_id") * 31) % 17 < lit(6) + a - b
+      val outcomes = docs(s, dir).select(
+        when(winA, a).otherwise(b).as("winner"),
+        when(winA, b).otherwise(a).as("loser"))
+      graft.llm.Conversations.bradleyTerry(outcomes, "winner", "loser",
+          iters = 20)
+        .orderBy(col("system"))
+    }),
+
     "q_conv_loss_mask" -> ((s, dir) =>
       // SFT loss-mask spans: [start_char, end_char) of each assistant
       // turn's trainable region in the rendered string — pure offset
@@ -2162,7 +2187,47 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, lang) AS rn
         |  FROM fin)""".stripMargin
 
+  /** Bradley–Terry oracle: the 20 MM iterations UNROLLED as generated CTE
+    * steps (one d/r/p triple per iteration) — DuckDB's recursive CTEs
+    * cannot aggregate over the recursive reference, and the integer micro
+    * discipline makes the unrolled replay bit-exact: every division is
+    * the round-half-up `(2a+b) // (2b)` integer form, every denominator
+    * term is an integer before its sum.
+    */
+  private val btOracleSql: String = {
+    val head =
+      """WITH m0 AS (SELECT doc_id, doc_id % 8 AS a,
+        |    (doc_id % 8 + 1 + (doc_id // 8) % 7) % 8 AS b FROM documents),
+        |m AS (SELECT a, b, (doc_id * 31) % 17 < 6 + a - b AS win_a FROM m0),
+        |o AS (SELECT CASE WHEN win_a THEN a ELSE b END AS w,
+        |    CASE WHEN win_a THEN b ELSE a END AS l FROM m),
+        |wl AS MATERIALIZED (SELECT w AS i, l AS j, CAST(count(*) AS BIGINT) AS n FROM o GROUP BY w, l),
+        |sys AS MATERIALIZED (SELECT DISTINCT i FROM (SELECT i FROM wl UNION ALL SELECT j AS i FROM wl)),
+        |wins AS MATERIALIZED (SELECT s.i, CAST(coalesce(sum(wl.n), 0) AS BIGINT) AS wins
+        |  FROM sys s LEFT JOIN wl ON wl.i = s.i GROUP BY s.i),
+        |games AS MATERIALIZED (SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM (
+        |    SELECT i, j, n FROM wl UNION ALL SELECT j AS i, i AS j, n FROM wl)
+        |  GROUP BY i, j),
+        |p0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS p FROM sys)""".stripMargin
+    val steps = (1 to 20).map { k =>
+      val pm = s"p${k - 1}"
+      s"""d$k AS MATERIALIZED (SELECT g.i,
+         |    CAST(sum((2 * g.n * 1000000000000 + (pa.p + pb.p)) // (2 * (pa.p + pb.p))) AS BIGINT) AS d
+         |  FROM games g JOIN $pm pa ON pa.i = g.i JOIN $pm pb ON pb.i = g.j
+         |  GROUP BY g.i),
+         |r$k AS MATERIALIZED (SELECT w.i, (2 * w.wins * 1000000000000 + d.d) // (2 * d.d) AS p
+         |  FROM wins w JOIN d$k d ON d.i = w.i),
+         |p$k AS MATERIALIZED (SELECT r.i, CAST((2 * r.p * 1000000 + r0.p) // (2 * r0.p) AS BIGINT) AS p
+         |  FROM r$k r, (SELECT p FROM r$k WHERE i = (SELECT min(i) FROM sys)) r0)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    head + steps +
+      "\nSELECT CAST(s.i AS BIGINT) AS system, w.wins, p.p AS strength_micro" +
+      "\nFROM sys s JOIN wins w ON w.i = s.i JOIN p20 p ON p.i = s.i ORDER BY s.i"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_conv_bradley_terry" -> btOracleSql,
+
     "q_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS copies

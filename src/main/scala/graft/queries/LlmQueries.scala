@@ -963,6 +963,29 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    "q_conv_neardup" -> ((s, dir) => {
+      // FUZZY conversation dedup — SFT corpora dedup NEAR, not exact
+      // (regenerated final turns, paraphrased system prompts survive
+      // q_conv_dedup's exact hash): render each conversation to one text
+      // (turns in idx order), then the certified poly-MinHash machinery
+      // (q_dedup_minhash_poly) over conversation texts. Planted: every
+      // conversation gets a clone (+1000 conv id) with ' v2' appended to
+      // each turn — high-Jaccard, not byte-equal. Turn sample idx%5==0
+      // bounds the interpreted per-gram oracle fold (the augSampled
+      // discipline); the murmur3 scale path is the production route.
+      val base = convTurns(s, dir).filter(col("idx") % 5 === 0)
+      val all = base.unionByName(base.select((col("conv") + 1000L).as("conv"),
+        col("idx"), col("role"), concat(col("text"), lit(" v2")).as("text")))
+      val rendered = all.groupBy(col("conv"))
+        .agg(array_sort(collect_list(struct(col("idx"), col("text")))).as("ts"))
+        .select(col("conv").as("doc_id"),
+          array_join(transform(col("ts"), x => x.getField("text")), " ").as("text"))
+      val sigs = Dedup.minhashSignaturesPoly(rendered).localCheckpoint()
+      Dedup.minhashCandidatesFromSigsPlain(sigs)
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_conv_bradley_terry" -> ((s, dir) => {
       // Bradley–Terry strength aggregation of pairwise preferences — the
       // step between raw preference pairs and a reward-model prior. Each
@@ -1402,6 +1425,14 @@ object LlmQueries {
         sep = "\n\n", prefix = "para")
       lines.join(paras, "doc_id").orderBy(col("doc_id"))
     }),
+
+    "q_text_readability" -> ((s, dir) =>
+      // Flesch–Kincaid grade over the structured (sentence-bearing)
+      // fixture: words / sentence-runs / vowel-group syllables, both
+      // rational terms exact integer divisions in micro units — the
+      // closed-form reference point for grade-targeted corpus selection.
+      TextAnalysis.readabilityBy(structuredDocs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
 
     "q_gopher_rules" -> ((s, dir) =>
       // The Gopher quality-rule gate (Rae et al. 2021 Appendix A — the
@@ -2227,6 +2258,35 @@ object LlmQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_conv_bradley_terry" -> btOracleSql,
+
+    "q_conv_neardup" ->
+      """WITH base AS (SELECT doc_id % 50 AS conv, doc_id AS idx, text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |allt AS (SELECT conv, idx, text FROM base
+        |  UNION ALL SELECT conv + 1000, idx, text || ' v2' FROM base),
+        |rendered AS (SELECT conv AS id, string_agg(text, ' ' ORDER BY idx) AS text
+        |  FROM allt GROUP BY conv),
+        |toks AS (SELECT id, string_split_regex(trim(text), '\s+') AS w FROM rendered),
+        |grams AS (SELECT id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1), i -> array_to_string(list_slice(w, i, i + 2), ' '))
+        |      ELSE [] END AS gs
+        |  FROM toks),
+        |sigs AS (SELECT id, list_transform(range(0, 64), i ->
+        |      list_min(list_transform(gs, g ->
+        |        ((2 * i + 1) * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(range(1, length(g) + 1), j -> CAST(ascii(g[j]) AS BIGINT))),
+        |            (acc, c) -> (acc * 131 + c) % 1000000007)
+        |          + (31 * i + 7)) % 1000000007))) AS sig
+        |  FROM grams WHERE len(gs) > 0),
+        |banded AS (SELECT id, sig, b AS band,
+        |    array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS key
+        |  FROM sigs, range(0, 16) t(b)),
+        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64.0 AS est_jaccard
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+        |SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
@@ -3376,6 +3436,22 @@ object LlmQueries {
         |dd AS (SELECT min(doc_id) AS doc_id FROM gg GROUP BY text)
         |SELECT gg.doc_id, gg.n_words FROM gg JOIN dd ON gg.doc_id = dd.doc_id
         |ORDER BY gg.doc_id""".stripMargin,
+
+    "q_text_readability" ->
+      s"""$c4FixtureSql,
+        |rw AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS ws FROM d2),
+        |rm AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(ws, x -> CAST(greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1) AS BIGINT))),
+        |      (a, b) -> a + b) AS n_syllables
+        |  FROM rw)
+        |SELECT doc_id, n_words, n_sents, n_syllables,
+        |  (2 * (n_words * 39 * 1000000) + n_sents * 100) // (2 * (n_sents * 100))
+        |  + (2 * (n_syllables * 118 * 1000000) + n_words * 10) // (2 * (n_words * 10))
+        |  - 15590000 AS fk_grade_micro
+        |FROM rm ORDER BY doc_id""".stripMargin,
 
     "q_gopher_rules" ->
       """WITH w AS (SELECT doc_id, text,

@@ -121,6 +121,28 @@ class ConversationsSpec extends SparkTestBase {
     assert(c(4L)._3 == true && c(4L)._6 == false)
   }
 
+  test("fuzzy conversation dedup: a regenerated-turn clone pairs with its source") {
+    val s = spark; import s.implicits._
+    // Conv 0 and its clone 1000 share all turns up to an appended ' v2';
+    // conv 1 is unrelated. MinHash over the rendered texts must pair
+    // (0, 1000) and nothing else at the 0.5 estimator threshold.
+    val words = (0 until 40).map(i => s"w$i").mkString(" ")
+    val turns = Seq(
+      (0L, 0L, "user", words), (0L, 1L, "assistant", s"reply $words"),
+      (1000L, 0L, "user", s"$words v2"), (1000L, 1L, "assistant", s"reply $words v2"),
+      (1L, 0L, "user", (100 until 140).map(i => s"x$i").mkString(" ")))
+      .toDF("conv", "idx", "role", "text")
+    val rendered = turns.groupBy($"conv")
+      .agg(array_sort(collect_list(struct($"idx", $"text"))).as("ts"))
+      .select($"conv".as("doc_id"),
+        array_join(transform($"ts", x => x.getField("text")), " ").as("text"))
+    val sigs = Dedup.minhashSignaturesPoly(rendered)
+    val pairs = Dedup.minhashCandidatesFromSigsPlain(sigs)
+      .filter($"est_jaccard" >= 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((0L, 1000L)), pairs.toString)
+  }
+
   test("Bradley-Terry: MM iteration recovers a planted skill gradient, integer-exact") {
     val s = spark; import s.implicits._
     // The q_conv_bradley_terry fixture at 500 matches: 8 systems, winner

@@ -386,6 +386,40 @@ object CrawlQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_warc_cdx" -> ((s, dir) => {
+      // CDX-J index parsing — the Common Crawl LOOKUP layer consulted
+      // before fetching any WARC byte: "urlkey timestamp {json}" lines
+      // parse under a caller schema; the kept flag is the standard
+      // pre-fetch gate (parse ok + HTTP 200 + text/html). Planted
+      // hazards: truncated JSON on doc_id % 37 (must surface as a
+      // parse-failed row) and 404s on % 29 (must be gated, not dropped).
+      import org.apache.spark.sql.types._
+      val k = col("doc_id") % 23
+      val jsonFull = concat(lit("{\"url\":\"https://h"), k.cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string"),
+        lit("\",\"status\":\""),
+        when(col("doc_id") % 29 === 0, lit("404")).otherwise(lit("200")),
+        lit("\",\"mime\":\"text/html\",\"length\":\""),
+        ((col("doc_id") * 7) % 9973).cast("string"), lit("\"}"))
+      val lines = docs(s, dir).select(col("doc_id"), concat(
+        lit("com,h"), k.cast("string"), lit(")/p/"), col("doc_id").cast("string"),
+        lit(" "), (lit(20240101000000L) + col("doc_id")).cast("string"),
+        lit(" "),
+        when(col("doc_id") % 37 === 0, substring(jsonFull, 1, 10))
+          .otherwise(jsonFull)).as("line"))
+      val schema = StructType(Seq(
+        StructField("url", StringType), StructField("status", StringType),
+        StructField("mime", StringType), StructField("length", StringType)))
+      Warc.parseCdxj(lines, "line", schema)
+        .select(col("doc_id"), col("urlkey"), col("cdx_ts"),
+          col("fields.url").isNotNull.as("parse_ok"),
+          col("fields.url").as("url"), col("fields.status").as("status"),
+          col("fields.length").cast("long").as("length_bytes"),
+          (col("fields.url").isNotNull && col("fields.status") === "200" &&
+            col("fields.mime") === "text/html").as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_warc_sink" -> ((s, dir) => {
       // Distributed WARC sink certificate: every 5th doc re-sharded to
       // one .warc.gz per doc_id % 4 (parallel tasks, member-per-record
@@ -898,6 +932,20 @@ object CrawlQueries {
         |    THEN CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_words,
         |  CASE WHEN doc_id % 11 <> 0 THEN lang END AS lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_warc_cdx" ->
+      """WITH d AS (SELECT doc_id, doc_id % 23 AS k,
+        |    doc_id % 37 = 0 AS corrupt, doc_id % 29 = 0 AS notfound
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'com,h' || k || ')/p/' || doc_id AS urlkey,
+        |  CAST(20240101000000 + doc_id AS VARCHAR) AS cdx_ts,
+        |  NOT corrupt AS parse_ok,
+        |  CASE WHEN NOT corrupt THEN 'https://h' || k || '.com/p/' || doc_id END AS url,
+        |  CASE WHEN NOT corrupt THEN CASE WHEN notfound THEN '404' ELSE '200' END END AS status,
+        |  CASE WHEN NOT corrupt THEN CAST((doc_id * 7) % 9973 AS BIGINT) END AS length_bytes,
+        |  NOT corrupt AND NOT notfound AS kept
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_warc_quarantine" ->
       """WITH f AS (SELECT doc_id % 40 AS file_id, count(*) AS n FROM documents GROUP BY 1)

@@ -120,6 +120,25 @@ object Warc {
       .select(col("file_id"), col("record_idx"), col("target_uri"),
         from_json(col("payload").cast("string"), schema).as("meta"))
 
+  /** CDX(-J) crawl-index lines — the Common Crawl lookup layer consulted
+    * BEFORE any WARC byte is fetched: `urlkey timestamp {json}` per line
+    * (SURT-ordered key, 14-digit timestamp, metadata JSON with offsets
+    * into the WARC files). Split on the first two single spaces; the JSON
+    * parses under a CALLER schema (the [[watMetadata]] discipline —
+    * unknown fields ignored, corrupt payloads yield an all-null struct
+    * via PERMISSIVE `from_json`, surfacing as rows, never task failures).
+    * Lines with fewer than three fields carry null json/fields.
+    */
+  def parseCdxj(lines: DataFrame, lineCol: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val parts = split(col(lineCol), " ", 3)
+    lines
+      .withColumn("urlkey", element_at(parts, 1))
+      .withColumn("cdx_ts", element_at(parts, 2))
+      .withColumn("fields",
+        from_json(when(size(parts) === 3, element_at(parts, 3)), schema))
+  }
+
   /** Gzip `bytes` as a single member (RFC 1952, no optional fields). */
   def gzipMember(bytes: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()

@@ -671,6 +671,84 @@ object Multimodal {
     bb.array()
   }
 
+  /** Textured synthetic AVI for the VIDEO-fingerprint fixture: the
+    * [[syntheticPngTextured]] construction on the (frame, x, y) axis —
+    * nonlinear in the frame index with id- and quotient-derived
+    * multipliers mod the prime 251, `bright` clamped at 250 (the planted
+    * near-dup is a brightness-shifted re-encode). [[syntheticAvi]]'s
+    * linear formula would phase-correlate ids exactly as the image and
+    * audio fixtures did (PLANS finding 34).
+    */
+  def syntheticAviTextured(id: Long, frames: Int, w: Int, h: Int,
+      bright: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = stride * h
+    val moviSize = 4 + frames * (8 + frameBytes)
+    val hdrlSize = 4 + 8 + 56
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    fourcc("RIFF"); bb.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(33333)
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(frames)
+      .putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(moviSize); fourcc("movi")
+    val q = id / 251
+    var f = 0
+    while (f < frames) {
+      fourcc("00db"); bb.putInt(frameBytes)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val fl = f.toLong
+          bb.put(math.min((((id * 2 + 1) * (fl * fl * 3 + x * 7 + y * 11 + 1) +
+            q * (fl * 5 + x + 2)) % 251).toInt + bright, 250).toByte)
+          bb.put(math.min((((id * 2 + 3) * (fl * fl * 5 + x * 3 + y * 5 + 2) +
+            q * (fl * 7 + y + 3)) % 251).toInt + bright, 250).toByte)
+          bb.put(math.min((((id * 2 + 5) * (fl * fl * 7 + x * 5 + y * 3 + 3) +
+            q * (fl * 11 + x + y + 5)) % 251).toInt + bright, 250).toByte)
+          x += 1
+        }
+        var p = w * 3
+        while (p < stride) { bb.put(0.toByte); p += 1 }
+        y += 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** 64-bit temporal video fingerprint assembled RELATIONALLY from
+    * per-frame gray sums (the certified [[videoFrameFeatureKernel]]
+    * output): bit f = gray(f+1) > gray(f) over the first 65 frames, packed
+    * into the [[ImageDHash]] unsigned-halves contract so the banded
+    * [[dHashNearDupPairs]] join serves video unchanged. All frames share
+    * one pixel count, so raw sums ARE the means (no window-size aliasing —
+    * the audio lesson does not apply). One bounded window per id (≤ 65
+    * rows by construction — lead() then a sum aggregation).
+    */
+  def temporalFingerprint(frames: DataFrame, idCol: String, frameCol: String,
+      grayCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(frameCol))
+    frames
+      .withColumn("__next", lead(col(grayCol), 1).over(w))
+      .filter(col(frameCol) < 64 && col("__next").isNotNull)
+      .select(col(idCol).as("id"), col(frameCol).cast("long").as("__f"),
+        (col("__next") > col(grayCol)).cast("long").as("__bit"))
+      .groupBy(col("id"))
+      .agg(
+        sum(expr("CASE WHEN __f >= 32 THEN __bit * shiftleft(CAST(1 AS BIGINT), CAST(__f AS INT) - 32) ELSE 0 END")).as("dhash_hi"),
+        sum(expr("CASE WHEN __f < 32 THEN __bit * shiftleft(CAST(1 AS BIGINT), CAST(__f AS INT)) ELSE 0 END")).as("dhash_lo"))
+  }
+
   /** REAL uncompressed-AVI decode: hand-parsed RIFF walk (`avih` for
     * dims/frame count, `movi` for `00db`/`00dc` DIB frames; 24-bit BGR,
     * 4-byte row padding skipped). Emits per-frame channel sums for every

@@ -1631,6 +1631,31 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_multimodal_videofp" -> ((s, dir) => {
+      // Perceptual VIDEO dedup — the trio's third member: real AVI decode
+      // (the certified frame kernel, every frame) → per-frame gray sums →
+      // temporal fingerprint assembled RELATIONALLY (gradient signs over
+      // 65 frames; all frames share one pixel count, so sums are means) →
+      // the same banded join + bit_count confirm. Planted
+      // brightness-shifted re-encodes on id%10==9 (from id−4, +4 clamp
+      // 250); oracle re-derives every gray sum, bit, band and distance
+      // from the closed-form pixel formula (validated: 500/500 planted at
+      // Hamming ≤ 2 — inside the 4-band guarantee radius of 3).
+      val gen = udf((gid: Long, br: Int) =>
+        Multimodal.syntheticAviTextured(gid, 65, 4, 4, br))
+      val media = docs(s, dir).select(col("doc_id").cast("long").as("id"))
+        .withColumn("gid",
+          when(col("id") % 10 === 9, col("id") - 4).otherwise(col("id")))
+        .withColumn("br", when(col("id") % 10 === 9, lit(4)).otherwise(lit(0)))
+        .select(col("id"), gen(col("gid"), col("br")).as("payload"))
+      val frames = Multimodal.videoFrameFeatureKernel(media, every = 1).toDF()
+        .select(col("id"), col("frame_idx"),
+          (col("r_sum") + col("g_sum") + col("b_sum")).as("gray"))
+      val fps = Multimodal.temporalFingerprint(frames, "id", "frame_idx", "gray")
+      Multimodal.dHashNearDupPairs(fps, maxHamming = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_multimodal_frames" -> ((s, dir) =>
       // Frame-sample plumbing (1 → N rows per payload, every 3rd 64-byte
       // frame, truncated tail): ASCII payloads make frame boundaries
@@ -2592,6 +2617,42 @@ object LlmQueries {
         |b AS (SELECT a.id, a.w AS f,
         |    CASE WHEN b2.en * a.n > a.en * b2.n THEN 1 ELSE 0 END AS bit
         |  FROM e a JOIN e b2 ON a.id = b2.id AND b2.w = a.w + 1 WHERE a.w < 64),
+        |hsh AS (SELECT id,
+        |    CAST(sum(CASE WHEN f >= 32 THEN bit * (CAST(1 AS BIGINT) << (f - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN f < 32 THEN bit * (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM b GROUP BY id),
+        |banded AS (SELECT id, hi, lo, bb.b AS band,
+        |    CASE bb.b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |              WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS key
+        |  FROM hsh, range(0, 4) bb(b)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+        |    a.hi AS ha, a.lo AS la, b2.hi AS hb, b2.lo AS lb
+        |  FROM banded a JOIN banded b2
+        |    ON a.band = b2.band AND a.key = b2.key AND a.id < b2.id),
+        |ham AS (SELECT id_a, id_b,
+        |    CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+        |  FROM cand)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_multimodal_videofp" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(CASE WHEN doc_id % 10 = 9 THEN doc_id - 4 ELSE doc_id END AS BIGINT) AS gid,
+        |    CASE WHEN doc_id % 10 = 9 THEN 4 ELSE 0 END AS br
+        |  FROM documents),
+        |dd AS (SELECT id, gid, br, gid // 251 AS qq FROM d),
+        |g AS (SELECT id, fr.f AS f, CAST(sum(
+        |      least(((gid * 2 + 1) * (fr.f * fr.f * 3 + xs.x * 7 + ys.y * 11 + 1)
+        |        + qq * (fr.f * 5 + xs.x + 2)) % 251 + br, 250)
+        |    + least(((gid * 2 + 3) * (fr.f * fr.f * 5 + xs.x * 3 + ys.y * 5 + 2)
+        |        + qq * (fr.f * 7 + ys.y + 3)) % 251 + br, 250)
+        |    + least(((gid * 2 + 5) * (fr.f * fr.f * 7 + xs.x * 5 + ys.y * 3 + 3)
+        |        + qq * (fr.f * 11 + xs.x + ys.y + 5)) % 251 + br, 250)) AS BIGINT) AS gray
+        |  FROM dd, range(0, 65) fr(f), range(0, 4) xs(x), range(0, 4) ys(y)
+        |  GROUP BY id, fr.f),
+        |b AS (SELECT a.id, a.f,
+        |    CASE WHEN b2.gray > a.gray THEN 1 ELSE 0 END AS bit
+        |  FROM g a JOIN g b2 ON a.id = b2.id AND b2.f = a.f + 1 WHERE a.f < 64),
         |hsh AS (SELECT id,
         |    CAST(sum(CASE WHEN f >= 32 THEN bit * (CAST(1 AS BIGINT) << (f - 32)) ELSE 0 END) AS BIGINT) AS hi,
         |    CAST(sum(CASE WHEN f < 32 THEN bit * (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS lo

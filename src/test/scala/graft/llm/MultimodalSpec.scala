@@ -273,6 +273,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.forall(_._3 <= 10))
   }
 
+  test("video fingerprint: brightness-shifted re-encode pairs with its source relationally") {
+    val rows = (0L until 12L).map(i =>
+      (i, Multimodal.syntheticAviTextured(i, 65, 4, 4, 0))) :+
+      ((100L, Multimodal.syntheticAviTextured(5L, 65, 4, 4, 4)))
+    val df = rows.toDF("id", "payload")
+    val frames = Multimodal.videoFrameFeatureKernel(df, every = 1).toDF()
+      .select($"id", $"frame_idx", ($"r_sum" + $"g_sum" + $"b_sum").as("gray"))
+    val fps = Multimodal.temporalFingerprint(frames, "id", "frame_idx", "gray")
+    // halves honor the unsigned-32-bit BIGINT-safe contract
+    fps.as[(Long, Long, Long)].collect().foreach { case (_, hi, lo) =>
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
+    }
+    val pairs = Multimodal.dHashNearDupPairs(fps, maxHamming = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).contains((5L, 100L)), s"planted pair missing: ${pairs.toSeq}")
+  }
+
   test("dHash near-dup pairs: banded join surfaces exactly the planted pair") {
     val gen = (gid: Long, w: Int, h: Int, br: Int) => Multimodal.syntheticPngTextured(gid, w, h, br)
     // 20 distinct images plus one brightness-shifted copy of id 3 as id 100.

@@ -1718,6 +1718,42 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_qmodel_calibration" -> ((s, dir) => {
+      // CALIBRATION report of the quality scorer — per-probability-bin
+      // observed vs predicted positive rates, the report behind choosing
+      // a quality threshold (a scorer can rank well and still be
+      // miscalibrated where the cut lands). Bins are FIXED prob decades
+      // (floor(prob·10), capped at 9) — a pure map, no global sort; both
+      // engines bin the SAME round-6 double, so the boundary is shared.
+      // Rates are exact integer micro ratios; mean predicted rounds each
+      // row's prob to micro BEFORE the per-bin sum.
+      // Wider weight range than q_text_qmodel's (±4 logits, not ±0.5):
+      // mean-weight probs would otherwise cluster in two bins and the
+      // curve would have nothing to show.
+      val weights = Array.tabulate(1024)(i =>
+        (i.toLong * 2654435761L) % 8000001L - 4000000L)
+      val labeled = docs(s, dir).select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          when(col("doc_id") % 2 === 1, lit("excellent wonderful superb"))
+            .otherwise(lit("garbage junk spam"))).as("text"),
+        (col("doc_id") % 2).cast("long").as("label"))
+      def exactDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        ((a - pmod(a, b)) / b).cast("long")
+      graft.llm.QualityModel.scoreBy(
+          labeled.select(col("doc_id"), col("text")), "doc_id", "text", weights)
+        .join(labeled.select(col("doc_id"), col("label")), "doc_id")
+        .withColumn("bin", least(floor(col("prob") * 10).cast("long"), lit(9L)))
+        .withColumn("__pm", round(col("prob") * 1e6).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
+          sum(col("__pm")).as("__pms"))
+        .withColumn("observed_micro", exactDiv(col("n_pos") * 1000000L, col("n")))
+        .withColumn("predicted_micro", exactDiv(col("__pms"), col("n")))
+        .select(col("bin"), col("n"), col("n_pos"), col("observed_micro"),
+          col("predicted_micro"))
+        .orderBy(col("bin"))
+    }),
+
     "q_text_qmodel_train" -> ((s, dir) => {
       // Distributed training certificate: batch gradient descent on a
       // linearly-separable planted fixture (marker tokens per class over
@@ -2859,6 +2895,33 @@ object LlmQueries {
 
     "q_text_qmodel_train" ->
       "SELECT CAST(true AS BOOLEAN) AS train_separates",
+
+    "q_text_qmodel_calibration" ->
+      """WITH lab AS (SELECT doc_id,
+        |    text || ' ' || CASE WHEN doc_id % 2 = 1
+        |      THEN 'excellent wonderful superb' ELSE 'garbage junk spam' END AS text,
+        |    CAST(doc_id % 2 AS BIGINT) AS label
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM lab),
+        |f AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(t) + 1), j -> CAST(ascii(t[j]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) % 1024 AS b
+        |  FROM toks),
+        |w AS (SELECT doc_id, (b * 2654435761) % 8000001 - 4000000 AS wm FROM f),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(wm) AS BIGINT) AS score_micro FROM w GROUP BY 1),
+        |p AS (SELECT agg.doc_id, lab.label,
+        |    round(1.0 / (1.0 + exp(-(CAST(score_micro AS DOUBLE) / (1000000.0 * n_tokens)))), 6) AS prob
+        |  FROM agg JOIN lab USING (doc_id)),
+        |bb AS (SELECT least(CAST(floor(prob * 10) AS BIGINT), 9) AS bin, label,
+        |    CAST(round(prob * 1000000) AS BIGINT) AS pm FROM p)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS n_pos,
+        |  (sum(label) * 1000000) // count(*) AS observed_micro,
+        |  sum(pm) // count(*) AS predicted_micro
+        |FROM bb GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_text_cards" ->
       """WITH d2 AS (SELECT doc_id, concat_ws(' ', text,

@@ -159,6 +159,36 @@ object UrlOps {
     kept.unionByName(df.filter(col(urlCol).isNull).select(kept.columns.map(col): _*))
   }
 
+  /** Sitemap XML parsing — the fetch step after robots.txt surfaces the
+    * sitemap URLs (`q_url_sitemaps`): extract `<loc>`/`<lastmod>`/
+    * `<priority>` per entry from `<urlset>` pages and child sitemaps from
+    * `<sitemapindex>` files. Sitemaps are machine-generated XML, so the
+    * regex block-scan is the standard crawler treatment (no XML library,
+    * no entity handling — a malformed file yields `kind = 'invalid'` with
+    * one null-entry row, never a task failure). One pure-map explode:
+    * 1 → N rows per file, linear in the XML size.
+    */
+  def parseSitemap(df: DataFrame, xmlCol: String): DataFrame = {
+    val kind = when(col(xmlCol).isNull, lit("invalid"))
+      .when(col(xmlCol).contains("<sitemapindex"), lit("sitemapindex"))
+      .when(col(xmlCol).contains("<urlset"), lit("urlset"))
+      .otherwise(lit("invalid"))
+    val blocks = regexp_extract_all(col(xmlCol),
+      lit("(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), lit(1))
+    df.withColumn("kind", kind)
+      .withColumn("__bs", when(col("kind") =!= "invalid", blocks))
+      .select(df.columns.map(col) :+ col("kind") :+
+        posexplode_outer(col("__bs")).as(Seq("entry_idx", "__b")): _*)
+      .withColumn("url",
+        nullif(trim(regexp_extract(col("__b"), "(?s)<loc>\\s*(.*?)\\s*</loc>", 1)), lit("")))
+      .withColumn("lastmod",
+        nullif(regexp_extract(col("__b"), "<lastmod>([^<]*)</lastmod>", 1), lit("")))
+      .withColumn("priority",
+        nullif(regexp_extract(col("__b"), "<priority>([^<]*)</priority>", 1), lit(""))
+          .cast("double"))
+      .drop("__b", "__bs")
+  }
+
   /** Tracking-parameter keys a crawl canonicalizer strips: the `utm_*`
     * campaign family by prefix plus the common click-identifier keys.
     * Dropping them merges the millions of per-campaign/per-click aliases

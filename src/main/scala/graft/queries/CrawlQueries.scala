@@ -670,6 +670,38 @@ object CrawlQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    "q_url_sitemap_parse" -> ((s, dir) => {
+      // Sitemap XML parsing — the step after q_url_sitemaps finds the
+      // sitemap URLs: urlset entries (loc + optional lastmod/priority,
+      // whitespace-padded loc exercised), sitemapindex children routed by
+      // kind, and a planted non-XML payload (%41) that must yield one
+      // invalid row, never a failure.
+      val k = col("doc_id") % 23
+      val ids = col("doc_id").cast("string")
+      val urlset = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>https://h"), k.cast("string"),
+        lit(".com/a/"), ids, lit("</loc><lastmod>2024-01-0"),
+        (col("doc_id") % 9 + 1).cast("string"), lit("</lastmod></url>"),
+        lit("<url><loc>  https://h"), k.cast("string"), lit(".com/b/"), ids,
+        lit(" </loc></url>"),
+        lit("<url><loc>https://h"), k.cast("string"), lit(".com/c/"), ids,
+        lit("</loc><priority>0."), (col("doc_id") % 10).cast("string"),
+        lit("</priority></url></urlset>"))
+      val index = concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>https://h"),
+        k.cast("string"), lit(".com/maps/"), ids, lit("_1.xml</loc></sitemap>"),
+        lit("<sitemap><loc>https://h"), k.cast("string"), lit(".com/maps/"), ids,
+        lit("_2.xml</loc></sitemap></sitemapindex>"))
+      val xml = when(col("doc_id") % 41 === 0, lit("this is not xml at all"))
+        .when(col("doc_id") % 5 === 0, index)
+        .otherwise(urlset)
+      UrlOps.parseSitemap(
+          docs(s, dir).select(col("doc_id"), xml.as("xml")), "xml")
+        .select(col("doc_id"), col("kind"), col("entry_idx"), col("url"),
+          col("lastmod"), col("priority"))
+        .orderBy(col("doc_id"), col("entry_idx"))
+    }),
+
     "q_url_domaincap" -> ((s, dir) => {
       // Corpus-level per-domain cap (RefinedWeb/FineWeb's anti-domination
       // stage — distinct from fetch politeness: this bounds what enters
@@ -1049,6 +1081,29 @@ object CrawlQueries {
       """SELECT doc_id FROM documents
         |WHERE doc_id % 5 IN (0, 1, 2, 4) OR (doc_id % 5 = 3 AND doc_id < 50)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_url_sitemap_parse" ->
+      """WITH d AS (SELECT doc_id, doc_id % 23 AS k,
+        |    doc_id % 41 = 0 AS corrupt, doc_id % 5 = 0 AS isidx FROM documents),
+        |u AS (
+        |  SELECT doc_id, 'urlset' AS kind, CAST(e.e AS INT) AS entry_idx,
+        |    CASE e.e WHEN 0 THEN 'https://h' || k || '.com/a/' || doc_id
+        |             WHEN 1 THEN 'https://h' || k || '.com/b/' || doc_id
+        |             ELSE 'https://h' || k || '.com/c/' || doc_id END AS url,
+        |    CASE WHEN e.e = 0 THEN '2024-01-0' || (doc_id % 9 + 1) END AS lastmod,
+        |    CASE WHEN e.e = 2 THEN CAST('0.' || (doc_id % 10) AS DOUBLE) END AS priority
+        |  FROM d, range(0, 3) e(e) WHERE NOT corrupt AND NOT isidx
+        |  UNION ALL
+        |  SELECT doc_id, 'sitemapindex', CAST(e.e AS INT),
+        |    'https://h' || k || '.com/maps/' || doc_id || '_' || (e.e + 1) || '.xml',
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        |  FROM d, range(0, 2) e(e) WHERE NOT corrupt AND isidx
+        |  UNION ALL
+        |  SELECT doc_id, 'invalid', CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        |  FROM d WHERE corrupt)
+        |SELECT doc_id, kind, entry_idx, url, lastmod, priority
+        |FROM u ORDER BY doc_id, entry_idx""".stripMargin,
 
     "q_url_domaincap" ->
       s"""WITH p AS (SELECT doc_id, ${lgHostSql("doc_id % 23")} AS host,

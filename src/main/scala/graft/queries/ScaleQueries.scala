@@ -367,6 +367,30 @@ object ScaleQueries {
         .withColumn("range_pruned", lit(files <= 2L))
     }),
 
+    "q_sink_compact" -> ((s, dir) => {
+      // Small-file compaction certificate (the maintenance pass every
+      // long-lived corpus needs — streaming sinks and per-task writers
+      // shred tables into thousands of tiny files): 16 small files
+      // rewritten to 2 via the swap-safe compact (tmp write → aside-move
+      // → swap; a failure at any step leaves the original or a restore).
+      // Certified in-plan: file counts before/after from the directory,
+      // rows and id-sum prove the content survived byte-exact.
+      val out = stagingDir() + "/compact_docs_" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+      val src = docs(s, dir).select(col("doc_id"), col("text"))
+      src.repartition(16).write.mode("overwrite").parquet(out)
+      def nFiles() = new java.io.File(out).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      val before = nFiles()
+      graft.sources.LayoutWriter.compact(s, out, targetFiles = 2)
+      val after = nFiles()
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"))
+        .withColumn("files_before", lit(before.toLong))
+        .withColumn("files_after", lit(after.toLong))
+        .select(col("files_before"), col("files_after"), col("n_rows"),
+          col("sum_ids"))
+    }),
+
     "q_sink_zorder" -> ((s, dir) => {
       // Z-order clustered layout (Morton curve — the Delta/Iceberg
       // OPTIMIZE ZORDER shape): 2-D box filters prune DIRECTORIES, which
@@ -714,6 +738,11 @@ object ScaleQueries {
     "q_sink_sorted" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, true AS range_pruned
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+
+    "q_sink_compact" ->
+      """SELECT CAST(16 AS BIGINT) AS files_before, CAST(2 AS BIGINT) AS files_after,
+        |  CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents""".stripMargin,
 
     "q_corpus_manifest" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -657,6 +657,29 @@ object TextAnalysis {
     * so the oracle replays the grade bit-for-bit. One explode+aggregate
     * per doc (the word axis); sentence runs count on the un-exploded row.
     */
+  /** [[readabilityBy]]'s grade as ONE pure-map column (HOF fold over the
+    * token array instead of explode + aggregate) — the STREAM-gate form:
+    * stateless, so the same definition filters a live ingest in append
+    * mode. Same exact integer arithmetic, spec-pinned equal to the
+    * relational form (which remains the corpus-scale path: the HOF fold
+    * is CodegenFallback and pays interpreted dispatch per word).
+    */
+  def fkGradeMicro(text: Column): Column = {
+    def idiv(x: Column, y: Column): Column =
+      ((x - pmod(x, y)) / y).cast("long")
+    def rdiv(a: Column, b: Column): Column = idiv(a * 2 + b, b * 2)
+    val toks = tokensWs(text)
+    val nWords = size(toks).cast("long")
+    val nSents = greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))),
+      lit(1)).cast("long")
+    val nSyll = aggregate(
+      transform(toks, w => greatest(size(regexp_extract_all(lower(w),
+        lit("[aeiouy]+"), lit(0))), lit(1)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    rdiv(nWords * 39L * 1000000L, nSents * 100L) +
+      rdiv(nSyll * 118L * 1000000L, nWords * 10L) - lit(15590000L)
+  }
+
   def readabilityBy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     def idiv(x: Column, y: Column): Column =
       ((x - pmod(x, y)) / y).cast("long")

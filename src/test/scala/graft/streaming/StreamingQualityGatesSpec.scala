@@ -149,4 +149,58 @@ class StreamingQualityGatesSpec extends SparkTestBase {
       assert(streamed === Set(1L, 4L))
     } finally q.stop()
   }
+
+  test("readability gate: pure-map fkGradeMicro streams and equals the relational form") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "The cat sat. It ran away fast. Simple words here."),
+      (2L, "Incomprehensibility characterizes multisyllabic terminological obfuscation. " +
+        "Organizational contextualization necessitates interdisciplinary conceptualization."))
+    // map form == relational form on the same rows (the equivalence cert)
+    val viaMap = rows.toDF("id", "text")
+      .select($"id", graft.llm.TextAnalysis.fkGradeMicro($"text").as("g"))
+      .as[(Long, Long)].collect().toMap
+    val viaAgg = graft.llm.TextAnalysis.readabilityBy(
+        rows.toDF("id", "text"), "id", "text")
+      .select($"id", $"fk_grade_micro").as[(Long, Long)].collect().toMap
+    assert(viaMap === viaAgg)
+    assert(viaMap(2L) > viaMap(1L), "polysyllabic text must grade higher")
+    // and the map form runs UNCHANGED as an append-mode stream filter
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("id", "text")
+      .select($"id", graft.llm.TextAnalysis.fkGradeMicro($"text").as("g"))
+      .writeStream.format("memory").queryName("fkgate").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      assert(spark.table("fkgate").as[(Long, Long)].collect().toMap === viaMap)
+    } finally q.stop()
+  }
+
+  test("CDX pre-fetch gate: stream rows == batch rows (pure-map parse + gate)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("url", StringType), StructField("status", StringType),
+      StructField("mime", StringType)))
+    val lines = Seq(
+      (1L, """com,a)/x 20240101000000 {"url":"https://a.com/x","status":"200","mime":"text/html"}"""),
+      (2L, """com,b)/y 20240101000001 {"url":"https://b.com/y","status":"404","mime":"text/html"}"""),
+      (3L, """com,c)/z 20240101000002 {"url":"https"""))  // truncated JSON
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.Warc.parseCdxj(df, "line", schema)
+        .filter(col("fields.url").isNotNull && col("fields.status") === "200" &&
+          col("fields.mime") === "text/html")
+        .select("id")
+    val input = MemoryStream[(Long, String)]
+    val q = gate(input.toDS().toDF("id", "line"))
+      .writeStream.format("memory").queryName("cdxgate").outputMode("append").start()
+    try {
+      input.addData(lines: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cdxgate").as[Long].collect().toSet
+      assert(streamed === gate(lines.toDF("id", "line")).as[Long].collect().toSet)
+      assert(streamed === Set(1L), s"only the parsed 200 text/html row passes: $streamed")
+    } finally q.stop()
+  }
 }

@@ -159,6 +159,80 @@ object UrlOps {
     kept.unionByName(df.filter(col(urlCol).isNull).select(kept.columns.map(col): _*))
   }
 
+  /** URL template signature: the path with every run of ≥16 hex chars
+    * collapsed to `{h}` (session ids, content hashes) and then every digit
+    * run to `{n}` (ids, dates, page numbers) — hex first, because hex runs
+    * contain digits. Two URLs share a template iff they differ only in
+    * such variable segments, which is how crawler-trap mitigation groups
+    * calendar pages, faceted-search permutations and session-id spaces
+    * that are distinct as URLs but one page shape in reality. Pure
+    * codegen'd `regexp_replace` — no UDF, no shuffle.
+    */
+  def urlTemplate(u: Column): Column =
+    regexp_replace(
+      regexp_replace(urlPath(u), "[0-9a-f]{16,}", "{h}"),
+      "[0-9]+", "{n}")
+
+  /** Per-(host, template) URL counts with a trap flag: a template holding
+    * more than `trapFracMicro` millionths of the corpus is a trap
+    * candidate (calendar/session/facet spaces explode combinatorially;
+    * organic site sections don't). The fraction form — not an absolute
+    * count — keeps the flag scale-invariant: the same fixture flags the
+    * same templates at every sf.
+    *
+    * Shape: one slim `(host, template)` count shuffle (map-side partial —
+    * a mega-trap collapses per task before the exchange), then a
+    * broadcast of the one-row corpus total. Integer cross-multiply, no
+    * division. Null-host rows (non-URLs) are excluded — they have no
+    * fetch shape to trap.
+    */
+  def templateReport(df: DataFrame, urlCol: String,
+      trapFracMicro: Long = 50000L): DataFrame = {
+    val keyed = df
+      .withColumn("host", urlHost(col(urlCol)))
+      .withColumn("template", urlTemplate(col(urlCol)))
+      .filter(col("host").isNotNull)
+    val counts = keyed.groupBy("host", "template")
+      .agg(count(lit(1)).as("n_urls"))
+    val total = keyed.agg(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("is_trap",
+        col("n_urls") * lit(1000000L) > col("__total") * lit(trapFracMicro))
+      .drop("__total")
+  }
+
+  /** Trap-mitigation gate: URLs of flagged templates survive only up to
+    * `cap` per (host, template) — ordered by `orderCol`, the deterministic
+    * "first seen wins" — while URLs of organic templates pass untouched.
+    * Null-host rows pass through (not this gate's concern).
+    *
+    * Scale: the report side is aggregate-sized; the trap-row subset is
+    * bounded by the flagged templates' volume, and the `row_number ≤ cap`
+    * filter sits DIRECTLY above its window so Spark plans the rank-limit
+    * as WindowGroupLimit — each map task keeps a bounded top-cap per
+    * group before the exchange, the [[capPerDomain]] discipline (a
+    * mega-trap costs O(cap) memory map-side, not O(|trap|)).
+    */
+  def trapGate(df: DataFrame, urlCol: String, orderCol: String,
+      trapFracMicro: Long = 50000L, cap: Int = 5): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val report = templateReport(df, urlCol, trapFracMicro)
+    val traps = report.filter(col("is_trap")).select("host", "template")
+    val keyed = df
+      .withColumn("host", urlHost(col(urlCol)))
+      .withColumn("template", urlTemplate(col(urlCol)))
+    val urls = keyed.filter(col("host").isNotNull)
+    val trapRows = urls.join(traps, Seq("host", "template"), "left_semi")
+    val organic = urls.join(traps, Seq("host", "template"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"), col("template")).orderBy(col(orderCol))
+    val capped = trapRows.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+    organic.unionByName(capped)
+      .unionByName(keyed.filter(col("host").isNull))
+      .drop("host", "template")
+  }
+
   /** Sitemap XML parsing — the fetch step after robots.txt surfaces the
     * sitemap URLs (`q_url_sitemaps`): extract `<loc>`/`<lastmod>`/
     * `<priority>` per entry from `<urlset>` pages and child sitemaps from

@@ -155,6 +155,55 @@ object CrawlQueries {
       | WHEN 3 THEN 'https://cdn.example.com:8080/asset/' || (doc_id % 50)
       | ELSE 'not a url ' || doc_id END""".stripMargin
 
+  /** Crawler-trap fixture: 10% of the corpus is a calendar trap (one host,
+    * every (month, day) pair a distinct URL), 10% a session-id trap (16-hex
+    * token in the path), and the rest organic pages spread over the
+    * 23-host pool × 3 site sections — each organic (host, template) group
+    * holds ~1.2% of the corpus, safely under the 5% trap threshold at
+    * every sf.
+    */
+  private def trapUrls(s: SparkSession, dir: String): DataFrame = {
+    val ids = col("doc_id").cast("string")
+    val m10 = col("doc_id") % 10
+    val hexs = lpad(lower(hex(col("doc_id"))), 16, "0")
+    val q31 = ((col("doc_id") - pmod(col("doc_id"), lit(31))) / 31).cast("long")
+    val url = when(m10 === 0,
+        concat(lit("https://big.example.com/cal/"), q31.cast("string"),
+          lit("/day/"), (col("doc_id") % 31).cast("string")))
+      .when(m10 === 1,
+        concat(lit("https://shop.example.com/item/"),
+          (col("doc_id") % 37).cast("string"), lit("/s/"), hexs))
+      .otherwise(concat(lit("https://"), lgHostForm(col("doc_id") % 23),
+        when(col("doc_id") % 3 === 0, lit("/about-a/p"))
+          .when(col("doc_id") % 3 === 1, lit("/blog-b/p"))
+          .otherwise(lit("/docs-c/p")), ids))
+    docs(s, dir).select(col("doc_id"), url.as("url"))
+  }
+
+  /** Oracle mirror of [[trapUrls]] + the kernel's host/path extraction and
+    * the template collapse (hex runs first, then digit runs — `'g'` for
+    * the all-occurrences semantics Spark's `regexp_replace` has natively).
+    */
+  private val trapKeyedSql =
+    s"""trap_u AS (SELECT doc_id, CASE doc_id % 10
+       |    WHEN 0 THEN 'https://big.example.com/cal/' || (doc_id // 31) || '/day/' || (doc_id % 31)
+       |    WHEN 1 THEN 'https://shop.example.com/item/' || (doc_id % 37) || '/s/' || lpad(lower(to_hex(doc_id)), 16, '0')
+       |    ELSE 'https://' || ${lgHostSql("doc_id % 23")} ||
+       |      (CASE doc_id % 3 WHEN 0 THEN '/about-a/p' WHEN 1 THEN '/blog-b/p' ELSE '/docs-c/p' END) || doc_id
+       |    END AS url
+       |  FROM documents),
+       |trap_k AS (SELECT doc_id, url,
+       |    lower(nullif(regexp_replace(
+       |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+       |      ':[0-9]*$$', ''), '')) AS host,
+       |    regexp_replace(regexp_replace(
+       |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+       |      '[0-9a-f]{16,}', '{h}', 'g'), '[0-9]+', '{n}', 'g') AS template
+       |  FROM trap_u),
+       |trap_rep AS (SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls,
+       |    count(*) * 1000000 > (SELECT count(*) FROM trap_k) * 50000 AS is_trap
+       |  FROM trap_k GROUP BY host, template)""".stripMargin
+
   /** Oracle-side registrable domain over `h` (a host expression):
     * last-two labels, last-three when the last two are a multi-label
     * public suffix — the [[UrlOps.registeredDomain]] contract in SQL.
@@ -266,6 +315,25 @@ object CrawlQueries {
        |  GROUP BY e.dst),
        |r$i AS (SELECT n.domain, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS rank_micro
        |  FROM lg_nodes n LEFT JOIN c$i c ON c.dst = n.domain)""".stripMargin
+
+  /** The TrustRank fixture's seed whitelist (one `.com`, one multi-label
+    * `.co.uk` — both resolvable registered domains in the host pool).
+    */
+  private val lgTrustSeeds = Seq("h1.com", "h3.co.uk")
+
+  private val lgTrustSeedsSql = lgTrustSeeds.map(d => s"'$d'").mkString(", ")
+
+  /** One biased (seed-teleport) power-iteration round — the sequential
+    * mirror of [[graft.llm.LinkGraph.trustRank]]'s update.
+    */
+  private def lgTrustStepSql(i: Int): String =
+    s"""tc$i AS (SELECT e.dst, sum((t.trust_micro // o.deg) * 850000 // 1000000) AS s
+       |  FROM lg_edges e JOIN lg_outdeg o ON e.src = o.src JOIN t${i - 1} t ON t.domain = e.src
+       |  GROUP BY e.dst),
+       |t$i AS (SELECT n.domain, CAST(
+       |    (CASE WHEN n.domain IN ($lgTrustSeedsSql) THEN 150000 ELSE 0 END)
+       |    + coalesce(c.s, 0) AS BIGINT) AS trust_micro
+       |  FROM lg_nodes n LEFT JOIN tc$i c ON c.dst = n.domain)""".stripMargin
 
   private val boilerLine1 = "home products pricing support about contact sign in"
   private val boilerLine2 = "copyright twenty twenty six example industries all rights reserved"
@@ -820,6 +888,38 @@ object CrawlQueries {
         .select(col("domain"), col("rank").as("rank_micro"))
         .orderBy(col("rank_micro").desc, col("domain"))),
 
+    "q_url_template" -> ((s, dir) =>
+      // Crawler-trap detection: path templates ({n}/{h} collapse) counted
+      // per host, trap = >5% of the corpus under one template. The
+      // calendar and session-id spaces flag; every organic section stays
+      // under threshold. One slim-key count shuffle + a broadcast one-row
+      // total — integer cross-multiply, scale-invariant flag.
+      graft.llm.UrlOps.templateReport(trapUrls(s, dir), "url",
+          trapFracMicro = 50000L)
+        .orderBy(col("host"), col("template"))),
+
+    "q_url_trapgate" -> ((s, dir) =>
+      // The mitigation: trap templates keep their first 5 URLs by doc_id
+      // (WindowGroupLimit — bounded map-side state per group), organic
+      // URLs pass untouched. 5 calendar + 5 session survivors, everything
+      // else intact.
+      graft.llm.UrlOps.trapGate(trapUrls(s, dir), "url", "doc_id",
+          trapFracMicro = 50000L, cap = 5)
+        .orderBy(col("doc_id"))),
+
+    "q_link_trustrank" -> ((s, dir) =>
+      // Spam demotion: 3 biased power-iteration rounds whose teleport mass
+      // lands only on the vetted seed whitelist — trust flows outward from
+      // seeds through the same integer micro-rank discipline as
+      // q_link_pagerank, so domains the trusted region never (transitively)
+      // links to end at exactly 0 and the iterative join chain hash-matches
+      // the sequential oracle CTEs.
+      graft.llm.LinkGraph.trustRank(
+          graft.llm.LinkGraph.hostEdges(linkedPages(s, dir), col("host"), col("html")),
+          seeds = lgTrustSeeds, iters = 3)
+        .select(col("domain"), col("trust").as("trust_micro"))
+        .orderBy(col("trust_micro").desc, col("domain"))),
+
     "q_url_robots_gate" -> ((s, dir) => {
       // robots.txt frontier compliance: per-domain policies parse ONCE
       // (kernel), broadcast as rule arrays, and each URL's path decides by
@@ -1195,6 +1295,32 @@ object CrawlQueries {
          |${lgRankStepSql(2)},
          |${lgRankStepSql(3)}
          |SELECT domain, rank_micro FROM r3 ORDER BY rank_micro DESC, domain""".stripMargin,
+
+    "q_url_template" ->
+      s"""WITH $trapKeyedSql
+         |SELECT host, template, n_urls, is_trap FROM trap_rep
+         |ORDER BY host, template""".stripMargin,
+
+    "q_url_trapgate" ->
+      s"""WITH $trapKeyedSql,
+         |trap_r AS (SELECT k.doc_id, k.url, r.is_trap,
+         |    row_number() OVER (PARTITION BY k.host, k.template ORDER BY k.doc_id) AS rn
+         |  FROM trap_k k JOIN trap_rep r ON k.host = r.host AND k.template = r.template)
+         |SELECT doc_id, url FROM trap_r WHERE NOT is_trap OR rn <= 5
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_link_trustrank" ->
+      s"""WITH $lgLinksSql,
+         |lg_edges AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst
+         |  FROM lg_edges_w WHERE dst_domain <> src_domain),
+         |lg_outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM lg_edges GROUP BY src),
+         |lg_nodes AS (SELECT src AS domain FROM lg_edges UNION SELECT dst FROM lg_edges),
+         |t0 AS (SELECT domain, CAST(CASE WHEN domain IN ($lgTrustSeedsSql)
+         |    THEN 1000000 ELSE 0 END AS BIGINT) AS trust_micro FROM lg_nodes),
+         |${lgTrustStepSql(1)},
+         |${lgTrustStepSql(2)},
+         |${lgTrustStepSql(3)}
+         |SELECT domain, trust_micro FROM t3 ORDER BY trust_micro DESC, domain""".stripMargin,
 
     "q_link_anchors" ->
       s"""WITH alinks AS (SELECT doc_id, unnest(list_value(

@@ -54,6 +54,29 @@ class LinkGraphSpec extends SparkTestBase {
     assert(got == Set(("two.com", "search", 3L), ("two.com", "engine", 1L)))
   }
 
+  test("trustRank: trust flows only outward from seeds, spam ring gets none") {
+    // Seed S → A → B, plus a 2-cycle spam farm X⇄Y with no inbound from
+    // the trusted region. outdeg: S=1, A=1, X=1, Y=1; B dangling.
+    val edges = Seq(("S", "A"), ("A", "B"), ("X", "Y"), ("Y", "X"))
+      .toDF("src_domain", "dst_domain")
+    // r0: S=1000000, rest 0.
+    // r1: S = 150000; A = (1000000 div 1)·850000 div 10⁶ = 850000; B=X=Y=0.
+    // r2: S = 150000; A = 150000·850000 div 10⁶ = 127500;
+    //     B = 850000·850000 div 10⁶ = 722500; X=Y=0 forever.
+    val got = LinkGraph.trustRank(edges, seeds = Seq("S"), iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("S" -> 150000L, "A" -> 127500L, "B" -> 722500L,
+      "X" -> 0L, "Y" -> 0L))
+  }
+
+  test("trustRank: multiple seeds each hold the teleport base") {
+    val edges = Seq(("S1", "S2"), ("S2", "S1")).toDF("src_domain", "dst_domain")
+    // r1: each = 150000 + (1000000 div 1)·850000 div 10⁶ = 1000000.
+    val got = LinkGraph.trustRank(edges, seeds = Seq("S1", "S2"), iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("S1" -> 1000000L, "S2" -> 1000000L))
+  }
+
   test("pageRank: dangling destination keeps base rank plus inbound") {
     // B has no outlinks: it must still appear as a node, receive inbound
     // rank, and simply leak its own (the standard simplification).

@@ -148,6 +148,44 @@ class UrlOpsSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("urlTemplate: hex runs collapse before digit runs, braces literal") {
+    val got = Seq(
+      "https://a.com/cal/2026/day/14",
+      "https://a.com/item/12/s/000000000000beef",
+      "https://a.com/plain/path",
+      "https://a.com/deadbeefdeadbeef01",   // 18 hex chars → one {h}
+      "https://a.com/abc123def")            // short hex-ish: only digits fold
+      .toDF("url").select(UrlOps.urlTemplate($"url")).as[String].collect().toSeq
+    assert(got == Seq("/cal/{n}/day/{n}", "/item/{n}/s/{h}", "/plain/path",
+      "/{h}", "/abc{n}def"))
+  }
+
+  test("templateReport + trapGate: scale-invariant flag, capped survivors") {
+    // 12 calendar-trap URLs on one host/template, 4 organic across two
+    // templates, one non-URL. Corpus (with host) = 16; 5% threshold →
+    // trap needs > 0.8 URLs... use 200000µ (20%): trap group 12/16 = 75%
+    // flags, organic 2/16 = 12.5% does not.
+    val rows = (1L to 12L).map(i => (i, s"https://t.com/d/2026/$i")) ++
+      Seq((13L, "https://t.com/about/x"), (14L, "https://t.com/about/y"),
+        (15L, "https://o.com/p/1"), (16L, "https://o.com/p/2"),
+        (17L, "not a url"))
+    val df = rows.toDF("doc_id", "url")
+    val rep = UrlOps.templateReport(df, "url", trapFracMicro = 200000L)
+      .as[(String, String, Long, Boolean)].collect().toSet
+    assert(rep == Set(
+      ("t.com", "/d/{n}/{n}", 12L, true),
+      ("t.com", "/about/x", 1L, false), ("t.com", "/about/y", 1L, false),
+      ("o.com", "/p/{n}", 2L, false)))
+    val gate = UrlOps.trapGate(df, "url", "doc_id",
+      trapFracMicro = 200000L, cap = 3)
+    val kept = gate.as[(Long, String)].collect().map(_._1).sorted.toSeq
+    // trap keeps first 3 by doc_id; organic and the non-URL all pass
+    assert(kept == Seq(1L, 2L, 3L, 13L, 14L, 15L, 16L, 17L))
+    // the cap must plan as WindowGroupLimit (bounded map-side state)
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("keepLatestSnapshot: newest per URL via max-struct agg, null URL passes") {
     val df = Seq(
       (1L, "http://x.com/a", 100L, "v1"), (2L, "http://x.com/a", 300L, "v3"),

@@ -242,6 +242,59 @@ object TextAnalysis {
       graft.functions.SigKernels.charNgramCount(col(textCol), charN)
         .cast("long").as(s"n_char$charN"))
 
+  /** word2phrase collocation mining (Mikolov et al. 2013, the word2vec
+    * phrase tool): corpus-level bigram score
+    *
+    *   score(a b) = (n_ab − δ) · N / (n_a · n_b)
+    *
+    * — how far the bigram's observed count exceeds the independence
+    * expectation, with the δ discount suppressing rare-word flukes. Pairs
+    * scoring above the threshold become vocabulary phrases ("new york" →
+    * one token), the standard pre-tokenization step for phrase-aware
+    * embeddings and vocabularies.
+    *
+    * Exactness: the score is computed ENTIRELY in integers —
+    * `(n_ab − δ) · N · 10⁶ div (n_a · n_b)` over DECIMAL(38,0) (the
+    * cross-multiplied form would overflow 2⁶³ at corpus scale: counts ·
+    * total · 10⁶ reaches ~10³⁸ long before 100 TB), truncating division,
+    * positive operands only (`minCount > δ` is required) — so Spark and a
+    * sequential oracle agree bit-for-bit at any aggregation order.
+    *
+    * Shape at scale: one posexplode + per-doc `lead` window (token rows,
+    * keyed on the doc id), then two slim word-keyed count shuffles with
+    * map-side partials; the unigram table joins back onto the BIGRAM
+    * AGGREGATE (vocab²-bounded, not corpus-bounded), and the one-row total
+    * broadcasts. Hot words (stopwords) collapse map-side in the counts.
+    */
+  def phrasesBy(df: DataFrame, idCol: String, textCol: String,
+      delta: Long = 5L, thrMicro: Long = 5000000L,
+      minCount: Long = 6L): DataFrame = {
+    require(minCount > delta,
+      s"minCount ($minCount) must exceed delta ($delta): the discounted " +
+        "count must stay positive for the truncating division to be " +
+        "engine-independent")
+    val toks = df.select(col(idCol).as("__id"),
+      posexplode(tokensWs(col(textCol))).as(Seq("__pos", "__tok")))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val pairs = toks.withColumn("__next", lead(col("__tok"), 1).over(w))
+    val uni = toks.groupBy(col("__tok").as("word"))
+      .agg(count(lit(1)).as("n_w"))
+    val bi = pairs.filter(col("__next").isNotNull)
+      .groupBy(col("__tok").as("w1"), col("__next").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+    val total = toks.agg(count(lit(1)).as("__n"))
+    bi.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("word").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("word").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("score_micro", expr(
+        s"CAST((CAST(n_ab - $delta AS DECIMAL(38,0)) * __n * 1000000) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+      .filter(col("score_micro") > thrMicro)
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        col("score_micro"))
+  }
+
   /** Gopher-style repetition metrics per document: duplicate-token fraction
     * and the share of tokens claimed by the single most frequent bigram —
     * the cheap signals that catch boilerplate / keyword-stuffed / looping

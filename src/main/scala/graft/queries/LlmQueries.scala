@@ -1477,6 +1477,21 @@ object LlmQueries {
       TextAnalysis.vocabCoverageBy(docs(s, dir), "doc_id", "text", topV = 64)
         .orderBy(col("doc_id"))),
 
+    "q_text_phrases" -> ((s, dir) =>
+      // word2phrase collocation mining: planted multiword names ("data
+      // lake" on half the corpus, "neural net" on a third) must surface
+      // with exact integer micro scores; the shuffled base vocabulary
+      // sits near independence and stays under the 5× threshold. All
+      // counts corpus-level; DECIMAL(38,0) keeps the cross-multiplied
+      // score exact at any corpus size.
+      TextAnalysis.phrasesBy(
+          docsSpread(s, dir).select(col("doc_id"), concat(col("text"),
+            when(col("doc_id") % 2 === 0, lit(" data lake")).otherwise(lit("")),
+            when(col("doc_id") % 3 === 0, lit(" neural net")).otherwise(lit("")))
+            .as("text")),
+          "doc_id", "text", delta = 5L, thrMicro = 5000000L, minCount = 6L)
+        .orderBy(col("score_micro").desc, col("w1"), col("w2"))),
+
     // --- multimodal plumbing (stub decode — codecs absent in this env) ------
     "q_multimodal" -> ((s, dir) =>
       // ASCII-only payloads (byte == codepoint) make the 64-bit checksum
@@ -3653,6 +3668,27 @@ object LlmQueries {
         |SELECT doc_id, n_tokens, in_vocab,
         |  CAST(in_vocab AS DOUBLE) / n_tokens AS coverage
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_text_phrases" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(
+        |      text || (CASE WHEN doc_id % 2 = 0 THEN ' data lake' ELSE '' END)
+        |           || (CASE WHEN doc_id % 3 = 0 THEN ' neural net' ELSE '' END)
+        |    ), '\s+') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS word FROM d),
+        |uc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_w FROM uni GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+        |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> {a: w[i], b: w[i + 1]})) AS p FROM d WHERE len(w) >= 2),
+        |bc AS (SELECT p.a AS w1, p.b AS w2, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM bg GROUP BY 1, 2),
+        |s AS (SELECT w1, w2, n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+        |    CAST((CAST(n_ab - 5 AS HUGEINT) * (SELECT n FROM tot) * 1000000)
+        |      // (CAST(ua.n_w AS HUGEINT) * ub.n_w) AS BIGINT) AS score_micro
+        |  FROM bc JOIN uc ua ON bc.w1 = ua.word JOIN uc ub ON bc.w2 = ub.word
+        |  WHERE n_ab >= 6)
+        |SELECT w1, w2, n_ab, n_a, n_b, score_micro FROM s
+        |WHERE score_micro > 5000000
+        |ORDER BY score_micro DESC, w1, w2""".stripMargin,
 
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

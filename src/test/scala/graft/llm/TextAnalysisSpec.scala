@@ -127,6 +127,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(m(4L) == ((4L, 5L, 2L, 0.6, 2L, 0.8)))
   }
 
+  test("phrasesBy: word2phrase score discounts rare flukes, exact micro values") {
+    // 6× "new york" + two alternating a/b docs. N = 26 tokens;
+    // n_new = n_york = 6, n_a = n_b = 7; n_ab: (new,york)=6, (a,b)=6,
+    // (b,a)=6. score(new york) = (6−5)·26·10⁶ div 36 = 722222;
+    // score(a b) = (6−5)·26·10⁶ div 49 = 530612 — under the 600000
+    // threshold, so only the planted name survives.
+    val df = ((1L to 6L).map(i => (i, "new york")) ++
+      Seq((7L, "a b a b a b a"), (8L, "b a b a b a b"))).toDF("doc_id", "text")
+    val got = TextAnalysis.phrasesBy(df, "doc_id", "text",
+        delta = 5L, thrMicro = 600000L, minCount = 6L)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("new", "york", 6L, 6L, 6L, 722222L)))
+  }
+
+  test("phrasesBy: minCount must exceed delta") {
+    val df = Seq((1L, "x y")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phrasesBy(df, "doc_id", "text", delta = 5L,
+        thrMicro = 0L, minCount = 5L)
+    }
+  }
+
   test("unigram LM score: repeated-vocabulary docs outscore rare-vocabulary docs") {
     // 'the' appears 8x, unique tokens once each → ln(8/N) >> ln(1/N)
     val df = Seq(

@@ -542,6 +542,59 @@ object Dedup {
       .withColumn("ng", size(col("__gs")))
       .select(col("id"), col("block"), explode(col("__gs")).as("gram"), col("ng"))
 
+  /** Self-Instruct pool-admission gate (Wang et al. 2022): a generated
+    * instruction joins the pool only if its ROUGE overlap with EVERY
+    * existing pool instruction stays below threshold — the dedup that
+    * keeps a bootstrapped instruction corpus diverse. The paper scores
+    * ROUGE-L; this relational form scores set-based ROUGE-2 F1, the
+    * standard cheap proxy (LCS needs an O(len²) DP per PAIR — nothing an
+    * equi-join can express — while bigram F1 is one gram join):
+    *
+    *   f1_micro = 2 · |bigrams_c ∩ bigrams_p| · 10⁶ div (|bigrams_c| + |bigrams_p|)
+    *
+    * Pure integer, truncating division — exact in any engine.
+    *
+    * Output: one row per candidate — `(id, best_pool_id, f1_micro, keep)`
+    * where `best_pool_id` is the argmax pool match (ties: lowest pool id;
+    * null when no bigram is shared — f1 0) and `keep = f1 < thrMicro`.
+    *
+    * Shape at scale: distinct bigram sets build in one kernel pass per row
+    * ([[graft.functions.SigKernels]]); the candidate×pool gram equi-join
+    * carries slim (id, gram) rows and only materializes pairs sharing a
+    * gram; the argmax is a max-struct aggregation (map-side partials — no
+    * window over the pair fan-out). Candidates are the DELTA (one
+    * generation round) joining a persisted pool, so join volume is
+    * batch-bounded; a stopword-heavy pool can additionally block the join
+    * on a cheap key (length bucket) the way [[ngramJaccardPairs]] does.
+    */
+  def rouge2Gate(pool: DataFrame, cands: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      thrMicro: Long = 700000L): DataFrame = {
+    def grams(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"),
+          graft.functions.SigKernels.wordNgramsDistinct(col(textCol), 2).as("__gs"))
+        .withColumn(s"${side}_ng", size(col("__gs")))
+        .select(col(s"${side}_id"), explode(col("__gs")).as("gram"),
+          col(s"${side}_ng"))
+    val pg = grams(pool, "p")
+    val cg = grams(cands, "c")
+    val scored = cg.join(pg, "gram")
+      .groupBy(col("c_id"), col("p_id"))
+      .agg(count(lit(1)).as("__inter"),
+        max(col("c_ng")).as("__nc"), max(col("p_ng")).as("__np"))
+      .select(col("c_id"), col("p_id"),
+        expr("2 * __inter * 1000000 div (__nc + __np)").as("f1_micro"))
+    val best = scored.groupBy(col("c_id"))
+      .agg(max(struct(col("f1_micro"), (-col("p_id")).as("__negp"))).as("__b"))
+      .select(col("c_id"), (-col("__b.__negp")).as("best_pool_id"),
+        col("__b.f1_micro").as("f1_micro"))
+    cands.select(col(idCol).as("id"))
+      .join(best, col("id") === col("c_id"), "left")
+      .select(col("id"), col("best_pool_id"),
+        coalesce(col("f1_micro"), lit(0L)).as("f1_micro"))
+      .withColumn("keep", col("f1_micro") < thrMicro)
+  }
+
   /** Candidate pairs + exact Jaccard from a prepared (id, block, gram, ng)
     * frame.
     */

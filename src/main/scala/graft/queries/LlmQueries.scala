@@ -986,6 +986,24 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_conv_selfinstruct" -> ((s, dir) => {
+      // Self-Instruct pool admission: candidates are near-copies
+      // (" please" appended — must REJECT), half-text rewrites (admit:
+      // real overlap but under threshold) and case-mutated novel texts
+      // (admit at f1 = 0). Set-based ROUGE-2 F1 in exact integer micro;
+      // the argmax pool match is a max-struct aggregation, never a
+      // window over the pair fan-out.
+      val pool = docs(s, dir).select(col("doc_id"), col("text"))
+      val half = concat_ws(" ", expr(
+        "slice(split(trim(text), '\\\\s+'), 1, size(split(trim(text), '\\\\s+')) div 2)"))
+      val cands = docs(s, dir).select((col("doc_id") + 100000L).as("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(col("text"), lit(" please")))
+          .when(col("doc_id") % 4 === 2, concat(half, lit(" extra request words")))
+          .otherwise(upper(col("text"))).as("text"))
+      Dedup.rouge2Gate(pool, cands, thrMicro = 700000L)
+        .orderBy(col("id"))
+    }),
+
     "q_conv_bradley_terry" -> ((s, dir) => {
       // Bradley–Terry strength aggregation of pairwise preferences — the
       // step between raw preference pairs and a reward-model prior. Each
@@ -2334,6 +2352,34 @@ object LlmQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_conv_bradley_terry" -> btOracleSql,
+
+    "q_conv_selfinstruct" ->
+      """WITH base AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |cand AS (SELECT doc_id + 100000 AS cid,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || ' please'
+        |      WHEN doc_id % 4 = 2 THEN array_to_string(w[1:len(w)//2], ' ') || ' extra request words'
+        |      ELSE upper(text) END AS text
+        |  FROM base),
+        |pw AS (SELECT doc_id AS pid,
+        |    list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gs
+        |  FROM base),
+        |cw AS (SELECT cid, string_split_regex(trim(text), '\s+') AS w FROM cand),
+        |cgm AS (SELECT cid,
+        |    list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gs
+        |  FROM cw),
+        |pg AS (SELECT pid, unnest(gs) AS gram, len(gs) AS np FROM pw),
+        |cg AS (SELECT cid, unnest(gs) AS gram, len(gs) AS nc FROM cgm),
+        |j AS (SELECT cid, pid, count(*) AS inter, max(nc) AS nc, max(np) AS np
+        |  FROM cg JOIN pg USING (gram) GROUP BY 1, 2),
+        |s AS (SELECT cid, pid, 2 * inter * 1000000 // (nc + np) AS f1 FROM j),
+        |b AS (SELECT cid, pid, f1,
+        |    row_number() OVER (PARTITION BY cid ORDER BY f1 DESC, pid) AS rn FROM s)
+        |SELECT c.cid AS id, b.pid AS best_pool_id,
+        |  CAST(coalesce(b.f1, 0) AS BIGINT) AS f1_micro,
+        |  coalesce(b.f1, 0) < 700000 AS keep
+        |FROM cand c LEFT JOIN (SELECT * FROM b WHERE rn = 1) b ON b.cid = c.cid
+        |ORDER BY id""".stripMargin,
 
     "q_conv_neardup" ->
       """WITH base AS (SELECT doc_id % 50 AS conv, doc_id AS idx, text

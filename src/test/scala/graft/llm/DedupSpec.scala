@@ -179,6 +179,35 @@ class DedupSpec extends SparkTestBase {
       ("eval", "web") -> 2L))   // alpha, beta — and no row for 'clean'
   }
 
+  test("rouge2Gate: near-copies rejected, partial rewrites and novel admitted") {
+    val pool = Seq(
+      (1L, "write a poem about the sea"),   // 5 distinct bigrams
+      (2L, "sort a list in python"))        // 4 distinct bigrams
+      .toDF("doc_id", "text")
+    val cands = Seq(
+      (10L, "write a poem about the sea please"), // 6 bigrams, ∩ pool1 = 5
+      (11L, "explain quantum physics"),           // shares nothing
+      (12L, "sort a list"))                       // 2 bigrams, ∩ pool2 = 2
+      .toDF("doc_id", "text")
+    val got = Dedup.rouge2Gate(pool, cands, thrMicro = 700000L)
+      .as[(Long, java.lang.Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // f1(10,1) = 2·5·10⁶ div 11 = 909090 ≥ thr → rejected
+    assert(got(10L) == ((10L, java.lang.Long.valueOf(1L), 909090L, false)))
+    // no shared gram → f1 0, null best, admitted
+    assert(got(11L) == ((11L, null, 0L, true)))
+    // f1(12,2) = 2·2·10⁶ div 6 = 666666 < thr → admitted
+    assert(got(12L) == ((12L, java.lang.Long.valueOf(2L), 666666L, true)))
+  }
+
+  test("rouge2Gate: argmax match ties break to the lowest pool id") {
+    val pool = Seq((7L, "a b c"), (3L, "a b c")).toDF("doc_id", "text")
+    val cands = Seq((10L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.rouge2Gate(pool, cands, thrMicro = 500000L)
+      .as[(Long, java.lang.Long, Long, Boolean)].collect().head
+    assert(got == ((10L, java.lang.Long.valueOf(3L), 1000000L, false)))
+  }
+
   test("poly minhash signatures match an independent Scala computation") {
     val p = 1000000007L
     def fp(s: String): Long =

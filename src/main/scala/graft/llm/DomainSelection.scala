@@ -109,6 +109,54 @@ object DomainSelection {
       .agg(count(lit(1)).as("n_feats"), sum(col("__lr")).as("logw_micro"))
   }
 
+  /** One DoReMi domain-reweighting step (Xie et al. 2023): the
+    * exponentiated-gradient update that turns per-document excess loss
+    * (proxy model vs reference model) into new domain mixture weights —
+    * domains where the proxy still trails the reference get upweighted,
+    * solved domains decay toward the smoothing floor. Input is a frame of
+    * `(domain, proxy_loss_micro, ref_loss_micro)` — per-doc losses come
+    * from upstream scoring operators; this step is pure aggregation:
+    *
+    *   excess_d = mean(max(0, proxy − ref))            (per-example clip)
+    *   w_d ∝ α_d · exp(η · excess_d),  smoothed (1−c)·w + c/k
+    *
+    * from a uniform prior α. Exactness discipline: the mean is a
+    * truncating integer division; `exp` is the one transcendental and
+    * both engines evaluate it on the SAME exact double (integer-valued
+    * micro inputs), rounded to 6 decimals before the integer-valued
+    * `round(10⁶·f)` lift; normalization and smoothing are integer
+    * cross-multiplies and truncating divisions — so the distributed
+    * aggregation hash-matches a sequential oracle bit-for-bit.
+    *
+    * Shape at scale: one map-side-partial `groupBy(domain)` over slim
+    * (domain, clipped-excess) rows — domains number dozens, so the
+    * update itself is a k-row frame with two broadcast one-row totals.
+    */
+  def doremiStep(df: DataFrame, domainCol: String,
+      proxyMicroCol: String, refMicroCol: String,
+      etaMicro: Long = 1000000L, smoothMicro: Long = 100000L): DataFrame = {
+    require(etaMicro > 0, s"etaMicro must be positive: $etaMicro")
+    require(smoothMicro >= 0 && smoothMicro < 1000000L,
+      s"smoothMicro must be in [0, 1e6): $smoothMicro")
+    val ex = df.select(col(domainCol).as("domain"),
+      greatest(col(proxyMicroCol) - col(refMicroCol), lit(0L)).as("__ex"))
+    val agg = ex.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ex")).as("__sum"))
+      .withColumn("excess_micro", expr("__sum div n_docs"))
+    val factor = round(
+      exp((lit(etaMicro).cast("double") / 1e6) *
+        (col("excess_micro").cast("double") / 1e6)), 6)
+    val raw = agg.withColumn("__wraw",
+      round(lit(1000000.0) * factor).cast("long"))
+    val tot = raw.agg(sum(col("__wraw")).as("__tot"),
+      count(lit(1)).as("__k"))
+    raw.crossJoin(broadcast(tot))
+      .withColumn("weight_micro",
+        expr(s"(__wraw * (1000000 - $smoothMicro)) div __tot + $smoothMicro div __k"))
+      .select(col("domain"), col("n_docs"), col("excess_micro"),
+        col("weight_micro"))
+  }
+
   /** Gumbel top-k importance resampling: keep the `k` documents with the
     * largest `logw/1e6 + Gumbel(u_doc)` keys — equivalent to sampling k
     * docs without replacement with probability ∝ w (the Gumbel-max trick),

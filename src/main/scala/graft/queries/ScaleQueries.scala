@@ -115,6 +115,22 @@ object ScaleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_sample_doremi" -> ((s, dir) => {
+      // DoReMi exponentiated-gradient domain reweighting: per-doc proxy/
+      // reference losses planted with a per-domain excess gradient
+      // (domain d trails the reference by ~d·60000µ on average), so the
+      // updated mixture upweights high-excess domains. The one
+      // transcendental (exp) evaluates on the same exact double in both
+      // engines, round-6; everything else is integer — the k-row weight
+      // table hash-matches the sequential oracle.
+      val d = docs(s, dir).select((col("doc_id") % 6).as("domain"),
+        ((col("doc_id") * 7919) % 900000 + (col("doc_id") % 6) * 60000).as("proxy_micro"),
+        ((col("doc_id") * 104729) % 900000).as("ref_micro"))
+      graft.llm.DomainSelection.doremiStep(d, "domain", "proxy_micro",
+          "ref_micro", etaMicro = 1000000L, smoothMicro = 100000L)
+        .orderBy(col("domain"))
+    }),
+
     "q_sample_epochs" -> ((s, dir) =>
       // Epoch up-sampling: src0 runs 2.5 epochs, src1 exactly 3, src2
       // thins to 0.7, src3 drops, the rest pass at 1 — realized copies
@@ -560,6 +576,25 @@ object ScaleQueries {
         |WHERE CAST((doc_id * 2654435761) % 4294967296 AS HUGEINT) * tokens
         |    < CAST(budget AS HUGEINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_doremi" ->
+      """WITH d AS (SELECT doc_id % 6 AS domain,
+        |    (doc_id * 7919) % 900000 + (doc_id % 6) * 60000 AS proxy_micro,
+        |    (doc_id * 104729) % 900000 AS ref_micro
+        |  FROM documents),
+        |e AS (SELECT domain, greatest(proxy_micro - ref_micro, 0) AS ex FROM d),
+        |a AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, sum(ex) AS s
+        |  FROM e GROUP BY 1),
+        |x AS (SELECT domain, n_docs, CAST(s // n_docs AS BIGINT) AS excess_micro FROM a),
+        |f AS (SELECT domain, n_docs, excess_micro,
+        |    CAST(round(1000000.0 * round(exp((1000000.0 / 1000000.0) *
+        |      (CAST(excess_micro AS DOUBLE) / 1000000.0)), 6)) AS BIGINT) AS wraw
+        |  FROM x),
+        |t AS (SELECT sum(wraw) AS tot, count(*) AS k FROM f)
+        |SELECT domain, n_docs, excess_micro,
+        |  CAST((wraw * (1000000 - 100000)) // (SELECT tot FROM t)
+        |    + 100000 // (SELECT k FROM t) AS BIGINT) AS weight_micro
+        |FROM f ORDER BY domain""".stripMargin,
 
     "q_sample_epochs" ->
       """WITH f AS (SELECT doc_id, source,

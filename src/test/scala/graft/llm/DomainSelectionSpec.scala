@@ -86,6 +86,31 @@ class DomainSelectionSpec extends SparkTestBase {
     assert(all === Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("doremiStep: clipped excess, exact exp-round-lift weights, smoothing floor") {
+    // Domain A: excesses [200000, −50000 → clip 0] → mean 100000.
+    // Domain B: both proxy ≤ ref → excess 0.
+    // f_A = round6(exp(0.1)) = 1.105171 → wraw 1105171; f_B = 1 → 1000000.
+    // tot = 2105171; weight = wraw·900000 div tot + 100000 div 2.
+    val df = Seq(
+      ("A", 500000L, 300000L), ("A", 100000L, 150000L),
+      ("B", 200000L, 200000L), ("B", 100000L, 400000L))
+      .toDF("domain", "proxy", "ref")
+    val got = DomainSelection.doremiStep(df, "domain", "proxy", "ref",
+        etaMicro = 1000000L, smoothMicro = 100000L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 2L, 100000L, 522481L)))
+    assert(got("B") == (("B", 2L, 0L, 477518L)))
+  }
+
+  test("doremiStep: all-solved domains return to (smoothed) uniform") {
+    val df = Seq(("A", 1L, 5L), ("B", 2L, 9L), ("C", 3L, 3L))
+      .toDF("domain", "proxy", "ref")
+    val got = DomainSelection.doremiStep(df, "domain", "proxy", "ref")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    // wraw all 10⁶, tot 3·10⁶: 10⁶·9·10⁵ div 3·10⁶ + 10⁵ div 3 = 333333
+    assert(got == Map("A" -> 333333L, "B" -> 333333L, "C" -> 333333L))
+  }
+
   test("single-token and empty-ish docs emit no bigrams and survive") {
     val tiny = Seq((10L, "one"), (11L, "two words")).toDF("doc_id", "text")
     val w = DomainSelection.importanceWeights(tiny, target, nBuckets = 64)

@@ -542,6 +542,69 @@ object Dedup {
       .withColumn("ng", size(col("__gs")))
       .select(col("id"), col("block"), explode(col("__gs")).as("gram"), col("ng"))
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): from each document's positioned
+    * word-n-gram fingerprint stream, every window of `w` consecutive
+    * grams selects its minimal fingerprint (ties → rightmost), and the
+    * distinct selected positions are the document's fingerprint sketch.
+    * The guarantee local sampling schemes (0 mod p) lack: any shared run
+    * of ≥ w+n−1 tokens between two documents yields at least one shared
+    * SELECTED fingerprint, at an expected density of 2/(w+1) of the gram
+    * stream.
+    *
+    * Relational form — ONE window pass, no self-join: each (fp, pos) pair
+    * encodes as `fp · 2²² + (2²²−1 − pos)` so a plain `min` over the
+    * w-row following frame IS the rightmost-argmin (min fp wins, then
+    * max pos), and a frame `count(*) = w` gates incomplete tail windows.
+    * Positions are bounded below 2²² ≈ 4.2M grams per document — beyond
+    * any sane document length (upstream length gates run first); the
+    * fingerprint itself is the certified poly fold (< 10⁹+7), so the key
+    * stays under 2⁵² and the encoding is collision-free.
+    *
+    * Documents with fewer than `w` grams contribute no fingerprints (no
+    * complete window — the paper's semantics).
+    *
+    * Output: `(id, pos, fp)` distinct selected fingerprints, the stored
+    * sketch a near-dup join runs against ([[winnowCandidates]]).
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, w: Int = 4): DataFrame = {
+    require(w >= 2, s"window must hold at least 2 grams: $w")
+    val fps = df.select(col(idCol).as("id"),
+      posexplode(graft.functions.SigKernels.wordNgramFps(col(textCol), n))
+        .as(Seq("pos", "fp")))
+    val enc = fps.withColumn("__key",
+      col("fp") * lit(4194304L) + (lit(4194303L) - col("pos")))
+    val frame = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    enc
+      .withColumn("__min", min(col("__key")).over(frame))
+      .withColumn("__n", count(lit(1)).over(frame))
+      .filter(col("__n") === w)
+      .select(col("id"),
+        (lit(4194303L) - pmod(col("__min"), lit(4194304L))).as("pos"),
+        expr("__min div 4194304").as("fp"))
+      .distinct()
+  }
+
+  /** Near-dup candidate pairs from stored winnowing sketches: documents
+    * sharing at least `minShared` distinct selected fingerprints. The
+    * equi-join carries slim (fp → id) rows and only materializes pairs
+    * that actually share a fingerprint; a boilerplate fingerprint hot
+    * key is the usual hazard — gate known-boilerplate spans upstream
+    * (SubstringDedup) or raise `minShared`. Candidates feed an exact
+    * confirm ([[ngramJaccardFromGrams]] / string compare) — winnowing
+    * SELECTS evidence, it never asserts duplication alone.
+    */
+  def winnowCandidates(fps: DataFrame, minShared: Long = 2L): DataFrame = {
+    val d = fps.select(col("id"), col("fp")).distinct()
+    val a = d.alias("a"); val b = d.alias("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Self-Instruct pool-admission gate (Wang et al. 2022): a generated
     * instruction joins the pool only if its ROUGE overlap with EVERY
     * existing pool instruction stays below threshold — the dedup that

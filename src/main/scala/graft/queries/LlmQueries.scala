@@ -986,6 +986,23 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_dedup_winnow" -> ((s, dir) => {
+      // Winnowing (MOSS) sketch dedup: every doc gets a clone wrapped in
+      // new prefix/tail words — a long shared interior run the winnowing
+      // guarantee must surface (≥ w+n−1 shared tokens ⇒ ≥ 1 shared
+      // selected fingerprint; the clones share far more). Sketches are
+      // selected by ONE window-min pass over the encoded (fp, pos) key;
+      // the sketch (not the corpus) self-joins. minShared=3 keeps
+      // vocabulary-level coincidences out.
+      val base = docsSpread(s, dir)
+      val aug = base.select(col("doc_id"), col("text")).unionByName(
+        base.select((col("doc_id") + 10000L).as("doc_id"),
+          concat(lit("prefix note "), col("text"), lit(" tail mark")).as("text")))
+      val fps = Dedup.winnowFingerprints(aug, n = 3, w = 4).localCheckpoint()
+      Dedup.winnowCandidates(fps, minShared = 3L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_conv_selfinstruct" -> ((s, dir) => {
       // Self-Instruct pool admission: candidates are near-copies
       // (" please" appended — must REJECT), half-text rewrites (admit:
@@ -2352,6 +2369,31 @@ object LlmQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_conv_bradley_terry" -> btOracleSql,
+
+    "q_dedup_winnow" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, 'prefix note ' || text || ' tail mark'
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM aug),
+        |g AS (SELECT doc_id, i, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok) t),
+        |fpp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(gram) + 1), ci -> CAST(ascii(gram[ci]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) AS f
+        |  FROM g),
+        |enc AS (SELECT doc_id, pos, f * 4194304 + (4194303 - pos) AS key FROM fpp),
+        |wm AS (SELECT doc_id,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+        |  FROM enc),
+        |d AS (SELECT DISTINCT doc_id AS id, mk // 4194304 AS fp
+        |  FROM wm WHERE cnt = 4)
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM d a JOIN d b ON a.fp = b.fp AND a.id < b.id
+        |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "q_conv_selfinstruct" ->
       """WITH base AS (SELECT doc_id, text,

@@ -179,6 +179,48 @@ class DedupSpec extends SparkTestBase {
       ("eval", "web") -> 2L))   // alpha, beta — and no row for 'clean'
   }
 
+  test("winnowFingerprints: matches a sequential reference, incl. rightmost ties") {
+    def pfp(s: String): Long = s.foldLeft(0L)((a, c) => (a * 131 + c) % 1000000007L)
+    def ref(text: String, n: Int, w: Int): Set[(Long, Long)] = {
+      val toks = text.trim.split("\\s+").toSeq
+      if (toks.length < n) return Set.empty
+      val fps = toks.sliding(n).map(g => pfp(g.mkString(" "))).toArray
+      if (fps.length < w) Set.empty
+      else (0 to fps.length - w).map { j =>
+        val win = j until j + w
+        val minv = win.map(fps).min
+        val p = win.filter(i => fps(i) == minv).max
+        (p.toLong, fps(p))
+      }.toSet
+    }
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "spam spam spam spam spam spam spam spam"), // all-tie stream
+      (3L, "a b c d e f g h i j"),
+      (4L, "x y"),            // fewer grams than the window
+      (5L, "one two three"))  // exactly one gram at n=3 → none at w=4
+    val got = Dedup.winnowFingerprints(texts.toDF("doc_id", "text"), n = 3, w = 4)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(r => (r._2, r._3)).toSet }
+    texts.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Set.empty) == ref(t, 3, 4), s"doc $id")
+    }
+  }
+
+  test("winnowCandidates: shared long run guarantees a shared fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"intro words here $shared closing remark"),
+      (2L, s"different opening $shared and another tail entirely"),
+      (3L, "completely unrelated content with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, n = 3, w = 4)
+    val pairs = Dedup.winnowCandidates(fps, minShared = 1L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(pairs.head._3 >= 1L)
+  }
+
   test("rouge2Gate: near-copies rejected, partial rewrites and novel admitted") {
     val pool = Seq(
       (1L, "write a poem about the sea"),   // 5 distinct bigrams

@@ -576,6 +576,129 @@ object Multimodal {
     Right((channels, nFrames.toLong, hi, lo))
   }
 
+  /** [[syntheticWavTextured]] with a planted SILENCE pattern: frames whose
+    * `patWindows`-window index falls below `silentBelowWin` are written as
+    * 0 (digital silence), the rest carry the textured magnitude+sign. The
+    * closed form lets an SQL oracle re-derive every sample, window energy
+    * and silence verdict.
+    */
+  def syntheticWavSilence(id: Long, nFrames: Int, sampleRate: Int,
+      channels: Int, silentBelowWin: Int, patWindows: Int = 50): Array[Byte] = {
+    val dataLen = nFrames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val q = id / 2003
+    var i = 0
+    while (i < nFrames) {
+      val silent = (i.toLong * patWindows / nFrames).toInt < silentBelowWin
+      var c = 0
+      while (c < channels) {
+        if (silent) bb.putShort(0)
+        else {
+          val raw = (((id * 2 + 1) * (i.toLong * i * 5 + i * 3 + c * 17 + 7) +
+            q * (i.toLong * i * 3 + i * 11 + 1)) % 2003).toInt
+          bb.putShort((raw - 1001).toShort)
+        }
+        c += 1
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Silence profile of a decoded PCM16 WAV — the VAD-lite admission
+    * signal for audio training data (mostly-silent uploads, dead-air
+    * re-encodes and DC-blank channels carry no training value): the frame
+    * axis splits into `nWindows` near-equal windows (the fingerprint's
+    * window rule), and a window is SILENT when its summed |sample| energy
+    * stays under `thrAbs` per sample — compared cross-multiplied
+    * (`energy < thrAbs · n_samples`, exact integers; never a float mean).
+    * Returns (channels, n_frames, n_windows, n_silent); the caller derives
+    * the keep gate as an integer permille. Clips with fewer frames than
+    * windows are undecodable for this profile (Left — quarantine).
+    */
+  def wavSilenceDetail(payload: Array[Byte], nWindows: Int = 50,
+      thrAbs: Int = 10): Either[String, (Int, Long, Int, Int)] = {
+    if (payload == null) return Left("null_payload")
+    if (payload.length < 44) return Left("too_short")
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+    if (tag() != "RIFF") return Left("not_riff")
+    bb.getInt
+    if (tag() != "WAVE") return Left("not_wave")
+    var channels = 0; var rate = 0; var fmtOk = false
+    var dataOff = -1; var dataLen = 0
+    while (bb.remaining() >= 8 && (dataOff < 0 || !fmtOk)) {
+      val id = tag(); val len = bb.getInt
+      if (len < 0 || len > bb.remaining()) return Left("truncated_chunk")
+      if (id == "fmt ") {
+        val p = bb.position()
+        val audioFormat = bb.getShort
+        channels = bb.getShort
+        rate = bb.getInt
+        bb.getInt; bb.getShort
+        val bits = bb.getShort
+        fmtOk = audioFormat == 1 && bits == 16 && channels > 0 && rate > 0
+        bb.position(p + len + (len & 1))
+      } else if (id == "data") {
+        dataOff = bb.position(); dataLen = len
+        bb.position(bb.position() + len + (len & 1))
+      } else bb.position(bb.position() + len + (len & 1))
+    }
+    if (!fmtOk) return Left("not_pcm16")
+    if (dataOff < 0) return Left("no_data_chunk")
+    val frameBytes = channels * 2
+    val nFrames = dataLen / frameBytes
+    if (nFrames < nWindows) return Left("too_few_frames")
+    val energy = new Array[Long](nWindows)
+    val sizes = new Array[Long](nWindows)
+    var i = 0
+    while (i < nFrames) {
+      val w = (i.toLong * nWindows / nFrames).toInt
+      sizes(w) += channels
+      var c = 0
+      while (c < channels) {
+        energy(w) += math.abs(bb.getShort(dataOff + (i * channels + c) * 2).toInt)
+        c += 1
+      }
+      i += 1
+    }
+    var silent = 0
+    var w = 0
+    while (w < nWindows) {
+      if (energy(w) < thrAbs.toLong * sizes(w)) silent += 1
+      w += 1
+    }
+    Right((channels, nFrames.toLong, nWindows, silent))
+  }
+
+  final case class AudioSilence(
+      id: Long, channels: Int, n_frames: Long, n_windows: Int, n_silent: Int)
+
+  /** The silence-profile stage: per-partition batch shape, undecodable
+    * payloads dropped (quarantine composes upstream).
+    */
+  def audioSilenceKernel(df: DataFrame, nWindows: Int = 50, thrAbs: Int = 10,
+      idCol: String = "id", payloadCol: String = "payload"): Dataset[AudioSilence] = {
+    implicit val enc = Encoders.product[AudioSilence]
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          wavSilenceDetail(payload, nWindows, thrAbs).toOption.map {
+            case (ch, nf, nw, ns) => AudioSilence(id, ch, nf, nw, ns)
+          }
+        }
+      }
+  }
+
   final case class AudioFingerprint(
       id: Long, channels: Int, n_frames: Long, dhash_hi: Long, dhash_lo: Long)
 

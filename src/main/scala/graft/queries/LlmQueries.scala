@@ -1681,6 +1681,31 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_multimodal_silence" -> ((s, dir) => {
+      // VAD-lite silence gate over the real WAV path: each doc's clip
+      // plants doc_id%40 of 50 windows as digital silence; the kernel's
+      // cross-multiplied energy test (never a float mean) recovers the
+      // count, and clips over 50% silence fail the keep gate. WAV is
+      // uncompressed and the sample formula closed-form, so the oracle
+      // re-derives every sample, window energy and verdict.
+      val gen = udf((id: Long, nf: Int, rate: Int, ch: Int, ksil: Int) =>
+        Multimodal.syntheticWavSilence(id, nf, rate, ch, ksil))
+      val media = docs(s, dir).select(col("doc_id").cast("long").as("id"))
+        .withColumn("nf", (col("id") % 50 + 100).cast("int"))
+        .withColumn("rate", (lit(8000) + (col("id") % 3) * 4000).cast("int"))
+        .withColumn("ch", (col("id") % 2 + 1).cast("int"))
+        .withColumn("ksil", (col("id") % 40).cast("int"))
+        .select(col("id"), gen(col("id"), col("nf"), col("rate"), col("ch"),
+          col("ksil")).as("payload"))
+      Multimodal.audioSilenceKernel(media, nWindows = 50, thrAbs = 10).toDF()
+        .select(col("id"), col("channels").cast("long").as("channels"),
+          col("n_frames"), col("n_windows").cast("long").as("n_windows"),
+          col("n_silent").cast("long").as("n_silent"))
+        .withColumn("silence_permille", expr("n_silent * 1000 div n_windows"))
+        .withColumn("keep", col("silence_permille") <= 500)
+        .orderBy(col("id"))
+    }),
+
     "q_multimodal_videofp" -> ((s, dir) => {
       // Perceptual VIDEO dedup — the trio's third member: real AVI decode
       // (the certified frame kernel, every frame) → per-frame gray sums →
@@ -2809,6 +2834,30 @@ object LlmQueries {
         |  FROM cand)
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 10
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_multimodal_silence" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id % 50 + 100 AS BIGINT) AS nf,
+        |    CAST(doc_id % 2 + 1 AS BIGINT) AS nch,
+        |    CAST(doc_id % 40 AS BIGINT) AS ksil
+        |  FROM documents),
+        |f AS (SELECT id, nf, nch, ksil, unnest(range(nf)) AS i FROM p),
+        |fc AS (SELECT id, nf, nch, ksil, i, unnest(range(nch)) AS c FROM f),
+        |sm AS (SELECT id, (i * 50) // nf AS win,
+        |    CASE WHEN (i * 50) // nf < ksil THEN 0
+        |      ELSE abs(((id * 2 + 1) * (i * i * 5 + i * 3 + c * 17 + 7)
+        |        + (id // 2003) * (i * i * 3 + i * 11 + 1)) % 2003 - 1001)
+        |    END AS mag
+        |  FROM fc),
+        |wagg AS (SELECT id, win, CAST(count(*) AS BIGINT) AS nsamp,
+        |    sum(mag) AS e FROM sm GROUP BY 1, 2),
+        |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(CASE WHEN e < 10 * nsamp THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
+        |  FROM wagg GROUP BY 1)
+        |SELECT p.id, p.nch AS channels, p.nf AS n_frames, n_windows, n_silent,
+        |  CAST(n_silent * 1000 // n_windows AS BIGINT) AS silence_permille,
+        |  n_silent * 1000 // n_windows <= 500 AS keep
+        |FROM p JOIN agg ON agg.id = p.id ORDER BY p.id""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH d AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS len

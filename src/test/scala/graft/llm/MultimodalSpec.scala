@@ -260,6 +260,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.wavFingerprintDetail("junk".getBytes("US-ASCII")) == Left("too_short"))
   }
 
+  test("audio silence profile: matches an independent sample-level reference") {
+    // Independent reference: regenerate the samples from the closed form
+    // and count silent windows directly — certifies the kernel's chunk
+    // walk, window rule and cross-multiplied threshold in one shot.
+    def refSilent(id: Long, nf: Int, ch: Int, ksil: Int, nw: Int, thr: Int): Int = {
+      val q = id / 2003
+      val energy = new Array[Long](nw); val sizes = new Array[Long](nw)
+      for (i <- 0 until nf; c <- 0 until ch) {
+        val w = (i.toLong * nw / nf).toInt
+        sizes(w) += 1
+        val silent = (i.toLong * 50 / nf).toInt < ksil
+        if (!silent) {
+          val raw = (((id * 2 + 1) * (i.toLong * i * 5 + i * 3 + c * 17 + 7) +
+            q * (i.toLong * i * 3 + i * 11 + 1)) % 2003).toInt
+          energy(w) += math.abs(raw - 1001)
+        }
+      }
+      (0 until nw).count(w => energy(w) < thr.toLong * sizes(w))
+    }
+    for ((id, nf, ch, ksil) <- Seq((7L, 123, 2, 15), (8L, 100, 1, 0),
+        (9L, 149, 2, 50), (2040L, 137, 1, 20))) {
+      val wav = Multimodal.syntheticWavSilence(id, nf, 8000, ch, ksil)
+      val Right((gotCh, gotNf, nw, ns)) = Multimodal.wavSilenceDetail(wav)
+      assert(gotCh == ch && gotNf == nf.toLong && nw == 50)
+      assert(ns == refSilent(id, nf, ch, ksil, 50, 10), s"id=$id")
+    }
+    // all-silent clip: every window silent
+    val Right((_, _, _, all)) = Multimodal.wavSilenceDetail(
+      Multimodal.syntheticWavSilence(3L, 100, 8000, 1, 50))
+    assert(all == 50)
+    // fewer frames than windows → quarantine
+    assert(Multimodal.wavSilenceDetail(
+      Multimodal.syntheticWavSilence(3L, 40, 8000, 1, 0)) == Left("too_few_frames"))
+  }
+
   test("audio fingerprint pairs: the image-path banded join serves audio unchanged") {
     val rows = (0L until 20L).map(i =>
       (i, Multimodal.syntheticWavTextured(i, 100 + (i % 7).toInt, 8000, 1))) :+

@@ -128,6 +128,56 @@ object LinkGraph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) — the duality
+    * PageRank's single score collapses: an AUTHORITY is pointed at by good
+    * hubs, a HUB points at good authorities. Focused-crawl seed discovery
+    * wants exactly the hub side (a directory page listing many good
+    * domains outranks every domain it lists), which is why this
+    * complements [[pageRank]]/[[trustRank]] rather than repeating them.
+    *
+    * Synchronous integer micro iteration: every score starts at 10⁶;
+    * each round computes `a'(v) = Σ_{u→v} h(u)`, then `h'(u) = Σ_{u→v}
+    * a'(v)`, then SUM-normalizes both sides back to mean 10⁶
+    * (`x · n · 10⁶ div Σx`, cross-multiplied in DECIMAL(38,0) — the L2
+    * norm of the paper is transcendental, the sum norm has the same
+    * fixed-point directions and stays exact). All sums are exact longs →
+    * associative → the distributed join chain hash-matches a sequential
+    * oracle. Zero-in-degree (resp. zero-out-degree) nodes hold authority
+    * (resp. hub) 0 from round 1 on, the paper's semantics.
+    */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val e = edges.select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("domain"))
+      .union(e.select(col("dst").as("domain")))
+      .distinct()
+      .localCheckpoint()
+    def normalized(scores: DataFrame, c: String): DataFrame = {
+      val tot = scores.agg(sum(col(c)).as("__tot"), count(lit(1)).as("__n"))
+      scores.crossJoin(broadcast(tot))
+        .withColumn(c, expr(
+          s"CAST((CAST($c AS DECIMAL(38,0)) * __n * 1000000) div __tot AS BIGINT)"))
+        .select(col("domain"), col(c))
+    }
+    var auth = nodes.select(col("domain"), lit(1000000L).as("auth"))
+    var hub = nodes.select(col("domain"), lit(1000000L).as("hub"))
+    for (_ <- 1 to iters) {
+      val aSums = e.join(hub, e("src") === hub("domain"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("__s"))
+      val aRaw = nodes.join(aSums, nodes("domain") === aSums("dst"), "left")
+        .select(nodes("domain"), coalesce(col("__s"), lit(0L)).as("auth"))
+      val hSums = e.join(aRaw, e("dst") === aRaw("domain"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("__s"))
+      val hRaw = nodes.join(hSums, nodes("domain") === hSums("src"), "left")
+        .select(nodes("domain"), coalesce(col("__s"), lit(0L)).as("hub"))
+      auth = normalized(aRaw, "auth")
+      hub = normalized(hRaw, "hub")
+    }
+    auth.join(hub, "domain")
+      .select(col("domain"), col("auth").as("auth_micro"), col("hub").as("hub_micro"))
+  }
+
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): the biased
     * twin of [[pageRank]] whose teleport mass lands ONLY on a hand-vetted
     * seed set, so trust flows outward from known-good domains and spam

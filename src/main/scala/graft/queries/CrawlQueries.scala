@@ -316,6 +316,26 @@ object CrawlQueries {
        |r$i AS (SELECT n.domain, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS rank_micro
        |  FROM lg_nodes n LEFT JOIN c$i c ON c.dst = n.domain)""".stripMargin
 
+  /** One synchronous HITS round as CTE steps — the sequential mirror of
+    * [[graft.llm.LinkGraph.hits]] (hub sums read the RAW authorities of
+    * the same round, normalization is the HUGEINT sum-norm cross-multiply).
+    */
+  private def lgHitsStepSql(i: Int): String =
+    s"""ha$i AS (SELECT e.dst, sum(h.hub) AS s
+       |  FROM lg_edges e JOIN h${i - 1} h ON h.domain = e.src GROUP BY e.dst),
+       |ar$i AS (SELECT n.domain, coalesce(ha$i.s, 0) AS a
+       |  FROM lg_nodes n LEFT JOIN ha$i ON ha$i.dst = n.domain),
+       |at$i AS (SELECT sum(a) AS tot, count(*) AS n FROM ar$i),
+       |a$i AS (SELECT domain, CAST((CAST(a AS HUGEINT) * (SELECT n FROM at$i) * 1000000)
+       |    // (SELECT tot FROM at$i) AS BIGINT) AS a FROM ar$i),
+       |hs$i AS (SELECT e.src, sum(ar.a) AS s
+       |  FROM lg_edges e JOIN ar$i ar ON ar.domain = e.dst GROUP BY e.src),
+       |hr$i AS (SELECT n.domain, coalesce(hs$i.s, 0) AS hub
+       |  FROM lg_nodes n LEFT JOIN hs$i ON hs$i.src = n.domain),
+       |ht$i AS (SELECT sum(hub) AS tot, count(*) AS n FROM hr$i),
+       |h$i AS (SELECT domain, CAST((CAST(hub AS HUGEINT) * (SELECT n FROM ht$i) * 1000000)
+       |    // (SELECT tot FROM ht$i) AS BIGINT) AS hub FROM hr$i)""".stripMargin
+
   /** The TrustRank fixture's seed whitelist (one `.com`, one multi-label
     * `.co.uk` — both resolvable registered domains in the host pool).
     */
@@ -888,6 +908,16 @@ object CrawlQueries {
         .select(col("domain"), col("rank").as("rank_micro"))
         .orderBy(col("rank_micro").desc, col("domain"))),
 
+    "q_link_hits" -> ((s, dir) =>
+      // Hub/authority duality over the same extracted graph: 2 synchronous
+      // integer micro rounds with exact-long sums and a DECIMAL(38,0)
+      // sum-normalization — the directory-page (hub) signal focused-crawl
+      // seed discovery needs and PageRank's single score collapses.
+      graft.llm.LinkGraph.hits(
+          graft.llm.LinkGraph.hostEdges(linkedPages(s, dir), col("host"), col("html")),
+          iters = 2)
+        .orderBy(col("auth_micro").desc, col("domain"))),
+
     "q_url_template" -> ((s, dir) =>
       // Crawler-trap detection: path templates ({n}/{h} collapse) counted
       // per host, trap = >5% of the corpus under one template. The
@@ -1295,6 +1325,18 @@ object CrawlQueries {
          |${lgRankStepSql(2)},
          |${lgRankStepSql(3)}
          |SELECT domain, rank_micro FROM r3 ORDER BY rank_micro DESC, domain""".stripMargin,
+
+    "q_link_hits" ->
+      s"""WITH $lgLinksSql,
+         |lg_edges AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst
+         |  FROM lg_edges_w WHERE dst_domain <> src_domain),
+         |lg_nodes AS (SELECT src AS domain FROM lg_edges UNION SELECT dst FROM lg_edges),
+         |h0 AS (SELECT domain, CAST(1000000 AS BIGINT) AS hub FROM lg_nodes),
+         |${lgHitsStepSql(1)},
+         |${lgHitsStepSql(2)}
+         |SELECT a2.domain, a2.a AS auth_micro, h2.hub AS hub_micro
+         |FROM a2 JOIN h2 ON h2.domain = a2.domain
+         |ORDER BY auth_micro DESC, a2.domain""".stripMargin,
 
     "q_url_template" ->
       s"""WITH $trapKeyedSql

@@ -69,6 +69,21 @@ class LinkGraphSpec extends SparkTestBase {
       "X" -> 0L, "Y" -> 0L))
   }
 
+  test("hits: hand-computed two-round hub/authority duality") {
+    // S→A, S→B, A→B. Round 1: a = (0, 1e6, 2e6) (already sum-normal);
+    // h_raw = (3e6, 2e6, 0) → ·3·10⁶ div 5e6 = (1800000, 1200000, 0).
+    // Round 2: a_raw = (0, 1800000, 3000000) → (0, 1125000, 1875000);
+    // h_raw (from RAW a) = (4800000, 3000000, 0) → (1846153, 1153846, 0).
+    val edges = Seq(("S", "A"), ("S", "B"), ("A", "B"))
+      .toDF("src_domain", "dst_domain")
+    val got = LinkGraph.hits(edges, iters = 2)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      "S" -> ((0L, 1846153L)),
+      "A" -> ((1125000L, 1153846L)),
+      "B" -> ((1875000L, 0L))))
+  }
+
   test("trustRank: multiple seeds each hold the teleport base") {
     val edges = Seq(("S1", "S2"), ("S2", "S1")).toDF("src_domain", "dst_domain")
     // r1: each = 150000 + (1000000 div 1)·850000 div 10⁶ = 1000000.

@@ -93,6 +93,42 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch ROUGE-2 admission gate agrees with the batch operator") {
+    // The per-candidate argmax (best pool match) is a per-doc aggregate —
+    // unbounded in-stream state — so the documented ingestion shape is
+    // foreachBatch with the batch operator against the static pool:
+    // each micro-batch gates exactly, and the union of batch outputs must
+    // equal the one-shot batch gate on the same candidates (the operator
+    // is per-candidate independent, so micro-batching cannot change it).
+    implicit val sqlCtx = spark.sqlContext
+    val pool = Seq(
+      (1L, "write a poem about the sea"),
+      (2L, "sort a list in python")).toDF("doc_id", "text")
+    val cands = Seq(
+      (10L, "write a poem about the sea please"),
+      (11L, "explain quantum physics"),
+      (12L, "sort a list"))
+    val batchGate = Dedup.rouge2Gate(pool, cands.toDF("doc_id", "text"),
+        thrMicro = 700000L)
+      .as[(Long, Option[Long], Long, Boolean)].collect().toSet
+    val got = scala.collection.mutable.Set[(Long, Option[Long], Long, Boolean)]()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= Dedup.rouge2Gate(pool, batch, thrMicro = 700000L)
+          .as[(Long, Option[Long], Long, Boolean)].collect()
+        ()
+      }
+      .start()
+    try {
+      input.addData(cands.take(2): _*); q.processAllAvailable()
+      input.addData(cands.drop(2): _*); q.processAllAvailable()
+      assert(got.toSet == batchGate, s"stream ${got.toSet} vs batch $batchGate")
+      assert(batchGate.map(t => (t._1, t._4)) ==
+        Set((10L, false), (11L, true), (12L, true)))
+    } finally q.stop()
+  }
+
   test("stream contamination gate flags benchmark-gram collisions, set semantics + watermarked collapse") {
     implicit val sqlCtx = spark.sqlContext
     val gram = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens

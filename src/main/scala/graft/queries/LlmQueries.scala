@@ -1009,14 +1009,19 @@ object LlmQueries {
       // real overlap but under threshold) and case-mutated novel texts
       // (admit at f1 = 0). Set-based ROUGE-2 F1 in exact integer micro;
       // the argmax pool match is a max-struct aggregation, never a
-      // window over the pair fan-out.
+      // window over the pair fan-out. The candidate set is a BOUNDED
+      // 400-doc generation round (the PLANS-33 discipline: batch sets
+      // must not grow with the corpus — a corpus-sized candidate set
+      // against this tiny-vocabulary fixture makes every pair share hot
+      // bigrams and the gram join quadratic; production tiles rounds).
       val pool = docs(s, dir).select(col("doc_id"), col("text"))
       val half = concat_ws(" ", expr(
         "slice(split(trim(text), '\\\\s+'), 1, size(split(trim(text), '\\\\s+')) div 2)"))
-      val cands = docs(s, dir).select((col("doc_id") + 100000L).as("doc_id"),
-        when(col("doc_id") % 4 === 0, concat(col("text"), lit(" please")))
-          .when(col("doc_id") % 4 === 2, concat(half, lit(" extra request words")))
-          .otherwise(upper(col("text"))).as("text"))
+      val cands = docs(s, dir).filter(col("doc_id") < 400)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          when(col("doc_id") % 4 === 0, concat(col("text"), lit(" please")))
+            .when(col("doc_id") % 4 === 2, concat(half, lit(" extra request words")))
+            .otherwise(upper(col("text"))).as("text"))
       Dedup.rouge2Gate(pool, cands, thrMicro = 700000L)
         .orderBy(col("id"))
     }),
@@ -2427,7 +2432,7 @@ object LlmQueries {
         |    CASE WHEN doc_id % 4 = 0 THEN text || ' please'
         |      WHEN doc_id % 4 = 2 THEN array_to_string(w[1:len(w)//2], ' ') || ' extra request words'
         |      ELSE upper(text) END AS text
-        |  FROM base),
+        |  FROM base WHERE doc_id < 400),
         |pw AS (SELECT doc_id AS pid,
         |    list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gs
         |  FROM base),

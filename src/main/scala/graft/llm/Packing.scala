@@ -54,6 +54,46 @@ object Packing {
         ((col("__pre") % budget) + col("n_tokens") > budget).as("spans_boundary"))
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022): a deterministic
+    * fraction of documents reorders to `<PRE> prefix <SUF> suffix <MID>
+    * middle` (PSM) so an autoregressive model learns infilling from the
+    * same corpus — the standard code-model data op. Everything derives
+    * from the certified poly fingerprint of the doc id (no RNG): the
+    * fim/keep coin is `fp(id⊔":fim") mod 1000 < fimPermille`, the two
+    * split points are independent fingerprints mod (len+1) sorted, so
+    * prefix/middle/suffix partition the ORIGINAL text exactly
+    * (reassembly is spec-certified) and the whole transform — a pure
+    * codegen'd map, no shuffle — replays bit-exact in SQL `substr`.
+    * Untransformed rows pass through with null splits (the paper trains
+    * on a mixture).
+    */
+  def fimTransform(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", fimPermille: Long = 500L,
+      pre: String = "<PRE>", suf: String = "<SUF>",
+      mid: String = "<MID>"): DataFrame = {
+    require(fimPermille >= 0 && fimPermille <= 1000,
+      s"fimPermille must be in [0, 1000]: $fimPermille")
+    val len = length(col(textCol)).cast("long")
+    def fp(tag: String) = TextAnalysis.fingerprint(
+      concat(col(idCol).cast("string"), lit(tag)))
+    val sel = pmod(fp(":fim"), lit(1000L)) < fimPermille
+    val u1 = pmod(fp(":a"), len + 1L)
+    val u2 = pmod(fp(":b"), len + 1L)
+    val a = least(u1, u2)
+    val b = greatest(u1, u2)
+    // substr needs int positions (text length is int-bounded anyway)
+    val ai = a.cast("int"); val bi = b.cast("int"); val li = len.cast("int")
+    val fimText = concat(
+      lit(pre), col(textCol).substr(lit(1), ai),
+      lit(suf), col(textCol).substr(bi + 1, li - bi),
+      lit(mid), col(textCol).substr(ai + 1, bi - ai))
+    df.select(col(idCol),
+      sel.as("fim"),
+      when(sel, a).as("split_a"),
+      when(sel, b).as("split_b"),
+      when(sel, fimText).otherwise(col(textCol)).as("out_text"))
+  }
+
   /** Per-chunk document-boundary segments — the attention-mask input a
     * trainer needs for packed sequences (block-diagonal attention: tokens
     * must not attend across document boundaries inside one chunk). For

@@ -986,6 +986,15 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_pack_fim" -> ((s, dir) =>
+      // Fill-in-the-middle pretraining transform: half the corpus (coin
+      // and both split points derived from the certified poly
+      // fingerprint — no RNG) reorders to <PRE>prefix<SUF>suffix<MID>
+      // middle; the rest passes through. Pure codegen'd map, zero
+      // shuffle; the oracle replays every fingerprint fold and substr.
+      graft.llm.Packing.fimTransform(docs(s, dir), fimPermille = 500L)
+        .orderBy(col("doc_id"))),
+
     "q_dedup_winnow" -> ((s, dir) => {
       // Winnowing (MOSS) sketch dedup: every doc gets a clone wrapped in
       // new prefix/tail words — a long shared interior run the winnowing
@@ -2399,6 +2408,32 @@ object LlmQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_conv_bradley_terry" -> btOracleSql,
+
+    "q_pack_fim" ->
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |    doc_id || ':fim' AS sf, doc_id || ':a' AS sa, doc_id || ':b' AS sb
+        |  FROM documents),
+        |h AS (SELECT doc_id, text, n,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(sf) + 1), i -> CAST(ascii(sf[i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) % 1000 AS coin,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(sa) + 1), i -> CAST(ascii(sa[i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) % (n + 1) AS ua,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(sb) + 1), i -> CAST(ascii(sb[i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) % (n + 1) AS ub
+        |  FROM d),
+        |s AS (SELECT doc_id, text, n, coin < 500 AS fim,
+        |    least(ua, ub) AS a, greatest(ua, ub) AS b FROM h)
+        |SELECT doc_id, fim,
+        |  CASE WHEN fim THEN a END AS split_a,
+        |  CASE WHEN fim THEN b END AS split_b,
+        |  CASE WHEN fim THEN '<PRE>' || substr(text, 1, CAST(a AS INT))
+        |      || '<SUF>' || substr(text, CAST(b + 1 AS INT), CAST(n - b AS INT))
+        |      || '<MID>' || substr(text, CAST(a + 1 AS INT), CAST(b - a AS INT))
+        |    ELSE text END AS out_text
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_dedup_winnow" ->
       """WITH aug AS (SELECT doc_id, text FROM documents

@@ -77,6 +77,46 @@ class PackingSpec extends SparkTestBase {
       if (ci < lastChunk) assert(tot == 512L, s"chunk $ci holds $tot") }
   }
 
+  test("fimTransform: PSM segments partition the original text, splits hash-derived") {
+    def pfp(s: String): Long = s.foldLeft(0L)((x, c) => (x * 131 + c) % 1000000007L)
+    val docs = (1L to 40L).map(i => (i, s"doc $i body content with some words here")).toDF("doc_id", "text")
+    val got = Packing.fimTransform(docs, fimPermille = 500L)
+      .as[(Long, Boolean, Option[Long], Option[Long], String)].collect()
+    assert(got.exists(_._2) && got.exists(!_._2), "mixture must contain both kinds")
+    got.foreach { case (id, fim, aOpt, bOpt, out) =>
+      val text = s"doc $id body content with some words here"
+      val selExpected = pfp(s"$id:fim") % 1000 < 500
+      assert(fim == selExpected, s"doc $id coin")
+      if (!fim) {
+        assert(out == text && aOpt.isEmpty && bOpt.isEmpty)
+      } else {
+        val (a, b) = (aOpt.get, bOpt.get)
+        val n = text.length.toLong
+        assert(a == math.min(pfp(s"$id:a") % (n + 1), pfp(s"$id:b") % (n + 1)))
+        assert(b == math.max(pfp(s"$id:a") % (n + 1), pfp(s"$id:b") % (n + 1)))
+        val expected = "<PRE>" + text.substring(0, a.toInt) +
+          "<SUF>" + text.substring(b.toInt) +
+          "<MID>" + text.substring(a.toInt, b.toInt)
+        assert(out == expected, s"doc $id PSM layout")
+      }
+    }
+  }
+
+  test("fimTransform: degenerate splits (a=b, a=0, b=len) stay well-formed") {
+    // permille 1000 → every doc transforms; empty segments must render as
+    // empty strings, never nulls or index errors.
+    val docs = Seq((1L, "x"), (2L, ""), (3L, "ab")).toDF("doc_id", "text")
+    val got = Packing.fimTransform(docs, fimPermille = 1000L)
+      .as[(Long, Boolean, Option[Long], Option[Long], String)].collect()
+    got.foreach { case (id, fim, a, b, out) =>
+      assert(fim && a.nonEmpty && b.nonEmpty)
+      val text = if (id == 1L) "x" else if (id == 2L) "" else "ab"
+      val stripped = out.replace("<PRE>", "").replace("<SUF>", "").replace("<MID>", "")
+      // PSM reorders but preserves multiset of characters exactly
+      assert(stripped.sorted == text.sorted, s"doc $id chars")
+    }
+  }
+
   test("decontamination: shared 8-gram marks a doc; short and clean docs survive") {
     val gram = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
     val corpus = Seq(

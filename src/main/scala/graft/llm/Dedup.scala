@@ -414,6 +414,56 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Soft dedup: instead of DROPPING near-duplicates, down-weight them —
+    * every member of a near-dup cluster trains at `10⁶ div |cluster|`
+    * micro-weight, so the cluster as a whole contributes one document's
+    * worth of gradient while keeping its internal variation (the
+    * SlimPajama/D4-era alternative when hard dedup loses benign
+    * variants). Documents in no cluster keep weight 10⁶. Integer
+    * truncating division — exact in any engine.
+    *
+    * Output: `(idCol, comp, cluster_size, weight_micro)` for EVERY input
+    * doc (singletons get their own id as comp). The components close via
+    * [[nearDupComponents]]; sizes aggregate on the component frame
+    * (cluster-count-sized, not corpus-sized).
+    */
+  def softDedupWeights(df: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val comps = nearDupComponents(pairs)
+    val sizes = comps.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    val labeled = comps.join(sizes, "comp").withColumnRenamed("id", idCol)
+    df.select(col(idCol))
+      .join(labeled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol).cast("long")).as("comp"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_micro", expr("1000000 div cluster_size"))
+  }
+
+  /** Leakage-safe train/holdout split: the split coin derives from the
+    * NEAR-DUP COMPONENT representative, not the document id, so a
+    * near-duplicate of a training document can never land in the holdout
+    * (the classic eval-leakage failure a doc-keyed hash split commits).
+    * Deterministic: coin = `fp(comp ⊔ ":split") mod 1000 <
+    * holdoutPermille` via the certified poly fingerprint — reproducible
+    * cross-engine, layout-independent, and every cluster member shares
+    * its representative's coin by construction.
+    */
+  def leakproofSplit(df: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", holdoutPermille: Long = 100L): DataFrame = {
+    require(holdoutPermille >= 0 && holdoutPermille <= 1000,
+      s"holdoutPermille must be in [0, 1000]: $holdoutPermille")
+    val comps = nearDupComponents(pairs).withColumnRenamed("id", idCol)
+    df.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol).cast("long")))
+      .withColumn("split",
+        when(pmod(TextAnalysis.fingerprint(
+            concat(col("comp").cast("string"), lit(":split"))),
+          lit(1000L)) < holdoutPermille, lit("holdout"))
+          .otherwise(lit("train")))
+  }
+
   /** The persisted face of exact dedup on a ROLLING corpus: one 32-byte
     * row per distinct content hash. Write this once per ingested batch
     * (append the survivors' hashes) and the next batch dedups against the

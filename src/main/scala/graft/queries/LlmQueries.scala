@@ -54,6 +54,42 @@ object LlmQueries {
 
   private val augSampledSql = s"SELECT * FROM ($augSql) WHERE doc_id % 5 = 0"
 
+  /** Shared oracle CTE chain for the cluster-derived operators
+    * (q_dedup_soft / q_sample_leakproof): the poly-MinHash signatures →
+    * banded candidates → recursively-closed components of the augSampled
+    * fixture — the same replay `q_dedup_cluster_keep` inlines. Yields
+    * CTEs `aug` (the corpus) and `comp` (id → min-label component).
+    */
+  private val clusterCompsSql =
+    s"""aug AS ($augSampledSql),
+       |toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w FROM aug),
+       |grams AS (SELECT id,
+       |    CASE WHEN len(w) >= 3
+       |      THEN list_transform(range(1, len(w) - 1), i -> array_to_string(list_slice(w, i, i + 2), ' '))
+       |      ELSE [] END AS gs
+       |  FROM toks),
+       |sigs AS (SELECT id, list_transform(range(0, 64), i ->
+       |      list_min(list_transform(gs, g ->
+       |        ((2 * i + 1) * list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(1, length(g) + 1), j -> CAST(ascii(g[j]) AS BIGINT))),
+       |            (acc, c) -> (acc * 131 + c) % 1000000007)
+       |          + (31 * i + 7)) % 1000000007))) AS sig
+       |  FROM grams WHERE len(gs) > 0),
+       |banded AS (SELECT id, sig, b AS band,
+       |    array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS key
+       |  FROM sigs, range(0, 16) t(b)),
+       |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+       |  WHERE CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64.0 >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(a, b) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)""".stripMargin
+
   /** documents with cross-document boilerplate planted: a shared 10-token
     * header on doc_id % 3 == 0 and a shared 10-token footer on doc_id % 5
     * == 0 (concat_ws skips the null branches) — the substring-dedup
@@ -474,6 +510,34 @@ object LlmQueries {
         .filter(col("est_jaccard") >= 0.5)
       Dedup.nearDupKeepRows(augSampled(s, dir), pairs, "doc_id")
         .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_soft" -> ((s, dir) => {
+      // SoftDeDup: the same signatures → candidates → components chain as
+      // q_dedup_cluster_keep, but clusters DOWN-WEIGHT instead of drop —
+      // each member trains at 1e6 div |cluster| so a cluster contributes
+      // one doc's gradient mass while keeping internal variation.
+      // Singletons stay at 1e6.
+      val sigs = Dedup.minhashSignaturesPoly(augSampled(s, dir)).localCheckpoint()
+      val pairs = Dedup.minhashCandidatesFromSigsPlain(sigs)
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.softDedupWeights(augSampled(s, dir), pairs, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_sample_leakproof" -> ((s, dir) => {
+      // Leakage-safe split: the holdout coin keys on the near-dup
+      // COMPONENT representative, so a near-duplicate of a train doc can
+      // never land in holdout (the failure a doc-keyed hash split
+      // commits — the planted aug clones would straddle the split ~2·p·
+      // (1−p) of the time). The oracle closes the same components
+      // recursively and replays the fingerprint coin.
+      val sigs = Dedup.minhashSignaturesPoly(augSampled(s, dir)).localCheckpoint()
+      val pairs = Dedup.minhashCandidatesFromSigsPlain(sigs)
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.leakproofSplit(augSampled(s, dir), pairs, "doc_id",
+          holdoutPermille = 200L)
+        .orderBy(col("doc_id"))
     }),
 
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
@@ -2623,6 +2687,31 @@ object LlmQueries {
         |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
         |SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_soft" ->
+      s"""WITH RECURSIVE $clusterCompsSql
+        |SELECT a.doc_id,
+        |  CAST(coalesce(c.comp, a.doc_id) AS BIGINT) AS comp,
+        |  CAST(coalesce(s.n, 1) AS BIGINT) AS cluster_size,
+        |  CAST(1000000 // coalesce(s.n, 1) AS BIGINT) AS weight_micro
+        |FROM aug a
+        |LEFT JOIN comp c ON c.id = a.doc_id
+        |LEFT JOIN (SELECT comp, count(*) AS n FROM comp GROUP BY 1) s
+        |  ON s.comp = c.comp
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "q_sample_leakproof" ->
+      s"""WITH RECURSIVE $clusterCompsSql,
+        |lab AS (SELECT a.doc_id,
+        |    CAST(coalesce(c.comp, a.doc_id) AS BIGINT) AS comp
+        |  FROM aug a LEFT JOIN comp c ON c.id = a.doc_id),
+        |coin AS (SELECT doc_id, comp, comp || ':split' AS cs FROM lab)
+        |SELECT doc_id, comp,
+        |  CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(cs) + 1), i -> CAST(ascii(cs[i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) % 1000 < 200
+        |    THEN 'holdout' ELSE 'train' END AS split
+        |FROM coin ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cluster_keep" ->
       s"""WITH RECURSIVE aug AS ($augSampledSql),

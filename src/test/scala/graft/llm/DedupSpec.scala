@@ -179,6 +179,35 @@ class DedupSpec extends SparkTestBase {
       ("eval", "web") -> 2L))   // alpha, beta — and no row for 'clean'
   }
 
+  test("softDedupWeights: cluster mass sums to ~one doc, singletons keep 1e6") {
+    val docs5 = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.softDedupWeights(docs5, pairs)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id) == ((id, 1L, 3L, 333333L)), s"doc $id")
+    }
+    Seq(4L, 5L).foreach { id =>
+      assert(got(id) == ((id, id, 1L, 1000000L)), s"doc $id")
+    }
+  }
+
+  test("leakproofSplit: every cluster member shares its representative's coin") {
+    def pfp(s: String): Long = s.foldLeft(0L)((x, c) => (x * 131 + c) % 1000000007L)
+    val docs6 = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.leakproofSplit(docs6, pairs, holdoutPermille = 500L)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    def expSplit(comp: Long) =
+      if (pfp(s"$comp:split") % 1000 < 500) "holdout" else "train"
+    Seq(1L, 2L, 3L).foreach(id => assert(got(id) == ((id, 1L, expSplit(1L)))))
+    Seq(10L, 11L).foreach(id => assert(got(id) == ((id, 10L, expSplit(10L)))))
+    assert(got(20L) == ((20L, 20L, expSplit(20L))))
+    // the leakage property itself: no component spans splits
+    val byComp = got.values.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    byComp.foreach { case (c, splits) => assert(splits.size == 1, s"comp $c leaks") }
+  }
+
   test("winnowFingerprints: matches a sequential reference, incl. rightmost ties") {
     def pfp(s: String): Long = s.foldLeft(0L)((a, c) => (a * 131 + c) % 1000000007L)
     def ref(text: String, n: Int, w: Int): Set[(Long, Long)] = {

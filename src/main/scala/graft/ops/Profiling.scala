@@ -146,4 +146,29 @@ object Profiling {
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"),
         sum(graft.functions.TextKernels.polyFingerprint(col(textCol)))
           .as("checksum"))
+
+  /** Incremental manifest maintenance — the daily-crawl shape: merge the
+    * PERSISTED release manifest with a new batch's manifest without ever
+    * re-reading prior document bodies. Every [[releaseManifest]] column
+    * was chosen associative for exactly this (counts/sums/checksum add,
+    * id range takes min/max), so merge(manifest(A), manifest(B)) ==
+    * manifest(A ∪ B) exactly — certified by the registry query, whose
+    * oracle recomputes the merged manifest from the raw union. Inputs
+    * must cover DISJOINT document sets (append-only ingestion; dedup
+    * runs upstream) — overlapping rows would double-count, same contract
+    * as any incremental aggregate.
+    *
+    * Shape: manifests are source-count-sized frames; the merge is a
+    * union + one tiny groupBy — the corpus itself is never touched.
+    */
+  def mergeManifests(manifests: DataFrame*): DataFrame = {
+    require(manifests.nonEmpty, "mergeManifests needs at least one manifest")
+    manifests.reduce(_.unionByName(_))
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"),
+        sum(col("checksum")).as("checksum"))
+  }
 }

@@ -446,6 +446,20 @@ object ScaleQueries {
       graft.ops.Profiling.releaseManifest(docs(s, dir), "source", "doc_id", "text")
         .orderBy(col("source"))),
 
+    "q_corpus_manifest_incr" -> ((s, dir) => {
+      // Incremental manifest maintenance: the persisted manifest (even
+      // doc ids) merges with a new batch's manifest (odd ids) WITHOUT
+      // re-reading prior bodies — every manifest column is associative
+      // by design. The oracle recomputes the merged manifest from the
+      // raw union, certifying merge == recompute exactly.
+      val prior = graft.ops.Profiling.releaseManifest(
+        docs(s, dir).filter(col("doc_id") % 2 === 0), "source", "doc_id", "text")
+      val delta = graft.ops.Profiling.releaseManifest(
+        docs(s, dir).filter(col("doc_id") % 2 === 1), "source", "doc_id", "text")
+      graft.ops.Profiling.mergeManifests(prior, delta)
+        .orderBy(col("source"))
+    }),
+
     "q_sample_topfrac" -> ((s, dir) =>
       // Exact top-30%-by-quality selection (the FineWeb-Edu gate shape):
       // total (score desc, doc_id) order makes the boundary
@@ -780,6 +794,17 @@ object ScaleQueries {
         |FROM documents""".stripMargin,
 
     "q_corpus_manifest" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007)) AS BIGINT) AS checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_corpus_manifest_incr" ->
+      // Recomputed from the raw union — the merge must equal this exactly.
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,

@@ -181,6 +181,22 @@ class ScaleOpsSpec extends SparkTestBase {
       again.select($"id", $"epoch").as[(Long, Long)].collect().toSet)
   }
 
+  test("mergeManifests: merge of disjoint halves equals the full recompute") {
+    import graft.ops.Profiling
+    val docs = Seq(
+      (1L, "src0", "alpha beta"), (2L, "src0", "gamma"),
+      (3L, "src1", "delta epsilon zeta"), (4L, "src0", "eta"),
+      (5L, "src1", "theta"))
+      .toDF("doc_id", "source", "text")
+    val full = Profiling.releaseManifest(docs, "source", "doc_id", "text")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val merged = Profiling.mergeManifests(
+        Profiling.releaseManifest(docs.filter($"doc_id" % 2 === 0), "source", "doc_id", "text"),
+        Profiling.releaseManifest(docs.filter($"doc_id" % 2 === 1), "source", "doc_id", "text"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(merged == full)
+  }
+
   test("profiling summarize computes per-column stats in long format") {
     val df = Seq((1.0, Some(10L)), (2.0, None), (2.0, Some(30L)))
       .toDF("a", "b")

@@ -402,6 +402,77 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC 2014) — the log-round alternative to [[nearDupComponents]]'s
+    * min-label propagation, whose round count is the graph DIAMETER.
+    * Near-dup graphs are usually shallow, but substring/boilerplate
+    * chains (A~B~C~…) can be arbitrarily long, and at 100 TB a
+    * 1000-round propagation is a 1000-job chain; star contraction
+    * converges in O(log²) rounds regardless of diameter (the spec's
+    * 64-chain closes in 4 rounds vs 64).
+    *
+    * Each round: large-star hangs every LARGER neighbor of u under
+    * m(u) = min(Γ(u) ∪ {u}); small-star re-hangs the smaller ones; the
+    * symmetric closure feeds the next round; convergence = the canonical
+    * (undirected) edge set reaches a fixed point — a star forest whose
+    * centers are component minima, read out as `(id, comp)` with the
+    * same semantics as [[nearDupComponents]] (spec-certified equivalent).
+    */
+  def nearDupComponentsStar(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
+    val nodes = pairs
+      .select(explode(array(col("id_a").cast("long"), col("id_b").cast("long"))).as("id"))
+      .distinct()
+      .localCheckpoint()
+    def sym(e: DataFrame): DataFrame = e
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      // m(u) = min(Γ(u) ∪ {u}) in ONE aggregation: min(least(dst, src)).
+      val m = edges.groupBy(col("src")).agg(min(least(col("dst"), col("src"))).as("m"))
+      val j = edges.join(m, "src")
+      val hung =
+        if (large) j.filter(col("dst") > col("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+        else j.filter(col("dst") <= col("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          // ... plus (u, m): small-star keeps u itself hung under its min,
+          // or the star edge of a settled pair would vanish.
+          .unionByName(j.select(col("src"), col("m").as("dst")))
+      hung.filter(col("src") =!= col("dst")).distinct()
+    }
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    var edges = sym(pairs.select(col("id_a").cast("long").as("src"),
+      col("id_b").cast("long").as("dst"))).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = sym(star(sym(star(edges, large = true)), large = false))
+        .localCheckpoint()
+      // Fixed point on the canonical undirected set: both differences empty.
+      converged =
+        canon(next).exceptAll(canon(edges)).head(1).isEmpty &&
+          canon(edges).exceptAll(canon(next)).head(1).isEmpty
+      edges = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupComponentsStar did not converge in $maxIter rounds " +
+          "(needs O(log² n) — raise maxIter)")
+    // Star forest: children point at their center; centers label themselves.
+    val parent = edges.filter(col("src") > col("dst"))
+      .groupBy(col("src")).agg(min(col("dst")).as("comp"))
+    nodes.join(parent.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** The keep-rows step of a full near-dedup pipeline: drop every document
     * that belongs to a candidate component but is not its representative
     * (min id). Documents with no candidate pair survive untouched — the

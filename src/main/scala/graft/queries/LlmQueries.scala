@@ -512,6 +512,20 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "q_dedup_components_star" -> ((s, dir) => {
+      // Large-star/small-star contraction (Kiveris et al. 2014) over the
+      // same candidate graph as q_dedup_cluster_keep: O(log²) rounds
+      // regardless of chain length where min-label propagation needs
+      // diameter-many (a 1000-round job chain at 100 TB). Labels are
+      // algorithm-independent, so the recursive-CTE oracle checks them
+      // hash-exact.
+      val sigs = Dedup.minhashSignaturesPoly(augSampled(s, dir)).localCheckpoint()
+      val pairs = Dedup.minhashCandidatesFromSigsPlain(sigs)
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.nearDupComponentsStar(pairs)
+        .orderBy(col("id"))
+    }),
+
     "q_dedup_soft" -> ((s, dir) => {
       // SoftDeDup: the same signatures → candidates → components chain as
       // q_dedup_cluster_keep, but clusters DOWN-WEIGHT instead of drop —
@@ -2687,6 +2701,10 @@ object LlmQueries {
         |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
         |SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_components_star" ->
+      s"""WITH RECURSIVE $clusterCompsSql
+        |SELECT id, CAST(comp AS BIGINT) AS comp FROM comp ORDER BY id""".stripMargin,
 
     "q_dedup_soft" ->
       s"""WITH RECURSIVE $clusterCompsSql

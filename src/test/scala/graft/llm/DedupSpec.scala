@@ -179,6 +179,27 @@ class DedupSpec extends SparkTestBase {
       ("eval", "web") -> 2L))   // alpha, beta — and no row for 'clean'
   }
 
+  test("star components == label propagation on random graphs and a 64-chain") {
+    // Deterministic pseudo-random graphs: edges (x % n, (x*x + 7) % n).
+    def randomPairs(n: Int, nEdges: Int, seed: Long): Seq[(Long, Long)] =
+      (1 to nEdges).flatMap { k =>
+        val x = (seed * 6364136223846793005L + k * 1442695040888963407L) >>> 17
+        val a = (x % n).toLong; val b = ((x / n) % n).toLong
+        if (a == b) None else Some((a, b))
+      }
+    val cases = Seq(
+      randomPairs(30, 25, 1L), randomPairs(50, 20, 2L), randomPairs(40, 60, 3L),
+      (0L until 63L).map(i => (i, i + 1))) // 64-chain: diameter 63
+    cases.zipWithIndex.foreach { case (ps, ci) =>
+      val pairs = ps.toDF("id_a", "id_b")
+      val viaProp = Dedup.nearDupComponents(pairs, maxIter = 100)
+        .as[(Long, Long)].collect().toMap
+      val viaStar = Dedup.nearDupComponentsStar(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(viaStar == viaProp, s"case $ci")
+    }
+  }
+
   test("softDedupWeights: cluster mass sums to ~one doc, singletons keep 1e6") {
     val docs5 = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

@@ -65,6 +65,46 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
+  /** Matryoshka coarse-then-rerank search (Kusupati et al., NeurIPS 2022):
+    * MRL-trained embeddings front-load information, so ranking by the
+    * cosine of the FIRST `dims` coordinates is a usable coarse search at
+    * `dims/d` of the flops and scan bytes — no projection matrix, no
+    * transform pass (the advantage over the PCA rerank path: the prefix
+    * IS the reduced vector, and both stages replay exactly in SQL). The
+    * top `rerank` coarse hits re-score with the FULL cosine and the exact
+    * top `k` of those returns. Same two-TakeOrdered plan shape as
+    * [[bruteForceTopK]] — per-partition heaps, never a global sort; at
+    * scale the prefix column is the stored/cached artifact and the full
+    * vectors page in only for the `rerank` survivors.
+    */
+  def matryoshkaTopK(
+      df: DataFrame,
+      query: Array[Double],
+      dims: Int,
+      k: Int,
+      rerank: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(dims >= 1 && dims <= query.length,
+      s"dims must be in [1, ${query.length}]: $dims")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    // A vector whose PREFIX is all-zero has no prefix direction — rank it
+    // at cosine 0 (orthogonal) instead of dividing by zero; the hazard is
+    // new to truncation (the full vector can be nonzero), so the guard
+    // lives here, not in the shared cosine kernel.
+    val prefix = slice(col(embCol), 1, dims)
+    val coarseCos = when(graft.functions.ArrayOps.l2Norm(prefix) === 0.0, lit(0.0))
+      .otherwise(cosineToQuery(prefix, query.take(dims)))
+    val coarse = df
+      .select(col(idCol), col(embCol), coarseCos.as("coarse_cosine"))
+      .orderBy(col("coarse_cosine").desc, col(idCol))
+      .limit(rerank)
+    coarse
+      .select(col(idCol), cosineToQuery(col(embCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic random hyperplanes (driver-side, seeded). */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

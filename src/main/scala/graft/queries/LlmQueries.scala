@@ -568,6 +568,14 @@ object LlmQueries {
     "q_sim_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), e1, k = 10)),
 
+    "q_sim_matryoshka" -> ((s, dir) =>
+      // Matryoshka coarse-then-rerank: 16-dim prefix cosine prunes to 50,
+      // full 64-dim cosine ranks the final 10 — both stages exact float
+      // arithmetic the oracle replays term-for-term (the advantage over
+      // the PCA rerank path, whose projection is a driver artifact).
+      Similarity.matryoshkaTopK(emb(s, dir), e1, dims = 16, k = 10,
+        rerank = 50)),
+
     "q_sim_ann" -> ((s, dir) => {
       // Machinery-agreement certificate (VERDICT r6 item 4): the
       // single-query ANN (global orderBy.limit ranking) and the batched
@@ -3080,6 +3088,19 @@ object LlmQueries {
     // oracle states the expected verdict — q_sim_ivf_recall's pattern).
     "q_sim_hardneg_ann" ->
       "SELECT true AS recall_ok, true AS shape_ok",
+
+    "q_sim_matryoshka" ->
+      """WITH c AS (SELECT vec_id, embedding,
+        |    CAST(embedding[1] AS DOUBLE) / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (a, b) -> a + b)) * CAST(1.0 AS DOUBLE)) AS cc
+        |  FROM embeddings),
+        |top AS (SELECT vec_id, embedding FROM c ORDER BY cc DESC, vec_id LIMIT 50)
+        |SELECT vec_id,
+        |  CAST(embedding[1] AS DOUBLE) / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |    (a, b) -> a + b)) * CAST(1.0 AS DOUBLE)) AS cosine
+        |FROM top ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_sim_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS d,

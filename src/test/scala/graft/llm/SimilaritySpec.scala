@@ -25,6 +25,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.head._2 == 1.0)
   }
 
+  test("matryoshka rerank: full-dim prefix equals brute force; coarse prune keeps true top") {
+    // dims = full → identical to brute force by construction.
+    val full = Similarity.matryoshkaTopK(vecs, e1, dims = 4, k = 3, rerank = 5)
+      .as[(Long, Double)].collect().toSeq
+    val bf = Similarity.bruteForceTopK(vecs, e1, k = 3).as[(Long, Double)].collect().toSeq
+    assert(full == bf)
+    // 2-dim prefix: coarse cosines to e1-prefix are (1, .994, 0, NaN-free 0, .707)
+    // → prune to top-3 {1, 2, 5}, full rerank keeps the same exact order.
+    val pruned = Similarity.matryoshkaTopK(vecs, e1, dims = 2, k = 2, rerank = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(pruned.map(_._1) == Seq(1L, 2L))
+    assert(pruned.head._2 == 1.0)
+    // guards
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopK(vecs, e1, dims = 9, k = 2, rerank = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopK(vecs, e1, dims = 2, k = 5, rerank = 3)
+    }
+  }
+
   test("ANN with stored bucket column returns the true neighbors on an easy corpus") {
     val planes = Similarity.hyperplanes(numPlanes = 6, dim = 4)
     val bucketed = Similarity.withLshBucket(vecs, planes)

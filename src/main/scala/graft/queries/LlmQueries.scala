@@ -1121,6 +1121,38 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    "q_pipeline_instruct" -> ((s, dir) => {
+      // Instruction-data prep end to end: ROUGE-2 pool admission (the
+      // bounded q_conv_selfinstruct gate) → admitted candidates render as
+      // single-turn ChatML conversations → token-budget packing. Every
+      // stage is the registry operator, composed; the oracle replays
+      // admission, render and the pack layout in one SQL chain.
+      val pool = docs(s, dir).select(col("doc_id"), col("text"))
+      val half = concat_ws(" ", expr(
+        "slice(split(trim(text), '\\\\s+'), 1, size(split(trim(text), '\\\\s+')) div 2)"))
+      val cands = docs(s, dir).filter(col("doc_id") < 400)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          when(col("doc_id") % 4 === 0, concat(col("text"), lit(" please")))
+            .when(col("doc_id") % 4 === 2, concat(half, lit(" extra request words")))
+            .otherwise(upper(col("text"))).as("text"))
+      val admitted = Dedup.rouge2Gate(pool, cands, thrMicro = 700000L)
+        .filter(col("keep")).select(col("id"))
+      val admittedTexts = cands
+        .join(admitted, cands("doc_id") === admitted("id"), "left_semi")
+      val turns = admittedTexts.select(col("doc_id").as("conv"), explode(array(
+          struct(lit(0L).as("idx"), lit("user").as("role"),
+            concat(lit("instruction "), col("doc_id").cast("string")).as("text")),
+          struct(lit(1L).as("idx"), lit("assistant").as("role"),
+            col("text").as("text")))).as("t"))
+        .select(col("conv"), col("t.idx").as("idx"), col("t.role").as("role"),
+          col("t.text").as("text"))
+      val rendered = graft.llm.Conversations.render(turns, "conv", "idx",
+        "role", "text")
+      graft.llm.Packing.pack(rendered, "id", col("n_tokens"),
+          budget = 256L, shards = 4)
+        .orderBy(col("id"))
+    }),
+
     "q_conv_bradley_terry" -> ((s, dir) => {
       // Bradley–Terry strength aggregation of pairwise preferences — the
       // step between raw preference pairs and a reward-model prior. Each
@@ -2545,6 +2577,46 @@ object LlmQueries {
         |SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM d a JOIN d b ON a.fp = b.fp AND a.id < b.id
         |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_pipeline_instruct" ->
+      """WITH base AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |cand AS (SELECT doc_id + 100000 AS cid,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || ' please'
+        |      WHEN doc_id % 4 = 2 THEN array_to_string(w[1:len(w)//2], ' ') || ' extra request words'
+        |      ELSE upper(text) END AS text
+        |  FROM base WHERE doc_id < 400),
+        |pw AS (SELECT doc_id AS pid,
+        |    list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gs
+        |  FROM base),
+        |cw AS (SELECT cid, string_split_regex(trim(text), '\s+') AS w FROM cand),
+        |cgm AS (SELECT cid,
+        |    list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gs
+        |  FROM cw),
+        |pg AS (SELECT pid, unnest(gs) AS gram, len(gs) AS np FROM pw),
+        |cg AS (SELECT cid, unnest(gs) AS gram, len(gs) AS nc FROM cgm),
+        |j AS (SELECT cid, count(*) AS inter, max(nc) AS nc, max(np) AS np
+        |  FROM cg JOIN pg USING (gram) GROUP BY cid, pid),
+        |worst AS (SELECT cid, max(2 * inter * 1000000 // (nc + np)) AS f1 FROM j GROUP BY cid),
+        |adm AS (SELECT c.cid, c.text FROM cand c
+        |  LEFT JOIN worst ON worst.cid = c.cid
+        |  WHERE coalesce(worst.f1, 0) < 700000),
+        |r AS (SELECT cid AS id,
+        |    '<|im_start|>user' || chr(10) || 'instruction ' || cid || '<|im_end|>' || chr(10)
+        |      || '<|im_start|>assistant' || chr(10) || text || '<|im_end|>' || chr(10) AS rendered
+        |  FROM adm),
+        |n AS (SELECT id,
+        |    CAST(len(string_split_regex(trim(rendered), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM r),
+        |m AS (SELECT id, n_tokens, (id * 2654435761) % 4294967296 AS mix FROM n),
+        |p AS (SELECT id, n_tokens, CAST(mix % 4 AS INT) AS shard,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY mix % 4 ORDER BY mix, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM m)
+        |SELECT id, n_tokens, shard,
+        |  CAST(pre // 256 AS BIGINT) AS chunk, CAST(pre % 256 AS BIGINT) AS "offset",
+        |  (pre % 256) + n_tokens > 256 AS spans_boundary
+        |FROM p ORDER BY id""".stripMargin,
 
     "q_conv_selfinstruct" ->
       """WITH base AS (SELECT doc_id, text,

@@ -92,6 +92,54 @@ object RobotsImpl {
     new GenericArrayData(out.toArray)
   }
 
+  /** RFC 9309 path-pattern match: `*` matches any character sequence
+    * (including empty, including `/`), a TERMINAL `$` anchors the pattern
+    * to the path end (elsewhere `$` is literal), and an unanchored pattern
+    * matches any path PREFIX (modeled as an implicit trailing `*`).
+    * Iterative two-pointer glob with single-star backtracking — linear in
+    * practice, no regex engine.
+    */
+  def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val base = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val p = if (anchored) base else base + "*"
+    var pi = 0; var si = 0; var star = -1; var mark = 0
+    while (si < path.length) {
+      if (pi < p.length && p.charAt(pi) == '*') { star = pi; mark = si; pi += 1 }
+      else if (pi < p.length && p.charAt(pi) == path.charAt(si)) { pi += 1; si += 1 }
+      else if (star >= 0) { pi = star + 1; mark += 1; si = mark }
+      else return false
+    }
+    while (pi < p.length && p.charAt(pi) == '*') pi += 1
+    pi == p.length
+  }
+
+  /** RFC 9309 allow/deny decision for one path against a parsed rules
+    * array ([[wildcardRules]] layout): the most specific matching rule —
+    * most octets in the pattern as written — wins; at equal length Allow
+    * beats Disallow; no matching rule means allowed. One compiled scan
+    * over a tens-of-entries array per URL, replacing the interpreted
+    * higher-order fold (and extending it: the fold was prefix-only, so
+    * a glob rule like `Disallow: "/" "*" ".pdf$"` silently never matched).
+    */
+  def allowedPath(rules: ArrayData, path: UTF8String): Boolean = {
+    val s = path.toString
+    var bestLen = -1
+    var bestAllow = true
+    var i = 0
+    while (i < rules.numElements()) {
+      val r = rules.getStruct(i, 2)
+      val allow = r.getBoolean(0)
+      val pat = r.getUTF8String(1).toString
+      if (patternMatches(pat, s)) {
+        val l = pat.length
+        if (l > bestLen || (l == bestLen && allow)) { bestLen = l; bestAllow = allow }
+      }
+      i += 1
+    }
+    bestAllow
+  }
+
   /** The wildcard-agent record's `Crawl-delay` in whole seconds (ceil of
     * a decimal value — the conservative read), or null when no applying
     * record carries one / the value does not parse. Record grouping is
@@ -177,10 +225,36 @@ case class RobotsCrawlDelay(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen wrapper for [[RobotsImpl.allowedPath]]:
+  * `robots_allowed(rules, path)` → BOOLEAN (RFC 9309 most-specific-match
+  * decision, `*`/terminal-`$` patterns). Null-propagating: a null rules
+  * array (no robots row after the left join) yields null — callers
+  * coalesce to `true` (no policy means allowed).
+  */
+case class RobotsAllowed(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "robots_allowed"
+  override def nullSafeEval(rules: Any, path: Any): Any =
+    RobotsImpl.allowedPath(rules.asInstanceOf[ArrayData], path.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (r, p) => s"${ev.value} = graft.functions.RobotsImpl.allowedPath($r, $p);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsAllowed =
+    copy(left = newLeft, right = newRight)
+}
+
 object RobotsKernels {
   /** Wildcard-agent (allow, prefix) rules of a robots.txt body, file order. */
   def wildcardRules(c: Column): Column =
     GraftColumnBridge.column(RobotsWildcardRules(GraftColumnBridge.expression(c.cast("string"))))
+
+  /** RFC 9309 decision: is `path` allowed under the parsed `rules`? */
+  def allowedPath(rules: Column, path: Column): Column =
+    GraftColumnBridge.column(RobotsAllowed(
+      GraftColumnBridge.expression(rules),
+      GraftColumnBridge.expression(path.cast("string"))))
 
   /** Sitemap directive values (agent-independent) — frontier seeds. */
   def sitemaps(c: Column): Column =

@@ -24,10 +24,22 @@ import graft.functions.RobotsKernels
 object RobotsTxt {
 
   /** Best-match decision for `path` against a `rules` array column
-    * (`array<struct<allow,prefix>>`): fold keeping (longest, allow-wins)
-    * match; seed length -1 = "no rule matched" → allowed.
+    * (`array<struct<allow,prefix>>`) — the compiled RFC 9309 kernel
+    * ([[RobotsKernels.allowedPath]]): most-specific match wins, Allow
+    * beats Disallow at ties, and path patterns support `*` plus the
+    * terminal `$` anchor (the prefix-only fold silently never matched
+    * a glob rule like `Disallow: "/" "*" ".pdf$"`). Null rules (no
+    * robots row) → allowed.
     */
-  private def allowDecision(rules: Column, path: Column): Column = {
+  private def allowDecision(rules: Column, path: Column): Column =
+    coalesce(RobotsKernels.allowedPath(rules, path), lit(true))
+
+  /** The original interpreted prefix-only fold, kept as the executable
+    * spec the kernel is tested against on wildcard-free rule sets (where
+    * RFC 9309 matching degenerates to longest-prefix — RobotsTxtSpec pins
+    * the agreement).
+    */
+  private[llm] def prefixDecisionSpec(rules: Column, path: Column): Column = {
     val folded = aggregate(
       rules,
       struct(lit(-1).as("l"), lit(true).as("allow")),

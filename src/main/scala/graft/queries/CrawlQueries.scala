@@ -971,6 +971,29 @@ object CrawlQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_url_robots_wildcard" -> ((s, dir) => {
+      // RFC 9309 glob rules through the compiled decision kernel: the
+      // anchored extension trap (Disallow: /*.tmp$) drops .tmp but not
+      // .tmp2, the mid-path wildcard (/cal/*/day) outranks the /cal
+      // prefix, and Allow: /cal/pub still beats /cal on specificity —
+      // rules the prefix-only fold could never express.
+      import s.implicits._
+      val ids = col("doc_id").cast("string")
+      val m5 = col("doc_id") % 5
+      val path = when(m5 === 0, concat(lit("/files/f"), ids, lit(".tmp")))
+        .when(m5 === 1, concat(lit("/files/f"), ids, lit(".tmp2")))
+        .when(m5 === 2, concat(lit("/cal/"), (col("doc_id") % 100).cast("string"), lit("/day")))
+        .when(m5 === 3, concat(lit("/cal/pub/x"), ids))
+        .otherwise(concat(lit("/cal/x"), ids))
+      val urls = docs(s, dir).select(col("doc_id"),
+        concat(lit("https://www.d.com"), path).as("url"))
+      val robots = Seq(("d.com",
+        "User-agent: *\nDisallow: /*.tmp$\nDisallow: /cal/*/day\n" +
+          "Allow: /cal/pub\nDisallow: /cal\n")).toDF("domain", "robots_txt")
+      graft.llm.RobotsTxt.allowedGate(urls, "url", robots, "domain", "robots_txt")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_url_sitemaps" -> ((s, dir) =>
       // Frontier seeds: Sitemap directives are agent-independent, so only
       // the k%3==0 policies (the only ones carrying one) contribute —
@@ -1395,6 +1418,19 @@ object CrawlQueries {
          |FROM documents
          |WHERE (doc_id % 23) % 3 <> 0 OR doc_id % 5 IN (1, 3)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_url_robots_wildcard" ->
+      // Closed-form keep set: only the anchored-miss (.tmp2) and
+      // Allow-covered (/cal/pub) classes survive the glob rules.
+      """SELECT doc_id,
+        |  'https://www.d.com' || CASE doc_id % 5
+        |    WHEN 0 THEN '/files/f' || doc_id || '.tmp'
+        |    WHEN 1 THEN '/files/f' || doc_id || '.tmp2'
+        |    WHEN 2 THEN '/cal/' || (doc_id % 100) || '/day'
+        |    WHEN 3 THEN '/cal/pub/x' || doc_id
+        |    ELSE '/cal/x' || doc_id END AS url
+        |FROM documents WHERE doc_id % 5 IN (1, 3)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_url_sitemaps" ->
       s"""SELECT ${lgDomSql("k")} AS domain,

@@ -108,4 +108,56 @@ class RobotsTxtSpec extends SparkTestBase {
       .select(col("id")).as[Long].collect().toSet
     assert(kept == Set(2L, 3L, 4L, 5L))
   }
+
+  test("RFC 9309 pattern matcher: *, terminal $, literal mid-$, backtracking") {
+    import graft.functions.RobotsImpl.patternMatches
+    assert(patternMatches("/p", "/p/x"))            // prefix
+    assert(!patternMatches("/p/x", "/p"))
+    assert(patternMatches("/*.pdf$", "/a/b/doc.pdf"))
+    assert(!patternMatches("/*.pdf$", "/a/doc.pdf.html")) // anchored
+    assert(patternMatches("/*.pdf", "/a/doc.pdf.html"))   // unanchored
+    assert(patternMatches("/cal/*/day", "/cal/2026/day/5"))
+    assert(!patternMatches("/cal/*/day", "/cal/2026"))
+    assert(patternMatches("/a*b*c$", "/aXXbYYc"))
+    assert(!patternMatches("/a*b*c$", "/aXXbYYcZ"))
+    assert(patternMatches("/fish*$", "/fishing"))   // * before anchor
+    assert(patternMatches("/x$y", "/x$y/z"))        // mid-$ is literal
+    assert(!patternMatches("/x$y", "/xy"))
+    assert(patternMatches("", "/anything"))         // empty pattern = match-all
+    // greedy-star backtracking: first 'b' fails, later 'b' succeeds
+    assert(patternMatches("/*bc$", "/abXbc"))
+  }
+
+  test("RFC 9309 gate: wildcard and anchored rules decide; kernel == prefix fold without wildcards") {
+    val robots = Seq(
+      ("d.com", "User-agent: *\nDisallow: /*.tmp$\nDisallow: /cal/*/day\n" +
+        "Allow: /cal/pub\nDisallow: /cal\n"))
+      .toDF("domain", "robots_txt")
+    val urls = Seq(
+      (1L, "https://www.d.com/files/f1.tmp"),   // anchored glob → drop
+      (2L, "https://www.d.com/files/f1.tmp2"),  // anchor misses → keep
+      (3L, "https://www.d.com/cal/2026/day"),   // /cal/*/day (len 11) → drop
+      (4L, "https://www.d.com/cal/pub/x"),      // Allow /cal/pub (8) > /cal (4) → keep
+      (5L, "https://www.d.com/cal/x"))          // /cal → drop
+      .toDF("id", "url")
+    val kept = RobotsTxt.allowedGate(urls, "url", robots, "domain", "robots_txt")
+      .select(col("id")).as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+    // Wildcard-free rules: the compiled kernel must agree with the
+    // interpreted longest-prefix fold on every (rules, path) combination.
+    val plain = Seq(
+      "User-agent: *\nDisallow: /p\nAllow: /p/ok\nDisallow: /p/ok\n",
+      "User-agent: *\nDisallow:\n",
+      "User-agent: *\nDisallow: /\nAllow: /pub\n")
+    val paths = Seq("/p/x", "/p/ok/y", "/p/ok", "/free", "/", "/pub/z", "/pu")
+    val combos = for (t <- plain; p <- paths) yield (t, p)
+    val df = combos.toDF("t", "p")
+      .select(RobotsKernels.wildcardRules(col("t")).as("r"), col("p"))
+    val viaKernel = df.select(coalesce(
+        RobotsKernels.allowedPath(col("r"), col("p")), lit(true)))
+      .as[Boolean].collect().toSeq
+    val viaFold = df.select(RobotsTxt.prefixDecisionSpec(col("r"), col("p")))
+      .as[Boolean].collect().toSeq
+    assert(viaKernel == viaFold)
+  }
 }

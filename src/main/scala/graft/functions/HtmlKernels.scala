@@ -71,7 +71,7 @@ object HtmlImpl {
     * packed to keep the hot loop allocation-free. If no entity matches,
     * returns '&' itself with next = i+1 (literal pass-through).
     */
-  private def entityAt(s: String, i: Int): Long = {
+  private[functions] def entityAt(s: String, i: Int): Long = {
     def pack(cp: Int, next: Int): Long = (next.toLong << 21) | cp.toLong
     val semi = {
       var j = i + 1
@@ -145,6 +145,109 @@ object HtmlImpl {
         i += Character.charCount(cp)
       }
     }
+    UTF8String.fromString(out.toString)
+  }
+}
+
+/** Block-level main-content extraction — the boilerplate-removal stage
+  * between raw HTML→text and line dedup (the jusText/Readability idea
+  * reduced to its deterministic core): the page splits into blocks at
+  * block-level tag boundaries, each block accumulates its visible text AND
+  * the share of it living inside anchors, and a block survives only when
+  * it is long enough (`minLen` codepoints) and link-poor enough
+  * (`linkChars·1000 ≤ maxLinkPermille·textLen` — exact integers).
+  * Navigation bars, footers, tag clouds and "related links" rails are
+  * short and link-dense; article prose is long and link-sparse — the two
+  * signals that classify without a DOM or a model. Same single-pass
+  * discipline as [[HtmlImpl.extract]] (comments/script/style skipped,
+  * entities decoded, whitespace collapsed per block); good blocks join
+  * with a single newline.
+  */
+object MainContentImpl {
+  import HtmlImpl.{isWs, tagNameAt, skipRawElement}
+
+  private val blockTags = Array("p", "div", "h1", "h2", "h3", "h4", "h5", "h6",
+    "li", "ul", "ol", "table", "tr", "td", "th", "section", "article", "nav",
+    "header", "footer", "aside", "blockquote", "pre", "br")
+
+  private def blockBoundaryAt(s: String, i: Int): Boolean = {
+    // i points at the char after '<' (or after "</"); whole-name match.
+    var j = 0
+    while (j < blockTags.length) {
+      if (tagNameAt(s, i, blockTags(j))) return true
+      j += 1
+    }
+    false
+  }
+
+  def mainContent(input: UTF8String, minLen: Int, maxLinkPermille: Int): UTF8String = {
+    val s = input.toString
+    val out = new java.lang.StringBuilder(s.length)
+    val block = new java.lang.StringBuilder(64)
+    var linkChars = 0L
+    var inAnchor = false
+    var pendingSpace = false
+
+    def emit(cp: Int): Unit = {
+      if (pendingSpace && block.length > 0) {
+        block.append(' ')
+        if (inAnchor) linkChars += 1
+      }
+      pendingSpace = false
+      block.appendCodePoint(cp)
+      if (inAnchor) linkChars += Character.charCount(cp)
+    }
+    def flush(): Unit = {
+      val textLen = block.length.toLong
+      if (textLen >= minLen && linkChars * 1000L <= maxLinkPermille * textLen) {
+        if (out.length > 0) out.append('\n')
+        out.append(block)
+      }
+      block.setLength(0)
+      linkChars = 0L
+      pendingSpace = false
+    }
+
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) s.length else end + 3
+          pendingSpace = true
+        } else if (tagNameAt(s, i + 1, "script")) {
+          val gt = s.indexOf('>', i)
+          i = if (gt < 0) s.length else skipRawElement(s, gt + 1, "script")
+          pendingSpace = true
+        } else if (tagNameAt(s, i + 1, "style")) {
+          val gt = s.indexOf('>', i)
+          i = if (gt < 0) s.length else skipRawElement(s, gt + 1, "style")
+          pendingSpace = true
+        } else {
+          val close = i + 1 < s.length && s.charAt(i + 1) == '/'
+          val nameAt = if (close) i + 2 else i + 1
+          if (blockBoundaryAt(s, nameAt)) flush()
+          else if (tagNameAt(s, nameAt, "a")) inAnchor = !close
+          val gt = s.indexOf('>', i)
+          i = if (gt < 0) s.length else gt + 1
+          pendingSpace = true
+        }
+      } else if (c == '&') {
+        val packed = HtmlImpl.entityAt(s, i)
+        val cp = (packed & 0x1fffffL).toInt
+        i = (packed >>> 21).toInt
+        if (isWs(cp.toChar)) pendingSpace = true else emit(cp)
+      } else if (isWs(c)) {
+        pendingSpace = true
+        i += 1
+      } else {
+        val cp = s.codePointAt(i)
+        emit(cp)
+        i += Character.charCount(cp)
+      }
+    }
+    flush() // trailing text outside any closing tag is still a block
     UTF8String.fromString(out.toString)
   }
 }
@@ -342,6 +445,24 @@ case class HtmlHrefs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen wrapper for [[MainContentImpl.mainContent]]:
+  * `html_main_content(html)` → STRING of good blocks joined by '\n'.
+  * The thresholds ride the expression as literals (trained-artifact
+  * discipline — no per-row column needed for corpus-wide constants).
+  */
+case class HtmlMainContent(child: Expression, minLen: Int, maxLinkPermille: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_main_content"
+  override def nullSafeEval(input: Any): Any =
+    MainContentImpl.mainContent(input.asInstanceOf[UTF8String], minLen, maxLinkPermille)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MainContentImpl.mainContent($c, $minLen, $maxLinkPermille);")
+  override protected def withNewChildInternal(newChild: Expression): HtmlMainContent =
+    copy(child = newChild)
+}
+
 /** Codegen wrapper for [[HtmlImpl.extract]]. */
 case class HtmlToText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -360,6 +481,14 @@ object HtmlKernels {
     */
   def htmlToText(c: Column): Column =
     GraftColumnBridge.column(HtmlToText(GraftColumnBridge.expression(c.cast("string"))))
+
+  /** Block-classified main content (jusText-style: long, link-sparse
+    * blocks survive; nav/footer/link rails drop). Good blocks join with
+    * '\n'; empty string for a page with no good block.
+    */
+  def mainContent(c: Column, minLen: Int = 25, maxLinkPermille: Int = 200): Column =
+    GraftColumnBridge.column(HtmlMainContent(
+      GraftColumnBridge.expression(c.cast("string")), minLen, maxLinkPermille))
 
   /** Raw anchor targets (`<a href=…>`) in document order — the link-graph
     * feeder; comments and script/style content do not contribute.

@@ -971,6 +971,22 @@ object CrawlQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_html_maincontent" -> ((s, dir) => {
+      // Block-level boilerplate removal: the nav (short AND link-dense),
+      // the h1 stub and the footer all drop; only the article paragraph
+      // survives — exactly the corpus text, which is what makes the
+      // kernel's block accounting closed-form checkable. One codegen'd
+      // scan per page, no shuffle.
+      val ids = col("doc_id").cast("string")
+      val page = concat(
+        lit("<nav><a href=\"/\">home page</a> <a href=\"/about\">about us team</a></nav><h1>Doc "),
+        ids, lit("</h1><p>"), col("text"),
+        lit("</p><footer>copyright 2026</footer>"))
+      docs(s, dir).select(col("doc_id"),
+          graft.functions.HtmlKernels.mainContent(page).as("main_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_url_robots_wildcard" -> ((s, dir) => {
       // RFC 9309 glob rules through the compiled decision kernel: the
       // anchored extension trap (Disallow: /*.tmp$) drops .tmp but not
@@ -1418,6 +1434,14 @@ object CrawlQueries {
          |FROM documents
          |WHERE (doc_id % 23) % 3 <> 0 OR doc_id % 5 IN (1, 3)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_html_maincontent" ->
+      // Only the paragraph block can survive (nav/h1/footer are short or
+      // link-dense by construction); it equals the corpus text whenever
+      // that text clears the 25-codepoint block minimum.
+      """SELECT doc_id,
+        |  CASE WHEN length(text) >= 25 THEN text ELSE '' END AS main_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_url_robots_wildcard" ->
       // Closed-form keep set: only the anchored-miss (.tmp2) and

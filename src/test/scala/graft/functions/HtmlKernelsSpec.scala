@@ -46,6 +46,54 @@ class HtmlKernelsSpec extends SparkTestBase {
     assert(out == Seq(None, Some(""), Some("")))
   }
 
+  private def main(html: String, minLen: Int = 25, maxLinkPermille: Int = 200): String =
+    Seq(html).toDF("h")
+      .select(HtmlKernels.mainContent(col("h"), minLen, maxLinkPermille).as("t"))
+      .as[String].collect().head
+
+  test("mainContent: link-dense nav and short blocks drop, prose survives") {
+    val page =
+      """<nav><a href="/">home page</a> <a href="/a">about us team</a></nav>
+        |<h1>Doc 7</h1>
+        |<p>this is the long article paragraph with plenty of prose content in it</p>
+        |<footer>copyright 2026</footer>""".stripMargin
+    assert(main(page) ==
+      "this is the long article paragraph with plenty of prose content in it")
+  }
+
+  test("mainContent: moderate in-prose links survive; two good blocks join with newline") {
+    val page =
+      "<p>read the <a href='/d'>docs</a> for all the configuration details here</p>" +
+        "<div>another sufficiently long block of plain prose without any links</div>"
+    // block 1: textLen 55, linkChars 4 → 4000 ≤ 200·55 = 11000 → keep
+    assert(main(page) ==
+      "read the docs for all the configuration details here\n" +
+        "another sufficiently long block of plain prose without any links")
+  }
+
+  test("mainContent: all-link block drops even when long; pure-link page yields empty") {
+    val rail = (1 to 8).map(i => s"<a href='/$i'>related article number $i</a>").mkString(" ")
+    assert(main(s"<aside>$rail</aside>") == "")
+    // same text without anchors is prose → kept
+    val prose = (1 to 8).map(i => s"related article number $i").mkString(" ")
+    assert(main(s"<aside>$prose</aside>") == prose)
+  }
+
+  test("mainContent: script/comments never count; entities decode; trailing text flushes") {
+    val page = "<p>alpha &amp; beta gamma delta epsilon zeta eta</p>" +
+      "<script>var x = 'not visible text at all';</script>" +
+      "trailing tail text after the last closing tag runs long enough"
+    assert(main(page) ==
+      "alpha & beta gamma delta epsilon zeta eta\n" +
+        "trailing tail text after the last closing tag runs long enough")
+  }
+
+  test("mainContent: article tag is a boundary, not an anchor (whole-name match)") {
+    val page = "<article>the article element starts a block not an anchor here</article>"
+    assert(main(page) ==
+      "the article element starts a block not an anchor here")
+  }
+
   test("metaRobots: quote styles, case, token-not-substring noindex gate") {
     val cases = Seq(
       ("""<head><meta name="robots" content="noindex, nofollow"></head>""",

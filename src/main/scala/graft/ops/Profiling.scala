@@ -147,6 +147,34 @@ object Profiling {
         sum(graft.functions.TextKernels.polyFingerprint(col(textCol)))
           .as("checksum"))
 
+  /** Key-skew report — the pre-join diagnosis that decides between a
+    * plain shuffle, a broadcast, and [[SkewJoin]]'s salting: the top-K
+    * heaviest keys with their corpus share and the salt factor that
+    * would level each onto `targetPartitions` even shares:
+    *
+    *   suggested_salt = max(1, ⌈n_key · targetPartitions / total⌉)
+    *
+    * — all exact integer arithmetic (ceil as `(a·P + total − 1) div
+    * total`). One map-side-partial count shuffle over slim keys, then a
+    * K-row top-k (TakeOrdered, never a global sort) against a broadcast
+    * one-row total.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String, topK: Int = 10,
+      targetPartitions: Int = 200): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    require(targetPartitions >= 1,
+      s"targetPartitions must be >= 1: $targetPartitions")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    counts.orderBy(col("n_rows").desc, col("key")).limit(topK)
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n_rows"),
+        expr("n_rows * 1000000 div __total").as("share_micro"),
+        expr(s"greatest(1L, (n_rows * $targetPartitions + __total - 1) div __total)")
+          .as("suggested_salt"))
+  }
+
   /** Incremental manifest maintenance — the daily-crawl shape: merge the
     * PERSISTED release manifest with a new batch's manifest without ever
     * re-reading prior document bodies. Every [[releaseManifest]] column

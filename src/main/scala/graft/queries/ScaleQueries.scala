@@ -446,6 +446,21 @@ object ScaleQueries {
       graft.ops.Profiling.releaseManifest(docs(s, dir), "source", "doc_id", "text")
         .orderBy(col("source"))),
 
+    "q_profile_skew" -> ((s, dir) => {
+      // Pre-join skew diagnosis: a planted mega-key (10% of lineitem) and
+      // a uniform tail; the report surfaces the hot key with its exact
+      // integer share and the salt factor that would level it — the
+      // number q_join_salted's construction consumes. Count shuffle +
+      // K-row top-k; the fact table never moves twice.
+      val keyed = li(s, dir).select(
+        when(col("l_orderkey") % 10 === 0, lit("hot"))
+          .otherwise(concat(lit("k"), (col("l_orderkey") % 97).cast("string")))
+          .as("jkey"))
+      graft.ops.Profiling.keySkewReport(keyed, "jkey", topK = 5,
+          targetPartitions = 32)
+        .orderBy(col("n_rows").desc, col("key"))
+    }),
+
     "q_corpus_manifest_incr" -> ((s, dir) => {
       // Incremental manifest maintenance: the persisted manifest (even
       // doc ids) merges with a new batch's manifest (odd ids) WITHOUT
@@ -802,6 +817,19 @@ object ScaleQueries {
         |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 131 + c) % 1000000007)) AS BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_profile_skew" ->
+      """WITH k AS (SELECT CASE WHEN l_orderkey % 10 = 0 THEN 'hot'
+        |    ELSE 'k' || (l_orderkey % 97) END AS key
+        |  FROM lineitem),
+        |c AS (SELECT key, CAST(count(*) AS BIGINT) AS n_rows FROM k GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM k),
+        |top AS (SELECT key, n_rows FROM c ORDER BY n_rows DESC, key LIMIT 5)
+        |SELECT key, n_rows,
+        |  CAST(n_rows * 1000000 // (SELECT total FROM t) AS BIGINT) AS share_micro,
+        |  CAST(greatest(1, (n_rows * 32 + (SELECT total FROM t) - 1)
+        |    // (SELECT total FROM t)) AS BIGINT) AS suggested_salt
+        |FROM top ORDER BY n_rows DESC, key""".stripMargin,
 
     "q_corpus_manifest_incr" ->
       // Recomputed from the raw union — the merge must equal this exactly.

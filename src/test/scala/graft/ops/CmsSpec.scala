@@ -44,6 +44,35 @@ class CmsSpec extends SparkTestBase {
     assert(got == expected && got.map(_._1) == Seq("hot", "warm"))
   }
 
+  test("streaming build: per-micro-batch grids merge to the one-shot batch grid") {
+    // The sketch's whole reason to exist at ingest time: grids add
+    // element-wise, so a stream of daily batches maintains the SAME
+    // artifact a full recompute would build — certified by driving real
+    // micro-batches through foreachBatch and summing grids.
+    implicit val sqlCtx = spark.sqlContext
+    val d = 4; val w = 64
+    val batchGrid = words.toDF("t").agg(CmsSketch.build(d, w)($"t"))
+      .head().getSeq[Long](0).toArray
+    val acc = new Array[Long](d * w)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = input.toDS().toDF("t").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val g = batch.agg(CmsSketch.build(d, w)(col("t")))
+          .head().getSeq[Long](0).toArray
+        var i = 0
+        while (i < acc.length) { acc(i) += g(i); i += 1 }
+        ()
+      }
+      .start()
+    try {
+      val (a, b) = words.splitAt(words.length / 3)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      assert(acc.toSeq == batchGrid.toSeq,
+        "streamed grid must equal the one-shot batch grid")
+    } finally q.stop()
+  }
+
   test("hash family spreads rows independently") {
     val idx = (0 until 4).map(r => CmsImpl.index("token", r, 4096))
     assert(idx.distinct.size >= 3, s"rows should disagree: $idx")

@@ -982,7 +982,10 @@ object CrawlQueries {
         lit("<nav><a href=\"/\">home page</a> <a href=\"/about\">about us team</a></nav><h1>Doc "),
         ids, lit("</h1><p>"), col("text"),
         lit("</p><footer>copyright 2026</footer>"))
-      docs(s, dir).select(col("doc_id"),
+      // docsSpread: the block scan is CPU-heavy per row and the sf corpora
+      // are single parquet files — without the spread the whole kernel
+      // pass runs on ONE task (measured 12.9x at sf1 vs 10x data).
+      docsSpread(s, dir).select(col("doc_id"),
           graft.functions.HtmlKernels.mainContent(page).as("main_text"))
         .orderBy(col("doc_id"))
     }),

@@ -666,6 +666,39 @@ object Dedup {
       .withColumn("ng", size(col("__gs")))
       .select(col("id"), col("block"), explode(col("__gs")).as("gram"), col("ng"))
 
+  /** Homoglyph skeleton (UTS #39 confusable-skeleton reduced to the
+    * high-traffic core): Cyrillic and Greek lookalikes fold onto their
+    * Latin shapes, zero-width/joiner characters strip, and the result
+    * lowercases — so "pа**у**pal" with Cyrillic а/у skeletonizes equal to
+    * "paypal". Spam/SEO mills homoglyph-mutate duplicated content
+    * precisely to defeat exact hashing; dedup (and URL/brand matching)
+    * must run on the skeleton, not the raw text. Pure `translate` +
+    * `regexp_replace` — codegen'd, replayed verbatim by SQL `translate`.
+    */
+  def homoglyphSkeleton(text: Column): Column = {
+    // Cyrillic а в е к м н о р с т у х ѕ і ј ԁ ɡ + Greek α ο ν ε ι κ ρ τ υ χ
+    val from = "авекмнорст" +
+      "ухѕіјԁɡ" +
+      "αονεικρτυχ"
+    val to = "abekmhopctyxsijdg" + "aoveikptyx"
+    lower(regexp_replace(translate(text, from, to),
+      "[\\u200b\\u200c\\u200d\\ufeff]", ""))
+  }
+
+  /** Exact dedup on the homoglyph skeleton: visually-identical mutants
+    * collapse into one group, first id kept. Same 32-byte-hash shuffle
+    * discipline as [[exactDedup]] — the skeleton never shuffles, its
+    * sha2 does.
+    */
+  def homoglyphDedup(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(sha2(homoglyphSkeleton(col(textCol)), 256))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("keep", col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS algorithm): from each document's positioned
     * word-n-gram fingerprint stream, every window of `w` consecutive

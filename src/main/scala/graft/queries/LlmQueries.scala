@@ -512,6 +512,21 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "q_dedup_homoglyph" -> ((s, dir) => {
+      // Homoglyph-mutant dedup: every doc gets a clone with Cyrillic
+      // а/е/о/р/с substituted — byte-distinct, visually identical, so
+      // exact hashing misses it and the UTS#39-core skeleton catches it.
+      // Same 32-byte-hash window as exact dedup.
+      val clone = translate(col("text"), "aeopc",
+        "аеорс")
+      val aug = docs(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(docs(s, dir).select((col("doc_id") + 10000L).as("doc_id"),
+          clone.as("text")))
+      Dedup.homoglyphDedup(aug)
+        .select(col("doc_id"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_components_star" -> ((s, dir) => {
       // Large-star/small-star contraction (Kiveris et al. 2014) over the
       // same candidate graph as q_dedup_cluster_keep: O(log²) rounds
@@ -2785,6 +2800,23 @@ object LlmQueries {
     "q_dedup_components_star" ->
       s"""WITH RECURSIVE $clusterCompsSql
         |SELECT id, CAST(comp AS BIGINT) AS comp FROM comp ORDER BY id""".stripMargin,
+
+    "q_dedup_homoglyph" ->
+      // The corpus is ASCII, so the five planted Cyrillic substitutions
+      // are the only confusables in play — the skeleton reduces to
+      // folding them back (the operator's full UTS#39-core map is a
+      // superset that fixes nothing else here).
+      """WITH aug AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000,
+        |    translate(text, 'aeopc',
+        |      chr(1072) || chr(1077) || chr(1086) || chr(1088) || chr(1089))
+        |  FROM documents),
+        |sk AS (SELECT doc_id, lower(translate(text,
+        |    chr(1072) || chr(1077) || chr(1086) || chr(1088) || chr(1089),
+        |    'aeopc')) AS s FROM aug),
+        |r AS (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY s ORDER BY doc_id) AS rn FROM sk)
+        |SELECT doc_id, rn = 1 AS keep FROM r ORDER BY doc_id""".stripMargin,
 
     "q_dedup_soft" ->
       s"""WITH RECURSIVE $clusterCompsSql

@@ -179,6 +179,29 @@ class DedupSpec extends SparkTestBase {
       ("eval", "web") -> 2L))   // alpha, beta — and no row for 'clean'
   }
 
+  test("homoglyph skeleton folds confusables; dedup collapses mutants") {
+    val skel = Seq(
+      "paypal",
+      "pаypаl",          // Cyrillic а
+      "PayPal",
+      "pa​ypal",              // zero-width space
+      "αpple",                // Greek α
+      "genuinely different")
+      .toDF("t").select(Dedup.homoglyphSkeleton($"t")).as[String].collect()
+    assert(skel.take(4).toSet == Set("paypal"))
+    assert(skel(4) == "apple")
+    assert(skel(5) == "genuinely different")
+
+    val docs2 = Seq(
+      (1L, "buy cheap watches today"),
+      (2L, "buy cheаp wаtches todаy"), // homoglyph clone of 1
+      (3L, "completely original text"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.homoglyphDedup(docs2)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(kept == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("star components == label propagation on random graphs and a 64-chain") {
     // Deterministic pseudo-random graphs: edges (x % n, (x*x + 7) % n).
     def randomPairs(n: Int, nEdges: Int, seed: Long): Seq[(Long, Long)] =

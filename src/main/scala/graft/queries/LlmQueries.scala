@@ -2339,6 +2339,29 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "q_decontaminate_norm" -> ((s, dir) => {
+      // Evasion-resistant decontamination: benchmark copies mutated by
+      // case-flipping and appended punctuation defeat raw-text gram
+      // matching; canonicalizing BOTH sides (lowercase, strip
+      // non-alphanumerics, collapse whitespace) before the gram join
+      // catches them — the standard hardening for eval leakage. The
+      // contaminated-id set computes on canonical text; the anti-join
+      // drops from the ORIGINAL corpus.
+      val canon = (c: org.apache.spark.sql.Column) => regexp_replace(
+        regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " ")
+      val mutants = docs(s, dir).filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text"))
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(mutants)
+      val bench = docs(s, dir).filter(col("doc_id") % 37 === 0)
+      val bad = graft.llm.Decontamination.contaminatedIds(
+        corpus.withColumn("text", canon(col("text"))),
+        bench.withColumn("text", canon(col("text"))))
+      corpus.join(bad, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q_decontaminate_spans" -> ((s, dir) => {
       // Span-level decontamination: a 12-token benchmark string planted at
       // the FRONT of every 9th doc; masking must remove EXACTLY the
@@ -3697,6 +3720,25 @@ object LlmQueries {
         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 37 = 0),
         |bad AS (SELECT DISTINCT doc_id FROM g WHERE g IN (SELECT g FROM bench))
         |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate_norm" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 20000, upper(text) || ' !!'
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |canon AS (SELECT doc_id, regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g') AS text FROM aug),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM canon),
+        |grams AS (SELECT doc_id,
+        |    CASE WHEN len(w) >= 8
+        |      THEN list_transform(range(1, len(w) - 6), i -> array_to_string(list_slice(w, i, i + 7), ' '))
+        |      ELSE [] END AS gs
+        |  FROM toks),
+        |g AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 37 = 0 AND doc_id < 20000),
+        |bad AS (SELECT DISTINCT doc_id FROM g WHERE g IN (SELECT g FROM bench))
+        |SELECT doc_id FROM aug
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
 

@@ -2432,6 +2432,45 @@ object LlmQueries {
           col("n"), col("vmin"), col("vmax"))
         .orderBy(col("user_id"), col("start_us"))),
 
+    "q_events_funnelsteps" -> ((s, dir) => {
+      // Ordered-funnel analysis (view → click → purchase, strictly
+      // increasing event times): per-user first-view, first-click-after-
+      // view, first-purchase-after-click in integer epoch micros. Three
+      // conditional min-aggregations chained by user-keyed joins — no
+      // window over the raw stream, each stage's frame is user-count-
+      // sized. The standard product-analytics query an events engine
+      // must answer.
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1_us"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("us") > col("t1_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2_us"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("us") > col("t2_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3_us"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .orderBy(col("user_id"))
+    }),
+
+    "q_events_retention" -> ((s, dir) => {
+      // Cohort retention matrix: cohort day = each user's first active
+      // day, and for every (cohort, day-offset) the distinct active
+      // users. Days are integer epoch-day indices (unix_micros div
+      // 86400e6) — pure integer arithmetic, no date-function divergence.
+      // Two slim aggregations; the matrix is cohorts × offsets, never
+      // event-sized.
+      val e = ev(s, dir).select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      val active = e.distinct()
+      val cohort = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      active.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     "q_approx_distinct" -> ((s, dir) => {
       // A3's documented scale path (SURVEY §2.4: approx_count_distinct at
       // scale): certify the HLL++ estimate lands within 5% of the exact
@@ -4196,6 +4235,27 @@ object LlmQueries {
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY c.user_id, click_us, buy_us""".stripMargin,
+
+    "q_events_funnelsteps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2_us FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND us > t1_us GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3_us FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t2_us GROUP BY 1)
+        |SELECT s1.user_id, t1_us, t2_us, t3_us
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_events_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_events_sessions" ->
       """WITH m AS (SELECT user_id, ts, value,

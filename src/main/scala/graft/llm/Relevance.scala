@@ -160,6 +160,41 @@ object Relevance {
     * construction), judgments join on (query_id, id), and every aggregate
     * is per-query with map-side combine — nothing buffers a query group.
     */
+  /** Exact AUC of a scorer against binary labels — the Mann-Whitney
+    * rank-sum form with full tie handling, entirely in integers: group
+    * rows by (integer) score, give every member of a tie group twice its
+    * AVERAGE ascending rank (`2·cumBefore + cnt + 1` — an integer even
+    * when the average is half-integral), and
+    *
+    *   auc_micro = (R2_pos − n_pos·(n_pos+1)) · 10⁶ div (2·n_pos·n_neg)
+    *
+    * over DECIMAL(38,0) (rank sums reach n² long before 2⁶³ at corpus
+    * scale). Scores must be integral (the round-6→micro lift upstream
+    * ops use) — that is what makes tie groups engine-independent.
+    *
+    * Shape: the rank window runs over the DISTINCT-SCORE aggregate, not
+    * the rows — micro scores bound it at ~10⁶ groups regardless of
+    * corpus size — and the final ratio is a one-row reduce.
+    * Output: one row `(n_pos, n_neg, auc_micro)`.
+    */
+  def aucMicro(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = df.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(col(labelCol).cast("long")).as("__pos"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      .withColumn("__rank2", col("__before") * 2 + col("__cnt") + 1)
+    ranked.agg(
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__cnt") - col("__pos")).as("n_neg"),
+        sum(col("__pos") * col("__rank2")).as("__r2pos"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("CAST((CAST(__r2pos AS DECIMAL(38,0)) - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) " +
+          "* 1000000 div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)")
+          .as("auc_micro"))
+  }
+
   def rankingMetrics(ranked: DataFrame, judgments: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     def exactDiv(a: Column, b: Column): Column =

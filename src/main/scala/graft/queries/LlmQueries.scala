@@ -1940,6 +1940,33 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_qmodel_auc" -> ((s, dir) => {
+      // Exact AUC of the quality scorer (the other half of the eval pair:
+      // calibration says the probabilities are honest, AUC says the
+      // RANKING separates) — Mann-Whitney rank-sum with full tie
+      // handling, entirely in integers over the shared round-6→micro
+      // score, so the one-row result hash-matches the sequential oracle.
+      // Weights put +4 logits on the three planted positive-marker
+      // buckets and −4 on the negative markers (all six bucket ids are
+      // distinct — computed from the polyFp the kernel uses), so the
+      // scorer genuinely separates and the exact AUC lands near 1, with
+      // the residual driven by doc-length dilution.
+      val weights = new Array[Long](1024)
+      Seq(743, 887, 130).foreach(b => weights(b) = 4000000L)
+      Seq(174, 512, 673).foreach(b => weights(b) = -4000000L)
+      val labeled = docs(s, dir).select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          when(col("doc_id") % 2 === 1, lit("excellent wonderful superb"))
+            .otherwise(lit("garbage junk spam"))).as("text"),
+        (col("doc_id") % 2).cast("long").as("label"))
+      val scored = graft.llm.QualityModel.scoreBy(
+          labeled.select(col("doc_id"), col("text")), "doc_id", "text", weights)
+        .join(labeled.select(col("doc_id"), col("label")), "doc_id")
+        .withColumn("pm", round(col("prob") * 1e6).cast("long"))
+      graft.llm.Relevance.aucMicro(
+        scored.select(col("pm"), col("label")), "pm", "label")
+    }),
+
     "q_text_qmodel_calibration" -> ((s, dir) => {
       // CALIBRATION report of the quality scorer — per-probability-bin
       // observed vs predicted positive rates, the report behind choosing
@@ -3381,6 +3408,42 @@ object LlmQueries {
 
     "q_text_qmodel_train" ->
       "SELECT CAST(true AS BOOLEAN) AS train_separates",
+
+    "q_text_qmodel_auc" ->
+      """WITH lab AS (SELECT doc_id,
+        |    text || ' ' || CASE WHEN doc_id % 2 = 1
+        |      THEN 'excellent wonderful superb' ELSE 'garbage junk spam' END AS text,
+        |    CAST(doc_id % 2 AS BIGINT) AS label
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM lab),
+        |f AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(t) + 1), j -> CAST(ascii(t[j]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) % 1024 AS b
+        |  FROM toks),
+        |w AS (SELECT doc_id, CASE
+        |    WHEN b IN (743, 887, 130) THEN 4000000
+        |    WHEN b IN (174, 512, 673) THEN -4000000
+        |    ELSE 0 END AS wm FROM f),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(wm) AS BIGINT) AS score_micro FROM w GROUP BY 1),
+        |p AS (SELECT agg.doc_id, lab.label,
+        |    round(1.0 / (1.0 + exp(-(CAST(score_micro AS DOUBLE) / (1000000.0 * n_tokens)))), 6) AS prob
+        |  FROM agg JOIN lab USING (doc_id)),
+        |pm AS (SELECT CAST(round(prob * 1000000) AS BIGINT) AS s, label FROM p),
+        |g AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(label) AS BIGINT) AS pos FROM pm GROUP BY 1),
+        |r AS (SELECT s, cnt, pos, coalesce(sum(cnt) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM g),
+        |t AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+        |    CAST(sum(pos * (bef * 2 + cnt + 1)) AS BIGINT) AS r2 FROM r)
+        |SELECT n_pos, n_neg,
+        |  CAST((CAST(r2 AS HUGEINT) - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+        |    // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_micro
+        |FROM t""".stripMargin,
 
     "q_text_qmodel_calibration" ->
       """WITH lab AS (SELECT doc_id,

@@ -117,6 +117,23 @@ class RelevanceRedactionSpec extends SparkTestBase {
     assert(got == Seq(true, true, false, true, false, false, false))
   }
 
+  test("aucMicro: Mann-Whitney with ties matches hand-counted pair wins") {
+    // scores [1, 2, 2, 3], labels [0, 1, 0, 1]: pairs (pos vs neg) score
+    // 1 + 0.5 + 1 + 1 of 4 → AUC 0.875.
+    val df = Seq((1L, 0L), (2L, 1L), (2L, 0L), (3L, 1L))
+      .toDF("score", "label")
+    val got = Relevance.aucMicro(df, "score", "label")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((2L, 2L, 875000L)))
+    // perfect separation → 1e6; random-identical scores → 500000
+    val perfect = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("score", "label")
+    assert(Relevance.aucMicro(perfect, "score", "label")
+      .as[(Long, Long, Long)].collect().head._3 == 1000000L)
+    val flat = Seq((5L, 0L), (5L, 1L), (5L, 0L), (5L, 1L)).toDF("score", "label")
+    assert(Relevance.aucMicro(flat, "score", "label")
+      .as[(Long, Long, Long)].collect().head._3 == 500000L)
+  }
+
   test("rankingMetrics: recall/precision/MRR/nDCG on a hand-computed fixture") {
     // q0: relevant {1,2,3}; ranked [2@1, 9@2, 1@3] (k=3) → hits 2,
     //   recall 2/3, precision 2/3, MRR 1 (first hit at rank 1),

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Line-level exact deduplication — the RefinedWeb/MassiveText curation
@@ -52,6 +53,29 @@ object LineDedup {
     lines.join(hotFps, Seq("fp"), "left_semi")
       .groupBy(col("line")).agg(countDistinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+  }
+
+  /** INTRA-document line dedup — the C4-family cleaning step cross-doc
+    * line dedup does not cover: within each document, only the FIRST
+    * occurrence of a line survives (scraped pages repeat their own nav/
+    * cookie banners several times per page), and survivors rejoin in
+    * original order. Blank lines are structural, not content — every one
+    * survives. One window keyed on (doc, line) — per-document state, no
+    * corpus-wide frequency table, so it composes BEFORE the cross-doc
+    * pass (dedup your own repeats, then the corpus's).
+    */
+  def dedupLinesWithin(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = explodeLines(df, idCol, textCol)
+    val w = Window.partitionBy(col("id"), col("line")).orderBy(col("line_idx"))
+    val kept = lines
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("line") === "" || col("__rn") === 1)
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("line_idx"), col("line")))).as("ls"))
+      .select(col("id"),
+        array_join(transform(col("ls"), x => x.getField("line")), "\n").as("text"))
+    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"))
   }
 
   /** Remove every frequent line (per [[frequentLines]]) from every

@@ -82,4 +82,29 @@ object Redaction {
       .withColumn("n_cards", size(validCards(t)))
       .withColumn("redacted", redactCards(t))
   }
+
+  /** Canary-string scan (the secret-sharer probe, Carlini et al. 2019):
+    * count every occurrence of each planted canary per document — the
+    * audit that tells you whether your memorization probes (or a known
+    * leaked secret) actually entered the training corpus, and how many
+    * times. Canaries are a bounded curated list, so each one is a pure
+    * length-arithmetic count (`(len − len(replace(text, c, ''))) div
+    * |c|` — exact integers, byte-level substring semantics, no regex) and
+    * the whole scan is one codegen'd map + explode. Only hits emit rows.
+    */
+  def canaryScan(df: DataFrame, idCol: String, textCol: String,
+      canaries: Seq[String]): DataFrame = {
+    require(canaries.nonEmpty, "canaryScan needs at least one canary")
+    require(canaries.forall(_.nonEmpty), "canaries must be non-empty strings")
+    val t = col(textCol)
+    val hits = canaries.zipWithIndex.map { case (c, i) =>
+      struct(lit(i.toLong).as("canary_idx"),
+        expr(s"(length($textCol) - length(replace($textCol, '${c.replace("'", "''")}', ''))) div ${c.length}")
+          .as("n_hits"))
+    }
+    df.select(col(idCol), explode(array(hits: _*)).as("__h"))
+      .select(col(idCol), col("__h.canary_idx").as("canary_idx"),
+        col("__h.n_hits").as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
 }

@@ -881,6 +881,20 @@ object CrawlQueries {
         .select(col("id").as("doc_id"), col("text"))
         .orderBy(col("doc_id"))),
 
+    "q_dedup_lines_intra" -> ((s, dir) =>
+      // Intra-document line dedup: each doc carries a promo line repeated
+      // twice more plus two blank lines; only the FIRST promo survives,
+      // both blanks survive (structure, not content), and the body keeps
+      // its place — so the output is closed-form. Per-doc window, no
+      // corpus frequency table.
+      LineDedup.dedupLinesWithin(
+          docsSpread(s, dir).select(col("doc_id"), concat_ws("\n",
+            lit("limited time offer subscribe now"), col("text"), lit(""),
+            lit("limited time offer subscribe now"), lit("")).as("text")),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
+
     "q_dedup_lines_freq" -> ((s, dir) =>
       // The frequency side of the same gate: exactly the two planted lines
       // clear minDocs, with exact distinct-doc counts (string-confirmed —
@@ -1339,6 +1353,12 @@ object CrawlQueries {
 
     "q_dedup_lines" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
+
+    "q_dedup_lines_intra" ->
+      """SELECT doc_id,
+        |  'limited time offer subscribe now' || chr(10) || text || chr(10) || chr(10)
+        |    AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_lines_freq" ->
       s"""SELECT * FROM (

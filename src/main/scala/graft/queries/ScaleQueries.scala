@@ -179,6 +179,21 @@ object ScaleQueries {
         .orderBy(col("query_id"))
     }),
 
+    "q_safety_canary" -> ((s, dir) =>
+      // Secret-sharer canary audit: canary 0 planted once on doc_id%23,
+      // twice on doc_id%46 (the %23 branch composes), canary 1 once on
+      // doc_id%31 — exact substring counts via length arithmetic, hits
+      // only. One codegen'd map + explode, no shuffle before the
+      // determinism sort.
+      graft.llm.Redaction.canaryScan(
+          docs(s, dir).select(col("doc_id"), concat(col("text"),
+            when(col("doc_id") % 23 === 0, lit(" CANARY-zq7-000123")).otherwise(lit("")),
+            when(col("doc_id") % 46 === 0, lit(" CANARY-zq7-000123")).otherwise(lit("")),
+            when(col("doc_id") % 31 === 0, lit(" probe-vx9-88")).otherwise(lit("")))
+            .as("text")),
+          "doc_id", "text", Seq("CANARY-zq7-000123", "probe-vx9-88"))
+        .orderBy(col("doc_id"), col("canary_idx"))),
+
     "q_text_redact" -> ((s, dir) => {
       // The corpus carries no PII, so plant one email, one IP and one phone
       // per doc deterministically; redact and hash-compare the full
@@ -405,6 +420,23 @@ object ScaleQueries {
         .withColumn("files_after", lit(after.toLong))
         .select(col("files_before"), col("files_after"), col("n_rows"),
           col("sum_ids"))
+    }),
+
+    "q_sink_zstd" -> ((s, dir) => {
+      // Codec-certified zstd parquet round-trip: content survives
+      // byte-exact AND every column chunk's FOOTER declares ZSTD — the
+      // write option alone proves nothing (it silently falls back when
+      // the native lib is absent, and a "zstd corpus" quietly becomes
+      // snappy). Footer reads are metadata-sized, driver-side.
+      val out = stagingDir() + "/zstd_docs_" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite")
+        .option("compression", "zstd").parquet(out)
+      val codecs = graft.sources.LayoutWriter.parquetCodecs(s, out)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"))
+        .withColumn("codec_ok", lit(codecs == Set("ZSTD")))
+        .select(col("codec_ok"), col("n_rows"), col("sum_ids"))
     }),
 
     "q_sink_zorder" -> ((s, dir) => {
@@ -719,6 +751,22 @@ object ScaleQueries {
         |  CAST(CASE WHEN i.idcg > 0 THEN (m.dcg * 1000000) // i.idcg ELSE 0 END AS BIGINT) AS ndcg_micro
         |FROM m JOIN i USING (query_id) ORDER BY m.query_id""".stripMargin,
 
+    "q_safety_canary" ->
+      """WITH a AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 23 = 0 THEN ' CANARY-zq7-000123' ELSE '' END
+        |    || CASE WHEN doc_id % 46 = 0 THEN ' CANARY-zq7-000123' ELSE '' END
+        |    || CASE WHEN doc_id % 31 = 0 THEN ' probe-vx9-88' ELSE '' END AS text
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST(0 AS BIGINT) AS canary_idx,
+        |    CAST((length(text) - length(replace(text, 'CANARY-zq7-000123', ''))) // 17 AS BIGINT) AS n_hits
+        |  FROM a
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS BIGINT),
+        |    CAST((length(text) - length(replace(text, 'probe-vx9-88', ''))) // 12 AS BIGINT)
+        |  FROM a)
+        |SELECT doc_id, canary_idx, n_hits FROM h WHERE n_hits > 0
+        |ORDER BY doc_id, canary_idx""".stripMargin,
+
     "q_text_redact" ->
       """WITH p AS (SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR)
         |    || '@example.com via 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
@@ -802,6 +850,11 @@ object ScaleQueries {
     "q_sink_sorted" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, true AS range_pruned
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+
+    "q_sink_zstd" ->
+      """SELECT true AS codec_ok, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents""".stripMargin,
 
     "q_sink_compact" ->
       """SELECT CAST(16 AS BIGINT) AS files_before, CAST(2 AS BIGINT) AS files_after,

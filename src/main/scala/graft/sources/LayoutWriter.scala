@@ -162,6 +162,27 @@ object LayoutWriter {
     * Writes to `tmpPath` first, then swaps, so a failed compaction never
     * destroys the source.
     */
+  /** Column-chunk compression codecs actually present in every parquet
+    * file under `dirPath` — read from the FOOTERS (parquet-hadoop), not
+    * from write options, because the option silently falls back when a
+    * codec's native lib is missing and a "zstd corpus" quietly becomes
+    * snappy. Driver-side: one footer read per file, metadata-sized.
+    */
+  def parquetCodecs(spark: SparkSession, dirPath: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(dirPath).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    files.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala.map(_.getCodec.name())).toSet
+      finally r.close()
+    }.toSet
+  }
+
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
     require(targetFiles > 0)
     // Refuse hive-partitioned directories: spark.read would infer the

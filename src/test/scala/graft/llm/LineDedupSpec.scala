@@ -48,4 +48,19 @@ class LineDedupSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(out(1L) == "a\n\nb")
   }
+
+  test("dedupLinesWithin keeps first occurrences in order; blanks all survive") {
+    val df = Seq(
+      (1L, "cookie banner\nreal content here\ncookie banner\nmore content\ncookie banner"),
+      (2L, "a\n\nb\n\na"),       // blanks repeat but survive; second 'a' drops
+      (3L, "only once"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = LineDedup.dedupLinesWithin(df, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "cookie banner\nreal content here\nmore content")
+    assert(out(2L) == "a\n\nb\n")
+    assert(out(3L) == "only once")
+    assert(out(4L) == "")
+  }
 }

@@ -117,6 +117,19 @@ class RelevanceRedactionSpec extends SparkTestBase {
     assert(got == Seq(true, true, false, true, false, false, false))
   }
 
+  test("canaryScan: exact per-doc occurrence counts, misses emit nothing") {
+    val docs = Seq(
+      (1L, "prefix SECRET-A body SECRET-A tail"),   // canary 0 twice
+      (2L, "clean document with nothing planted"),
+      (3L, "one probe-B here"),                     // canary 1 once
+      (4L, "SECRET-ASECRET-A"))                     // adjacent occurrences
+      .toDF("doc_id", "text")
+    val got = Redaction.canaryScan(docs, "doc_id", "text",
+        Seq("SECRET-A", "probe-B"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 2L), (3L, 1L, 1L), (4L, 0L, 2L)))
+  }
+
   test("aucMicro: Mann-Whitney with ties matches hand-counted pair wins") {
     // scores [1, 2, 2, 3], labels [0, 1, 0, 1]: pairs (pos vs neg) score
     // 1 + 0.5 + 1 + 1 of 4 → AUC 0.875.

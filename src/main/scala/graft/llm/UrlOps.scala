@@ -233,6 +233,56 @@ object UrlOps {
       .drop("host", "template")
   }
 
+  /** Re-fetch scheduling from snapshot history (the Cho & Garcia-Molina
+    * freshness idea reduced to its deterministic core): per URL, count
+    * observed CHANGES (consecutive snapshots whose content hash differs)
+    * and the UNCHANGED TAIL (snapshots since the last change), and back
+    * off exponentially on stability:
+    *
+    *   next_interval_s = baseIntervalS · 2^min(unchanged_tail, maxDoublings)
+    *
+    * — frequently-changing pages re-fetch at the base rate, dead pages
+    * decay toward the cap, and every quantity is an exact integer. One
+    * per-URL window over the (slim) snapshot-hash history — content
+    * never shuffles, its sha2 does.
+    *
+    * Output per URL: `(url, n_snapshots, n_changes, unchanged_tail,
+    * next_interval_s)`.
+    */
+  def refetchSchedule(df: DataFrame, urlCol: String, tsCol: String,
+      contentCol: String, baseIntervalS: Long = 60L,
+      maxDoublings: Int = 6): DataFrame = {
+    require(baseIntervalS > 0, s"baseIntervalS must be positive: $baseIntervalS")
+    require(maxDoublings >= 0 && maxDoublings <= 40,
+      s"maxDoublings must be in [0, 40]: $maxDoublings")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(urlCol)).orderBy(col(tsCol))
+    val hashed = df.select(col(urlCol), col(tsCol),
+      sha2(col(contentCol), 256).as("__h"))
+    val flagged = hashed
+      .withColumn("__prev", lag(col("__h"), 1).over(w))
+      .withColumn("__changed",
+        when(col("__prev").isNotNull && col("__prev") =!= col("__h"), 1L)
+          .otherwise(0L))
+      // snapshots AFTER the last change = trailing run of zeros: count
+      // rows whose cumulative-change count equals the total change count
+      // and are not the first snapshot... simplest exact form: reverse
+      // cumulative sum of __changed is 0 on the trailing stable run.
+      .withColumn("__chAfter",
+        sum(col("__changed")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(urlCol)).orderBy(col(tsCol))
+            .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    flagged.groupBy(col(urlCol).as("url"))
+      .agg(count(lit(1)).as("n_snapshots"),
+        sum(col("__changed")).as("n_changes"),
+        sum(when(coalesce(col("__chAfter"), lit(0L)) === 0L &&
+          col("__prev").isNotNull && col("__changed") === 0L, 1L)
+          .otherwise(0L)).as("unchanged_tail"))
+      .withColumn("next_interval_s", expr(
+        s"${baseIntervalS}L * shiftleft(1L, cast(least(unchanged_tail, $maxDoublings) as int))"))
+  }
+
   /** Sitemap XML parsing — the fetch step after robots.txt surfaces the
     * sitemap URLs (`q_url_sitemaps`): extract `<loc>`/`<lastmod>`/
     * `<priority>` per entry from `<urlset>` pages and child sitemaps from

@@ -147,6 +147,31 @@ object Profiling {
         sum(graft.functions.TextKernels.polyFingerprint(col(textCol)))
           .as("checksum"))
 
+  /** Release diff from two manifests — what changed between corpus
+    * revisions WITHOUT touching either corpus: per source, document and
+    * token deltas plus a content-changed flag (the order-independent
+    * checksum differs iff any document's text differs, was added, or was
+    * removed — up to the fingerprint-sum's negligible collision mass).
+    * Sources present in only one revision report against zeroed
+    * counterparts. Manifest-sized join, exact integers.
+    */
+  def manifestDiff(prior: DataFrame, next: DataFrame): DataFrame = {
+    val a = prior.select(col("source"), col("n_docs").as("__da"),
+      col("n_tokens").as("__ta"), col("checksum").as("__ca"))
+    val b = next.select(col("source"), col("n_docs").as("__db"),
+      col("n_tokens").as("__tb"), col("checksum").as("__cb"))
+    a.join(b, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("__da"), lit(0L)).as("n_docs_prior"),
+        coalesce(col("__db"), lit(0L)).as("n_docs_next"),
+        (coalesce(col("__db"), lit(0L)) - coalesce(col("__da"), lit(0L)))
+          .as("n_docs_delta"),
+        (coalesce(col("__tb"), lit(0L)) - coalesce(col("__ta"), lit(0L)))
+          .as("n_tokens_delta"),
+        (coalesce(col("__ca"), lit(-1L)) =!= coalesce(col("__cb"), lit(-1L)))
+          .as("content_changed"))
+  }
+
   /** Key-skew report — the pre-join diagnosis that decides between a
     * plain shuffle, a broadcast, and [[SkewJoin]]'s salting: the top-K
     * heaviest keys with their corpus share and the salt factor that

@@ -809,6 +809,28 @@ object CrawlQueries {
         .orderBy(col("domain"), col("domain_rank"))
     }),
 
+    "q_url_refetch" -> ((s, dir) =>
+      // Freshness-driven re-fetch scheduling over a 3-fetch history:
+      // volatile pages (change every fetch) stay at the base rate,
+      // one-change pages double once, stable pages double twice — the
+      // change pattern is closed-form per doc class, so counts, tails
+      // and intervals all hash-check. Per-URL windows over slim hash
+      // rows; content never shuffles.
+      graft.llm.UrlOps.refetchSchedule(
+          docs(s, dir)
+            .select(col("doc_id"), col("text"),
+              explode(array(lit(0L), lit(1L), lit(2L))).as("f"))
+            .select(concat(lit("u"), col("doc_id").cast("string")).as("url"),
+              col("f").as("ts"),
+              when(col("doc_id") % 3 === 0,
+                concat(col("text"), lit(" v"), col("f").cast("string")))
+                .when(col("doc_id") % 3 === 1,
+                  when(col("f") >= 1, concat(col("text"), lit(" v1")))
+                    .otherwise(col("text")))
+                .otherwise(col("text")).as("content")),
+          "url", "ts", "content", baseIntervalS = 60L, maxDoublings = 6)
+        .orderBy(col("url"))),
+
     "q_url_snapshot" -> ((s, dir) => {
       // Keep-newest-snapshot re-crawl dedup (the same page fetched in
       // every crawl dump enters the corpus once, as its latest version):
@@ -1300,6 +1322,16 @@ object CrawlQueries {
          |  FROM p)
          |SELECT doc_id, host, score, domain, CAST(rn AS BIGINT) AS domain_rank
          |FROM r WHERE rn <= 5 ORDER BY domain, domain_rank""".stripMargin,
+
+    "q_url_refetch" ->
+      // Closed form per doc class: %3==0 changes at f=1 and f=2 (tail 0
+      // → 60 s), %3==1 changes once at f=1 (tail 1 → 120 s), %3==2 never
+      // (tail 2 → 240 s).
+      """SELECT 'u' || doc_id AS url, CAST(3 AS BIGINT) AS n_snapshots,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS BIGINT) AS n_changes,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END AS BIGINT) AS unchanged_tail,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 60 WHEN 1 THEN 120 ELSE 240 END AS BIGINT) AS next_interval_s
+        |FROM documents ORDER BY url""".stripMargin,
 
     "q_url_snapshot" ->
       """WITH s AS (SELECT doc_id,

@@ -493,6 +493,23 @@ object ScaleQueries {
         .orderBy(col("n_rows").desc, col("key"))
     }),
 
+    "q_corpus_manifest_diff" -> ((s, dir) => {
+      // Release diff without touching either corpus: revision B removes
+      // the doc_id%17 docs and appends ' updated' to the %13 texts; the
+      // per-source report carries exact doc/token deltas and a
+      // content-changed flag from the order-independent checksums.
+      val revA = graft.ops.Profiling.releaseManifest(
+        docs(s, dir), "source", "doc_id", "text")
+      val revB = graft.ops.Profiling.releaseManifest(
+        docs(s, dir).filter(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" updated")))
+              .otherwise(col("text")).as("text")),
+        "source", "doc_id", "text")
+      graft.ops.Profiling.manifestDiff(revA, revB)
+        .orderBy(col("source"))
+    }),
+
     "q_corpus_manifest_incr" -> ((s, dir) => {
       // Incremental manifest maintenance: the persisted manifest (even
       // doc ids) merges with a new batch's manifest (odd ids) WITHOUT
@@ -883,6 +900,30 @@ object ScaleQueries {
         |  CAST(greatest(1, (n_rows * 32 + (SELECT total FROM t) - 1)
         |    // (SELECT total FROM t)) AS BIGINT) AS suggested_salt
         |FROM top ORDER BY n_rows DESC, key""".stripMargin,
+
+    "q_corpus_manifest_diff" ->
+      """WITH ma AS (SELECT source, CAST(count(*) AS BIGINT) AS da,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ta,
+        |    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007)) AS BIGINT) AS ca
+        |  FROM documents GROUP BY source),
+        |b0 AS (SELECT source, doc_id,
+        |    text || CASE WHEN doc_id % 13 = 0 THEN ' updated' ELSE '' END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |mb AS (SELECT source, CAST(count(*) AS BIGINT) AS db,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tb,
+        |    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007)) AS BIGINT) AS cb
+        |  FROM b0 GROUP BY source)
+        |SELECT source,
+        |  coalesce(da, 0) AS n_docs_prior, coalesce(db, 0) AS n_docs_next,
+        |  coalesce(db, 0) - coalesce(da, 0) AS n_docs_delta,
+        |  coalesce(tb, 0) - coalesce(ta, 0) AS n_tokens_delta,
+        |  coalesce(ca, -1) <> coalesce(cb, -1) AS content_changed
+        |FROM ma FULL OUTER JOIN mb USING (source)
+        |ORDER BY source""".stripMargin,
 
     "q_corpus_manifest_incr" ->
       // Recomputed from the raw union — the merge must equal this exactly.

@@ -186,6 +186,26 @@ class UrlOpsSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("refetchSchedule: change counts, unchanged tail, exponential backoff, cap") {
+    val rows = Seq(
+      // u1: A A B B B → 1 change, tail 2 → 60·4 = 240
+      ("u1", 1L, "A"), ("u1", 2L, "A"), ("u1", 3L, "B"),
+      ("u1", 4L, "B"), ("u1", 5L, "B"),
+      // u2: changes every fetch → tail 0 → 60
+      ("u2", 1L, "x"), ("u2", 2L, "y"), ("u2", 3L, "z"),
+      // u3: single snapshot → tail 0, no changes → 60
+      ("u3", 1L, "solo"),
+      // u4: stable for 8 fetches → tail 7, capped at 2^6 → 3840
+      ) ++ (1L to 8L).map(i => ("u4", i, "same"))
+    val got = UrlOps.refetchSchedule(rows.toDF("url", "ts", "content"),
+        "url", "ts", "content", baseIntervalS = 60L, maxDoublings = 6)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("u1") == (("u1", 5L, 1L, 2L, 240L)))
+    assert(got("u2") == (("u2", 3L, 2L, 0L, 60L)))
+    assert(got("u3") == (("u3", 1L, 0L, 0L, 60L)))
+    assert(got("u4") == (("u4", 8L, 0L, 7L, 3840L)))
+  }
+
   test("keepLatestSnapshot: newest per URL via max-struct agg, null URL passes") {
     val df = Seq(
       (1L, "http://x.com/a", 100L, "v1"), (2L, "http://x.com/a", 300L, "v3"),

@@ -79,6 +79,40 @@ class StreamingQualityGatesSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("trap-template gate: trained trap list filters a live URL stream like batch") {
+    // The trap REPORT is the trained artifact (computed batch-side over
+    // crawl history); the PRE-FETCH gate is then a stateless
+    // broadcast anti-join on (host, template) — it must run unchanged on
+    // the frontier stream. (The capped keep-first-k variant needs
+    // per-group state and stays batch — this is the stream-side shape.)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.UrlOps
+    val history = ((1L to 30L).map(i => (i, s"https://t.com/d/2026/$i")) ++
+      Seq((31L, "https://t.com/about/x"), (32L, "https://o.com/p/1")))
+      .toDF("doc_id", "url")
+    val traps = UrlOps.templateReport(history, "url", trapFracMicro = 200000L)
+      .filter($"is_trap").select($"host", $"template")
+    val gate = (urls: org.apache.spark.sql.DataFrame) => urls
+      .withColumn("host", UrlOps.urlHost($"url"))
+      .withColumn("template", UrlOps.urlTemplate($"url"))
+      .join(broadcast(traps), Seq("host", "template"), "left_anti")
+      .select($"id")
+    val fresh = Seq(
+      (100L, "https://t.com/d/2027/99"),   // trap template → dropped
+      (101L, "https://t.com/about/new"),   // organic → kept
+      (102L, "https://o.com/p/7"))         // organic → kept
+    val batch = gate(fresh.toDF("id", "url")).as[Long].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val q = gate(input.toDS().toDF("id", "url"))
+      .writeStream.format("memory").queryName("trapgate").outputMode("append").start()
+    try {
+      input.addData(fresh: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("trapgate").as[Long].collect().toSet
+      assert(streamed == batch && batch == Set(101L, 102L))
+    } finally q.stop()
+  }
+
   test("unigram token-budget gate: stateless kernel filter, stream == batch") {
     // The trained-tokenizer count is a pure codegen map (the piece table
     // rides inside the expression), so a token-budget gate composes with

@@ -488,6 +488,27 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Keep-BEST near-dedup: one document per near-dup cluster, chosen by a
+    * caller-supplied score (quality, length, recency) with the lowest id
+    * breaking ties — [[nearDupKeepRows]] keeps the min id, but when the
+    * cluster holds a clean original and a boilerplate-wrapped mirror the
+    * corpus should keep the CLEAN one regardless of crawl order. The
+    * winner per component computes as one max-struct aggregation over
+    * the (cluster-membership-sized) labeled frame — map-side partials,
+    * never a window; unclustered docs survive untouched.
+    */
+  def nearDupKeepBest(df: DataFrame, pairs: DataFrame, scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val comps = nearDupComponents(pairs).withColumnRenamed("id", idCol)
+    val member = df.select(col(idCol), col(scoreCol)).join(comps, Seq(idCol))
+    val winners = member.groupBy(col("comp"))
+      .agg(max(struct(col(scoreCol), (-col(idCol)).as("__negid"))).as("__w"))
+      .select((-col("__w.__negid")).as(idCol))
+    val losers = comps.join(winners, Seq(idCol), "left_anti")
+      .select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Soft dedup: instead of DROPPING near-duplicates, down-weight them —
     * every member of a near-dup cluster trains at `10⁶ div |cluster|`
     * micro-weight, so the cluster as a whole contributes one document's

@@ -541,6 +541,22 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    "q_dedup_cluster_best" -> ((s, dir) => {
+      // Keep-BEST per near-dup cluster (score = text length, ties → min
+      // id): where q_dedup_cluster_keep keeps the min id, this keeps the
+      // most complete version — the real preference when a cluster holds
+      // an original and its truncated mirror. Same signatures →
+      // candidates → components chain; the winner is one max-struct
+      // aggregation, never a window.
+      val sigs = Dedup.minhashSignaturesPoly(augSampled(s, dir)).localCheckpoint()
+      val pairs = Dedup.minhashCandidatesFromSigsPlain(sigs)
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.nearDupKeepBest(
+          augSampled(s, dir).withColumn("len", length(col("text")).cast("long")),
+          pairs, "len", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q_dedup_soft" -> ((s, dir) => {
       // SoftDeDup: the same signatures → candidates → components chain as
       // q_dedup_cluster_keep, but clusters DOWN-WEIGHT instead of drop —
@@ -2906,6 +2922,18 @@ object LlmQueries {
         |r AS (SELECT doc_id,
         |    row_number() OVER (PARTITION BY s ORDER BY doc_id) AS rn FROM sk)
         |SELECT doc_id, rn = 1 AS keep FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_cluster_best" ->
+      s"""WITH RECURSIVE $clusterCompsSql,
+        |m AS (SELECT a.doc_id, CAST(length(a.text) AS BIGINT) AS len, c.comp
+        |  FROM aug a JOIN comp c ON c.id = a.doc_id),
+        |w AS (SELECT comp, doc_id,
+        |    row_number() OVER (PARTITION BY comp ORDER BY len DESC, doc_id) AS rn
+        |  FROM m),
+        |losers AS (SELECT doc_id FROM w WHERE rn > 1)
+        |SELECT doc_id FROM aug
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_soft" ->
       s"""WITH RECURSIVE $clusterCompsSql

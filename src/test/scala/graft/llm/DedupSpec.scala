@@ -179,6 +179,17 @@ class DedupSpec extends SparkTestBase {
       ("eval", "web") -> 2L))   // alpha, beta — and no row for 'clean'
   }
 
+  test("nearDupKeepBest: score argmax wins per cluster, min-id breaks ties") {
+    val docs5 = Seq(
+      (1L, 10L), (2L, 90L), (3L, 90L),  // cluster {1,2,3}: best = 2 (score tie → lower id)
+      (4L, 5L), (5L, 99L))              // singletons survive
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDupKeepBest(docs5, pairs, "quality")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L))
+  }
+
   test("homoglyph skeleton folds confusables; dedup collapses mutants") {
     val skel = Seq(
       "paypal",

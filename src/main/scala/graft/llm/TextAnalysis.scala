@@ -97,6 +97,50 @@ object TextAnalysis {
       when(best === 0, lit("und")).otherwise(winner).as("lang_id"))
   }
 
+  /** Mixed-language detection — the curation signal doc-level language ID
+    * hides: a page that is 90% English with an embedded German paragraph
+    * IDs as English and poisons a monolingual corpus anyway. Lines
+    * language-ID individually (the [[langIdBy]] aggregation shape, keyed
+    * per line), then per document: line count, the MAJORITY line language
+    * (ties → lexicographically last, the max-struct contract), how many
+    * lines agree, and a `mixed` flag when any line disagrees. Blank lines
+    * are structure and don't vote.
+    *
+    * Shape: one token explode keyed on (doc, line) with map-side partial
+    * conditional sums, then two line-count-sized aggregations — the
+    * corpus text shuffles once, as tokens.
+    */
+  def langMixBy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__li", "__line")))
+      .filter(col("__line") =!= "")
+    val toks = lines.select(col(idCol), col("__li"),
+      explode(tokensWs(lower(col("__line")))).as("__t"))
+    val sums = langs.map { l =>
+      val set = array(stopwords(l).map(lit(_)): _*)
+      sum(when(array_contains(set, col("__t")), 1).otherwise(0)).as(s"__s_$l")
+    }
+    val scored = toks.groupBy(col(idCol), col("__li")).agg(sums.head, sums.tail: _*)
+    val best = greatest(langs.map(l => col(s"__s_$l")): _*)
+    val ordered = langs.sorted.reverse
+    val winner = ordered.init.foldRight(lit(ordered.last): Column) { (l, rest) =>
+      when(col(s"__s_$l") === best, lit(l)).otherwise(rest)
+    }
+    val lineLangs = scored.select(col(idCol), col("__li"),
+      when(best === 0, lit("und")).otherwise(winner).as("__lang"))
+    val perLang = lineLangs.groupBy(col(idCol), col("__lang"))
+      .agg(count(lit(1)).as("__cnt"))
+    perLang.groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_lines"),
+        max(struct(col("__cnt"), col("__lang"))).as("__m"))
+      .select(col(idCol), col("n_lines"),
+        col("__m.__lang").as("main_lang"), col("__m.__cnt").as("n_main"))
+      .withColumn("n_other", col("n_lines") - col("n_main"))
+      .withColumn("mixed", col("n_other") > 0)
+  }
+
   /** Quality signals (length, token stats, punctuation/alpha ratios,
     * stopword ratio) and a composite score in [0,1]. All ratios are exact
     * integer-count divisions — deterministic across engines.

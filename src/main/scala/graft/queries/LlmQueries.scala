@@ -1675,6 +1675,23 @@ object LlmQueries {
       TextAnalysis.vocabCoverageBy(docs(s, dir), "doc_id", "text", topV = 64)
         .orderBy(col("doc_id"))),
 
+    "q_text_langmix" -> ((s, dir) =>
+      // Mixed-language detection: a German paragraph embeds on doc_id%7,
+      // a Spanish one on %11 — doc-level language ID still reads the
+      // majority language, but the per-line report flags every such page
+      // as mixed with exact line counts. One token explode keyed on
+      // (doc, line); the oracle replays per-line stopword votes, the
+      // max-struct majority tie-break and the counts.
+      TextAnalysis.langMixBy(
+          docsSpread(s, dir).select(col("doc_id"), concat_ws("\n", col("text"),
+            when(col("doc_id") % 7 === 0,
+              lit("der hund ist nicht da und das ein zu")).otherwise(lit(null)),
+            when(col("doc_id") % 11 === 0,
+              lit("el perro es un animal de la casa")).otherwise(lit(null)))
+            .as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "q_text_phrases" -> ((s, dir) =>
       // word2phrase collocation mining: planted multiword names ("data
       // lake" on half the corpus, "neural net" on a third) must surface
@@ -4249,6 +4266,44 @@ object LlmQueries {
         |SELECT doc_id, n_tokens, in_vocab,
         |  CAST(in_vocab AS DOUBLE) / n_tokens AS coverage
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_text_langmix" ->
+      """WITH d AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |      THEN chr(10) || 'der hund ist nicht da und das ein zu' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |      THEN chr(10) || 'el perro es un animal de la casa' ELSE '' END AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS li FROM d),
+        |nb AS (SELECT doc_id, li,
+        |    string_split_regex(trim(lower(line)), '\s+') AS toks
+        |  FROM l WHERE line <> ''),
+        |v AS (SELECT doc_id, li,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','es','un'], x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un','une'], x))) AS s_fr,
+        |    len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) AS s_zh
+        |  FROM nb),
+        |lang AS (SELECT doc_id, li, CASE
+        |    WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |    WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+        |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |    ELSE 'de' END AS lang
+        |  FROM v),
+        |c AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lang GROUP BY 1, 2),
+        |m AS (SELECT doc_id, lang, cnt,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang DESC) AS rn
+        |  FROM c),
+        |t AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines FROM c GROUP BY 1)
+        |SELECT t.doc_id, n_lines, m.lang AS main_lang, m.cnt AS n_main,
+        |  n_lines - m.cnt AS n_other, n_lines - m.cnt > 0 AS mixed
+        |FROM t JOIN m ON m.doc_id = t.doc_id AND rn = 1
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_text_phrases" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(

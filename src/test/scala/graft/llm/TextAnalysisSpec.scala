@@ -127,6 +127,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(m(4L) == ((4L, 5L, 2L, 0.6, 2L, 0.8)))
   }
 
+  test("langMixBy: embedded foreign paragraphs flag as mixed, blanks don't vote") {
+    val df = Seq(
+      (1L, "the cat is on the mat\nder hund ist nicht da\nthe dog is in a house"),
+      (2L, "the cat is on the mat\n\nthe dog is in a house"),
+      (3L, "xyzzy plugh"),  // no stopwords anywhere → und, unmixed
+      (4L, "el perro es un animal\nla casa es de los amigos"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langMixBy(df, "doc_id", "text")
+      .as[(Long, Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, "en", 2L, 1L, true)))
+    assert(got(2L) == ((2L, 2L, "en", 2L, 0L, false)))
+    assert(got(3L) == ((3L, 1L, "und", 1L, 0L, false)))
+    assert(got(4L) == ((4L, 2L, "es", 2L, 0L, false)))
+  }
+
   test("phrasesBy: word2phrase score discounts rare flukes, exact micro values") {
     // 6× "new york" + two alternating a/b docs. N = 26 tokens;
     // n_new = n_york = 6, n_a = n_b = 7; n_ab: (new,york)=6, (a,b)=6,

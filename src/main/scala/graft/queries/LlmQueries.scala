@@ -476,6 +476,20 @@ object LlmQueries {
           col("n_planted"))
     }),
 
+    "q_dedup_sweep" -> ((s, dir) => {
+      // Threshold-tuning report: candidate-pair counts per estimated-
+      // Jaccard decade (est = k/64 is exact, so decades are exact
+      // integer buckets of 64·est) — the table an operator reads before
+      // committing to a dedup cutoff. Pairs compute once; the sweep is a
+      // decade-bucket count over the pair aggregate.
+      val sigs = Dedup.minhashSignaturesPoly(augSampled(s, dir)).localCheckpoint()
+      Dedup.minhashCandidatesFromSigsPlain(sigs)
+        .withColumn("est_decade", expr("CAST(est_jaccard * 64 AS BIGINT) * 10 div 64"))
+        .groupBy(col("est_decade"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("est_decade"))
+    }),
+
     "q_dedup_minhash_poly" -> ((s, dir) => {
       // Oracle-checkable MinHash: polynomial hash family + plain-text band
       // keys — pure modular integer arithmetic, so the DuckDB oracle
@@ -2894,6 +2908,30 @@ object LlmQueries {
     // Same contract, independent implementation (the removeKnownSpans
     // kernel gate) — one oracle certifies both paths agree with DuckDB.
     "q_dedup_substring_gate" -> substringCleanSql,
+
+    "q_dedup_sweep" ->
+      s"""WITH aug AS ($augSampledSql),
+        |toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w FROM aug),
+        |grams AS (SELECT id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1), i -> array_to_string(list_slice(w, i, i + 2), ' '))
+        |      ELSE [] END AS gs
+        |  FROM toks),
+        |sigs AS (SELECT id, list_transform(range(0, 64), i ->
+        |      list_min(list_transform(gs, g ->
+        |        ((2 * i + 1) * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(range(1, length(g) + 1), j -> CAST(ascii(g[j]) AS BIGINT))),
+        |            (acc, c) -> (acc * 131 + c) % 1000000007)
+        |          + (31 * i + 7)) % 1000000007))) AS sig
+        |  FROM grams WHERE len(gs) > 0),
+        |banded AS (SELECT id, sig, b AS band,
+        |    array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS key
+        |  FROM sigs, range(0, 16) t(b)),
+        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS BIGINT) AS k
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+        |SELECT k * 10 // 64 AS est_decade, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dedup_minhash_poly" ->
       s"""WITH aug AS ($augSampledSql),

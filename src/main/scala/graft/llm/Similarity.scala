@@ -65,6 +65,42 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
+  /** Embedding isotropy report — the corpus-level diagnostic behind ANN
+    * quality: anisotropic embeddings (a large common mean component)
+    * concentrate cosine mass, breed hub vectors and wreck recall
+    * (Ethayarajh 2019); check BEFORE building the index, not after it
+    * underperforms. Everything is exact integers after a per-coordinate
+    * micro lift (round(x·10⁶) — the shared-double discipline): per-dim
+    * sums → mean vector; per-row Σm² → average squared norm (summed in
+    * DECIMAL(38,0) — row norms reach ~10¹⁴ and 10⁶ rows overflow a
+    * long); anisotropy = ‖mean‖²·10⁶ div avg‖v‖², micro-fraction of
+    * vector mass living in the common direction (0 = centered).
+    * Per-dim means use round(double-division) — truncating `div` floors
+    * differently across engines on NEGATIVE sums, and embedding sums go
+    * negative. Output one row: (n, avg_norm2_micro2, mean_norm2_micro2,
+    * anisotropy_micro).
+    */
+  def isotropyReport(df: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val m = df
+      .select(col(idCol), posexplode(col(embCol)).as(Seq("d", "x")))
+      .select(col(idCol), col("d"),
+        round(col("x").cast("double") * 1e6).cast("long").as("m"))
+    val perDim = m.groupBy(col("d"))
+      .agg(sum(col("m")).as("s"), count(lit(1)).as("nd"))
+      .select(expr("CAST(round(CAST(s AS DOUBLE) / nd) AS BIGINT)").as("md"),
+        col("nd"))
+    val meanSide = perDim.agg(sum(expr("md * md")).as("mean_norm2_micro2"),
+      max(col("nd")).as("n"))
+    val rowSide = m.groupBy(col(idCol)).agg(sum(expr("m * m")).as("r2"))
+      .agg(expr("CAST(sum(CAST(r2 AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+        .as("avg_norm2_micro2"))
+    meanSide.crossJoin(broadcast(rowSide))
+      .select(col("n"), col("avg_norm2_micro2"), col("mean_norm2_micro2"),
+        expr("CAST(CAST(mean_norm2_micro2 AS DECIMAL(38,0)) * 1000000 div avg_norm2_micro2 AS BIGINT)")
+          .as("anisotropy_micro"))
+  }
+
   /** Matryoshka coarse-then-rerank search (Kusupati et al., NeurIPS 2022):
     * MRL-trained embeddings front-load information, so ranking by the
     * cosine of the FIRST `dims` coordinates is a usable coarse search at

@@ -147,6 +147,29 @@ object Profiling {
         sum(graft.functions.TextKernels.polyFingerprint(col(textCol)))
           .as("checksum"))
 
+  /** Per-source corpus health panel — the monitoring table a data team
+    * reads every refresh: document counts, mean token/char lengths
+    * (truncating integer division), the micro-fraction of SHORT documents
+    * (under `shortChars` — the stub-page rate) and the micro-fraction of
+    * exact-duplicate documents within the source (`n_docs −
+    * distinct(sha2)` — the ingest-level duplication rate before any
+    * near-dedup runs). One aggregation pass; the distinct count rides the
+    * same groupBy as a 32-byte exact key. All integers — hash-exact.
+    */
+  def sourceHealth(df: DataFrame, sourceCol: String, textCol: String,
+      shortChars: Int = 100): DataFrame =
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("__toks"),
+        sum(length(col(textCol)).cast("long")).as("__chars"),
+        sum(when(length(col(textCol)) < shortChars, 1L).otherwise(0L)).as("__short"),
+        countDistinct(sha2(col(textCol), 256)).as("__distinct"))
+      .select(col("source"), col("n_docs"),
+        expr("__toks div n_docs").as("avg_tokens"),
+        expr("__chars div n_docs").as("avg_chars"),
+        expr("__short * 1000000 div n_docs").as("short_micro"),
+        expr("(n_docs - __distinct) * 1000000 div n_docs").as("dup_micro"))
+
   /** Release diff from two manifests — what changed between corpus
     * revisions WITHOUT touching either corpus: per source, document and
     * token deltas plus a content-changed flag (the order-independent

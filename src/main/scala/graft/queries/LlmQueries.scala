@@ -613,6 +613,14 @@ object LlmQueries {
     "q_sim_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), e1, k = 10)),
 
+    "q_embed_isotropy" -> ((s, dir) =>
+      // Pre-index embedding diagnostic: exact integer anisotropy (vector
+      // mass in the common mean direction) after the shared micro lift —
+      // per-dim means via round(double division), never truncating div
+      // (engines floor negatives differently). One explode + two slim
+      // aggregations.
+      Similarity.isotropyReport(emb(s, dir))),
+
     "q_sim_matryoshka" -> ((s, dir) =>
       // Matryoshka coarse-then-rerank: 16-dim prefix cosine prunes to 50,
       // full 64-dim cosine ranks the final 10 — both stages exact float
@@ -3364,6 +3372,24 @@ object LlmQueries {
     // oracle states the expected verdict — q_sim_ivf_recall's pattern).
     "q_sim_hardneg_ann" ->
       "SELECT true AS recall_ok, true AS shape_ok",
+
+    "q_embed_isotropy" ->
+      """WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS d FROM embeddings),
+        |m AS (SELECT vec_id, d,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS m FROM ex),
+        |pd AS (SELECT d, sum(m) AS s, CAST(count(*) AS BIGINT) AS nd
+        |  FROM m GROUP BY d),
+        |pm AS (SELECT CAST(round(CAST(s AS DOUBLE) / nd) AS BIGINT) AS md, nd FROM pd),
+        |mn AS (SELECT CAST(sum(md * md) AS BIGINT) AS mean_norm2, max(nd) AS n FROM pm),
+        |rn AS (SELECT vec_id, sum(m * m) AS r2 FROM m GROUP BY 1),
+        |an AS (SELECT CAST(sum(CAST(r2 AS HUGEINT)) // count(*) AS BIGINT) AS avg_norm2
+        |  FROM rn)
+        |SELECT mn.n, an.avg_norm2 AS avg_norm2_micro2,
+        |  mn.mean_norm2 AS mean_norm2_micro2,
+        |  CAST(CAST(mn.mean_norm2 AS HUGEINT) * 1000000 // an.avg_norm2 AS BIGINT)
+        |    AS anisotropy_micro
+        |FROM mn, an""".stripMargin,
 
     "q_sim_matryoshka" ->
       """WITH c AS (SELECT vec_id, embedding,

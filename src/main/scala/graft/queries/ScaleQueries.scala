@@ -493,6 +493,19 @@ object ScaleQueries {
         .orderBy(col("n_rows").desc, col("key"))
     }),
 
+    "q_profile_health" -> ((s, dir) =>
+      // Per-source health panel on an augmented corpus: every %9 doc gets
+      // an exact within-source duplicate and every %13 doc a short stub,
+      // so both rates are non-trivial and the whole panel hash-checks.
+      graft.ops.Profiling.sourceHealth(
+          docs(s, dir).select(col("source"), col("text"))
+            .unionByName(docs(s, dir).filter(col("doc_id") % 9 === 0)
+              .select(col("source"), col("text")))
+            .unionByName(docs(s, dir).filter(col("doc_id") % 13 === 0)
+              .select(col("source"), lit("stub").as("text"))),
+          "source", "text", shortChars = 100)
+        .orderBy(col("source"))),
+
     "q_corpus_manifest_diff" -> ((s, dir) => {
       // Release diff without touching either corpus: revision B removes
       // the doc_id%17 docs and appends ' updated' to the %13 texts; the
@@ -900,6 +913,23 @@ object ScaleQueries {
         |  CAST(greatest(1, (n_rows * 32 + (SELECT total FROM t) - 1)
         |    // (SELECT total FROM t)) AS BIGINT) AS suggested_salt
         |FROM top ORDER BY n_rows DESC, key""".stripMargin,
+
+    "q_profile_health" ->
+      """WITH aug AS (SELECT source, text FROM documents
+        |  UNION ALL SELECT source, text FROM documents WHERE doc_id % 9 = 0
+        |  UNION ALL SELECT source, 'stub' FROM documents WHERE doc_id % 13 = 0),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS toks,
+        |    CAST(sum(length(text)) AS BIGINT) AS chars,
+        |    CAST(sum(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END) AS BIGINT) AS short,
+        |    CAST(count(DISTINCT text) AS BIGINT) AS dst
+        |  FROM aug GROUP BY source)
+        |SELECT source, n_docs,
+        |  CAST(toks // n_docs AS BIGINT) AS avg_tokens,
+        |  CAST(chars // n_docs AS BIGINT) AS avg_chars,
+        |  CAST(short * 1000000 // n_docs AS BIGINT) AS short_micro,
+        |  CAST((n_docs - dst) * 1000000 // n_docs AS BIGINT) AS dup_micro
+        |FROM a ORDER BY source""".stripMargin,
 
     "q_corpus_manifest_diff" ->
       """WITH ma AS (SELECT source, CAST(count(*) AS BIGINT) AS da,

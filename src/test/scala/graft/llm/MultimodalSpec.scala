@@ -295,6 +295,28 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.syntheticWavSilence(3L, 40, 8000, 1, 0)) == Left("too_few_frames"))
   }
 
+  test("audio silence kernel is a stateless stream stage: stream rows == batch rows") {
+    // mapPartitions with no state — the kernel must run unchanged on a
+    // live ingest stream (the upload-screening shape).
+    implicit val sqlCtx = spark.sqlContext
+    val clips = Seq(
+      (1L, Multimodal.syntheticWavSilence(1L, 100, 8000, 1, 10)),
+      (2L, Multimodal.syntheticWavSilence(2L, 120, 8000, 2, 45)),  // mostly silent
+      (3L, "not a wav".getBytes("US-ASCII")))                      // quarantined
+    val batch = Multimodal.audioSilenceKernel(clips.toDF("id", "payload"))
+      .collect().toSet
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    val q = Multimodal.audioSilenceKernel(input.toDS().toDF("id", "payload"))
+      .writeStream.format("memory").queryName("ssilence").outputMode("append").start()
+    try {
+      input.addData(clips: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssilence")
+        .as[Multimodal.AudioSilence].collect().toSet
+      assert(streamed == batch && batch.map(_.id) == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("audio fingerprint pairs: the image-path banded join serves audio unchanged") {
     val rows = (0L until 20L).map(i =>
       (i, Multimodal.syntheticWavTextured(i, 100 + (i % 7).toInt, 8000, 1))) :+

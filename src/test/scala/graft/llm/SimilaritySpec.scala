@@ -25,6 +25,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.head._2 == 1.0)
   }
 
+  test("isotropyReport: centered corpus scores 0, common direction scores high") {
+    // Perfectly centered: +e1 and −e1 → mean 0 → anisotropy 0.
+    val centered = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.isotropyReport(centered)
+      .as[(Long, Long, Long, Long)].collect().head
+    // each |v|² = 1e12 µ²; mean = (0,0)
+    assert(c == ((4L, 1000000000000L, 0L, 0L)))
+    // All-identical vectors: mean == every vector → anisotropy 1e6.
+    val common = Seq((1L, Seq(0.6f, 0.8f)), (2L, Seq(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val k = Similarity.isotropyReport(common)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(k._1 == 2L && k._4 == 1000000L)
+  }
+
   test("matryoshka rerank: full-dim prefix equals brute force; coarse prune keeps true top") {
     // dims = full → identical to brute force by construction.
     val full = Similarity.matryoshkaTopK(vecs, e1, dims = 4, k = 3, rerank = 5)

@@ -101,6 +101,39 @@ object Similarity {
           .as("anisotropy_micro"))
   }
 
+  /** The "all-but-the-top" fix for what [[isotropyReport]] diagnoses
+    * (Mu & Viswanath, ICLR 2018, step 1): subtract the corpus mean from
+    * every vector and report the CENTERED corpus' isotropy — anisotropy
+    * collapses to ~0 (exact up to the ±1-µ per-dim rounding residue of
+    * the integer means, which the report states rather than hides). The
+    * centered representation stays in the exploded integer-micro form
+    * (id, dim, value) — the mean is a 64-row broadcast, the subtraction a
+    * map, and downstream cosine machinery can consume either form.
+    */
+  def centeredIsotropy(df: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val m = df
+      .select(col(idCol), posexplode(col(embCol)).as(Seq("d", "x")))
+      .select(col(idCol), col("d"),
+        round(col("x").cast("double") * 1e6).cast("long").as("m"))
+    val means = m.groupBy(col("d"))
+      .agg(expr("CAST(round(CAST(sum(m) AS DOUBLE) / count(1)) AS BIGINT)").as("md"))
+    val centered = m.join(broadcast(means), "d")
+      .select(col(idCol), col("d"), (col("m") - col("md")).as("cm"))
+    val perDim = centered.groupBy(col("d"))
+      .agg(expr("CAST(round(CAST(sum(cm) AS DOUBLE) / count(1)) AS BIGINT)").as("cmd"),
+        count(lit(1)).as("nd"))
+    val meanSide = perDim.agg(sum(expr("cmd * cmd")).as("mean_norm2_micro2"),
+      max(col("nd")).as("n"))
+    val rowSide = centered.groupBy(col(idCol)).agg(sum(expr("cm * cm")).as("r2"))
+      .agg(expr("CAST(sum(CAST(r2 AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+        .as("avg_norm2_micro2"))
+    meanSide.crossJoin(broadcast(rowSide))
+      .select(col("n"), col("avg_norm2_micro2"), col("mean_norm2_micro2"),
+        expr("CAST(CAST(mean_norm2_micro2 AS DECIMAL(38,0)) * 1000000 div avg_norm2_micro2 AS BIGINT)")
+          .as("anisotropy_micro"))
+  }
+
   /** Matryoshka coarse-then-rerank search (Kusupati et al., NeurIPS 2022):
     * MRL-trained embeddings front-load information, so ranking by the
     * cosine of the FIRST `dims` coordinates is a usable coarse search at

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.llm.{Dedup, DomainSelection, Multimodal, SemDedup, Similarity, TextAnalysis}
@@ -612,6 +613,13 @@ object LlmQueries {
     // --- similarity search --------------------------------------------------
     "q_sim_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), e1, k = 10)),
+
+    "q_embed_center" -> ((s, dir) =>
+      // All-but-the-top step 1: after mean-subtraction the anisotropy
+      // must collapse to ~0 (±1-µ rounding residue stated, not hidden) —
+      // the before/after pair with q_embed_isotropy is the diagnostic +
+      // fix cert.
+      Similarity.centeredIsotropy(emb(s, dir))),
 
     "q_embed_isotropy" -> ((s, dir) =>
       // Pre-index embedding diagnostic: exact integer anisotropy (vector
@@ -1289,6 +1297,26 @@ object LlmQueries {
     }),
 
     // --- text analysis ------------------------------------------------------
+    "q_text_chunks_dedup" -> ((s, dir) => {
+      // RAG-index hygiene: chunk the corpus (32-token windows, 8
+      // overlap) over an augmented corpus where every %6 doc has an
+      // exact clone — then keep each chunk TEXT's first (doc, idx)
+      // occurrence, so a retrieval index never serves the same passage
+      // twice. Chunks of cloned docs dedup away wholesale; the keep rule
+      // is the exact-dedup window on the chunk hash.
+      val aug = docs(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(docs(s, dir).filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 50000L).as("doc_id"), col("text")))
+      val chunks = TextAnalysis.chunkByTokens(aug, "doc_id", "text",
+        chunkTokens = 32, overlapTokens = 8)
+      val w = Window.partitionBy(sha2(col("chunk_text"), 256))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      chunks.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"), col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "q_text_chunks" -> ((s, dir) =>
       // Context-window chunking (RAG/eval prep): 32-token windows, 8-token
       // overlap, every token covered, consecutive chunks sharing exactly 8
@@ -3373,6 +3401,27 @@ object LlmQueries {
     "q_sim_hardneg_ann" ->
       "SELECT true AS recall_ok, true AS shape_ok",
 
+    "q_embed_center" ->
+      """WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS d FROM embeddings),
+        |m AS (SELECT vec_id, d,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS m FROM ex),
+        |means AS (SELECT d,
+        |    CAST(round(CAST(sum(m) AS DOUBLE) / count(*)) AS BIGINT) AS md
+        |  FROM m GROUP BY d),
+        |cen AS (SELECT vec_id, m.d, m - md AS cm FROM m JOIN means ON means.d = m.d),
+        |pd AS (SELECT d, CAST(round(CAST(sum(cm) AS DOUBLE) / count(*)) AS BIGINT) AS cmd,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM cen GROUP BY d),
+        |mn AS (SELECT CAST(sum(cmd * cmd) AS BIGINT) AS mean_norm2, max(nd) AS n FROM pd),
+        |rn AS (SELECT vec_id, sum(cm * cm) AS r2 FROM cen GROUP BY 1),
+        |an AS (SELECT CAST(sum(CAST(r2 AS HUGEINT)) // count(*) AS BIGINT) AS avg_norm2 FROM rn)
+        |SELECT mn.n, an.avg_norm2 AS avg_norm2_micro2,
+        |  mn.mean_norm2 AS mean_norm2_micro2,
+        |  CAST(CAST(mn.mean_norm2 AS HUGEINT) * 1000000 // an.avg_norm2 AS BIGINT)
+        |    AS anisotropy_micro
+        |FROM mn, an""".stripMargin,
+
     "q_embed_isotropy" ->
       """WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
         |    generate_subscripts(embedding, 1) AS d FROM embeddings),
@@ -3411,6 +3460,23 @@ object LlmQueries {
         |  FROM embeddings)
         |SELECT vec_id, d / (n * CAST(1.0 AS DOUBLE)) AS cosine FROM e
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_text_chunks_dedup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 50000, text FROM documents WHERE doc_id % 6 = 0),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+        |c AS (SELECT doc_id, toks,
+        |    greatest(1, (len(toks) - 8 + 23) // 24) AS nc FROM t),
+        |e AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_idx FROM c),
+        |ch AS (SELECT doc_id, chunk_idx,
+        |    CAST(len(toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)]) AS BIGINT) AS n_tokens,
+        |    array_to_string(toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)], ' ') AS chunk_text
+        |  FROM e),
+        |r AS (SELECT doc_id, chunk_idx, n_tokens, chunk_text,
+        |    row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id, chunk_idx, n_tokens, chunk_text FROM r WHERE rn = 1
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_text_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

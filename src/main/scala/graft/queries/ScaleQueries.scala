@@ -147,6 +147,30 @@ object ScaleQueries {
       Relevance.tfidfTopK(docs(s, dir), "doc_id", "text", k = 5)
         .orderBy(col("id"), col("term"))),
 
+    "q_pipeline_rag" -> ((s, dir) => {
+      // RAG indexing end to end: context-window chunking → chunk-text
+      // dedup (first (doc, idx) occurrence — the %6 clones' chunks all
+      // drop) → BM25 over the surviving PASSAGES → global top-10 by
+      // score (TakeOrdered, never a full sort). Every stage is the
+      // registry operator, composed; the oracle replays chunking, the
+      // dedup window and the BM25 chain over the chunk corpus.
+      val aug = docs(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(docs(s, dir).filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 50000L).as("doc_id"), col("text")))
+      val chunks = graft.llm.TextAnalysis.chunkByTokens(aug, "doc_id", "text",
+        chunkTokens = 32, overlapTokens = 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(col("chunk_text"), 256))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      val passages = chunks.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("passage_id"),
+          col("chunk_text"))
+      Relevance.bm25(passages, "passage_id", "chunk_text", bm25Terms)
+        .orderBy(col("score_micro").desc, col("id"))
+        .limit(10)
+    }),
+
     "q_text_bm25" -> ((s, dir) =>
       Relevance.bm25(docs(s, dir), "doc_id", "text", bm25Terms)
         .orderBy(col("id"))),
@@ -712,6 +736,36 @@ object ScaleQueries {
         |    row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS rn
         |  FROM scored)
         |SELECT id, term, tfidf FROM ranked WHERE rn <= 5 ORDER BY id, term""".stripMargin,
+
+    "q_pipeline_rag" ->
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 50000, text FROM documents WHERE doc_id % 6 = 0),
+        |t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM aug),
+        |c0 AS (SELECT doc_id, tk, greatest(1, (len(tk) - 8 + 23) // 24) AS nc FROM t0),
+        |e0 AS (SELECT doc_id, tk, unnest(range(0, nc)) AS chunk_idx FROM c0),
+        |ch AS (SELECT doc_id, chunk_idx,
+        |    array_to_string(tk[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)], ' ') AS text
+        |  FROM e0),
+        |r AS (SELECT doc_id, chunk_idx, text,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch),
+        |p AS (SELECT doc_id * 1000 + chunk_idx AS id, text FROM r WHERE rn = 1),
+        |toks AS (SELECT id, unnest($toksSql) AS term FROM p),
+        |lens AS (SELECT id, CAST(len($toksSql) AS DOUBLE) AS len FROM p),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM p),
+        |a AS (SELECT sum(len) / (SELECT n FROM n) AS avglen FROM lens),
+        |tf AS (SELECT id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('join', 'hash', 'filter') GROUP BY id, term),
+        |idf AS (SELECT term, ln(1.0 + ((SELECT n FROM n) - CAST(count(*) AS DOUBLE) + 0.5)
+        |    / (CAST(count(*) AS DOUBLE) + 0.5)) AS idf
+        |  FROM tf GROUP BY term),
+        |c AS (SELECT t.id, CAST(round(i.idf * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+        |        + 0.75 * l.len / (SELECT avglen FROM a))) * 1000000.0) AS BIGINT) AS cm
+        |  FROM tf t JOIN idf i USING (term) JOIN lens l USING (id)),
+        |s AS (SELECT id, CAST(sum(cm) AS BIGINT) AS score_micro FROM c GROUP BY id)
+        |SELECT id, score_micro FROM s
+        |ORDER BY score_micro DESC, id LIMIT 10""".stripMargin,
 
     "q_text_bm25" ->
       s"""WITH toks AS (SELECT doc_id AS id, unnest($toksSql) AS term FROM documents),

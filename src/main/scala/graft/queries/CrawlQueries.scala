@@ -717,6 +717,35 @@ object CrawlQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_pipeline_web_main" -> ((s, dir) => {
+      // The FineWeb-style extract path: WARC parse → block-level MAIN
+      // CONTENT (nav + h1 + footer drop; only the article paragraph
+      // survives — the upgrade over q_pipeline_web's whole-page
+      // htmlToText) → robots-meta gate on raw markup → minimum-length
+      // gate. Main text equals the corpus text wherever it clears the
+      // block minimum, so the composed survivors hash-check closed-form.
+      val page = concat(
+        lit("<html><head>"),
+        when(col("doc_id") % 7 === 0,
+          lit("<meta name=\"robots\" content=\"noindex\">")).otherwise(lit("")),
+        lit("</head><body><nav><a href=\"/\">home page</a> " +
+          "<a href=\"/about\">about us team</a></nav><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><footer>copyright 2026</footer></body></html>"))
+      val (parsed, _) = Warc.parseBytesKernel(warcFiles(s, dir, payload = page))
+      parsed.toDF()
+        .select(regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("payload").cast("string").as("html"))
+        .filter(!HtmlKernels.robotsNoindex(col("html")))
+        .select(col("doc_id"),
+          HtmlKernels.mainContent(col("html")).as("main_text"))
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("main_text")).cast("long"))
+        .filter(col("n_tokens") >= 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_url_parse" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), urlCol.as("url"))
         .select(col("doc_id"),
@@ -1232,6 +1261,17 @@ object CrawlQueries {
         |  FROM k WHERE rn = 1)
         |SELECT doc_id, url_norm, n_tokens FROM t
         |WHERE n_tokens >= 8 ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_web_main" ->
+      // Closed form: the noindex seventh drops; main content equals the
+      // corpus text when it clears the 25-codepoint block minimum; the
+      // token gate then applies to exactly that text.
+      """SELECT doc_id, text AS main_text,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents
+        |WHERE doc_id % 7 <> 0 AND length(text) >= 25
+        |  AND len(string_split_regex(trim(text), '\s+')) >= 8
+        |ORDER BY doc_id""".stripMargin,
 
     "q_url_parse" ->
       s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),

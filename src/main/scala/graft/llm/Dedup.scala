@@ -836,6 +836,31 @@ object Dedup {
       .withColumn("keep", col("f1_micro") < thrMicro)
   }
 
+  /** Containment pairs from a prepared (id, block, gram, ng) frame —
+    * the ASYMMETRIC overlap Jaccard structurally misses: an aggregator
+    * page that embeds a whole smaller document scores containment
+    * |∩| / min(|A|, |B|) ≈ 1 while its Jaccard (union-normalized)
+    * shrinks with the wrapper size. Quote/aggregator/scraper detection
+    * filters on containment, not Jaccard (Broder's original distinction).
+    * Same gram equi-join as [[ngramJaccardFromGrams]]; both measures
+    * returned so callers can require high containment AND low Jaccard
+    * (the "embedded, not duplicated" signature).
+    */
+  def ngramContainmentFromGrams(prepped: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0, "gram-join formulation emits only pairs sharing >= 1 gram")
+    val a = prepped.alias("a"); val b = prepped.alias("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.gram") === col("b.gram") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("__inter"), max(col("a.ng")).as("__na"), max(col("b.ng")).as("__nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") /
+          least(col("__na"), col("__nb")).cast("double")).as("containment"),
+        (col("__inter").cast("double") /
+          (col("__na") + col("__nb") - col("__inter").cast("double")).cast("double")).as("jaccard"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Candidate pairs + exact Jaccard from a prepared (id, block, gram, ng)
     * frame.
     */

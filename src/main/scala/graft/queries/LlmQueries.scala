@@ -600,6 +600,25 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_containment" -> ((s, dir) => {
+      // Aggregator detection: every doc gets a WRAPPER that embeds it
+      // whole and appends a 60-word filler tail — containment of the
+      // original inside the wrapper is exactly 1.0 while Jaccard drops
+      // to ~n/(n+62), under the near-dup threshold, so union-normalized
+      // dedup never pairs them and the containment measure is the only
+      // catch. Append-only wrapping keeps the 20-char block key shared.
+      val tail = (1 to 60).map(i => s"filler$i").mkString(" ")
+      val base = docs(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" " + tail)).as("text")))
+      val grams = Dedup.preparedNgrams(corpus,
+        blockKey = substring(col("text"), 1, 20), n = 3).localCheckpoint()
+      Dedup.ngramContainmentFromGrams(grams, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
       // Grams materialized once (localCheckpoint) — the gram self-join
       // evaluates its input once per side, same pattern as the signature
@@ -3353,6 +3372,27 @@ object LlmQueries {
         |    (SELECT CAST(count(*) AS BIGINT) FROM d WHERE id % 4 IN (0, 1)) AS byte_len,
         |    'decoded' AS reason)
         |ORDER BY id""".stripMargin,
+
+    "q_dedup_containment" -> {
+      val tail = (1 to 60).map(i => s"filler$i").mkString(" ")
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |corpus AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 2000000, text || ' $tail' FROM base),
+        |p AS (SELECT doc_id AS id, substr(text, 1, 20) AS block,
+        |    CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+        |        i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')))
+        |      ELSE [] END AS grams
+        |  FROM corpus),
+        |j AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / least(len(a.grams), len(b.grams)) AS containment,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |    CAST(len(a.grams) + len(b.grams) - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS DOUBLE) AS jaccard
+        |  FROM p a JOIN p b ON a.block = b.block AND a.id < b.id)
+        |SELECT id_a, id_b, containment, jaccard FROM j
+        |WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH aug AS ($augSql),

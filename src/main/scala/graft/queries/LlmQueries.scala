@@ -2561,6 +2561,23 @@ object LlmQueries {
           col("n"), col("vmin"), col("vmax"))
         .orderBy(col("user_id"), col("start_us"))),
 
+    "q_events_dedup_consec" -> ((s, dir) => {
+      // Telemetry retry/double-fire cleaning: drop an event when the
+      // SAME user's PREVIOUS event (by time) carries the same type and
+      // value — consecutive-duplicate collapse, not global dedup (a
+      // legitimate repeat later in the session survives). One per-user
+      // lag window over slim columns.
+      val e = ev(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      e.withColumn("__pt", lag(col("event_type"), 1).over(w))
+        .withColumn("__pv", lag(col("value"), 1).over(w))
+        .filter(col("__pt").isNull || col("__pt") =!= col("event_type") ||
+          col("__pv") =!= col("value"))
+        .select(col("event_id"), col("user_id"), col("us"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_events_funnelsteps" -> ((s, dir) => {
       // Ordered-funnel analysis (view → click → purchase, strictly
       // increasing event times): per-user first-view, first-click-after-
@@ -4551,6 +4568,18 @@ object LlmQueries {
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY c.user_id, click_us, buy_us""".stripMargin,
+
+    "q_events_dedup_consec" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value
+        |  FROM events),
+        |m AS (SELECT event_id, user_id, us, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pt,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pv,
+        |    value
+        |  FROM e)
+        |SELECT event_id, user_id, us, event_type FROM m
+        |WHERE pt IS NULL OR pt <> event_type OR pv <> value
+        |ORDER BY event_id""".stripMargin,
 
     "q_events_funnelsteps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -983,6 +983,30 @@ object CrawlQueries {
           iters = 2)
         .orderBy(col("auth_micro").desc, col("domain"))),
 
+    "q_url_spoof" -> ((s, dir) => {
+      // Spoofed-domain detection: hosts whose HOMOGLYPH SKELETON equals a
+      // protected brand while the raw host differs — the phishing/SEO
+      // shape (Cyrillic а in "pаypal.com") exact matching never sees.
+      // Fixture: every %13 doc gets a Cyrillic-а spoof of brand-a.com,
+      // every %17 one of shade-b.net; legitimate brand hosts and
+      // unrelated hosts pass. Pure map + a 2-literal brand set.
+      val ids = col("doc_id").cast("string")
+      val m = col("doc_id") % 5
+      val host = when(col("doc_id") % 13 === 0, lit("brаnd-а.com"))
+        .when(col("doc_id") % 17 === 0, lit("shаde-b.net"))
+        .when(m === 0, lit("brand-a.com"))
+        .when(m === 1, lit("shade-b.net"))
+        .otherwise(concat(lit("site"), ids, lit(".org")))
+      val brands = Seq("brand-a.com", "shade-b.net")
+      docs(s, dir).select(col("doc_id"), host.as("host"))
+        .withColumn("skeleton", graft.llm.Dedup.homoglyphSkeleton(col("host")))
+        .withColumn("spoof",
+          col("skeleton").isin(brands: _*) && !col("host").isin(brands: _*))
+        .filter(col("spoof"))
+        .select(col("doc_id"), col("host"), col("skeleton"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_url_template" -> ((s, dir) =>
       // Crawler-trap detection: path templates ({n}/{h} collapse) counted
       // per host, trap = >5% of the corpus under one template. The
@@ -1471,6 +1495,16 @@ object CrawlQueries {
          |SELECT a2.domain, a2.a AS auth_micro, h2.hub AS hub_micro
          |FROM a2 JOIN h2 ON h2.domain = a2.domain
          |ORDER BY auth_micro DESC, a2.domain""".stripMargin,
+
+    "q_url_spoof" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0
+        |    THEN 'br' || chr(1072) || 'nd-' || chr(1072) || '.com'
+        |    ELSE 'sh' || chr(1072) || 'de-b.net' END AS host,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'brand-a.com'
+        |    ELSE 'shade-b.net' END AS skeleton
+        |FROM documents WHERE doc_id % 13 = 0 OR doc_id % 17 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_url_template" ->
       s"""WITH $trapKeyedSql

@@ -783,6 +783,23 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Incremental winnowing: match a BATCH's sketches against a PERSISTED
+    * catalog of sketches — the daily-crawl shape for the MOSS family
+    * (store [[winnowFingerprints]] per release; each ingest joins only
+    * its delta against stored fingerprints, never re-sketching history).
+    * Same fp equi-join and shared-run guarantee as [[winnowCandidates]],
+    * cross-frame: output `(batch_id, catalog_id, n_shared)`.
+    */
+  def winnowIncrementalCandidates(batchFps: DataFrame, catalogFps: DataFrame,
+      minShared: Long = 2L): DataFrame = {
+    val bd = batchFps.select(col("id").as("batch_id"), col("fp")).distinct()
+    val cd = catalogFps.select(col("id").as("catalog_id"), col("fp")).distinct()
+    bd.join(cd, "fp")
+      .groupBy(col("batch_id"), col("catalog_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Self-Instruct pool-admission gate (Wang et al. 2022): a generated
     * instruction joins the pool only if its ROUGE overlap with EVERY
     * existing pool instruction stays below threshold — the dedup that

@@ -1161,6 +1161,27 @@ object LlmQueries {
       graft.llm.Packing.fimTransform(docs(s, dir), fimPermille = 500L)
         .orderBy(col("doc_id"))),
 
+    "q_dedup_winnow_incr" -> ((s, dir) => {
+      // Incremental winnowing: the catalog is the corpus's stored
+      // sketches; the batch re-wraps every %4 doc (a re-crawl with new
+      // prefix/tail) plus one-per-%4 novel docs (upper-cased — shares no
+      // gram). The batch sketches join ONLY the stored catalog — history
+      // is never re-sketched — and every wrapped doc pairs with its
+      // source while novels pair with nothing.
+      val base = docsSpread(s, dir)
+      val catalogFps = Dedup.winnowFingerprints(
+        base.select(col("doc_id"), col("text")), n = 3, w = 4).localCheckpoint()
+      val batch = base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 30000L).as("doc_id"),
+          concat(lit("recrawl header "), col("text"), lit(" fetch tail")).as("text"))
+        .unionByName(base.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 60000L).as("doc_id"),
+            upper(col("text")).as("text")))
+      val batchFps = Dedup.winnowFingerprints(batch, n = 3, w = 4).localCheckpoint()
+      Dedup.winnowIncrementalCandidates(batchFps, catalogFps, minShared = 3L)
+        .orderBy(col("batch_id"), col("catalog_id"))
+    }),
+
     "q_dedup_winnow" -> ((s, dir) => {
       // Winnowing (MOSS) sketch dedup: every doc gets a clone wrapped in
       // new prefix/tail words — a long shared interior run the winnowing
@@ -2775,6 +2796,52 @@ object LlmQueries {
         |      || '<MID>' || substr(text, CAST(a + 1 AS INT), CAST(b - a AS INT))
         |    ELSE text END AS out_text
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_winnow_incr" ->
+      """WITH cat AS (SELECT doc_id, text FROM documents),
+        |bat AS (SELECT doc_id + 30000 AS doc_id,
+        |    'recrawl header ' || text || ' fetch tail' AS text
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT doc_id + 60000, upper(text)
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |ct AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM cat),
+        |cg AS (SELECT doc_id, i, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM ct) t),
+        |cf AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(gram) + 1), ci -> CAST(ascii(gram[ci]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) AS f
+        |  FROM cg),
+        |ce AS (SELECT doc_id, pos, f * 4194304 + (4194303 - pos) AS key FROM cf),
+        |cw AS (SELECT doc_id,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+        |  FROM ce),
+        |cs AS (SELECT DISTINCT doc_id AS catalog_id, mk // 4194304 AS fp
+        |  FROM cw WHERE cnt = 4),
+        |bt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM bat),
+        |bg AS (SELECT doc_id, i, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM bt) t),
+        |bf AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(gram) + 1), ci -> CAST(ascii(gram[ci]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) AS f
+        |  FROM bg),
+        |be AS (SELECT doc_id, pos, f * 4194304 + (4194303 - pos) AS key FROM bf),
+        |bw AS (SELECT doc_id,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+        |  FROM be),
+        |bs AS (SELECT DISTINCT doc_id AS batch_id, mk // 4194304 AS fp
+        |  FROM bw WHERE cnt = 4)
+        |SELECT batch_id, catalog_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM bs JOIN cs USING (fp)
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY batch_id, catalog_id""".stripMargin,
 
     "q_dedup_winnow" ->
       """WITH aug AS (SELECT doc_id, text FROM documents

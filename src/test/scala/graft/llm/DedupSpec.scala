@@ -291,6 +291,22 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("winnowIncrementalCandidates: batch joins the stored catalog only") {
+    val catalog = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "completely unrelated catalog content with distinct words"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "re crawl alpha beta gamma delta epsilon zeta eta theta iota kappa tail"),
+      (11L, "wholly novel batch document sharing no grams at all"))
+      .toDF("doc_id", "text")
+    val catFps = Dedup.winnowFingerprints(catalog, n = 3, w = 4)
+    val batFps = Dedup.winnowFingerprints(batch, n = 3, w = 4)
+    val pairs = Dedup.winnowIncrementalCandidates(batFps, catFps, minShared = 1L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((10L, 1L)))
+  }
+
   test("winnowCandidates: shared long run guarantees a shared fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(

@@ -517,6 +517,22 @@ object ScaleQueries {
         .orderBy(col("n_rows").desc, col("key"))
     }),
 
+    "q_profile_lenhist" -> ((s, dir) =>
+      // Token-length histogram in power-of-two buckets — the distribution
+      // view behind choosing pack budgets and length-bucket widths
+      // (q_pack_lenbucket's slot geometry assumes it). Bucket =
+      // ⌊log₂ n⌋ via the binary-representation length (never a float
+      // log — transcendental boundaries are exactly where the buckets
+      // sit); one aggregation over a slim count column.
+      docs(s, dir)
+        .select(graft.llm.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+        .filter(col("n") > 0)
+        .withColumn("bucket_log2", (length(bin(col("n"))) - 1).cast("long"))
+        .groupBy(col("bucket_log2"))
+        .agg(count(lit(1)).as("n_docs"), min(col("n")).as("min_tokens"),
+          max(col("n")).as("max_tokens"))
+        .orderBy(col("bucket_log2"))),
+
     "q_profile_health" -> ((s, dir) =>
       // Per-source health panel on an augmented corpus: every %9 doc gets
       // an exact within-source duplicate and every %13 doc a short stub,
@@ -967,6 +983,15 @@ object ScaleQueries {
         |  CAST(greatest(1, (n_rows * 32 + (SELECT total FROM t) - 1)
         |    // (SELECT total FROM t)) AS BIGINT) AS suggested_salt
         |FROM top ORDER BY n_rows DESC, key""".stripMargin,
+
+    "q_profile_lenhist" ->
+      """WITH n AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT n, CAST(length(printf('%b', n)) - 1 AS BIGINT) AS bucket_log2
+        |  FROM n WHERE n > 0)
+        |SELECT bucket_log2, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n) AS min_tokens, max(n) AS max_tokens
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_profile_health" ->
       """WITH aug AS (SELECT source, text FROM documents

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+import org.apache.spark.sql.functions._
+
+/** Fixed-point natural log over exact integer rationals — the kernel behind
+  * oracle-exact divergence metrics ([[graft.llm.CorpusDrift]]'s per-word
+  * Jensen–Shannon terms).
+  *
+  * Why: a value like `round(ln(a/m)·1e6)` computed independently by two
+  * engines flips at a rounding boundary whenever their `ln` implementations
+  * disagree by an ulp — with thousands of per-word terms summed, SOME word
+  * lands on a boundary and the report hashes differently (round-10 verdict,
+  * `q_corpus_drift`). The fix is to never compare an engine-native
+  * transcendental: both engines run the SAME integer-only algorithm
+  * (multiply / compare / truncating divide — bit-exact everywhere), so the
+  * result is identical by construction, not by luck.
+  *
+  * Algorithm, for a rational p/q with p,q > 0 and p/q ∈ (0, 2]:
+  *   1. fixed-point   u  = floor(p·2³⁰ / q)          (the only wide step:
+  *      p·2³⁰ can exceed int64, so it runs in DECIMAL(38,0) on Spark and
+  *      HUGEINT in DuckDB; the result is < 2³¹ and comes back to int64)
+  *   2. normalize     m  = u·2ᵏ ∈ [2³⁰, 2³¹]         (k by a 31-branch
+  *      comparison ladder — generated, identical in both engines)
+  *   3. atanh series  z = (m−B)·B / (m+B),  ln(m/B) = 2·(z + z³/3 + … +
+  *      z¹³/13) with every power floor-divided back to scale B = 2³⁰
+  *      (z ≤ 1/3, so the truncated tail is < 5·10⁻⁹ nats)
+  *   4. recombine     ln(p/q)·10⁹ ≈ lnm·10⁹/B − k·round(ln2·10⁹)
+  *
+  * Accuracy ≈ 10⁻⁸ nats (series tail + ~10 one-ulp truncations at scale
+  * 2⁻³⁰) — far below the micro-nat reporting grain; and because every step
+  * is integer, accuracy is a QUALITY property, not a correctness one.
+  *
+  * Bounds: callers must keep p, q ≤ ~2·10¹⁶ (int64 headroom in DuckDB's
+  * hugeint→bigint narrowing and Spark's decimal(20,0) casts) — corpus word
+  * counts satisfy this up to ~10⁸ total tokens per side.
+  *
+  * Three parallel implementations from the same constants: [[lnNanoRef]]
+  * (plain JVM, the spec oracle), [[lnNanoCol]] (Spark Columns), and
+  * [[lnNanoDuckSteps]] (DuckDB SQL text, emitted as lateral column aliases).
+  */
+object FixedPointLog {
+
+  /** Fixed-point scale 2³⁰. */
+  val Scale: Long = 1L << 30
+
+  /** round(ln 2 · 10⁹) — the single transcendental constant, embedded
+    * identically in both engines' plans (never recomputed per row). */
+  val Ln2Nano: Long = 693147181L
+
+  /** Odd divisors of the atanh series terms z³/3 … z¹³/13. */
+  val SeriesOdd: Seq[Long] = Seq(3L, 5L, 7L, 9L, 11L, 13L)
+
+  // ---------------------------------------------------------------- JVM ref
+
+  /** Reference implementation (BigInt for the wide first step). Returns
+    * ln(p/q) in nano-nats. Requires p, q > 0. */
+  def lnNanoRef(p: Long, q: Long): Long = {
+    require(p > 0 && q > 0, s"lnNanoRef needs positive p,q; got $p/$q")
+    val u0 = ((BigInt(p) * Scale) / q).toLong
+    val u = math.max(u0, 1L)
+    var k = 0
+    while (k < 30 && (u << k) < Scale) k += 1
+    val m = u << k
+    val z = (m - Scale) * Scale / (m + Scale)
+    val z2 = z * z / Scale
+    var t = z
+    var s = z
+    for (d <- SeriesOdd) { t = t * z2 / Scale; s += t / d }
+    2 * s * 1000000000L / Scale - k * Ln2Nano
+  }
+
+  // ------------------------------------------------------------- Spark side
+
+  /** Spark's `div` (IntegralDivide): truncation-toward-zero integral
+    * division, LongType result — same semantics as DuckDB's `//`, exact on
+    * integers AND decimals (unlike `/`, which would route through doubles
+    * and lose low bits above 2⁵³). */
+  def idiv(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntegralDivide(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Signed floor division a ⌊/⌋ b (b > 0), exact at any int64 magnitude. */
+  def fdiv(a: Column, b: Column): Column = idiv(a - pmod(a, b), b)
+
+  /** ln(p/q) in nano-nats as a Spark Column (p, q positive long columns,
+    * p/q ∈ (0, 2]). Pure integer expression tree — no `ln`/`exp` anywhere. */
+  def lnNanoCol(p: Column, q: Column): Column = {
+    val pB = p.cast("decimal(20,0)") * lit(Scale).cast("decimal(10,0)")
+    val u = greatest(idiv(pB, q.cast("decimal(20,0)")), lit(1L))
+    // Normalization ladder: m = u·2^k ∈ [2^30, 2^31]; k = #doublings.
+    val m = (1 to 30).foldLeft(when(u >= lit(Scale), u)) { (acc, j) =>
+      acc.when(u >= lit(Scale >> j), u * lit(1L << j))
+    }
+    val k = (1 to 30).foldLeft(when(u >= lit(Scale), lit(0L))) { (acc, j) =>
+      acc.when(u >= lit(Scale >> j), lit(j.toLong))
+    }
+    val z = idiv((m - lit(Scale)) * lit(Scale), m + lit(Scale))
+    val z2 = idiv(z * z, lit(Scale))
+    val terms = SeriesOdd.scanLeft(z)((t, _) => idiv(t * z2, lit(Scale)))
+    val s = terms.head + SeriesOdd.zip(terms.tail)
+      .map { case (d, t) => idiv(t, lit(d)) }.reduce(_ + _)
+    idiv(s * lit(2000000000L), lit(Scale)) - k * lit(Ln2Nano)
+  }
+
+  // ------------------------------------------------------------ DuckDB side
+
+  /** The same algorithm as DuckDB SQL, emitted as `(expr, alias)` pairs for
+    * a lateral-column-alias SELECT (each step may reference earlier
+    * aliases). `p` and `q` are SQL fragments that must already be HUGEINT
+    * (or safely within BIGINT); the final alias `<pre>_ln` is the nano-nat
+    * result. */
+  def lnNanoDuckSteps(p: String, q: String, pre: String): Seq[(String, String)] = {
+    val B = Scale
+    val mLadder = (s"WHEN ${pre}_u >= $B THEN ${pre}_u" +:
+      (1 to 30).map(j => s"WHEN ${pre}_u >= ${B >> j} THEN ${pre}_u * ${1L << j}"))
+      .mkString("CASE ", " ", " END")
+    val kLadder = (s"WHEN ${pre}_u >= $B THEN 0" +:
+      (1 to 30).map(j => s"WHEN ${pre}_u >= ${B >> j} THEN $j"))
+      .mkString("CASE ", " ", " END")
+    val powers = SeriesOdd.indices.map { i =>
+      val prev = if (i == 0) s"${pre}_z" else s"${pre}_t${2 * i + 1}"
+      (s"$prev * ${pre}_z2 // $B", s"${pre}_t${2 * i + 3}")
+    }
+    val sumS = s"${pre}_z + " + SeriesOdd.zipWithIndex
+      .map { case (d, i) => s"${pre}_t${2 * i + 3} // $d" }.mkString(" + ")
+    Seq(
+      (s"greatest((($p) * $B) // ($q), 1)", s"${pre}_u"),
+      (mLadder, s"${pre}_m"),
+      (kLadder, s"${pre}_k"),
+      (s"((${pre}_m - $B) * $B) // (${pre}_m + $B)", s"${pre}_z"),
+      (s"${pre}_z * ${pre}_z // $B", s"${pre}_z2")) ++
+      powers :+
+      ((s"($sumS) * 2000000000 // $B - ${pre}_k * CAST($Ln2Nano AS BIGINT)",
+        s"${pre}_ln"))
+  }
+}

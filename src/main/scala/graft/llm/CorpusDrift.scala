@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.FixedPointLog
 
 /** Corpus drift report — the regression check a pipeline runs when a crawl
   * refresh (or a new source mix) replaces the corpus a model was tuned on:
@@ -15,17 +16,24 @@ import org.apache.spark.sql.functions._
   *   - `mean_len_delta` — mean candidate doc length (chars) minus mean
   *     reference doc length;
   *   - `js_micro_nats`  — Jensen–Shannon divergence of the two unigram
-  *     word distributions, reported as a sum of PER-WORD INTEGER
-  *     micro-nats (each word's term rounded to 1e-6 nats before the sum
-  *     — the [[TextAnalysis]] LM discipline: float cross-row summation is
-  *     order-dependent and therefore engine-dependent, integer summation
-  *     is exact; JS is bounded by ln 2 so the quantization loses nothing
-  *     that matters at report granularity).
+  *     word distributions, as a sum of PER-WORD INTEGER micro-nats.
+  *     Every per-word term is INTEGER-EXACT end to end: the log runs in
+  *     fixed-point over the exact rational `2*ca*totb : (ca*totb +
+  *     cb*tota)` ([[graft.functions.FixedPointLog]]), so no engine-native
+  *     `ln` ever reaches a compared value. The previous formulation
+  *     rounded a per-word DOUBLE `ln` to micro-nats; with thousands of
+  *     words a one-ulp cross-engine `ln` divergence flips a rounding
+  *     boundary somewhere (round-10 driver run, hash-FAIL). Shared
+  *     rounding of transcendentals is not a determinism discipline;
+  *     integer arithmetic is.
   *
   * Scale shape: both corpora reduce to their word-count frames (one
   * shuffle each, map-side partials, vocabulary-sized); the report is a
   * full-outer join of the two count frames plus slim scalar aggregates —
-  * nothing corpus-sized moves after the first pass.
+  * nothing corpus-sized moves after the first pass. The fixed-point log
+  * assumes per-side totals below ~1e8 tokens times 1e8 counts (int64
+  * headroom, see [[FixedPointLog]] bounds) — far beyond any report-sized
+  * vocabulary frame.
   */
 object CorpusDrift {
 
@@ -46,21 +54,24 @@ object CorpusDrift {
       count(lit(1)).as("vunion"),
       sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L)).as("vboth"),
       sum(when(col("ca") === 0, col("cb")).otherwise(0L)).as("unseen_cb"))
+    // Per-word JS term in micro-nats, all-integer: with a = ca/tota,
+    // b = cb/totb, m = (a+b)/2, the log arguments a/m and b/m are the
+    // exact rationals 2*ca*totb/qq and 2*cb*tota/qq with
+    // qq = ca*totb + cb*tota; each weighted term ca*ln(a/m)/tota runs in
+    // nano-nats via fixed-point, then the pair rounds to micro-nats.
     val withP = joined.crossJoin(broadcast(totals))
-      .withColumn("a", col("ca").cast("double") / col("tota").cast("double"))
-      .withColumn("b", col("cb").cast("double") / col("totb").cast("double"))
-    // Per-word JS term in micro-nats: the double arithmetic is one
-    // straight-line expression (mirrored textually by the oracle), the
-    // rounding to integers happens per word, and only integers cross rows.
+      .withColumn("xa", col("ca") * col("totb"))
+      .withColumn("xb", col("cb") * col("tota"))
+      .withColumn("qq", col("xa") + col("xb"))
+      .withColumn("la", FixedPointLog.lnNanoCol(lit(2L) * col("xa"), col("qq")))
+      .withColumn("lb", FixedPointLog.lnNanoCol(lit(2L) * col("xb"), col("qq")))
+      .withColumn("wua", when(col("ca") > 0,
+        FixedPointLog.fdiv(col("ca") * col("la"), col("tota"))).otherwise(0L))
+      .withColumn("wub", when(col("cb") > 0,
+        FixedPointLog.fdiv(col("cb") * col("lb"), col("totb"))).otherwise(0L))
     val js = withP.select(
-      round((
-        (when(col("ca") > 0,
-            col("a") * log(col("a") / ((col("a") + col("b")) / 2)))
-          .otherwise(lit(0.0)) * 0.5) +
-        (when(col("cb") > 0,
-            col("b") * log(col("b") / ((col("a") + col("b")) / 2)))
-          .otherwise(lit(0.0)) * 0.5)
-        ) * 1000000.0).cast("long").as("term"))
+      FixedPointLog.fdiv(col("wua") + col("wub") + lit(1000L), lit(2000L))
+        .as("term"))
       .agg(sum(col("term")).as("js_micro_nats"))
     val lens = ref.agg(
         sum(length(col(textCol)).cast("long")).as("la"),

@@ -499,6 +499,12 @@ object Dedup {
     */
   def nearDupKeepBest(df: DataFrame, pairs: DataFrame, scoreCol: String,
       idCol: String = "doc_id"): DataFrame = {
+    // The lowest-id tie-break rides a max-struct over (score, -id); with a
+    // non-numeric id the negation would cast to null and the anti-join
+    // below would silently drop ENTIRE clusters including their winners.
+    val idType = df.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"nearDupKeepBest needs a numeric $idCol for the lowest-id tie-break; got $idType")
     val comps = nearDupComponents(pairs).withColumnRenamed("id", idCol)
     val member = df.select(col(idCol), col(scoreCol)).join(comps, Seq(idCol))
     val winners = member.groupBy(col("comp"))
@@ -695,6 +701,12 @@ object Dedup {
     * precisely to defeat exact hashing; dedup (and URL/brand matching)
     * must run on the skeleton, not the raw text. Pure `translate` +
     * `regexp_replace` — codegen'd, replayed verbatim by SQL `translate`.
+    *
+    * Order matters: LOWERCASE FIRST, then translate. Unicode `lower` folds
+    * uppercase Cyrillic/Greek confusables (А Е О Р С Т Х, Greek Α Ο …)
+    * onto the lowercase forms the table covers — translate-then-lower
+    * would let an upper-cased mutant ("PАYPAL" with Cyrillic А) sail past
+    * the fold, the exact adversarial input this function exists to catch.
     */
   def homoglyphSkeleton(text: Column): Column = {
     // Cyrillic а в е к м н о р с т у х ѕ і ј ԁ ɡ + Greek α ο ν ε ι κ ρ τ υ χ
@@ -702,8 +714,8 @@ object Dedup {
       "ухѕіјԁɡ" +
       "αονεικρτυχ"
     val to = "abekmhopctyxsijdg" + "aoveikptyx"
-    lower(regexp_replace(translate(text, from, to),
-      "[\\u200b\\u200c\\u200d\\ufeff]", ""))
+    regexp_replace(translate(lower(text), from, to),
+      "[\\u200b\\u200c\\u200d\\ufeff]", "")
   }
 
   /** Exact dedup on the homoglyph skeleton: visually-identical mutants
@@ -751,8 +763,16 @@ object Dedup {
     val fps = df.select(col(idCol).as("id"),
       posexplode(graft.functions.SigKernels.wordNgramFps(col(textCol), n))
         .as(Seq("pos", "fp")))
+    // The pos < 2²² encoding bound is ENFORCED, not assumed: an oversized
+    // document would otherwise borrow from the fp bits and silently
+    // poison the sketch catalog with corrupted fingerprints. Fail loudly;
+    // upstream length gates are where such documents get dropped.
     val enc = fps.withColumn("__key",
-      col("fp") * lit(4194304L) + (lit(4194303L) - col("pos")))
+      when(col("pos") < lit(4194304L),
+          col("fp") * lit(4194304L) + (lit(4194303L) - col("pos")))
+        .otherwise(raise_error(concat(lit("winnowFingerprints: document "),
+          col("id").cast("string"),
+          lit(" exceeds 2^22 grams; gate document length upstream")))))
     val frame = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     enc
@@ -828,6 +848,11 @@ object Dedup {
   def rouge2Gate(pool: DataFrame, cands: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       thrMicro: Long = 700000L): DataFrame = {
+    // Same max-struct-over-(score, -id) argmax as nearDupKeepBest: the
+    // lowest-pool-id tie-break needs a numeric id or the negation nulls.
+    val idType = pool.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"rouge2Gate needs a numeric $idCol for the lowest-id tie-break; got $idType")
     def grams(df: DataFrame, side: String) =
       df.select(col(idCol).as(s"${side}_id"),
           graft.functions.SigKernels.wordNgramsDistinct(col(textCol), 2).as("__gs"))

@@ -35,6 +35,44 @@ object QualityModel {
   private def bucket(tok: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(TextAnalysis.fingerprint(tok), lit(nBuckets.toLong))
 
+  /** Quantized logistic lookup table: micro-probability at 0.1-logit steps
+    * over [-8, 8] (161 entries). Computed ONCE here on the JVM and embedded
+    * as literal constants in BOTH engines' plans ([[probMicroQuantized]]
+    * and [[probMicroQuantizedDuck]]), so a compared probability never
+    * depends on an engine-native `exp` — the round-10 driver run proved
+    * that even a SHARED `round(sigmoid(x), 6)` flips at rounding
+    * boundaries when the engines' `exp` differ by an ulp
+    * (`q_text_qmodel_calibration` hash-FAIL). Resolution: 0.1 logits ≈
+    * 2.5% probability at the sigmoid's steepest point — calibration-report
+    * grain, and exactly reproducible anywhere.
+    */
+  val SigmoidTableMicro: IndexedSeq[Long] =
+    (0 to 160).map(i => math.round(1e6 / (1.0 + math.exp((80 - i) / 10.0))))
+
+  /** Integer-exact quantized keep-probability in micro-units for a
+    * mean-logit score: floor-divide to mean micro-logits, clamp to
+    * [-8e6, 8e6], round to the nearest 0.1-logit table step, look up.
+    * Every step is integer arithmetic — bit-identical on any engine. */
+  def probMicroQuantized(
+      scoreMicro: org.apache.spark.sql.Column,
+      nTokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.FixedPointLog.{fdiv, idiv}
+    val sMean = fdiv(scoreMicro, nTokens)
+    val clamped = greatest(lit(-8000000L), least(lit(8000000L), sMean))
+    val idx = idiv(clamped + lit(8050000L), lit(100000L))
+    element_at(array(SigmoidTableMicro.map(lit(_)): _*), idx.cast("int") + 1)
+  }
+
+  /** The same lookup as DuckDB SQL text (same table constants, same
+    * integer steps), for oracle queries. `scoreMicro`/`nTokens` are SQL
+    * fragments; emits a single expression. */
+  def probMicroQuantizedDuck(scoreMicro: String, nTokens: String): String = {
+    val sm = s"(($scoreMicro) - ((($scoreMicro) % ($nTokens) + ($nTokens)) % ($nTokens))) // ($nTokens)"
+    val cl = s"greatest(-8000000, least(8000000, $sm))"
+    val idx = s"(($cl) + 8050000) // 100000"
+    s"(LIST_VALUE(${SigmoidTableMicro.mkString(", ")}))[($idx) + 1]"
+  }
+
   /** Score every document under micro-unit weights: returns
     * `(idCol, n_tokens, score_micro, prob)` with `score_micro` the exact
     * integer weight SUM and `prob = round(sigmoid(score_micro /

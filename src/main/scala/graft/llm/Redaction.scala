@@ -89,8 +89,14 @@ object Redaction {
     * leaked secret) actually entered the training corpus, and how many
     * times. Canaries are a bounded curated list, so each one is a pure
     * length-arithmetic count (`(len − len(replace(text, c, ''))) div
-    * |c|` — exact integers, byte-level substring semantics, no regex) and
-    * the whole scan is one codegen'd map + explode. Only hits emit rows.
+    * |c|` — exact integers, substring semantics, no regex) and the whole
+    * scan is one codegen'd map + explode. Only hits emit rows.
+    *
+    * Built with the Column API, not SQL text: interpolating a canary into
+    * `expr()` re-interprets backslashes as string-literal escapes (a
+    * canary containing `\` would scan for the wrong bytes), and the gram
+    * length must count CODE POINTS (what `length()` counts), not UTF-16
+    * units — a non-BMP canary would otherwise divide by the wrong length.
     */
   def canaryScan(df: DataFrame, idCol: String, textCol: String,
       canaries: Seq[String]): DataFrame = {
@@ -99,7 +105,9 @@ object Redaction {
     val t = col(textCol)
     val hits = canaries.zipWithIndex.map { case (c, i) =>
       struct(lit(i.toLong).as("canary_idx"),
-        expr(s"(length($textCol) - length(replace($textCol, '${c.replace("'", "''")}', ''))) div ${c.length}")
+        graft.functions.FixedPointLog.idiv(
+          (length(t) - length(replace(t, lit(c), lit("")))).cast("long"),
+          lit(c.codePointCount(0, c.length).toLong))
           .as("n_hits"))
     }
     df.select(col(idCol), explode(array(hits: _*)).as("__h"))

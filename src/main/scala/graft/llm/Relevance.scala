@@ -190,8 +190,14 @@ object Relevance {
         sum(col("__cnt") - col("__pos")).as("n_neg"),
         sum(col("__pos") * col("__rank2")).as("__r2pos"))
       .select(col("n_pos"), col("n_neg"),
-        expr("CAST((CAST(__r2pos AS DECIMAL(38,0)) - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) " +
-          "* 1000000 div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)")
+        // AUC is undefined with a single label class — fail loudly rather
+        // than emit a silent null a downstream `auc_micro >= thr` gate
+        // would pass or fail by null semantics.
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("CAST((CAST(__r2pos AS DECIMAL(38,0)) - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) " +
+            "* 1000000 div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"))
+          .otherwise(raise_error(lit(
+            "aucMicro: both label classes required (AUC is undefined with a single class)")))
           .as("auc_micro"))
   }
 

@@ -2094,11 +2094,14 @@ object LlmQueries {
       // CALIBRATION report of the quality scorer — per-probability-bin
       // observed vs predicted positive rates, the report behind choosing
       // a quality threshold (a scorer can rank well and still be
-      // miscalibrated where the cut lands). Bins are FIXED prob decades
-      // (floor(prob·10), capped at 9) — a pure map, no global sort; both
-      // engines bin the SAME round-6 double, so the boundary is shared.
-      // Rates are exact integer micro ratios; mean predicted rounds each
-      // row's prob to micro BEFORE the per-bin sum.
+      // miscalibrated where the cut lands). INTEGER-EXACT end to end: the
+      // per-row probability is the quantized fixed-point logistic
+      // (QualityModel.probMicroQuantized — table constants embedded in
+      // both engines, integer steps only), bins are its prob decades, and
+      // rates are exact integer micro ratios. The earlier round-6 double
+      // sigmoid hash-FAILED in the round-10 driver run: shared rounding
+      // does not survive a one-ulp cross-engine exp() divergence at a
+      // …×.5e-6 boundary; table lookup does, by construction.
       // Wider weight range than q_text_qmodel's (±4 logits, not ±0.5):
       // mean-weight probs would otherwise cluster in two bins and the
       // curve would have nothing to show.
@@ -2109,18 +2112,18 @@ object LlmQueries {
           when(col("doc_id") % 2 === 1, lit("excellent wonderful superb"))
             .otherwise(lit("garbage junk spam"))).as("text"),
         (col("doc_id") % 2).cast("long").as("label"))
-      def exactDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        ((a - pmod(a, b)) / b).cast("long")
+      import graft.functions.FixedPointLog.idiv
       graft.llm.QualityModel.scoreBy(
           labeled.select(col("doc_id"), col("text")), "doc_id", "text", weights)
         .join(labeled.select(col("doc_id"), col("label")), "doc_id")
-        .withColumn("bin", least(floor(col("prob") * 10).cast("long"), lit(9L)))
-        .withColumn("__pm", round(col("prob") * 1e6).cast("long"))
+        .withColumn("__pm", graft.llm.QualityModel.probMicroQuantized(
+          col("score_micro"), col("n_tokens")))
+        .withColumn("bin", least(idiv(col("__pm"), lit(100000L)), lit(9L)))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
           sum(col("__pm")).as("__pms"))
-        .withColumn("observed_micro", exactDiv(col("n_pos") * 1000000L, col("n")))
-        .withColumn("predicted_micro", exactDiv(col("__pms"), col("n")))
+        .withColumn("observed_micro", idiv(col("n_pos") * 1000000L, col("n")))
+        .withColumn("predicted_micro", idiv(col("__pms"), col("n")))
         .select(col("bin"), col("n"), col("n_pos"), col("observed_micro"),
           col("predicted_micro"))
         .orderBy(col("bin"))
@@ -3110,9 +3113,9 @@ object LlmQueries {
         |    translate(text, 'aeopc',
         |      chr(1072) || chr(1077) || chr(1086) || chr(1088) || chr(1089))
         |  FROM documents),
-        |sk AS (SELECT doc_id, lower(translate(text,
+        |sk AS (SELECT doc_id, translate(lower(text),
         |    chr(1072) || chr(1077) || chr(1086) || chr(1088) || chr(1089),
-        |    'aeopc')) AS s FROM aug),
+        |    'aeopc') AS s FROM aug),
         |r AS (SELECT doc_id,
         |    row_number() OVER (PARTITION BY s ORDER BY doc_id) AS rn FROM sk)
         |SELECT doc_id, rn = 1 AS keep FROM r ORDER BY doc_id""".stripMargin,
@@ -3745,13 +3748,17 @@ object LlmQueries {
         |FROM t""".stripMargin,
 
     "q_text_qmodel_calibration" ->
-      """WITH lab AS (SELECT doc_id,
+      // The probability is the SAME quantized fixed-point logistic the
+      // Spark query applies — one generator (QualityModel) emits the table
+      // constants and integer steps for both engines, so no engine-native
+      // exp() reaches a compared value.
+      s"""WITH lab AS (SELECT doc_id,
         |    text || ' ' || CASE WHEN doc_id % 2 = 1
         |      THEN 'excellent wonderful superb' ELSE 'garbage junk spam' END AS text,
         |    CAST(doc_id % 2 AS BIGINT) AS label
         |  FROM documents),
         |toks AS (SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
         |  FROM lab),
         |f AS (SELECT doc_id,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -3762,10 +3769,10 @@ object LlmQueries {
         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |    CAST(sum(wm) AS BIGINT) AS score_micro FROM w GROUP BY 1),
         |p AS (SELECT agg.doc_id, lab.label,
-        |    round(1.0 / (1.0 + exp(-(CAST(score_micro AS DOUBLE) / (1000000.0 * n_tokens)))), 6) AS prob
+        |    CAST(${graft.llm.QualityModel.probMicroQuantizedDuck(
+                 "agg.score_micro", "agg.n_tokens")} AS BIGINT) AS pm
         |  FROM agg JOIN lab USING (doc_id)),
-        |bb AS (SELECT least(CAST(floor(prob * 10) AS BIGINT), 9) AS bin, label,
-        |    CAST(round(prob * 1000000) AS BIGINT) AS pm FROM p)
+        |bb AS (SELECT CAST(least(pm // 100000, 9) AS BIGINT) AS bin, label, pm FROM p)
         |SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS n_pos,
         |  (sum(label) * 1000000) // count(*) AS observed_micro,
         |  sum(pm) // count(*) AS predicted_micro
@@ -4814,13 +4821,33 @@ object LlmQueries {
         |  CAST(off + tlen AS BIGINT) AS end_char
         |FROM o WHERE role = 'assistant' ORDER BY id, start_char""".stripMargin,
 
-    "q_corpus_drift" ->
-      """WITH refc AS (SELECT doc_id, text FROM documents),
+    "q_corpus_drift" -> {
+      // Per-word JS terms replay graft.functions.FixedPointLog's integer
+      // algorithm step for step — the SAME Scala generator emits these
+      // steps and the Spark expression tree, so the two engines run
+      // identical integer arithmetic (no engine-native ln). One chained
+      // CTE per step: DuckDB inlines lateral column aliases, so a chain
+      // of aliases referencing aliases would explode the expression tree
+      // exponentially; a projection boundary per step keeps each
+      // reference a plain column.
+      val steps =
+        graft.functions.FixedPointLog.lnNanoDuckSteps("2*xa", "qq", "a") ++
+        graft.functions.FixedPointLog.lnNanoDuckSteps("2*xb", "qq", "b") ++
+        Seq(
+          ("CASE WHEN ca > 0 THEN ((ca * a_ln) - (((ca * a_ln) % tota + tota) % tota)) // tota ELSE 0 END", "wua"),
+          ("CASE WHEN cb > 0 THEN ((cb * b_ln) - (((cb * b_ln) % totb + totb) % totb)) // totb ELSE 0 END", "wub"),
+          ("wua + wub + 1000", "s0"),
+          ("(s0 - ((s0 % 2000 + 2000) % 2000)) // 2000", "term"))
+      val chain = steps.zipWithIndex.map { case ((e, a), i) =>
+        s"jsx${i + 1} AS (SELECT *, $e AS $a FROM jsx$i)"
+      }.mkString(",\n        |")
+      val last = s"jsx${steps.size}"
+      s"""WITH refc AS (SELECT doc_id, text FROM documents),
         |cand AS (SELECT doc_id, text || ' zdrift zdrift qnew' AS text
         |  FROM documents WHERE doc_id % 2 = 0),
-        |wa AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM refc),
+        |wa AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM refc),
         |ca_t AS (SELECT w, CAST(count(*) AS BIGINT) AS ca FROM wa GROUP BY w),
-        |wb AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM cand),
+        |wb AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM cand),
         |cb_t AS (SELECT w, CAST(count(*) AS BIGINT) AS cb FROM wb GROUP BY w),
         |j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
         |  FROM ca_t FULL OUTER JOIN cb_t ON ca_t.w = cb_t.w),
@@ -4828,14 +4855,13 @@ object LlmQueries {
         |    CAST(count(*) AS BIGINT) AS vunion,
         |    sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS vboth,
         |    sum(CASE WHEN ca = 0 THEN cb ELSE 0 END) AS unseen_cb FROM j),
-        |p AS (SELECT j.ca, j.cb,
-        |    CAST(j.ca AS DOUBLE) / CAST(t.tota AS DOUBLE) AS a,
-        |    CAST(j.cb AS DOUBLE) / CAST(t.totb AS DOUBLE) AS b
+        |jsx0 AS (SELECT j.ca, j.cb, t.tota, t.totb,
+        |    CAST(j.ca AS HUGEINT) * t.totb AS xa,
+        |    CAST(j.cb AS HUGEINT) * t.tota AS xb,
+        |    (CAST(j.ca AS HUGEINT) * t.totb) + (CAST(j.cb AS HUGEINT) * t.tota) AS qq
         |  FROM j, t),
-        |js AS (SELECT sum(CAST(round((
-        |      (CASE WHEN ca > 0 THEN a * ln(a / ((a + b) / 2)) ELSE 0.0 END * 0.5) +
-        |      (CASE WHEN cb > 0 THEN b * ln(b / ((a + b) / 2)) ELSE 0.0 END * 0.5)
-        |    ) * 1000000.0) AS BIGINT)) AS js_micro_nats FROM p),
+        |$chain,
+        |js AS (SELECT CAST(sum(term) AS BIGINT) AS js_micro_nats FROM $last),
         |l AS (SELECT
         |    (SELECT CAST(sum(length(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM cand)
         |      - (SELECT CAST(sum(length(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM refc)
@@ -4843,7 +4869,8 @@ object LlmQueries {
         |SELECT CAST(t.vboth AS DOUBLE) / CAST(t.vunion AS DOUBLE) AS vocab_jaccard,
         |  CAST(t.unseen_cb AS DOUBLE) / CAST(t.totb AS DOUBLE) AS unseen_mass,
         |  l.mean_len_delta, js.js_micro_nats
-        |FROM t, js, l""".stripMargin,
+        |FROM t, js, l""".stripMargin
+    },
 
     "q_prune_prototypes" ->
       """SELECT true AS subset_ok, true AS frac_ok, true AS order_ok,

@@ -31,11 +31,15 @@ class CorpusDriftSpec extends SparkTestBase {
     assert(r._1 == 1.0 / 3.0)  // {a} over {a, b, z}
     assert(r._2 == 0.5)        // z carries half the candidate mass
     assert(r._3 == 0.0)        // same shape
-    // JS: a contributes 0 (same p); b and z each: 0.5·(0.5·ln 2) →
-    // total = 0.5·ln 2 nats = 346574 micro-nats (terms rounded per word:
-    // each side term 0.5·0.5·ln2 = 0.173287 → 173287 ×2)
-    assert(r._4 == 2L * math.round(0.5 * 0.5 * math.log(2.0) * 1e6),
-      s"js = ${r._4}")
+    // JS: a contributes 0 (same p, exact-rational x = 1 → fixed-point ln
+    // is exactly 0); b and z each contribute 0.5·(0.5·ln 2). Expected
+    // value replays the fixed-point pipeline on the JVM reference:
+    // per-word term = floor((ca·lnNano(2·ca·totb, qq)/tota + 1000)/2000).
+    val wua = 2L * graft.functions.FixedPointLog.lnNanoRef(16L, 8L) / 4L
+    val expected = 2L * ((wua + 1000L) / 2000L)
+    assert(r._4 == expected, s"js = ${r._4} want $expected")
+    // and the fixed-point value agrees with double math to ±1 micro-nat
+    assert(math.abs(r._4 - 0.5 * math.log(2.0) * 1e6) <= 1.0)
   }
 
   test("pure addition: unseen mass positive, jaccard below 1, length grows") {

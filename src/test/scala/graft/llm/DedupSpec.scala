@@ -197,11 +197,15 @@ class DedupSpec extends SparkTestBase {
       "PayPal",
       "pa​ypal",              // zero-width space
       "αpple",                // Greek α
-      "genuinely different")
+      "genuinely different",
+      "PАYPАL",          // UPPERCASE Cyrillic А — must lowercase BEFORE
+      "ΑΟΝΕΙΚΡΤΥΧ")      // the translate fold, or the table misses these
       .toDF("t").select(Dedup.homoglyphSkeleton($"t")).as[String].collect()
     assert(skel.take(4).toSet == Set("paypal"))
     assert(skel(4) == "apple")
     assert(skel(5) == "genuinely different")
+    assert(skel(6) == "paypal", s"uppercase Cyrillic mutant: ${skel(6)}")
+    assert(skel(7) == "aoveikptyx", s"uppercase Greek row: ${skel(7)}")
 
     val docs2 = Seq(
       (1L, "buy cheap watches today"),

@@ -67,4 +67,30 @@ class QualityModelSpec extends SparkTestBase {
       .select($"prob").as[Double].head()
     assert(p == 0.5)
   }
+
+  test("quantized fixed-point logistic: integer replication, clamping, accuracy") {
+    // JVM replication of the exact integer steps probMicroQuantized runs.
+    def ref(scoreMicro: Long, nTokens: Long): Long = {
+      val sMean = Math.floorDiv(scoreMicro, nTokens)
+      val cl = math.max(-8000000L, math.min(8000000L, sMean))
+      QualityModel.SigmoidTableMicro(((cl + 8050000L) / 100000L).toInt)
+    }
+    val cases = Seq((0L, 5L), (750000L, 3L), (-750000L, 3L), (4000000L, 1L),
+      (-4000000L, 1L), (99999999L, 2L), (-99999999L, 2L), (1L, 7L),
+      (-1L, 7L), (1234567L, 11L), (-1234567L, 11L))
+    val got = cases.toDF("sm", "nt")
+      .select($"sm", $"nt",
+        QualityModel.probMicroQuantized($"sm", $"nt").as("pm"))
+      .as[(Long, Long, Long)].collect()
+    for ((sm, nt, pm) <- got) {
+      assert(pm == ref(sm, nt), s"pm($sm, $nt)")
+      // quantization stays within half a table step of the true sigmoid
+      val x = sm.toDouble / (1e6 * nt)
+      val trueP = 1e6 / (1.0 + math.exp(-math.max(-8.0, math.min(8.0, x))))
+      assert(math.abs(pm - trueP) < 13000.0, s"pm($sm, $nt)=$pm vs $trueP")
+    }
+    // symmetry: sigmoid(0) is exactly half, table is symmetric
+    assert(QualityModel.SigmoidTableMicro(80) == 500000L)
+    assert(QualityModel.SigmoidTableMicro.size == 161)
+  }
 }

@@ -31,9 +31,10 @@ import graft.functions.FixedPointLog
   * shuffle each, map-side partials, vocabulary-sized); the report is a
   * full-outer join of the two count frames plus slim scalar aggregates —
   * nothing corpus-sized moves after the first pass. The fixed-point log
-  * assumes per-side totals below ~1e8 tokens times 1e8 counts (int64
-  * headroom, see [[FixedPointLog]] bounds) — far beyond any report-sized
-  * vocabulary frame.
+  * needs per-side token totals ≤ 1.4e8 (int64 headroom for the per-word
+  * cross products, see [[FixedPointLog]] bounds) — ENFORCED with a
+  * raise_error on the totals row, so an oversized corpus fails loudly
+  * instead of silently wrapping while the HUGEINT oracle doesn't.
   */
 object CorpusDrift {
 
@@ -49,11 +50,23 @@ object CorpusDrift {
       .select(col("w"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
       .localCheckpoint() // consumed by totals AND the per-word term sum
-    val totals = joined.agg(
+    val totalsRaw = joined.agg(
       sum(col("ca")).as("tota"), sum(col("cb")).as("totb"),
       count(lit(1)).as("vunion"),
       sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L)).as("vboth"),
       sum(when(col("ca") === 0, col("cb")).otherwise(0L)).as("unseen_cb"))
+    // The int64 bound above is ENFORCED, not assumed: with a side past
+    // ~1.4e8 tokens, ca*totb / cb*tota (and ca*la at |la| ≤ ~45e9
+    // nano-nats) wrap silently past 2^63 on this side while the DuckDB
+    // oracle computes in HUGEINT — a silent hash divergence. Fail loudly
+    // instead (the winnowFingerprints discipline); corpora that large
+    // should drift-compare on a sampled or per-source slice.
+    val totLim = 140000000L // floor(sqrt(2e16)): caps ca*totb and ca*la in int64
+    val totals = totalsRaw.withColumn("tota",
+      when(col("tota") <= totLim && col("totb") <= totLim, col("tota"))
+        .otherwise(raise_error(concat(
+          lit("CorpusDrift: side exceeds 1.4e8 tokens (int64 JS-term bound): tota="),
+          col("tota").cast("string"), lit(" totb="), col("totb").cast("string")))))
     // Per-word JS term in micro-nats, all-integer: with a = ca/tota,
     // b = cb/totb, m = (a+b)/2, the log arguments a/m and b/m are the
     // exact rationals 2*ca*totb/qq and 2*cb*tota/qq with

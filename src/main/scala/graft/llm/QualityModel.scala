@@ -52,12 +52,18 @@ object QualityModel {
   /** Integer-exact quantized keep-probability in micro-units for a
     * mean-logit score: floor-divide to mean micro-logits, clamp to
     * [-8e6, 8e6], round to the nearest 0.1-logit table step, look up.
-    * Every step is integer arithmetic — bit-identical on any engine. */
+    * Every step is integer arithmetic — bit-identical on any engine.
+    * Requires `nTokens > 0` — ENFORCED with raise_error, because the two
+    * engines otherwise diverge on the edge (Spark's integral divide by
+    * zero nulls out, DuckDB's `//` errors) and the whole point of this
+    * helper is cross-engine identity. */
   def probMicroQuantized(
       scoreMicro: org.apache.spark.sql.Column,
       nTokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import graft.functions.FixedPointLog.{fdiv, idiv}
-    val sMean = fdiv(scoreMicro, nTokens)
+    val nChecked = when(nTokens > 0, nTokens).otherwise(raise_error(
+      lit("probMicroQuantized: nTokens must be > 0 (mean logit undefined)")))
+    val sMean = fdiv(scoreMicro, nChecked)
     val clamped = greatest(lit(-8000000L), least(lit(8000000L), sMean))
     val idx = idiv(clamped + lit(8050000L), lit(100000L))
     element_at(array(SigmoidTableMicro.map(lit(_)): _*), idx.cast("int") + 1)

@@ -192,7 +192,9 @@ object Relevance {
       .select(col("n_pos"), col("n_neg"),
         // AUC is undefined with a single label class — fail loudly rather
         // than emit a silent null a downstream `auc_micro >= thr` gate
-        // would pass or fail by null semantics.
+        // would pass or fail by null semantics. (The registered oracle,
+        // q_text_qmodel_auc, mirrors this guard with a DuckDB error()
+        // CASE so both engines agree on the failure mode too.)
         when(col("n_pos") > 0 && col("n_neg") > 0,
           expr("CAST((CAST(__r2pos AS DECIMAL(38,0)) - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) " +
             "* 1000000 div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"))

@@ -1326,10 +1326,11 @@ object LlmQueries {
       // slice with two repeated drift tokens and one new word appended):
       // vocabulary Jaccard and unseen token mass are exact integer
       // ratios; mean length delta is two integer-sum divisions; the
-      // Jensen–Shannon divergence sums PER-WORD INTEGER micro-nats, so
-      // the only cross-row float summation in the operator is gone and
-      // the oracle replays every term bit-for-bit (single-expression
-      // double arithmetic mirrored textually).
+      // Jensen–Shannon divergence sums PER-WORD INTEGER micro-nats
+      // computed by the fixed-point integer log (FixedPointLog.lnNanoCol
+      // here, lnNanoDuckSteps in the oracle — same constants, same
+      // integer steps), so no engine-native ln() reaches a compared
+      // value and the oracle replays every term bit-for-bit.
       val ref = docs(s, dir)
       val cand = ref.filter(col("doc_id") % 2 === 0)
         .withColumn("text", concat(col("text"), lit(" zdrift zdrift qnew")))
@@ -3743,8 +3744,10 @@ object LlmQueries {
         |    CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
         |    CAST(sum(pos * (bef * 2 + cnt + 1)) AS BIGINT) AS r2 FROM r)
         |SELECT n_pos, n_neg,
-        |  CAST((CAST(r2 AS HUGEINT) - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
-        |    // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_micro
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN CAST((CAST(r2 AS HUGEINT) - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+        |      // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+        |    ELSE CAST(error('aucMicro: both label classes required') AS BIGINT) END AS auc_micro
         |FROM t""".stripMargin,
 
     "q_text_qmodel_calibration" ->

@@ -121,12 +121,17 @@ object DomainSelection {
     *   w_d ∝ α_d · exp(η · excess_d),  smoothed (1−c)·w + c/k
     *
     * from a uniform prior α. Exactness discipline: the mean is a
-    * truncating integer division; `exp` is the one transcendental and
-    * both engines evaluate it on the SAME exact double (integer-valued
-    * micro inputs), rounded to 6 decimals before the integer-valued
-    * `round(10⁶·f)` lift; normalization and smoothing are integer
+    * truncating integer division; `exp` runs in fixed-point integer
+    * arithmetic ([[graft.functions.FixedPointExp]] — the same Taylor
+    * steps in both engines), so no engine-native transcendental reaches
+    * a compared value (shared `round(exp(x), 6)` flips at rounding
+    * boundaries when the engines' exp differ by an ulp — PLANS.md
+    * finding 37); normalization and smoothing are integer
     * cross-multiplies and truncating divisions — so the distributed
     * aggregation hash-matches a sequential oracle bit-for-bit.
+    * Domain bound, ENFORCED by the kernel's guard: η·excess ≤ 2 nats
+    * (η_micro·excess_micro ≤ 2·10⁹·10³) — callers with hotter
+    * gradients should lower η.
     *
     * Shape at scale: one map-side-partial `groupBy(domain)` over slim
     * (domain, clipped-excess) rows — domains number dozens, so the
@@ -143,11 +148,13 @@ object DomainSelection {
     val agg = ex.groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__ex")).as("__sum"))
       .withColumn("excess_micro", expr("__sum div n_docs"))
-    val factor = round(
-      exp((lit(etaMicro).cast("double") / 1e6) *
-        (col("excess_micro").cast("double") / 1e6)), 6)
+    // η·excess in nano-nats (micro·micro → nano is a //1000), then the
+    // integer Taylor exp, floored back to micro — every step integer.
+    import graft.functions.{FixedPointExp, FixedPointLog}
+    val xNano = FixedPointLog.idiv(
+      col("excess_micro") * lit(etaMicro), lit(1000L))
     val raw = agg.withColumn("__wraw",
-      round(lit(1000000.0) * factor).cast("long"))
+      FixedPointLog.idiv(FixedPointExp.expNanoCol(xNano), lit(1000L)))
     val tot = raw.agg(sum(col("__wraw")).as("__tot"),
       count(lit(1)).as("__k"))
     raw.crossJoin(broadcast(tot))

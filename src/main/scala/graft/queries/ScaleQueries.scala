@@ -119,10 +119,10 @@ object ScaleQueries {
       // DoReMi exponentiated-gradient domain reweighting: per-doc proxy/
       // reference losses planted with a per-domain excess gradient
       // (domain d trails the reference by ~d·60000µ on average), so the
-      // updated mixture upweights high-excess domains. The one
-      // transcendental (exp) evaluates on the same exact double in both
-      // engines, round-6; everything else is integer — the k-row weight
-      // table hash-matches the sequential oracle.
+      // updated mixture upweights high-excess domains. The exp runs in
+      // fixed-point integer arithmetic (FixedPointExp — same Taylor
+      // steps in both engines), everything else is integer — the k-row
+      // weight table hash-matches the sequential oracle by construction.
       val d = docs(s, dir).select((col("doc_id") % 6).as("domain"),
         ((col("doc_id") * 7919) % 900000 + (col("doc_id") % 6) * 60000).as("proxy_micro"),
         ((col("doc_id") * 104729) % 900000).as("ref_micro"))
@@ -708,24 +708,33 @@ object ScaleQueries {
         |    < CAST(budget AS HUGEINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
 
-    "q_sample_doremi" ->
-      """WITH d AS (SELECT doc_id % 6 AS domain,
+    "q_sample_doremi" -> {
+      // The exp is the same fixed-point Taylor chain the Spark side runs
+      // (FixedPointExp — one generator, both engines), so no engine-native
+      // exp() reaches the compared weights.
+      val steps = graft.functions.FixedPointExp.expNanoDuckSteps(
+        "excess_micro * 1000000 // 1000", "w")
+      val chain = steps.zipWithIndex.map { case ((e, a), i) =>
+        s"ex${i + 1} AS (SELECT *, $e AS $a FROM ex$i)"
+      }.mkString(",\n        |")
+      s"""WITH d AS (SELECT doc_id % 6 AS domain,
         |    (doc_id * 7919) % 900000 + (doc_id % 6) * 60000 AS proxy_micro,
         |    (doc_id * 104729) % 900000 AS ref_micro
         |  FROM documents),
         |e AS (SELECT domain, greatest(proxy_micro - ref_micro, 0) AS ex FROM d),
         |a AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, sum(ex) AS s
         |  FROM e GROUP BY 1),
-        |x AS (SELECT domain, n_docs, CAST(s // n_docs AS BIGINT) AS excess_micro FROM a),
+        |ex0 AS (SELECT domain, n_docs, CAST(s // n_docs AS BIGINT) AS excess_micro FROM a),
+        |$chain,
         |f AS (SELECT domain, n_docs, excess_micro,
-        |    CAST(round(1000000.0 * round(exp((1000000.0 / 1000000.0) *
-        |      (CAST(excess_micro AS DOUBLE) / 1000000.0)), 6)) AS BIGINT) AS wraw
-        |  FROM x),
+        |    CAST(w_exp // 1000 AS BIGINT) AS wraw
+        |  FROM ex${steps.size}),
         |t AS (SELECT sum(wraw) AS tot, count(*) AS k FROM f)
         |SELECT domain, n_docs, excess_micro,
         |  CAST((wraw * (1000000 - 100000)) // (SELECT tot FROM t)
         |    + 100000 // (SELECT k FROM t) AS BIGINT) AS weight_micro
-        |FROM f ORDER BY domain""".stripMargin,
+        |FROM f ORDER BY domain""".stripMargin
+    },
 
     "q_sample_epochs" ->
       """WITH f AS (SELECT doc_id, source,

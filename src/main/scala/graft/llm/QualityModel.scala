@@ -80,13 +80,15 @@ object QualityModel {
   }
 
   /** Score every document under micro-unit weights: returns
-    * `(idCol, n_tokens, score_micro, prob)` with `score_micro` the exact
-    * integer weight SUM and `prob = round(sigmoid(score_micro /
-    * (1e6 · n_tokens)), 6)` — the fastText MEAN-of-token-weights logit.
-    * Averaging matters: with a sum logit, document LENGTH is a confound
-    * (a corpus where one class runs longer drives every common bucket's
-    * weight in one direction and saturates everything — observed on the
-    * test corpus, where odd doc_ids average ~6% more tokens).
+    * `(idCol, n_tokens, score_micro, prob_micro)` with `score_micro` the
+    * exact integer weight SUM and `prob_micro` the INTEGER quantized
+    * logistic of the fastText MEAN-of-token-weights logit
+    * ([[probMicroQuantized]] — table lookup, no engine-native exp ever
+    * reaches a compared value; PLANS.md finding 37). Averaging matters:
+    * with a sum logit, document LENGTH is a confound (a corpus where one
+    * class runs longer drives every common bucket's weight in one
+    * direction and saturates everything — observed on the test corpus,
+    * where odd doc_ids average ~6% more tokens).
     */
   def scoreBy(
       df: DataFrame,
@@ -100,9 +102,8 @@ object QualityModel {
       .withColumn("__w", element_at(wArr, bucket(col("__t"), n).cast("int") + 1))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("score_micro"))
-      .withColumn("prob",
-        round(lit(1.0) / (lit(1.0) +
-          exp(-(col("score_micro").cast("double") / (lit(1e6) * col("n_tokens"))))), 6))
+      .withColumn("prob_micro",
+        probMicroQuantized(col("score_micro"), col("n_tokens")))
   }
 
   /** The kernel form of [[scoreBy]]'s score: the exact integer weight sum
@@ -130,16 +131,16 @@ object QualityModel {
     df.select(col(idCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
         scoreMicro(col(textCol), weightsMicro).as("score_micro"))
-      .withColumn("prob",
-        round(lit(1.0) / (lit(1.0) +
-          exp(-(col("score_micro").cast("double") / (lit(1e6) * col("n_tokens"))))), 6))
+      .withColumn("prob_micro",
+        probMicroQuantized(col("score_micro"), col("n_tokens")))
 
   /** Train micro-unit weights by batch gradient descent on labeled docs
     * (`labelCol` ∈ {0, 1}), on the same MEAN-feature logit [[scoreBy]]
     * evaluates (each token contributes `1/n_tokens`). Each epoch: score
     * under current weights (one aggregation), per-doc residual-per-token
-    * `round((prob − label) · 1e6 / n_tokens)` (an integer from a
-    * deterministic double), then per-bucket gradient = integer sum of
+    * `round((prob_micro − label·1e6) / n_tokens)` with `prob_micro` the
+    * quantized integer logistic (platform-independent — no exp() touches
+    * the trained weights), then per-bucket gradient = integer sum of
     * those over token occurrences (second aggregation, O(nBuckets) rows
     * collected). Update: `w[b] −= round(lrMicro · grad / (1e6 · nDocs))`.
     * `lrMicro` defaults to 1e8 (lr = 100): mean features are O(1/n_tokens)
@@ -181,9 +182,13 @@ object QualityModel {
         .groupBy(col(idCol), col(labelCol))
         .agg(count(lit(1)).as("__n"), sum(col("__wv")).as("__score"))
         .withColumn("__err",
-          round((lit(1.0) / (lit(1.0) +
-              exp(-(col("__score").cast("double") / (lit(1e6) * col("__n")))))
-            - col(labelCol).cast("double")) * lit(1e6) / col("__n")).cast("long"))
+          // quantized integer prob (the scoring-side logistic) so the
+          // gradient — and therefore the trained weights — never depend
+          // on a platform's exp(); round() of an exact-integer quotient
+          // is IEEE-deterministic.
+          round((probMicroQuantized(col("__score"), col("__n"))
+            - col(labelCol) * lit(1000000L)).cast("double") / col("__n"))
+            .cast("long"))
         .select(col(idCol), col("__err"))
         .join(toks.select(col(idCol), col("__b")), Seq(idCol))
         .groupBy(col("__b")).agg(sum(col("__err")).as("__g"))

@@ -203,8 +203,10 @@ object LlmQueries {
     * implementations).
     */
   private lazy val qmodelSql: String =
-    """WITH toks AS (SELECT doc_id,
-      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+    // The final logistic is the SAME quantized integer table lookup the
+    // Spark side applies (QualityModel — one generator, both engines).
+    s"""WITH toks AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
       |  FROM documents),
       |f AS (SELECT doc_id,
       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -215,7 +217,8 @@ object LlmQueries {
       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
       |    CAST(sum(wm) AS BIGINT) AS score_micro FROM w GROUP BY 1)
       |SELECT doc_id, n_tokens, score_micro,
-      |  round(1.0 / (1.0 + exp(-(CAST(score_micro AS DOUBLE) / (1000000.0 * n_tokens)))), 6) AS prob
+      |  CAST(${graft.llm.QualityModel.probMicroQuantizedDuck(
+               "score_micro", "n_tokens")} AS BIGINT) AS prob_micro
       |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Shared DSIR CTE chain: hashed uni+bigram buckets (the certified poly
@@ -2047,7 +2050,9 @@ object LlmQueries {
       // classifier): weights in integer micro-units derived from a closed
       // form of the bucket index, so the oracle recomputes the entire
       // score — token fingerprint → bucket → weight → exact integer sum —
-      // and the final logistic rounds to 6 decimals on both sides.
+      // and the final logistic is the quantized integer table lookup
+      // (same constants embedded in both engines — no engine-native exp
+      // reaches a compared value).
       val weights = Array.tabulate(1024)(i =>
         (i.toLong * 2654435761L) % 1000001L - 500000L)
       graft.llm.QualityModel.scoreBy(docs(s, dir), "doc_id", "text", weights)
@@ -2068,8 +2073,9 @@ object LlmQueries {
       // Exact AUC of the quality scorer (the other half of the eval pair:
       // calibration says the probabilities are honest, AUC says the
       // RANKING separates) — Mann-Whitney rank-sum with full tie
-      // handling, entirely in integers over the shared round-6→micro
-      // score, so the one-row result hash-matches the sequential oracle.
+      // handling, entirely in integers over the quantized integer
+      // prob_micro score (no engine-native exp in the rank key), so the
+      // one-row result hash-matches the sequential oracle.
       // Weights put +4 logits on the three planted positive-marker
       // buckets and −4 on the negative markers (all six bucket ids are
       // distinct — computed from the polyFp the kernel uses), so the
@@ -2086,7 +2092,7 @@ object LlmQueries {
       val scored = graft.llm.QualityModel.scoreBy(
           labeled.select(col("doc_id"), col("text")), "doc_id", "text", weights)
         .join(labeled.select(col("doc_id"), col("label")), "doc_id")
-        .withColumn("pm", round(col("prob") * 1e6).cast("long"))
+        .withColumn("pm", col("prob_micro"))
       graft.llm.Relevance.aucMicro(
         scored.select(col("pm"), col("label")), "pm", "label")
     }),
@@ -2146,7 +2152,8 @@ object LlmQueries {
       val scored = graft.llm.QualityModel.scoreBy(labeled, "doc_id", "text", w)
         .join(labeled.select(col("doc_id"), col("label")), "doc_id")
       val acc = scored
-        .select(when((col("prob") >= 0.5) === (col("label") === 1), 1).otherwise(0).as("ok"))
+        .select(when((col("prob_micro") >= 500000L) === (col("label") === 1), 1)
+          .otherwise(0).as("ok"))
         .agg(avg(col("ok"))).head().getDouble(0)
       Seq(acc >= 0.95).toDF("train_separates")
     }),
@@ -3713,13 +3720,13 @@ object LlmQueries {
       "SELECT CAST(true AS BOOLEAN) AS train_separates",
 
     "q_text_qmodel_auc" ->
-      """WITH lab AS (SELECT doc_id,
+      s"""WITH lab AS (SELECT doc_id,
         |    text || ' ' || CASE WHEN doc_id % 2 = 1
         |      THEN 'excellent wonderful superb' ELSE 'garbage junk spam' END AS text,
         |    CAST(doc_id % 2 AS BIGINT) AS label
         |  FROM documents),
         |toks AS (SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
         |  FROM lab),
         |f AS (SELECT doc_id,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -3733,9 +3740,10 @@ object LlmQueries {
         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |    CAST(sum(wm) AS BIGINT) AS score_micro FROM w GROUP BY 1),
         |p AS (SELECT agg.doc_id, lab.label,
-        |    round(1.0 / (1.0 + exp(-(CAST(score_micro AS DOUBLE) / (1000000.0 * n_tokens)))), 6) AS prob
+        |    CAST(${graft.llm.QualityModel.probMicroQuantizedDuck(
+                 "agg.score_micro", "agg.n_tokens")} AS BIGINT) AS prob_micro
         |  FROM agg JOIN lab USING (doc_id)),
-        |pm AS (SELECT CAST(round(prob * 1000000) AS BIGINT) AS s, label FROM p),
+        |pm AS (SELECT prob_micro AS s, label FROM p),
         |g AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
         |    CAST(sum(label) AS BIGINT) AS pos FROM pm GROUP BY 1),
         |r AS (SELECT s, cnt, pos, coalesce(sum(cnt) OVER (ORDER BY s

@@ -30,7 +30,7 @@ class QualityModelSpec extends SparkTestBase {
     val scored = QualityModel.scoreBy(df, "doc_id", "text", w1)
       .join(df.select($"doc_id", $"label"), "doc_id")
     val acc = scored
-      .select(when(($"prob" >= 0.5) === ($"label" === 1), 1).otherwise(0).as("ok"))
+      .select(when(($"prob_micro" >= 500000L) === ($"label" === 1), 1).otherwise(0).as("ok"))
       .agg(avg($"ok")).head().getDouble(0)
     assert(acc == 1.0, s"separable fixture must classify perfectly, got $acc")
   }
@@ -40,11 +40,11 @@ class QualityModelSpec extends SparkTestBase {
     // plumbing: sum = n_tokens * w(0), mean logit = w(0)/1e6 for any length
     val df = Seq((1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
     val out = QualityModel.scoreBy(df, "doc_id", "text", Array(250000L))
-      .select($"doc_id", $"n_tokens", $"score_micro", $"prob")
-      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+      .select($"doc_id", $"n_tokens", $"score_micro", $"prob_micro")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(out(1L)._3 == 750000L && out(2L)._3 == 250000L)
-    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
-    val p = BigDecimal(sig(0.25)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mean logit 0.25 -> table step (250000 + 8050000) / 100000 = 83
+    val p = QualityModel.SigmoidTableMicro(83)
     assert(out(1L)._4 == p && out(2L)._4 == p,
       "mean logit is length-invariant for a constant model")
   }
@@ -64,8 +64,8 @@ class QualityModelSpec extends SparkTestBase {
   test("an untrained (zero) model scores probability 0.5 everywhere") {
     val df = Seq((1L, "anything at all")).toDF("doc_id", "text")
     val p = QualityModel.scoreBy(df, "doc_id", "text", new Array[Long](64))
-      .select($"prob").as[Double].head()
-    assert(p == 0.5)
+      .select($"prob_micro").as[Long].head()
+    assert(p == 500000L)
   }
 
   test("quantized fixed-point logistic: integer replication, clamping, accuracy") {

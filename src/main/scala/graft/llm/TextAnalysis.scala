@@ -641,17 +641,26 @@ object TextAnalysis {
     *
     * Shape at scale: explode characters → count per (doc, char) — map-side
     * partial aggregation, one doc-keyed shuffle — then per-(doc,char)
-    * contributions `-(p)·ln(p)` rounded to micro-nats BEFORE the per-doc
+    * contributions `-(p)·ln(p)` in integer micro-nats BEFORE the per-doc
     * sum (integer-domain cross-row sum: exact under any aggregation order,
-    * oracle-reproducible).
+    * oracle-reproducible). The log is the fixed-point integer kernel
+    * ([[graft.functions.FixedPointLog]] — same steps in both engines), so
+    * no engine-native ln() reaches a compared value: the per-char term is
+    * `⌊(−cnt·lnNano(cnt,n) + 500·n) / (1000·n)⌋` (round-half-up at the
+    * micro grain; the numerator is never negative since cnt ≤ n).
+    * Int64 headroom: cnt·|lnNano| ≤ n·ln(n)·10⁹ stays inside int64 for
+    * any document below ~2·10⁸ chars — far past any real row.
     */
   def charEntropyBy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.FixedPointLog.{idiv, lnNanoCol}
     val chars = df.select(col(idCol),
       length(col(textCol)).cast("long").as("__n"),
       explode(split(col(textCol), "")).as("__c"))
     chars.groupBy(col(idCol), col("__n"), col("__c")).agg(count(lit(1)).as("__cnt"))
-      .withColumn("__p", col("__cnt").cast("double") / greatest(col("__n"), lit(1L)))
-      .withColumn("__e_micro", round(-col("__p") * log(col("__p")) * lit(1e6)).cast("long"))
+      .withColumn("__q", greatest(col("__n"), lit(1L)))
+      .withColumn("__e_micro",
+        idiv(-col("__cnt") * lnNanoCol(col("__cnt"), col("__q"))
+          + lit(500L) * col("__q"), lit(1000L) * col("__q")))
       .groupBy(col(idCol))
       .agg(min(col("__n")).as("n_chars"), sum(col("__e_micro")).as("entropy_micro"))
   }

@@ -198,6 +198,38 @@ object LlmQueries {
       |FROM docs d LEFT JOIN clean c ON d.doc_id = c.id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Shared per-character fixed-point entropy CTE chain: `chars` (one row
+    * per char), `gch0` (per-(doc,char) counts), then the lnNano alias
+    * steps `gch1..gchN` — [[entropyCharLast]] names the final CTE, which
+    * carries `h_ln = lnNano(cnt, greatest(n,1))` in nano-nats. The
+    * per-char micro-nat term is then
+    * `(-cnt*h_ln + 500*greatest(n,1)) // (1000*greatest(n,1))` — the
+    * [[graft.llm.TextAnalysis.charEntropyBy]] formula, integer end to
+    * end (no engine-native ln).
+    */
+  private lazy val entropyCharSteps =
+    graft.functions.FixedPointLog.lnNanoDuckSteps("cnt", "greatest(n, 1)", "h")
+  private lazy val entropyCharLast = s"gch${entropyCharSteps.size}"
+  private lazy val entropyCharCtes: String = {
+    val chain = entropyCharSteps.zipWithIndex.map { case ((e, a), i) =>
+      s"gch${i + 1} AS (SELECT *, $e AS $a FROM gch$i)"
+    }.mkString(",\n")
+    """chars AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+      |    unnest(list_transform(range(1, length(text) + 1), i -> text[i])) AS c
+      |  FROM documents),
+      |gch0 AS (SELECT doc_id, n, c, count(*) AS cnt FROM chars GROUP BY 1, 2, 3),
+      |""".stripMargin + chain
+  }
+
+  /** The entropy GATE the curation pipelines apply (threshold 2.8 nats),
+    * as a closing `ent` CTE over [[entropyCharCtes]]. */
+  private lazy val entropyGateCte: String =
+    """ent AS (SELECT doc_id FROM (
+      |    SELECT doc_id, sum((-cnt * h_ln + 500 * greatest(n, 1))
+      |      // (1000 * greatest(n, 1))) AS em
+      |    FROM """.stripMargin + entropyCharLast +
+      " GROUP BY 1) WHERE em >= 2800000)"
+
   /** Shared oracle for the two quality-model scoring paths (exploded
     * aggregation and the one-pass kernel — same contract, independent
     * implementations).
@@ -4009,19 +4041,11 @@ object LlmQueries {
       // Chained from the certified fragments of q_text_repetition,
       // q_text_entropy, q_decontaminate, q_dedup_exact_rows and
       // q_sample_weighted — one CTE per stage, same thresholds.
-      """WITH w AS (SELECT doc_id, source, text,
+      ("""WITH w AS (SELECT doc_id, source, text,
         |    string_split_regex(trim(text), '\s+') AS w FROM documents),
         |rep AS (SELECT doc_id FROM w
         |  WHERE CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.55),
-        |chars AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
-        |    unnest(list_transform(range(1, length(text) + 1), i -> text[i])) AS c
-        |  FROM documents),
-        |gch AS (SELECT doc_id, n, c, count(*) AS cnt FROM chars GROUP BY 1, 2, 3),
-        |ent AS (SELECT doc_id FROM (
-        |    SELECT doc_id, sum(CAST(round(-(CAST(cnt AS DOUBLE) / greatest(n, 1))
-        |      * ln(CAST(cnt AS DOUBLE) / greatest(n, 1)) * 1000000.0) AS BIGINT)) AS em
-        |    FROM gch GROUP BY 1) WHERE em >= 2800000),
-        |gated AS (SELECT * FROM w WHERE doc_id IN (SELECT doc_id FROM rep)
+        |""".stripMargin + entropyCharCtes + ",\n" + entropyGateCte + ",\n" + """gated AS (SELECT * FROM w WHERE doc_id IN (SELECT doc_id FROM rep)
         |  AND doc_id IN (SELECT doc_id FROM ent)),
         |bgr AS (SELECT doc_id,
         |    CASE WHEN len(w) >= 8 THEN list_transform(range(1, len(w) - 6),
@@ -4043,7 +4067,7 @@ object LlmQueries {
         |SELECT doc_id, d.source FROM dedup d JOIN tot USING (source) JOIN b USING (source)
         |WHERE CAST((doc_id * 2654435761) % 4294967296 AS HUGEINT) * tokens
         |    < CAST(budget AS HUGEINT) * 4294967296
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
 
     "q_pipeline_curation3" ->
       // Chained from the q_text_repetition, q_text_qmodel and
@@ -4074,19 +4098,11 @@ object LlmQueries {
       // The q_pipeline_curation2 stage chain, then the q_text_bpe closed
       // form for token counts, then the q_pack/q_pack_stats placement —
       // every fragment individually certified.
-      """WITH w AS (SELECT doc_id, source, text,
+      ("""WITH w AS (SELECT doc_id, source, text,
         |    string_split_regex(trim(text), '\s+') AS w FROM documents),
         |rep AS (SELECT doc_id FROM w
         |  WHERE CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.55),
-        |chars AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
-        |    unnest(list_transform(range(1, length(text) + 1), i -> text[i])) AS c
-        |  FROM documents),
-        |gch AS (SELECT doc_id, n, c, count(*) AS cnt FROM chars GROUP BY 1, 2, 3),
-        |ent AS (SELECT doc_id FROM (
-        |    SELECT doc_id, sum(CAST(round(-(CAST(cnt AS DOUBLE) / greatest(n, 1))
-        |      * ln(CAST(cnt AS DOUBLE) / greatest(n, 1)) * 1000000.0) AS BIGINT)) AS em
-        |    FROM gch GROUP BY 1) WHERE em >= 2800000),
-        |gated AS (SELECT * FROM w WHERE doc_id IN (SELECT doc_id FROM rep)
+        |""".stripMargin + entropyCharCtes + ",\n" + entropyGateCte + ",\n" + """gated AS (SELECT * FROM w WHERE doc_id IN (SELECT doc_id FROM rep)
         |  AND doc_id IN (SELECT doc_id FROM ent)),
         |bgr AS (SELECT doc_id,
         |    CASE WHEN len(w) >= 8 THEN list_transform(range(1, len(w) - 6),
@@ -4124,7 +4140,7 @@ object LlmQueries {
         |SELECT shard, CAST(pre // 512 AS BIGINT) AS chunk,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_decontaminate" ->
       // Exact-gram ground truth (the engine fingerprint-prefilters, then
@@ -4515,17 +4531,16 @@ object LlmQueries {
         |ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_text_entropy" ->
-      """WITH chars AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
-        |    unnest(list_transform(range(1, length(text) + 1), i -> text[i])) AS c
-        |  FROM documents),
-        |g AS (SELECT doc_id, n, c, count(*) AS cnt FROM chars GROUP BY 1, 2, 3),
-        |e AS (SELECT doc_id, n,
-        |    CAST(round(-(CAST(cnt AS DOUBLE) / greatest(n, 1))
-        |      * ln(CAST(cnt AS DOUBLE) / greatest(n, 1)) * 1000000.0) AS BIGINT) AS em
-        |  FROM g)
+      // The per-char −p·ln(p) term is the SAME fixed-point integer chain
+      // the Spark side runs (FixedPointLog — one generator, both engines).
+      ("WITH " + entropyCharCtes + """
+        |,e AS (SELECT doc_id, n,
+        |    (-cnt * h_ln + 500 * greatest(n, 1))
+        |      // (1000 * greatest(n, 1)) AS em
+        |  FROM """.stripMargin + entropyCharLast + """)
         |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_chars,
         |  CAST(sum(em) AS BIGINT) AS entropy_micro
-        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q_text_vocab" ->
       """WITH toks AS (SELECT doc_id,

@@ -84,6 +84,18 @@ object FixedPointLog {
   /** Signed floor division a ⌊/⌋ b (b > 0), exact at any int64 magnitude. */
   def fdiv(a: Column, b: Column): Column = idiv(a - pmod(a, b), b)
 
+  /** Nano → micro with round-half-up (⌊(x+500)/1000⌋ — exact on any sign;
+    * the shared grain step for compared micro-nat log terms). */
+  def microOfNano(nano: Column): Column = fdiv(nano + lit(500L), lit(1000L))
+
+  /** [[microOfNano]] as DuckDB SQL text (`//` truncates toward zero, so
+    * the floor is spelled out with the positive-mod trick). */
+  def microOfNanoDuck(nano: String): String =
+    s"((($nano) + 500) - (((($nano) + 500) % 1000 + 1000) % 1000)) // 1000"
+
+  /** JVM twin of [[microOfNano]] for spec oracles. */
+  def microOfNanoRef(nano: Long): Long = Math.floorDiv(nano + 500L, 1000L)
+
   /** ln(p/q) in nano-nats as a Spark Column (p, q positive long columns,
     * p/q ∈ (0, 2]). Pure integer expression tree — no `ln`/`exp` anywhere. */
   def lnNanoCol(p: Column, q: Column): Column = {

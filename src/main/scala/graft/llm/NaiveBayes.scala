@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   * an equi-join back onto the token stream, nothing lands on the
   * driver).
   *
-  * Exactness: every log term rounds to integer micro-nats BEFORE any
-  * cross-row sum (the bm25/LM discipline), so per-doc scores are exact
-  * integer sums — order-independent, bit-reproducible, and the DuckDB
-  * oracle replays them. Add-1 (Laplace) smoothing over the train
-  * vocabulary; out-of-vocabulary tokens at apply time score the
-  * per-class unseen weight ln(1/(total_c + V)).
+  * Exactness: every log term is an integer micro-nat computed by the
+  * fixed-point integer log ([[graft.functions.FixedPointLog]] — same
+  * steps in both engines, so no engine-native ln() reaches a compared
+  * weight; PLANS.md finding 37) BEFORE any cross-row sum (the bm25/LM
+  * discipline), so per-doc scores are exact integer sums —
+  * order-independent, bit-reproducible, and the DuckDB oracle replays
+  * them. Add-1 (Laplace) smoothing over the train vocabulary;
+  * out-of-vocabulary tokens at apply time score the per-class unseen
+  * weight ln(1/(total_c + V)).
   */
 object NaiveBayes {
 
@@ -61,22 +64,21 @@ object NaiveBayes {
     val nv = vocab.agg(count(lit(1)).as("__v"))
     val nd = train.groupBy(col(labelCol).as("__l")).agg(count(lit(1)).as("__nd"))
     val ntot = train.agg(count(lit(1)).as("__n"))
+    import graft.functions.FixedPointLog.{lnNanoCol, microOfNano}
     val classes = ct.join(nd, "__l")
       .crossJoin(broadcast(ntot)).crossJoin(broadcast(nv))
       .select(col("__l"),
-        round(log(col("__nd").cast("double") / col("__n").cast("double")) * 1e6)
-          .cast("long").as("__prior"),
-        round(log(lit(1.0) / (col("__t") + col("__v")).cast("double")) * 1e6)
-          .cast("long").as("__unseen"),
+        microOfNano(lnNanoCol(col("__nd"), col("__n"))).as("__prior"),
+        microOfNano(lnNanoCol(lit(1L), col("__t") + col("__v")))
+          .as("__unseen"),
         col("__t"))
       .localCheckpoint()
     val model = vocab.crossJoin(classes.select(col("__l"), col("__t")))
       .join(cw, Seq("__l", "__w"), "left")
       .crossJoin(broadcast(nv))
       .select(col("__l"), col("__w"),
-        round(log((coalesce(col("__c"), lit(0L)) + 1L).cast("double")
-          / (col("__t") + col("__v")).cast("double")) * 1e6)
-          .cast("long").as("__wt"))
+        microOfNano(lnNanoCol(coalesce(col("__c"), lit(0L)) + lit(1L),
+          col("__t") + col("__v"))).as("__wt"))
     NbModel(model,
       classes.select(col("__l"), col("__prior"), col("__unseen")), vocab)
   }

@@ -2738,8 +2738,24 @@ object LlmQueries {
   /** Shared CTE prefix of the naive-Bayes oracles: train + score +
     * ranked predictions (`rk`); each oracle appends its own final SELECT.
     */
-  private lazy val nbCteSql: String =
-    """WITH tr AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  private lazy val nbCteSql: String = {
+    // The three log weights (prior, unseen, in-vocab) run through the
+    // same fixed-point integer chains the Spark trainModel emits — one
+    // generator (FixedPointLog), both engines, no engine-native ln().
+    import graft.functions.FixedPointLog.{lnNanoDuckSteps, microOfNanoDuck}
+    def chain(from: String, pre: String, steps: Seq[(String, String)]): String =
+      steps.zipWithIndex.map { case ((e, a), i) =>
+        val src = if (i == 0) from else s"$pre${i}"
+        s"$pre${i + 1} AS (SELECT *, $e AS $a FROM $src)"
+      }.mkString(",\n")
+    val priSteps = lnNanoDuckSteps("nd", "(SELECT n FROM ndoc)", "p")
+    val unsSteps = lnNanoDuckSteps("1", "t + (SELECT v FROM nv)", "u")
+    val clsChain = chain("clsb", "cb", priSteps ++ unsSteps)
+    val clsLast = s"cb${(priSteps ++ unsSteps).size}"
+    val wtSteps = lnNanoDuckSteps("cp1", "tv", "m")
+    val mChain = chain("mb", "mc", wtSteps)
+    val mLast = s"mc${wtSteps.size}"
+    s"""WITH tr AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
         |  FROM documents WHERE doc_id % 2 = 0),
         |cw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
         |ct AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cw GROUP BY 1),
@@ -2748,18 +2764,20 @@ object LlmQueries {
         |pri AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd
         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
         |ndoc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE doc_id % 2 = 0),
-        |cls AS (SELECT ct.lang, ct.t,
-        |    CAST(round(ln(CAST(pri.nd AS DOUBLE) / CAST((SELECT n FROM ndoc) AS DOUBLE))
-        |      * 1000000.0) AS BIGINT) AS prior_micro,
-        |    CAST(round(ln(1.0 / CAST(ct.t + (SELECT v FROM nv) AS DOUBLE))
-        |      * 1000000.0) AS BIGINT) AS unseen_micro
-        |  FROM ct JOIN pri ON ct.lang = pri.lang),
-        |model AS (SELECT cls.lang, voc.w,
-        |    CAST(round(ln(CAST(coalesce(cw.c, 0) + 1 AS DOUBLE)
-        |      / CAST(cls.t + (SELECT v FROM nv) AS DOUBLE)) * 1000000.0) AS BIGINT) AS wt
+        |clsb AS (SELECT ct.lang, ct.t, pri.nd FROM ct JOIN pri ON ct.lang = pri.lang),
+        |$clsChain,
+        |cls AS (SELECT lang, t,
+        |    CAST(${microOfNanoDuck("p_ln")} AS BIGINT) AS prior_micro,
+        |    CAST(${microOfNanoDuck("u_ln")} AS BIGINT) AS unseen_micro
+        |  FROM $clsLast),
+        |mb AS (SELECT cls.lang, voc.w, coalesce(cw.c, 0) + 1 AS cp1,
+        |    cls.t + (SELECT v FROM nv) AS tv
         |  FROM voc CROSS JOIN cls
         |  LEFT JOIN cw ON cw.lang = cls.lang AND cw.w = voc.w),
-        |ho AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |$mChain,
+        |model AS (SELECT lang, w, CAST(${microOfNanoDuck("m_ln")} AS BIGINT) AS wt
+        |  FROM $mLast),
+        |ho AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
         |  FROM documents WHERE doc_id % 2 = 1),
         |inv AS (SELECT ho.doc_id, m.lang, m.wt FROM ho JOIN model m ON ho.w = m.w),
         |oov AS (SELECT ho.doc_id, cls.lang, cls.unseen_micro AS wt
@@ -2772,6 +2790,7 @@ object LlmQueries {
         |rk AS (SELECT doc_id, lang, score_micro,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, lang) AS rn
         |  FROM fin)""".stripMargin
+  }
 
   /** Bradley–Terry oracle: the 20 MM iterations UNROLLED as generated CTE
     * steps (one d/r/p triple per iteration) — DuckDB's recursive CTEs

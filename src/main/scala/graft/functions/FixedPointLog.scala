@@ -101,6 +101,13 @@ object FixedPointLog {
   def lnNanoCol(p: Column, q: Column): Column = {
     val pB = p.cast("decimal(20,0)") * lit(Scale).cast("decimal(10,0)")
     val u = greatest(idiv(pB, q.cast("decimal(20,0)")), lit(1L))
+    seriesFromU(u)
+  }
+
+  /** Up-ladder + atanh series over the fixed-point value `u` (long,
+    * u·2⁻³⁰ ∈ (0, 2]) — the shared tail of [[lnNanoCol]] and
+    * [[lnNanoWideCol]]. Returns ln(u/2³⁰)·10⁹. */
+  private def seriesFromU(u: Column): Column = {
     // Normalization ladder: m = u·2^k ∈ [2^30, 2^31]; k = #doublings.
     val m = (1 to 30).foldLeft(when(u >= lit(Scale), u)) { (acc, j) =>
       acc.when(u >= lit(Scale >> j), u * lit(1L << j))
@@ -116,6 +123,134 @@ object FixedPointLog {
     idiv(s * lit(2000000000L), lit(Scale)) - k * lit(Ln2Nano)
   }
 
+  // ----------------------------------------------------------- wide-domain ln
+
+  /** Max binary pre-halvings in the wide variant: ratios up to 2⁴⁶ (≈7·10¹³)
+    * — enough for ln(N/df)-shaped corpus statistics at any realistic scale
+    * (10¹³ docs), guarded loudly beyond. */
+  val WideMaxJ: Int = 45
+
+  private val WideGuardMsg =
+    s"lnNanoWide: ratio p/q exceeds 2^${WideMaxJ + 1}"
+
+  /** ln(p/q) for p/q ∈ (0, 2⁴⁶] — [[lnNanoRef]] with a binary pre-reduction:
+    * the largest j with p/q > 2ʲ (integer form: (p−1) div 2ʲ ≥ q) gives
+    * p/(q·2ʲ) ∈ (1, 2], the core series runs there, and j·ln2 is added
+    * back. No branch fires for p/q ≤ 2, so the wide variant is BIT-EQUAL
+    * to [[lnNanoRef]] on the narrow domain — the two can mix freely in one
+    * query family. Same integer ops in all three engines ⇒ identical by
+    * construction. */
+  def lnNanoWideRef(p: Long, q: Long): Long = {
+    require(p > 0 && q > 0, s"lnNanoWideRef needs positive p,q; got $p/$q")
+    require((p - 1) / (1L << (WideMaxJ + 1)) < q, WideGuardMsg + s" ($p/$q)")
+    var j = 0
+    var jj = WideMaxJ
+    while (jj >= 1 && j == 0) { if ((p - 1) / (1L << jj) >= q) j = jj; jj -= 1 }
+    val u =
+      if (j > 0) ((BigInt(p) * Scale) / (BigInt(q) << j)).toLong
+      else math.max(((BigInt(p) * Scale) / q).toLong, 1L)
+    var k = 0
+    while (k < 30 && (u << k) < Scale) k += 1
+    val m = u << k
+    val z = (m - Scale) * Scale / (m + Scale)
+    val z2 = z * z / Scale
+    var t = z
+    var s = z
+    for (d <- SeriesOdd) { t = t * z2 / Scale; s += t / d }
+    2 * s * 1000000000L / Scale - k * Ln2Nano + j * Ln2Nano
+  }
+
+  /** [[lnNanoWideRef]] as ONE Spark Column expression. The j-branch divides
+    * q UP in decimal(38,0) (q·2ʲ ≤ 9.2·10¹⁸·2⁴⁵ < 10³³ — exact), so no bit
+    * of p is ever dropped; each branch's quotient lands in [2³⁰, 2³¹) and
+    * the shared series tail runs unchanged.
+    *
+    * WARNING — tree size: the series ladders re-embed the 46-branch `u`
+    * CASE ~60×, giving a ~10⁶-node expression. Fine as a single standalone
+    * column (specs, one-off projections); in a real query plan use
+    * [[withLnNanoWide]], which materializes each step as a projected
+    * column and keeps the plan linear. */
+  def lnNanoWideCol(p: Column, q: Column): Column = {
+    val pB = p.cast("decimal(38,0)") * lit(Scale).cast("decimal(10,0)")
+    val qD = q.cast("decimal(38,0)")
+    def uAt(j: Int): Column =
+      idiv(pB, qD * lit(java.math.BigDecimal.valueOf(1L << j)))
+    val guard = idiv(p - lit(1L), lit(1L << (WideMaxJ + 1))) >= q
+    val u = (WideMaxJ - 1 to 1 by -1).foldLeft(
+        when(guard, raise_error(lit(WideGuardMsg)).cast("long"))
+          .when(idiv(p - lit(1L), lit(1L << WideMaxJ)) >= q, uAt(WideMaxJ))) { (acc, j) =>
+        acc.when(idiv(p - lit(1L), lit(1L << j)) >= q, uAt(j))
+      }
+      .otherwise(greatest(idiv(pB, qD), lit(1L)))
+    val j = (WideMaxJ - 1 to 1 by -1).foldLeft(
+        when(guard, raise_error(lit(WideGuardMsg)).cast("long"))
+          .when(idiv(p - lit(1L), lit(1L << WideMaxJ)) >= q, lit(WideMaxJ.toLong))) { (acc, jj) =>
+        acc.when(idiv(p - lit(1L), lit(1L << jj)) >= q, lit(jj.toLong))
+      }
+      .otherwise(lit(0L))
+    seriesFromU(u) + j * lit(Ln2Nano)
+  }
+
+  /** Appends `out` = ln(p/q)·10⁹ (the [[lnNanoWideRef]] algorithm) to `df`
+    * as a CHAIN of projected steps — u, j, m, k, z, z², the six series
+    * powers — each computed once per row and referenced by attribute, the
+    * Spark mirror of [[lnNanoWideDuckSteps]]'s lateral-alias chain. A
+    * single nested Column would re-embed the 46-branch wide ladder inside
+    * the 31-branch series ladders (~10⁶ nodes — analysis OOM); this keeps
+    * the plan linear (~10³ nodes), and CollapseProject leaves the steps
+    * separate because each is non-cheap and multiply-referenced. `p` and
+    * `q` should be cheap expressions (attributes / literals / small
+    * arithmetic). Intermediates are dropped.
+    */
+  def withLnNanoWide(df: org.apache.spark.sql.DataFrame, p: Column, q: Column,
+      out: String): org.apache.spark.sql.DataFrame = {
+    def c(suffix: String): String = s"__${out}_$suffix"
+    val guard = idiv(p - lit(1L), lit(1L << (WideMaxJ + 1))) >= q
+    val pB = p.cast("decimal(38,0)") * lit(Scale).cast("decimal(10,0)")
+    val qD = q.cast("decimal(38,0)")
+    def uAt(j: Int): Column =
+      idiv(pB, qD * lit(java.math.BigDecimal.valueOf(1L << j)))
+    val uExpr = (WideMaxJ - 1 to 1 by -1).foldLeft(
+        when(guard, raise_error(lit(WideGuardMsg)).cast("long"))
+          .when(idiv(p - lit(1L), lit(1L << WideMaxJ)) >= q, uAt(WideMaxJ))) { (acc, j) =>
+        acc.when(idiv(p - lit(1L), lit(1L << j)) >= q, uAt(j))
+      }
+      .otherwise(greatest(idiv(pB, qD), lit(1L)))
+    val jExpr = (WideMaxJ - 1 to 1 by -1).foldLeft(
+        when(guard, raise_error(lit(WideGuardMsg)).cast("long"))
+          .when(idiv(p - lit(1L), lit(1L << WideMaxJ)) >= q, lit(WideMaxJ.toLong))) { (acc, jj) =>
+        acc.when(idiv(p - lit(1L), lit(1L << jj)) >= q, lit(jj.toLong))
+      }
+      .otherwise(lit(0L))
+    val u = col(c("u"))
+    val mExpr = (1 to 30).foldLeft(when(u >= lit(Scale), u)) { (acc, j) =>
+      acc.when(u >= lit(Scale >> j), u * lit(1L << j))
+    }
+    val kExpr = (1 to 30).foldLeft(when(u >= lit(Scale), lit(0L))) { (acc, j) =>
+      acc.when(u >= lit(Scale >> j), lit(j.toLong))
+    }
+    var d = df.withColumn(c("u"), uExpr).withColumn(c("j"), jExpr)
+      .withColumn(c("m"), mExpr).withColumn(c("k"), kExpr)
+      .withColumn(c("z"),
+        idiv((col(c("m")) - lit(Scale)) * lit(Scale), col(c("m")) + lit(Scale)))
+      .withColumn(c("z2"), idiv(col(c("z")) * col(c("z")), lit(Scale)))
+    var prev = c("z")
+    for (i <- SeriesOdd.indices) {
+      val t = c(s"t${2 * i + 3}")
+      d = d.withColumn(t, idiv(col(prev) * col(c("z2")), lit(Scale)))
+      prev = t
+    }
+    val s = col(c("z")) + SeriesOdd.zipWithIndex
+      .map { case (dv, i) => idiv(col(c(s"t${2 * i + 3}")), lit(dv)) }
+      .reduce(_ + _)
+    val drops = Seq("u", "j", "m", "k", "z", "z2").map(c) ++
+      SeriesOdd.indices.map(i => c(s"t${2 * i + 3}"))
+    d.withColumn(out,
+        idiv(s * lit(2000000000L), lit(Scale))
+          - col(c("k")) * lit(Ln2Nano) + col(c("j")) * lit(Ln2Nano))
+      .drop(drops: _*)
+  }
+
   // ------------------------------------------------------------ DuckDB side
 
   /** The same algorithm as DuckDB SQL, emitted as `(expr, alias)` pairs for
@@ -123,8 +258,15 @@ object FixedPointLog {
     * aliases). `p` and `q` are SQL fragments that must already be HUGEINT
     * (or safely within BIGINT); the final alias `<pre>_ln` is the nano-nat
     * result. */
-  def lnNanoDuckSteps(p: String, q: String, pre: String): Seq[(String, String)] = {
-    val B = Scale
+  def lnNanoDuckSteps(p: String, q: String, pre: String): Seq[(String, String)] =
+    (s"greatest((($p) * $B) // ($q), 1)", s"${pre}_u") +: duckSeriesTail(pre, jTerm = "")
+
+  private def B = Scale
+
+  /** The m/k ladders + atanh series from alias `<pre>_u` onward — the tail
+    * shared by [[lnNanoDuckSteps]] and [[lnNanoWideDuckSteps]] (`jTerm` is
+    * the wide variant's `+ <pre>_j * ln2` recombination, empty otherwise). */
+  private def duckSeriesTail(pre: String, jTerm: String): Seq[(String, String)] = {
     val mLadder = (s"WHEN ${pre}_u >= $B THEN ${pre}_u" +:
       (1 to 30).map(j => s"WHEN ${pre}_u >= ${B >> j} THEN ${pre}_u * ${1L << j}"))
       .mkString("CASE ", " ", " END")
@@ -138,13 +280,33 @@ object FixedPointLog {
     val sumS = s"${pre}_z + " + SeriesOdd.zipWithIndex
       .map { case (d, i) => s"${pre}_t${2 * i + 3} // $d" }.mkString(" + ")
     Seq(
-      (s"greatest((($p) * $B) // ($q), 1)", s"${pre}_u"),
       (mLadder, s"${pre}_m"),
       (kLadder, s"${pre}_k"),
       (s"((${pre}_m - $B) * $B) // (${pre}_m + $B)", s"${pre}_z"),
       (s"${pre}_z * ${pre}_z // $B", s"${pre}_z2")) ++
       powers :+
-      ((s"($sumS) * 2000000000 // $B - ${pre}_k * CAST($Ln2Nano AS BIGINT)",
+      ((s"($sumS) * 2000000000 // $B - ${pre}_k * CAST($Ln2Nano AS BIGINT)$jTerm",
         s"${pre}_ln"))
+  }
+
+  /** [[lnNanoWideCol]] as DuckDB SQL steps (HUGEINT carries the q·2ʲ
+    * products). Same aliases contract as [[lnNanoDuckSteps]]. */
+  def lnNanoWideDuckSteps(p: String, q: String, pre: String): Seq[(String, String)] = {
+    val guard =
+      s"WHEN ((($p) - 1) // ${1L << (WideMaxJ + 1)}) >= ($q) THEN " +
+        s"CAST(error('$WideGuardMsg') AS BIGINT)"
+    val uBranches = (WideMaxJ to 1 by -1).map { j =>
+      s"WHEN ((($p) - 1) // ${1L << j}) >= ($q) THEN " +
+        s"CAST((CAST(($p) AS HUGEINT) * $B) // (CAST(($q) AS HUGEINT) * ${1L << j}) AS BIGINT)"
+    }
+    val jBranches = (WideMaxJ to 1 by -1).map { j =>
+      s"WHEN ((($p) - 1) // ${1L << j}) >= ($q) THEN $j"
+    }
+    val uCase = (guard +: uBranches)
+      .mkString("CASE ", " ",
+        s" ELSE CAST(greatest((CAST(($p) AS HUGEINT) * $B) // ($q), 1) AS BIGINT) END")
+    val jCase = (guard +: jBranches).mkString("CASE ", " ", " ELSE 0 END")
+    Seq((uCase, s"${pre}_u"), (jCase, s"${pre}_j")) ++
+      duckSeriesTail(pre, jTerm = s" + ${pre}_j * CAST($Ln2Nano AS BIGINT)")
   }
 }

@@ -25,8 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
 final case class FrozenLm(
     unigrams: Map[String, Long],
     bigrams: Map[String, Long],
-    total: Double,
-    alpha: Double) extends Serializable {
+    total: Long,
+    alphaNum: Long,
+    alphaDen: Long) extends Serializable {
   @transient lazy val cuMap: java.util.HashMap[String, java.lang.Long] = {
     val m = new java.util.HashMap[String, java.lang.Long](unigrams.size * 2)
     unigrams.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
@@ -41,20 +42,18 @@ final case class FrozenLm(
 
 /** Static scoring loops — BIT-IDENTICAL to the relational formulation:
   * same tokenization (lower → trim → `\s+`-split, Spark's limit = -1),
-  * same per-position float op order, same HALF_UP micro-nat rounding
-  * BEFORE the sum (Spark's `round` is BigDecimal.valueOf + HALF_UP, NOT
-  * Math.round — they differ on negative .5 boundaries). q_lm_frozen pins
-  * kernel == join-pipeline against the same DuckDB oracle.
+  * same fixed-point integer log per position (FixedPointLog.lnNanoRef —
+  * the one algorithm all three engines run) with the shared half-up
+  * nano→micro grain step BEFORE the sum. q_lm_frozen pins kernel ==
+  * join-pipeline against the same DuckDB oracle.
   */
 object LmImpl {
-
-  private def roundHalfUp(v: Double): Long =
-    JBigDecimal.valueOf(v).setScale(0, RoundingMode.HALF_UP).longValue()
 
   private def toks(t: UTF8String): Array[String] =
     t.toLowerCase.trim.toString.split("\\s+", -1)
 
   def logpMicro(t: UTF8String, lm: FrozenLm): Long = {
+    import FixedPointLog.{lnNanoRef, microOfNanoRef}
     val ts = toks(t)
     var sum = 0L; var i = 0; var prev: String = null
     while (i < ts.length) {
@@ -62,11 +61,11 @@ object LmImpl {
       val cbw = if (prev != null) lm.cbMap.get(prev + " " + w) else null
       if (cbw != null) {
         val cprev = lm.cuMap.get(prev) // bigram seen ⇒ prev seen
-        sum += roundHalfUp(math.log(cbw.doubleValue() / cprev.doubleValue()) * 1e6)
+        sum += microOfNanoRef(lnNanoRef(cbw.longValue(), cprev.longValue()))
       } else {
         val cw = lm.cuMap.get(w)
-        val c = if (cw == null) 1.0 else cw.doubleValue()
-        sum += roundHalfUp(math.log(lm.alpha * (c / lm.total)) * 1e6)
+        val c = if (cw == null) 1L else cw.longValue()
+        sum += microOfNanoRef(lnNanoRef(lm.alphaNum * c, lm.alphaDen * lm.total))
       }
       prev = w; i += 1
     }

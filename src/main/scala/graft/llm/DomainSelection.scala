@@ -61,9 +61,15 @@ object DomainSelection {
   /** Per-document DSIR importance weights of `raw` against `target`:
     * `(idCol, n_feats, logw_micro)` with `logw_micro` the exact integer
     * sum of per-feature micro-nat log-ratios
-    * `round(ln((c_t(b)+1)/(N_t+nBuckets))·1e6) −
-    *  round(ln((c_s(b)+1)/(N_s+nBuckets))·1e6)`,
+    * `micro(ln((c_t(b)+1)/(N_t+nBuckets))) − micro(ln((c_s(b)+1)/(N_s+nBuckets)))`,
     * source counts taken from `raw` itself (the paper's q = the raw pool).
+    * Each log term is the fixed-point integer log
+    * ([[graft.functions.FixedPointLog]] — the same algorithm the DuckDB
+    * oracle replays), so no engine-native `ln` reaches a compared value
+    * (finding 37: shared rounding of independently computed
+    * transcendentals flips at rounding boundaries). Bound: feature counts
+    * must stay ≤ ~2·10¹⁶ (the lnNano decimal(20,0) contract) — ~10⁸ docs
+    * of 10⁸ grams before it matters.
     */
   def importanceWeights(
       raw: DataFrame,
@@ -72,7 +78,8 @@ object DomainSelection {
       textCol: String = "text",
       nBuckets: Int = 8192): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    val nB = lit(nBuckets.toDouble)
+    import graft.functions.FixedPointLog.{lnNanoCol, microOfNano}
+    val nB = lit(nBuckets.toLong)
     val fRaw = features(raw, idCol, textCol, nBuckets)
     val fTgt = features(target, idCol, textCol, nBuckets)
     // The count tables are the TRAINED ARTIFACT (≤ nBuckets rows each) —
@@ -93,18 +100,18 @@ object DomainSelection {
     // log-ratio and rank garbage silently.
     require(!tc.isEmpty, "empty target corpus: no features to fit p_target")
     require(!sc.isEmpty, "empty raw corpus: no features to fit p_source")
-    val nt = tc.agg(sum(col("__ct")).cast("double").as("__nt"))
-    val ns = sc.agg(sum(col("__cs")).cast("double").as("__ns"))
+    val nt = tc.agg(sum(col("__ct")).as("__nt"))
+    val ns = sc.agg(sum(col("__cs")).as("__ns"))
     fRaw
       .join(broadcast(tc), Seq("__b"), "left")
       .join(broadcast(sc), Seq("__b"), "left")
       .crossJoin(broadcast(nt))
       .crossJoin(broadcast(ns))
       .withColumn("__lr",
-        round(log((coalesce(col("__ct"), lit(0L)).cast("double") + 1.0) /
-          (col("__nt") + nB)) * 1e6).cast("long")
-        - round(log((coalesce(col("__cs"), lit(0L)).cast("double") + 1.0) /
-          (col("__ns") + nB)) * 1e6).cast("long"))
+        microOfNano(lnNanoCol(coalesce(col("__ct"), lit(0L)) + lit(1L),
+          col("__nt") + nB))
+        - microOfNano(lnNanoCol(coalesce(col("__cs"), lit(0L)) + lit(1L),
+          col("__ns") + nB)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum(col("__lr")).as("logw_micro"))
   }
@@ -165,12 +172,18 @@ object DomainSelection {
   }
 
   /** Gumbel top-k importance resampling: keep the `k` documents with the
-    * largest `logw/1e6 + Gumbel(u_doc)` keys — equivalent to sampling k
-    * docs without replacement with probability ∝ w (the Gumbel-max trick),
-    * made DETERMINISTIC by deriving each doc's uniform from the certified
-    * poly fingerprint of its id: u = (fp(id)+1)/1000000008 ∈ (0, 1).
-    * Keys round to 6 decimals (the transcendental-parity rule), ties break
-    * by id. Returns `(idCol, logw_micro, gumbel_key)`, key-descending.
+    * largest `logw_micro + micro(−ln(−ln u_doc))` keys — equivalent to
+    * sampling k docs without replacement with probability ∝ w (the
+    * Gumbel-max trick), made DETERMINISTIC by deriving each doc's uniform
+    * from the certified poly fingerprint of its id:
+    * u = (fp(id)+1)/1000000008 ∈ (0, 1). The double-log runs entirely in
+    * fixed-point integers ([[graft.functions.FixedPointLog]]: the inner
+    * ln(u) on the rational directly, the outer on the nano-nat magnitude
+    * over 10⁹, wide variant for the (0, 20.8] outer ratio) — both engines
+    * run the same ladder, so keys are identical by construction; the inner
+    * result is clamped to ≤ −1 nano before the outer log (u within 10⁻⁹ of
+    * 1 would otherwise hit ln(0) — same clamp both engines). Ties break by
+    * id. Returns `(idCol, logw_micro, gumbel_key_micro)`, key-descending.
     */
   def resampleTopK(
       raw: DataFrame,
@@ -180,13 +193,16 @@ object DomainSelection {
       textCol: String = "text",
       nBuckets: Int = 8192): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    import graft.functions.FixedPointLog.{lnNanoCol, microOfNano, withLnNanoWide}
     val w = importanceWeights(raw, target, idCol, textCol, nBuckets)
-    val u = (TextAnalysis.fingerprint(col(idCol).cast("string"))
-      .cast("double") + 1.0) / 1000000008.0
-    w.withColumn("gumbel_key",
-        round(col("logw_micro").cast("double") / 1e6 + -log(-log(u)), 6))
-      .select(col(idCol), col("logw_micro"), col("gumbel_key"))
-      .orderBy(col("gumbel_key").desc, col(idCol))
+    val fp1 = TextAnalysis.fingerprint(col(idCol).cast("string")) + lit(1L)
+    withLnNanoWide(
+        w.withColumn("__nlu",
+          greatest(-lnNanoCol(fp1, lit(1000000008L)), lit(1L))),
+        col("__nlu"), lit(1000000000L), "__gln")
+      .withColumn("gumbel_key_micro", col("logw_micro") + microOfNano(-col("__gln")))
+      .select(col(idCol), col("logw_micro"), col("gumbel_key_micro"))
+      .orderBy(col("gumbel_key_micro").desc, col(idCol))
       .limit(k)
   }
 }

@@ -57,30 +57,35 @@ object Relevance {
     * deterministic across engines.
     */
   private def corpusN(docs: DataFrame, idCol: String): DataFrame =
-    docs.select(col(idCol)).agg(count(lit(1)).cast("double").as("__n"))
+    docs.select(col(idCol)).agg(count(lit(1)).as("__n"))
 
-  /** Top-`k` TF-IDF terms per document: `(id, term, tfidf)` with
-    * `tfidf = round(tf * ln(N / df), 6)`, ranked per doc by (tfidf desc,
-    * term asc) — the rank key uses the ROUNDED score so any engine ranking
-    * the same rounded values agrees.
+  /** Top-`k` TF-IDF terms per document: `(id, term, tfidf_micro)` with
+    * `tfidf_micro = micro(tf · ln(N / df))` — the log is the fixed-point
+    * integer kernel ([[graft.functions.FixedPointLog.lnNanoWideCol]]; the
+    * N/df ratio reaches N, far past the narrow (0,2] domain) scaled by the
+    * integer tf in nano-nats, THEN rounded to micro half-up, so both
+    * engines produce the identical integer and the per-doc rank key cannot
+    * sit on an engine-dependent rounding boundary (finding 37). Ranked per
+    * doc by (tfidf_micro desc, term asc).
     */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    import graft.functions.FixedPointLog.{microOfNano, withLnNanoWide}
     val tf = termFrequencies(docs, idCol, textCol)
     // df as count-over-window on the term key: one evaluation of the
     // explode+aggregate subtree (nothing to persist), one shuffle on term —
     // exactly the shuffle the former df-aggregate+join pair performed, with
     // the same hot-term skew profile (a stopword's rows land in one
     // partition either way; counting them is O(partition), no driver state).
-    val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
-      .crossJoin(broadcast(corpusN(docs, idCol)))
-      .withColumn("tfidf",
-        round(col("tf").cast("double") * log(col("__n") / col("df")), 6))
-    val w = Window.partitionBy(col("id")).orderBy(col("tfidf").desc, col("term"))
+    val scored = withLnNanoWide(
+        tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+          .crossJoin(broadcast(corpusN(docs, idCol))),
+        col("__n"), col("df"), "__lnnd")
+      .withColumn("tfidf_micro", microOfNano(col("tf") * col("__lnnd")))
+    val w = Window.partitionBy(col("id")).orderBy(col("tfidf_micro").desc, col("term"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .select(col("id"), col("term"), col("tfidf"))
+      .select(col("id"), col("term"), col("tfidf_micro"))
   }
 
   /** BM25 scores of every document against a literal bag-of-terms query:
@@ -91,23 +96,37 @@ object Relevance {
     * score(d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len_d/avglen)),
     * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) — the standard Robertson/Okapi
     * form. Documents matching no query term are omitted.
+    *
+    * Exactness: k1 and b are rationals (defaults 6/5 and 3/4 — the classic
+    * 1.2/0.75), which makes the whole saturation factor one integer
+    * fraction; idf is `micro(ln((2N+2)/(2df+1)))` through the fixed-point
+    * wide log (the algebraic collapse of the Robertson form — the ratio
+    * reaches 2N). Each contribution is `round(idf_micro·N/D)` in
+    * DECIMAL(38,0) integer cross-multiplication (HUGEINT in the oracle), so
+    * no engine-native ln/division-of-doubles reaches a compared value
+    * (finding 37). The micro-quantization of idf BEFORE the saturation
+    * product costs < 1e-6·2.2 per contribution — far below ranking grain.
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String, query: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1Num: Long = 6L, k1Den: Long = 5L,
+      bNum: Long = 3L, bDen: Long = 4L): DataFrame = {
     require(query.nonEmpty, "query must have at least one term")
+    require(k1Num >= 0 && k1Den > 0, s"k1 must be a nonneg rational: $k1Num/$k1Den")
+    require(bNum >= 0 && bDen > 0 && bNum <= bDen,
+      s"b must be a rational in [0, 1]: $bNum/$bDen")
+    import graft.functions.FixedPointLog.{idiv, microOfNano, withLnNanoWide}
     val q = query.map(_.toLowerCase).distinct
     // Query-term tf only: the isin filter runs BELOW the (id, term)
     // aggregation shuffle, so non-query tokens never leave the map side.
     val qTf = termFrequencies(docs, idCol, textCol)
       .filter(col("term").isin(q: _*))
     val lens = docs.select(col(idCol).as("id"),
-      size(toks(col(textCol))).cast("double").as("len"))
+      size(toks(col(textCol))).cast("long").as("len"))
     // Corpus scalars in ONE lazy one-row aggregate: N and the total token
-    // count (both integers, so avglen = sumlen/n is the same deterministic
-    // double the former two driver-side actions produced).
+    // count, kept as exact integers for the cross-multiplied saturation.
     val stats = docs.select(size(toks(col(textCol))).as("len"))
-      .agg(count(lit(1)).cast("double").as("__n"),
-        sum(col("len")).cast("double").as("__sumlen"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("len")).cast("long").as("__sumlen"))
     // df of the (≤|query|) query terms, computed straight from the corpus
     // as its own tiny aggregate: the filter leaves ≤|query| distinct keys,
     // partial map-side counts combine before the exchange, so a stopword
@@ -119,18 +138,29 @@ object Relevance {
     // here, but it is a pure codegen'd map — linear and parallel.
     val dfs = docs.select(
         explode(filter(array_distinct(toks(col(textCol))), t => t.isin(q: _*))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
-    qTf.join(broadcast(dfs), "term")
-      .join(lens, "id")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // 1 + (N−df+0.5)/(df+0.5) = (2N+2)/(2df+1): one wide fixed-point log.
+    // Saturation as one integer fraction (num/den scaled by k1Den·bDen·
+    // sumlen), contribution = round-half-up(idf_micro·num/den) in
+    // DECIMAL(38,0) — ≤ ~10²⁶ at 100 TB corpus sizes, well inside 38
+    // digits.
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    withLnNanoWide(
+        qTf.join(broadcast(dfs), "term")
+          .join(lens, "id")
+          .crossJoin(broadcast(stats)),
+        lit(2L) * col("__n") + lit(2L), lit(2L) * col("df") + lit(1L),
+        "__idfln")
+      .withColumn("__idfm", microOfNano(col("__idfln")))
+      .withColumn("__num",
+        dec(col("tf")) * lit((k1Num + k1Den) * bDen) * dec(col("__sumlen")))
+      .withColumn("__den",
+        dec(col("tf")) * lit(k1Den * bDen) * dec(col("__sumlen"))
+          + lit(k1Num * (bDen - bNum)) * dec(col("__sumlen"))
+          + lit(k1Num * bNum) * dec(col("len")) * dec(col("__n")))
       .withColumn("contrib_micro",
-        round(col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / (col("__sumlen") / col("__n"))))
-          * lit(1e6)).cast("long"))
+        idiv(lit(2L) * col("__idfm") * col("__num") + col("__den"),
+          lit(2L) * col("__den")))
       .groupBy(col("id"))
       .agg(sum(col("contrib_micro")).as("score_micro"))
   }
@@ -149,10 +179,11 @@ object Relevance {
     * JUDGED query gets a result row — a ranker that returned nothing for a
     * query scores 0, it does not vanish from the report.
     *
-    * Exactness (the integer micro-unit discipline): each nDCG gain
-    * `round(1e6 / log2(rank+1))` rounds to an integer micro BEFORE any
-    * sum — and is only ever evaluated at ranks 1..k, a finite table both
-    * engines agree on — so cross-row sums are integer-exact under any
+    * Exactness (the integer micro-unit discipline): the nDCG gains
+    * `round(1e6 / log2(rank+1))` for ranks 1..k are computed ONCE on the
+    * JVM ([[dcgGainsMicro]]) and embedded as a literal lookup array in
+    * BOTH engines' plans — no engine-native log2 reaches a compared value
+    * (finding 37), and cross-row sums are integer-exact under any
     * aggregation order; recall/precision/MRR/nDCG ratios are exact integer
     * divisions (the `(a − a mod b)/b` Column idiom, IEEE-exact < 2⁵³).
     *
@@ -203,21 +234,28 @@ object Relevance {
           .as("auc_micro"))
   }
 
+  /** nDCG gain table `round(1e6/log2(r+1))` for r = 1..k — computed ONCE
+    * on the JVM and embedded as literals in both engines' plans, the
+    * shared-lookup-table discipline of finding 37. */
+  def dcgGainsMicro(k: Int): IndexedSeq[Long] =
+    (1 to k).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
   def rankingMetrics(ranked: DataFrame, judgments: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     def exactDiv(a: Column, b: Column): Column =
       ((a - pmod(a, b)) / b).cast("long")
+    val gains = dcgGainsMicro(k)
     def gainOf(rank: Column): Column =
-      round(lit(1000000.0) / log2(rank.cast("double") + lit(1.0))).cast("long")
+      element_at(typedLit(gains), rank.cast("int"))
     val rel = judgments.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
     val hit = ranked.filter(col("rank") <= k)
       .join(judgments, Seq("query_id", "id"))
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("hits"), min(col("rank")).as("__fr"),
         sum(gainOf(col("rank"))).as("__dcg"))
-    val idcg = aggregate(
-      sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
-      lit(0L), (s, r) => s + gainOf(r))
+    // Ideal DCG: the cumulative-gain table, also a JVM literal.
+    val idcg = element_at(typedLit(gains.scanLeft(0L)(_ + _).tail),
+      least(col("n_rel"), lit(k.toLong)).cast("int"))
     rel.join(hit, Seq("query_id"), "left")
       .na.fill(0L, Seq("hits", "__dcg"))
       .withColumn("recall_micro", exactDiv(col("hits") * 1000000L, col("n_rel")))

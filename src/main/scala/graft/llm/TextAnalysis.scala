@@ -430,13 +430,14 @@ object TextAnalysis {
     * broadcast. Nothing lands on the driver.
     */
   def unigramLmScoreBy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.FixedPointLog.{lnNanoCol, microOfNano}
     val toks = df.select(col(idCol), explode(tokensWs(lower(col(textCol)))).as("__t"))
     val vocab = toks.groupBy(col("__t")).agg(count(lit(1)).as("__cnt"))
-    val total = toks.agg(count(lit(1)).cast("double").as("__total"))
+    val total = toks.agg(count(lit(1)).as("__total"))
     toks.join(vocab, "__t")
       .crossJoin(broadcast(total))
       .withColumn("__lp_micro",
-        round(log(col("__cnt").cast("double") / col("__total")) * 1e6).cast("long"))
+        microOfNano(lnNanoCol(col("__cnt"), col("__total"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__lp_micro")).as("logp_micro"))
   }
@@ -477,7 +478,11 @@ object TextAnalysis {
     * rides a one-row broadcast. Nothing lands on the driver.
     */
   def bigramBackoffScoreAgainst(train: DataFrame, df: DataFrame,
-      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+      idCol: String, textCol: String,
+      alphaNum: Long = 2L, alphaDen: Long = 5L): DataFrame = {
+    require(alphaNum > 0 && alphaDen > 0 && alphaNum <= alphaDen,
+      s"backoff alpha must be a rational in (0, 1]: $alphaNum/$alphaDen")
+    import graft.functions.FixedPointLog.{lnNanoCol, microOfNano}
     val trainPos = lmPositions(train, textCol, Seq.empty)
     // The count tables are materialized once: they are O(train vocab) —
     // the artifact, not the corpus — and without this the plan evaluates
@@ -488,7 +493,7 @@ object TextAnalysis {
     // exactly the position count).
     val cu = trainPos.groupBy(col("__w")).agg(count(lit(1)).as("__cw"))
       .localCheckpoint()
-    val total = cu.agg(sum(col("__cw")).cast("double").as("__total"))
+    val total = cu.agg(sum(col("__cw")).as("__total"))
     val cb = trainPos.filter(col("__prev").isNotNull)
       .groupBy(col("__prev"), col("__w")).agg(count(lit(1)).as("__cbw"))
       .localCheckpoint()
@@ -498,10 +503,13 @@ object TextAnalysis {
       .join(cu.select(col("__w").as("__prev"), col("__cw").as("__cprev")),
         Seq("__prev"), "left")
       .crossJoin(broadcast(total))
+      // Both branches run the fixed-point integer log (no engine-native
+      // ln reaches a compared value): ln(α·c/N) = lnNano(αnum·c, αden·N).
       .withColumn("__lpm", when(col("__cbw").isNotNull,
-          round(log(col("__cbw").cast("double") / col("__cprev").cast("double")) * 1e6).cast("long"))
-        .otherwise(
-          round(log(lit(alpha) * (coalesce(col("__cw"), lit(1L)).cast("double") / col("__total"))) * 1e6).cast("long")))
+          microOfNano(lnNanoCol(col("__cbw"), col("__cprev"))))
+        .otherwise(microOfNano(lnNanoCol(
+          lit(alphaNum) * coalesce(col("__cw"), lit(1L)),
+          lit(alphaDen) * col("__total")))))
       .withColumn("__hit", when(col("__cbw").isNotNull, lit(1L)).otherwise(lit(0L)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__hit")).as("n_bigram_hits"),
@@ -526,11 +534,12 @@ object TextAnalysis {
     * tail).
     */
   def perplexityBuckets(train: DataFrame, df: DataFrame,
-      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+      idCol: String, textCol: String,
+      alphaNum: Long = 2L, alphaDen: Long = 5L): DataFrame = {
     // Materialized once: three consumers (both threshold aggregates and the
     // final projection) would otherwise each replay the full LM-score join
     // pipeline — three corpus passes (round-9 plan audit).
-    val scored = bigramBackoffScoreAgainst(train, df, idCol, textCol, alpha)
+    val scored = bigramBackoffScoreAgainst(train, df, idCol, textCol, alphaNum, alphaDen)
       .withColumn("__nn", expr("(-logp_micro) DIV n_tokens")) // positive: lp < 0 always
       .localCheckpoint()
     val m1 = scored.agg(sum(col("__nn")).as("__s1"), count(lit(1)).as("__n1"))
@@ -583,7 +592,7 @@ object TextAnalysis {
     * oracle.
     */
   def freezeLm(train: DataFrame, textCol: String = "text",
-      alpha: Double = 0.4,
+      alphaNum: Long = 2L, alphaDen: Long = 5L,
       minUnigramCount: Long = 1L,
       minBigramCount: Long = 1L,
       maxUnigrams: Int = Int.MaxValue,
@@ -621,7 +630,7 @@ object TextAnalysis {
     val cb = cbKept
       .select(concat_ws(" ", col("__prev"), col("__w")).as("k"), col("n"))
       .as[(String, Long)].collect().toMap
-    graft.functions.FrozenLm(cu, cb, total.toDouble, alpha)
+    graft.functions.FrozenLm(cu, cb, total, alphaNum, alphaDen)
   }
 
   /** Self-trained [[bigramBackoffScoreAgainst]]. Degenerate on purpose —
@@ -631,8 +640,8 @@ object TextAnalysis {
     * quality gate.
     */
   def bigramBackoffScoreBy(df: DataFrame, idCol: String, textCol: String,
-      alpha: Double = 0.4): DataFrame =
-    bigramBackoffScoreAgainst(df, df, idCol, textCol, alpha)
+      alphaNum: Long = 2L, alphaDen: Long = 5L): DataFrame =
+    bigramBackoffScoreAgainst(df, df, idCol, textCol, alphaNum, alphaDen)
 
   /** Character-entropy gibberish score per document: Shannon entropy of the
     * character distribution, in integer micro-nats — near-zero for repeated

@@ -221,6 +221,49 @@ object LlmQueries {
       |""".stripMargin + chain
   }
 
+  /** Shared fixed-point scoring block for the Stupid-Backoff LM oracles:
+    * consumes CTEs `pos` (doc_id, prev, w), `cu` (w, cw), a bigram table
+    * `cbName` (prev, w, cbw) and `tot` (total BIGINT); emits `sc0..scN`
+    * and a final `sc` (doc_id, lpm, hit). Both branches — ln(cbw/cprev)
+    * and the backoff ln(2·c/(5·N)) — run the same fixed-point integer
+    * chains the Spark side computes (FixedPointLog; α = 2/5 exactly). On
+    * backoff rows the bigram chain null-propagates harmlessly (the CASE
+    * never reads it), and vice versa. */
+  private def lmScoreScCtes(cbName: String): String = {
+    import graft.functions.FixedPointLog.{lnNanoDuckSteps, microOfNanoDuck}
+    val steps = lnNanoDuckSteps("cbw", "cpw", "bg") ++
+      lnNanoDuckSteps("2 * coalesce(cuw, 1)", "5 * (SELECT total FROM tot)", "bo")
+    val chain = steps.zipWithIndex.map { case ((e, a), i) =>
+      s"sc${i + 1} AS (SELECT *, $e AS $a FROM sc$i)"
+    }.mkString(",\n")
+    s"""sc0 AS (SELECT pos.doc_id, $cbName.cbw AS cbw, cp.cw AS cpw, cu.cw AS cuw
+      |  FROM pos
+      |  LEFT JOIN $cbName ON pos.prev = $cbName.prev AND pos.w = $cbName.w
+      |  LEFT JOIN cu ON pos.w = cu.w
+      |  LEFT JOIN cu cp ON pos.prev = cp.w),
+      |$chain,
+      |sc AS (SELECT doc_id,
+      |    CASE WHEN cbw IS NOT NULL THEN CAST(${microOfNanoDuck("bg_ln")} AS BIGINT)
+      |      ELSE CAST(${microOfNanoDuck("bo_ln")} AS BIGINT) END AS lpm,
+      |    CASE WHEN cbw IS NOT NULL THEN 1 ELSE 0 END AS hit
+      |  FROM sc${steps.size})""".stripMargin
+  }
+
+  /** Fixed-point per-position unigram-LM term for the q_lm_score oracle:
+    * consumes `toks` (doc_id, t), `v` (t, cnt) and `tot` (total BIGINT);
+    * emits `lp0..lpN` and the final `lp` (doc_id, lpm). */
+  private lazy val lmUnigramLpCtes: String = {
+    import graft.functions.FixedPointLog.{lnNanoDuckSteps, microOfNanoDuck}
+    val steps = lnNanoDuckSteps("cnt", "(SELECT total FROM tot)", "ug")
+    val chain = steps.zipWithIndex.map { case ((e, a), i) =>
+      s"lp${i + 1} AS (SELECT *, $e AS $a FROM lp$i)"
+    }.mkString(",\n")
+    s"""lp0 AS (SELECT doc_id, cnt FROM toks JOIN v USING (t)),
+      |$chain,
+      |lp AS (SELECT doc_id, CAST(${microOfNanoDuck("ug_ln")} AS BIGINT) AS lpm
+      |  FROM lp${steps.size})""".stripMargin
+  }
+
   /** The entropy GATE the curation pipelines apply (threshold 2.8 nats),
     * as a closing `ent` CTE over [[entropyCharCtes]]. */
   private lazy val entropyGateCte: String =
@@ -257,10 +300,23 @@ object LlmQueries {
     * fingerprint as a `list_reduce`), add-one-smoothed target/source
     * counts, per-feature micro-nat log-ratios summed per doc. Target =
     * doc_id % 3 == 0, nBuckets = 8192 — mirrors q_dsir_weights exactly.
+    * Both log-ratio terms run the fixed-point integer log chains the Spark
+    * side emits (FixedPointLog — one generator, both engines), so no
+    * engine-native ln() reaches a compared value.
     */
-  private lazy val dsirAggSql: String =
-    """WITH t AS (SELECT doc_id,
-      |    string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+  private lazy val dsirAggSql: String = {
+    import graft.functions.FixedPointLog.{lnNanoDuckSteps, microOfNanoDuck}
+    val tgtSteps = lnNanoDuckSteps(
+      "coalesce(ct, 0) + 1", "(SELECT n FROM nt) + 8192", "dt")
+    val srcSteps = lnNanoDuckSteps(
+      "coalesce(cs, 0) + 1", "(SELECT n FROM ns) + 8192", "ds")
+    val chain = (tgtSteps ++ srcSteps).zipWithIndex.map { case ((e, a), i) =>
+      val src = if (i == 0) "lr0" else s"lr$i"
+      s"lr${i + 1} AS (SELECT *, $e AS $a FROM $src)"
+    }.mkString(",\n")
+    val last = s"lr${tgtSteps.size + srcSteps.size}"
+    s"""WITH t AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents),
       |pos AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t),
       |feats AS (SELECT doc_id, ts[i] AS g FROM pos
       |  UNION ALL SELECT doc_id, ts[i-1] || ' ' || ts[i] AS g FROM pos WHERE i > 1),
@@ -269,16 +325,18 @@ object LlmQueries {
       |    (acc, c) -> (acc * 131 + c) % 1000000007) % 8192 AS b FROM feats),
       |tfb AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM fb WHERE doc_id % 3 = 0 GROUP BY 1),
       |sfb AS (SELECT b, CAST(count(*) AS BIGINT) AS cs FROM fb GROUP BY 1),
-      |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM fb WHERE doc_id % 3 = 0),
-      |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM fb),
-      |lr AS (SELECT fb.doc_id,
-      |    CAST(round(ln((CAST(coalesce(tfb.ct, 0) AS DOUBLE) + 1.0)
-      |      / ((SELECT n FROM nt) + 8192.0)) * 1000000.0) AS BIGINT)
-      |  - CAST(round(ln((CAST(coalesce(sfb.cs, 0) AS DOUBLE) + 1.0)
-      |      / ((SELECT n FROM ns) + 8192.0)) * 1000000.0) AS BIGINT) AS lrm
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fb WHERE doc_id % 3 = 0),
+      |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fb),
+      |lr0 AS (SELECT fb.doc_id, tfb.ct, sfb.cs
       |  FROM fb LEFT JOIN tfb ON fb.b = tfb.b LEFT JOIN sfb ON fb.b = sfb.b),
+      |$chain,
+      |lr AS (SELECT doc_id,
+      |    CAST(${microOfNanoDuck("dt_ln")} AS BIGINT)
+      |  - CAST(${microOfNanoDuck("ds_ln")} AS BIGINT) AS lrm
+      |  FROM $last),
       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
       |    CAST(sum(lrm) AS BIGINT) AS logw_micro FROM lr GROUP BY 1)""".stripMargin
+  }
 
   /** Shared oracle for the two Stupid-Backoff scoring paths (the
     * relational join pipeline and the frozen-LM one-pass kernel — same
@@ -292,20 +350,10 @@ object LlmQueries {
       |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM trpos GROUP BY 1),
       |cb AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS cbw
       |  FROM trpos WHERE prev IS NOT NULL GROUP BY 1, 2),
-      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM trpos),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM trpos),
       |sp AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t),
       |pos AS (SELECT doc_id, CASE WHEN i > 1 THEN ts[i - 1] END AS prev, ts[i] AS w FROM sp),
-      |sc AS (SELECT pos.doc_id,
-      |    CASE WHEN cb.cbw IS NOT NULL
-      |      THEN CAST(round(ln(CAST(cb.cbw AS DOUBLE) / CAST(cp.cw AS DOUBLE)) * 1000000.0) AS BIGINT)
-      |      ELSE CAST(round(ln(0.4 * (CAST(coalesce(cu.cw, 1) AS DOUBLE)
-      |        / (SELECT total FROM tot))) * 1000000.0) AS BIGINT)
-      |    END AS lpm,
-      |    CASE WHEN cb.cbw IS NOT NULL THEN 1 ELSE 0 END AS hit
-      |  FROM pos
-      |  LEFT JOIN cb ON pos.prev = cb.prev AND pos.w = cb.w
-      |  LEFT JOIN cu ON pos.w = cu.w
-      |  LEFT JOIN cu cp ON pos.prev = cp.w)
+      |""".stripMargin + lmScoreScCtes("cb") + """
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
       |  CAST(sum(hit) AS BIGINT) AS n_bigram_hits,
       |  CAST(sum(lpm) AS BIGINT) AS logp_micro
@@ -4223,16 +4271,14 @@ object LlmQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "q_lm_score" ->
-      """WITH toks AS (SELECT doc_id,
+      ("""WITH toks AS (SELECT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t FROM documents),
         |v AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
-        |lp AS (SELECT doc_id,
-        |    CAST(round(ln(CAST(cnt AS DOUBLE) / (SELECT total FROM tot)) * 1000000.0) AS BIGINT) AS lpm
-        |  FROM toks JOIN v USING (t))
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks),
+        |""".stripMargin + lmUnigramLpCtes + """
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(lpm) AS BIGINT) AS logp_micro
-        |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q_lm_backoff" -> lmBackoffSql,
 
@@ -4240,7 +4286,7 @@ object LlmQueries {
     "q_lm_frozen" -> lmBackoffSql,
 
     "q_lm_frozen_pruned" ->
-      """WITH t AS (SELECT doc_id,
+      ("""WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
         |tr AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t WHERE doc_id % 2 = 0),
         |trpos AS (SELECT CASE WHEN i > 1 THEN ts[i - 1] END AS prev, ts[i] AS w FROM tr),
@@ -4249,47 +4295,27 @@ object LlmQueries {
         |cb0 AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS cbw
         |  FROM trpos WHERE prev IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 2),
         |cbk AS (SELECT cb0.prev, cb0.w, cb0.cbw FROM cb0 JOIN cu ON cb0.prev = cu.w),
-        |tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS total FROM cua),
+        |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS total FROM cua),
         |sp AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t),
         |pos AS (SELECT doc_id, CASE WHEN i > 1 THEN ts[i - 1] END AS prev, ts[i] AS w FROM sp),
-        |sc AS (SELECT pos.doc_id,
-        |    CASE WHEN cbk.cbw IS NOT NULL
-        |      THEN CAST(round(ln(CAST(cbk.cbw AS DOUBLE) / CAST(cp.cw AS DOUBLE)) * 1000000.0) AS BIGINT)
-        |      ELSE CAST(round(ln(0.4 * (CAST(coalesce(cu.cw, 1) AS DOUBLE)
-        |        / (SELECT total FROM tot))) * 1000000.0) AS BIGINT)
-        |    END AS lpm,
-        |    CASE WHEN cbk.cbw IS NOT NULL THEN 1 ELSE 0 END AS hit
-        |  FROM pos
-        |  LEFT JOIN cbk ON pos.prev = cbk.prev AND pos.w = cbk.w
-        |  LEFT JOIN cu ON pos.w = cu.w
-        |  LEFT JOIN cu cp ON pos.prev = cp.w)
+        |""".stripMargin + lmScoreScCtes("cbk") + """
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(hit) AS BIGINT) AS n_bigram_hits,
         |  CAST(sum(lpm) AS BIGINT) AS logp_micro
-        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q_lm_buckets" ->
-      """WITH t AS (SELECT doc_id,
+      ("""WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
         |tr AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t WHERE doc_id % 2 = 0),
         |trpos AS (SELECT CASE WHEN i > 1 THEN ts[i - 1] END AS prev, ts[i] AS w FROM tr),
         |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM trpos GROUP BY 1),
         |cb AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS cbw
         |  FROM trpos WHERE prev IS NOT NULL GROUP BY 1, 2),
-        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM trpos),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM trpos),
         |sp AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t),
         |pos AS (SELECT doc_id, CASE WHEN i > 1 THEN ts[i - 1] END AS prev, ts[i] AS w FROM sp),
-        |sc AS (SELECT pos.doc_id,
-        |    CASE WHEN cb.cbw IS NOT NULL
-        |      THEN CAST(round(ln(CAST(cb.cbw AS DOUBLE) / CAST(cp.cw AS DOUBLE)) * 1000000.0) AS BIGINT)
-        |      ELSE CAST(round(ln(0.4 * (CAST(coalesce(cu.cw, 1) AS DOUBLE)
-        |        / (SELECT total FROM tot))) * 1000000.0) AS BIGINT)
-        |    END AS lpm,
-        |    CASE WHEN cb.cbw IS NOT NULL THEN 1 ELSE 0 END AS hit
-        |  FROM pos
-        |  LEFT JOIN cb ON pos.prev = cb.prev AND pos.w = cb.w
-        |  LEFT JOIN cu ON pos.w = cu.w
-        |  LEFT JOIN cu cp ON pos.prev = cp.w),
+        |""".stripMargin + lmScoreScCtes("cb") + """,
         |doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |    CAST(sum(hit) AS BIGINT) AS n_bigram_hits,
         |    CAST(sum(lpm) AS BIGINT) AS logp_micro
@@ -4303,10 +4329,10 @@ object LlmQueries {
         |  CASE WHEN nnv <= (SELECT m1v FROM m1) THEN 'head'
         |       WHEN nnv <= coalesce((SELECT m2v FROM m2), (SELECT m1v FROM m1)) THEN 'middle'
         |       ELSE 'tail' END AS bucket
-        |FROM nn ORDER BY doc_id""".stripMargin,
+        |FROM nn ORDER BY doc_id""".stripMargin),
 
     "q_pipeline_ccnet" ->
-      """WITH lt AS (SELECT doc_id, text,
+      ("""WITH lt AS (SELECT doc_id, text,
         |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |v AS (SELECT doc_id, text,
         |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
@@ -4327,20 +4353,10 @@ object LlmQueries {
         |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM trpos GROUP BY 1),
         |cb AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS cbw
         |  FROM trpos WHERE prev IS NOT NULL GROUP BY 1, 2),
-        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM trpos),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM trpos),
         |sp AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t),
         |pos AS (SELECT doc_id, CASE WHEN i > 1 THEN ts[i - 1] END AS prev, ts[i] AS w FROM sp),
-        |sc AS (SELECT pos.doc_id,
-        |    CASE WHEN cb.cbw IS NOT NULL
-        |      THEN CAST(round(ln(CAST(cb.cbw AS DOUBLE) / CAST(cp.cw AS DOUBLE)) * 1000000.0) AS BIGINT)
-        |      ELSE CAST(round(ln(0.4 * (CAST(coalesce(cu.cw, 1) AS DOUBLE)
-        |        / (SELECT total FROM tot))) * 1000000.0) AS BIGINT)
-        |    END AS lpm,
-        |    CASE WHEN cb.cbw IS NOT NULL THEN 1 ELSE 0 END AS hit
-        |  FROM pos
-        |  LEFT JOIN cb ON pos.prev = cb.prev AND pos.w = cb.w
-        |  LEFT JOIN cu ON pos.w = cu.w
-        |  LEFT JOIN cu cp ON pos.prev = cp.w),
+        |""".stripMargin + lmScoreScCtes("cb") + """,
         |doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |    CAST(sum(lpm) AS BIGINT) AS logp_micro
         |  FROM sc GROUP BY 1),
@@ -4353,7 +4369,7 @@ object LlmQueries {
         |       WHEN nnv <= coalesce((SELECT m2v FROM m2), (SELECT m1v FROM m1)) THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |  FROM nn)
-        |SELECT doc_id, bucket FROM b WHERE bucket != 'tail' ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, bucket FROM b WHERE bucket != 'tail' ORDER BY doc_id""".stripMargin),
 
     "q_text_repetition_segments" ->
       """WITH d2 AS (SELECT doc_id,
@@ -4536,18 +4552,35 @@ object LlmQueries {
       s"""$dsirAggSql
         |SELECT doc_id, n_feats, logw_micro FROM agg ORDER BY doc_id""".stripMargin,
 
-    "q_dsir_sample" ->
+    "q_dsir_sample" -> {
+      // Integer Gumbel keys: inner ln(u) on the fingerprint rational, outer
+      // ln on the clamped nano magnitude (wide chain) — the same
+      // FixedPointLog ladders the Spark resampleTopK emits.
+      import graft.functions.FixedPointLog.{
+        lnNanoDuckSteps, lnNanoWideDuckSteps, microOfNanoDuck}
+      val inSteps = lnNanoDuckSteps("fp + 1", "1000000008", "gi")
+      val outSteps = lnNanoWideDuckSteps("nlu", "1000000000", "go")
+      def chain(from: String, pre: String, steps: Seq[(String, String)]): String =
+        steps.zipWithIndex.map { case ((e, a), i) =>
+          val src = if (i == 0) from else s"$pre$i"
+          s"$pre${i + 1} AS (SELECT *, $e AS $a FROM $src)"
+        }.mkString(",\n")
       s"""$dsirAggSql,
+        |fpc AS (SELECT doc_id, logw_micro,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |        j -> CAST(ascii(CAST(doc_id AS VARCHAR)[j]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) AS fp
+        |  FROM agg),
+        |${chain("fpc", "gk", inSteps)},
+        |gneg AS (SELECT *, greatest(-gi_ln, 1) AS nlu FROM gk${inSteps.size}),
+        |${chain("gneg", "gw", outSteps)},
         |keys AS (SELECT doc_id, logw_micro,
-        |    round(CAST(logw_micro AS DOUBLE) / 1000000.0
-        |      + (- ln(- ln((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |          list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
-        |            j -> CAST(ascii(CAST(doc_id AS VARCHAR)[j]) AS BIGINT))),
-        |          (acc, c) -> (acc * 131 + c) % 1000000007) AS DOUBLE) + 1.0)
-        |        / 1000000008.0))), 6) AS gumbel_key
-        |  FROM agg)
-        |SELECT doc_id, logw_micro, gumbel_key FROM keys
-        |ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin,
+        |    logw_micro + (${microOfNanoDuck("-go_ln")}) AS gumbel_key_micro
+        |  FROM gw${outSteps.size})
+        |SELECT doc_id, logw_micro, gumbel_key_micro FROM keys
+        |ORDER BY gumbel_key_micro DESC, doc_id LIMIT 100""".stripMargin
+    },
 
     "q_text_entropy" ->
       // The per-char −p·ln(p) term is the SAME fixed-point integer chain

@@ -625,6 +625,40 @@ object ScaleQueries {
   private val toksSql =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> length(t) > 0)"
 
+  /** Shared BM25 oracle idf chain: `micro(ln((2N+2)/(2df+1)))` through the
+    * wide fixed-point log — expects CTEs `tf`(id, term, tf) and `n`(n) in
+    * scope, defines `idf`(term, idf_micro). Mirrors Relevance.bm25 (one
+    * FixedPointLog generator, both engines).
+    */
+  private lazy val bm25IdfChainSql: String = {
+    import graft.functions.FixedPointLog.{lnNanoWideDuckSteps, microOfNanoDuck}
+    val steps = lnNanoWideDuckSteps("2 * (SELECT n FROM n) + 2", "2 * df + 1", "bi")
+    val chain = steps.zipWithIndex.map { case ((e, a), i) =>
+      val src = if (i == 0) "idf0" else s"bic$i"
+      s"bic${i + 1} AS (SELECT *, $e AS $a FROM $src)"
+    }.mkString(",\n")
+    s"""idf0 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+$chain,
+idf AS (SELECT term, CAST(${microOfNanoDuck("bi_ln")} AS BIGINT) AS idf_micro
+  FROM bic${steps.size})"""
+  }
+
+  /** Shared BM25 oracle contribution: `round-half-up(idf_micro·num/den)`
+    * with the k1 = 6/5, b = 3/4 saturation as one HUGEINT integer fraction
+    * (num/den scaled by k1Den·bDen·sumlen = 20·sumlen) — expects row
+    * aliases `t` (tf), `i` (idf), `l` (lens) and CTEs `sl`(sumlen),
+    * `n`(n).
+    */
+  private val bm25ContribSql: String =
+    "CAST((2 * CAST(i.idf_micro AS HUGEINT)" +
+      " * (44 * CAST(t.tf AS HUGEINT) * (SELECT sumlen FROM sl))" +
+      " + (20 * CAST(t.tf AS HUGEINT) * (SELECT sumlen FROM sl)" +
+      " + 6 * (SELECT sumlen FROM sl)" +
+      " + 18 * CAST(l.len AS HUGEINT) * (SELECT n FROM n)))" +
+      " // (2 * (20 * CAST(t.tf AS HUGEINT) * (SELECT sumlen FROM sl)" +
+      " + 6 * (SELECT sumlen FROM sl)" +
+      " + 18 * CAST(l.len AS HUGEINT) * (SELECT n FROM n))) AS BIGINT)"
+
   def oracleSql: Map[String, String] = Map(
     "q_join_bloom" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
@@ -748,19 +782,31 @@ object ScaleQueries {
         |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS epoch
         |FROM c ORDER BY doc_id, epoch""".stripMargin,
 
-    "q_text_tfidf" ->
+    "q_text_tfidf" -> {
+      // ln(N/df) through the wide fixed-point chain (ratio reaches N),
+      // scaled by integer tf in nano-nats, micro-rounded — mirrors
+      // Relevance.tfidfTopK (one FixedPointLog generator, both engines).
+      import graft.functions.FixedPointLog.{lnNanoWideDuckSteps, microOfNanoDuck}
+      val steps = lnNanoWideDuckSteps("(SELECT n FROM n)", "df", "ti")
+      val chain = steps.zipWithIndex.map { case ((e, a), i) =>
+        val src = if (i == 0) "sc0" else s"sc$i"
+        s"sc${i + 1} AS (SELECT *, $e AS $a FROM $src)"
+      }.mkString(",\n")
       s"""WITH tf AS (SELECT id, term, count(*) AS tf FROM (
         |    SELECT doc_id AS id, unnest($toksSql) AS term FROM documents)
         |  GROUP BY id, term),
-        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |sc0 AS (SELECT id, term, tf, df FROM tf JOIN df USING (term)),
+        |$chain,
         |scored AS (SELECT id, term,
-        |    round(CAST(tf AS DOUBLE) * ln((SELECT n FROM n) / df), 6) AS tfidf
-        |  FROM tf JOIN df USING (term)),
-        |ranked AS (SELECT id, term, tfidf,
-        |    row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS rn
+        |    CAST(${microOfNanoDuck("tf * ti_ln")} AS BIGINT) AS tfidf_micro
+        |  FROM sc${steps.size}),
+        |ranked AS (SELECT id, term, tfidf_micro,
+        |    row_number() OVER (PARTITION BY id ORDER BY tfidf_micro DESC, term) AS rn
         |  FROM scored)
-        |SELECT id, term, tfidf FROM ranked WHERE rn <= 5 ORDER BY id, term""".stripMargin,
+        |SELECT id, term, tfidf_micro FROM ranked WHERE rn <= 5 ORDER BY id, term""".stripMargin
+    },
 
     "q_pipeline_rag" ->
       s"""WITH aug AS (SELECT doc_id, text FROM documents
@@ -776,17 +822,13 @@ object ScaleQueries {
         |  FROM ch),
         |p AS (SELECT doc_id * 1000 + chunk_idx AS id, text FROM r WHERE rn = 1),
         |toks AS (SELECT id, unnest($toksSql) AS term FROM p),
-        |lens AS (SELECT id, CAST(len($toksSql) AS DOUBLE) AS len FROM p),
-        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM p),
-        |a AS (SELECT sum(len) / (SELECT n FROM n) AS avglen FROM lens),
+        |lens AS (SELECT id, CAST(len($toksSql) AS BIGINT) AS len FROM p),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+        |sl AS (SELECT CAST(sum(len) AS BIGINT) AS sumlen FROM lens),
         |tf AS (SELECT id, term, count(*) AS tf FROM toks
         |  WHERE term IN ('join', 'hash', 'filter') GROUP BY id, term),
-        |idf AS (SELECT term, ln(1.0 + ((SELECT n FROM n) - CAST(count(*) AS DOUBLE) + 0.5)
-        |    / (CAST(count(*) AS DOUBLE) + 0.5)) AS idf
-        |  FROM tf GROUP BY term),
-        |c AS (SELECT t.id, CAST(round(i.idf * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
-        |      / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-        |        + 0.75 * l.len / (SELECT avglen FROM a))) * 1000000.0) AS BIGINT) AS cm
+        |$bm25IdfChainSql,
+        |c AS (SELECT t.id, $bm25ContribSql AS cm
         |  FROM tf t JOIN idf i USING (term) JOIN lens l USING (id)),
         |s AS (SELECT id, CAST(sum(cm) AS BIGINT) AS score_micro FROM c GROUP BY id)
         |SELECT id, score_micro FROM s
@@ -794,39 +836,32 @@ object ScaleQueries {
 
     "q_text_bm25" ->
       s"""WITH toks AS (SELECT doc_id AS id, unnest($toksSql) AS term FROM documents),
-        |lens AS (SELECT doc_id AS id, CAST(len($toksSql) AS DOUBLE) AS len FROM documents),
-        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-        |a AS (SELECT sum(len) / (SELECT n FROM n) AS avglen FROM lens),
+        |lens AS (SELECT doc_id AS id, CAST(len($toksSql) AS BIGINT) AS len FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |sl AS (SELECT CAST(sum(len) AS BIGINT) AS sumlen FROM lens),
         |tf AS (SELECT id, term, count(*) AS tf FROM toks
         |  WHERE term IN ('join', 'hash', 'filter') GROUP BY id, term),
-        |idf AS (SELECT term, ln(1.0 + ((SELECT n FROM n) - CAST(count(*) AS DOUBLE) + 0.5)
-        |    / (CAST(count(*) AS DOUBLE) + 0.5)) AS idf
-        |  FROM tf GROUP BY term),
-        |c AS (SELECT t.id, CAST(round(i.idf * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
-        |      / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-        |        + 0.75 * l.len / (SELECT avglen FROM a))) * 1000000.0) AS BIGINT) AS cm
+        |$bm25IdfChainSql,
+        |c AS (SELECT t.id, $bm25ContribSql AS cm
         |  FROM tf t JOIN idf i USING (term) JOIN lens l USING (id))
         |SELECT id, CAST(sum(cm) AS BIGINT) AS score_micro FROM c
         |GROUP BY id ORDER BY id""".stripMargin,
 
-    // Full replay of BM25 ranking + judgments + metrics. nDCG gains are
-    // round(1e6/log2(rank+1)) — only ever evaluated at ranks 1..10, a
-    // finite table both engines agree on; every cross-row sum is integer.
+    // Full replay of BM25 ranking + judgments + metrics. nDCG gains and
+    // ideal-DCG cumulative sums are JVM-computed literal tables embedded
+    // in both engines' plans (Relevance.dcgGainsMicro — no engine-native
+    // log2 reaches a compared value); every cross-row sum is integer.
     "q_text_retrieval_eval" ->
       s"""WITH qt AS (SELECT * FROM (VALUES (0, 'join'), (0, 'hash'),
         |    (1, 'filter'), (1, 'scan'), (2, 'window'), (2, 'sort')) AS t(query_id, term)),
         |toks AS (SELECT doc_id AS id, unnest($toksSql) AS term FROM documents),
-        |lens AS (SELECT doc_id AS id, CAST(len($toksSql) AS DOUBLE) AS len FROM documents),
-        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-        |a AS (SELECT sum(len) / (SELECT n FROM n) AS avglen FROM lens),
+        |lens AS (SELECT doc_id AS id, CAST(len($toksSql) AS BIGINT) AS len FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |sl AS (SELECT CAST(sum(len) AS BIGINT) AS sumlen FROM lens),
         |tf AS (SELECT id, term, count(*) AS tf FROM toks
         |  WHERE term IN (SELECT term FROM qt) GROUP BY id, term),
-        |idf AS (SELECT term, ln(1.0 + ((SELECT n FROM n) - CAST(count(*) AS DOUBLE) + 0.5)
-        |    / (CAST(count(*) AS DOUBLE) + 0.5)) AS idf
-        |  FROM tf GROUP BY term),
-        |c AS (SELECT q.query_id, t.id, CAST(round(i.idf * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
-        |      / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-        |        + 0.75 * l.len / (SELECT avglen FROM a))) * 1000000.0) AS BIGINT) AS cm
+        |$bm25IdfChainSql,
+        |c AS (SELECT q.query_id, t.id, $bm25ContribSql AS cm
         |  FROM qt q JOIN tf t USING (term) JOIN idf i USING (term) JOIN lens l USING (id)),
         |scores AS (SELECT query_id, id, CAST(sum(cm) AS BIGINT) AS score_micro
         |  FROM c GROUP BY query_id, id),
@@ -842,17 +877,14 @@ object ScaleQueries {
         |rel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM jd GROUP BY query_id),
         |hits AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits,
         |    min(r.rank) AS fr,
-        |    sum(CAST(round(1000000 / log2(r.rank + 1)) AS BIGINT)) AS dcg
+        |    sum(([${graft.llm.Relevance.dcgGainsMicro(10).mkString(", ")}])[r.rank]) AS dcg
         |  FROM rk r JOIN jd USING (query_id, id) GROUP BY r.query_id),
         |m AS (SELECT rel.query_id, rel.n_rel, coalesce(h.hits, 0) AS hits,
         |    h.fr, coalesce(h.dcg, 0) AS dcg
         |  FROM rel LEFT JOIN hits h USING (query_id)),
-        |pre AS (SELECT r.r AS i,
-        |    sum(CAST(round(1000000 / log2(r2.r + 1)) AS BIGINT)) AS idcg
-        |  FROM range(1, 11) r(r), range(1, 11) r2(r) WHERE r2.r <= r.r
-        |  GROUP BY r.r),
-        |i AS (SELECT m.query_id, p.idcg FROM m
-        |  JOIN pre p ON p.i = least(m.n_rel, 10))
+        |i AS (SELECT m.query_id,
+        |    ([${graft.llm.Relevance.dcgGainsMicro(10).scanLeft(0L)(_ + _).tail.mkString(", ")}])[least(m.n_rel, 10)] AS idcg
+        |  FROM m)
         |SELECT CAST(m.query_id AS BIGINT) AS query_id, m.n_rel, m.hits,
         |  CAST((m.hits * 1000000) // m.n_rel AS BIGINT) AS recall_micro,
         |  CAST((m.hits * 1000000) // 10 AS BIGINT) AS precision_micro,

@@ -51,6 +51,76 @@ class FixedPointLogSpec extends SparkTestBase {
       Seq((-3L, -4L), (3L, 3L), (-4L, -4L), (0L, 0L)))
   }
 
+  // Wide-domain grid: ratios from tiny up to near the 2^46 guard, with
+  // exact powers of two sitting ON ladder branch boundaries.
+  private val wideCases: Seq[(Long, Long)] = Seq(
+    (1L, 3L), (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+    (1L << 31, 1L), ((1L << 31) - 1L, 1L), ((1L << 31) + 1L, 1L),
+    (1L << 45, 1L), ((1L << 45) + 12345L, 7L), ((1L << 46) - 1L, 1L),
+    (987654321098L, 12345L), (999999999999999L, 31L),
+    (70368744177663L, 1L), (20000000000000000L, 450L),
+    (7L, 20000000000000000L), (3141592653589793L, 271828L))
+
+  test("lnNanoWideRef tracks math.log within quantization error") {
+    for ((p, q) <- wideCases) {
+      val got = FixedPointLog.lnNanoWideRef(p, q) / 1e9
+      val want = math.log(p.toDouble / q.toDouble)
+      // Same u-quantization bound as the narrow test (dominates for tiny x).
+      val tol = 2.0 * q.toDouble / (p.toDouble * FixedPointLog.Scale) + 1e-6
+      assert(math.abs(got - want) < tol, s"lnWide($p/$q): got $got want $want")
+    }
+  }
+
+  test("lnNanoWideRef agrees with lnNanoRef on the shared domain") {
+    for ((p, q) <- cases)
+      assert(FixedPointLog.lnNanoWideRef(p, q) == FixedPointLog.lnNanoRef(p, q),
+        s"lnWide($p/$q) != ln($p/$q)")
+  }
+
+  test("lnNanoWideCol is bit-identical to lnNanoWideRef") {
+    val s = spark; import s.implicits._
+    val df = wideCases.toDF("p", "q")
+      .withColumn("ln", FixedPointLog.lnNanoWideCol(col("p"), col("q")))
+    val got = df.select("p", "q", "ln").as[(Long, Long, Long)].collect()
+    for ((p, q, ln) <- got)
+      assert(ln == FixedPointLog.lnNanoWideRef(p, q), s"lnWide($p/$q)")
+  }
+
+  test("withLnNanoWide chain is bit-identical to lnNanoWideRef") {
+    val s = spark; import s.implicits._
+    val df = FixedPointLog.withLnNanoWide(
+      wideCases.toDF("p", "q"), col("p"), col("q"), "ln")
+    val got = df.select("p", "q", "ln").as[(Long, Long, Long)].collect()
+    for ((p, q, ln) <- got)
+      assert(ln == FixedPointLog.lnNanoWideRef(p, q), s"lnWide($p/$q)")
+    assert(df.columns.toSeq == Seq("p", "q", "ln"), "intermediates dropped")
+  }
+
+  test("lnNanoWide fails loudly past the 2^46 ratio guard") {
+    // Ratio exactly 2^46 is the last admitted value (reduces to the series
+    // edge m = 2^31); the first value beyond errors in both engines.
+    assert(FixedPointLog.lnNanoWideRef(1L << 46, 1L) ==
+      FixedPointLog.lnNanoRef(2L, 1L) + 45L * FixedPointLog.Ln2Nano)
+    assertThrows[IllegalArgumentException] {
+      FixedPointLog.lnNanoWideRef((1L << 46) + 1L, 1L)
+    }
+    val s = spark; import s.implicits._
+    val ex = intercept[Exception] {
+      Seq(((1L << 46) + 1L, 1L)).toDF("p", "q")
+        .select(FixedPointLog.lnNanoWideCol(col("p"), col("q"))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("lnNanoWideDuckSteps emits the guard, both ladders and the j recombination") {
+    val steps = FixedPointLog.lnNanoWideDuckSteps("nn", "dd", "w")
+    assert(steps.last._2 == "w_ln")
+    assert(steps.map(_._2).distinct.size == steps.size)
+    assert(steps.head._1.contains("error("))
+    assert(steps(1)._2 == "w_j")
+    assert(steps.last._1.contains(s"w_j * CAST(${FixedPointLog.Ln2Nano} AS BIGINT)"))
+  }
+
   test("lnNanoDuckSteps emits one alias chain ending in _ln with shared constants") {
     val steps = FixedPointLog.lnNanoDuckSteps("2*xa", "qq", "a")
     assert(steps.last._2 == "a_ln")

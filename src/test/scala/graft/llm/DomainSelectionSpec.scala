@@ -41,15 +41,17 @@ class DomainSelectionSpec extends SparkTestBase {
     val tgtDocs = Seq("spark shuffle partition", "spark shuffle broadcast")
     val tcounts = tgtDocs.flatMap(feats).groupBy(identity).view.mapValues(_.size.toLong).toMap
     val scounts = rawDocs.values.flatMap(feats).toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
-    val nt = tgtDocs.map(feats(_).size).sum.toDouble
-    val ns = rawDocs.values.map(feats(_).size).sum.toDouble
-    def rhu(v: Double): Long = java.math.BigDecimal.valueOf(v)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val nt = tgtDocs.map(feats(_).size).sum.toLong
+    val ns = rawDocs.values.map(feats(_).size).sum.toLong
+    // The reference runs the SAME fixed-point integer log as the engine —
+    // per finding 37 there is no "true double" to compare against, the
+    // shared integer algorithm IS the contract.
+    import graft.functions.FixedPointLog.{lnNanoRef, microOfNanoRef}
     def want(text: String): (Long, Long) = {
       val fs = feats(text)
       val lw = fs.map { b =>
-        rhu(math.log((tcounts.getOrElse(b, 0L).toDouble + 1.0) / (nt + nB)) * 1e6) -
-        rhu(math.log((scounts.getOrElse(b, 0L).toDouble + 1.0) / (ns + nB)) * 1e6)
+        microOfNanoRef(lnNanoRef(tcounts.getOrElse(b, 0L) + 1L, nt + nB)) -
+        microOfNanoRef(lnNanoRef(scounts.getOrElse(b, 0L) + 1L, ns + nB))
       }.sum
       (fs.size.toLong, lw)
     }
@@ -74,9 +76,9 @@ class DomainSelectionSpec extends SparkTestBase {
 
   test("resampleTopK: deterministic, bounded, keys sorted") {
     val a = DomainSelection.resampleTopK(raw, target, k = 3, nBuckets = 64)
-      .as[(Long, Long, Double)].collect().toSeq
+      .as[(Long, Long, Long)].collect().toSeq
     val b = DomainSelection.resampleTopK(raw, target, k = 3, nBuckets = 64)
-      .as[(Long, Long, Double)].collect().toSeq
+      .as[(Long, Long, Long)].collect().toSeq
     assert(a === b, "identical plan must resample identically")
     assert(a.size === 3)
     assert(a.map(_._3) === a.map(_._3).sorted.reverse, "keys descending")

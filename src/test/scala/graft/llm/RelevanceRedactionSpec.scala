@@ -25,16 +25,20 @@ class RelevanceRedactionSpec extends SparkTestBase {
 
   test("tfidf ranks distinctive terms above common ones") {
     val top = Relevance.tfidfTopK(corpus, "doc_id", "text", k = 2)
-      .as[(Long, String, Double)].collect()
+      .as[(Long, String, Long)].collect()
       .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(-_._3).map(_._2).toSeq }
     // doc 3: 'cat' (tf 3, df 2) must outrank 'dog' (tf 1, df 2)
     assert(top(3L).head == "cat")
     // every doc yields exactly k (or fewer if vocabulary smaller)
     assert(top.values.forall(_.size <= 2))
-    // tf * ln(N/df): doc3 'cat' = 3 * ln(4/2)
+    // micro(tf * ln(N/df)): doc3 'cat' = 3 * ln(4/2) * 1e6 within the
+    // fixed-point kernel's quantization (≲2 micro at tf 3)
     val scores = Relevance.tfidfTopK(corpus, "doc_id", "text", k = 2)
-      .filter($"id" === 3L && $"term" === "cat").as[(Long, String, Double)].head()
-    assert(math.abs(scores._3 - 3.0 * math.log(2.0)) < 1e-6)
+      .filter($"id" === 3L && $"term" === "cat").as[(Long, String, Long)].head()
+    assert(math.abs(scores._3 - 3.0 * math.log(2.0) * 1e6) <= 2.0)
+    // And exactly the JVM fixed-point reference (same kernel, bit-equal).
+    import graft.functions.FixedPointLog.{lnNanoWideRef, microOfNanoRef}
+    assert(scores._3 == microOfNanoRef(3L * lnNanoWideRef(4L, 2L)))
   }
 
   test("bm25 scores query-bearing docs, omits the rest, favors higher tf") {
@@ -43,10 +47,11 @@ class RelevanceRedactionSpec extends SparkTestBase {
     assert(out.keySet == Set(1L, 3L)) // docs 2 and 4 have no 'cat'
     assert(out(3L) > out(1L)) // tf 3 in a short doc beats tf 1
     // hand-check doc 1: idf = ln(1 + (4-2+0.5)/(2+0.5)); tf=1, len=6,
-    // avglen = (6+3+4+4)/4 = 4.25
+    // avglen = (6+3+4+4)/4 = 4.25 — micro(idf) quantizes before the
+    // saturation product, so allow 2 micro around the double reference
     val idf = math.log(1 + 2.5 / 2.5)
     val expected = idf * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * 6.0 / 4.25))
-    assert(math.abs(out(1L) - math.round(expected * 1e6)) <= 1)
+    assert(math.abs(out(1L) - math.round(expected * 1e6)) <= 2)
   }
 
   test("relevance plans leave no persisted state behind (library cache hygiene)") {

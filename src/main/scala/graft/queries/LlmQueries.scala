@@ -967,13 +967,19 @@ object LlmQueries {
 
     "q_decontaminate_semantic" -> ((s, dir) => {
       // Embedding-space decontamination under the planted-copy contract:
-      // the benchmark IS the vec_id % 17 slice of the corpus, so every
-      // contaminated row matches itself at cosine 1 while no distinct
-      // pair reaches 0.99 on this corpus (the q_sim_neardup property) —
-      // the drop set is exactly the % 17 rows, oracle-stateable without
-      // modeling any geometry.
+      // the benchmark is a CONSTANT-SIZE slice of the corpus
+      // (vec_id % 17 = 0 AND vec_id < 500 — ~30 rows at every SF, the
+      // shape of a real eval suite, which does not grow with the training
+      // corpus). Every contaminated row matches itself at cosine 1 while
+      // no distinct pair reaches 0.99 on this corpus (the q_sim_neardup
+      // property) — the drop set is exactly the slice, oracle-stateable
+      // without modeling any geometry. The former % 17-of-everything
+      // benchmark made the registered shape quadratic by construction
+      // (bench ∝ corpus ⇒ LSH bucket join volume ∝ N²) — VERDICT r11
+      // perf-weak item 1.
       val e = emb(s, dir)
-      val bench = e.filter(col("vec_id") % 17 === 0).select(col("embedding"))
+      val bench = e.filter(col("vec_id") % 17 === 0 && col("vec_id") < 500)
+        .select(col("embedding"))
       graft.llm.Decontamination.semanticDecontaminate(e, bench, threshold = 0.99)
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
@@ -4955,7 +4961,8 @@ object LlmQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_in""".stripMargin,
 
     "q_decontaminate_semantic" ->
-      "SELECT vec_id FROM embeddings WHERE vec_id % 17 <> 0 ORDER BY vec_id",
+      """SELECT vec_id FROM embeddings
+        |WHERE NOT (vec_id % 17 = 0 AND vec_id < 500) ORDER BY vec_id""".stripMargin,
 
     "q_decontaminate_fuzzy" ->
       // Full replay of the poly MinHash fuzzy gate: signatures, plain band

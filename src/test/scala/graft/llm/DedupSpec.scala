@@ -354,6 +354,17 @@ class DedupSpec extends SparkTestBase {
     assert(got == ((10L, java.lang.Long.valueOf(3L), 1000000L, false)))
   }
 
+  test("rouge2Gate rejects a non-numeric id column loudly") {
+    // The lowest-pool-id tie-break negates the id inside a max-struct —
+    // a string id would silently null the argmax instead of failing.
+    val pool = Seq(("a", "x y z")).toDF("doc_id", "text")
+    val cands = Seq(("b", "x y z")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.rouge2Gate(pool, cands)
+    }
+    assert(ex.getMessage.contains("numeric"))
+  }
+
   test("poly minhash signatures match an independent Scala computation") {
     val p = 1000000007L
     def fp(s: String): Long =

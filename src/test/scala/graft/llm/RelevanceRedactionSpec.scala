@@ -135,6 +135,18 @@ class RelevanceRedactionSpec extends SparkTestBase {
     assert(got == Set((1L, 0L, 2L), (3L, 1L, 1L), (4L, 0L, 2L)))
   }
 
+  test("canaryScan: non-BMP canary counts by code points, not UTF-16 units") {
+    // "🔑-key" is 5 code points but 6 UTF-16 units — a kernel dividing by
+    // String.length would under-count (2·5/6 = 1). ADVICE r11 task 8.
+    val canary = "🔑-key" // 🔑-key
+    val docs = Seq(
+      (1L, s"start $canary middle $canary end"), // twice
+      (2L, "no canary here")).toDF("doc_id", "text")
+    val got = Redaction.canaryScan(docs, "doc_id", "text", Seq(canary))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 2L)))
+  }
+
   test("aucMicro: Mann-Whitney with ties matches hand-counted pair wins") {
     // scores [1, 2, 2, 3], labels [0, 1, 0, 1]: pairs (pos vs neg) score
     // 1 + 0.5 + 1 + 1 of 4 → AUC 0.875.

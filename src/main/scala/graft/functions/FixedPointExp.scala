@@ -60,21 +60,30 @@ object FixedPointExp {
     s
   }
 
+  /** The per-row JVM kernel behind
+    * [[graft.functions.FixedPointKernels.ExpNanoExpr]] — the [[expNanoRef]]
+    * loop with the retired Column emitter's raise_error message on domain
+    * violation (the spec pins the message prefix; DuckDB's error() guard
+    * aborts the same way). */
+  def expNanoEval(xNano: Long): Long = {
+    if (xNano < 0 || xNano > MaxNano)
+      throw new IllegalArgumentException(
+        s"expNanoCol domain is [0, $MaxNano] nano: $xNano")
+    var t = Scale
+    var s = Scale
+    var k = 1
+    while (k <= Terms) { t = t * xNano / (k * Scale); s += t; k += 1 }
+    s
+  }
+
   // ------------------------------------------------------------- Spark side
 
   /** e^(x/10⁹)·10⁹ as a Spark Column (long nano input, domain-guarded).
-    * Pure integer expression tree — no `exp` anywhere. */
-  def expNanoCol(xNano: Column): Column = {
-    import FixedPointLog.idiv
-    val x = when(xNano >= 0L && xNano <= MaxNano, xNano)
-      .otherwise(raise_error(concat(
-        lit(s"expNanoCol domain is [0, $MaxNano] nano: "),
-        xNano.cast("string"))))
-    val terms = (1 to Terms).scanLeft(lit(Scale): Column) { (t, k) =>
-      idiv(t * x, lit(k * Scale))
-    }
-    terms.reduce(_ + _)
-  }
+    * One codegen'd call into [[expNanoEval]] — no `exp` anywhere, no
+    * 24-term expression tree (PLANS.md finding 45). */
+  def expNanoCol(xNano: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(FixedPointKernels.ExpNanoExpr(
+      org.apache.spark.sql.GraftColumnBridge.expression(xNano.cast("long"))))
 
   // ------------------------------------------------------------ DuckDB side
 

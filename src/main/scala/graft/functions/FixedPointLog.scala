@@ -71,6 +71,74 @@ object FixedPointLog {
     2 * s * 1000000000L / Scale - k * Ln2Nano
   }
 
+  // ----------------------------------------------------------- plan kernels
+
+  private val SeriesOddArr: Array[Long] = SeriesOdd.toArray
+
+  /** Largest p with p·2³⁰ still inside int64 — the long fast-path bound;
+    * beyond it the first step runs in BigInt, exactly where the retired
+    * Column emitters used DECIMAL and the DuckDB chain uses HUGEINT. */
+  private val MaxPShift: Long = Long.MaxValue >> 30
+
+  /** m/k ladder + atanh series from fixed-point u ≥ 1 (the shared tail of
+    * [[lnNanoEval]] and [[lnNanoWideEval]] — same arithmetic as
+    * [[lnNanoRef]]'s tail). Returns ln(u/2³⁰)·10⁹ + j·ln2·10⁹. */
+  private def seriesTail(u: Long, j: Int): Long = {
+    var k = 0
+    while (k < 30 && (u << k) < Scale) k += 1
+    val m = u << k
+    val z = (m - Scale) * Scale / (m + Scale)
+    val z2 = z * z / Scale
+    var t = z
+    var s = z
+    var i = 0
+    while (i < SeriesOddArr.length) {
+      t = t * z2 / Scale
+      s += t / SeriesOddArr(i)
+      i += 1
+    }
+    2 * s * 1000000000L / Scale - k * Ln2Nano + j * Ln2Nano
+  }
+
+  /** The narrow algorithm as the per-row JVM kernel behind
+    * [[graft.functions.FixedPointKernels.LnNanoExpr]] — bit-identical to
+    * [[lnNanoRef]] on its domain, with the retired Column emitter's CLAMP
+    * (u = max(trunc(p·2³⁰/q), 1), no positivity require: a p ≤ 0 row yields
+    * the same junk value both engines compute instead of aborting — callers
+    * gate such rows out of compared output). q must be positive; q = 0
+    * crashes loudly (ArithmeticException) where the emitter yielded silent
+    * junk — strictly better, and unreachable from any call site. */
+  def lnNanoEval(p: Long, q: Long): Long = {
+    val u0 =
+      if (p >= 0 && p <= MaxPShift) (p << 30) / q
+      else ((BigInt(p) * Scale) / q).toLong
+    seriesTail(math.max(u0, 1L), 0)
+  }
+
+  /** The wide algorithm as the per-row JVM kernel behind
+    * [[graft.functions.FixedPointKernels.LnNanoWideExpr]] — bit-identical
+    * to [[lnNanoWideRef]] on its domain, same clamp discipline as
+    * [[lnNanoEval]], same loud guard past the 2⁴⁶ ratio ceiling. */
+  def lnNanoWideEval(p: Long, q: Long): Long = {
+    if ((p - 1) / (1L << (WideMaxJ + 1)) >= q)
+      throw new IllegalArgumentException(WideGuardMsg + s" ($p/$q)")
+    var j = 0
+    var jj = WideMaxJ
+    while (jj >= 1 && j == 0) { if ((p - 1) / (1L << jj) >= q) j = jj; jj -= 1 }
+    val u =
+      if (j > 0) {
+        if (p >= 0 && p <= MaxPShift && q <= (Long.MaxValue >> j))
+          (p << 30) / (q << j)
+        else ((BigInt(p) * Scale) / (BigInt(q) << j)).toLong
+      } else {
+        val u0 =
+          if (p >= 0 && p <= MaxPShift) (p << 30) / q
+          else ((BigInt(p) * Scale) / q).toLong
+        math.max(u0, 1L)
+      }
+    seriesTail(u, j)
+  }
+
   // ------------------------------------------------------------- Spark side
 
   /** Spark's `div` (IntegralDivide): truncation-toward-zero integral
@@ -97,31 +165,12 @@ object FixedPointLog {
   def microOfNanoRef(nano: Long): Long = Math.floorDiv(nano + 500L, 1000L)
 
   /** ln(p/q) in nano-nats as a Spark Column (p, q positive long columns,
-    * p/q ∈ (0, 2]). Pure integer expression tree — no `ln`/`exp` anywhere. */
-  def lnNanoCol(p: Column, q: Column): Column = {
-    val pB = p.cast("decimal(20,0)") * lit(Scale).cast("decimal(10,0)")
-    val u = greatest(idiv(pB, q.cast("decimal(20,0)")), lit(1L))
-    seriesFromU(u)
-  }
-
-  /** Up-ladder + atanh series over the fixed-point value `u` (long,
-    * u·2⁻³⁰ ∈ (0, 2]) — the shared tail of [[lnNanoCol]] and
-    * [[lnNanoWideCol]]. Returns ln(u/2³⁰)·10⁹. */
-  private def seriesFromU(u: Column): Column = {
-    // Normalization ladder: m = u·2^k ∈ [2^30, 2^31]; k = #doublings.
-    val m = (1 to 30).foldLeft(when(u >= lit(Scale), u)) { (acc, j) =>
-      acc.when(u >= lit(Scale >> j), u * lit(1L << j))
-    }
-    val k = (1 to 30).foldLeft(when(u >= lit(Scale), lit(0L))) { (acc, j) =>
-      acc.when(u >= lit(Scale >> j), lit(j.toLong))
-    }
-    val z = idiv((m - lit(Scale)) * lit(Scale), m + lit(Scale))
-    val z2 = idiv(z * z, lit(Scale))
-    val terms = SeriesOdd.scanLeft(z)((t, _) => idiv(t * z2, lit(Scale)))
-    val s = terms.head + SeriesOdd.zip(terms.tail)
-      .map { case (d, t) => idiv(t, lit(d)) }.reduce(_ + _)
-    idiv(s * lit(2000000000L), lit(Scale)) - k * lit(Ln2Nano)
-  }
+    * p/q ∈ (0, 2]). One codegen'd call into [[lnNanoEval]] — no `ln`/`exp`
+    * anywhere, no expression-tree ladder (PLANS.md finding 45). */
+  def lnNanoCol(p: Column, q: Column): Column =
+    GraftColumnBridge.column(FixedPointKernels.LnNanoExpr(
+      GraftColumnBridge.expression(p.cast("long")),
+      GraftColumnBridge.expression(q.cast("long"))))
 
   // ----------------------------------------------------------- wide-domain ln
 
@@ -160,96 +209,30 @@ object FixedPointLog {
     2 * s * 1000000000L / Scale - k * Ln2Nano + j * Ln2Nano
   }
 
-  /** [[lnNanoWideRef]] as ONE Spark Column expression. The j-branch divides
-    * q UP in decimal(38,0) (q·2ʲ ≤ 9.2·10¹⁸·2⁴⁵ < 10³³ — exact), so no bit
-    * of p is ever dropped; each branch's quotient lands in [2³⁰, 2³¹) and
-    * the shared series tail runs unchanged.
-    *
-    * WARNING — tree size: the series ladders re-embed the 46-branch `u`
-    * CASE ~60×, giving a ~10⁶-node expression. Fine as a single standalone
-    * column (specs, one-off projections); in a real query plan use
-    * [[withLnNanoWide]], which materializes each step as a projected
-    * column and keeps the plan linear. */
-  def lnNanoWideCol(p: Column, q: Column): Column = {
-    val pB = p.cast("decimal(38,0)") * lit(Scale).cast("decimal(10,0)")
-    val qD = q.cast("decimal(38,0)")
-    def uAt(j: Int): Column =
-      idiv(pB, qD * lit(java.math.BigDecimal.valueOf(1L << j)))
-    val guard = idiv(p - lit(1L), lit(1L << (WideMaxJ + 1))) >= q
-    val u = (WideMaxJ - 1 to 1 by -1).foldLeft(
-        when(guard, raise_error(lit(WideGuardMsg)).cast("long"))
-          .when(idiv(p - lit(1L), lit(1L << WideMaxJ)) >= q, uAt(WideMaxJ))) { (acc, j) =>
-        acc.when(idiv(p - lit(1L), lit(1L << j)) >= q, uAt(j))
-      }
-      .otherwise(greatest(idiv(pB, qD), lit(1L)))
-    val j = (WideMaxJ - 1 to 1 by -1).foldLeft(
-        when(guard, raise_error(lit(WideGuardMsg)).cast("long"))
-          .when(idiv(p - lit(1L), lit(1L << WideMaxJ)) >= q, lit(WideMaxJ.toLong))) { (acc, jj) =>
-        acc.when(idiv(p - lit(1L), lit(1L << jj)) >= q, lit(jj.toLong))
-      }
-      .otherwise(lit(0L))
-    seriesFromU(u) + j * lit(Ln2Nano)
-  }
+  /** [[lnNanoWideRef]] as a Spark Column — one codegen'd call into
+    * [[lnNanoWideEval]] (PLANS.md finding 45; the j-branch division runs
+    * in BigInt exactly where the retired Column emitter used
+    * decimal(38,0), with identical truncation). */
+  def lnNanoWideCol(p: Column, q: Column): Column =
+    GraftColumnBridge.column(FixedPointKernels.LnNanoWideExpr(
+      GraftColumnBridge.expression(p.cast("long")),
+      GraftColumnBridge.expression(q.cast("long"))))
 
-  /** Appends `out` = ln(p/q)·10⁹ (the [[lnNanoWideRef]] algorithm) to `df`
-    * as a CHAIN of projected steps — u, j, m, k, z, z², the six series
-    * powers — each computed once per row and referenced by attribute, the
-    * Spark mirror of [[lnNanoWideDuckSteps]]'s lateral-alias chain. A
-    * single nested Column would re-embed the 46-branch wide ladder inside
-    * the 31-branch series ladders (~10⁶ nodes — analysis OOM); this keeps
-    * the plan linear (~10³ nodes), and CollapseProject leaves the steps
-    * separate because each is non-cheap and multiply-referenced. `p` and
-    * `q` should be cheap expressions (attributes / literals / small
-    * arithmetic). Intermediates are dropped.
-    */
+  /** Appends `out` = ln(p/q)·10⁹ (the narrow [[lnNanoRef]] algorithm,
+    * p/q ∈ (0, 2]) to `df`. Kept as the frame-level entry point from the
+    * retired projected-step-chain era (PLANS.md findings 43/45) — today
+    * it is just [[lnNanoCol]], whose kernel expression is equally cheap
+    * on any frame size. */
+  def withLnNano(df: org.apache.spark.sql.DataFrame, p: Column, q: Column,
+      out: String): org.apache.spark.sql.DataFrame =
+    df.withColumn(out, lnNanoCol(p, q))
+
+  /** Appends `out` = ln(p/q)·10⁹ (the wide [[lnNanoWideRef]] algorithm)
+    * to `df`. Frame-level twin of [[withLnNano]] — today just
+    * [[lnNanoWideCol]] (PLANS.md finding 45). */
   def withLnNanoWide(df: org.apache.spark.sql.DataFrame, p: Column, q: Column,
-      out: String): org.apache.spark.sql.DataFrame = {
-    def c(suffix: String): String = s"__${out}_$suffix"
-    val guard = idiv(p - lit(1L), lit(1L << (WideMaxJ + 1))) >= q
-    val pB = p.cast("decimal(38,0)") * lit(Scale).cast("decimal(10,0)")
-    val qD = q.cast("decimal(38,0)")
-    def uAt(j: Int): Column =
-      idiv(pB, qD * lit(java.math.BigDecimal.valueOf(1L << j)))
-    val uExpr = (WideMaxJ - 1 to 1 by -1).foldLeft(
-        when(guard, raise_error(lit(WideGuardMsg)).cast("long"))
-          .when(idiv(p - lit(1L), lit(1L << WideMaxJ)) >= q, uAt(WideMaxJ))) { (acc, j) =>
-        acc.when(idiv(p - lit(1L), lit(1L << j)) >= q, uAt(j))
-      }
-      .otherwise(greatest(idiv(pB, qD), lit(1L)))
-    val jExpr = (WideMaxJ - 1 to 1 by -1).foldLeft(
-        when(guard, raise_error(lit(WideGuardMsg)).cast("long"))
-          .when(idiv(p - lit(1L), lit(1L << WideMaxJ)) >= q, lit(WideMaxJ.toLong))) { (acc, jj) =>
-        acc.when(idiv(p - lit(1L), lit(1L << jj)) >= q, lit(jj.toLong))
-      }
-      .otherwise(lit(0L))
-    val u = col(c("u"))
-    val mExpr = (1 to 30).foldLeft(when(u >= lit(Scale), u)) { (acc, j) =>
-      acc.when(u >= lit(Scale >> j), u * lit(1L << j))
-    }
-    val kExpr = (1 to 30).foldLeft(when(u >= lit(Scale), lit(0L))) { (acc, j) =>
-      acc.when(u >= lit(Scale >> j), lit(j.toLong))
-    }
-    var d = df.withColumn(c("u"), uExpr).withColumn(c("j"), jExpr)
-      .withColumn(c("m"), mExpr).withColumn(c("k"), kExpr)
-      .withColumn(c("z"),
-        idiv((col(c("m")) - lit(Scale)) * lit(Scale), col(c("m")) + lit(Scale)))
-      .withColumn(c("z2"), idiv(col(c("z")) * col(c("z")), lit(Scale)))
-    var prev = c("z")
-    for (i <- SeriesOdd.indices) {
-      val t = c(s"t${2 * i + 3}")
-      d = d.withColumn(t, idiv(col(prev) * col(c("z2")), lit(Scale)))
-      prev = t
-    }
-    val s = col(c("z")) + SeriesOdd.zipWithIndex
-      .map { case (dv, i) => idiv(col(c(s"t${2 * i + 3}")), lit(dv)) }
-      .reduce(_ + _)
-    val drops = Seq("u", "j", "m", "k", "z", "z2").map(c) ++
-      SeriesOdd.indices.map(i => c(s"t${2 * i + 3}"))
-    d.withColumn(out,
-        idiv(s * lit(2000000000L), lit(Scale))
-          - col(c("k")) * lit(Ln2Nano) + col(c("j")) * lit(Ln2Nano))
-      .drop(drops: _*)
-  }
+      out: String): org.apache.spark.sql.DataFrame =
+    df.withColumn(out, lnNanoWideCol(p, q))
 
   // ------------------------------------------------------------ DuckDB side
 

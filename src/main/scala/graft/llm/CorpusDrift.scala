@@ -72,12 +72,16 @@ object CorpusDrift {
     // exact rationals 2*ca*totb/qq and 2*cb*tota/qq with
     // qq = ca*totb + cb*tota; each weighted term ca*ln(a/m)/tota runs in
     // nano-nats via fixed-point, then the pair rounds to micro-nats.
-    val withP = joined.crossJoin(broadcast(totals))
-      .withColumn("xa", col("ca") * col("totb"))
-      .withColumn("xb", col("cb") * col("tota"))
-      .withColumn("qq", col("xa") + col("xb"))
-      .withColumn("la", FixedPointLog.lnNanoCol(lit(2L) * col("xa"), col("qq")))
-      .withColumn("lb", FixedPointLog.lnNanoCol(lit(2L) * col("xb"), col("qq")))
+    // Both logs are single codegen'd calls into the fixed-point JVM
+    // kernel (PLANS.md finding 45).
+    val withP = FixedPointLog.withLnNano(
+        FixedPointLog.withLnNano(
+          joined.crossJoin(broadcast(totals))
+            .withColumn("xa", col("ca") * col("totb"))
+            .withColumn("xb", col("cb") * col("tota"))
+            .withColumn("qq", col("xa") + col("xb")),
+          lit(2L) * col("xa"), col("qq"), "la"),
+        lit(2L) * col("xb"), col("qq"), "lb")
       .withColumn("wua", when(col("ca") > 0,
         FixedPointLog.fdiv(col("ca") * col("la"), col("tota"))).otherwise(0L))
       .withColumn("wub", when(col("cb") > 0,

@@ -78,7 +78,7 @@ object DomainSelection {
       textCol: String = "text",
       nBuckets: Int = 8192): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    import graft.functions.FixedPointLog.{lnNanoCol, microOfNano}
+    import graft.functions.FixedPointLog.{microOfNano, withLnNano}
     val nB = lit(nBuckets.toLong)
     val fRaw = features(raw, idCol, textCol, nBuckets)
     val fTgt = features(target, idCol, textCol, nBuckets)
@@ -102,16 +102,24 @@ object DomainSelection {
     require(!sc.isEmpty, "empty raw corpus: no features to fit p_source")
     val nt = tc.agg(sum(col("__ct")).as("__nt"))
     val ns = sc.agg(sum(col("__cs")).as("__ns"))
-    fRaw
-      .join(broadcast(tc), Seq("__b"), "left")
-      .join(broadcast(sc), Seq("__b"), "left")
+    // The log-ratio is a function of the BUCKET alone, so it is computed
+    // on the ≤nBuckets-row counts frame and joined back — never per
+    // feature occurrence (the model artifact carries the log, the corpus
+    // rows carry a join key — PLANS.md finding 45). Every fRaw bucket
+    // exists in sc (sc counts fRaw itself), so the inner join below
+    // drops nothing.
+    val lr0 = sc
+      .join(tc, Seq("__b"), "left")
       .crossJoin(broadcast(nt))
       .crossJoin(broadcast(ns))
-      .withColumn("__lr",
-        microOfNano(lnNanoCol(coalesce(col("__ct"), lit(0L)) + lit(1L),
-          col("__nt") + nB))
-        - microOfNano(lnNanoCol(coalesce(col("__cs"), lit(0L)) + lit(1L),
-          col("__ns") + nB)))
+    val lr = withLnNano(
+        withLnNano(lr0, coalesce(col("__ct"), lit(0L)) + lit(1L),
+          col("__nt") + nB, "__ltn"),
+        col("__cs") + lit(1L), col("__ns") + nB, "__lsn")
+      .select(col("__b"),
+        (microOfNano(col("__ltn")) - microOfNano(col("__lsn"))).as("__lr"))
+    fRaw
+      .join(broadcast(lr), Seq("__b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum(col("__lr")).as("logw_micro"))
   }
@@ -193,12 +201,14 @@ object DomainSelection {
       textCol: String = "text",
       nBuckets: Int = 8192): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    import graft.functions.FixedPointLog.{lnNanoCol, microOfNano, withLnNanoWide}
+    import graft.functions.FixedPointLog.{microOfNano, withLnNano, withLnNanoWide}
     val w = importanceWeights(raw, target, idCol, textCol, nBuckets)
     val fp1 = TextAnalysis.fingerprint(col(idCol).cast("string")) + lit(1L)
+    // Both logs are single codegen'd kernel calls — cheap per row even
+    // on this one-row-per-DOC frame (PLANS.md finding 45).
     withLnNanoWide(
-        w.withColumn("__nlu",
-          greatest(-lnNanoCol(fp1, lit(1000000008L)), lit(1L))),
+        withLnNano(w, fp1, lit(1000000008L), "__lnu")
+          .withColumn("__nlu", greatest(-col("__lnu"), lit(1L))),
         col("__nlu"), lit(1000000000L), "__gln")
       .withColumn("gumbel_key_micro", col("logw_micro") + microOfNano(-col("__gln")))
       .select(col(idCol), col("logw_micro"), col("gumbel_key_micro"))

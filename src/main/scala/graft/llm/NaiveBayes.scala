@@ -64,7 +64,7 @@ object NaiveBayes {
     val nv = vocab.agg(count(lit(1)).as("__v"))
     val nd = train.groupBy(col(labelCol).as("__l")).agg(count(lit(1)).as("__nd"))
     val ntot = train.agg(count(lit(1)).as("__n"))
-    import graft.functions.FixedPointLog.{lnNanoCol, microOfNano}
+    import graft.functions.FixedPointLog.{lnNanoCol, microOfNano, withLnNano}
     val classes = ct.join(nd, "__l")
       .crossJoin(broadcast(ntot)).crossJoin(broadcast(nv))
       .select(col("__l"),
@@ -73,12 +73,15 @@ object NaiveBayes {
           .as("__unseen"),
         col("__t"))
       .localCheckpoint()
-    val model = vocab.crossJoin(classes.select(col("__l"), col("__t")))
-      .join(cw, Seq("__l", "__w"), "left")
-      .crossJoin(broadcast(nv))
-      .select(col("__l"), col("__w"),
-        microOfNano(lnNanoCol(coalesce(col("__c"), lit(0L)) + lit(1L),
-          col("__t") + col("__v"))).as("__wt"))
+    // The per-(class, word) weight log is one codegen'd kernel call per
+    // model row (vocab×classes — PLANS.md finding 45).
+    val model = withLnNano(
+        vocab.crossJoin(classes.select(col("__l"), col("__t")))
+          .join(cw, Seq("__l", "__w"), "left")
+          .crossJoin(broadcast(nv)),
+        coalesce(col("__c"), lit(0L)) + lit(1L), col("__t") + col("__v"),
+        "__wtn")
+      .select(col("__l"), col("__w"), microOfNano(col("__wtn")).as("__wt"))
     NbModel(model,
       classes.select(col("__l"), col("__prior"), col("__unseen")), vocab)
   }

@@ -430,14 +430,17 @@ object TextAnalysis {
     * broadcast. Nothing lands on the driver.
     */
   def unigramLmScoreBy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import graft.functions.FixedPointLog.{lnNanoCol, microOfNano}
+    import graft.functions.FixedPointLog.{microOfNano, withLnNano}
     val toks = df.select(col(idCol), explode(tokensWs(lower(col(textCol)))).as("__t"))
     val vocab = toks.groupBy(col("__t")).agg(count(lit(1)).as("__cnt"))
     val total = toks.agg(count(lit(1)).as("__total"))
-    toks.join(vocab, "__t")
-      .crossJoin(broadcast(total))
-      .withColumn("__lp_micro",
-        microOfNano(lnNanoCol(col("__cnt"), col("__total"))))
+    // The log runs on the VOCAB frame (one row per distinct token — the
+    // model artifact), never per token occurrence; tokens join the
+    // scored vocab by key (PLANS.md finding 45).
+    val scored = withLnNano(
+        vocab.crossJoin(broadcast(total)), col("__cnt"), col("__total"), "__lpn")
+      .select(col("__t"), microOfNano(col("__lpn")).as("__lp_micro"))
+    toks.join(scored, "__t")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__lp_micro")).as("logp_micro"))
   }
@@ -505,6 +508,11 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       // Both branches run the fixed-point integer log (no engine-native
       // ln reaches a compared value): ln(α·c/N) = lnNano(αnum·c, αden·N).
+      // Per-position is fine: lnNanoCol is one codegen'd kernel call
+      // (PLANS.md finding 45), and joining precomputed logs instead was
+      // measured SLOWER — the scored frames are join outputs whose size
+      // estimate disables the auto-broadcast the checkpointed raw count
+      // tables get, turning both probe joins into shuffles (+3 jobs, 10×).
       .withColumn("__lpm", when(col("__cbw").isNotNull,
           microOfNano(lnNanoCol(col("__cbw"), col("__cprev"))))
         .otherwise(microOfNano(lnNanoCol(
@@ -661,14 +669,18 @@ object TextAnalysis {
     * any document below ~2·10⁸ chars — far past any real row.
     */
   def charEntropyBy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import graft.functions.FixedPointLog.{idiv, lnNanoCol}
+    import graft.functions.FixedPointLog.{idiv, withLnNano}
     val chars = df.select(col(idCol),
       length(col(textCol)).cast("long").as("__n"),
       explode(split(col(textCol), "")).as("__c"))
-    chars.groupBy(col(idCol), col("__n"), col("__c")).agg(count(lit(1)).as("__cnt"))
+    val counted = chars
+      .groupBy(col(idCol), col("__n"), col("__c")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__q", greatest(col("__n"), lit(1L)))
+    // One codegen'd kernel call per (doc, char) row — cheap even on this
+    // corpus-scale frame (PLANS.md finding 45).
+    withLnNano(counted, col("__cnt"), col("__q"), "__lnn")
       .withColumn("__e_micro",
-        idiv(-col("__cnt") * lnNanoCol(col("__cnt"), col("__q"))
+        idiv(-col("__cnt") * col("__lnn")
           + lit(500L) * col("__q"), lit(1000L) * col("__q")))
       .groupBy(col(idCol))
       .agg(min(col("__n")).as("n_chars"), sum(col("__e_micro")).as("entropy_micro"))

@@ -47,6 +47,14 @@ class FixedPointExpSpec extends SparkTestBase {
     assert(err.getMessage.contains("expNanoCol domain"))
   }
 
+  test("exp kernel expression propagates null") {
+    val s = spark; import s.implicits._
+    val rows = Seq(Some(1000000000L), None).toDF("x")
+      .select(FixedPointExp.expNanoCol(col("x")).as("e")).collect()
+    assert(rows(0).getLong(0) == FixedPointExp.expNanoRef(1000000000L))
+    assert(rows(1).isNullAt(0))
+  }
+
   test("expNanoDuckSteps emits one alias chain ending in _exp with shared constants") {
     val steps = FixedPointExp.expNanoDuckSteps("x_nano", "d")
     assert(steps.last._2 == "d_exp")

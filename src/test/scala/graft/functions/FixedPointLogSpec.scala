@@ -96,6 +96,21 @@ class FixedPointLogSpec extends SparkTestBase {
     assert(df.columns.toSeq == Seq("p", "q", "ln"), "intermediates dropped")
   }
 
+  test("kernel expressions propagate null (never crash, never fabricate)") {
+    // Every call site feeds coalesced counts, so no compared value sees a
+    // null — but the expression contract (nullSafeEval / nullSafeCodeGen)
+    // must still be null-in-null-out, not an NPE or a junk value.
+    val s = spark; import s.implicits._
+    val df = Seq((Some(3L), Some(2L)), (None, Some(2L)), (Some(3L), None))
+      .toDF("p", "q")
+      .select(FixedPointLog.lnNanoCol(col("p"), col("q")).as("n"),
+        FixedPointLog.lnNanoWideCol(col("p"), col("q")).as("w"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) == FixedPointLog.lnNanoRef(3L, 2L))
+    assert(rows(0).getLong(1) == FixedPointLog.lnNanoWideRef(3L, 2L))
+    for (i <- 1 to 2; j <- 0 to 1) assert(rows(i).isNullAt(j), s"row $i col $j")
+  }
+
   test("lnNanoWide fails loudly past the 2^46 ratio guard") {
     // Ratio exactly 2^46 is the last admitted value (reduces to the series
     // edge m = 2^31); the first value beyond errors in both engines.

@@ -136,6 +136,75 @@ object NormImpl {
   }
 }
 
+/** JVM body of [[DsirBuckets]] — static so interpreted eval and codegen
+  * share one implementation (the finding-45 one-call discipline).
+  */
+object DsirBucketsImpl {
+  private val Ws = UTF8String.fromString("\\s+")
+  private val Space = UTF8String.fromString(" ")
+
+  /** [[PolyFingerprint]]'s fold, verbatim (`(h·131 + codePoint) mod 1e9+7`
+    * over code points) — kept step-identical so the fused kernel's buckets
+    * equal `pmod(fingerprint(gram), n)` for every gram. */
+  private def fp(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** DSIR hashed-n-gram buckets of a raw text: tokens =
+    * `split(trim(lower(text)), "\\s+")` via the SAME UTF8String primitives
+    * Spark's `lower`/`trim`/`split` evaluate (limit −1, so a trailing
+    * non-space whitespace run still yields the trailing empty token the
+    * Column pipeline produced), then `fp(token) % n` for every token and
+    * `fp(tok_i ⊔ " " ⊔ tok_{i+1}) % n` for every adjacent pair, unigrams
+    * first — the exact value-and-order contract of the retired
+    * explode(grams)→fingerprint→pmod Column pipeline (fp ≥ 0, so `%`
+    * IS pmod).
+    */
+  def buckets(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.toLowerCase.trim().split(Ws, -1)
+    val nt = toks.length
+    val out = new Array[Long](nt + math.max(0, nt - 1))
+    var i = 0
+    while (i < nt) { out(i) = fp(toks(i).toString) % n; i += 1 }
+    var j = 0
+    while (j + 1 < nt) {
+      out(nt + j) = fp(UTF8String.concat(toks(j), Space, toks(j + 1)).toString) % n
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Fused DSIR feature kernel: text → array of hashed uni+bigram bucket ids
+  * (see [[DsirBucketsImpl.buckets]]). Exists because the Column form —
+  * a `transform(sequence(…), …)` bigram lambda — evaluates INTERPRETED
+  * (higher-order functions are CodegenFallback), and deep interpreted
+  * eval over a corpus is both slow and JIT-profile-fragile: measured
+  * 120 s → 1100 s of pure CPU for the same stage between rounds in one
+  * JVM (PLANS.md finding 46). One static call, one pass over the string,
+  * no intermediate gram strings in the row stream.
+  */
+case class DsirBuckets(child: Expression, nBuckets: Int) extends UnaryExpression {
+  require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dsir_buckets"
+  override def nullSafeEval(input: Any): Any =
+    DsirBucketsImpl.buckets(input.asInstanceOf[UTF8String], nBuckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.DsirBucketsImpl.buckets($c, $nBuckets);")
+  override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
+    copy(child = newChild)
+}
+
 /** Codegen wrapper for [[NormImpl.norm]] (`norm_text`). */
 case class NormText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StringType
@@ -164,4 +233,10 @@ object TextKernels {
     */
   def normText(c: Column): Column =
     GraftColumnBridge.column(NormText(GraftColumnBridge.expression(c.cast("string"))))
+
+  /** Fused DSIR feature kernel: array of hashed uni+bigram bucket ids
+    * (see [[DsirBucketsImpl.buckets]]). */
+  def dsirBuckets(c: Column, nBuckets: Int): Column =
+    GraftColumnBridge.column(DsirBuckets(
+      GraftColumnBridge.expression(c.cast("string")), nBuckets))
 }

@@ -40,23 +40,16 @@ object DomainSelection {
     * multiplicity (DSIR's n ∈ {1,2} hashed n-grams).
     */
   private[llm] def features(df: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int): DataFrame = {
-    val ts = TextAnalysis.tokensWs(lower(col(textCol)))
-    // Build the gram STRINGS inside the (interpreted) HOF lambdas — cheap
-    // concats — and explode FIRST; the per-character fingerprint fold then
-    // runs as a codegen'd kernel over the flat column. Folding it into the
-    // lambda put the expensive part on the interpreted path: ~22M deep
-    // megamorphic eval calls per corpus pass, measured 4-6× slower and
-    // badly JIT-warmup-sensitive (first such query in a JVM paid ~6×).
-    // sequence(2, n) counts DOWN when n < 2 (the charNgrams guard).
-    val bi = when(size(ts) >= 2,
-      transform(sequence(lit(2), size(ts)), i =>
-        concat(element_at(ts, i - 1), lit(" "), element_at(ts, i))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(concat(ts, bi)).as("__g"))
-      .select(col(idCol),
-        pmod(TextAnalysis.fingerprint(col("__g")), lit(nBuckets.toLong)).as("__b"))
-  }
+      nBuckets: Int): DataFrame =
+    // One codegen'd kernel call per DOC (tokenize → gram → fingerprint →
+    // bucket fused, DsirBucketsSpec pins value-and-order equality to the
+    // retired Column pipeline), then a flat explode of longs. The former
+    // transform(sequence(…)) bigram lambda evaluated INTERPRETED per
+    // position (HOFs are CodegenFallback) — slow and JIT-profile-fragile
+    // at corpus scale (PLANS.md finding 46).
+    df.select(col(idCol),
+      explode(graft.functions.TextKernels.dsirBuckets(
+        col(textCol), nBuckets)).as("__b"))
 
   /** Per-document DSIR importance weights of `raw` against `target`:
     * `(idCol, n_feats, logw_micro)` with `logw_micro` the exact integer

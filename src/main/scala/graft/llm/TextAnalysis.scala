@@ -450,12 +450,18 @@ object TextAnalysis {
     * window) — the first position carries a null context.
     */
   private def lmPositions(df: DataFrame, textCol: String, keep: Seq[Column]): DataFrame = {
-    val ts = tokensWs(lower(col(textCol)))
-    val pairs = transform(sequence(lit(1), size(ts)), i => struct(
-      when(i > lit(1), element_at(ts, i - lit(1))).as("prev"),
-      element_at(ts, i).as("w")))
-    df.select(keep :+ explode(pairs).as("__p"): _*)
-      .select(keep ++ Seq(col("__p.prev").as("__prev"), col("__p.w").as("__w")): _*)
+    // Pairs via slice + arrays_zip, NOT a transform(sequence(…)) lambda:
+    // higher-order functions are CodegenFallback, and interpreted eval
+    // per corpus position is slow and JIT-profile-fragile (PLANS.md
+    // finding 46). Every op here is a codegen'd built-in: the previous-
+    // token array is the token array shifted right one slot under a null
+    // head (the first position's no-context marker), zipped elementwise.
+    df.select(keep ++ Seq(tokensWs(lower(col(textCol))).as("__ts")): _*)
+      .select(keep ++ Seq(explode(arrays_zip(
+        concat(array(lit(null).cast("string")),
+          slice(col("__ts"), lit(1), size(col("__ts")) - 1)).as("__prev"),
+        col("__ts").as("__w"))).as("__p")): _*)
+      .select(keep ++ Seq(col("__p.__prev").as("__prev"), col("__p.__w").as("__w")): _*)
   }
 
   /** Stupid-Backoff bigram language-model score (Brants et al. 2007, "Large

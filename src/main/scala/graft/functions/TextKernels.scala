@@ -205,6 +205,152 @@ case class DsirBuckets(child: Expression, nBuckets: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** JVM body of [[GopherStats]] — the per-token / per-line counts behind
+  * [[graft.llm.GopherRules]], fused into one pass (finding 46: the Column
+  * form ran five interpreted lambda passes over the token/line arrays per
+  * document, including an `rlike` per word).
+  */
+object GopherStatsImpl {
+  private val Ws = UTF8String.fromString("\\s+")
+  private val Nl = UTF8String.fromString("\n")
+  private val Ell = UTF8String.fromString("...")
+  private val Bullet = UTF8String.fromString("•")
+  private val Dash = UTF8String.fromString("- ")
+  /** [[graft.llm.GopherRules.Stopwords]], bound at first use (no init-order
+    * dependency: the list is a compile-time constant there). */
+  private lazy val Stop: Array[UTF8String] =
+    graft.llm.GopherRules.Stopwords.map(UTF8String.fromString).toArray
+
+  /** One byte in [A-Za-z] ⇔ `rlike("[A-Za-z]")`: ASCII letter bytes never
+    * occur inside a multi-byte UTF-8 sequence (continuation bytes are
+    * ≥ 0x80), so the byte scan is exact on any input. */
+  private def hasAsciiLetter(s: UTF8String): Boolean = {
+    val n = s.numBytes
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) return true
+      i += 1
+    }
+    false
+  }
+
+  /** `(n_words, sum_len, n_alpha, n_stop, n_lines, n_ell_lines,
+    * n_bullet_lines)` with the exact Column-pipeline semantics: words =
+    * `split(trim(text), "\\s+")` (limit −1), `sum_len` in code points
+    * (Spark `length`), `n_stop` = number of DISTINCT stopwords present
+    * among the lowercased words, lines = `split(text, "\n")` on the RAW
+    * text. Same UTF8String primitives Spark's own expressions evaluate.
+    */
+  def stats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.trim().split(Ws, -1)
+    var sumLen = 0L
+    var nAlpha = 0L
+    val found = new Array[Boolean](Stop.length)
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      sumLen += w.numChars()
+      if (hasAsciiLetter(w)) nAlpha += 1
+      val lw = w.toLowerCase
+      var j = 0
+      while (j < Stop.length) {
+        if (!found(j) && lw.equals(Stop(j))) found(j) = true
+        j += 1
+      }
+      i += 1
+    }
+    var nStop = 0L
+    var j = 0
+    while (j < found.length) { if (found(j)) nStop += 1; j += 1 }
+    val lines = text.split(Nl, -1)
+    var nEll = 0L
+    var nBul = 0L
+    var k = 0
+    while (k < lines.length) {
+      val l = lines(k)
+      if (l.endsWith(Ell)) nEll += 1
+      if (l.startsWith(Bullet) || l.startsWith(Dash)) nBul += 1
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      toks.length.toLong, sumLen, nAlpha, nStop,
+      lines.length.toLong, nEll, nBul)
+  }
+}
+
+/** JVM body of [[C4KeptLines]] — C4 line retention fused into one pass
+  * (finding 46: the Column form ran an interpreted lambda with a regex
+  * split per LINE).
+  */
+object C4KeptLinesImpl {
+  private val Ws = UTF8String.fromString("\\s+")
+  private val Nl = UTF8String.fromString("\n")
+  private val Dot = UTF8String.fromString(".")
+  private val Bang = UTF8String.fromString("!")
+  private val Quest = UTF8String.fromString("?")
+  private val Quote = UTF8String.fromString("\"")
+
+  /** Lines of the raw text (split "\n", limit −1) that end in terminal
+    * punctuation (. ! ? ") AND have ≥ `minLineWords` whitespace tokens of
+    * the TRIMMED line — the exact [[graft.llm.C4Rules]] lineKeep contract,
+    * via the same UTF8String primitives Spark's expressions evaluate. */
+  def kept(text: UTF8String, minLineWords: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val lines = text.split(Nl, -1)
+    val out = new java.util.ArrayList[UTF8String](lines.length)
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if ((l.endsWith(Dot) || l.endsWith(Bang) || l.endsWith(Quest) ||
+            l.endsWith(Quote)) &&
+          l.trim().split(Ws, -1).length >= minLineWords)
+        out.add(l)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** Fused C4 line-retention kernel (see [[C4KeptLinesImpl.kept]]). */
+case class C4KeptLines(child: Expression, minLineWords: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "c4_kept_lines"
+  override def nullSafeEval(input: Any): Any =
+    C4KeptLinesImpl.kept(input.asInstanceOf[UTF8String], minLineWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.C4KeptLinesImpl.kept($c, $minLineWords);")
+  override protected def withNewChildInternal(newChild: Expression): C4KeptLines =
+    copy(child = newChild)
+}
+
+/** Fused Gopher-rule statistics kernel (see [[GopherStatsImpl.stats]]). */
+case class GopherStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = GopherStats.Schema
+  override def prettyName: String = "gopher_stats"
+  override def nullSafeEval(input: Any): Any =
+    GopherStatsImpl.stats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.GopherStatsImpl.stats($c);")
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
+    copy(child = newChild)
+}
+
+object GopherStats {
+  import org.apache.spark.sql.types.{LongType => L, StructField, StructType}
+  val Schema: StructType = StructType(Seq(
+    StructField("n_words", L, nullable = false),
+    StructField("sum_len", L, nullable = false),
+    StructField("n_alpha", L, nullable = false),
+    StructField("n_stop", L, nullable = false),
+    StructField("n_lines", L, nullable = false),
+    StructField("n_ell_lines", L, nullable = false),
+    StructField("n_bullet_lines", L, nullable = false)))
+}
+
 /** Codegen wrapper for [[NormImpl.norm]] (`norm_text`). */
 case class NormText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StringType
@@ -239,4 +385,13 @@ object TextKernels {
   def dsirBuckets(c: Column, nBuckets: Int): Column =
     GraftColumnBridge.column(DsirBuckets(
       GraftColumnBridge.expression(c.cast("string")), nBuckets))
+
+  /** Fused Gopher-rule statistics (see [[GopherStatsImpl.stats]]). */
+  def gopherStats(c: Column): Column =
+    GraftColumnBridge.column(GopherStats(GraftColumnBridge.expression(c.cast("string"))))
+
+  /** Fused C4 line retention (see [[C4KeptLinesImpl.kept]]). */
+  def c4KeptLines(c: Column, minLineWords: Int): Column =
+    GraftColumnBridge.column(C4KeptLines(
+      GraftColumnBridge.expression(c.cast("string")), minLineWords))
 }

@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object C4Rules {
 
-  private def lineKeep(l: Column, minLineWords: Int): Column =
+  /** The line gate as a Column — kept as the cross-check the spec pins
+    * [[graft.functions.C4KeptLines]] against (production uses the fused
+    * kernel: per-line interpreted lambdas with a regex split each are the
+    * finding-46 fragility class). */
+  private[llm] def lineKeep(l: Column, minLineWords: Int): Column =
     (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
       size(split(trim(l), "\\s+")) >= minLineWords
 
@@ -42,11 +46,11 @@ object C4Rules {
       minLineWords: Int = 5,
       minSentences: Int = 3): DataFrame = {
     val text = col(textCol)
-    // Materialize the retained-lines array once (the GopherRules staging
-    // discipline): it feeds three output columns, and HOFs re-evaluate
-    // interpreted when inlined.
+    // Retained lines come from ONE codegen'd kernel call per document
+    // (C4RulesSpec pins equality to the Column lineKeep); materialized in
+    // a preceding projection because three output columns read it.
     val staged = df.select(col(idCol), text,
-      filter(split(text, "\n"), l => lineKeep(l, minLineWords)).as("__kept"))
+      graft.functions.TextKernels.c4KeptLines(text, minLineWords).as("__kept"))
     val keptLines = col("__kept")
     val lowered = lower(text)
     staged.select(

@@ -28,9 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
-  /** `(idCol, __g, __fp)` — gram text + fingerprint per (doc, gram). */
+  /** `(idCol, __g, __fp)` — gram text + fingerprint per (doc, gram).
+    * Grams come from the one-pass [[graft.functions.SigKernels]] kernel
+    * (same distinct set, same first-occurrence order as
+    * `TextAnalysis.wordNgrams` — SigKernelsSpec pins it); the Column form's
+    * per-position interpreted transform is the finding-46 fragility class,
+    * and this runs corpus-side in every decontamination query. */
   private[llm] def gramFps(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__g"))
+    df.select(col(idCol), explode(
+        graft.functions.SigKernels.wordNgramsDistinct(col(textCol), n)).as("__g"))
       .select(col(idCol), col("__g"), TextAnalysis.fingerprint(col("__g")).as("__fp"))
 
   /** The distinct benchmark gram-fingerprint set — compute (or persist)

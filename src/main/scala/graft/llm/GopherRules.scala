@@ -41,33 +41,27 @@ object GopherRules {
       minWords: Long = 50L,
       maxWords: Long = 100000L): DataFrame = {
     val text = col(textCol)
-    // The token/line arrays materialize ONCE in a preceding projection:
-    // higher-order functions evaluate interpreted, and inlining `words`
-    // into five rule expressions would re-split the full text five-plus
-    // times per row (CollapseProject keeps non-cheap expressions in their
-    // own projection, so this split survives optimization).
+    // All per-token / per-line counts come from ONE codegen'd kernel call
+    // per document (GopherStatsSpec pins equality to the retired Column
+    // formulation). The former staging ran five interpreted lambda passes
+    // over the token/line arrays per row — HOFs are CodegenFallback, and
+    // interpreted eval at corpus scale is slow and JIT-profile-fragile
+    // (PLANS.md finding 46).
     val staged = df.select(col(idCol), text,
-      TextAnalysis.tokensWs(text).as("__ws"),
-      transform(TextAnalysis.tokensWs(text), w => lower(w)).as("__lws"),
-      split(text, "\n").as("__lines"))
-    val words = col("__ws")
-    val nWords = size(words).cast("long")
+      graft.functions.TextKernels.gopherStats(text).as("__st"))
+    val nWords = col("__st.n_words")
     // Σ word lengths (integer) for the mean-word-length bounds [3, 10].
-    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val sumLen = col("__st.sum_len")
     // '#' occurrences + '...' occurrences (non-overlapping, like replace).
     val nHash = ((length(text) - length(replace(text, lit("#"), lit("")))))
       .cast("long")
     val nEllipsis = ((length(text) - length(replace(text, lit("..."), lit(""))))
       / lit(3)).cast("long")
-    val lines = col("__lines")
-    val nLines = size(lines).cast("long")
-    val nEllipsisLines = size(filter(lines, l => l.endsWith("..."))).cast("long")
-    val nBulletLines = size(filter(lines, l =>
-      l.startsWith("•") || l.startsWith("- "))).cast("long")
-    val nAlphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
-    val nStop = size(filter(
-      array(Stopwords.map(lit(_)): _*),
-      sw => array_contains(col("__lws"), sw))).cast("long")
+    val nLines = col("__st.n_lines")
+    val nEllipsisLines = col("__st.n_ell_lines")
+    val nBulletLines = col("__st.n_bullet_lines")
+    val nAlphaWords = col("__st.n_alpha")
+    val nStop = col("__st.n_stop")
     staged.select(
         col(idCol),
         nWords.as("n_words"),

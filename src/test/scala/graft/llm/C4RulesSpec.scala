@@ -13,6 +13,23 @@ class C4RulesSpec extends SparkTestBase {
     C4Rules(rows.toDF("doc_id", "text"))
       .collect().map(r => r.getLong(0) -> r).toMap
 
+  test("fused kernel kept-lines equal the Column lineKeep filter") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      1L -> "This line has five good words.\nshort.\nno terminal punct here at all\nA quoted line of five words\"\nBang line with five words!",
+      2L -> "", 3L -> "\n\n", 4L -> "   trailing spaces line of six words.   ",
+      5L -> "héllo wörld 漢字 line of seven words?\ntab\tseparated line of five words.")
+      .toDF("doc_id", "text")
+    val old = docs.select(col("doc_id"),
+        filter(split(col("text"), "\n"),
+          l => C4Rules.lineKeep(l, 5)).as("kept"))
+      .orderBy(col("doc_id")).collect().map(r => r.getSeq[String](1)).toSeq
+    val neu = docs.select(col("doc_id"),
+        graft.functions.TextKernels.c4KeptLines(col("text"), 5).as("kept"))
+      .orderBy(col("doc_id")).collect().map(r => r.getSeq[String](1)).toSeq
+    assert(neu == old)
+  }
+
   test("line retention: terminal punctuation AND five words") {
     val doc = Seq(
       "This line has enough words and ends well.",   // kept

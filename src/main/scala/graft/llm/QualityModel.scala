@@ -176,7 +176,12 @@ object QualityModel {
     val w = new Array[Long](nBuckets)
     var epoch = 0
     while (epoch < epochs) {
-      val wArr = array(w.toIndexedSeq.map(lit(_)): _*)
+      // typedLit, not array(lit…): one ArrayType Literal node whose VALUE
+      // rides the codegen references array, so every epoch's generated
+      // code is byte-identical and the Janino compile is paid once for
+      // the whole loop (an array(lit…) of 1024 children inlined 1024
+      // constants into the source — a fresh ~megabyte compile per epoch).
+      val wArr = typedLit(w.toIndexedSeq)
       val grads = toks
         .withColumn("__wv", element_at(wArr, col("__b").cast("int") + 1))
         .groupBy(col(idCol), col(labelCol))

@@ -44,6 +44,11 @@ object FixedPointExp {
   /** Domain ceiling: x/10⁹ ≤ 2 keeps every t_k·x product inside int64. */
   val MaxNano: Long = 2 * Scale
 
+  /** round(ln 10 · 10⁹) — the dB→nats bridge constant, embedded
+    * identically in both engines' plans (the [[FixedPointLog.Ln2Nano]]
+    * discipline): 10^x = e^(x·ln10). */
+  val Ln10Nano: Long = 2302585093L
+
   /** Taylor terms after t_0 (k = 1..24; t_24 < 1 nano at x = 2). */
   val Terms: Int = 24
 

@@ -25,8 +25,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * flip on this data domain, proven by exhaustion".
   *
   * (q_pipeline_atmosphere is NOT coverable this way — its compared value
-  * divides unbounded `DATA` by the transcendental transmission; see the
-  * PLANS.md sweep inventory for its disposition.)
+  * multiplies unbounded `DATA` into the transmission — so it instead runs
+  * integer-exact end to end: shared exp/sin literal tables, fixed-point
+  * 2ʲ·expNano(r) transmission, integer micro rounding — PLANS.md
+  * finding 47.)
   */
 class AtmosphereBoundarySpec extends AnyFunSuite {
 

@@ -482,6 +482,12 @@ object RadioQueries {
         (col("l_quantity") + lit(273.15)).as("__tempk"))
       val eS = lit((1.0007 + 3.46e-6) * 6.1121) *
         element_at(typedLit(atmExpTable), col("__q"))
+      // Sort FIRST, on the cheap frame: the range-partitioning sample pass
+      // evaluates the full projection it sorts, so sorting after the heavy
+      // per-channel chain computed everything twice — and the single input
+      // split serialized it on one task (measured 2×12 s single-threaded).
+      // Post-sort the heavy projection runs once, across the 32 sorted
+      // range partitions.
       val staged = obs
         .withColumn("__rho",
           lit(216.7) * ((col("__hum") / lit(100.0)) * eS) / col("__tempk"))
@@ -492,6 +498,8 @@ object RadioQueries {
           col("l_suppkey"), col("DATA"), col("__rho"), col("__rp"),
           col("__rt"), col("__sinel"),
           posexplode(typedLit(Seq(1.5, 1.25, 1.0, 0.75))).as(Seq("chan", "__fr")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("chan"))
       val (rho, rp, rt, fr) =
         (col("__rho"), col("__rp"), col("__rt"), col("__fr"))
       val d = staged
@@ -544,14 +552,9 @@ object RadioQueries {
         .withColumn("__dc",
           round(element_at(col("DATA"), col("chan") + 1) * lit(100.0), 0)
             .cast("long"))
-      d.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_suppkey"), col("chan"),
-          idiv((col("__dc").cast("decimal(38,0)") * col("__p2j")) * col("__er")
-            + lit(50000L), lit(100000L)).as("value_micro"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_suppkey"), col("chan"))
-        .select(col("l_orderkey"), col("l_linenumber"), col("chan"),
-          col("value_micro"))
+      d.select(col("l_orderkey"), col("l_linenumber"), col("chan"),
+        idiv((col("__dc").cast("decimal(38,0)") * col("__p2j")) * col("__er")
+          + lit(50000L), lit(100000L)).as("value_micro"))
     }),
 
     "q_pipeline_full" -> ((s, dir) =>

@@ -143,19 +143,10 @@ object DsirBucketsImpl {
   private val Ws = UTF8String.fromString("\\s+")
   private val Space = UTF8String.fromString(" ")
 
-  /** [[PolyFingerprint]]'s fold, verbatim (`(h·131 + codePoint) mod 1e9+7`
-    * over code points) — kept step-identical so the fused kernel's buckets
-    * equal `pmod(fingerprint(gram), n)` for every gram. */
-  private def fp(s: String): Long = {
-    var h = 0L
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      h = (h * 131L + cp) % 1000000007L
-      i += Character.charCount(cp)
-    }
-    h
-  }
+  /** [[PolyFingerprint]]'s fold (`(h·131 + codePoint) mod 1e9+7` over code
+    * points) — the shared [[SigImpl.polyFp]] body, so the fused kernel's
+    * buckets equal `pmod(fingerprint(gram), n)` by construction. */
+  private def fp(s: String): Long = SigImpl.polyFp(s)
 
   /** DSIR hashed-n-gram buckets of a raw text: tokens =
     * `split(trim(lower(text)), "\\s+")` via the SAME UTF8String primitives

@@ -34,6 +34,13 @@ object RadioQueries {
   private def duckList(xs: Seq[Double]): String =
     xs.map(_.toString).mkString("LIST_VALUE(", ", ", ")")
 
+  /** q_pipeline_atmosphere's loud int64 ceiling on the pre-division
+    * micro numerator: num ≤ this ⇒ num div 1e5 fits a long (slightly
+    * under Long.Max·1e5). Shared literal — the same comparison runs in
+    * both engines, so overflow aborts identically instead of Spark's
+    * silent decimal→long narrowing vs DuckDB's loud HUGEINT cast. */
+  private val AtmNumBound = "922337203685477000000000"
+
   def queries: Map[String, Q] = Map(
     // --- F: projections / filters / predicates -----------------------------
     "q_f1_feedpol" -> ((s, dir) =>
@@ -552,9 +559,21 @@ object RadioQueries {
         .withColumn("__dc",
           round(element_at(col("DATA"), col("chan") + 1) * lit(100.0), 0)
             .cast("long"))
-      d.select(col("l_orderkey"), col("l_linenumber"), col("chan"),
-        idiv((col("__dc").cast("decimal(38,0)") * col("__p2j")) * col("__er")
-          + lit(50000L), lit(100000L)).as("value_micro"))
+      // Spark's IntegralDivide narrows its decimal quotient to long
+      // SILENTLY while DuckDB's HUGEINT→BIGINT cast raises — so the
+      // int64 bound on the quotient is enforced explicitly with the same
+      // literal on both sides (the CorpusDrift bound discipline): any
+      // product past Long.Max·1e5 fails loudly in BOTH engines instead
+      // of wrapping on one.
+      d.withColumn("__num",
+          (col("__dc").cast("decimal(38,0)") * col("__p2j")) * col("__er")
+            + lit(50000L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("chan"),
+          when(col("__num") <= lit(new java.math.BigDecimal(AtmNumBound)),
+              idiv(col("__num"), lit(100000L)))
+            .otherwise(raise_error(lit(
+              "q_pipeline_atmosphere: value_micro exceeds int64"))
+              .cast("long")).as("value_micro"))
     }),
 
     "q_pipeline_full" -> ((s, dir) =>
@@ -834,7 +853,8 @@ object RadioQueries {
         ("CASE WHEN jj > 60 THEN CAST(error('q_pipeline_atmosphere: 2^j overflow" +
           " (attenuation > 180 dB)') AS BIGINT)" +
           " ELSE CAST(1 AS BIGINT) << CAST(jj AS INT) END") -> "p2j",
-        "CAST(round(DATA[chan + 1] * 100.0) AS BIGINT)" -> "dc")
+        "CAST(round(DATA[chan + 1] * 100.0) AS BIGINT)" -> "dc",
+        "(CAST(dc AS HUGEINT) * p2j) * tx_exp + 50000" -> "num")
       val ctes = chain.zipWithIndex.map { case ((e, a), i) =>
         s"g${i + 1} AS (SELECT *, $e AS $a FROM g$i)"
       }.mkString(",\n")
@@ -857,7 +877,8 @@ object RadioQueries {
         |  FROM x, generate_series(0, 3) t(i)),
         |$ctes
         |SELECT l_orderkey, l_linenumber, chan,
-        |  CAST(((CAST(dc AS HUGEINT) * p2j) * tx_exp + 50000) // 100000 AS BIGINT) AS value_micro
+        |  CASE WHEN num <= $AtmNumBound THEN CAST(num // 100000 AS BIGINT)
+        |       ELSE CAST(error('q_pipeline_atmosphere: value_micro exceeds int64') AS BIGINT) END AS value_micro
         |FROM g${chain.size} ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, chan""".stripMargin
     },
 

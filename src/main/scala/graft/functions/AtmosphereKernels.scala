@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{array, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** C6+C7+C8 fused as ONE codegen'd kernel: per channel,
   * `DATA[i] / 10^(−A(f_i)/10)` with A the ITU-R P.676 approximate slant-path
@@ -116,7 +116,144 @@ case class ItuCorrect(
       rp = newChildren(3), rt = newChildren(4), sinElev = newChildren(5))
 }
 
+/** q_pipeline_atmosphere's whole per-channel correction as ONE kernel call
+  * (PLANS.md findings 45/47): data·10^(A/10) in exact integer micro units.
+  * The double part ([[AtmosphereKernels.attenuationDbExact]]) uses only
+  * ±·×÷ and IEEE-correctly-rounded sqrt, in the exact op order the DuckDB
+  * oracle's alias chain spells — bit-identical `aa` by construction. The
+  * integer part (Math.round lift, nano-nat bridge, 2ʲ·expNano(r) range
+  * reduction, half-up micro division) is the same integer arithmetic the
+  * oracle runs in BIGINT/HUGEINT. Inlined as Column trees this projection
+  * was JIT-warmup-bimodal (3.5 s warm vs 20-40 s un-JIT'd first run) and
+  * the decimal(38,0) steps ran on BigDecimal per row; the kernel is a
+  * compact JIT-friendly method with long fast paths.
+  *
+  * Rounding windows (documented, not hidden): Math.round(x) vs DuckDB's
+  * round(double) can disagree only within ~1 ulp of a .5 boundary — for
+  * `an` (magnitude ≥ 1e5) that is a ≤1e-11 relative window, and for
+  * `dc` the input is within 1 ulp of an integer (TPC-H centi-units), 0.5
+  * away from any boundary. Same class of window the retired Column
+  * `round(·, 0)` carried; empirically zero flips across all runs.
+  *
+  * Overflow: j > 60 (attenuation past 180 dB) or a 2ʲ·er product past
+  * int64 throws — the oracle's error() CASEs abort the same inputs.
+  */
+case class AtmValueMicro(
+    data: Expression,
+    rho: Expression,
+    rp: Expression,
+    rt: Expression,
+    sinElev: Expression,
+    fGHz: Expression) extends Expression {
+
+  override def children: Seq[Expression] =
+    Seq(data, rho, rp, rt, sinElev, fGHz)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "atm_value_micro"
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else AtmosphereKernels.atmValueMicro(
+      vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double],
+      vs(4).asInstanceOf[Double], vs(5).asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = children.map(_.genCode(ctx))
+    val childCode = cs.map(_.code.toString).mkString("\n")
+    val anyNull = cs.map(_.isNull).mkString(" || ")
+    ev.copy(code = code"""
+      $childCode
+      boolean ${ev.isNull} = $anyNull;
+      long ${ev.value} = -1L;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.AtmosphereKernels.atmValueMicro(
+          ${cs.map(_.value).mkString(", ")});
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AtmValueMicro =
+    copy(data = newChildren(0), rho = newChildren(1), rp = newChildren(2),
+      rt = newChildren(3), sinElev = newChildren(4), fGHz = newChildren(5))
+}
+
 object AtmosphereKernels {
+
+  /** [[AttenuationDb]]'s body — every op in the exact order the DuckDB
+    * oracle's alias chain spells (rt2/rt4/rt5/rt7 multiplication steps,
+    * left-associated sums/products); javac/JIT never fuse or reassociate
+    * plain double ops, so the result is bit-identical to the oracle's.
+    */
+  def attenuationDbExact(
+      rho: Double, rp: Double, rt: Double, sinel: Double, f: Double): Double = {
+    val rt2 = rt * rt
+    val rt4 = rt2 * rt2
+    val rt5 = rt4 * rt
+    val rt7 = (rt4 * rt2) * rt
+    val f2 = f * f
+    val go = (7.27 * rt / (f2 + 0.351 * rp * rp * rt * rt) +
+      7.5 / ((f - 57.0) * (f - 57.0) + 2.44 * rp * rp * rt5)) *
+      f2 * rp * rp * rt * rt * 1e-3
+    val gw = (3.27e-2 * rt + 1.67e-3 * rho * rt7 / rp +
+      7.7e-4 * Math.sqrt(f) +
+      3.79 / ((f - 22.235) * (f - 22.235) + 9.81 * rp * rp * rt) +
+      11.73 * rt / ((f - 183.31) * (f - 183.31) + 11.85 * rp * rp * rt) +
+      4.01 * rt / ((f - 325.153) * (f - 325.153) + 10.44 * rp * rp * rt)) *
+      f2 * rho * rp * rt * 1e-4
+    val hw = 1.6 * (1.0 + 3.0 / ((f - 22.2) * (f - 22.2) + 5.0))
+    (go * 6.0 + gw * hw) / sinel
+  }
+
+  /** [[AtmValueMicro]]'s integer tail: see the expression scaladoc.
+    * Ln10Nano/Ln2Nano are [[FixedPointExp.Ln10Nano]]/[[FixedPointLog
+    * .Ln2Nano]]; the 922337203685477000000000 oracle ceiling is enforced
+    * here as long-overflow checks (both engines abort; only the message
+    * differs).
+    */
+  def atmValueMicro(data: Double, rho: Double, rp: Double, rt: Double,
+      sinel: Double, f: Double): Long = {
+    val aa = attenuationDbExact(rho, rp, rt, sinel, f)
+    val an = Math.round(aa * 1.0e9)
+    // yn = an·ln10 / 1e10 nano-nats; long fast path while an·Ln10Nano
+    // fits int64 (an ≤ 4e9 ⇔ A ≤ 4 dB — every realistic row), BigInt
+    // above it, same truncation (the lnNanoEval discipline).
+    val yn =
+      if (an >= 0 && an <= 4000000000L)
+        an * FixedPointExp.Ln10Nano / 10000000000L
+      else
+        ((BigInt(an) * FixedPointExp.Ln10Nano) / BigInt(10000000000L)).toLong
+    val j = yn / FixedPointLog.Ln2Nano
+    if (j > 60)
+      throw new ArithmeticException(
+        "q_pipeline_atmosphere: 2^j overflow (attenuation > 180 dB)")
+    val r = yn - j * FixedPointLog.Ln2Nano
+    val er = FixedPointExp.expNanoEval(r)
+    val dc = Math.round(data * 100.0)
+    val num =
+      try Math.addExact(
+        Math.multiplyExact(Math.multiplyExact(dc, 1L << j.toInt), er), 50000L)
+      catch { case _: ArithmeticException =>
+        throw new ArithmeticException(
+          "q_pipeline_atmosphere: value_micro exceeds int64")
+      }
+    num / 100000L
+  }
+
+  /** [[AtmValueMicro]] as a Column. */
+  def atmValueMicroCol(data: Column, rho: Column, rp: Column, rt: Column,
+      sinElev: Column, fGHz: Column): Column =
+    GraftColumnBridge.column(AtmValueMicro(
+      GraftColumnBridge.expression(data.cast("double")),
+      GraftColumnBridge.expression(rho.cast("double")),
+      GraftColumnBridge.expression(rp.cast("double")),
+      GraftColumnBridge.expression(rt.cast("double")),
+      GraftColumnBridge.expression(sinElev.cast("double")),
+      GraftColumnBridge.expression(fGHz.cast("double"))))
 
   /** 10^(−A/10) with A per Rec. ITU-R P.676 approximation — same op order
     * as the Column form in [[graft.ops.Atmosphere.gaseousAttenuationDb]] /

@@ -477,8 +477,6 @@ object RadioQueries {
       //    An = round(A·1e9) → y = An·ln10/1e10 nano-nats → y = j·ln2 + r →
       //    value = round((DATA·2ʲ)·(expNano(r)/1e9), 6). Every double op
       //    textually mirrored, every integer op identical by construction.
-      import graft.functions.{FixedPointExp, FixedPointLog}
-      import FixedPointLog.idiv
       val obs = li(s, dir).select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         data4.as("DATA"),
@@ -507,73 +505,19 @@ object RadioQueries {
           posexplode(typedLit(Seq(1.5, 1.25, 1.0, 0.75))).as(Seq("chan", "__fr")))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("chan"))
-      val (rho, rp, rt, fr) =
-        (col("__rho"), col("__rp"), col("__rt"), col("__fr"))
-      val d = staged
-        .withColumn("__rt2", rt * rt)
-        .withColumn("__rt4", col("__rt2") * col("__rt2"))
-        .withColumn("__rt5", col("__rt4") * rt)
-        .withColumn("__rt7", (col("__rt4") * col("__rt2")) * rt)
-        .withColumn("__f2", fr * fr)
-        .withColumn("__go",
-          (lit(7.27) * rt / (col("__f2") + lit(0.351) * rp * rp * rt * rt) +
-            lit(7.5) / ((fr - lit(57.0)) * (fr - lit(57.0)) +
-              lit(2.44) * rp * rp * col("__rt5"))) *
-          col("__f2") * rp * rp * rt * rt * lit(1e-3))
-        .withColumn("__gw",
-          (lit(3.27e-2) * rt + lit(1.67e-3) * rho * col("__rt7") / rp +
-            lit(7.7e-4) * sqrt(fr) +
-            lit(3.79) / ((fr - lit(22.235)) * (fr - lit(22.235)) +
-              lit(9.81) * rp * rp * rt) +
-            lit(11.73) * rt / ((fr - lit(183.31)) * (fr - lit(183.31)) +
-              lit(11.85) * rp * rp * rt) +
-            lit(4.01) * rt / ((fr - lit(325.153)) * (fr - lit(325.153)) +
-              lit(10.44) * rp * rp * rt)) *
-          col("__f2") * rho * rp * rt * lit(1e-4))
-        .withColumn("__hw",
-          lit(1.6) * (lit(1.0) + lit(3.0) /
-            ((fr - lit(22.2)) * (fr - lit(22.2)) + lit(5.0))))
-        .withColumn("__aa",
-          (col("__go") * lit(6.0) + col("__gw") * col("__hw")) / col("__sinel"))
-        .withColumn("__an", round(col("__aa") * lit(1.0e9), 0).cast("long"))
-        .withColumn("__yn", idiv(
-          col("__an").cast("decimal(38,0)") * lit(FixedPointExp.Ln10Nano),
-          lit(10000000000L)))
-        .withColumn("__j", idiv(col("__yn"), lit(FixedPointLog.Ln2Nano)))
-        .withColumn("__r", col("__yn") - col("__j") * lit(FixedPointLog.Ln2Nano))
-        .withColumn("__er", FixedPointExp.expNanoCol(col("__r")))
-        // 2^j exact via integer shift (engine pow() is not bit-pinned even
-        // on exact cases); j > 60 = attenuation past 180 dB — fail loudly
-        // in BOTH engines rather than overflow the shift silently.
-        .withColumn("__p2j", when(col("__j") <= 60L,
-            call_function("shiftleft", lit(1L), col("__j").cast("int")))
-          .otherwise(raise_error(lit(
-            "q_pipeline_atmosphere: 2^j overflow (attenuation > 180 dB)"))
-            .cast("long")))
-        // TPC-H money/quantity columns are exact centi-units, so DATA·100
-        // lifts to an exact integer (the round() is 0.5 away from any
-        // boundary) and the final micro rounding runs ENTIRELY in integer
-        // arithmetic — round(double, 6) itself is NOT cross-engine
-        // bit-stable at boundary-adjacent inputs (measured: 6/240k rows
-        // flipped between Spark's BigDecimal HALF_UP and DuckDB's round).
-        .withColumn("__dc",
-          round(element_at(col("DATA"), col("chan") + 1) * lit(100.0), 0)
-            .cast("long"))
-      // Spark's IntegralDivide narrows its decimal quotient to long
-      // SILENTLY while DuckDB's HUGEINT→BIGINT cast raises — so the
-      // int64 bound on the quotient is enforced explicitly with the same
-      // literal on both sides (the CorpusDrift bound discipline): any
-      // product past Long.Max·1e5 fails loudly in BOTH engines instead
-      // of wrapping on one.
-      d.withColumn("__num",
-          (col("__dc").cast("decimal(38,0)") * col("__p2j")) * col("__er")
-            + lit(50000L))
-        .select(col("l_orderkey"), col("l_linenumber"), col("chan"),
-          when(col("__num") <= lit(new java.math.BigDecimal(AtmNumBound)),
-              idiv(col("__num"), lit(100000L)))
-            .otherwise(raise_error(lit(
-              "q_pipeline_atmosphere: value_micro exceeds int64"))
-              .cast("long")).as("value_micro"))
+      // The whole per-channel correction — the ±·×÷/√ attenuation chain,
+      // the Math.round lifts, the nano-nat bridge, 2ʲ·expNano(r), and the
+      // half-up integer micro division — is ONE codegen'd kernel call
+      // (graft.functions.AtmValueMicro): the inlined Column/decimal chain
+      // was JIT-warmup-bimodal (finding 45: 3.5 s warm vs 20-40 s
+      // un-JIT'd) and ran decimal(38,0) steps on BigDecimal per row. The
+      // kernel throws past 180 dB or int64 exactly where the oracle's
+      // error() CASEs abort.
+      staged.select(col("l_orderkey"), col("l_linenumber"), col("chan"),
+        graft.functions.AtmosphereKernels.atmValueMicroCol(
+          element_at(col("DATA"), col("chan") + 1),
+          col("__rho"), col("__rp"), col("__rt"), col("__sinel"),
+          col("__fr")).as("value_micro"))
     }),
 
     "q_pipeline_full" -> ((s, dir) =>

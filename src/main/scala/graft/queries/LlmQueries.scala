@@ -3890,8 +3890,8 @@ object LlmQueries {
         |  FROM agg JOIN lab USING (doc_id)),
         |bb AS (SELECT CAST(least(pm // 100000, 9) AS BIGINT) AS bin, label, pm FROM p)
         |SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS n_pos,
-        |  (sum(label) * 1000000) // count(*) AS observed_micro,
-        |  sum(pm) // count(*) AS predicted_micro
+        |  CAST((sum(label) * 1000000) // count(*) AS BIGINT) AS observed_micro,
+        |  CAST(sum(pm) // count(*) AS BIGINT) AS predicted_micro
         |FROM bb GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_text_cards" ->

@@ -211,9 +211,9 @@ object AtmosphereKernels {
 
   /** [[AtmValueMicro]]'s integer tail: see the expression scaladoc.
     * Ln10Nano/Ln2Nano are [[FixedPointExp.Ln10Nano]]/[[FixedPointLog
-    * .Ln2Nano]]; the 922337203685477000000000 oracle ceiling is enforced
-    * here as long-overflow checks (both engines abort; only the message
-    * differs).
+    * .Ln2Nano]]; the oracle's [[NumBound]] ceiling is enforced here via a
+    * BigInt widening that mirrors the oracle's HUGEINT num, so both
+    * engines abort on identical inputs with the same message.
     */
   def atmValueMicro(data: Double, rho: Double, rp: Double, rt: Double,
       sinel: Double, f: Double): Long = {
@@ -234,15 +234,31 @@ object AtmosphereKernels {
     val r = yn - j * FixedPointLog.Ln2Nano
     val er = FixedPointExp.expNanoEval(r)
     val dc = Math.round(data * 100.0)
-    val num =
-      try Math.addExact(
-        Math.multiplyExact(Math.multiplyExact(dc, 1L << j.toInt), er), 50000L)
-      catch { case _: ArithmeticException =>
-        throw new ArithmeticException(
-          "q_pipeline_atmosphere: value_micro exceeds int64")
-      }
-    num / 100000L
+    // num = dc·2^j·er + 50000 — long fast path; when the int64 product
+    // overflows, fall back to BigInt exactly as the oracle computes num in
+    // HUGEINT, and apply the oracle's own ceiling ([[NumBound]]) so both
+    // engines abort on the SAME inputs (the oracle returns a valid
+    // value_micro up to num ≤ ~9.2e23; only past that does it error()).
+    val fast =
+      try Some(Math.addExact(
+        Math.multiplyExact(Math.multiplyExact(dc, 1L << j.toInt), er), 50000L))
+      catch { case _: ArithmeticException => None }
+    fast match {
+      case Some(num) => num / 100000L
+      case None =>
+        val wide = (BigInt(dc) << j.toInt) * er + 50000
+        if (wide > NumBound)
+          throw new ArithmeticException(
+            "q_pipeline_atmosphere: value_micro exceeds int64")
+        (wide / 100000).toLong
+    }
   }
+
+  /** The atmosphere oracle's num ceiling (`AtmNumBound` in the DuckDB SQL,
+    * single-sourced here): num ≤ this ⇒ num//100000 fits int64; above it
+    * BOTH engines abort with the same message.
+    */
+  val NumBound: BigInt = BigInt("922337203685477000000000")
 
   /** [[AtmValueMicro]] as a Column. */
   def atmValueMicroCol(data: Column, rho: Column, rp: Column, rt: Column,

@@ -238,11 +238,14 @@ object FixedPointLog {
 
   /** The same algorithm as DuckDB SQL, emitted as `(expr, alias)` pairs for
     * a lateral-column-alias SELECT (each step may reference earlier
-    * aliases). `p` and `q` are SQL fragments that must already be HUGEINT
-    * (or safely within BIGINT); the final alias `<pre>_ln` is the nano-nat
-    * result. */
+    * aliases). `p` is widened to HUGEINT internally (the `p·2³⁰` product
+    * would overflow BIGINT for counts above 2³³ — the Spark kernel's
+    * BigInt fallback succeeds there, so the oracle must too) and the
+    * quotient narrowed back to BIGINT (p/q ∈ (0, 2] ⇒ u ≤ 2³¹, always
+    * fits); the final alias `<pre>_ln` is the nano-nat result. */
   def lnNanoDuckSteps(p: String, q: String, pre: String): Seq[(String, String)] =
-    (s"greatest((($p) * $B) // ($q), 1)", s"${pre}_u") +: duckSeriesTail(pre, jTerm = "")
+    (s"CAST(greatest((CAST(($p) AS HUGEINT) * $B) // ($q), 1) AS BIGINT)",
+      s"${pre}_u") +: duckSeriesTail(pre, jTerm = "")
 
   private def B = Scale
 

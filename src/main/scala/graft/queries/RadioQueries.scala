@@ -39,7 +39,8 @@ object RadioQueries {
     * under Long.Max·1e5). Shared literal — the same comparison runs in
     * both engines, so overflow aborts identically instead of Spark's
     * silent decimal→long narrowing vs DuckDB's loud HUGEINT cast. */
-  private val AtmNumBound = "922337203685477000000000"
+  private val AtmNumBound =
+    graft.functions.AtmosphereKernels.NumBound.toString
 
   def queries: Map[String, Q] = Map(
     // --- F: projections / filters / predicates -----------------------------
@@ -511,8 +512,10 @@ object RadioQueries {
       // (graft.functions.AtmValueMicro): the inlined Column/decimal chain
       // was JIT-warmup-bimodal (finding 45: 3.5 s warm vs 20-40 s
       // un-JIT'd) and ran decimal(38,0) steps on BigDecimal per row. The
-      // kernel throws past 180 dB or int64 exactly where the oracle's
-      // error() CASEs abort.
+      // kernel throws past 180 dB or the oracle's HUGEINT num ceiling
+      // (AtmosphereKernels.NumBound) exactly where the error() CASEs
+      // abort — the int64-overflow window widens through BigInt, like the
+      // oracle's HUGEINT num.
       staged.select(col("l_orderkey"), col("l_linenumber"), col("chan"),
         graft.functions.AtmosphereKernels.atmValueMicroCol(
           element_at(col("DATA"), col("chan") + 1),

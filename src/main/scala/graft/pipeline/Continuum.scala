@@ -118,26 +118,27 @@ object Continuum {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // A3 per file, in-plan (no driver agg): |IFNUM| x |PLNUM| distinct.
-    val cc = df.groupBy(col("FILE_ID"))
-      .agg((countDistinct(col("IFNUM")) * countDistinct(col("PLNUM"))).as("__cc"))
-
-    var d = df.filter(col("IFNUM") === p.ifnum && col("PLNUM") === p.plnum)
     val t0 = lit(header.date)
-    d = RangeFilters.filterTimeRanges(d, t0, p.includeTime, p.excludeTime)
     val fr = HeaderRecord.frequencyRange(header, p.ifnum)
     val freqs = ArrayOps.freqAxis(fr.high, fr.low, fr.channelCount)
-    val (_, d2) = RangeFilters.filterFrequencyRanges(d, freqs, p.includeFreq, p.excludeFreq)
 
-    // Materialized ONCE (localCheckpoint): integ feeds both the mapGroups
-    // params side and the final join side — unmaterialized, the expensive
-    // arraySum/DATA scan would run twice AND the row_number positions could
-    // differ between evaluations when upstream sort keys tie (the corpus has
-    // non-unique lineitem keys), applying gains to a different row
-    // assignment than they were fitted on.
-    val integ = withPosWindowed(d2).select(
+    // ONE evaluation of the (possibly expensive) source subtree: a narrow
+    // PRE-F1 projection in which DATA is already consumed into intensity
+    // (A1 after the F7 channel crop, both per-row), so the checkpoint holds
+    // nine scalar columns and never the channel vectors. Both the A3
+    // interleave aggregate (pre-filter semantics, continuum.py:24-28) and
+    // the filtered integ frame below re-read this materialization —
+    // previously each evaluated the full source independently, and the sf1
+    // smoke measured the multi-file fixture at ~7 s PER evaluation (the
+    // dominant term of q_continuum_all's 5× ratio for 10× data).
+    // Per-row ops commute with the filters: cropping/integrating/deriving t
+    // on rows F1 later drops changes no surviving value.
+    val (_, dCrop) = RangeFilters.filterFrequencyRanges(df, freqs, p.includeFreq, p.excludeFreq)
+    val base = dCrop.select(
       col("FILE_ID").cast("string").as("FILE_ID"),
-      col("__pos").cast("long").as("__pos"),
+      col("ROWIDX").cast("long").as("ROWIDX"),
+      col("IFNUM").cast("int").as("IFNUM"),
+      col("PLNUM").cast("int").as("PLNUM"),
       col("CALSTATE").cast("int").as("CALSTATE"),
       col("SWPVALID").cast("int").as("SWPVALID"),
       col("OBSMODE").cast("string").as("OBSMODE"),
@@ -145,12 +146,30 @@ object Continuum {
       ArrayOps.arraySum(col("DATA")).as("intensity"))
       .localCheckpoint()
 
+    // A3 per file, in-plan (no driver agg): |IFNUM| x |PLNUM| distinct.
+    val cc = base.groupBy(col("FILE_ID"))
+      .agg((countDistinct(col("IFNUM")) * countDistinct(col("PLNUM"))).as("__cc"))
+
+    var d = base.filter(col("IFNUM") === p.ifnum && col("PLNUM") === p.plnum)
+    if (p.includeTime.nonEmpty || p.excludeTime.nonEmpty)
+      d = d.filter(RangeFilters.timeRangePredicate(col("t"), p.includeTime, p.excludeTime))
+
+    // Materialized ONCE (localCheckpoint): integ feeds both the mapGroups
+    // params side and the final join side — unmaterialized, the per-file
+    // position window would run twice for the same information.
+    val integ = withPosWindowed(d).select(
+      col("FILE_ID"),
+      col("__pos").cast("long").as("__pos"),
+      col("CALSTATE"), col("SWPVALID"), col("OBSMODE"),
+      col("t"), col("intensity"))
+      .localCheckpoint()
+
     val strict = p.strictCompat
     val obsmode = header.obsmode
     // Per-file gain parameters: mode 0 = identity, 1 = divide by constant
     // `pv`, 2 = divide by the height interpolated between (t1, pv)..(t2, qv).
     val params = integ
-      .join(broadcast(cc.withColumn("FILE_ID", col("FILE_ID").cast("string"))), "FILE_ID")
+      .join(broadcast(cc), "FILE_ID")
       .select(col("FILE_ID"), col("__pos"), col("CALSTATE"), col("SWPVALID"),
         col("OBSMODE"), col("t"), col("intensity"), col("__cc"))
       .as[(String, Long, Int, Int, String, Double, Double, Long)]

@@ -129,7 +129,7 @@ object SdfitsQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_sdfits_read" ->
-      """SELECT l_orderkey % 3 AS ifnum, CAST(count(*) AS BIGINT) AS n,
+      """SELECT CAST(l_orderkey % 3 AS INT) AS ifnum, CAST(count(*) AS BIGINT) AS n,
         |  sum(l_quantity) AS sum_q
         |FROM lineitem WHERE l_orderkey % 20 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -44,6 +44,14 @@ object JobAudit {
         (if (near.nonEmpty) s"; did you mean: ${near.mkString(", ")}" else "")
     })
     val fn = registry(name)
+    // Optional warm pass (arg 3 = "warm"): run once untimed first so the
+    // per-job numbers measure the plan, not Janino/JIT compilation.
+    if (args.length > 2 && args(2) == "warm") {
+      fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      jobs.clear(); starts.clear(); durs.clear()
+    }
     val t0 = System.nanoTime()
     fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
     val sec = (System.nanoTime() - t0) / 1e9

@@ -45,7 +45,7 @@ def values_equal(a, b):
         return (not near), near
     return (a == b), False
 
-n_pass = n_near = n_fail = n_rowsonly = 0
+n_pass = n_near = n_fail = n_rowsonly = n_types = 0
 for name in sorted(oracle):
     sql = oracle[name]
     try:
@@ -54,10 +54,21 @@ for name in sorted(oracle):
         got_cols = [d[0] for d in con.description]
         exp = con.execute(sql).fetchall()
         exp_cols = [d[0] for d in con.description]
+        # Strict per-column TYPE parity (the driver hashes typed values:
+        # a DuckDB-widened HUGEINT pandas-converts to float64 and
+        # hash-fails against a bit-equal Spark BIGINT — finding 48).
+        got_t = dict((c, t) for c, t, *_ in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetchall())
+        exp_t = dict((c, t) for c, t, *_ in con.execute(f"DESCRIBE {sql}").fetchall())
     except Exception as e:
         print(f"FAIL {name}: exec error {e}")
         n_fail += 1
         continue
+    tmism = [(c, got_t.get(c), exp_t.get(c)) for c in sorted(set(got_t) | set(exp_t))
+             if got_t.get(c) != exp_t.get(c)]
+    if tmism:
+        print(f"TYPES {name}: spark-vs-oracle column types differ: {tmism}")
+        n_types += 1
     # sort columns by name (driver behavior)
     gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
     ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
@@ -103,4 +114,5 @@ for name in sorted(os.listdir(OUT)):
             n_rowsonly += 1
         except Exception as e:
             print(f"ROWS-ONLY-FAIL {name}: {e}")
-print(f"\n== {n_pass} pass, {n_near} near, {n_fail} fail, {n_rowsonly} rows-only ==")
+print(f"\n== {n_pass} pass, {n_near} near, {n_fail} fail, {n_rowsonly} rows-only, "
+      f"{n_types} type-mismatch ==")

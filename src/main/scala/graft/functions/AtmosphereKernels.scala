@@ -213,7 +213,9 @@ object AtmosphereKernels {
     * Ln10Nano/Ln2Nano are [[FixedPointExp.Ln10Nano]]/[[FixedPointLog
     * .Ln2Nano]]; the oracle's [[NumBound]] ceiling is enforced here via a
     * BigInt widening that mirrors the oracle's HUGEINT num, so both
-    * engines abort on identical inputs with the same message.
+    * engines abort on identical inputs (same message on the error() side;
+    * the below-int64 negative window mirrors the oracle's CAST conversion
+    * error with a JVM ArithmeticException).
     */
   def atmValueMicro(data: Double, rho: Double, rp: Double, rt: Double,
       sinel: Double, f: Double): Long = {
@@ -250,7 +252,15 @@ object AtmosphereKernels {
         if (wide > NumBound)
           throw new ArithmeticException(
             "q_pipeline_atmosphere: value_micro exceeds int64")
-        (wide / 100000).toLong
+        // BigInt / truncates toward zero exactly like DuckDB's HUGEINT //.
+        // Below int64 (possible only for large-NEGATIVE dc) the oracle's
+        // CAST(num // 100000 AS BIGINT) raises a conversion error — abort
+        // here too rather than silently wrapping in toLong.
+        val q = wide / 100000
+        if (!q.isValidLong)
+          throw new ArithmeticException(
+            "q_pipeline_atmosphere: value_micro below int64")
+        q.toLong
     }
   }
 

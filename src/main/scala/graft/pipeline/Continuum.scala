@@ -131,8 +131,13 @@ object Continuum {
     // previously each evaluated the full source independently, and the sf1
     // smoke measured the multi-file fixture at ~7 s PER evaluation (the
     // dominant term of q_continuum_all's 5× ratio for 10× data).
-    // Per-row ops commute with the filters: cropping/integrating/deriving t
-    // on rows F1 later drops changes no surviving value.
+    // The crop/integration is gated on the F1 predicate (CaseWhen
+    // short-circuits in codegen): the crop indices derive from p.ifnum's
+    // channel geometry, and under ANSI an unconditional element_at would
+    // crash on another IF's shorter DATA array — besides wasting the
+    // arraySum on every row F1 drops anyway. Gated, the surviving values
+    // are exactly what [[run]] computes post-filter.
+    val f1 = col("IFNUM") === p.ifnum && col("PLNUM") === p.plnum
     val (_, dCrop) = RangeFilters.filterFrequencyRanges(df, freqs, p.includeFreq, p.excludeFreq)
     val base = dCrop.select(
       col("FILE_ID").cast("string").as("FILE_ID"),
@@ -143,7 +148,8 @@ object Continuum {
       col("SWPVALID").cast("int").as("SWPVALID"),
       col("OBSMODE").cast("string").as("OBSMODE"),
       RangeFilters.relSeconds(col("DATE_OBS"), t0).as("t"),
-      ArrayOps.arraySum(col("DATA")).as("intensity"))
+      when(f1, ArrayOps.arraySum(col("DATA")))
+        .otherwise(lit(null).cast("double")).as("intensity"))
       .localCheckpoint()
 
     // A3 per file, in-plan (no driver agg): |IFNUM| x |PLNUM| distinct.

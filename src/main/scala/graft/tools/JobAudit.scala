@@ -8,11 +8,11 @@ import org.apache.spark.sql.SparkSession
   * count moves, this main shows WHICH actions fired: one line per Spark
   * job with its call site and stage count.
   *
-  * Usage: tools/run_main.sh graft.tools.JobAudit <queryName> [sfDir]
+  * Usage: tools/run_main.sh graft.tools.JobAudit <queryName> [sfDir] [warm]
   */
 object JobAudit {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: JobAudit <queryName> [sfDir]")
+    require(args.nonEmpty, "usage: JobAudit <queryName> [sfDir] [warm]")
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
@@ -50,6 +50,9 @@ object JobAudit {
       fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // Listener events are delivered async — drain the bus before
+      // clearing, or late warm-run events leak into the timed report.
+      Thread.sleep(500)
       jobs.clear(); starts.clear(); durs.clear()
     }
     val t0 = System.nanoTime()

@@ -33,14 +33,18 @@ class OracleTypeLintSpec extends AnyFunSuite {
     val sf = sys.env.getOrElse("SPARK_GRAFT_LINT_SF", "/root/testdata/sf0.001")
     assume(Files.exists(Paths.get(sf, "lineitem.parquet")), s"testdata missing at $sf")
     val dump = Files.createTempFile("oracle_sql", ".json")
-    Files.writeString(dump, Verify.oracleJson)
-    val out = new StringBuilder
-    val code = Seq("python3", "tools/lint_oracle_types.py", dump.toString, sf)
-      .!(ProcessLogger(l => out.append(l).append('\n')))
-    Files.delete(dump)
+    val (code, out) =
+      try {
+        Files.writeString(dump, Verify.oracleJson)
+        // stdout/stderr pump on separate threads — collect synchronized.
+        val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val c = Seq("python3", "tools/lint_oracle_types.py", dump.toString, sf)
+          .!(ProcessLogger(lines.add(_)))
+        (c, String.join("\n", lines))
+      } finally Files.delete(dump)
     assert(code == 0, s"oracle type lint violations:\n$out")
     // Belt and braces: the summary line must cover the whole registry.
-    assert(out.toString.contains(s"${SparkEntry.oracleSql.size} oracles"),
+    assert(out.contains(s"${SparkEntry.oracleSql.size} oracles"),
       s"lint did not cover the full registry:\n$out")
   }
 }

@@ -51,6 +51,31 @@ class AtmValueMicroOverflowSpec extends AnyFunSuite {
     assert(e.getMessage.contains("value_micro exceeds int64"))
   }
 
+  test("negative overflow window: returns the oracle's truncated quotient, no throw") {
+    // DuckDB's HUGEINT // truncates toward zero exactly like BigInt `/`
+    // (-7 // 2 = -3), so a large-NEGATIVE num whose quotient still fits
+    // int64 must return the same value — not throw, not wrap.
+    val sinel = base / 120.0
+    val (posNum, _) = wideNum(sinel)
+    val num = -posNum + 100000 // mirror of the positive fixture, in-range
+    assert(num < BigInt(Long.MinValue), s"fixture not in the negative window (num=$num)")
+    assert((num / 100000).isValidLong)
+    assert(AtmosphereKernels.atmValueMicro(-data, rho, rp, rt, sinel, f) ==
+      ((-posNum + 100000) / 100000).toLong)
+  }
+
+  test("below int64: aborts like the oracle's CAST conversion error, never wraps") {
+    // Oracle: num <= NumBound holds for any negative num, so it reaches
+    // CAST(num // 100000 AS BIGINT) and raises out-of-range; the kernel
+    // must abort too (silent BigInt.toLong wrapping returned garbage).
+    val sinel = base / 165.0
+    val (posNum, _) = wideNum(sinel)
+    assert(-posNum + 100000 < BigInt(Long.MinValue) * 100000)
+    val e = intercept[ArithmeticException](
+      AtmosphereKernels.atmValueMicro(-data, rho, rp, rt, sinel, f))
+    assert(e.getMessage.contains("value_micro below int64"))
+  }
+
   test("fast path unchanged: in-range value agrees with the BigInt recomputation") {
     val sinel = base / 30.0 // ~30 dB — long fast path
     val (num, _) = wideNum(sinel)

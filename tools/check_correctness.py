@@ -6,16 +6,17 @@ runs the oracle SQL from OUTDIR/oracle_sql.json against the same sf tables,
 sorts columns by name, and compares row counts, schemas (loosely) and
 values (bit-exact for floats, with a near-miss diagnostic at 1e-9 rel).
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from graft_tables import create_views
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
 con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+create_views(con, SF)
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 

@@ -17,9 +17,13 @@ Usage: lint_oracle_types.py <oracle_sql.json> [sf_dir]
 Exit 0 = clean; exit 1 = violations (listed on stdout).
 """
 import json
+import os
 import sys
 
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from graft_tables import create_views
 
 # Types every green oracle in the registry resolves to (r13 survey over all
 # 271: BIGINT 519, VARCHAR 129, DOUBLE 97, BOOLEAN 91, INTEGER 53,
@@ -36,9 +40,7 @@ def main():
     oracle_path = sys.argv[1]
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    create_views(con, sf)
     sqls = json.load(open(oracle_path))
     violations = []
     for name in sorted(sqls):

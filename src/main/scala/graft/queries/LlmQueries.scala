@@ -1611,9 +1611,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))),
 
     "q_text_quality" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id"))),
+      // Sort FIRST, project the expensive kernel after the exchange: a
+      // range sort's sampling job executes its child in full, so
+      // quality-then-orderBy evaluated the kernel TWICE (and at the scan's
+      // split count — 5 tasks on the sf1 layout); sort-then-project runs
+      // it once, post-shuffle, at the full shuffle parallelism.
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))),
 
     "q_text_ngrams" -> ((s, dir) =>
       // Codegen'd exploded construction (ngramCountsBy); same values as the

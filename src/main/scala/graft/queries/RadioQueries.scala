@@ -117,9 +117,15 @@ object RadioQueries {
     "q_f9_rowslice" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      // Filter on row_number ITSELF (not a derived column) so Catalyst's
+      // InferWindowGroupLimit plans a bounded map-side top-50 per flag
+      // (the q_url_domaincap discipline). l_returnflag has 3 values: the
+      // naive full window funnels a third of the corpus through one task
+      // and sorts it, for 50 surviving rows — 6x for 10x data at sf1.
       li(s, dir)
-        .withColumn("idx", (row_number().over(w) - 1).cast("long"))
-        .filter(col("idx") < 50)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 50)
+        .withColumn("idx", (col("__rn") - 1).cast("long"))
         .select(col("l_returnflag"), col("idx"), col("l_orderkey"), col("l_linenumber"))
         .orderBy(col("l_returnflag"), col("idx"))
     }),

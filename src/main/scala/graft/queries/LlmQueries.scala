@@ -1467,6 +1467,23 @@ object LlmQueries {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    "q_text_fixencoding" -> ((s, dir) => {
+      // Mojibake repair (the ftfy-style pass CCNet-era pipelines run
+      // before any text analysis): every 13th doc gets a suffix built by
+      // round-tripping the repair table's own targets through the
+      // UTF-8-decoded-as-cp1252 corruption; the report must flag exactly
+      // those docs and restore the suffix verbatim while every clean doc
+      // passes through byte-identical (changed = false). The oracle
+      // replays the identical ordered replace chain (generated from the
+      // same table) plus the plant.
+      val plant = lit(" " + graft.llm.EncodingRepair.Repairs.map(_._1).mkString(" "))
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 13 === 0, plant).otherwise(lit(""))).as("text"))
+      graft.llm.EncodingRepair.report(d, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_normalize" -> ((s, dir) =>
       // Unicode hygiene certificate: planted combining accents (NFC must
       // compose them), BEL/CR controls (must vanish), tab + space runs
@@ -3756,6 +3773,16 @@ object LlmQueries {
         |SELECT doc_id, CAST(unnest(range(len(l))) AS BIGINT) AS sent_idx,
         |  unnest(l) AS sentence
         |FROM s ORDER BY doc_id, sent_idx""".stripMargin,
+
+    "q_text_fixencoding" -> {
+      val plantSql = (" " + graft.llm.EncodingRepair.Repairs.map(_._1).mkString(" "))
+      val chain = graft.llm.EncodingRepair.replaceChainSql("text")
+      s"""WITH d AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 13 = 0 THEN '$plantSql' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id, text <> $chain AS changed, $chain AS fixed
+        |FROM d ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_normalize" ->
       """SELECT doc_id,

@@ -36,15 +36,20 @@ object SdfitsQueries {
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
     if (!current) {
       out.getParentFile.mkdirs()
-      // Deterministic order (unique 4-key) — FITS row order is semantically
-      // meaningful (SURVEY §1.1), so the writer pins it.
+      // Deterministic order — FITS row order is semantically meaningful
+      // (SURVEY §1.1), so the writer pins it. rowkey alone is NOT unique
+      // (the synthetic lineitem holds duplicate (l_orderkey, l_linenumber)
+      // pairs), so the data channels break the remaining ties; rows still
+      // tied after that are byte-identical and any order is the same file.
       val rows = li(s, dir).filter(col("l_orderkey") % 20 === 0)
         .select(
           (col("l_orderkey") * 8 + col("l_linenumber")).as("rowkey"),
           data4.as("data"),
           (col("l_orderkey") % 3).cast("int").as("ifnum"),
           (col("l_linenumber") % 2).cast("int").as("calstate"))
-        .orderBy(col("rowkey"))
+        .orderBy(col("rowkey"), element_at(col("data"), 1),
+          element_at(col("data"), 2), element_at(col("data"), 3),
+          element_at(col("data"), 4))
         .collect()
       val os = new FileOutputStream(out)
       try SdfitsFormat.write(os,
@@ -116,6 +121,11 @@ object SdfitsQueries {
         SdfitsWriter.Header(
           values = Seq("OBSFREQ" -> "1400.0", "OBSBW" -> "80.0"),
           stringValues = Seq("DATE" -> "2024-01-01T00:00:00", "OBSMODE" -> "onoff")))
+      // rowkey is NOT unique here (duplicate (l_orderkey, l_linenumber)
+      // pairs exist in the synthetic lineitem), and the driver's comparator
+      // zips rows IN ORDER — an under-keyed sort passes only while both
+      // engines break ties identically. The data channels make the order
+      // total up to byte-identical rows (which any order satisfies).
       s.read.format("sdfits").load(out)
         .select(col("rowkey"),
           element_at(col("data"), 1).as("d1"),
@@ -123,7 +133,7 @@ object SdfitsQueries {
           element_at(col("data"), 3).as("d3"),
           element_at(col("data"), 4).as("d4"),
           col("ifnum"), col("calstate"))
-        .orderBy(col("rowkey"))
+        .orderBy(col("rowkey"), col("d1"), col("d2"), col("d3"), col("d4"))
     })
   )
 
@@ -144,6 +154,6 @@ object SdfitsQueries {
         |  CAST(l_orderkey % 3 AS INT) AS ifnum,
         |  CAST(l_linenumber % 2 AS INT) AS calstate
         |FROM lineitem WHERE l_orderkey % 20 = 0
-        |ORDER BY rowkey""".stripMargin
+        |ORDER BY rowkey, d1, d2, d3, d4""".stripMargin
   )
 }

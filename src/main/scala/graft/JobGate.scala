@@ -30,16 +30,28 @@ object JobGate {
 
   /** Parse a bench_detail-format artifact ({"queries":{"q":{"sec":…,
     * "jobs":N},…}}) into the per-query job-count map. Regex-based on
-    * purpose: the artifact is machine-written single-line JSON and the
-    * gate must not grow a parser dependency.
+    * purpose: the artifact is machine-written JSON and the gate must not
+    * grow a parser dependency. Whitespace-tolerant — the recorded
+    * baseline has been pretty-printed in some rounds, and the original
+    * compact-only regex parsed ZERO entries from it, silently turning
+    * the gate into a no-op (every query "new", every run "ok").
     */
   def parseJobs(json: String): Map[String, Int] =
-    """"([A-Za-z0-9_]+)":\{"sec":[^,]+,"jobs":(\d+)\}""".r
+    """"([A-Za-z0-9_]+)"\s*:\s*\{\s*"sec"\s*:\s*[^,]+,\s*"jobs"\s*:\s*(\d+)\s*\}""".r
       .findAllMatchIn(json)
       .map(m => m.group(1) -> m.group(2).toInt)
       .toMap
 
-  def loadBaseline(path: String): Map[String, Int] =
-    parseJobs(new String(
+  /** Loud on an empty parse: a baseline the regex cannot read would
+    * otherwise vacuously pass every run — the exact failure mode the
+    * whitespace fix above closed.
+    */
+  def loadBaseline(path: String): Map[String, Int] = {
+    val parsed = parseJobs(new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+    require(parsed.nonEmpty,
+      s"job baseline at $path parsed to zero queries — format drift would " +
+        "silently disable the gate")
+    parsed
+  }
 }

@@ -21,6 +21,32 @@ class JobGateSpec extends SparkTestBase {
     assert(JobGate.parseJobs(json) == Map("q_a" -> 3, "q_b" -> 7))
   }
 
+  test("parses the pretty-printed baseline format (the silent no-op trap)") {
+    // JOBS_BASELINE.json has shipped pretty-printed; the original
+    // compact-only regex parsed ZERO entries from it, so the gate
+    // vacuously passed every run. Both formats must parse identically.
+    val pretty =
+      """{
+        | "total": 12.345,
+        | "queries": {
+        |  "q_a": {
+        |   "sec": 1.1,
+        |   "jobs": 3
+        |  },
+        |  "q_b": { "sec": 2.0, "jobs": 7 }
+        | }
+        |}""".stripMargin
+    assert(JobGate.parseJobs(pretty) == Map("q_a" -> 3, "q_b" -> 7))
+  }
+
+  test("loadBaseline is loud on a zero-entry parse") {
+    val f = java.nio.file.Files.createTempFile("jobs", ".json")
+    try {
+      java.nio.file.Files.writeString(f, """{"queries":{}}""")
+      intercept[IllegalArgumentException](JobGate.loadBaseline(f.toString))
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("a deliberately-regressed plan (extra driver action) is caught live") {
     def jobsOf(name: String)(body: => Unit): Int = {
       spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)

@@ -18,7 +18,11 @@ For every oracle in a dumped oracle_sql.json this lint:
      qualifiers;
   3. flags any query where some sort-key group contains MORE THAN ONE
      DISTINCT full row. Ties over byte-identical rows are permutation-
-     invariant under the driver's comparator and pass.
+     invariant under the driver's comparator and pass;
+  4. flags any query whose sort key takes NULL on some row: the engines
+     disagree on default NULL placement (Spark ASC = NULLS FIRST,
+     DuckDB ASC = NULLS LAST), so a nullable sort key diverges even
+     when unique.
 ORDER BY expressions that are not plain output columns are re-evaluated
 over the subquery; if DuckDB cannot resolve them there, the query is
 flagged MANUAL for human review rather than silently skipped.
@@ -98,7 +102,10 @@ def outer_order_by(sql):
 
 
 def split_keys(clause):
-    """Split the ORDER BY body on depth-0 commas; strip direction markers."""
+    """Split the ORDER BY body on depth-0 commas into (key, pinned) —
+    pinned = an explicit NULLS FIRST/LAST marker was present (that key's
+    NULL placement does not ride on conflicting engine defaults).
+    Direction/NULLS markers are stripped from the returned key text."""
     keys, depth, cur = [], 0, []
     i = 0
     while i < len(clause):
@@ -128,9 +135,10 @@ def split_keys(clause):
     out = []
     for k in keys:
         k = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", k)
+        pinned = bool(re.search(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", k))
         k = re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", "", k)
         k = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", k)
-        out.append(k.strip())
+        out.append((k.strip(), pinned))
     return out
 
 
@@ -201,23 +209,33 @@ def main():
         except Exception as e:
             flagged.append((name, "MANUAL", f"DESCRIBE failed: {e}"))
             continue
-        resolved = []
-        for k in keys:
+        resolved, unpinned = [], []
+        for k, pinned in keys:
             if re.fullmatch(r"\d+", k):
-                resolved.append(f'"{cols[int(k) - 1]}"')
+                r = f'"{cols[int(k) - 1]}"'
             elif re.fullmatch(r"\w+\.\w+", k) and k.split(".")[1] in cols:
                 # outer-scope qualifier; the bare name is an output column
-                resolved.append(f'"{k.split(".")[1]}"')
+                r = f'"{k.split(".")[1]}"'
             else:
-                resolved.append(k)
+                r = k
+            resolved.append(r)
+            if not pinned:
+                unpinned.append(r)
         tup = ", ".join(resolved)
-        # hazard = some sort-key group holds >1 DISTINCT full row (ties
-        # over identical rows are permutation-invariant and fine)
-        probe = (f"SELECT max(dr) FROM (SELECT count(DISTINCT "
-                 f"__ordlint::VARCHAR) dr FROM ({sql}) __ordlint "
+        # hazard 1 = some sort-key group holds >1 DISTINCT full row (ties
+        # over identical rows are permutation-invariant and fine);
+        # hazard 2 = a sort key WITHOUT an explicit NULLS FIRST/LAST is
+        # NULL on some row (the engines' defaults differ: Spark ASC puts
+        # NULLS FIRST, DuckDB 1.x NULLS LAST — a unique-but-nullable key
+        # diverges unless the oracle pins placement to match Spark).
+        anynull = (" OR ".join(f"({k}) IS NULL" for k in unpinned)
+                   if unpinned else "FALSE")
+        probe = (f"SELECT max(dr), max(hasnull) FROM (SELECT count(DISTINCT "
+                 f"__ordlint::VARCHAR) dr, max(CASE WHEN {anynull} THEN 1 "
+                 f"ELSE 0 END) hasnull FROM ({sql}) __ordlint "
                  f"GROUP BY ({tup})) __ordlint2")
         try:
-            mx = con.execute(probe).fetchone()[0]
+            mx, nulls = con.execute(probe).fetchone()
         except Exception as e:
             flagged.append((name, "MANUAL",
                             f"key not evaluable over output: {e}"))
@@ -225,6 +243,34 @@ def main():
         if mx is not None and mx > 1:
             flagged.append((name, "TIES",
                             f"up to {mx} distinct rows per sort key ({tup})"))
+        if nulls:
+            # Placement only matters where NULL and non-NULL values of a
+            # key COEXIST inside one tie group of the keys before it —
+            # e.g. a per-doc detail key that is all-NULL for invalid docs
+            # and all-set for valid ones never exercises NULL order.
+            for i, r in enumerate(resolved):
+                if r not in unpinned:
+                    continue
+                prefix = resolved[:i]
+                grp = f"GROUP BY ({', '.join(prefix)})" if prefix else ""
+                p2 = (f"SELECT max(CASE WHEN n_null > 0 AND n_val > 0 "
+                      f"THEN 1 ELSE 0 END) FROM (SELECT "
+                      f"sum(CASE WHEN ({r}) IS NULL THEN 1 ELSE 0 END) n_null, "
+                      f"sum(CASE WHEN ({r}) IS NOT NULL THEN 1 ELSE 0 END) n_val "
+                      f"FROM ({sql}) __ordlint {grp}) __ordlint2")
+                try:
+                    mixed = con.execute(p2).fetchone()[0]
+                except Exception as e:
+                    flagged.append((name, "MANUAL",
+                                    f"null-mix probe failed on {r}: {e}"))
+                    continue
+                if mixed:
+                    flagged.append((name, "NULL-KEY",
+                                    f"key {r} mixes NULL and non-NULL "
+                                    f"inside one ({', '.join(prefix) or 'global'}) "
+                                    f"tie group — Spark ASC puts NULLS FIRST, "
+                                    f"DuckDB NULLS LAST; pin NULLS "
+                                    f"FIRST/LAST in the oracle"))
     real = []
     for name, kind, detail in flagged:
         if name in audited:

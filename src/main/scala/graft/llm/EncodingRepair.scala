@@ -54,6 +54,13 @@ object EncodingRepair {
     moji -> t
   }
 
+  /** The corruption-plant suffix used by the driver-contract fixture on
+    * both sides (Spark query and oracle SQL build from THIS one value, so
+    * the planted bytes cannot drift apart): every repair pattern, space-
+    * joined, after a leading space.
+    */
+  val PlantSuffix: String = " " + Repairs.map(_._1).mkString(" ")
+
   /** The repair chain as a Column (codegen'd StringReplace per entry). */
   def fixMojibake(c: Column): Column =
     Repairs.foldLeft(c) { case (acc, (moji, fixed)) =>

@@ -1476,7 +1476,7 @@ object LlmQueries {
       // passes through byte-identical (changed = false). The oracle
       // replays the identical ordered replace chain (generated from the
       // same table) plus the plant.
-      val plant = lit(" " + graft.llm.EncodingRepair.Repairs.map(_._1).mkString(" "))
+      val plant = lit(graft.llm.EncodingRepair.PlantSuffix)
       val d = docs(s, dir).select(col("doc_id"),
         concat(col("text"),
           when(col("doc_id") % 13 === 0, plant).otherwise(lit(""))).as("text"))
@@ -3775,7 +3775,7 @@ object LlmQueries {
         |FROM s ORDER BY doc_id, sent_idx""".stripMargin,
 
     "q_text_fixencoding" -> {
-      val plantSql = (" " + graft.llm.EncodingRepair.Repairs.map(_._1).mkString(" "))
+      val plantSql = graft.llm.EncodingRepair.PlantSuffix
       val chain = graft.llm.EncodingRepair.replaceChainSql("text")
       s"""WITH d AS (SELECT doc_id,
         |    text || CASE WHEN doc_id % 13 = 0 THEN '$plantSql' ELSE '' END AS text

@@ -18,7 +18,9 @@ SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 con = duckdb.connect()
 create_views(con, SF)
 
-oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# utf-8 explicitly: the dump holds non-ASCII SQL literals (mojibake repair
+# chain) — a latin-1 locale default would silently double-corrupt them.
+oracle = json.load(open(f"{OUT}/oracle_sql.json", encoding="utf-8"))
 
 def norm(v):
     if isinstance(v, float):

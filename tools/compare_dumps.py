@@ -19,12 +19,31 @@ import sys
 import duckdb
 
 
+def values_equal(u, v):
+    """Bit-exact with NaN==NaN, recursing into list/array cells — a NaN
+    inside a DOUBLE[] column must compare equal to itself (plain == on
+    lists would report identical dumps as different)."""
+    if u is None and v is None:
+        return True
+    if isinstance(u, float) and isinstance(v, float):
+        return u == v or (u != u and v != v)
+    if isinstance(u, (list, tuple)) and isinstance(v, (list, tuple)):
+        return len(u) == len(v) and all(
+            values_equal(x, y) for x, y in zip(u, v))
+    return u == v
+
+
 def main():
     a, b = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
-    qs = sorted(d for d in os.listdir(a)
-                if d.startswith("q_") and os.path.isdir(os.path.join(a, d)))
-    missing = [d for d in qs if not os.path.isdir(os.path.join(b, d))]
+
+    def dirs(root):
+        return set(d for d in os.listdir(root)
+                   if d.startswith("q_") and os.path.isdir(os.path.join(root, d)))
+
+    qa, qb = dirs(a), dirs(b)
+    qs = sorted(qa | qb)  # union: a query present in only ONE dump is a
+    missing = sorted((qa - qb) | (qb - qa))  # coverage hole, whichever side
     bad = []
     for name in qs:
         if name in missing:
@@ -45,16 +64,12 @@ def main():
             bad.append((name, f"rows {len(ra)} vs {len(rb)}"))
         else:
             for i, (x, y) in enumerate(zip(ra, rb)):
-                same = all(
-                    (u is None and v is None) or
-                    (isinstance(u, float) and isinstance(v, float) and
-                     (u == v or (u != u and v != v))) or u == v
-                    for u, v in zip(x, y))
-                if not same:
+                if not all(values_equal(u, v) for u, v in zip(x, y)):
                     bad.append((name, f"first diff at row {i}: {x} vs {y}"))
                     break
     for name in missing:
-        print(f"MISSING {name}: present in {a}, absent in {b}")
+        side = f"absent in {b}" if name in qa else f"absent in {a}"
+        print(f"MISSING {name}: {side}")
     for name, detail in bad:
         print(f"DIFF {name}: {detail}")
     print(f"{len(qs)} queries, {len(bad)} diffs, {len(missing)} missing")

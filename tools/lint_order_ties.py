@@ -19,10 +19,13 @@ For every oracle in a dumped oracle_sql.json this lint:
   3. flags any query where some sort-key group contains MORE THAN ONE
      DISTINCT full row. Ties over byte-identical rows are permutation-
      invariant under the driver's comparator and pass;
-  4. flags any query whose sort key takes NULL on some row: the engines
-     disagree on default NULL placement (Spark ASC = NULLS FIRST,
-     DuckDB ASC = NULLS LAST), so a nullable sort key diverges even
-     when unique.
+  4. flags any query whose EFFECTIVE NULL placement in the oracle
+     (explicit pin, else DuckDB's default NULLS LAST) differs from
+     Spark's default for that key's direction (ASC = NULLS FIRST,
+     DESC = NULLS LAST) while the key mixes NULL and non-NULL rows
+     inside one tie group of its prefix keys. A pin only counts as safe
+     when it matches Spark's default — `ASC NULLS LAST` pins the oracle
+     AWAY from a plain .orderBy and is flagged, not excused.
 ORDER BY expressions that are not plain output columns are re-evaluated
 over the subquery; if DuckDB cannot resolve them there, the query is
 flagged MANUAL for human review rather than silently skipped.
@@ -71,7 +74,8 @@ def outer_order_by(sql):
         elif c == ")":
             depth -= 1
         elif depth == 0 and c in "Oo" and \
-                re.match(r"(?i)ORDER\s+BY\b", sql[i:]):
+                re.match(r"(?i)ORDER\s+BY\b", sql[i:]) and \
+                (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] in '_"')):
             spans.append(i)
         i += 1
     if not spans:
@@ -94,7 +98,11 @@ def outer_order_by(sql):
             depth += 1
         elif c == ")":
             depth -= 1
-        elif depth == 0 and re.match(r"(?i)\b(LIMIT|OFFSET)\b", body[j:]):
+        elif depth == 0 and re.match(r"(?i)(LIMIT|OFFSET)\b", body[j:]) and \
+                (j == 0 or not (body[j - 1].isalnum() or body[j - 1] in '_"')):
+            # \b against body[j:] matches at string start, losing the LEFT
+            # boundary — an identifier like rate_limit would otherwise
+            # truncate the clause mid-word; check the preceding char.
             end = j
             break
         j += 1
@@ -102,10 +110,10 @@ def outer_order_by(sql):
 
 
 def split_keys(clause):
-    """Split the ORDER BY body on depth-0 commas into (key, pinned) —
-    pinned = an explicit NULLS FIRST/LAST marker was present (that key's
-    NULL placement does not ride on conflicting engine defaults).
-    Direction/NULLS markers are stripped from the returned key text."""
+    """Split the ORDER BY body on depth-0 commas into
+    (key, direction, nulls_pin) — direction is 'ASC'/'DESC' (ASC when
+    unstated), nulls_pin is 'FIRST'/'LAST'/None. Markers are stripped
+    from the returned key text."""
     keys, depth, cur = [], 0, []
     i = 0
     while i < len(clause):
@@ -134,11 +142,15 @@ def split_keys(clause):
         keys.append("".join(cur).strip())
     out = []
     for k in keys:
-        k = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", k)
-        pinned = bool(re.search(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", k))
-        k = re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", "", k)
-        k = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", k)
-        out.append((k.strip(), pinned))
+        m = re.search(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", k)
+        pin = m.group(1).upper() if m else None
+        if m:
+            k = k[:m.start()]
+        m = re.search(r"(?i)\s+(ASC|DESC)\s*$", k)
+        direction = m.group(1).upper() if m else "ASC"
+        if m:
+            k = k[:m.start()]
+        out.append((k.strip(), direction, pin))
     return out
 
 
@@ -186,7 +198,10 @@ def main():
     if not audited:
         print(f"WARNING lineitem 4-key not unique here ({c4} rows, {d4} "
               f"distinct) — audited allowlist disabled")
-    sqls = json.load(open(oracle_path))
+    # utf-8 explicitly: the dump holds non-ASCII SQL literals (e.g. the
+    # mojibake repair chain) and the locale default must not reinterpret
+    # them.
+    sqls = json.load(open(oracle_path, encoding="utf-8"))
     flagged = []
     for name in sorted(sqls):
         sql = sqls[name].strip().rstrip(";")
@@ -209,8 +224,8 @@ def main():
         except Exception as e:
             flagged.append((name, "MANUAL", f"DESCRIBE failed: {e}"))
             continue
-        resolved, unpinned = [], []
-        for k, pinned in keys:
+        resolved, hazardous = [], []
+        for k, direction, pin in keys:
             if re.fullmatch(r"\d+", k):
                 r = f'"{cols[int(k) - 1]}"'
             elif re.fullmatch(r"\w+\.\w+", k) and k.split(".")[1] in cols:
@@ -219,19 +234,28 @@ def main():
             else:
                 r = k
             resolved.append(r)
-            if not pinned:
-                unpinned.append(r)
+            # Effective oracle NULL placement = pin, else DuckDB's default
+            # (NULLS LAST both directions in 1.x). Spark's plain .orderBy
+            # places NULLS FIRST for ASC, LAST for DESC. Any mismatch is a
+            # hazard when NULLs actually occur — including an EXPLICIT pin
+            # away from Spark's default (`ASC NULLS LAST`), which would
+            # need a matching explicit pin on the engine side.
+            spark_default = "FIRST" if direction == "ASC" else "LAST"
+            effective = pin if pin else "LAST"
+            if effective != spark_default:
+                hazardous.append(r)
         tup = ", ".join(resolved)
         # hazard 1 = some sort-key group holds >1 DISTINCT full row (ties
-        # over identical rows are permutation-invariant and fine);
-        # hazard 2 = a sort key WITHOUT an explicit NULLS FIRST/LAST is
-        # NULL on some row (the engines' defaults differ: Spark ASC puts
-        # NULLS FIRST, DuckDB 1.x NULLS LAST — a unique-but-nullable key
-        # diverges unless the oracle pins placement to match Spark).
-        anynull = (" OR ".join(f"({k}) IS NULL" for k in unpinned)
-                   if unpinned else "FALSE")
+        # over identical rows are permutation-invariant and fine); the
+        # distinct count is over the row STRUCT itself — a VARCHAR cast
+        # would conflate NULL with the string 'NULL' and unquoted
+        # delimiters, silently merging genuinely distinct rows;
+        # hazard 2 = a sort key whose effective oracle NULL placement
+        # differs from Spark's is NULL on some row.
+        anynull = (" OR ".join(f"({k}) IS NULL" for k in hazardous)
+                   if hazardous else "FALSE")
         probe = (f"SELECT max(dr), max(hasnull) FROM (SELECT count(DISTINCT "
-                 f"__ordlint::VARCHAR) dr, max(CASE WHEN {anynull} THEN 1 "
+                 f"__ordlint) dr, max(CASE WHEN {anynull} THEN 1 "
                  f"ELSE 0 END) hasnull FROM ({sql}) __ordlint "
                  f"GROUP BY ({tup})) __ordlint2")
         try:
@@ -249,7 +273,7 @@ def main():
             # e.g. a per-doc detail key that is all-NULL for invalid docs
             # and all-set for valid ones never exercises NULL order.
             for i, r in enumerate(resolved):
-                if r not in unpinned:
+                if r not in hazardous:
                     continue
                 prefix = resolved[:i]
                 grp = f"GROUP BY ({', '.join(prefix)})" if prefix else ""
@@ -268,9 +292,11 @@ def main():
                     flagged.append((name, "NULL-KEY",
                                     f"key {r} mixes NULL and non-NULL "
                                     f"inside one ({', '.join(prefix) or 'global'}) "
-                                    f"tie group — Spark ASC puts NULLS FIRST, "
-                                    f"DuckDB NULLS LAST; pin NULLS "
-                                    f"FIRST/LAST in the oracle"))
+                                    f"tie group and its effective oracle NULL "
+                                    f"placement differs from Spark's default — "
+                                    f"pin the oracle to Spark's placement "
+                                    f"(ASC: NULLS FIRST, DESC: NULLS LAST) or "
+                                    f"pin both engines explicitly"))
     real = []
     for name, kind, detail in flagged:
         if name in audited:

@@ -1477,11 +1477,16 @@ object LlmQueries {
       // replays the identical ordered replace chain (generated from the
       // same table) plus the plant.
       val plant = lit(graft.llm.EncodingRepair.PlantSuffix)
+      // Sort FIRST, run the 27-replace repair chain after the exchange
+      // (finding 51: a range sort's sampling job executes its child in
+      // full, so chain-then-orderBy would evaluate every replace twice,
+      // at the scan's split count; sort-then-project runs it once at
+      // shuffle parallelism — projections preserve row order).
       val d = docs(s, dir).select(col("doc_id"),
         concat(col("text"),
           when(col("doc_id") % 13 === 0, plant).otherwise(lit(""))).as("text"))
-      graft.llm.EncodingRepair.report(d, "doc_id", "text")
         .orderBy(col("doc_id"))
+      graft.llm.EncodingRepair.report(d, "doc_id", "text")
     }),
 
     "q_text_normalize" -> ((s, dir) =>

@@ -503,9 +503,14 @@ object LlmQueries {
       val grams = graft.llm.SubstringDedup
         .duplicatedGrams(boilerDocs(s, dir), "doc_id", "text", k = 8)
         .collect().map(_.getString(0)).toSeq
-      boilerDocs(s, dir).select(col("doc_id"),
-          graft.llm.SubstringDedup.removeKnownSpans(col("text"), grams, 8).as("text"))
+      // Sort FIRST (finding 51): the output text is input-sized, so the
+      // range exchange carries the same bytes either way — sorting below
+      // the kernel runs removeKnownSpans once, post-exchange, instead of
+      // twice (the sampling pass re-executes a pure-map child in full).
+      boilerDocs(s, dir).select(col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
+        .select(col("doc_id"),
+          graft.llm.SubstringDedup.removeKnownSpans(col("text"), grams, 8).as("text"))
     }),
 
     "q_dedup_minhash" -> ((s, dir) => {
@@ -1247,8 +1252,11 @@ object LlmQueries {
       // fingerprint — no RNG) reorders to <PRE>prefix<SUF>suffix<MID>
       // middle; the rest passes through. Pure codegen'd map, zero
       // shuffle; the oracle replays every fingerprint fold and substr.
-      graft.llm.Packing.fimTransform(docs(s, dir), fimPermille = 500L)
-        .orderBy(col("doc_id"))),
+      // Sort FIRST (finding 51): the PSM-reordered output is input-sized,
+      // so the exchange bytes match either way and the fingerprint-fold +
+      // substr map runs once instead of twice under the sampling pass.
+      graft.llm.Packing.fimTransform(
+        docs(s, dir).orderBy(col("doc_id")), fimPermille = 500L)),
 
     "q_dedup_winnow_incr" -> ((s, dir) => {
       // Incremental winnowing: the catalog is the corpus's stored
@@ -1494,11 +1502,15 @@ object LlmQueries {
       // compose them), BEL/CR controls (must vanish), tab + space runs
       // (must collapse), padded ends (must trim) — the one-pass kernel
       // against DuckDB's independent nfc_normalize + regex restatement.
-      docs(s, dir).select(col("doc_id"),
+      // Sort FIRST (finding 51): normalized output is input-sized, so the
+      // exchange carries the same bytes either way and the kernel runs
+      // once, post-exchange, instead of twice under the sampling pass.
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"),
           TextAnalysis.normalizeText(concat(
             lit("  cafe\u0301 \u0007au lait\tA\u030Ab  "), col("text"),
-            lit(" \r\nend  "))).as("norm"))
-        .orderBy(col("doc_id"))),
+            lit(" \r\nend  "))).as("norm"))),
 
     "q_text_sentences" -> ((s, dir) =>
       // Sentence segmentation: planted multi-terminator tail ("Done..."
@@ -2474,6 +2486,13 @@ object LlmQueries {
       // token) — the metrics a tokenizer report card carries, here under
       // the certified fixed piece table so the oracle states both in
       // closed form. One double division per metric, mirrored textually.
+      // Deliberately kernel-under-sort (the audited finding-51 trade for
+      // text→stats queries): the range sort's sampling pass re-runs the
+      // codegen kernels — two embarrassingly-parallel scans — but the
+      // exchange carries only the small stats rows. Sort-FIRST would
+      // shuffle the raw corpus (wrong at 100 TB), and kernel→repartition→
+      // sort measured +1 job with no win (AQE coalesces the tiny
+      // exchange).
       docs(s, dir).select(col("doc_id"),
           graft.llm.UnigramLm.tokenCount(col("text"),
             Seq("th" -> -1.0, "er" -> -1.0, "on" -> -1.0))

@@ -228,10 +228,13 @@ object ScaleQueries {
         lit("@example.com via 10.0.0."), (col("doc_id") % 256).cast("string"),
         lit(" or +1 555 01"), lpad((col("doc_id") % 100).cast("string"), 2, "0")
       ).as("text"))
-      Redaction.redact(planted, "text")
+      // Sort FIRST (finding 51): the redacted output is input-sized, so
+      // the range exchange carries the same bytes either way — sorting
+      // below the regex chains runs them once instead of twice (the
+      // sampling pass re-executes a pure-map child in full).
+      Redaction.redact(planted.orderBy(col("doc_id")), "text")
         .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
           col("redacted"))
-        .orderBy(col("doc_id"))
     }),
 
     "q_profile_summary" -> ((s, dir) =>

@@ -97,6 +97,15 @@ object Bench {
         s"""{"total":${fmt(total, 3)},"sf":"$sfDir","queries":$detail}""".getBytes("UTF-8"))
     } catch { case _: java.io.IOException => () } // detail file is best-effort
     println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Final COMPACT summary line (VERDICT r13 "What's wrong" nit): the
+    // driver captures only the tail of stdout, and the full per-query line
+    // above (~6 KB at 272 queries) can be truncated at its head, leaving
+    // the driver's parse with "parsed": null. This short line is always the
+    // LAST JSON on stdout and fits any tail window, so the driver artifact
+    // stays self-contained. Same "metric" shape so either line satisfies a
+    // {"metric":...} scanner.
+    val nFail = results.count(!_._3)
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir"}""")
     spark.stop()
     // Job-count plan-regression gate (opt-in; the driver never sets this):
     // after the stdout contract line is safely emitted, compare this run's

@@ -903,6 +903,26 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Loud input-size guard for the blocked all-pairs gram baselines
+    * (PLANS-33 bounded-batch discipline): the gram self-join's pair volume
+    * grows quadratically with block population, so the exact-Jaccard /
+    * containment shapes are ORACLE BASELINES for the MinHash/LSH scale
+    * path, never the corpus path themselves. Applied to the DOC frame
+    * BEFORE gram expansion — one cheap narrow count job — then a refusal
+    * past the cap: a silent corpus-sized invocation is the one failure
+    * mode a certification query must not have. Returns the frame
+    * unchanged so it threads into preparedNgrams.
+    */
+  def requireBoundedDocs(docs: DataFrame, maxDocs: Long,
+      scalePath: String): DataFrame = {
+    val n = docs.count()
+    require(n <= maxDocs,
+      s"all-pairs gram baseline refused: $n docs > cap $maxDocs. " +
+        s"This quadratic shape is a certification baseline; at corpus " +
+        s"scale use $scalePath.")
+    docs
+  }
+
   /** Candidate pairs + exact Jaccard from a prepared (id, block, gram, ng)
     * frame.
     */

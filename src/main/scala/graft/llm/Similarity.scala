@@ -65,6 +65,38 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
+  /** Label-blocked all-pairs exact cosine — the oracle-checkable face of
+    * the cosine kernel over arbitrary vector pairs. Pair volume grows
+    * QUADRATICALLY with block size, so this is a certification BASELINE
+    * for the ANN family (IVF / PQ / LSH buckets in this file), never the
+    * corpus-scale path itself. The `maxInputRows` guard makes that a
+    * construction property, not a convention (PLANS-33 bounded-batch
+    * discipline): one cheap count job up front, and a corpus-sized
+    * invocation fails loudly instead of planning a cartesian death.
+    */
+  def exactPairsWithinLabel(
+      df: DataFrame,
+      minCosine: Double,
+      maxInputRows: Long,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val n = df.count()
+    require(n <= maxInputRows,
+      s"exactPairsWithinLabel refused: $n input rows > cap $maxInputRows. " +
+        "All-pairs exact cosine is O(n²) per label block and exists as an " +
+        "oracle baseline; at corpus scale use the ANN family " +
+        "(annTopKBucketed / ivfTopK / pqTopK).")
+    val e = df.select(col(idCol), col(embCol), col(labelCol))
+    val a = e.alias("a"); val b = e.alias("b")
+    a.join(b, col(s"a.$labelCol") === col(s"b.$labelCol") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        ArrayOps.cosine(col(s"a.$embCol"), col(s"b.$embCol")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding isotropy report — the corpus-level diagnostic behind ANN
     * quality: anisotropic embeddings (a large common mean component)
     * concentrate cosine mass, breed hub vectors and wreck recall

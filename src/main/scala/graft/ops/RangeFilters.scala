@@ -62,7 +62,28 @@ object RangeFilters {
       include: Seq[(Double, Double)],
       exclude: Seq[(Double, Double)],
       dataCol: String = "DATA"): (Array[Double], DataFrame) = {
-    if (include.isEmpty && exclude.isEmpty) (freqs, df)
+    keptChannelIndices(freqs, include, exclude) match {
+      case None => (freqs, df)
+      case Some(kept) =>
+        (kept.map(freqs),
+          df.withColumn(dataCol, ArrayOps.pickChannels(col(dataCol), kept)))
+    }
+  }
+
+  /** The index side of [[filterFrequencyRanges]]: the kept channel indices
+    * against the synthesized axis, or None when no ranges are given (the
+    * identity crop). Exposed so callers that must GATE the crop on a
+    * predicate (Continuum.runAll's F1 branch, where other IFs carry shorter
+    * DATA arrays an ungated element_at would crash on under ANSI) can
+    * construct `when(pred, pickChannels(DATA, kept))` explicitly instead of
+    * relying on CollapseProject to inline an unconditional withColumn crop
+    * into the branch (ADVICE r13).
+    */
+  def keptChannelIndices(
+      freqs: Array[Double],
+      include: Seq[(Double, Double)],
+      exclude: Seq[(Double, Double)]): Option[Array[Int]] = {
+    if (include.isEmpty && exclude.isEmpty) None
     else {
       // Reference applies include first, then exclude against the already-
       // filtered axis (utils.py:285-307) — order matters, mirror it.
@@ -73,8 +94,7 @@ object RangeFilters {
       val afterExc =
         if (exclude.isEmpty) incFreqs.indices.toArray
         else ArrayOps.keepIndices(incFreqs, Nil, exclude)
-      val kept = afterExc.map(afterInc)
-      (kept.map(freqs), df.withColumn(dataCol, ArrayOps.pickChannels(col(dataCol), kept)))
+      Some(afterExc.map(afterInc))
     }
   }
 }

@@ -136,10 +136,18 @@ object Continuum {
     // channel geometry, and under ANSI an unconditional element_at would
     // crash on another IF's shorter DATA array — besides wasting the
     // arraySum on every row F1 drops anyway. Gated, the surviving values
-    // are exactly what [[run]] computes post-filter.
+    // are exactly what [[run]] computes post-filter. The gate is
+    // CONSTRUCTED — pickChannels sits inside the when() branch directly
+    // (ADVICE r13): the earlier form cropped via an unconditional
+    // withColumn and depended on CollapseProject inlining it into the
+    // branch; an optimizer duplicate-reference guard change would have
+    // evaluated the crop ungated.
     val f1 = col("IFNUM") === p.ifnum && col("PLNUM") === p.plnum
-    val (_, dCrop) = RangeFilters.filterFrequencyRanges(df, freqs, p.includeFreq, p.excludeFreq)
-    val base = dCrop.select(
+    val croppedData = RangeFilters
+      .keptChannelIndices(freqs, p.includeFreq, p.excludeFreq)
+      .map(kept => ArrayOps.pickChannels(col("DATA"), kept))
+      .getOrElse(col("DATA"))
+    val base = df.select(
       col("FILE_ID").cast("string").as("FILE_ID"),
       col("ROWIDX").cast("long").as("ROWIDX"),
       col("IFNUM").cast("int").as("IFNUM"),
@@ -148,7 +156,7 @@ object Continuum {
       col("SWPVALID").cast("int").as("SWPVALID"),
       col("OBSMODE").cast("string").as("OBSMODE"),
       RangeFilters.relSeconds(col("DATE_OBS"), t0).as("t"),
-      when(f1, ArrayOps.arraySum(col("DATA")))
+      when(f1, ArrayOps.arraySum(croppedData))
         .otherwise(lit(null).cast("double")).as("intensity"))
       .localCheckpoint()
 

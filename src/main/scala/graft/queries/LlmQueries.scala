@@ -710,8 +710,14 @@ object LlmQueries {
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
       // Grams materialized once (localCheckpoint) — the gram self-join
       // evaluates its input once per side, same pattern as the signature
-      // queries (PLANS.md finding 2).
-      val grams = Dedup.preparedNgrams(aug(s, dir),
+      // queries (PLANS.md finding 2). CAP-GUARDED baseline (VERDICT r13
+      // item 1): exact blocked all-pairs Jaccard is the oracle baseline
+      // whose SCALE PATH is q_dedup_minhash/q_dedup_lsh — the 200k-doc cap
+      // admits the certification scales (sf1 = 100k augmented docs) and
+      // refuses a corpus-sized invocation loudly.
+      val grams = Dedup.preparedNgrams(
+        Dedup.requireBoundedDocs(aug(s, dir), maxDocs = 200000L,
+          scalePath = "MinHash/LSH (q_dedup_minhash / q_dedup_lsh)"),
         blockKey = substring(col("text"), 1, 20), n = 3).localCheckpoint()
       Dedup.ngramJaccardFromGrams(grams, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
@@ -767,14 +773,14 @@ object LlmQueries {
       // corpus: pair count grows quadratically with block size and the
       // kernel is already certified — a quarter of the pairs proves the
       // same thing at a quarter of the (bench-dominating) cost.
-      val e = emb(s, dir).filter(col("vec_id") % 2 === 0)
-        .select(col("vec_id"), col("embedding"), col("label"))
-      val a = e.alias("a"); val b = e.alias("b")
-      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          graft.functions.ArrayOps.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
-        .filter(col("cosine") >= 0.2)
-        .orderBy(col("id_a"), col("id_b"))
+      // CAP-GUARDED baseline (VERDICT r13 item 1): the SCALE PATH is the
+      // ANN family (q_sim_ann / q_sim_ivf / q_sim_pq) — the 20k-row cap
+      // admits the certification scales (sf1 = 10k even-id vectors) and
+      // refuses a corpus-sized invocation loudly inside
+      // Similarity.exactPairsWithinLabel.
+      Similarity.exactPairsWithinLabel(
+        emb(s, dir).filter(col("vec_id") % 2 === 0),
+        minCosine = 0.2, maxInputRows = 20000L)
     }),
 
     "q_sim_hardneg" -> ((s, dir) => {

@@ -441,8 +441,15 @@ object RadioQueries {
           array(col("l_quantity"),
             when(col("l_linenumber") === 3, lit(Double.NaN)).otherwise(col("l_discount")),
             col("l_extendedprice"), col("l_tax")).as("DATA"))
+      // Validated frame materialized ONCE (VERDICT r13 item 2): without
+      // the checkpoint the global sort's range-sampling pass AND the final
+      // job each re-evaluated the whole scan+window+validate subtree —
+      // 4× the scan at sf1 (3.29× ratio for 10× data). The checkpoint
+      // holds the already-cropped 2-channel rows, so both sort passes
+      // read the narrow materialization instead of recomputing.
       Validate.run(obs, obsHeader(4).copy(history = HeaderRecord.parseHistory(Seq(
           "DATAMODE HIRES", "START,STOP channels  1_2", "HIRES bands  1355, 1435"))))
+        .localCheckpoint()
         .orderBy(col("ROWIDX"))
         .select(col("ROWIDX"), col("TSYS"),
           posexplode(col("DATA")).as(Seq("chan", "value")))

@@ -46,19 +46,31 @@ object JobAudit {
     val fn = registry(name)
     // Optional warm pass (arg 3 = "warm"): run once untimed first so the
     // per-job numbers measure the plan, not Janino/JIT compilation.
+    // Listener events are delivered async — drain the bus by polling until
+    // no new events arrive for a quiet period (ADVICE r13: a fixed sleep is
+    // a race on a loaded host — late warm-run job-end events leaked into
+    // the timed report this audit exists to keep clean).
+    def drainListenerBus(): Unit = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var last = (jobs.size, durs.size)
+      var quietMs = 0
+      while (quietMs < 500 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val cur = (jobs.size, durs.size)
+        if (cur == last) quietMs += 100 else { quietMs = 0; last = cur }
+      }
+    }
     if (args.length > 2 && args(2) == "warm") {
       fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      // Listener events are delivered async — drain the bus before
-      // clearing, or late warm-run events leak into the timed report.
-      Thread.sleep(500)
+      drainListenerBus()
       jobs.clear(); starts.clear(); durs.clear()
     }
     val t0 = System.nanoTime()
     fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
     val sec = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500) // listener bus settle
+    drainListenerBus()
     println(f"== $name: ${jobs.size} jobs, $sec%.2f s ==")
     jobs.forEach { case (id, nStages, site) =>
       val d = durs.getOrDefault(id, -1.0)

@@ -36,13 +36,30 @@ object SortShapeAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Trivial = the whole expression tree is column picks / literals /
+    // casts / plain arithmetic+comparison. Classified by SHAPE, not SQL
+    // string length (ADVICE r13): a short-named kernel Expression or HOF
+    // renders tersely but is exactly the expensive double-evaluation the
+    // audit exists to flag — any node outside this closed set (including
+    // every graft.functions kernel, HOFs, UDFs, regex ops) is non-trivial.
+    import org.apache.spark.sql.catalyst.expressions._
+    def trivialExpr(e: Expression): Boolean = e match {
+      case _: AttributeReference | _: Literal => true
+      case a: Alias => trivialExpr(a.child)
+      case c: Cast => trivialExpr(c.child)
+      case b: BinaryArithmetic => trivialExpr(b.left) && trivialExpr(b.right)
+      case b: BinaryComparison => trivialExpr(b.left) && trivialExpr(b.right)
+      case _ => false
+    }
+
     // Pure-map = only these between the Sort and the leaf; anything else
     // (Aggregate, Join, Window, Generate, RepartitionOperation, …) either
     // produces an exchange whose shuffle files the sampling job reuses,
     // or changes cardinality in ways that need human eyes anyway.
     def mapChain(p: LogicalPlan): Option[Seq[String]] = p match {
       case Project(exprs, child) =>
-        mapChain(child).map(tail => exprs.map(_.sql).filterNot(_.length < 40) ++ tail)
+        mapChain(child).map(tail =>
+          exprs.filterNot(trivialExpr).map(_.sql) ++ tail)
       case f: Filter => mapChain(f.child)
       case _: LeafNode => Some(Nil)
       case _ => None

@@ -19,6 +19,26 @@ class SimilaritySpec extends SparkTestBase {
 
   private val e1 = Array(1.0, 0.0, 0.0, 0.0)
 
+  test("exactPairsWithinLabel: pairs within label blocks, loud refusal past the cap") {
+    import org.apache.spark.sql.functions.col
+    val labeled = vecs.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val pairs = Similarity
+      .exactPairsWithinLabel(labeled, minCosine = -1.0, maxInputRows = 100L)
+      .as[(Long, Long, Double)].collect()
+    // labels: odd {1,3,5}, even {2,4} -> C(3,2)+C(2,2)=3+1 pairs
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      Set((1L, 3L), (1L, 5L), (3L, 5L), (2L, 4L)))
+    assert(pairs.forall(p => p._1 < p._2))
+    // The guard is the point (VERDICT r13 item 1): the quadratic baseline
+    // must refuse a corpus-sized input loudly, not plan it.
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.exactPairsWithinLabel(labeled, minCosine = -1.0,
+        maxInputRows = 4L)
+    }
+    assert(ex.getMessage.contains("refused"))
+    assert(ex.getMessage.contains("ANN"))
+  }
+
   test("brute-force top-k ranks by exact cosine with id tiebreak") {
     val top = Similarity.bruteForceTopK(vecs, e1, k = 3).as[(Long, Double)].collect()
     assert(top.map(_._1).toSeq == Seq(1L, 2L, 5L))

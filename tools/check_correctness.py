@@ -14,6 +14,10 @@ from graft_tables import create_views
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+# Optional 4th arg: comma-separated query subset — pairs with Verify's own
+# subset arg so a touched-query re-check (the finding-49 commit policy)
+# doesn't drown in missing-dir FAILs for the queries it didn't dump.
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
 create_views(con, SF)
@@ -50,6 +54,8 @@ def values_equal(a, b):
 
 n_pass = n_near = n_fail = n_rowsonly = n_types = 0
 for name in sorted(oracle):
+    if ONLY is not None and name not in ONLY:
+        continue
     sql = oracle[name]
     try:
         got = con.execute(
@@ -70,8 +76,14 @@ for name in sorted(oracle):
     tmism = [(c, got_t.get(c), exp_t.get(c)) for c in sorted(set(got_t) | set(exp_t))
              if got_t.get(c) != exp_t.get(c)]
     if tmism:
-        print(f"TYPES {name}: spark-vs-oracle column types differ: {tmism}")
+        # A type mismatch IS a failure for this query (ADVICE r13): the
+        # driver hashes TYPED values, so bit-equal values with divergent
+        # types hash-fail — the exact finding-48 bug class this check
+        # exists for must not read as green.
+        print(f"TYPES-FAIL {name}: spark-vs-oracle column types differ: {tmism}")
         n_types += 1
+        n_fail += 1
+        continue
     # sort columns by name (driver behavior)
     gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
     ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
@@ -108,6 +120,8 @@ for name in sorted(oracle):
 
 import os
 for name in sorted(os.listdir(OUT)):
+    if ONLY is not None and name not in ONLY:
+        continue
     if name.startswith("q_") and name not in oracle:
         try:
             n = con.execute(
@@ -119,3 +133,6 @@ for name in sorted(os.listdir(OUT)):
             print(f"ROWS-ONLY-FAIL {name}: {e}")
 print(f"\n== {n_pass} pass, {n_near} near, {n_fail} fail, {n_rowsonly} rows-only, "
       f"{n_types} type-mismatch ==")
+# Exit nonzero on any failure so 'green' can be asserted by exit code,
+# not by eyeballing 'fail 0' (ADVICE r13).
+sys.exit(1 if (n_fail or n_near or n_types) else 0)

@@ -45,6 +45,47 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from graft_tables import create_views
 
 
+def code_positions(s):
+    """Yield (i, depth) for every char position of s that sits OUTSIDE
+    string literals and SQL comments, with the paren depth at that
+    position. One tokenizer for BOTH keyword scans (ADVICE r13: the LIMIT
+    scan previously missed doubled '' escapes and neither scan skipped
+    comments, so an oracle with an escaped quote or a comment after the
+    outer ORDER BY could mis-bound the clause). Handles '...''...'
+    literal escapes, `-- line` and `/* block */` comments.
+    """
+    depth = 0
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":  # string literal (doubled-quote escapes)
+            i += 1
+            while i < n:
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+            continue
+        if c == "-" and i + 1 < n and s[i + 1] == "-":  # line comment
+            j = s.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == "/" and i + 1 < n and s[i + 1] == "*":  # block comment
+            j = s.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        yield i, depth
+        i += 1
+
+
 def outer_order_by(sql):
     """(start, end, clause) of the LAST depth-0 ORDER BY, else None.
 
@@ -52,32 +93,15 @@ def outer_order_by(sql):
     subquery/CTE sorts never match. The clause runs to the next depth-0
     LIMIT/OFFSET or end-of-string.
     """
-    depth = 0
-    spans = []
-    i = 0
     # NB: match keywords on the ORIGINAL string — str.upper() is not
     # length-preserving ('ß' -> 'SS'), so upper-cased index math drifts
     # on oracles whose literals contain such characters.
-    while i < len(sql):
-        c = sql[i]
-        if c == "'":  # skip string literal (doubled-quote escapes)
-            i += 1
-            while i < len(sql):
-                if sql[i] == "'":
-                    if i + 1 < len(sql) and sql[i + 1] == "'":
-                        i += 2
-                        continue
-                    break
-                i += 1
-        elif c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-        elif depth == 0 and c in "Oo" and \
+    spans = []
+    for i, depth in code_positions(sql):
+        if depth == 0 and sql[i] in "Oo" and \
                 re.match(r"(?i)ORDER\s+BY\b", sql[i:]) and \
                 (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] in '_"')):
             spans.append(i)
-        i += 1
     if not spans:
         return None
     start = spans[-1]
@@ -85,27 +109,16 @@ def outer_order_by(sql):
     # clause body = after "ORDER BY", up to a depth-0 LIMIT/OFFSET
     body_off = re.match(r"(?i)ORDER\s+BY", tail).end()
     body = tail[body_off:]
-    depth = 0
     end = len(body)
-    j = 0
-    while j < len(body):
-        c = body[j]
-        if c == "'":
-            j += 1
-            while j < len(body) and body[j] != "'":
-                j += 1
-        elif c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-        elif depth == 0 and re.match(r"(?i)(LIMIT|OFFSET)\b", body[j:]) and \
+    for j, depth in code_positions(body):
+        if depth == 0 and body[j] in "LlOo" and \
+                re.match(r"(?i)(LIMIT|OFFSET)\b", body[j:]) and \
                 (j == 0 or not (body[j - 1].isalnum() or body[j - 1] in '_"')):
             # \b against body[j:] matches at string start, losing the LEFT
             # boundary — an identifier like rate_limit would otherwise
             # truncate the clause mid-word; check the preceding char.
             end = j
             break
-        j += 1
     return start, start + body_off + end, body[:end].strip()
 
 

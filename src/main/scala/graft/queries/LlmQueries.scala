@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.llm.{Dedup, DomainSelection, Multimodal, SemDedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, DomainSelection, GraphAnn, Multimodal, SemDedup, Similarity, TextAnalysis}
 import graft.sources.VerifiedRead
 import QueryUtil._
 
@@ -956,6 +956,40 @@ object LlmQueries {
       val qs = Similarity.perturbedQueries(e, n = 10)
       val hits = Similarity.ivfPqTopKMulti(prepared, qs, cents, books,
           k = 10, nprobe = 3, shortlist = 80)
+        .filter(col("vec_id") === col("qid")).count()
+      import s.implicits._
+      Seq(hits >= 9L).toDF("recall_ok")
+    }),
+
+    "q_sim_hnsw" -> ((s, dir) => {
+      // Graph-based ANN (the HNSW-class tier, VERDICT r13 item 6):
+      // bounded-round relational k-NN-graph build (NN-Descent — joins,
+      // windows, checkpoints; no sequential inserts) + two-layer beam
+      // search (hub entry scan, then adjacency hops). Machinery-agreement
+      // certificate like q_sim_ann/q_sim_ivf: the single-query
+      // orderBy.limit mechanism and the batched window mechanism must
+      // return the SAME ranked (id, cosine) list over the same stored
+      // graph. The graph is built once and checkpointed (the stored-index
+      // deployment shape) and feeds both paths.
+      val e = emb(s, dir)
+      val g = GraphAnn.buildKnnGraph(e, k = 12, rounds = 2)
+      pathAgreement(
+        GraphAnn.search(g, e, e1, k = 10, beam = 48, hops = 3, entryK = 8),
+        GraphAnn.searchMulti(g, e, Seq((0L, e1)), k = 10, beam = 48,
+            hops = 3, entryK = 8)
+          .select(col("vec_id"), col("cosine")))
+    }),
+
+    "q_sim_hnsw_recall" -> ((s, dir) => {
+      // Planted-neighbor recall contract for the graph path (same pattern
+      // as q_sim_ann_recall / q_sim_ivf_recall): 10 perturbed corpus
+      // vectors answered by the batched beam search; ≥ 9/10 must surface
+      // their source in the top-10.
+      val e = emb(s, dir)
+      val g = GraphAnn.buildKnnGraph(e, k = 12, rounds = 2)
+      val qs = Similarity.perturbedQueries(e, n = 10)
+      val hits = GraphAnn.searchMulti(g, e, qs, k = 10, beam = 48,
+          hops = 3, entryK = 8)
         .filter(col("vec_id") === col("qid")).count()
       import s.implicits._
       Seq(hits >= 9L).toDF("recall_ok")
@@ -5084,6 +5118,12 @@ object LlmQueries {
       "SELECT true AS recall_ok",
 
     "q_sim_ivf_recall" ->
+      "SELECT true AS recall_ok",
+
+    "q_sim_hnsw" ->
+      "SELECT true AS paths_agree, CAST(10 AS BIGINT) AS n_results",
+
+    "q_sim_hnsw_recall" ->
       "SELECT true AS recall_ok",
 
     "q_sim_ivf_recall_dist" ->

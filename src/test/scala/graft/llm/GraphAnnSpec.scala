@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Graph-based ANN: bounded-round k-NN-graph build (structure vs a
+  * driver-side brute force) and the two-layer beam search (agreement
+  * between the single-query and batched mechanisms, planted recall).
+  */
+class GraphAnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 3 axis clusters of 10 vectors each (ids 0..29, cluster = id % 3) with
+  // small deterministic jitter — every vector's true nearest neighbor is
+  // in its own cluster and cross-cluster cosine is far lower. The jitter
+  // period (mod 11) is coprime to the corpus so no two vectors are exact
+  // twins — buildKnnGraph's documented general-position contract (twins
+  // must be exact-deduplicated before indexing).
+  private def pts = (0 until 30).map { i =>
+    val axis = i % 3
+    val base = Array.tabulate(6)(j => 0.02f * (((i * 7 + j * 3) % 11) + 1))
+    base(axis) = 1.0f
+    (i.toLong, base.toSeq)
+  }
+  private def df = pts.toDF("vec_id", "embedding")
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    val d = a.zip(b).map { case (x, y) => x * y }.sum
+    d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+  private def embs: Map[Long, Array[Double]] =
+    pts.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+
+  test("buildKnnGraph: <=K out-edges per node, and each node's best edge is its true NN") {
+    val k = 4
+    val g = GraphAnn.buildKnnGraph(df, k = k, rounds = 3, bucketSize = 4)
+      .as[(Long, Long, Double)].collect()
+    val bySrc = g.groupBy(_._1)
+    assert(bySrc.keySet == (0L until 30L).toSet)
+    assert(bySrc.values.forall(_.length <= k))
+    bySrc.foreach { case (src, edges) =>
+      val bestGraph = edges.maxBy(e => (e._3, -e._2))._2
+      val trueNn = embs.keys.filter(_ != src)
+        .map(id => (cos(embs(src), embs(id)), id))
+        .maxBy { case (c, id) => (c, -id) }._2
+      assert(bestGraph == trueNn,
+        s"node $src: graph best $bestGraph, true NN $trueNn")
+      // and the graph stays within the cluster for this easy corpus
+      assert(edges.forall(e => e._2 % 3 == src % 3))
+    }
+  }
+
+  test("search and searchMulti agree and find the true nearest on the easy corpus") {
+    val g = GraphAnn.buildKnnGraph(df, k = 4, rounds = 2, bucketSize = 4)
+    val q = embs(7L).map(_ * 1.001) // near id 7 (cluster 1)
+    val single = GraphAnn.search(g, df, q, k = 5, beam = 8, hops = 3,
+      entryK = 2, hubStride = 4).as[(Long, Double)].collect()
+    val multi = GraphAnn.searchMulti(g, df, Seq((99L, q)), k = 5, beam = 8,
+        hops = 3, entryK = 2, hubStride = 4)
+      .select(col("vec_id"), col("cosine")).as[(Long, Double)].collect()
+    assert(single.toSeq == multi.toSeq)
+    assert(single.head._1 == 7L)
+    assert(single.head._2 > 0.999)
+    // top-5 all from cluster 1 (ids ≡ 1 mod 3)
+    assert(single.forall(_._1 % 3 == 1))
+  }
+
+  test("planted perturbed queries surface their source (recall contract)") {
+    val g = GraphAnn.buildKnnGraph(df, k = 4, rounds = 2, bucketSize = 4)
+    val qs = Similarity.perturbedQueries(df, n = 6)
+    val hits = GraphAnn.searchMulti(g, df, qs, k = 3, beam = 8, hops = 3,
+        entryK = 2, hubStride = 4)
+      .filter(col("vec_id") === col("qid")).count()
+    assert(hits == 6L, s"expected all 6 planted sources found, got $hits")
+  }
+}

@@ -549,6 +549,42 @@ object ScaleQueries {
           "source", "text", shortChars = 100)
         .orderBy(col("source"))),
 
+    "q_snapshot_read" -> ((s, dir) => {
+      // Snapshot / time-travel read (VERDICT r13 item 7): a two-release
+      // fixture under a fresh staging root — release 1 commits the even
+      // docs, release 2 appends the odd docs. The v1 release manifest is
+      // captured BEFORE v2 commits and recomputed from a pinned v1 read
+      // AFTER v2 landed; byte-stability of that pinned read while the
+      // next release lands is the certificate ("read release N while N+1
+      // lands"). The manifests themselves are the oracle-checkable
+      // payload: the oracle re-derives v1 from the %2 predicate and v2
+      // from the full table, and states the stability flag.
+      val root = stagingDir() + "/snapshot_table"
+      graft.sources.SnapshotStore.destroy(root)
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val v1 = graft.sources.SnapshotStore.commit(
+        d.filter(col("doc_id") % 2 === 0), root)
+      def manifestOf(df: org.apache.spark.sql.DataFrame) =
+        Profiling.releaseManifest(df, "source", "doc_id", "text")
+      val before = manifestOf(
+          graft.sources.SnapshotStore.read(s, root, v1))
+        .orderBy(col("source")).collect().toSeq
+      val v2 = graft.sources.SnapshotStore.commit(
+        d.filter(col("doc_id") % 2 === 1), root)
+      val v1After = manifestOf(graft.sources.SnapshotStore.read(s, root, v1))
+      val after = v1After.orderBy(col("source")).collect().toSeq
+      val stable = before == after &&
+        graft.sources.SnapshotStore.currentVersion(root).contains(v2)
+      val m1 = v1After.select(col("source"),
+        col("n_docs").as("v1_n_docs"), col("checksum").as("v1_checksum"))
+      val m2 = manifestOf(graft.sources.SnapshotStore.readCurrent(s, root))
+        .select(col("source"),
+          col("n_docs").as("v2_n_docs"), col("checksum").as("v2_checksum"))
+      m1.join(m2, "source")
+        .withColumn("v1_stable", lit(stable))
+        .orderBy(col("source"))
+    }),
+
     "q_corpus_manifest_diff" -> ((s, dir) => {
       // Release diff without touching either corpus: revision B removes
       // the doc_id%17 docs and appends ' updated' to the %13 texts; the
@@ -1004,6 +1040,21 @@ idf AS (SELECT term, CAST(${microOfNanoDuck("bi_ln")} AS BIGINT) AS idf_micro
       """SELECT CAST(16 AS BIGINT) AS files_before, CAST(2 AS BIGINT) AS files_after,
         |  CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents""".stripMargin,
+
+    "q_snapshot_read" ->
+      """WITH fp AS (SELECT source, doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007) AS f
+        |  FROM documents),
+        |v1 AS (SELECT source, CAST(count(*) AS BIGINT) AS v1_n_docs,
+        |  CAST(sum(f) AS BIGINT) AS v1_checksum FROM fp
+        |  WHERE doc_id % 2 = 0 GROUP BY source),
+        |v2 AS (SELECT source, CAST(count(*) AS BIGINT) AS v2_n_docs,
+        |  CAST(sum(f) AS BIGINT) AS v2_checksum FROM fp GROUP BY source)
+        |SELECT v1.source, v1_n_docs, v1_checksum, v2_n_docs, v2_checksum,
+        |  true AS v1_stable
+        |FROM v1 JOIN v2 USING (source) ORDER BY source""".stripMargin,
 
     "q_corpus_manifest" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -1,0 +1,75 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Snapshot store: append-only commits, pinned reads that stay
+  * byte-stable while later releases (and stray unreferenced files) land,
+  * and the atomic CURRENT pointer.
+  */
+class SnapshotStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val d = Files.createTempDirectory("snapstore").toFile
+    d.deleteOnExit()
+    new File(d, "tbl").getAbsolutePath
+  }
+
+  test("two releases: v1 read is identical before and after v2 commits") {
+    val root = freshRoot()
+    val r1 = (1 to 50).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    val r2 = (51 to 80).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    val v1 = SnapshotStore.commit(r1, root)
+    assert(v1 == 1 && SnapshotStore.currentVersion(root).contains(1))
+    val before = SnapshotStore.read(spark, root, v1)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+
+    val v2 = SnapshotStore.commit(r2, root)
+    assert(v2 == 2 && SnapshotStore.currentVersion(root).contains(2))
+    val after = SnapshotStore.read(spark, root, v1)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(before == after, "pinned v1 read must be byte-stable across v2")
+    assert(after.map(_._1) == (1L to 50L))
+
+    val cur = SnapshotStore.readCurrent(spark, root)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(cur.map(_._1) == (1L to 80L), "current read sees both releases")
+    // v2's manifest embeds v1's files — append semantics, nothing rewritten
+    val m1 = SnapshotStore.manifest(root, 1).toSet
+    val m2 = SnapshotStore.manifest(root, 2).toSet
+    assert(m1.subsetOf(m2) && m2.size > m1.size)
+  }
+
+  test("pinned read ignores unreferenced files dropped into data/ (no directory listing)") {
+    val root = freshRoot()
+    val v1 = SnapshotStore.commit(Seq((1L, "a")).toDF("id", "text"), root)
+    // simulate a concurrent writer's half-landed file: parquet bytes in
+    // data/ that no manifest references
+    val stray = Seq((999L, "stray")).toDF("id", "text")
+    val tmp = Files.createTempDirectory("stray").toFile
+    stray.write.mode("overwrite").parquet(new File(tmp, "p").getAbsolutePath)
+    val part = new File(tmp, "p").listFiles((_, n) => n.endsWith(".parquet")).head
+    Files.copy(part.toPath,
+      new File(new File(root, "data"), "v9_stray.parquet").toPath)
+    val got = SnapshotStore.read(spark, root, v1)
+      .select(col("id")).as[Long].collect().toSeq
+    assert(got == Seq(1L), "manifest-pinned read must not see the stray file")
+  }
+
+  test("destroy resets the table so commits restart at v1") {
+    val root = freshRoot()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "text"), root)
+    SnapshotStore.commit(Seq((2L, "b")).toDF("id", "text"), root)
+    SnapshotStore.destroy(root)
+    assert(SnapshotStore.currentVersion(root).isEmpty)
+    val v = SnapshotStore.commit(Seq((3L, "c")).toDF("id", "text"), root)
+    assert(v == 1)
+    val got = SnapshotStore.readCurrent(spark, root)
+      .select(col("id")).as[Long].collect().toSeq
+    assert(got == Seq(3L))
+  }
+}

@@ -1,0 +1,182 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.StreamingCal.CalRow
+import graft.streaming.StreamingFunnel.FunnelEvent
+import graft.streaming.{StreamingCal, StreamingDedup, StreamingFunnel}
+
+/** Micro-batch boundary invariance certificate for the streaming
+  * operators (VERDICT r13 item 9) — the one certificate family the
+  * batch-side partition-invariance dumps (INVARIANCE_r13) don't cover:
+  * each streaming family runs the SAME ordered input stream under two
+  * DIFFERENT micro-batch chunkings (7-row and 64-row batches — different
+  * state-transition boundaries, different watermark advancement points)
+  * and the canonicalized outputs must be identical. Where a clean batch
+  * twin exists (windowed spectra, global dedup) the streaming output is
+  * additionally compared against the batch computation over the same
+  * rows.
+  *
+  * Inputs are ORDERED by event time/row index (the contract under which
+  * micro-batch semantics are chunking-invariant: watermark-late drops and
+  * state transitions are then decided identically under any chunking —
+  * disordered input makes lateness a function of batch boundaries by
+  * DESIGN, in every streaming engine).
+  *
+  * Prints one compact JSON line per run:
+  *   {"families":{"cal_segments":{"rows":N,"diffs":0,...},...},"total_diffs":0}
+  * Redirect to INVARIANCE_streaming_r{N}.json for the round artifact.
+  *
+  * Usage: tools/run_main.sh graft.tools.StreamInvariance
+  */
+object StreamInvariance {
+
+  private val base = 1704067200000L // 2024-01-01T00:00:00Z
+
+  private def feedAndDrain[T](input: MemoryStream[T], rows: Seq[T],
+      chunk: Int, q: StreamingQuery): Unit = {
+    rows.grouped(chunk).foreach { g =>
+      input.addData(g)
+      q.processAllAvailable()
+    }
+  }
+
+  private def collectSorted(spark: SparkSession, table: String): Seq[String] =
+    spark.table(table).collect()
+      .map(r => r.toSeq.map {
+        case t: java.sql.Timestamp => t.getTime.toString
+        // collection.Seq, not the immutable default alias: Row array
+        // columns come back as mutable.ArraySeq
+        case s: scala.collection.Seq[_] => s.mkString("[", ",", "]")
+        case v => String.valueOf(v)
+      }.mkString("|")).toSeq.sorted
+
+  /** One streaming run: build the pipeline over a MemoryStream, feed the
+    * rows in `chunk`-sized micro-batches, return the canonicalized sink.
+    */
+  private def runStream[T: org.apache.spark.sql.Encoder](spark: SparkSession,
+      rows: Seq[T], chunk: Int, name: String)(
+      pipe: org.apache.spark.sql.Dataset[T] => DataFrame): Seq[String] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[T]
+    val table = s"inv_${name}_$chunk"
+    val q = pipe(input.toDS())
+      .writeStream.format("memory").queryName(table).outputMode("append").start()
+    try feedAndDrain(input, rows, chunk, q) finally q.stop()
+    val out = collectSorted(spark, table)
+    spark.catalog.dropTempView(table)
+    out
+  }
+
+  private def diffCount(a: Seq[String], b: Seq[String]): Int =
+    ((a.diff(b)) ++ (b.diff(a))).size
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val chunks = Seq(7, 64)
+    val results = scala.collection.mutable.LinkedHashMap[String, (Int, Int, Int)]()
+    def record(name: String, runs: Seq[Seq[String]], batch: Option[Seq[String]]): Unit = {
+      val d = diffCount(runs(0), runs(1))
+      val bd = batch.map(b => diffCount(runs(0), b)).getOrElse(0)
+      results(name) = (runs(0).size, d, bd)
+      System.err.println(s"[stream-invariance] $name rows=${runs(0).size} " +
+        s"chunk-diffs=$d batch-diffs=$bd")
+    }
+
+    // 1. cal_segments — the ST1-style diode-spike state machine: 5 files x
+    // 120 ordered rows, spikes at rowIdx%10 in [0,3); runs split across
+    // batch boundaries at every chunking.
+    val calRows = for (f <- 0 until 5; i <- 0 until 120)
+      yield CalRow(s"f$f", i.toLong, if (i % 10 < 3) 1 else 0, 1)
+    record("cal_segments",
+      chunks.map(c => runStream(spark, calRows, c, "cal")(ds =>
+        StreamingCal.spikeSegments(ds).toDF())),
+      None)
+
+    // 2. windowed_spectra — watermarked vector-sum windows over monotone
+    // timestamps plus one far-future flush row; batch twin = the same
+    // windowed aggregation restricted to windows the final watermark
+    // closed (append mode emits exactly those).
+    val specRows = (0 until 300).map(i =>
+      (new java.sql.Timestamp(base + i * 60000L),
+        Seq((i % 7).toDouble, ((i * 3) % 11).toDouble))) :+
+      (new java.sql.Timestamp(base + 600 * 60000L), Seq(0.0, 0.0))
+    val specRuns = chunks.map(c => runStream(spark, specRows, c, "spec")(ds =>
+      StreamingCal.windowedSpectra(ds.toDF("ts", "DATA"), "ts",
+          "10 minutes", "5 minutes")
+        .select(col("window.start").as("ws"), col("spectrum"))))
+    val wmMillis = base + 600 * 60000L - 5 * 60000L
+    val specBatch = specRows.toDF("ts", "DATA")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(graft.functions.VectorSum.vecSum(
+        graft.functions.ArrayOps.fillNulls(col("DATA"))).as("spectrum"))
+      .filter(col("window.end").cast("long") * 1000 <= wmMillis)
+      .select(col("window.start").as("ws"), col("spectrum"))
+      .collect().map(r => Seq(
+        r.getTimestamp(0).getTime.toString,
+        r.getSeq[Double](1).mkString("[", ",", "]")).mkString("|")).toSeq.sorted
+    record("windowed_spectra", specRuns, Some(specBatch))
+
+    // 3. sessions — watermarked session windows: 30 blocks of 10 events
+    // (2-minute strides inside a block, user = block%3, 5-minute gap), so
+    // per-user sessions are whole blocks; final flush row closes all but
+    // the last sessions identically under any chunking.
+    val sessRows = ((0 until 300).map { i =>
+      (s"u${(i / 10) % 3}", new java.sql.Timestamp(base + (i * 2) * 60000L))
+    } :+ (("uz", new java.sql.Timestamp(base + 2000 * 60000L))))
+    record("sessions",
+      chunks.map(c => runStream(spark, sessRows, c, "sess")(ds =>
+        StreamingCal.sessionCounts(ds.toDF("user", "ts"), "user", "ts",
+          gap = "5 minutes", watermark = "1 minute"))),
+      None)
+
+    // 4. dedup_global — unbounded-state exact dedup keeps the FIRST
+    // occurrence in stream order; batch twin = min-doc_id row per content
+    // hash (stream position == doc_id in this fixture).
+    val dedupRows = (0 until 200).map(i => (i.toLong, s"document body ${i % 40}"))
+    val dedupRuns = chunks.map(c => runStream(spark, dedupRows, c, "dedup")(ds =>
+      StreamingDedup.exactDedupGlobal(ds.toDF("doc_id", "text"))))
+    val dedupBatch = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      dedupRows.toDF("doc_id", "text")
+        .withColumn("content_hash", sha2(col("text"), 256))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__rn")
+        .collect().map(r => r.toSeq.map(String.valueOf(_)).mkString("|"))
+        .toSeq.sorted
+    }
+    record("dedup_global", dedupRuns, Some(dedupBatch))
+
+    // 5. funnel — three-stage per-user state machine over ordered event
+    // times: 40 users, a view/click/purchase triple each (some users
+    // missing a stage), interleaved so chunk boundaries split triples.
+    val funnelRows = (0 until 40).flatMap { u =>
+      Seq("view", "click", "purchase").take(1 + (u % 3)).zipWithIndex
+        .map { case (st, j) => FunnelEvent(u.toLong, st, j * 1000L + u) }
+    }.sortBy(_.us)
+    record("funnel",
+      chunks.map(c => runStream(spark, funnelRows, c, "funnel")(ds =>
+        StreamingFunnel.completions(ds).toDF())),
+      None)
+
+    val total = results.values.map(v => v._2 + v._3).sum
+    val fams = results.map { case (n, (rows, d, bd)) =>
+      s""""$n":{"rows":$rows,"chunk_diffs":$d,"batch_diffs":$bd}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"chunks":[7,64],"families":$fams,"total_diffs":$total}""")
+    spark.stop()
+    if (total != 0) sys.exit(1)
+  }
+}

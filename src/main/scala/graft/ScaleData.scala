@@ -28,7 +28,11 @@ object ScaleData {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "target/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
-    require(copies >= 1 && copies <= 10, "1..10 copies (one vowel permutation each)")
+    require(copies >= 1 && copies <= 120,
+      "1..120 copies (one distinct vowel permutation each; do NOT chain " +
+        "two ScaleData passes — composed vowel permutations collide " +
+        "(56 distinct of 100) and same-width id offsets alias, planting " +
+        "exact twins a real corpus doesn't have)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,23 +57,28 @@ object ScaleData {
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
     }
 
-    // 10 distinct vowel permutations — copy 0 is the identity (original text)
-    val perms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
-      "aeoiu", "eiaou", "iueao", "oaiue", "ueoia")
+    // Distinct vowel permutations in lexicographic order — "aeiou" is
+    // sorted, so copy 0 is the identity (original text) and all `copies`
+    // transforms are pairwise distinct up to the 120 permutations of 5
+    // vowels.
+    val perms = "aeiou".toSeq.permutations.map(_.mkString).take(copies).toIndexedSeq
     replicate("documents") { (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i * off))
         .withColumn("text", translate(col("text"), "aeiou", perms(i)))
     }
 
-    // Embedding copies get a per-copy circular dimension shift: norms and
+    // Embedding copies get a per-copy circular dimension shift plus (past
+    // 64 copies, when shifts would repeat) a global sign flip: norms and
     // within-copy geometry are preserved (recall structure stays honest),
     // but copies are NOT exact duplicates of each other — an exact-copy
-    // corpus would hand every query vector 10 coincident near-neighbors
-    // and make any recall number meaningless.
+    // corpus would hand every query vector N coincident near-neighbors
+    // and make any recall number meaningless. 128 distinct transforms.
+    require(copies <= 128, "embedding transforms support <=128 copies")
     replicate("embeddings") { (df, i) =>
       val d = 64
+      val sign = if (i < d) lit(1.0f) else lit(-1.0f)
       val shifted = transform(sequence(lit(0), lit(d - 1)),
-        j => element_at(col("embedding"), (j + lit(i)) % d + 1))
+        j => element_at(col("embedding"), (j + lit(i % d)) % d + 1) * sign)
       df.withColumn("vec_id", col("vec_id") + lit(i * off))
         .withColumn("embedding", shifted.cast("array<float>"))
     }

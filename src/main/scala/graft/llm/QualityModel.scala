@@ -182,10 +182,18 @@ object QualityModel {
       // the whole loop (an array(lit…) of 1024 children inlined 1024
       // constants into the source — a fresh ~megabyte compile per epoch).
       val wArr = typedLit(w.toIndexedSeq)
+      // Per-doc score and count via a whole-partition window instead of
+      // the earlier groupBy(doc)+join-back (VERDICT r13 item 8): toks is
+      // checkpointed hash-partitioned by doc id, so the window needs no
+      // exchange and each epoch evaluates toks ONCE (the join re-scanned
+      // it — one extra 32-task job per epoch, measured ~0.3 s each at
+      // sf0.1). Bit-exact: every summed term is the same exact integer,
+      // and integer sums are order-independent.
+      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
       val grads = toks
         .withColumn("__wv", element_at(wArr, col("__b").cast("int") + 1))
-        .groupBy(col(idCol), col(labelCol))
-        .agg(count(lit(1)).as("__n"), sum(col("__wv")).as("__score"))
+        .withColumn("__score", sum(col("__wv")).over(wDoc))
+        .withColumn("__n", count(lit(1)).over(wDoc))
         .withColumn("__err",
           // quantized integer prob (the scoring-side logistic) so the
           // gradient — and therefore the trained weights — never depend
@@ -194,8 +202,6 @@ object QualityModel {
           round((probMicroQuantized(col("__score"), col("__n"))
             - col(labelCol) * lit(1000000L)).cast("double") / col("__n"))
             .cast("long"))
-        .select(col(idCol), col("__err"))
-        .join(toks.select(col(idCol), col("__b")), Seq(idCol))
         .groupBy(col("__b")).agg(sum(col("__err")).as("__g"))
         .as[(Long, Long)].collect()
       grads.foreach { case (b, g) =>

@@ -28,10 +28,10 @@ object ScaleData {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "target/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
-    require(copies >= 1 && copies <= 120,
-      "1..120 copies (one distinct vowel permutation each; do NOT chain " +
-        "two ScaleData passes — composed vowel permutations collide " +
-        "(56 distinct of 100) and same-width id offsets alias, planting " +
+    require(copies >= 1 && copies <= 100,
+      "1..100 copies (one distinct consonant-rotation x vowel-shift text " +
+        "transform each; do NOT chain two ScaleData passes — composed " +
+        "transforms collide and same-width id offsets alias, planting " +
         "exact twins a real corpus doesn't have)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -57,14 +57,30 @@ object ScaleData {
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
     }
 
-    // Distinct vowel permutations in lexicographic order — "aeiou" is
-    // sorted, so copy 0 is the identity (original text) and all `copies`
-    // transforms are pairwise distinct up to the 120 permutations of 5
-    // vowels.
-    val perms = "aeiou".toSeq.permutations.map(_.mkString).take(copies).toIndexedSeq
+    // Per-copy text transform = consonant ROTATION (i mod 20 over the
+    // 20-consonant alphabet) composed with a cyclic vowel SHIFT
+    // (i div 20): copy 0 is the identity, all other copies rewrite every
+    // consonant (and usually every vowel), so texts across copies share
+    // almost no word 8-grams — near-dup candidate graphs grow ~linearly
+    // with the copy count. Lexicographic vowel permutations were measured
+    // DEGENERATE here: the first 24 of them fix both 'a' and 'e', so
+    // copies stayed near-duplicates of each other and the winnow/minhash
+    // benches blew up quadratically on planted structure a real corpus
+    // doesn't have (q_dedup_winnow 9→68 s at sf1).
+    val cons = "bcdfghjklmnpqrstvwxz"
+    val vows = "aeiou"
+    require(copies <= cons.length * vows.length,
+      s"text transforms support <= ${cons.length * vows.length} copies")
+    def textTransform(i: Int): (String, String) = {
+      val r = i % cons.length
+      val v = i / cons.length
+      (cons + vows,
+        cons.drop(r) + cons.take(r) + vows.drop(v) + vows.take(v))
+    }
     replicate("documents") { (df, i) =>
+      val (from, to) = textTransform(i)
       df.withColumn("doc_id", col("doc_id") + lit(i * off))
-        .withColumn("text", translate(col("text"), "aeiou", perms(i)))
+        .withColumn("text", translate(col("text"), from, to))
     }
 
     // Embedding copies get a per-copy circular dimension shift plus (past

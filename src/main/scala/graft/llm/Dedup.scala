@@ -794,8 +794,23 @@ object Dedup {
     * confirm ([[ngramJaccardFromGrams]] / string compare) — winnowing
     * SELECTS evidence, it never asserts duplication alone.
     */
-  def winnowCandidates(fps: DataFrame, minShared: Long = 2L): DataFrame = {
-    val d = fps.select(col("id"), col("fp")).distinct()
+  def winnowCandidates(fps: DataFrame, minShared: Long = 2L,
+      maxDf: Option[Long] = None): DataFrame = {
+    val d0 = fps.select(col("id"), col("fp")).distinct()
+    // Optional hot-fingerprint posting-list cap: the self-join's pair
+    // volume per fingerprint is df², and a fingerprint shared by more
+    // than `maxDf` documents is vocabulary-level, not duplication
+    // evidence — true near-dup pairs share many RARE fingerprints
+    // (minShared guards the rest). MEASURE before enabling: on the
+    // synthetic sf10 corpus the df-count window sort over the 50M-row
+    // posting list cost MORE than the df² fan-out it removed (330 s
+    // capped vs 242 s uncapped) — the cap pays off only when hot phrases
+    // genuinely dominate the pair volume (boilerplate-heavy web corpora).
+    val d = maxDf.fold(d0) { cap =>
+      d0.withColumn("__df",
+          count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("__df") <= cap).drop("__df")
+    }
     val a = d.alias("a"); val b = d.alias("b")
     a.join(b, col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

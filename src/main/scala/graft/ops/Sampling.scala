@@ -27,9 +27,26 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Knuth multiplicative mix of a non-negative integer key into [0, 2^32). */
-  def mix32(key: Column): Column =
-    pmod(key.cast("long") * lit(2654435761L), lit(4294967296L))
+  /** Knuth multiplicative mix of a non-negative integer key into [0, 2^32):
+    * `key · 2654435761 mod 2^32`, computed via a 16/16-bit split of the
+    * mod-2^32-reduced key so every intermediate stays below 2^63 for ANY
+    * Long key (the earlier direct multiply ANSI-overflowed past
+    * |key| ≥ 2^32 — hit at sf10's 10^10 id offsets). Identity-exact with
+    * the direct product: key = q·2^32 + k32 makes q's term ≡ 0 mod 2^32,
+    * and (hi·2^16 + lo)·C mod 2^32 distributes over the split — so DuckDB
+    * oracles keep the plain `key * C % 2^32` formula (HUGEINT arithmetic
+    * never overflows there) and the values match bit-for-bit.
+    */
+  def mix32(key: Column): Column = {
+    val c = 2654435761L
+    val m = 4294967296L
+    val k32 = pmod(key.cast("long"), lit(m))
+    val lo = k32 % lit(65536L)
+    // exact: (k32 - lo) < 2^32 is 65536-divisible, double division is
+    // exact below 2^53, cast back to long
+    val hi = ((k32 - lo) / lit(65536L)).cast("long")
+    pmod(pmod(hi * lit(c), lit(m)) * lit(65536L) + lo * lit(c), lit(m))
+  }
 
   /** Deterministic Bernoulli(num/den) sample keyed on `key`. Map-side only:
     * the plan is scan → filter, nothing shuffles and the parquet scan still

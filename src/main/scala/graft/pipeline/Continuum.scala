@@ -30,21 +30,15 @@ object Continuum {
       strictCompat: Boolean = false)
 
   /** Positional index within the (already filtered) frame — the reference's
-    * implicit row position (F9).
-    *
-    * Single-file path ([[run]]): bucketed form ([[graft.ops.Positions]]) —
-    * a constant FILE_ID would constant-fold a per-file window's partition
-    * key away and funnel every row through one WindowExec partition.
-    * Multi-file path ([[runAll]]): plain per-FILE_ID window — already
-    * parallel across files, and it evaluates its input ONCE (the bucketed
-    * form's offset collect would scan the upstream frame a second time).
+    * implicit row position (F9). Bucketed form ([[graft.ops.Positions]])
+    * on BOTH paths (r14): a constant FILE_ID would constant-fold a
+    * per-file window's partition key away and funnel every row through
+    * one WindowExec partition, and even the genuine multi-file window
+    * parallelizes only by file COUNT — the sf10 certificate measured it
+    * at 20× for 10× data on a 4-file fixture. The bucketed offsets side
+    * re-reads the checkpointed/cached upstream, a narrow extra scan.
     */
   private def withPos(df: DataFrame): DataFrame = Positions.withPos(df)
-
-  private def withPosWindowed(df: DataFrame): DataFrame =
-    df.withColumn("__pos",
-      (row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("FILE_ID")).orderBy(col("ROWIDX"))) - 1).cast("long"))
 
   def run(df: DataFrame, header: Header, p: Params): DataFrame = {
     // A3 — sweep-interleave factor from the PRE-filter table (continuum.py:24-28).
@@ -170,8 +164,12 @@ object Continuum {
 
     // Materialized ONCE (localCheckpoint): integ feeds both the mapGroups
     // params side and the final join side — unmaterialized, the per-file
-    // position window would run twice for the same information.
-    val integ = withPosWindowed(d).select(
+    // position window would run twice for the same information. Bucketed
+    // positions (Positions.withPos) rather than a per-FILE window, for the
+    // same rows-not-file-count parallelism reason as Spectrum.runAll (the
+    // offsets side re-reads the cheap checkpointed base, so the extra
+    // pass is a narrow scan).
+    val integ = Positions.withPos(d).select(
       col("FILE_ID"),
       col("__pos").cast("long").as("__pos"),
       col("CALSTATE"), col("SWPVALID"), col("OBSMODE"),

@@ -115,43 +115,45 @@ object Spectrum {
     val axis = ArrayOps.freqAxis(fr.high, fr.low, fr.channelCount)
     val (freqs, d2) = RangeFilters.filterFrequencyRanges(d, axis, p.includeFreq, p.excludeFreq)
 
-    // Materialized ONCE (localCheckpoint): flagged feeds both the per-file
-    // scan side and the halves aggregation side — unmaterialized, the two
-    // evaluations could assign different __pos values when upstream sort
-    // keys tie (non-unique lineitem keys in the corpus).
-    // Plain per-FILE_ID window (parallel across files, input evaluated once);
-    // the bucketed Positions form is reserved for the constant-FILE_ID
-    // single-file path, where this window would degenerate to one partition.
-    // Only the columns the scan + aggregation need are checkpointed — the
-    // materialization is the per-row cost here, so prune before it.
-    val flagged = d2.withColumn("FILE_ID", col("FILE_ID").cast("string"))
-      .withColumn("__pos",
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("FILE_ID")).orderBy(col("ROWIDX"))) - 1).cast("long"))
-      .select(col("FILE_ID"), col("__pos"), col("DATA"), col("OBSMODE"))
-      .localCheckpoint()
+    // The spectrum path needs no row POSITIONS at all (r14, the sf10
+    // certificate's lesson): the per-file off index was only ever compared
+    // — `off_start === 0` and `__pos < off_start` — and positions are
+    // ranks of the unique per-file ROWIDX, so every comparison rewrites to
+    // a ROWIDX threshold: "off index exists" = min off-ROWIDX non-null,
+    // "off index is 0" = min off-ROWIDX equals the file's first ROWIDX,
+    // "row before the off transition" = ROWIDX < min off-ROWIDX. That
+    // removes the per-file window (whose parallelism scaled with file
+    // COUNT — 20× for 10× data on the 4-file fixture) AND the wide
+    // checkpoint (93 s materializing 60M DATA arrays at sf10): the frame
+    // is evaluated twice, but the offs side prunes to three slim columns
+    // and every aggregate is evaluation-order-independent, so no
+    // materialization is needed for determinism.
+    val slim = d2.withColumn("FILE_ID", col("FILE_ID").cast("string"))
+      .select(col("FILE_ID"), col("ROWIDX").cast("long").as("ROWIDX"),
+        col("DATA"), col("OBSMODE"))
 
-    // Per-file off index, spectrum form (see [[run]]): offStart is
-    // min(__pos) over an OBSMODE-contains filter per file — a parallel
-    // groupBy aggregate, not the sequential per-file state machine (which
-    // only dataStart/postCal need, and the spectrum path reads neither).
-    // Null when the header isn't onoff or the file has no off rows, like
-    // CalIndices.off.
+    // Per-file thresholds (spectrum form of the off index, see [[run]]):
+    // a parallel groupBy aggregate, not the sequential per-file state
+    // machine (which only dataStart/postCal need, and the spectrum path
+    // reads neither). Null off threshold when the header isn't onoff or
+    // the file has no off rows, like CalIndices.off.
     val offs =
       if (header.obsmode == "onoff")
-        flagged.groupBy(col("FILE_ID"))
-          .agg(min(when(col("OBSMODE").contains("onoff:off"), col("__pos")))
-            .as("off_start"))
+        slim.groupBy(col("FILE_ID"))
+          .agg(min(col("ROWIDX")).as("__first_row"),
+            min(when(col("OBSMODE").contains("onoff:off"), col("ROWIDX")))
+              .as("__off_row"))
       else
-        flagged.groupBy(col("FILE_ID"))
-          .agg(first(lit(null).cast("long")).as("off_start"))
+        slim.groupBy(col("FILE_ID"))
+          .agg(min(col("ROWIDX")).as("__first_row"),
+            first(lit(null).cast("long")).as("__off_row"))
 
     // Python truthiness (ref spectrum.py:62): off index 0 or absent → no split.
-    val halves = flagged
+    val halves = slim
       .join(broadcast(offs), "FILE_ID")
       .withColumn("__split",
-        !(col("off_start").isNull || col("off_start") === 0))
-      .withColumn("__on", !col("__split") || col("__pos") < col("off_start"))
+        !(col("__off_row").isNull || col("__off_row") === col("__first_row")))
+      .withColumn("__on", !col("__split") || col("ROWIDX") < col("__off_row"))
       .groupBy(col("FILE_ID"), col("__on"))
       .agg(VectorSum.vecSum(ArrayOps.fillNulls(col("DATA"))).as("s"),
         first(col("__split")).as("__split"))

@@ -1332,6 +1332,11 @@ object LlmQueries {
         base.select((col("doc_id") + 10000L).as("doc_id"),
           concat(lit("prefix note "), col("text"), lit(" tail mark")).as("text")))
       val fps = Dedup.winnowFingerprints(aug, n = 3, w = 4).localCheckpoint()
+      // Registered UNCAPPED: a maxDf=64 posting-list cap was measured at
+      // sf10 and REJECTED (330 s capped vs 242 s uncapped — the df-count
+      // window sort over the 50M-row posting list costs more than the df²
+      // fan-out it removes on this corpus; the cap stays available as
+      // winnowCandidates' maxDf for corpora where hot phrases dominate).
       Dedup.winnowCandidates(fps, minShared = 3L)
         .orderBy(col("id_a"), col("id_b"))
     }),

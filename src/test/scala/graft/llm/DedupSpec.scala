@@ -328,6 +328,29 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.map(p => (p._1, p._2)) == Seq((10L, 1L)))
   }
 
+  test("winnowCandidates maxDf: hot fingerprints leave the posting list, rare pairs survive") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val hot = "common boiler plate phrase every document carries along here"
+    // docs 1,2 share the RARE run; all four share the HOT run.
+    val docs = Seq(
+      (1L, s"intro words $shared first tail $hot"),
+      (2L, s"other opening $shared second tail $hot"),
+      (3L, s"unrelated body one with nothing shared rarely $hot"),
+      (4L, s"unrelated body two quite different content too $hot"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, n = 3, w = 4)
+    // cap df at 2: the hot-phrase fingerprints (df=4) drop, so 3-4 stop
+    // being candidates; 1-2 survive on their rare shared run.
+    val capped = Dedup.winnowCandidates(fps, minShared = 1L, maxDf = Some(2L))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // uncapped, the hot run makes every pair a candidate
+    val uncapped = Dedup.winnowCandidates(fps, minShared = 1L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(uncapped.map(p => (p._1, p._2)).toSet ==
+      (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toSet)
+  }
+
   test("winnowCandidates: shared long run guarantees a shared fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(

@@ -593,6 +593,55 @@ object Dedup {
       .drop("__h", "__rn")
   }
 
+  /** Source-precedence exact dedup — the multi-source ingest discipline
+    * (the Pile/Dolma shape): when the same content arrives from several
+    * sources, keep the copy from the most-trusted source, not the lowest
+    * id. `priority` lists sources best-first; unlisted sources rank below
+    * every listed one (rank = priority.size) and tie-break by (source, id)
+    * so the winner is a total function of the data — no ingest-order or
+    * partition-order dependence.
+    *
+    * Scale shape: ONE min-struct aggregation keyed on the 32-byte content
+    * hash. Partial aggregation absorbs hot boilerplate content map-side
+    * (a window over the hash would ship every copy of a mega-duplicated
+    * page to one task); the rank is a literal when-chain that rides along
+    * codegen'd, nothing is broadcast or collected.
+    */
+  def sourcePriorityWinners(df: DataFrame, priority: Seq[String],
+      textCol: String = "text", srcCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(priority.nonEmpty, "need at least one prioritized source")
+    require(priority.distinct.size == priority.size,
+      s"duplicate source in priority list: ${priority.diff(priority.distinct).mkString(", ")}")
+    val rank = priority.zipWithIndex.foldRight(lit(priority.size): Column) {
+      case ((s0, i), els) => when(col(srcCol) === s0, lit(i)).otherwise(els)
+    }
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(struct(rank.as("__rank"), col(srcCol).as("__src"),
+          col(idCol).as("__id"))).as("__w"),
+        count(lit(1)).as("copies"))
+      .select(col("content_hash"), col("__w.__id").as("keep_id"),
+        col("__w.__src").as("keep_source"), col("copies"))
+  }
+
+  /** [[sourcePriorityWinners]] keeping whole rows: the winner set is a
+    * slim (hash, id) frame, semi-joined back — at scale the join key is
+    * the content hash both sides already carry, and the winners side is
+    * one row per DISTINCT content.
+    */
+  def dedupBySourcePriority(df: DataFrame, priority: Seq[String],
+      textCol: String = "text", srcCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val winners = sourcePriorityWinners(df, priority, textCol, srcCol, idCol)
+      .select(col("content_hash").as("__h"), col("keep_id").as("__kid"))
+      .alias("w")
+    df.withColumn("__h", sha2(col(textCol), 256)).alias("l")
+      .join(winners,
+        col("l.__h") === col("w.__h") && col(s"l.$idCol") === col("w.__kid"),
+        "left_semi")
+      .drop("__h")
+  }
+
   /** Cross-corpus MinHash candidates: batch signatures vs a PERSISTED
     * catalog of prior-batch signatures, equi-joined on exploded (band, key)
     * — the incremental twin of [[minhashCandidatesFromSigs]] (same banding,

@@ -94,6 +94,89 @@ object Packing {
       when(sel, fimText).otherwise(col(textCol)).as("out_text"))
   }
 
+  /** Span-corruption transform (the T5 pretraining objective, Raffel 2020
+    * §3.1.4): mask ~`ratePermille`‰ of each document's tokens in spans of
+    * mean length `meanSpan`, emitting the sentinel-joined `inputs` /
+    * `targets` pair (`inputs` = text with span k replaced by
+    * `<extra_id_k>`; `targets` = every `<extra_id_k>` + its masked tokens,
+    * closed by the final sentinel). Deterministic twin of the paper's
+    * random corruption — every pipeline run places identical spans:
+    *
+    *  - c = (n·rate) div 1000 masked tokens over m = max(1, c div 3)
+    *    spans; span k takes L_k = c div m (+1 for k < c mod m) tokens;
+    *  - token positions split into m segments by the exact floor-division
+    *    inverse pair (segment of i = (i·m) div n ⟺ segment k starts at
+    *    ceil(n·k/m)), span k lands INSIDE segment k at an offset drawn
+    *    from the doc's poly fingerprint through one Knuth-mix step — so
+    *    spans can never overlap or touch out-of-segment tokens, and every
+    *    derivation replays term-for-term in ANSI SQL;
+    *  - documents under `minTokens` (or rating to c = 0) pass through
+    *    unmasked with empty targets (the paper trains on a mixture).
+    *
+    * Scale shape: a pure codegen'd map over the corpus — no shuffle, no
+    * RNG state, no driver work; the per-row cost is O(tokens + spans)
+    * (the span table is built once per row and indexed per token).
+    */
+  def spanCorruption(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", ratePermille: Long = 150L,
+      meanSpan: Long = 3L, minTokens: Long = 10L): DataFrame = {
+    require(ratePermille > 0 && ratePermille <= 500,
+      s"ratePermille must be in (0, 500]: $ratePermille")
+    require(meanSpan > 0, s"meanSpan must be positive: $meanSpan")
+    require(minTokens > meanSpan, s"minTokens must exceed meanSpan")
+    import graft.functions.FixedPointLog.idiv
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks).cast("long")
+    val c = idiv(n * ratePermille, lit(1000L))
+    val masked = n >= minTokens && c >= 1L
+    val m = greatest(lit(1L), idiv(c, lit(meanSpan)))
+    val fpb = TextAnalysis.fingerprint(
+      concat(col(idCol).cast("string"), lit(":sm")))
+    // Span table: one struct per span k — start (0-based token index) and
+    // length, confined to segment k (segment k = positions with
+    // (i·m) div n = k, i.e. [ceil(nk/m), ceil(n(k+1)/m)) — the exact
+    // floor-division inverse pair, so the per-token lookup below is a
+    // direct index, no search). All arithmetic is exact IntegralDivide.
+    val spans = transform(sequence(lit(0L), m - 1L), k => {
+      val segStart = idiv(n * k + m - 1L, m)
+      val segEnd = idiv(n * (k + 1L) + m - 1L, m)
+      val segLen = segEnd - segStart
+      val lRaw = idiv(c, m) + when(k < c % m, lit(1L)).otherwise(lit(0L))
+      val l = least(lRaw, segLen)
+      val h = (fpb + k) * lit(2654435761L) % lit(4294967296L)
+      val start = segStart + pmod(h, segLen - l + 1L)
+      struct(start.as("s"), l.as("l"))
+    })
+    df.select(col(idCol), col(textCol))
+      .withColumn("__spans", when(masked, spans))
+      .withColumn("n_tokens", n)
+      .withColumn("n_spans", when(masked, m).otherwise(lit(0L)))
+      .withColumn("inputs",
+        when(masked,
+          array_join(filter(
+            transform(sequence(lit(0L), n - 1L), i => {
+              val k = idiv(i * m, n)
+              val sp = element_at(col("__spans"), (k + 1L).cast("int"))
+              when(i < sp.getField("s") || i >= sp.getField("s") + sp.getField("l"),
+                element_at(toks, (i + 1L).cast("int")))
+                .when(i === sp.getField("s"),
+                  concat(lit("<extra_id_"), k.cast("string"), lit(">")))
+                .otherwise(lit(null).cast("string"))
+            }), x => x.isNotNull), " "))
+          .otherwise(array_join(toks, " ")))
+      .withColumn("targets",
+        when(masked,
+          concat(
+            array_join(transform(col("__spans"),
+              (sp, k) => concat(lit("<extra_id_"), k.cast("string"), lit("> "),
+                array_join(slice(toks, (sp.getField("s") + 1L).cast("int"),
+                  sp.getField("l").cast("int")), " "))), " "),
+            lit(" <extra_id_"), m.cast("string"), lit(">")))
+          .otherwise(lit("")))
+      .select(col(idCol), col("n_tokens"), col("n_spans"),
+        col("inputs"), col("targets"))
+  }
+
   /** Per-chunk document-boundary segments — the attention-mask input a
     * trainer needs for packed sequences (block-diagonal attention: tokens
     * must not attend across document boundaries inside one chunk). For

@@ -166,6 +166,47 @@ object Similarity {
           .as("anisotropy_micro"))
   }
 
+  /** Embedding outlier screen — flag vectors whose squared distance to
+    * the corpus mean sits more than z standard deviations above the
+    * corpus average (the garbage-embedding / encoder-failure gate run
+    * BEFORE any index build or semantic dedup: a handful of far-out
+    * vectors become universal hubs in cosine space and poison both).
+    * Exact integers end to end: the shared micro lift, the
+    * centered-mean per-dim means, per-row distance Σ(m−md)² reduced to
+    * micro grain, and a sqrt-free one-sided z-gate cross-multiplied as
+    *   n·d > S1  AND  (n·d − S1)² ≥ z²·(n·S2 − S1²)
+    * in DECIMAL(38,0) (exact to ~10⁹ rows at this grain; S1 = Σd,
+    * S2 = Σd²) — no float variance, no engine-dependent sqrt, so every
+    * flag replays bit-exact in HUGEINT SQL.
+    *
+    * Scale shape: one explode + a 64-row broadcast mean join + two slim
+    * aggregations; the gate is a map over the n-row distance frame.
+    */
+  def outlierReport(df: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding", zSquared: Int = 9): DataFrame = {
+    require(zSquared > 0, s"zSquared must be positive: $zSquared")
+    val m = df
+      .select(col(idCol), posexplode(col(embCol)).as(Seq("d", "x")))
+      .select(col(idCol), col("d"),
+        round(col("x").cast("double") * 1e6).cast("long").as("m"))
+    val means = m.groupBy(col("d"))
+      .agg(expr("CAST(round(CAST(sum(m) AS DOUBLE) / count(1)) AS BIGINT)").as("md"))
+    val dist = m.join(broadcast(means), "d")
+      .groupBy(col(idCol))
+      .agg(expr("sum((m - md) * (m - md)) DIV 1000000").as("dist2_micro"))
+    val stats = dist.agg(
+      count(lit(1)).as("__n"),
+      sum(col("dist2_micro")).as("__s1"),
+      expr("sum(CAST(dist2_micro AS DECIMAL(38,0)) * dist2_micro)").as("__s2"))
+    dist.crossJoin(broadcast(stats))
+      .select(col(idCol), col("dist2_micro"),
+        expr(s"""CAST(__n AS DECIMAL(38,0)) * dist2_micro > __s1 AND
+          (CAST(__n AS DECIMAL(38,0)) * dist2_micro - __s1) *
+          (CAST(__n AS DECIMAL(38,0)) * dist2_micro - __s1) >=
+          $zSquared * (CAST(__n AS DECIMAL(38,0)) * __s2 -
+            CAST(__s1 AS DECIMAL(38,0)) * __s1)""").as("is_outlier"))
+  }
+
   /** Matryoshka coarse-then-rerank search (Kusupati et al., NeurIPS 2022):
     * MRL-trained embeddings front-load information, so ranking by the
     * cosine of the FIRST `dims` coordinates is a usable coarse search at

@@ -408,6 +408,29 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "q_dedup_priority" -> ((s, dir) => {
+      // Source-precedence exact dedup (the Pile/Dolma multi-source ingest
+      // rule): planted cross-source copies — a 'mirror' of every %7 doc
+      // and an 'archive' of every %11 doc. Priority trusts src3, then
+      // src1, then mirror; archive and the other srcN are unlisted (rank
+      // 3), where the (source, id) tie-break decides — 'archive' sorts
+      // before 'srcN', so archive copies beat their unlisted originals
+      // while mirror copies lose to src3/src1 originals and beat the
+      // rest. Every branch of the precedence rule is exercised and the
+      // oracle replays rank + tie-break as a window.
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val aug = d
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("mirror").as("source"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            lit("archive").as("source"), col("text")))
+      Dedup.dedupBySourcePriority(aug, Seq("src3", "src1", "mirror"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_source_overlap" -> ((s, dir) => {
       // Cross-source leakage audit: the corpus (clean across sources —
       // zero natural exact overlap) plus a planted 'evalset' built from
@@ -733,6 +756,22 @@ object LlmQueries {
       // the before/after pair with q_embed_isotropy is the diagnostic +
       // fix cert.
       Similarity.centeredIsotropy(emb(s, dir))),
+
+    "q_embed_outliers" -> ((s, dir) => {
+      // Garbage-embedding screen: every %97 vector scales ×5 (the
+      // encoder-failure shape — a few far-out vectors become cosine
+      // hubs and poison index + semantic dedup), the rest stay unit-ish.
+      // The sqrt-free one-sided integer z-gate must flag exactly the far
+      // tail; distances, moments and the cross-multiplied comparison are
+      // exact integers the oracle replays in HUGEINT. The ×5 plant goes
+      // through double (exact) and back to FLOAT so both engines take
+      // the identical IEEE rounding before the micro lift.
+      val aug = emb(s, dir).select(col("vec_id"),
+        when(col("vec_id") % 97 === 0,
+          transform(col("embedding"), x => (x.cast("double") * 5.0).cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+      Similarity.outlierReport(aug).orderBy(col("vec_id"))
+    }),
 
     "q_embed_isotropy" -> ((s, dir) =>
       // Pre-index embedding diagnostic: exact integer anisotropy (vector
@@ -1297,6 +1336,18 @@ object LlmQueries {
       // substr map runs once instead of twice under the sampling pass.
       graft.llm.Packing.fimTransform(
         docs(s, dir).orderBy(col("doc_id")), fimPermille = 500L)),
+
+    "q_pack_spanmask" -> ((s, dir) =>
+      // T5 span-corruption transform: ~15% of tokens masked in mean-3
+      // spans, sentinel-paired inputs/targets. Deterministic twin of the
+      // paper's random corruption (fingerprint-seeded, segment-confined
+      // spans — see Packing.spanCorruption); the oracle replays the
+      // fingerprint fold, the Knuth-mix draw, the exact floor-division
+      // segment geometry and both sentinel strings per doc. Pure
+      // codegen'd map, zero shuffle; sort-first (finding 51) so the
+      // token work runs once for the same exchange bytes.
+      graft.llm.Packing.spanCorruption(
+        docs(s, dir).orderBy(col("doc_id")))),
 
     "q_dedup_winnow_incr" -> ((s, dir) => {
       // Incremental winnowing: the catalog is the corpus's stored
@@ -3005,6 +3056,50 @@ object LlmQueries {
         |    ELSE text END AS out_text
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    "q_pack_spanmask" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+        |    doc_id || ':sm' AS sk
+        |  FROM documents),
+        |b AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+        |    CAST(len(w) * 150 // 1000 AS BIGINT) AS c,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(sk) + 1), i -> CAST(ascii(sk[i]) AS BIGINT))),
+        |      (acc, ch) -> (acc * 131 + ch) % 1000000007) AS fpb
+        |  FROM d),
+        |p AS (SELECT doc_id, w, n, c, fpb,
+        |    n >= 10 AND c >= 1 AS masked,
+        |    greatest(1, c // 3) AS m
+        |  FROM b),
+        |sp AS (SELECT doc_id, w, n, masked, m,
+        |    list_transform(range(m), k ->
+        |      (n * k + m - 1) // m
+        |      + ((fpb + k) * 2654435761 % 4294967296)
+        |        % ((n * (k + 1) + m - 1) // m - (n * k + m - 1) // m
+        |           - least(c // m + (CASE WHEN k < c % m THEN 1 ELSE 0 END),
+        |               (n * (k + 1) + m - 1) // m - (n * k + m - 1) // m) + 1)) AS ss,
+        |    list_transform(range(m), k ->
+        |      least(c // m + (CASE WHEN k < c % m THEN 1 ELSE 0 END),
+        |        (n * (k + 1) + m - 1) // m - (n * k + m - 1) // m)) AS ls
+        |  FROM p)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST(CASE WHEN masked THEN m ELSE 0 END AS BIGINT) AS n_spans,
+        |  CASE WHEN masked THEN array_to_string(list_filter(
+        |      list_transform(range(n), i ->
+        |        CASE WHEN i < ss[(i * m // n) + 1]
+        |               OR i >= ss[(i * m // n) + 1] + ls[(i * m // n) + 1]
+        |             THEN w[i + 1]
+        |             WHEN i = ss[(i * m // n) + 1]
+        |             THEN '<extra_id_' || CAST(i * m // n AS VARCHAR) || '>'
+        |             ELSE NULL END),
+        |      x -> x IS NOT NULL), ' ')
+        |    ELSE array_to_string(w, ' ') END AS inputs,
+        |  CASE WHEN masked THEN array_to_string(list_transform(range(m), k ->
+        |      '<extra_id_' || CAST(k AS VARCHAR) || '> ' ||
+        |      array_to_string(list_slice(w, ss[k + 1] + 1, ss[k + 1] + ls[k + 1]), ' ')), ' ')
+        |      || ' <extra_id_' || CAST(m AS VARCHAR) || '>'
+        |    ELSE '' END AS targets
+        |FROM sp ORDER BY doc_id""".stripMargin,
+
     "q_dedup_winnow_incr" ->
       """WITH cat AS (SELECT doc_id, text FROM documents),
         |bat AS (SELECT doc_id + 30000 AS doc_id,
@@ -3194,6 +3289,23 @@ object LlmQueries {
         |SELECT doc_id FROM f
         |WHERE rn = 1 AND sha256(text) NOT IN (SELECT h FROM prior)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_priority" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, 'mirror', text
+        |    FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 2000000, 'archive', text
+        |    FROM documents WHERE doc_id % 11 = 0),
+        |r AS (SELECT doc_id, source, text,
+        |    CASE source WHEN 'src3' THEN 0 WHEN 'src1' THEN 1
+        |      WHEN 'mirror' THEN 2 ELSE 3 END AS rank
+        |  FROM aug),
+        |w AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY sha256(text)
+        |      ORDER BY rank, source, doc_id) AS rn
+        |  FROM r)
+        |SELECT doc_id, source FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incr_minhash" ->
       """SELECT true AS recrawls_dropped, true AS novel_kept,
@@ -3753,6 +3865,33 @@ object LlmQueries {
         |  CAST(CAST(mn.mean_norm2 AS HUGEINT) * 1000000 // an.avg_norm2 AS BIGINT)
         |    AS anisotropy_micro
         |FROM mn, an""".stripMargin,
+
+    "q_embed_outliers" ->
+      """WITH aug AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 97 = 0
+        |      THEN list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 5 AS FLOAT))
+        |      ELSE embedding END AS embedding
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS d FROM aug),
+        |m AS (SELECT vec_id, d,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS m FROM ex),
+        |means AS (SELECT d,
+        |    CAST(round(CAST(sum(m) AS DOUBLE) / count(*)) AS BIGINT) AS md
+        |  FROM m GROUP BY d),
+        |dist AS (SELECT vec_id,
+        |    CAST(sum((m - md) * (m - md)) // 1000000 AS BIGINT) AS dist2_micro
+        |  FROM m JOIN means ON means.d = m.d GROUP BY vec_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dist2_micro) AS BIGINT) AS s1,
+        |    sum(CAST(dist2_micro AS HUGEINT) * dist2_micro) AS s2 FROM dist)
+        |SELECT vec_id, dist2_micro,
+        |  (CAST(n AS HUGEINT) * dist2_micro > s1 AND
+        |   (CAST(n AS HUGEINT) * dist2_micro - s1) *
+        |   (CAST(n AS HUGEINT) * dist2_micro - s1)
+        |     >= 9 * (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1))
+        |    AS is_outlier
+        |FROM dist, st ORDER BY vec_id""".stripMargin,
 
     "q_embed_isotropy" ->
       """WITH ex AS (SELECT vec_id, unnest(embedding) AS x,

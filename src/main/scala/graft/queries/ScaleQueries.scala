@@ -585,6 +585,42 @@ object ScaleQueries {
         .orderBy(col("source"))
     }),
 
+    "q_snapshot_expire" -> ((s, dir) => {
+      // Snapshot GC (the other half of the Iceberg lifecycle next to
+      // q_snapshot_read): v1 = even docs, v2 appends the odd docs (its
+      // manifest carries v1's files forward), v3 = compaction REWRITE
+      // (fresh files only — the commit that makes history expirable).
+      // expire(keep=1) drops the v1/v2 manifests, then deletes every
+      // data file only they referenced. Certificate: (a) the CURRENT
+      // read is byte-stable across the GC (order-independent manifest
+      // checksums equal before/after), (b) the expired version is
+      // unreadable afterwards, (c) the data dir holds EXACTLY the
+      // retained manifest's files and something was actually deleted.
+      // The oracle re-derives the full-table manifest and the flags.
+      val root = stagingDir() + "/snapshot_expire"
+      val SS = graft.sources.SnapshotStore
+      SS.destroy(root)
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      SS.commit(d.filter(col("doc_id") % 2 === 0), root)
+      SS.commit(d.filter(col("doc_id") % 2 === 1), root)
+      val v3 = SS.rewrite(s, root)
+      def manifestOf(df: org.apache.spark.sql.DataFrame) =
+        Profiling.releaseManifest(df, "source", "doc_id", "text")
+      val before = manifestOf(SS.readCurrent(s, root))
+        .orderBy(col("source")).collect().toSeq
+      val deleted = SS.expire(root, keep = 1)
+      val curAfter = manifestOf(SS.readCurrent(s, root))
+      val after = curAfter.orderBy(col("source")).collect().toSeq
+      val expiredUnreadable = scala.util.Try(SS.read(s, root, 1)).isFailure
+      val gcExact = deleted.nonEmpty &&
+        SS.dataFiles(root) == SS.manifest(root, v3).sorted
+      curAfter
+        .withColumn("current_stable", lit(before == after))
+        .withColumn("expired_unreadable", lit(expiredUnreadable))
+        .withColumn("gc_exact", lit(gcExact))
+        .orderBy(col("source"))
+    }),
+
     "q_corpus_manifest_diff" -> ((s, dir) => {
       // Release diff without touching either corpus: revision B removes
       // the doc_id%17 docs and appends ' updated' to the %13 texts; the
@@ -1055,6 +1091,17 @@ idf AS (SELECT term, CAST(${microOfNanoDuck("bi_ln")} AS BIGINT) AS idf_micro
         |SELECT v1.source, v1_n_docs, v1_checksum, v2_n_docs, v2_checksum,
         |  true AS v1_stable
         |FROM v1 JOIN v2 USING (source) ORDER BY source""".stripMargin,
+
+    "q_snapshot_expire" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007)) AS BIGINT) AS checksum,
+        |  true AS current_stable, true AS expired_unreadable, true AS gc_exact
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_corpus_manifest" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

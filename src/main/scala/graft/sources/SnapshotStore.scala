@@ -71,7 +71,27 @@ object SnapshotStore {
   }
 
   /** Append `df` as the next snapshot; returns the new version number. */
-  def commit(df: DataFrame, root: String): Int = {
+  def commit(df: DataFrame, root: String): Int =
+    commitVersion(df, root, carryPrior = true)
+
+  /** Compaction commit: rewrite CURRENT's rows as fresh files and commit a
+    * manifest referencing ONLY them. Logically a no-op (same content),
+    * physically the maintenance step (small-file compaction, re-cluster)
+    * that makes history EXPIRABLE: `commit` manifests carry every prior
+    * file forward, so nothing ever becomes unreferenced until a rewrite
+    * breaks the chain. Readers pinned to prior versions are untouched —
+    * their manifests still name the old files, which stay on disk until
+    * [[expire]]'s retention allows deletion. The same snapshot-isolation
+    * argument applies at 100 TB: the rewrite lands as invisible new files
+    * + one manifest rename, and CURRENT flips atomically.
+    */
+  def rewrite(spark: SparkSession, root: String): Int = {
+    val v = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"empty snapshot table at $root"))
+    commitVersion(read(spark, root, v), root, carryPrior = false)
+  }
+
+  private def commitVersion(df: DataFrame, root: String, carryPrior: Boolean): Int = {
     snapDir(root).mkdirs()
     dataDir(root).mkdirs()
     val prior = currentVersion(root)
@@ -91,7 +111,8 @@ object SnapshotStore {
     scratch.listFiles().foreach(_.delete()); scratch.delete()
 
     // 2. complete file list -> temp -> rename (the commit point)
-    val files = prior.map(manifest(root, _)).getOrElse(Nil) ++ moved
+    val files =
+      (if (carryPrior) prior.map(manifest(root, _)).getOrElse(Nil) else Nil) ++ moved
     val mTmp = new File(snapDir(root), s"v$next.manifest.tmp")
     Files.write(mTmp.toPath, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(mTmp.toPath, manifestFile(root, next).toPath,
@@ -104,6 +125,41 @@ object SnapshotStore {
       StandardCopyOption.ATOMIC_MOVE)
     next
   }
+
+  /** Snapshot expiry (the GC half of the Iceberg discipline): drop every
+    * manifest older than the newest `keep` versions, then delete data
+    * files no RETAINED manifest references. Returns the deleted file
+    * names, sorted.
+    *
+    * Crash-safety ordering: expired manifests are removed FIRST, so no
+    * reader can pin a version whose files are about to vanish; a crash
+    * between the two phases strands orphan files (re-run to collect),
+    * never a manifest naming deleted data. Retention is the caller's
+    * contract with its slowest reader — `keep` must cover every pinned
+    * read still in flight, exactly Iceberg's `expire_snapshots` rule.
+    */
+  def expire(root: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"must retain at least one snapshot, got keep=$keep")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"empty snapshot table at $root"))
+    val all = (1 to cur).filter(v => manifestFile(root, v).isFile)
+    val retained = all.takeRight(keep)
+    val expired = all.dropRight(keep)
+    expired.foreach(v => manifestFile(root, v).delete())
+    val live = retained.flatMap(manifest(root, _)).toSet
+    val orphans = Option(dataDir(root).listFiles((_, n) => n.endsWith(".parquet")))
+      .map(_.toSeq).getOrElse(Nil)
+      .map(_.getName).filterNot(live)
+    orphans.foreach(n => { new File(dataDir(root), n).delete(); () })
+    orphans.sorted
+  }
+
+  /** Data-file names currently on disk (the GC audit view — compare with
+    * the retained manifests' union after [[expire]]).
+    */
+  def dataFiles(root: String): Seq[String] =
+    Option(dataDir(root).listFiles((_, n) => n.endsWith(".parquet")))
+      .map(_.toSeq).getOrElse(Nil).map(_.getName).sorted
 
   /** Pinned read of snapshot `v`: the manifest's explicit file list goes
     * straight to the parquet source — later snapshots' files are invisible

@@ -405,6 +405,38 @@ class DedupSpec extends SparkTestBase {
     assert(ex.getMessage.contains("numeric"))
   }
 
+  test("source-priority dedup: rank wins, then source, then id; guards fire") {
+    val multi = Seq(
+      (1L, "web", "shared text one"),
+      (2L, "wiki", "shared text one"),    // wiki listed first => beats web
+      (3L, "web", "shared text two"),
+      (4L, "forum", "shared text two"),   // neither listed: 'forum' < 'web' tie-break
+      (5L, "wiki", "unique text"),
+      (6L, "wiki", "shared text three"),
+      (7L, "wiki", "shared text three")   // same source: lower id wins
+    ).toDF("doc_id", "source", "text")
+    val w = Dedup.sourcePriorityWinners(multi, Seq("wiki", "books"))
+      .select($"keep_id", $"keep_source", $"copies")
+      .as[(Long, String, Long)].collect().toSet
+    assert(w == Set((2L, "wiki", 2L), (4L, "forum", 2L), (5L, "wiki", 1L),
+      (6L, "wiki", 2L)))
+    val kept = Dedup.dedupBySourcePriority(multi, Seq("wiki", "books"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L, 6L))
+    // keep-rows form preserves every column of the winner row
+    val row = Dedup.dedupBySourcePriority(multi, Seq("wiki", "books"))
+      .filter($"doc_id" === 2L).select($"source", $"text")
+      .as[(String, String)].head()
+    assert(row == (("wiki", "shared text one")))
+    intercept[IllegalArgumentException] {
+      Dedup.sourcePriorityWinners(multi, Seq.empty)
+    }
+    val dup = intercept[IllegalArgumentException] {
+      Dedup.sourcePriorityWinners(multi, Seq("wiki", "wiki"))
+    }
+    assert(dup.getMessage.contains("duplicate source"))
+  }
+
   test("poly minhash signatures match an independent Scala computation") {
     val p = 1000000007L
     def fp(s: String): Long =

@@ -328,4 +328,52 @@ class PackingSpec extends SparkTestBase {
     val naiveOcc = sumTok.toDouble / (400L * 64L)
     assert(bucketedOcc > naiveOcc * 1.5, s"bucketed=$bucketedOcc naive=$naiveOcc")
   }
+
+  test("spanCorruption: sentinel reconstruction recovers the text; budget and span count exact") {
+    val mk = (id: Long, n: Int) => (id, (0 until n).map(i => s"w$i").mkString(" "))
+    val docs = Seq(mk(7L, 40), mk(8L, 10), mk(9L, 100), mk(11L, 9), mk(13L, 200))
+      .toDF("doc_id", "text")
+    val out = Packing.spanCorruption(docs)
+      .select($"doc_id", $"n_tokens", $"n_spans", $"inputs", $"targets")
+      .as[(Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // short doc passes through unmasked
+    assert(out(11L)._3 == 0L && out(11L)._5 == "")
+    assert(out(11L)._4 == (0 until 9).map(i => s"w$i").mkString(" "))
+
+    val sentinel = "<extra_id_(\\d+)>".r
+    for ((id, n) <- Seq((7L, 40), (8L, 10), (9L, 100), (13L, 200))) {
+      val (_, nTok, nSpans, inputs, targets) = out(id)
+      val c = n * 150 / 1000
+      val m = math.max(1, c / 3)
+      assert(nTok == n && nSpans == m, s"doc $id: n_spans=$nSpans want $m")
+      // targets: '<extra_id_k> span-tokens ...' closed by the final sentinel
+      val marks = sentinel.findAllMatchIn(targets).map(_.group(1).toInt).toSeq
+      assert(marks == (0 to m), s"doc $id target sentinels: $marks")
+      val spanToks = targets.split("<extra_id_\\d+>", -1).map(_.trim.split("\\s+").toSeq
+        .filter(_.nonEmpty)).toSeq.drop(1) // leading empty before <extra_id_0>
+      assert(spanToks.length == m + 1 && spanToks.last.isEmpty)
+      val spans = spanToks.dropRight(1)
+      assert(spans.map(_.length).sum == c, s"doc $id masks ${spans.map(_.length).sum} of $c")
+      // splice span k back over its sentinel — must recover the original
+      val rebuilt = inputs.split(" ").toSeq.flatMap {
+        case s if s.startsWith("<extra_id_") =>
+          spans(sentinel.findFirstMatchIn(s).get.group(1).toInt)
+        case t => Seq(t)
+      }
+      assert(rebuilt == (0 until n).map(i => s"w$i"),
+        s"doc $id reconstruction mismatch")
+      // spans are non-overlapping and ordered: the sentinels appear in
+      // k order inside inputs (segment confinement)
+      val inOrder = sentinel.findAllMatchIn(inputs).map(_.group(1).toInt).toSeq
+      assert(inOrder == (0 until m), s"doc $id input sentinels: $inOrder")
+    }
+    intercept[IllegalArgumentException] {
+      Packing.spanCorruption(docs, ratePermille = 600L)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.spanCorruption(docs, minTokens = 2L)
+    }
+  }
 }

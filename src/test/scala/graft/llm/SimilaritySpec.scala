@@ -63,6 +63,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(k._1 == 2L && k._4 == 1000000L)
   }
 
+  test("outlierReport: the far tail flags, the bulk does not; exact z-gate algebra") {
+    // 30 unit-ish inliers on a ring + 2 planted garbage vectors at 5×
+    // the radius. The one-sided 3σ gate must flag exactly the plants.
+    val ring = (0 until 30).map { i =>
+      val a = 2 * math.Pi * i / 30
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+    }
+    val plants = Seq((100L, Seq(5.0f, 0.0f)), (101L, Seq(0.0f, -5.0f)))
+    val df = (ring ++ plants).toDF("vec_id", "embedding")
+    val got = Similarity.outlierReport(df)
+      .select($"vec_id", $"is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(got.size == 32)
+    assert(got(100L) && got(101L), "planted 5x vectors must flag")
+    assert(ring.forall { case (id, _) => !got(id) }, "ring inliers must not flag")
+    // independent replay of the cross-multiplied gate on the tiny corpus
+    val dists = Similarity.outlierReport(df)
+      .select($"vec_id", $"dist2_micro").as[(Long, Long)].collect().toMap
+    val n = dists.size.toLong
+    val s1 = dists.values.sum
+    val s2 = dists.values.map(d => BigInt(d) * d).sum
+    dists.foreach { case (id, d) =>
+      val lhs = (BigInt(n) * d - s1).pow(2)
+      val rhs = 9 * (BigInt(n) * s2 - BigInt(s1) * s1)
+      val want = BigInt(n) * d > s1 && lhs >= rhs
+      assert(got(id) == want, s"vec $id gate mismatch")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.outlierReport(df, zSquared = 0)
+    }
+  }
+
   test("matryoshka rerank: full-dim prefix equals brute force; coarse prune keeps true top") {
     // dims = full → identical to brute force by construction.
     val full = Similarity.matryoshkaTopK(vecs, e1, dims = 4, k = 3, rerank = 5)

@@ -60,6 +60,55 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(got == Seq(1L), "manifest-pinned read must not see the stray file")
   }
 
+  test("rewrite compacts to fresh files; expire deletes exactly the unreferenced ones") {
+    val root = freshRoot()
+    val r1 = (1 to 40).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    val r2 = (41 to 60).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    SnapshotStore.commit(r1, root)
+    SnapshotStore.commit(r2, root)
+    val v3 = SnapshotStore.rewrite(spark, root)
+    assert(v3 == 3 && SnapshotStore.currentVersion(root).contains(3))
+    // the rewrite manifest references ONLY v3-prefixed files (chain broken)
+    val m3 = SnapshotStore.manifest(root, 3)
+    assert(m3.nonEmpty && m3.forall(_.startsWith("v3_")))
+    val before = SnapshotStore.readCurrent(spark, root)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(before.map(_._1) == (1L to 60L), "rewrite is logically a no-op")
+
+    val deleted = SnapshotStore.expire(root, keep = 1)
+    assert(deleted.nonEmpty, "v1/v2-only files must actually be deleted")
+    assert(deleted.forall(n => n.startsWith("v1_") || n.startsWith("v2_")))
+    // current read byte-stable across the GC
+    val after = SnapshotStore.readCurrent(spark, root)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(before == after, "GC must not change the retained snapshot")
+    // expired versions are unreadable; disk holds exactly the live set
+    assert(intercept[IllegalArgumentException] {
+      SnapshotStore.read(spark, root, 1)
+    }.getMessage.contains("no snapshot"))
+    assert(SnapshotStore.dataFiles(root) == m3.sorted)
+    // a second expire is a no-op (idempotent GC)
+    assert(SnapshotStore.expire(root, keep = 1).isEmpty)
+  }
+
+  test("expire without a rewrite deletes nothing (append manifests carry history)") {
+    val root = freshRoot()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "text"), root)
+    SnapshotStore.commit(Seq((2L, "b")).toDF("id", "text"), root)
+    val deleted = SnapshotStore.expire(root, keep = 1)
+    assert(deleted.isEmpty, "v2's manifest still references v1's files")
+    val cur = SnapshotStore.readCurrent(spark, root)
+      .select(col("id")).as[Long].collect().toSeq.sorted
+    assert(cur == Seq(1L, 2L))
+  }
+
+  test("expire guards: keep >= 1, empty table is an error") {
+    val root = freshRoot()
+    intercept[IllegalArgumentException] { SnapshotStore.expire(root, keep = 1) }
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "text"), root)
+    intercept[IllegalArgumentException] { SnapshotStore.expire(root, keep = 0) }
+  }
+
   test("destroy resets the table so commits restart at v1") {
     val root = freshRoot()
     SnapshotStore.commit(Seq((1L, "a")).toDF("id", "text"), root)

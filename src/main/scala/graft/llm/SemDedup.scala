@@ -218,6 +218,37 @@ object SemDedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-capped sampling — anti-domination at embedding-cluster
+    * granularity: keep at most `cap` documents per k-means cell,
+    * best-first by `score` (ties to the lowest id). The semantic twin of
+    * the per-registered-domain corpus cap (`q_url_domaincap`): a
+    * topically-duplicated mega-cluster (mirror farms, template spam that
+    * survives textual dedup) must not dominate the training mixture any
+    * more than one domain may dominate a crawl.
+    *
+    * Scale shape: `row_number ≤ cap` over the cell partition — Spark
+    * plans a WindowGroupLimit, so every partition keeps a bounded
+    * per-cell top-k map-side and only survivors shuffle; cells is the
+    * parallelism knob exactly as in the domain cap, and nothing about a
+    * fat cell ever lands on one task unbounded.
+    */
+  def clusterCappedSample(
+      df: DataFrame,
+      centroids: Array[Array[Double]],
+      cap: Int,
+      score: Column,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    require(centroids.nonEmpty, "need a trained quantizer")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cell")).orderBy(score.desc, col(idCol))
+    df.withColumn("__cell", Similarity.ivfCell(col(embCol), centroids))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__cell", "__rk")
+  }
+
   /** D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via Document
     * De-Duplication and Diversification"): [[semDedup]] then
     * [[prunePrototypes]] over the SAME clustering — remove semantic

@@ -23,6 +23,41 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     graft.functions.TextKernels.normText(text)
 
+  /** Markdown → plain prose — the format-strip pass a crawl/docs corpus
+    * runs before tokenization and quality scoring (README/wiki/docs
+    * sources arrive as markdown; its syntax characters skew every
+    * punctuation-ratio gate and link targets pollute n-grams). A fixed
+    * chain of codegen'd `regexp_replace` steps in the RE2-compatible
+    * subset (no lookaround, no pattern backrefs — the [[Redaction]]
+    * discipline), so the SAME pattern strings replay in the DuckDB
+    * oracle: fenced code drops whole, inline code/emphasis keep their
+    * body, images and links keep alt/anchor text (the target URL is the
+    * noise), heading/blockquote markers and horizontal rules strip, and
+    * whitespace collapses to single spaces. Order matters and is pinned:
+    * fences before anything (their content must not be re-parsed),
+    * images before links (a link pattern would leave the image bang),
+    * rules before emphasis (a `***` line is a rule, not nested bold).
+    * Plain-prose extraction, not a spec-grade parser: an intraword
+    * `snake_case` underscore pair reads as emphasis — acceptable for a
+    * gate-input transform, stated rather than hidden.
+    */
+  def markdownToText(text: Column): Column = {
+    val steps: Seq[(String, String)] = Seq(
+      "(?s)```.*?```" -> " ",
+      "`([^`]*)`" -> "$1",
+      "!\\[([^\\]]*)\\]\\(([^()]*)\\)" -> "$1",
+      "\\[([^\\]]*)\\]\\(([^()]*)\\)" -> "$1",
+      "(?m)^#{1,6}[ \\t]+" -> "",
+      "(?m)^>[ \\t]*" -> "",
+      "(?m)^[-*_]{3,}[ \\t]*$" -> "",
+      "\\*{1,3}([^*]+)\\*{1,3}" -> "$1",
+      "_{1,3}([^_]+)_{1,3}" -> "$1")
+    val stripped = steps.foldLeft(text) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    trim(regexp_replace(stripped, "\\s+", " "))
+  }
+
   /** Sentence segmentation — the boundary provider for chunking, span
     * decontamination and repetition metrics when token windows must not
     * cut mid-sentence. Punctuation-run splitter, stated as one regex both

@@ -1244,6 +1244,58 @@ object LlmQueries {
         .select(col("subset_ok"), col("frac_ok"), col("order_ok"), col("n_in"))
     }),
 
+    "q_sample_clusterbal" -> ((s, dir) => {
+      // Cluster-capped sampling certificate — the embedding-space twin of
+      // q_url_domaincap's anti-domination rule. Every %3 vector becomes
+      // one shared alien direction (a topical mega-cluster textual dedup
+      // never collapses); identical vectors share a k-means cell
+      // (identical argmin), so the cap must bound their kept count no
+      // matter how the rest clusters. Facts returned:
+      //   subset_ok      — kept ⊆ input;
+      //   capped_ok      — every cell keeps ≤ cap;
+      //   best_first_ok  — per cell, every kept member precedes every
+      //                    dropped one in (score DESC, id ASC) — min/max
+      //                    over the lexicographic sort key, no pair join;
+      //   planted_capped — the mega-cluster kept ≤ cap members;
+      //   n_in/n_planted — corpus anchors (oracle-derivable).
+      val cap = 10
+      val e = emb(s, dir).select(col("vec_id"),
+          when(col("vec_id") % 3 === 0,
+            transform(col("embedding"), _ => lit(1.0f)))
+            .otherwise(col("embedding")).as("embedding"))
+        .localCheckpoint()
+      val k = SemDedup.deriveK(e.count())
+      val cents = Similarity.trainIvfCentroids(e, k = k,
+        sampleN = math.max(2048, 16 * k))
+      val score = graft.ops.Sampling.mix32(col("vec_id"))
+      val kept = SemDedup.clusterCappedSample(e, cents, cap, score)
+        .select(col("vec_id").as("id")).localCheckpoint()
+      val cells = e.select(col("vec_id").as("id"),
+        Similarity.ivfCell(col("embedding"), cents).as("cell"),
+        struct((graft.ops.Sampling.mix32(col("vec_id")) * -1).as("ns"),
+          col("vec_id").as("id")).as("skey"))
+      val marked = cells
+        .join(kept.withColumn("__k", lit(true)), Seq("id"), "left")
+        .withColumn("is_kept", coalesce(col("__k"), lit(false)))
+      val perCell = marked.groupBy(col("cell")).agg(
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("nk"),
+        max(when(col("is_kept"), col("skey"))).as("maxk"),
+        min(when(!col("is_kept"), col("skey"))).as("mind"))
+      val capOrder = perCell.agg(
+        min(col("nk") <= cap).as("capped_ok"),
+        min(col("maxk").isNull || col("mind").isNull || col("maxk") < col("mind"))
+          .as("best_first_ok"))
+      val subset = kept.join(e.select(col("vec_id").as("id")), Seq("id"), "left_anti")
+        .agg((count(lit(1)) === 0).as("subset_ok"))
+      val plantedKept = marked.filter(col("is_kept") && col("id") % 3 === 0)
+        .agg((count(lit(1)) <= cap).as("planted_capped"))
+      val anchors = e.agg(count(lit(1)).as("n_in"),
+        sum(when(col("vec_id") % 3 === 0, 1L).otherwise(0L)).as("n_planted"))
+      subset.crossJoin(capOrder).crossJoin(plantedKept).crossJoin(anchors)
+        .select(col("subset_ok"), col("capped_ok"), col("best_first_ok"),
+          col("planted_capped"), col("n_in"), col("n_planted"))
+    }),
+
     // --- conversation (SFT/chat) data --------------------------------------
     "q_conv_validate" -> ((s, dir) =>
       // Chat-shape validation over the turns fixture: alternation,
@@ -1592,6 +1644,21 @@ object LlmQueries {
         .orderBy(col("doc_id"))
       graft.llm.EncodingRepair.report(d, "doc_id", "text")
     }),
+
+    "q_text_markdown" -> ((s, dir) =>
+      // Markdown-strip certificate: every doc wraps in the full syntax
+      // menu (heading, bold body, fenced code, link + image, blockquote,
+      // horizontal rule, trailing emphasis) and the plain-prose pass must
+      // keep body/anchor/alt text while dropping fences, URLs and
+      // markers. The oracle replays the identical pattern chain (RE2
+      // subset, same strings) step for step. Sort-first (finding 51).
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"),
+          TextAnalysis.markdownToText(concat(
+            lit("# Title\n**"), col("text"),
+            lit("**\n```\ncode block payload\n```\nSee [docs](http://example.com) and ![logo](img.png)\n> quoted aside\n---\ntail _em_ and *star*")))
+            .as("plain"))),
 
     "q_text_normalize" -> ((s, dir) =>
       // Unicode hygiene certificate: planted combining accents (NFC must
@@ -3991,6 +4058,32 @@ object LlmQueries {
         |SELECT doc_id, text <> $chain AS changed, $chain AS fixed
         |FROM d ORDER BY doc_id""".stripMargin
     },
+
+    "q_text_markdown" ->
+      """WITH md AS (SELECT doc_id,
+        |    '# Title' || chr(10) || '**' || text || '**' || chr(10) ||
+        |    '```' || chr(10) || 'code block payload' || chr(10) || '```' || chr(10) ||
+        |    'See [docs](http://example.com) and ![logo](img.png)' || chr(10) ||
+        |    '> quoted aside' || chr(10) || '---' || chr(10) ||
+        |    'tail _em_ and *star*' AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(t, '(?s)```.*?```', ' ', 'g') AS t FROM md),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '`([^`]*)`', '\1', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '!\[([^\]]*)\]\(([^()]*)\)', '\1', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '\[([^\]]*)\]\(([^()]*)\)', '\1', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t, '(?m)^#{1,6}[ \t]+', '', 'g') AS t FROM s4),
+        |s6 AS (SELECT doc_id, regexp_replace(t, '(?m)^>[ \t]*', '', 'g') AS t FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(t, '(?m)^[-*_]{3,}[ \t]*$', '', 'g') AS t FROM s6),
+        |s8 AS (SELECT doc_id, regexp_replace(t, '\*{1,3}([^*]+)\*{1,3}', '\1', 'g') AS t FROM s7),
+        |s9 AS (SELECT doc_id, regexp_replace(t, '_{1,3}([^_]+)_{1,3}', '\1', 'g') AS t FROM s8)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS plain
+        |FROM s9 ORDER BY doc_id""".stripMargin,
+
+    "q_sample_clusterbal" ->
+      """SELECT true AS subset_ok, true AS capped_ok, true AS best_first_ok,
+        |  true AS planted_capped, CAST(count(*) AS BIGINT) AS n_in,
+        |  CAST(sum(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
+        |FROM embeddings""".stripMargin,
 
     "q_text_normalize" ->
       """SELECT doc_id,

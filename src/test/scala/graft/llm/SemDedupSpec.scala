@@ -164,4 +164,28 @@ class SemDedupSpec extends SparkTestBase {
       .select("vec_id").as[Long].collect().toSet
     assert(kept === Set(20L, 21L, 22L))
   }
+
+  test("clusterCappedSample: mega-cluster capped best-first, small cells untouched") {
+    val s = spark; import s.implicits._
+    // 20 copies of one direction (the mega-cluster) + 3 distinct far
+    // vectors. cap=5 must keep exactly 5 of the copies — the 5 best by
+    // score — and all 3 singletons.
+    val mega = (0 until 20).map(i => (i.toLong, Seq(1.0f, 0.0f)))
+    val rest = Seq((100L, Seq(0.0f, 1.0f)), (101L, Seq(-1.0f, 0.1f)),
+      (102L, Seq(0.1f, -1.0f)))
+    val df = (mega ++ rest).toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(df, k = 3, sampleN = 32)
+    // score = vec_id → best-first keeps the HIGHEST ids
+    val kept = SemDedup.clusterCappedSample(df, cents, cap = 5, col("vec_id"))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept.intersect((0L until 20L).toSet) == Set(15L, 16L, 17L, 18L, 19L),
+      s"mega-cluster must keep its top 5 by score: $kept")
+    assert(Set(100L, 101L, 102L).subsetOf(kept), "under-cap cells keep everything")
+    intercept[IllegalArgumentException] {
+      SemDedup.clusterCappedSample(df, cents, cap = 0, col("vec_id"))
+    }
+    intercept[IllegalArgumentException] {
+      SemDedup.clusterCappedSample(df, Array.empty, cap = 5, col("vec_id"))
+    }
+  }
 }

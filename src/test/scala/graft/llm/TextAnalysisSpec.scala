@@ -417,4 +417,23 @@ class TextAnalysisSpec extends SparkTestBase {
     // legitimately goes negative there (here ≈ −0.74)
     assert(g1 < 2000000L && g2 < g1) // two 1-syllable-ish words rate even lower
   }
+
+  test("markdownToText: fences drop, anchors/alt/body survive, markers strip") {
+    val md = Seq(
+      (1L, "# Head\nplain **bold** and *star* text"),
+      (2L, "```\nsecret code\n```\nafter [docs](http://x.com) ![alt text](i.png)"),
+      (3L, "> quote line\n---\ntail `inline()` and _em_"),
+      (4L, "no markdown at all"),
+      (5L, "### deep head\n normal\n****\nrule above was stars")
+    ).toDF("doc_id", "text")
+    val got = md.select($"doc_id",
+        TextAnalysis.markdownToText($"text").as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "Head plain bold and star text")
+    assert(got(2L) == "after docs alt text", s"got: ${got(2L)}")
+    assert(!got(2L).contains("secret"), "fenced code must drop whole")
+    assert(got(3L) == "quote line tail inline() and em")
+    assert(got(4L) == "no markdown at all")
+    assert(got(5L) == "deep head normal rule above was stars")
+  }
 }

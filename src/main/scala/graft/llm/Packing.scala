@@ -34,10 +34,19 @@ object Packing {
       idCol: String,
       tokenCount: Column,
       budget: Long,
-      shards: Int): DataFrame = {
+      shards: Int,
+      seed: Long = 0L): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(shards > 0, "shards must be positive")
-    val mix = pmod(col(idCol).cast("long") * 2654435761L, lit(4294967296L))
+    require(seed >= 0, s"seed must be non-negative: $seed")
+    // Epoch reshuffle: a different seed gives a different bijective
+    // mod-2^32 order AND shard assignment over the same corpus — the
+    // standard per-epoch reshuffle, still tie-free and SQL-replayable as
+    // ((id + seed) · C) mod 2^32. Routed through Sampling.mix32 (the
+    // 16/16-bit split), so the product never overflows int64 under ANSI
+    // at any id magnitude (the finding-59a lesson); seed 0 is bit-equal
+    // to the historical id·C formula.
+    val mix = graft.ops.Sampling.mix32(col(idCol).cast("long") + seed)
     val w = Window.partitionBy(col("__shard"))
       .orderBy(col("__mix"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -125,53 +134,59 @@ object Packing {
     require(meanSpan > 0, s"meanSpan must be positive: $meanSpan")
     require(minTokens > meanSpan, s"minTokens must exceed meanSpan")
     import graft.functions.FixedPointLog.idiv
-    val toks = split(trim(col(textCol)), "\\s+")
-    val n = size(toks).cast("long")
-    val c = idiv(n * ratePermille, lit(1000L))
-    val masked = n >= minTokens && c >= 1L
-    val m = greatest(lit(1L), idiv(c, lit(meanSpan)))
-    val fpb = TextAnalysis.fingerprint(
-      concat(col(idCol).cast("string"), lit(":sm")))
+    // Every row-level derivation is STAGED as its own column before any
+    // higher-order function references it: inside a HOF lambda only
+    // AttributeReferences are O(1) per element — any larger subtree
+    // (the split, the fingerprint fold, even size()) re-evaluates PER
+    // TOKEN in the interpreted lambda body, turning the map O(tokens²)
+    // (measured: 22.8 s → ~1 s at sf0.1 for this query).
+    val masked = col("__n") >= minTokens && col("__c") >= 1L
     // Span table: one struct per span k — start (0-based token index) and
     // length, confined to segment k (segment k = positions with
     // (i·m) div n = k, i.e. [ceil(nk/m), ceil(n(k+1)/m)) — the exact
     // floor-division inverse pair, so the per-token lookup below is a
     // direct index, no search). All arithmetic is exact IntegralDivide.
-    val spans = transform(sequence(lit(0L), m - 1L), k => {
+    val spans = transform(sequence(lit(0L), col("__m") - 1L), k => {
+      val n = col("__n"); val c = col("__c"); val m = col("__m")
       val segStart = idiv(n * k + m - 1L, m)
       val segEnd = idiv(n * (k + 1L) + m - 1L, m)
       val segLen = segEnd - segStart
       val lRaw = idiv(c, m) + when(k < c % m, lit(1L)).otherwise(lit(0L))
       val l = least(lRaw, segLen)
-      val h = (fpb + k) * lit(2654435761L) % lit(4294967296L)
+      val h = (col("__fpb") + k) * lit(2654435761L) % lit(4294967296L)
       val start = segStart + pmod(h, segLen - l + 1L)
       struct(start.as("s"), l.as("l"))
     })
-    df.select(col(idCol), col(textCol))
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"),
+        TextAnalysis.fingerprint(
+          concat(col(idCol).cast("string"), lit(":sm"))).as("__fpb"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__c", idiv(col("__n") * ratePermille, lit(1000L)))
+      .withColumn("__m", greatest(lit(1L), idiv(col("__c"), lit(meanSpan))))
       .withColumn("__spans", when(masked, spans))
-      .withColumn("n_tokens", n)
-      .withColumn("n_spans", when(masked, m).otherwise(lit(0L)))
+      .withColumn("n_tokens", col("__n"))
+      .withColumn("n_spans", when(masked, col("__m")).otherwise(lit(0L)))
       .withColumn("inputs",
         when(masked,
           array_join(filter(
-            transform(sequence(lit(0L), n - 1L), i => {
-              val k = idiv(i * m, n)
+            transform(sequence(lit(0L), col("__n") - 1L), i => {
+              val k = idiv(i * col("__m"), col("__n"))
               val sp = element_at(col("__spans"), (k + 1L).cast("int"))
               when(i < sp.getField("s") || i >= sp.getField("s") + sp.getField("l"),
-                element_at(toks, (i + 1L).cast("int")))
+                element_at(col("__toks"), (i + 1L).cast("int")))
                 .when(i === sp.getField("s"),
                   concat(lit("<extra_id_"), k.cast("string"), lit(">")))
                 .otherwise(lit(null).cast("string"))
             }), x => x.isNotNull), " "))
-          .otherwise(array_join(toks, " ")))
+          .otherwise(array_join(col("__toks"), " ")))
       .withColumn("targets",
         when(masked,
           concat(
             array_join(transform(col("__spans"),
               (sp, k) => concat(lit("<extra_id_"), k.cast("string"), lit("> "),
-                array_join(slice(toks, (sp.getField("s") + 1L).cast("int"),
+                array_join(slice(col("__toks"), (sp.getField("s") + 1L).cast("int"),
                   sp.getField("l").cast("int")), " "))), " "),
-            lit(" <extra_id_"), m.cast("string"), lit(">")))
+            lit(" <extra_id_"), col("__m").cast("string"), lit(">")))
           .otherwise(lit("")))
       .select(col(idCol), col("n_tokens"), col("n_spans"),
         col("inputs"), col("targets"))

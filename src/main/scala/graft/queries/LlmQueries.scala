@@ -1000,6 +1000,50 @@ object LlmQueries {
       Seq(hits >= 9L).toDF("recall_ok")
     }),
 
+    "q_sim_index_release" -> ((s, dir) => {
+      // Versioned ANN-index lifecycle: the kNN graph is an ARTIFACT —
+      // built once, queried by many jobs, rebuilt on corpus growth — so
+      // it ships through the snapshot discipline (immutable files,
+      // manifest commit, atomic CURRENT): v1 = 1-round build committed;
+      // a deeper 2-round rebuild REPLACES as v2 (supersession manifest,
+      // not append) while a reader stays pinned to v1. Facts:
+      //   v1_stable        — pinned v1 edge set content-identical
+      //                      (order-independent hash-sum) before/after v2;
+      //   search_pinned_ok — beam search over the RELOADED pinned graph
+      //                      returns exactly the in-memory v1 results;
+      //   current_is_v2    — CURRENT flipped and reads v2's edge set;
+      //   n                — corpus anchor (oracle-derivable).
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val root = stagingDir() + "/ann_index"
+      val SS = graft.sources.SnapshotStore
+      SS.destroy(root)
+      // hash-SUM in DECIMAL(38,0): xxhash64 spans the full int64 range, so
+      // a long sum overflows under ANSI on any non-trivial edge set
+      def edgeSum(g: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+        g.agg(sum(xxhash64(col("src"), col("dst"), col("cosine"))
+            .cast("decimal(38,0)")).as("h"))
+          .collect()(0).getDecimal(0)
+      def searchIds(g: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+        GraphAnn.search(g, e, e1, k = 10, beam = 48, hops = 3, entryK = 8)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val g1 = GraphAnn.buildKnnGraph(e, k = 12, rounds = 1)
+      val v1 = SS.commit(g1, root)
+      val sumBefore = edgeSum(SS.read(s, root, v1))
+      val directV1 = searchIds(g1)
+      val g2 = GraphAnn.buildKnnGraph(e, k = 12, rounds = 2)
+      val v2 = SS.replace(g2, root)
+      val pinned = SS.read(s, root, v1)
+      val v1Stable = edgeSum(pinned) == sumBefore
+      val searchOk = searchIds(pinned) == directV1
+      val curIsV2 = SS.currentVersion(root).contains(v2) &&
+        edgeSum(SS.readCurrent(s, root)) == edgeSum(g2)
+      e.agg(count(lit(1)).as("n"))
+        .select(lit(v1Stable).as("v1_stable"),
+          lit(searchOk).as("search_pinned_ok"),
+          lit(curIsV2).as("current_is_v2"), col("n"))
+    }),
+
     "q_sim_hnsw" -> ((s, dir) => {
       // Graph-based ANN (the HNSW-class tier, VERDICT r13 item 6):
       // bounded-round relational k-NN-graph build (NN-Descent — joins,
@@ -2699,6 +2743,17 @@ object LlmQueries {
       // running-sum window → bit-exact in the DuckDB oracle.
       graft.llm.Packing.pack(docs(s, dir), "doc_id",
           graft.llm.TextAnalysis.tokenCount(col("text")), budget = 512L, shards = 4)
+        .orderBy(col("doc_id"))),
+
+    "q_pack_reshuffle" -> ((s, dir) =>
+      // Epoch reshuffle: the SAME corpus packs under seed 7 — a
+      // different bijective mix order and shard assignment, so a
+      // multi-epoch run never repeats epoch 0's batch composition.
+      // Full placement hash-checked; the oracle replays
+      // ((doc_id + 7) · C) mod 2^32 and the same running-sum window.
+      graft.llm.Packing.pack(docs(s, dir), "doc_id",
+          graft.llm.TextAnalysis.tokenCount(col("text")), budget = 512L,
+          shards = 4, seed = 7L)
         .orderBy(col("doc_id"))),
 
     "q_pack_stats" -> ((s, dir) =>
@@ -4429,6 +4484,21 @@ object LlmQueries {
         |  (pre % 512) + n_tokens > 512 AS spans_boundary
         |FROM p ORDER BY doc_id""".stripMargin,
 
+    "q_pack_reshuffle" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT doc_id, n_tokens,
+        |    ((doc_id + 7) * 2654435761) % 4294967296 AS mix FROM d),
+        |p AS (SELECT doc_id, n_tokens, CAST(mix % 4 AS INT) AS shard,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY mix % 4 ORDER BY mix, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM m)
+        |SELECT doc_id, n_tokens, shard,
+        |  CAST(pre // 512 AS BIGINT) AS chunk, CAST(pre % 512 AS BIGINT) AS "offset",
+        |  (pre % 512) + n_tokens > 512 AS spans_boundary
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "q_pack_stats" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
@@ -5359,6 +5429,11 @@ object LlmQueries {
 
     "q_sim_hnsw" ->
       "SELECT true AS paths_agree, CAST(10 AS BIGINT) AS n_results",
+
+    "q_sim_index_release" ->
+      """SELECT true AS v1_stable, true AS search_pinned_ok,
+        |  true AS current_is_v2, CAST(count(*) AS BIGINT) AS n
+        |FROM embeddings""".stripMargin,
 
     "q_sim_hnsw_recall" ->
       "SELECT true AS recall_ok",

@@ -91,6 +91,17 @@ object SnapshotStore {
     commitVersion(read(spark, root, v), root, carryPrior = false)
   }
 
+  /** Replace commit — the artifact-release shape: the next version's
+    * manifest references ONLY the new files, superseding (not appending
+    * to) the prior content. This is how a versioned model/index artifact
+    * ships: each release is complete, readers pin a version, and
+    * [[expire]] reclaims superseded releases once retention allows.
+    * (`commit` = append-only data releases; `rewrite` = same-content
+    * compaction; `replace` = new-content supersession.)
+    */
+  def replace(df: DataFrame, root: String): Int =
+    commitVersion(df, root, carryPrior = false)
+
   private def commitVersion(df: DataFrame, root: String, carryPrior: Boolean): Int = {
     snapDir(root).mkdirs()
     dataDir(root).mkdirs()

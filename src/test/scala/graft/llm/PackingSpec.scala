@@ -329,6 +329,25 @@ class PackingSpec extends SparkTestBase {
     assert(bucketedOcc > naiveOcc * 1.5, s"bucketed=$bucketedOcc naive=$naiveOcc")
   }
 
+  test("pack seed: epoch reshuffle is a fresh bijective order over the same corpus") {
+    val docs = (0L until 40L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n")
+    val e0 = Packing.pack(docs, "doc_id", col("n"), budget = 64L, shards = 2)
+    val e0b = Packing.pack(docs, "doc_id", col("n"), budget = 64L, shards = 2, seed = 0L)
+    assert(e0.collect().toSet == e0b.collect().toSet,
+      "seed 0 must be bit-equal to the historical id*C formula")
+    val e1 = Packing.pack(docs, "doc_id", col("n"), budget = 64L, shards = 2, seed = 1L)
+    val ids0 = e0.select($"doc_id").as[Long].collect().toSet
+    val ids1 = e1.select($"doc_id").as[Long].collect().toSet
+    assert(ids0 == (0L until 40L).toSet && ids1 == ids0,
+      "every doc packs exactly once per epoch")
+    val p0 = e0.select($"doc_id", $"shard", $"chunk", $"offset").collect().toSet
+    val p1 = e1.select($"doc_id", $"shard", $"chunk", $"offset").collect().toSet
+    assert(p0 != p1, "a new seed must actually reshuffle placements")
+    intercept[IllegalArgumentException] {
+      Packing.pack(docs, "doc_id", col("n"), budget = 64L, shards = 2, seed = -1L)
+    }
+  }
+
   test("spanCorruption: sentinel reconstruction recovers the text; budget and span count exact") {
     val mk = (id: Long, n: Int) => (id, (0 until n).map(i => s"w$i").mkString(" "))
     val docs = Seq(mk(7L, 40), mk(8L, 10), mk(9L, 100), mk(11L, 9), mk(13L, 200))

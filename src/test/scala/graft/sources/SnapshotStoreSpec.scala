@@ -91,6 +91,19 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(SnapshotStore.expire(root, keep = 1).isEmpty)
   }
 
+  test("replace supersedes: current reads only new content, pinned v1 intact, v1 expirable") {
+    val root = freshRoot()
+    val v1 = SnapshotStore.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "text"), root)
+    val v2 = SnapshotStore.replace(Seq((10L, "x")).toDF("id", "text"), root)
+    assert(SnapshotStore.readCurrent(spark, root)
+      .select(col("id")).as[Long].collect().toSeq == Seq(10L))
+    assert(SnapshotStore.read(spark, root, v1)
+      .select(col("id")).as[Long].collect().toSeq.sorted == Seq(1L, 2L))
+    assert(SnapshotStore.manifest(root, v2).forall(_.startsWith("v2_")))
+    val deleted = SnapshotStore.expire(root, keep = 1)
+    assert(deleted.nonEmpty && deleted.forall(_.startsWith("v1_")))
+  }
+
   test("expire without a rewrite deletes nothing (append manifests carry history)") {
     val root = freshRoot()
     SnapshotStore.commit(Seq((1L, "a")).toDF("id", "text"), root)

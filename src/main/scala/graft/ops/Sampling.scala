@@ -201,7 +201,52 @@ object Sampling {
     val n = df.count()
     val k = math.ceil(frac * n).toLong
     require(k <= Int.MaxValue,
-      s"k=$k exceeds the sort+limit path; use the quantile-threshold form")
+      s"k=$k exceeds the sort+limit path; use topFractionByScoreDist")
     df.orderBy(score.desc, tie.asc).limit(k.toInt)
+  }
+
+  /** Exact top-⌈frac·n⌉ selection at corpus scale — the implemented form
+    * of the flip [[topFractionByScore]]'s guard names. sort+limit funnels
+    * all k survivors through ONE merge task: fine for report-sized k,
+    * fatal when k is a corpus fraction (the FineWeb-Edu gate keeps ~30%
+    * of the corpus). Here the frame range-partitions on the total order
+    * (score DESC, tie ASC), a P-row count frame becomes exclusive prefix
+    * offsets on the driver (P = partition COUNT, never data), and then:
+    * every partition strictly before the boundary keeps ALL rows with no
+    * rank at all; only the ONE boundary partition ranks (its rows ≈ n/P,
+    * the task-size bound the range partitioner already guarantees);
+    * everything after drops at the filter. The selected SET is a pure
+    * function of the total order — independent of P and of where the
+    * range boundaries fall — so the result is deterministic under any
+    * parallelism and identical to the sort+limit form.
+    */
+  def topFractionByScoreDist(df: DataFrame, score: Column, frac: Double,
+      tie: Column, partitions: Int = 0): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    val spark = df.sparkSession
+    val p = math.max(2,
+      if (partitions > 0) partitions else spark.sparkContext.defaultParallelism)
+    val n = df.count()
+    val k = math.ceil(frac * n).toLong
+    val parted = df.repartitionByRange(p, score.desc, tie.asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prefix = (0 until p).map(i => counts.getOrElse(i, 0L)).scanLeft(0L)(_ + _)
+    (0 until p).find(i => prefix(i) < k && k <= prefix(i + 1)) match {
+      case None => // n == 0 (frac > 0 makes k = 0 only there)
+        parted.limit(0).drop("__pid")
+      case Some(b) =>
+        val whole = parted.filter(col("__pid") < b)
+        // one partition's rows through one task — bounded by n/P, the
+        // same bound every range-partitioned sort task already has
+        val w = Window.orderBy(score.desc, tie.asc)
+        val boundary = parted.filter(col("__pid") === b)
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= (k - prefix(b)))
+          .drop("__rk")
+        whole.unionByName(boundary).drop("__pid")
+    }
   }
 }

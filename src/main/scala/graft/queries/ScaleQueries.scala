@@ -621,6 +621,43 @@ object ScaleQueries {
         .orderBy(col("source"))
     }),
 
+    "q_pipeline_ingest_tick" -> ((s, dir) => {
+      // The daily-crawl ingest tick, end to end: release v1 holds the
+      // even docs; tonight's batch is the odd docs plus re-crawls of
+      // history (+1e6) and a within-batch duplicate run (+2e6). The
+      // catalog is built FROM THE RELEASE (a pinned snapshot read, not
+      // the source frame — the shape a production tick has, where
+      // history exists only as releases), survivors commit as v2, and
+      // the report joins the v1 and CURRENT release manifests. Because
+      // survivors must be exactly the odd originals (catalog hits and
+      // batch-internal copies both drop), CURRENT == the full corpus and
+      // every output cell is oracle-derivable — a fully hash-checked
+      // composition, no stated flags.
+      val root = stagingDir() + "/ingest_tick"
+      val SS = graft.sources.SnapshotStore
+      SS.destroy(root)
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val prior = d.filter(col("doc_id") % 2 === 0)
+      val v1 = SS.commit(prior, root)
+      val history = SS.read(s, root, v1)
+      val odd = d.filter(col("doc_id") % 2 === 1)
+      val batch = odd
+        .unionByName(prior.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("source"), col("text")))
+        .unionByName(odd.select((col("doc_id") + 2000000L).as("doc_id"),
+          col("source"), col("text")))
+      val survivors = graft.llm.Dedup.exactDedupIncremental(
+        batch, graft.llm.Dedup.hashCatalog(history))
+      SS.commit(survivors.select(col("doc_id"), col("source"), col("text")), root)
+      def manifestOf(df: org.apache.spark.sql.DataFrame) =
+        Profiling.releaseManifest(df, "source", "doc_id", "text")
+      val m1 = manifestOf(SS.read(s, root, v1)).select(col("source"),
+        col("n_docs").as("v1_n_docs"), col("checksum").as("v1_checksum"))
+      val m2 = manifestOf(SS.readCurrent(s, root)).select(col("source"),
+        col("n_docs").as("cur_n_docs"), col("checksum").as("cur_checksum"))
+      m1.join(m2, "source").orderBy(col("source"))
+    }),
+
     "q_corpus_manifest_diff" -> ((s, dir) => {
       // Release diff without touching either corpus: revision B removes
       // the doc_id%17 docs and appends ' updated' to the %13 texts; the
@@ -651,6 +688,20 @@ object ScaleQueries {
       graft.ops.Profiling.mergeManifests(prior, delta)
         .orderBy(col("source"))
     }),
+
+    "q_sample_topfrac_dist" -> ((s, dir) =>
+      // The corpus-scale twin of q_sample_topfrac: same exact top-30%
+      // selection, but range-partitioned with prefix offsets — every
+      // pre-boundary partition keeps all rows rank-free and only the ONE
+      // boundary partition (≈ n/P rows) ranks, so no corpus-fraction k
+      // ever funnels through a single merge task. Same oracle as the
+      // sort+limit form: the selected set is a pure function of the
+      // total (quality DESC, doc_id) order, independent of partitioning.
+      Sampling.topFractionByScoreDist(
+          docs(s, dir).select(col("doc_id"),
+            graft.llm.TextAnalysis.qualityScore(col("text")).as("quality")),
+          col("quality"), frac = 0.3, tie = col("doc_id"))
+        .orderBy(col("doc_id"))),
 
     "q_sample_topfrac" -> ((s, dir) =>
       // Exact top-30%-by-quality selection (the FineWeb-Edu gate shape):
@@ -1092,6 +1143,20 @@ idf AS (SELECT term, CAST(${microOfNanoDuck("bi_ln")} AS BIGINT) AS idf_micro
         |  true AS v1_stable
         |FROM v1 JOIN v2 USING (source) ORDER BY source""".stripMargin,
 
+    "q_pipeline_ingest_tick" ->
+      """WITH fp AS (SELECT source, doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007) AS f
+        |  FROM documents),
+        |v1 AS (SELECT source, CAST(count(*) AS BIGINT) AS v1_n_docs,
+        |  CAST(sum(f) AS BIGINT) AS v1_checksum FROM fp
+        |  WHERE doc_id % 2 = 0 GROUP BY source),
+        |cur AS (SELECT source, CAST(count(*) AS BIGINT) AS cur_n_docs,
+        |  CAST(sum(f) AS BIGINT) AS cur_checksum FROM fp GROUP BY source)
+        |SELECT v1.source, v1_n_docs, v1_checksum, cur_n_docs, cur_checksum
+        |FROM v1 JOIN cur USING (source) ORDER BY source""".stripMargin,
+
     "q_snapshot_expire" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
@@ -1186,6 +1251,20 @@ idf AS (SELECT term, CAST(${microOfNanoDuck("bi_ln")} AS BIGINT) AS idf_micro
         |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 131 + c) % 1000000007)) AS BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_sample_topfrac_dist" ->
+      """WITH sc AS (SELECT doc_id,
+        |  (CASE WHEN CAST(length(text) AS DOUBLE) >= 50 AND CAST(length(text) AS DOUBLE) <= 10000
+        |     THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |   + CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |   + (CAST(1.0 AS DOUBLE) - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)) * 5, CAST(1.0 AS DOUBLE)))
+        |  ) / CAST(3.0 AS DOUBLE) AS quality
+        |  FROM documents),
+        |r AS (SELECT doc_id, quality,
+        |    row_number() OVER (ORDER BY quality DESC, doc_id) AS rn FROM sc)
+        |SELECT doc_id, quality FROM r
+        |WHERE rn <= ceil(0.3 * (SELECT count(*) FROM sc))
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sample_topfrac" ->
       """WITH sc AS (SELECT doc_id,

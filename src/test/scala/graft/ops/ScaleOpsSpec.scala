@@ -220,4 +220,26 @@ class ScaleOpsSpec extends SparkTestBase {
       .as[Boolean].head()
     assert(ok)
   }
+
+  test("topFractionByScoreDist equals sort+limit at every partition count, ties exact") {
+    // scores with heavy TIES (score = id % 7) so the tie column genuinely
+    // decides boundary membership
+    val df = (0L until 500L).map(i => (i, (i % 7).toDouble)).toDF("id", "s")
+    val expect = Sampling.topFractionByScore(df, col("s"), 0.3, col("id"))
+      .select($"id").as[Long].collect().toSet
+    for (p <- Seq(2, 3, 8, 32)) {
+      val got = Sampling.topFractionByScoreDist(df, col("s"), 0.3, col("id"), p)
+        .select($"id").as[Long].collect().toSet
+      assert(got == expect, s"partition count $p must not change the selected set")
+    }
+    // frac = 1 keeps everything; tiny frac keeps exactly ceil(n/500)=1 row
+    assert(Sampling.topFractionByScoreDist(df, col("s"), 1.0, col("id"))
+      .count() == 500L)
+    val one = Sampling.topFractionByScoreDist(df, col("s"), 0.001, col("id"))
+      .select($"id").as[Long].collect().toSeq
+    assert(one == Seq(6L), s"top-1 is the lowest id at the max score: $one")
+    intercept[IllegalArgumentException] {
+      Sampling.topFractionByScoreDist(df, col("s"), 0.0, col("id"))
+    }
+  }
 }

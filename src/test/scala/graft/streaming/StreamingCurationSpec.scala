@@ -51,4 +51,31 @@ class StreamingCurationSpec extends SparkTestBase {
       assert(byId(4L)._3 < 0.5) // junk scores low
     } finally q.stop()
   }
+
+  test("markdown strip + span corruption are stateless stream maps; stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def stage(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.Packing.spanCorruption(
+        df.select($"doc_id", TextAnalysis.markdownToText(
+          concat(lit("# Head\n**"), $"text",
+            lit("**\n```\ndrop me\n```\nsee [docs](http://x.com)"))).as("text")))
+    val input = MemoryStream[(Long, String)]
+    val q = stage(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("smd").outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("smd")
+        .as[(Long, Long, Long, String, String)].collect().toSet
+      val batch = stage(docs.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, String, String)].collect().toSet
+      assert(streamed == batch)
+      val byId = streamed.map(r => r._1 -> r).toMap
+      // markdown ran before corruption: fence content gone everywhere
+      assert(!byId(1L)._4.contains("drop me") && !byId(1L)._5.contains("drop me"))
+      assert(byId(1L)._3 >= 1L, "long docs must actually mask")
+    } finally q.stop()
+  }
 }

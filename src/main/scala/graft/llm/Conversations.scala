@@ -43,6 +43,41 @@ object Conversations {
     * turns, no empty content, and an assistant turn last (an SFT example
     * with no final assistant reply has no training target).
     */
+  /** Function-calling turn validation — the structural gate for tool-use
+    * SFT data (the dominant failure modes in collected agent traces:
+    * truncated/malformed argument JSON, calls to tools not in the
+    * declared set, required arguments absent). `schema` maps each known
+    * tool to its REQUIRED argument keys. Per call: `json_ok` (arguments
+    * parse as a flat string map — the function-calling wire shape),
+    * `known_tool`, `n_missing` (required keys absent; 0 when validation
+    * already short-circuited on parse/tool), and the composite `valid`.
+    * Pure codegen'd map — `from_json` + a literal when-chain over the
+    * (small, broadcast-as-literals) schema; no shuffle, stateless, so
+    * the same gate serves batch backfill and the live trace ingest.
+    */
+  def validateToolCalls(df: DataFrame, idCol: String, toolCol: String,
+      argsCol: String, schema: Map[String, Seq[String]]): DataFrame = {
+    require(schema.nonEmpty, "need at least one tool in the schema")
+    require(schema.values.forall(_.nonEmpty),
+      "every tool needs at least one required argument key")
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val parsed = from_json(col(argsCol), MapType(StringType, StringType))
+    val known = col(toolCol).isin(schema.keys.toSeq.sorted: _*)
+    val missing = schema.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (t, reqs)) =>
+        when(col(toolCol) === t,
+          reqs.map(k => when(map_contains_key(parsed, lit(k)), lit(0L))
+            .otherwise(lit(1L))).reduce(_ + _))
+          .otherwise(acc)
+    }
+    val jsonOk = parsed.isNotNull
+    val nMissing = when(!jsonOk || !known, lit(0L)).otherwise(missing)
+    df.select(col(idCol).as("conv_id"), col(toolCol).as("tool"),
+      jsonOk.as("json_ok"), known.as("known_tool"),
+      nMissing.as("n_missing"),
+      (jsonOk && known && nMissing === 0L).as("valid"))
+  }
+
   def validate(turns: DataFrame, convCol: String, idxCol: String,
                roleCol: String, contentCol: String): DataFrame = {
     // Window over the RENAMED columns: the projection below drops the

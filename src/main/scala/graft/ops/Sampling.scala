@@ -226,13 +226,21 @@ object Sampling {
     val spark = df.sparkSession
     val p = math.max(2,
       if (partitions > 0) partitions else spark.sparkContext.defaultParallelism)
-    val n = df.count()
-    val k = math.ceil(frac * n).toLong
-    val parted = df.repartitionByRange(p, score.desc, tie.asc)
+    // Stage the scored input ONCE before range partitioning:
+    // repartitionByRange SAMPLES its child to pick boundaries and then
+    // exchanges it — two full evaluations of whatever scoring kernel the
+    // caller computed (measured 2.2× the sort+limit total at sf10 before
+    // this). With the input materialized, the sample and the exchange
+    // both read slim checkpointed rows. Pass a slim (key, score)
+    // projection — the checkpoint holds exactly the caller's columns.
+    val staged = df.localCheckpoint()
+    val parted = staged.repartitionByRange(p, score.desc, tie.asc)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val k = math.ceil(frac * n).toLong
     val prefix = (0 until p).map(i => counts.getOrElse(i, 0L)).scanLeft(0L)(_ + _)
     (0 until p).find(i => prefix(i) < k && k <= prefix(i + 1)) match {
       case None => // n == 0 (frac > 0 makes k = 0 only there)

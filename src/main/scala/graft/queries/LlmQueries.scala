@@ -1340,6 +1340,35 @@ object LlmQueries {
           col("planted_capped"), col("n_in"), col("n_planted"))
     }),
 
+    "q_conv_toolcalls" -> ((s, dir) => {
+      // Function-calling SFT validation: tool per %3 (search/calc/fetch),
+      // with planted failures — %11 truncated argument JSON (parse
+      // fails), %7 wrong keys (required missing), %13 unknown tool. The
+      // argument strings are byte-identical on both engines; the oracle
+      // replays parse validity with json_valid and key presence with
+      // json_extract. Precedence of the plants is the shared CASE order.
+      val id = col("doc_id")
+      val idStr = id.cast("string")
+      val tool = when(id % 13 === 0, lit("paint"))
+        .when(id % 3 === 0, lit("search"))
+        .when(id % 3 === 1, lit("calc"))
+        .otherwise(lit("fetch"))
+      val args = when(id % 11 === 0,
+          concat(lit("{\"query\":\"w"), idStr, lit("\"")))
+        .when(id % 7 === 0, lit("{\"other\":\"x\"}"))
+        .when(id % 3 === 0,
+          concat(lit("{\"query\":\"w"), idStr, lit("\",\"limit\":\"10\"}")))
+        .when(id % 3 === 1,
+          concat(lit("{\"expr\":\"1+"), idStr, lit("\"}")))
+        .otherwise(concat(lit("{\"url\":\"http://h/"), idStr, lit("\"}")))
+      graft.llm.Conversations.validateToolCalls(
+          docs(s, dir).select(id, tool.as("tool"), args.as("args")),
+          "doc_id", "tool", "args",
+          Map("search" -> Seq("query", "limit"), "calc" -> Seq("expr"),
+            "fetch" -> Seq("url")))
+        .orderBy(col("conv_id"))
+    }),
+
     // --- conversation (SFT/chat) data --------------------------------------
     "q_conv_validate" -> ((s, dir) =>
       // Chat-shape validation over the turns fixture: alternation,
@@ -3150,6 +3179,34 @@ object LlmQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_conv_toolcalls" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'paint'
+        |         WHEN doc_id % 3 = 0 THEN 'search'
+        |         WHEN doc_id % 3 = 1 THEN 'calc' ELSE 'fetch' END AS tool,
+        |    CASE WHEN doc_id % 11 = 0 THEN '{"query":"w' || CAST(doc_id AS VARCHAR) || '"'
+        |         WHEN doc_id % 7 = 0 THEN '{"other":"x"}'
+        |         WHEN doc_id % 3 = 0 THEN '{"query":"w' || CAST(doc_id AS VARCHAR) || '","limit":"10"}'
+        |         WHEN doc_id % 3 = 1 THEN '{"expr":"1+' || CAST(doc_id AS VARCHAR) || '"}'
+        |         ELSE '{"url":"http://h/' || CAST(doc_id AS VARCHAR) || '"}' END AS args
+        |  FROM documents),
+        |v AS (SELECT doc_id AS conv_id, tool,
+        |    json_valid(args) AS json_ok,
+        |    tool IN ('calc','fetch','search') AS known_tool,
+        |    CASE WHEN NOT json_valid(args) OR tool NOT IN ('calc','fetch','search') THEN 0
+        |         WHEN tool = 'search' THEN
+        |           (CASE WHEN json_extract(args, '$.query') IS NULL THEN 1 ELSE 0 END)
+        |           + (CASE WHEN json_extract(args, '$.limit') IS NULL THEN 1 ELSE 0 END)
+        |         WHEN tool = 'calc' THEN
+        |           CASE WHEN json_extract(args, '$.expr') IS NULL THEN 1 ELSE 0 END
+        |         ELSE CASE WHEN json_extract(args, '$.url') IS NULL THEN 1 ELSE 0 END
+        |    END AS n_missing
+        |  FROM t)
+        |SELECT conv_id, tool, json_ok, known_tool,
+        |  CAST(n_missing AS BIGINT) AS n_missing,
+        |  json_ok AND known_tool AND n_missing = 0 AS valid
+        |FROM v ORDER BY conv_id""".stripMargin,
+
     "q_conv_bradley_terry" -> btOracleSql,
 
     "q_pack_fim" ->

@@ -162,4 +162,33 @@ class ConversationsSpec extends SparkTestBase {
     assert(got.map(_._3) == Seq(1000000L, 1319097L, 1875822L, 2216929L,
       2965584L, 4175141L, 4888953L, 6789780L))
   }
+
+  test("validateToolCalls: parse, tool-set and required-key failures each flag; guards fire") {
+    val s = spark; import s.implicits._
+    val calls = Seq(
+      (1L, "search", """{"query":"cats","limit":"10"}"""), // fully valid
+      (2L, "search", """{"query":"dogs"}"""),              // missing 'limit'
+      (3L, "search", """{"query":"birds","limit":"5""""),  // truncated JSON
+      (4L, "paint", """{"color":"red"}"""),                // unknown tool
+      (5L, "calc", """{"expr":"1+1"}"""),                  // valid, other tool
+      (6L, "calc", """{"other":"x"}""")                    // wrong key
+    ).toDF("id", "tool", "args")
+    val got = Conversations.validateToolCalls(calls, "id", "tool", "args",
+        Map("search" -> Seq("query", "limit"), "calc" -> Seq("expr")))
+      .as[(Long, String, Boolean, Boolean, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "search", true, true, 0L, true)))
+    assert(got(2L) == ((2L, "search", true, true, 1L, false)))
+    assert(got(3L) == ((3L, "search", false, true, 0L, false)))
+    assert(got(4L) == ((4L, "paint", true, false, 0L, false)))
+    assert(got(5L) == ((5L, "calc", true, true, 0L, true)))
+    assert(got(6L) == ((6L, "calc", true, true, 1L, false)))
+    intercept[IllegalArgumentException] {
+      Conversations.validateToolCalls(calls, "id", "tool", "args", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Conversations.validateToolCalls(calls, "id", "tool", "args",
+        Map("search" -> Seq.empty))
+    }
+  }
 }

@@ -78,6 +78,30 @@ object Conversations {
       (jsonOk && known && nMissing === 0L).as("valid"))
   }
 
+  /** Length-bias audit for preference data — the RLHF pathology check:
+    * when "chosen" is systematically longer than "rejected", a reward
+    * model trained on the pairs learns length, not quality (the
+    * verbosity bias every RLHF data pipeline screens for). ONE
+    * aggregation over per-pair token deltas, everything exact integers:
+    * pair count, chosen-longer/tie counts, the chosen-longer micro rate
+    * and the mean signed token delta in micro units (both via
+    * truncate-toward-zero integer division — the semantics Spark DIV
+    * and the oracle's `//` share on either sign).
+    */
+  def lengthBias(pairs: DataFrame, chosenCol: String,
+      rejectedCol: String): DataFrame = {
+    val d = (TextAnalysis.tokenCount(col(chosenCol)) -
+      TextAnalysis.tokenCount(col(rejectedCol))).cast("long")
+    pairs.select(d.as("__d"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("n_chosen_longer"),
+        sum(when(col("__d") === 0, 1L).otherwise(0L)).as("n_ties"),
+        sum(col("__d")).as("__sum_d"))
+      .select(col("n_pairs"), col("n_chosen_longer"), col("n_ties"),
+        expr("(n_chosen_longer * 1000000L) DIV n_pairs").as("chosen_longer_micro"),
+        expr("(__sum_d * 1000000L) DIV n_pairs").as("mean_delta_micro"))
+  }
+
   def validate(turns: DataFrame, convCol: String, idxCol: String,
                roleCol: String, contentCol: String): DataFrame = {
     // Window over the RENAMED columns: the projection below drops the

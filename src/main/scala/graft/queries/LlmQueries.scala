@@ -1427,6 +1427,24 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    "q_conv_lengthbias" -> ((s, dir) => {
+      // Verbosity-bias audit on a corpus with a KNOWN planted bias:
+      // every %3 pair's rejected response is truncated to half its
+      // tokens (chosen longer), the rest append two tokens to rejected
+      // (chosen shorter) — so the chosen-longer rate and the mean
+      // signed delta are exact functions of the corpus the oracle
+      // recomputes token-for-token.
+      val id = col("doc_id")
+      val toks = split(trim(col("text")), "\\s+")
+      val nt = size(toks)
+      val pairs = docs(s, dir).select(id,
+        col("text").as("chosen"),
+        when(id % 3 === 0,
+          array_join(slice(toks, lit(1), greatest(lit(1), floor(nt / 2).cast("int"))), " "))
+          .otherwise(concat(col("text"), lit(" alt alt"))).as("rejected"))
+      graft.llm.Conversations.lengthBias(pairs, "chosen", "rejected")
+    }),
+
     "q_conv_neardup" -> ((s, dir) => {
       // FUZZY conversation dedup — SFT corpora dedup NEAR, not exact
       // (regenerated final turns, paraphrased system prompts survive
@@ -3179,6 +3197,25 @@ object LlmQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_conv_lengthbias" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w, text
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS c_n,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN greatest(1, len(w) // 2)
+        |         ELSE len(string_split_regex(trim(text || ' alt alt'), '\s+'))
+        |    END AS BIGINT) AS r_n
+        |  FROM w),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN c_n - r_n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_chosen_longer,
+        |    CAST(sum(CASE WHEN c_n = r_n THEN 1 ELSE 0 END) AS BIGINT) AS n_ties,
+        |    CAST(sum(c_n - r_n) AS BIGINT) AS sum_d
+        |  FROM p)
+        |SELECT n_pairs, n_chosen_longer, n_ties,
+        |  CAST(n_chosen_longer * 1000000 // n_pairs AS BIGINT) AS chosen_longer_micro,
+        |  CAST(sum_d * 1000000 // n_pairs AS BIGINT) AS mean_delta_micro
+        |FROM a""".stripMargin,
+
     "q_conv_toolcalls" ->
       """WITH t AS (SELECT doc_id,
         |    CASE WHEN doc_id % 13 = 0 THEN 'paint'

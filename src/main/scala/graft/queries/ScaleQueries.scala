@@ -585,6 +585,32 @@ object ScaleQueries {
         .orderBy(col("source"))
     }),
 
+    "q_sink_jsonl" -> ((s, dir) => {
+      // Certified JSONL EXPORT — the interchange format downstream
+      // trainers consume: docs render one JSON object per line (to_json
+      // over a fixed struct — stable key order), write as a text sink,
+      // read back through the quarantine-checked JSONL ingest. The
+      // certificate is the full round trip as VALUES the oracle derives
+      // from the corpus: row count, id sum, content fingerprint-sum, and
+      // a zero quarantine count.
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+      val out = stagingDir() + s"/jsonl_export/$tag"
+      docs(s, dir).select(
+          to_json(struct(col("doc_id"), col("source"), col("text"))).as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType)))
+      val (good, bad) = graft.sources.TextIngest.readJsonl(s, out, schema)
+      good.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(graft.llm.TextAnalysis.fingerprint(col("text"))).as("checksum"))
+        .crossJoin(bad.agg(count(lit(1)).as("n_quarantined")))
+        .select(col("n_rows"), col("sum_ids"), col("checksum"),
+          col("n_quarantined"))
+    }),
+
     "q_snapshot_expire" -> ((s, dir) => {
       // Snapshot GC (the other half of the Iceberg lifecycle next to
       // q_snapshot_read): v1 = even docs, v2 appends the odd docs (its
@@ -1156,6 +1182,15 @@ idf AS (SELECT term, CAST(${microOfNanoDuck("bi_ln")} AS BIGINT) AS idf_micro
         |  CAST(sum(f) AS BIGINT) AS cur_checksum FROM fp GROUP BY source)
         |SELECT v1.source, v1_n_docs, v1_checksum, cur_n_docs, cur_checksum
         |FROM v1 JOIN cur USING (source) ORDER BY source""".stripMargin,
+
+    "q_sink_jsonl" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007)) AS BIGINT) AS checksum,
+        |  CAST(0 AS BIGINT) AS n_quarantined
+        |FROM documents""".stripMargin,
 
     "q_snapshot_expire" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -163,6 +163,20 @@ class ConversationsSpec extends SparkTestBase {
       2965584L, 4175141L, 4888953L, 6789780L))
   }
 
+  test("lengthBias: hand-computed counts, rates and signed mean on a tiny pair set") {
+    val s = spark; import s.implicits._
+    val pairs = Seq(
+      (1L, "a b c d", "a b"),        // +2
+      (2L, "a b", "a b c d e"),      // -3
+      (3L, "a b c", "x y z"),        // 0 (tie)
+      (4L, "a b c d e f", "a")       // +5
+    ).toDF("id", "chosen", "rejected")
+    val got = Conversations.lengthBias(pairs, "chosen", "rejected")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // n=4, longer=2, ties=1, rate=500000µ, mean=(2-3+0+5)*1e6 DIV 4 = 1000000µ
+    assert(got == ((4L, 2L, 1L, 500000L, 1000000L)))
+  }
+
   test("validateToolCalls: parse, tool-set and required-key failures each flag; guards fire") {
     val s = spark; import s.implicits._
     val calls = Seq(

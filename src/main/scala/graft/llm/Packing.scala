@@ -103,6 +103,61 @@ object Packing {
       when(sel, fimText).otherwise(col(textCol)).as("out_text"))
   }
 
+  /** No-split greedy packing — the third packing regime next to
+    * concat-and-chunk [[pack]] (documents cross chunk boundaries) and
+    * power-of-two [[lengthBuckets]] (padded slots): documents NEVER
+    * cross a sequence boundary. Greedy next-fit in the deterministic mix
+    * order: a sequence closes when the next document does not fit;
+    * over-budget documents occupy a sequence alone (surfaced via
+    * `oversize`, never silently truncated). The regime finetune/eval
+    * batching wants — no cross-document attention contamination, no
+    * block-diagonal mask metadata needed, bounded padding waste.
+    *
+    * Sequence assignment is a NON-ASSOCIATIVE prefix fold (each boundary
+    * depends on the running occupancy, which resets on close) — the one
+    * shape windows genuinely cannot express (SURVEY §7.4 decision table,
+    * case (d)). So: shard-hash repartition + within-partition sort + ONE
+    * sequential pass per shard in `mapPartitions`, O(1) state per task.
+    * The shard count is the parallelism knob exactly as in [[pack]];
+    * determinism is by construction (the scan order is the sorted
+    * (shard, mix, id) order regardless of input partitioning). The
+    * oracle replays the fold as a recursive CTE.
+    */
+  def packNoSplit(
+      df: DataFrame,
+      idCol: String,
+      tokenCount: Column,
+      budget: Long,
+      shards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0, "shards must be positive")
+    require(seed >= 0, s"seed must be non-negative: $seed")
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+        tokenCount.cast("long").as("n"))
+      .withColumn("__mix", graft.ops.Sampling.mix32(col("id") + seed))
+      .withColumn("__shard", pmod(col("__mix"), lit(shards.toLong)).cast("int"))
+    val parted = base
+      .repartition(shards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__mix"), col("id"))
+      .select(col("__shard"), col("id"), col("n"))
+      .as[(Int, Long, Long)]
+    parted.mapPartitions { it =>
+      var curShard = Int.MinValue
+      var seq = 0L
+      var cum = 0L
+      it.map { case (sh, id, n) =>
+        if (sh != curShard) { curShard = sh; seq = 0L; cum = 0L }
+        else if (cum > 0 && cum + n > budget) { seq += 1; cum = 0L }
+        val off = cum
+        cum += n
+        (id, n, sh, seq, off, n > budget)
+      }
+    }.toDF(idCol, "n_tokens", "shard", "seq", "offset", "oversize")
+  }
+
   /** Span-corruption transform (the T5 pretraining objective, Raffel 2020
     * §3.1.4): mask ~`ratePermille`‰ of each document's tokens in spans of
     * mean length `meanSpan`, emitting the sentinel-joined `inputs` /

@@ -2792,6 +2792,17 @@ object LlmQueries {
           graft.llm.TextAnalysis.tokenCount(col("text")), budget = 512L, shards = 4)
         .orderBy(col("doc_id"))),
 
+    "q_pack_nosplit" -> ((s, dir) =>
+      // No-split greedy packing (next-fit, docs never cross sequence
+      // boundaries — the finetune/eval batching regime): per-shard
+      // sequential fold in mix order, the non-associative recurrence
+      // windows cannot express; one mapPartitions pass per shard. The
+      // oracle replays the fold as a recursive CTE in rn order.
+      graft.llm.Packing.packNoSplit(docs(s, dir), "doc_id",
+          graft.llm.TextAnalysis.tokenCount(col("text")), budget = 512L,
+          shards = 4)
+        .orderBy(col("doc_id"))),
+
     "q_pack_reshuffle" -> ((s, dir) =>
       // Epoch reshuffle: the SAME corpus packs under seed 7 — a
       // different bijective mix order and shard assignment, so a
@@ -4577,6 +4588,29 @@ object LlmQueries {
         |  CAST(pre // 512 AS BIGINT) AS chunk, CAST(pre % 512 AS BIGINT) AS "offset",
         |  (pre % 512) + n_tokens > 512 AS spans_boundary
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_pack_nosplit" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+        |    CAST(((doc_id * 2654435761) % 4294967296) % 4 AS INT) AS shard,
+        |    (doc_id * 2654435761) % 4294967296 AS mix
+        |  FROM documents),
+        |r AS (SELECT doc_id, n, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY mix, doc_id) AS rn
+        |  FROM d),
+        |f AS (
+        |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS seq,
+        |    CAST(0 AS BIGINT) AS off, n AS cum
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.shard, r.rn, r.doc_id, r.n,
+        |    CASE WHEN f.cum > 0 AND f.cum + r.n > 512 THEN f.seq + 1 ELSE f.seq END,
+        |    CASE WHEN f.cum > 0 AND f.cum + r.n > 512 THEN CAST(0 AS BIGINT) ELSE f.cum END,
+        |    CASE WHEN f.cum > 0 AND f.cum + r.n > 512 THEN r.n ELSE f.cum + r.n END
+        |  FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
+        |SELECT doc_id, n AS n_tokens, shard, seq, off AS "offset",
+        |  n > 512 AS oversize
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_pack_reshuffle" ->
       """WITH d AS (SELECT doc_id,

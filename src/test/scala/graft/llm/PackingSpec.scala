@@ -329,6 +329,45 @@ class PackingSpec extends SparkTestBase {
     assert(bucketedOcc > naiveOcc * 1.5, s"bucketed=$bucketedOcc naive=$naiveOcc")
   }
 
+  test("packNoSplit: matches a reference fold, never splits, oversize isolated, layout-independent") {
+    def mix(id: Long) = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+    val sizes = (0L until 60L).map(i => i -> (5L + (i * 7) % 40)).toMap ++
+      Map(7L -> 100L, 23L -> 90L) // two over-budget docs
+    val docs = sizes.toSeq.map { case (i, n) => (i, n) }.toDF("doc_id", "n")
+    val budget = 64L
+    val got = Packing.packNoSplit(docs, "doc_id", col("n"), budget, shards = 2)
+      .select($"doc_id", $"n_tokens", $"shard", $"seq", $"offset", $"oversize")
+      .as[(Long, Long, Int, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // independent reference fold per shard
+    val byShard = (0L until 60L).groupBy(i => (mix(i) % 2).toInt)
+    byShard.foreach { case (sh, ids) =>
+      var seq = 0L; var cum = 0L
+      ids.sortBy(i => (mix(i), i)).foreach { id =>
+        val n = sizes(id)
+        if (cum > 0 && cum + n > budget) { seq += 1; cum = 0L }
+        val r = got(id)
+        assert(r._3 == sh && r._4 == seq && r._5 == cum,
+          s"doc $id: got (${r._3},${r._4},${r._5}) want ($sh,$seq,$cum)")
+        assert(r._6 == (n > budget))
+        cum += n
+      }
+    }
+    // no sequence exceeds budget unless it holds a single oversize doc
+    val bySeq = got.values.groupBy(r => (r._3, r._4))
+    bySeq.foreach { case (k, rows) =>
+      val tot = rows.map(_._2).sum
+      assert(tot <= budget || (rows.size == 1 && rows.head._6),
+        s"seq $k holds $tot tokens across ${rows.size} docs")
+    }
+    // input layout must not matter
+    val re = Packing.packNoSplit(docs.repartition(7), "doc_id", col("n"),
+        budget, shards = 2)
+      .select($"doc_id", $"seq", $"offset")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(re == got.values.map(r => (r._1, r._4, r._5)).toSet)
+  }
+
   test("pack seed: epoch reshuffle is a fresh bijective order over the same corpus") {
     val docs = (0L until 40L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n")
     val e0 = Packing.pack(docs, "doc_id", col("n"), budget = 64L, shards = 2)

@@ -158,6 +158,22 @@ object Packing {
     }.toDF(idCol, "n_tokens", "shard", "seq", "offset", "oversize")
   }
 
+  /** Per-(shard, seq) occupancy for [[packNoSplit]] — the padding-waste
+    * view that decides between this regime and [[lengthBuckets]] for a
+    * given corpus: docs and token mass per sequence, whether it holds an
+    * oversize doc, and the pad waste (budget − tokens; zero for an
+    * oversize sequence — that one truncates or re-routes downstream and
+    * is flagged, it is not padded). One aggregation over the placement.
+    */
+  def packNoSplitStats(packed: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    packed.groupBy(col("shard"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        max(col("oversize")).as("has_oversize"))
+      .withColumn("pad_waste", when(col("has_oversize"), lit(0L))
+        .otherwise(lit(budget) - col("n_tokens")))
+  }
+
   /** Span-corruption transform (the T5 pretraining objective, Raffel 2020
     * §3.1.4): mask ~`ratePermille`‰ of each document's tokens in spans of
     * mean length `meanSpan`, emitting the sentinel-joined `inputs` /

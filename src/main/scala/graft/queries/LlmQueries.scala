@@ -2803,6 +2803,17 @@ object LlmQueries {
           shards = 4)
         .orderBy(col("doc_id"))),
 
+    "q_pack_nosplit_stats" -> ((s, dir) =>
+      // Occupancy view of the no-split regime: per-(shard, seq) docs,
+      // token mass, oversize flag and pad waste — the numbers that
+      // decide no-split vs length-bucketed batching for a corpus.
+      graft.llm.Packing.packNoSplitStats(
+          graft.llm.Packing.packNoSplit(docs(s, dir), "doc_id",
+            graft.llm.TextAnalysis.tokenCount(col("text")), budget = 512L,
+            shards = 4),
+          budget = 512L)
+        .orderBy(col("shard"), col("seq"))),
+
     "q_pack_reshuffle" -> ((s, dir) =>
       // Epoch reshuffle: the SAME corpus packs under seed 7 — a
       // different bijective mix order and shard assignment, so a
@@ -4611,6 +4622,31 @@ object LlmQueries {
         |SELECT doc_id, n AS n_tokens, shard, seq, off AS "offset",
         |  n > 512 AS oversize
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_pack_nosplit_stats" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+        |    CAST(((doc_id * 2654435761) % 4294967296) % 4 AS INT) AS shard,
+        |    (doc_id * 2654435761) % 4294967296 AS mix
+        |  FROM documents),
+        |r AS (SELECT doc_id, n, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY mix, doc_id) AS rn
+        |  FROM d),
+        |f AS (
+        |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS seq,
+        |    CAST(0 AS BIGINT) AS off, n AS cum
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.shard, r.rn, r.doc_id, r.n,
+        |    CASE WHEN f.cum > 0 AND f.cum + r.n > 512 THEN f.seq + 1 ELSE f.seq END,
+        |    CASE WHEN f.cum > 0 AND f.cum + r.n > 512 THEN CAST(0 AS BIGINT) ELSE f.cum END,
+        |    CASE WHEN f.cum > 0 AND f.cum + r.n > 512 THEN r.n ELSE f.cum + r.n END
+        |  FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
+        |SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  max(n > 512) AS has_oversize,
+        |  CAST(CASE WHEN max(n > 512) THEN 0 ELSE 512 - sum(n) END AS BIGINT) AS pad_waste
+        |FROM f GROUP BY shard, seq ORDER BY shard, seq""".stripMargin,
 
     "q_pack_reshuffle" ->
       """WITH d AS (SELECT doc_id,

@@ -1361,12 +1361,16 @@ object LlmQueries {
         .when(id % 3 === 1,
           concat(lit("{\"expr\":\"1+"), idStr, lit("\"}")))
         .otherwise(concat(lit("{\"url\":\"http://h/"), idStr, lit("\"}")))
+      // Sort FIRST (finding 51): the verdict row is input-sized, so the
+      // exchange carries the same bytes either way and the parse +
+      // schema when-chain runs once, post-exchange, instead of twice
+      // under the sort's sampling pass.
       graft.llm.Conversations.validateToolCalls(
-          docs(s, dir).select(id, tool.as("tool"), args.as("args")),
+          docs(s, dir).orderBy(col("doc_id"))
+            .select(id, tool.as("tool"), args.as("args")),
           "doc_id", "tool", "args",
           Map("search" -> Seq("query", "limit"), "calc" -> Seq("expr"),
             "fetch" -> Seq("url")))
-        .orderBy(col("conv_id"))
     }),
 
     // --- conversation (SFT/chat) data --------------------------------------

@@ -94,12 +94,22 @@ object Conversations {
       TextAnalysis.tokenCount(col(rejectedCol))).cast("long")
     pairs.select(d.as("__d"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("n_chosen_longer"),
-        sum(when(col("__d") === 0, 1L).otherwise(0L)).as("n_ties"),
+        // coalesce: sum over ZERO rows is null — the counts are 0 there
+        coalesce(sum(when(col("__d") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_chosen_longer"),
+        coalesce(sum(when(col("__d") === 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_ties"),
         sum(col("__d")).as("__sum_d"))
       .select(col("n_pairs"), col("n_chosen_longer"), col("n_ties"),
-        expr("(n_chosen_longer * 1000000L) DIV n_pairs").as("chosen_longer_micro"),
-        expr("(__sum_d * 1000000L) DIV n_pairs").as("mean_delta_micro"))
+        // zero-guarded (ADVICE r14): an empty pair frame still aggregates
+        // to one row (n_pairs = 0, __sum_d = null), and an unguarded DIV 0
+        // errors under ANSI — the rates are undefined there, so report null
+        when(col("n_pairs") === 0, lit(null).cast("long"))
+          .otherwise(expr("(n_chosen_longer * 1000000L) DIV n_pairs"))
+          .as("chosen_longer_micro"),
+        when(col("n_pairs") === 0, lit(null).cast("long"))
+          .otherwise(expr("(__sum_d * 1000000L) DIV n_pairs"))
+          .as("mean_delta_micro"))
   }
 
   def validate(turns: DataFrame, convCol: String, idxCol: String,

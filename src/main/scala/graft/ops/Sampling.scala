@@ -219,6 +219,13 @@ object Sampling {
     * function of the total order — independent of P and of where the
     * range boundaries fall — so the result is deterministic under any
     * parallelism and identical to the sort+limit form.
+    *
+    * Determinism PRECONDITION (ADVICE r14, shared with the sort+limit
+    * twin): `(score, tie)` must be a strict total order — `tie` unique
+    * within any equal-score run. With duplicate (score, tie) keys the
+    * boundary rank (here) or the limit cutoff (there) splits the
+    * duplicate run arbitrarily, and the selected SET varies run to run.
+    * Every call site in this repo ties on a unique id; pass one.
     */
   def topFractionByScoreDist(df: DataFrame, score: Column, frac: Double,
       tie: Column, partitions: Int = 0): DataFrame = {

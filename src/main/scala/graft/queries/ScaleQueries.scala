@@ -634,7 +634,11 @@ object ScaleQueries {
         Profiling.releaseManifest(df, "source", "doc_id", "text")
       val before = manifestOf(SS.readCurrent(s, root))
         .orderBy(col("source")).collect().toSeq
-      val deleted = SS.expire(root, keep = 1)
+      // graceMs = 0: the fixture's whole history was written moments ago,
+      // and no commit is in flight — the production-default grace window
+      // (which spares young unreferenced files as presumed in-flight
+      // phase-1 landings) would mask the GC under test.
+      val deleted = SS.expire(root, keep = 1, graceMs = 0L)
       val curAfter = manifestOf(SS.readCurrent(s, root))
       val after = curAfter.orderBy(col("source")).collect().toSeq
       val expiredUnreadable = scala.util.Try(SS.read(s, root, 1)).isFailure
@@ -644,6 +648,44 @@ object ScaleQueries {
         .withColumn("current_stable", lit(before == after))
         .withColumn("expired_unreadable", lit(expiredUnreadable))
         .withColumn("gc_exact", lit(gcExact))
+        .orderBy(col("source"))
+    }),
+
+    "q_snapshot_conflict" -> ((s, dir) => {
+      // Optimistic-concurrency commit (VERDICT r14 item 1): two writers
+      // race the same base release. Both observe v1 (the even docs) and
+      // stage their batches (phase 1 — files land unreferenced); writer A
+      // claims v2 first and WINS the create-if-absent manifest CAS;
+      // writer B's claim of the SAME v2 is atomically rejected, so B
+      // re-reads the advanced table, re-carries v2's file list, and its
+      // retry lands as v3 — the append-commute rule. Certificate is all
+      // VALUES the oracle derives from the corpus: v2 must be exactly
+      // even ∪ (doc_id%4==1) (the winner's commit, untouched by the
+      // loser's failed claim) and v3 the full corpus (nothing lost), per
+      // source with content checksums; the version numbers and the
+      // rejected-claim count are computed from the CAS outcomes.
+      val root = stagingDir() + "/snapshot_conflict"
+      val SS = graft.sources.SnapshotStore
+      SS.destroy(root)
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val v1 = SS.commit(d.filter(col("doc_id") % 2 === 0), root)
+      val carried = SS.manifest(root, v1)
+      val filesA = SS.stageData(d.filter(col("doc_id") % 4 === 1), root)
+      val filesB = SS.stageData(d.filter(col("doc_id") % 4 === 3), root)
+      val aWon = SS.tryCommitAt(root, 2, carried ++ filesA)
+      val bStaleRejected = !SS.tryCommitAt(root, 2, carried ++ filesB)
+      val bRetryWon = SS.tryCommitAt(root, 3, SS.manifest(root, 2) ++ filesB)
+      def manifestOf(df: org.apache.spark.sql.DataFrame) =
+        Profiling.releaseManifest(df, "source", "doc_id", "text")
+      val m2 = manifestOf(SS.read(s, root, 2)).select(col("source"),
+        col("n_docs").as("v2_n_docs"), col("checksum").as("v2_checksum"))
+      val m3 = manifestOf(SS.read(s, root, 3)).select(col("source"),
+        col("n_docs").as("v3_n_docs"), col("checksum").as("v3_checksum"))
+      m2.join(m3, "source")
+        .withColumn("winner_version", lit(if (aWon) 2L else 0L))
+        .withColumn("loser_version",
+          lit(if (bRetryWon && SS.currentVersion(root).contains(3)) 3L else 0L))
+        .withColumn("n_stale_rejected", lit(if (bStaleRejected) 1L else 0L))
         .orderBy(col("source"))
     }),
 
@@ -1168,6 +1210,23 @@ idf AS (SELECT term, CAST(${microOfNanoDuck("bi_ln")} AS BIGINT) AS idf_micro
         |SELECT v1.source, v1_n_docs, v1_checksum, v2_n_docs, v2_checksum,
         |  true AS v1_stable
         |FROM v1 JOIN v2 USING (source) ORDER BY source""".stripMargin,
+
+    "q_snapshot_conflict" ->
+      """WITH fp AS (SELECT source, doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007) AS f
+        |  FROM documents),
+        |v2 AS (SELECT source, CAST(count(*) AS BIGINT) AS v2_n_docs,
+        |  CAST(sum(f) AS BIGINT) AS v2_checksum FROM fp
+        |  WHERE doc_id % 2 = 0 OR doc_id % 4 = 1 GROUP BY source),
+        |v3 AS (SELECT source, CAST(count(*) AS BIGINT) AS v3_n_docs,
+        |  CAST(sum(f) AS BIGINT) AS v3_checksum FROM fp GROUP BY source)
+        |SELECT v2.source, v2_n_docs, v2_checksum, v3_n_docs, v3_checksum,
+        |  CAST(2 AS BIGINT) AS winner_version,
+        |  CAST(3 AS BIGINT) AS loser_version,
+        |  CAST(1 AS BIGINT) AS n_stale_rejected
+        |FROM v2 JOIN v3 USING (source) ORDER BY source""".stripMargin,
 
     "q_pipeline_ingest_tick" ->
       """WITH fp AS (SELECT source, doc_id,

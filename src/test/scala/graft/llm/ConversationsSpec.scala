@@ -177,6 +177,15 @@ class ConversationsSpec extends SparkTestBase {
     assert(got == ((4L, 2L, 1L, 500000L, 1000000L)))
   }
 
+  test("lengthBias: empty pair frame yields a well-defined zero report, no DIV 0 (ADVICE r14)") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("id", "chosen", "rejected")
+    val row = Conversations.lengthBias(empty, "chosen", "rejected").collect().head
+    assert(row.getLong(0) == 0L && row.getLong(1) == 0L && row.getLong(2) == 0L)
+    assert(row.isNullAt(3) && row.isNullAt(4),
+      "rates are undefined on zero pairs — must be null, not an ANSI DIV-0 error")
+  }
+
   test("validateToolCalls: parse, tool-set and required-key failures each flag; guards fire") {
     val s = spark; import s.implicits._
     val calls = Seq(

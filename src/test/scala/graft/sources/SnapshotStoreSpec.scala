@@ -75,7 +75,11 @@ class SnapshotStoreSpec extends SparkTestBase {
       .orderBy("id").as[(Long, String)].collect().toSeq
     assert(before.map(_._1) == (1L to 60L), "rewrite is logically a no-op")
 
-    val deleted = SnapshotStore.expire(root, keep = 1)
+    // graceMs = 0 throughout the GC fixtures: every file here was written
+    // moments ago, and the in-flight-commit grace window would (correctly)
+    // refuse to treat it as garbage — the window under test is the manifest
+    // arithmetic, not the race protection.
+    val deleted = SnapshotStore.expire(root, keep = 1, graceMs = 0L)
     assert(deleted.nonEmpty, "v1/v2-only files must actually be deleted")
     assert(deleted.forall(n => n.startsWith("v1_") || n.startsWith("v2_")))
     // current read byte-stable across the GC
@@ -88,7 +92,7 @@ class SnapshotStoreSpec extends SparkTestBase {
     }.getMessage.contains("no snapshot"))
     assert(SnapshotStore.dataFiles(root) == m3.sorted)
     // a second expire is a no-op (idempotent GC)
-    assert(SnapshotStore.expire(root, keep = 1).isEmpty)
+    assert(SnapshotStore.expire(root, keep = 1, graceMs = 0L).isEmpty)
   }
 
   test("replace supersedes: current reads only new content, pinned v1 intact, v1 expirable") {
@@ -100,7 +104,7 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(SnapshotStore.read(spark, root, v1)
       .select(col("id")).as[Long].collect().toSeq.sorted == Seq(1L, 2L))
     assert(SnapshotStore.manifest(root, v2).forall(_.startsWith("v2_")))
-    val deleted = SnapshotStore.expire(root, keep = 1)
+    val deleted = SnapshotStore.expire(root, keep = 1, graceMs = 0L)
     assert(deleted.nonEmpty && deleted.forall(_.startsWith("v1_")))
   }
 
@@ -108,7 +112,7 @@ class SnapshotStoreSpec extends SparkTestBase {
     val root = freshRoot()
     SnapshotStore.commit(Seq((1L, "a")).toDF("id", "text"), root)
     SnapshotStore.commit(Seq((2L, "b")).toDF("id", "text"), root)
-    val deleted = SnapshotStore.expire(root, keep = 1)
+    val deleted = SnapshotStore.expire(root, keep = 1, graceMs = 0L)
     assert(deleted.isEmpty, "v2's manifest still references v1's files")
     val cur = SnapshotStore.readCurrent(spark, root)
       .select(col("id")).as[Long].collect().toSeq.sorted
@@ -120,6 +124,97 @@ class SnapshotStoreSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { SnapshotStore.expire(root, keep = 1) }
     SnapshotStore.commit(Seq((1L, "a")).toDF("id", "text"), root)
     intercept[IllegalArgumentException] { SnapshotStore.expire(root, keep = 0) }
+  }
+
+  test("interleaved writers: loser's stale claim fails, retry lands as the next version") {
+    val root = freshRoot()
+    SnapshotStore.commit((1 to 10).map(i => (i.toLong, "base")).toDF("id", "text"), root)
+    // Both writers observe v1 and stage their data (phase 1 — files land,
+    // nothing references them yet).
+    val carried = SnapshotStore.manifest(root, 1)
+    val filesA = SnapshotStore.stageData(Seq((100L, "a")).toDF("id", "text"), root)
+    val filesB = SnapshotStore.stageData(Seq((200L, "b")).toDF("id", "text"), root)
+    // A claims v2 first and wins; B's claim of the SAME version must fail
+    // atomically (this is the conflict the CAS exists to catch).
+    assert(SnapshotStore.tryCommitAt(root, 2, carried ++ filesA))
+    assert(!SnapshotStore.tryCommitAt(root, 2, carried ++ filesB),
+      "second claim of v2 must lose")
+    // v2 is exactly A's commit — B's failed claim left no trace on it
+    assert(SnapshotStore.manifest(root, 2).toSet == (carried ++ filesA).toSet)
+    // B re-reads (now v2), re-carries, retries at v3 — appends commute
+    assert(SnapshotStore.currentVersion(root).contains(2))
+    assert(SnapshotStore.tryCommitAt(root, 3,
+      SnapshotStore.manifest(root, 2) ++ filesB))
+    val ids = SnapshotStore.readCurrent(spark, root)
+      .select(col("id")).as[Long].collect().toSeq.sorted
+    assert(ids == ((1L to 10L) ++ Seq(100L, 200L)),
+      "both racing datasets readable after the retry")
+    // pinned v2 still excludes B's rows
+    assert(!SnapshotStore.read(spark, root, 2)
+      .select(col("id")).as[Long].collect().contains(200L))
+  }
+
+  test("threaded commit race: every commit lands, versions are dense, nothing lost") {
+    val root = freshRoot()
+    SnapshotStore.commit(Seq((0L, "base")).toDF("id", "text"), root)
+    val perWriter = 4
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 3).map { w =>
+      Future {
+        (1 to perWriter).map { i =>
+          val id = (w * 1000 + i).toLong
+          SnapshotStore.commit(Seq((id, s"w$w")).toDF("id", "text"), root)
+        }
+      }
+    }
+    val versions = Await.result(Future.sequence(writers), 120.seconds).flatten
+    // 1 base + 12 racing commits = versions exactly 2..13, each owned once
+    assert(versions.sorted == (2 to 13), s"got $versions")
+    assert(SnapshotStore.currentVersion(root).contains(13))
+    val ids = SnapshotStore.readCurrent(spark, root)
+      .select(col("id")).as[Long].collect().toSeq.sorted
+    val expected = 0L +: (for (w <- 1 to 3; i <- 1 to perWriter)
+      yield (w * 1000 + i).toLong).sorted
+    assert(ids == expected, "every writer's every row survived the race")
+  }
+
+  test("rewrite aborts on a concurrent commit instead of dropping it") {
+    val root = freshRoot()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "text"), root)
+    val pinnedV1 = SnapshotStore.read(spark, root, 1)
+    // another writer lands v2 while the compaction of v1 is "in flight"
+    SnapshotStore.commit(Seq((2L, "b")).toDF("id", "text"), root)
+    val filesBefore = SnapshotStore.dataFiles(root)
+    intercept[java.util.ConcurrentModificationException] {
+      // the rewrite path with the stale expectation: supersession of v1
+      // must refuse once the table advanced (retrying would erase row 2)
+      graft.sources.SnapshotStore.replaceExpecting(pinnedV1, root, expectedPrior = 1)
+    }
+    // the aborted writer's staged files were removed — no orphan debris
+    assert(SnapshotStore.dataFiles(root) == filesBefore)
+    assert(SnapshotStore.currentVersion(root).contains(2))
+    val ids = SnapshotStore.readCurrent(spark, root)
+      .select(col("id")).as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L, 2L), "the interleaved commit survived")
+  }
+
+  test("expire grace window spares unreferenced files young enough to be an in-flight commit") {
+    val root = freshRoot()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "text"), root)
+    SnapshotStore.commit(Seq((2L, "b")).toDF("id", "text"), root)
+    SnapshotStore.rewrite(spark, root)
+    // a concurrent writer's phase-1 landing: staged files, no manifest yet
+    val staged = SnapshotStore.stageData(Seq((3L, "c")).toDF("id", "text"), root)
+    // default grace: the fresh v1/v2 files AND the staged files all look
+    // in-flight, so nothing is deleted
+    assert(SnapshotStore.expire(root, keep = 1).isEmpty)
+    assert(staged.forall(SnapshotStore.dataFiles(root).contains(_)))
+    // grace 0 (fixture mode): v1/v2 history AND the staged files go — the
+    // caller asserted no commit is in flight
+    val deleted = SnapshotStore.expire(root, keep = 1, graceMs = 0L)
+    assert(deleted.nonEmpty && staged.forall(deleted.contains(_)))
   }
 
   test("destroy resets the table so commits restart at v1") {

@@ -125,7 +125,11 @@ object Profiling {
     val ok = probs.indices.forall { i =>
       math.abs(ranks.getLong(i).toDouble - probs(i) * n) <= tol
     }
-    Seq(ok).toDF("within_bound")
+    // flag + the exact ranks of the approximated values (deterministic
+    // for a given dataset — a sketch drift inside the tolerance now
+    // changes the output) + the derivable row count (VERDICT r14 item 3)
+    val rankCols = probs.indices.map(i => ranks.getLong(i))
+    Seq((ok, n, rankCols)).toDF("within_bound", "n", "ranks")
   }
 
   /** Release manifest — the accounting a dataset SHIP step records: per

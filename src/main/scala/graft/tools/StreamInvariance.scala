@@ -58,13 +58,13 @@ object StreamInvariance {
     * rows in `chunk`-sized micro-batches, return the canonicalized sink.
     */
   private def runStream[T: org.apache.spark.sql.Encoder](spark: SparkSession,
-      rows: Seq[T], chunk: Int, name: String)(
+      rows: Seq[T], chunk: Int, name: String, mode: String = "append")(
       pipe: org.apache.spark.sql.Dataset[T] => DataFrame): Seq[String] = {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[T]
     val table = s"inv_${name}_$chunk"
     val q = pipe(input.toDS())
-      .writeStream.format("memory").queryName(table).outputMode("append").start()
+      .writeStream.format("memory").queryName(table).outputMode(mode).start()
     try feedAndDrain(input, rows, chunk, q) finally q.stop()
     val out = collectSorted(spark, table)
     spark.catalog.dropTempView(table)
@@ -170,6 +170,58 @@ object StreamInvariance {
       chunks.map(c => runStream(spark, funnelRows, c, "funnel")(ds =>
         StreamingFunnel.completions(ds).toDF())),
       None)
+
+    // 6. tool_calls — the round-14 stateless function-calling gate as a
+    // stream filter (codegen'd map, no state): planted parse failures,
+    // missing keys and unknown tools split across batch boundaries; batch
+    // twin = the identical gate over the same rows in one batch.
+    val toolSchema = Map("search" -> Seq("query", "limit"), "calc" -> Seq("expr"))
+    val toolRows = (0 until 200).map { i =>
+      val tool = if (i % 13 == 0) "paint" else if (i % 2 == 0) "search" else "calc"
+      val args =
+        if (i % 11 == 0) s"""{"query":"w$i""""                 // truncated JSON
+        else if (i % 7 == 0) """{"other":"x"}"""               // wrong keys
+        else if (i % 2 == 0) s"""{"query":"w$i","limit":"10"}"""
+        else """{"expr":"1+1"}"""
+      (i.toLong, tool, args)
+    }
+    val toolPipe = (df: DataFrame) => graft.llm.Conversations
+      .validateToolCalls(df, "id", "tool", "args", toolSchema)
+    val toolRuns = chunks.map(c => runStream(spark, toolRows, c, "tool")(ds =>
+      toolPipe(ds.toDF("id", "tool", "args"))))
+    val toolBatch = toolPipe(toolRows.toDF("id", "tool", "args"))
+      .collect().map(r => r.toSeq.map(String.valueOf(_)).mkString("|")).toSeq.sorted
+    record("tool_calls", toolRuns, Some(toolBatch))
+
+    // 7. markdown — the round-14 markdown-strip kernel as a stream map
+    // (stateless codegen chain); batch twin over the same rows.
+    val mdRows = (0 until 150).map(i => (i.toLong,
+      s"# Title\n**body $i**\n```\ncode\n```\n[docs](http://x) ![l](i.png)\n> q\n---\n_em_"))
+    val mdPipe = (df: DataFrame) => df.select(col("id"),
+      graft.llm.TextAnalysis.markdownToText(col("text")).as("plain"))
+    val mdRuns = chunks.map(c => runStream(spark, mdRows, c, "md")(ds =>
+      mdPipe(ds.toDF("id", "text"))))
+    val mdBatch = mdPipe(mdRows.toDF("id", "text"))
+      .collect().map(r => r.toSeq.map(String.valueOf(_)).mkString("|")).toSeq.sorted
+    record("markdown", mdRuns, Some(mdBatch))
+
+    // 8. length_bias — the round-14 RLHF audit as a streaming GLOBAL
+    // aggregation (complete mode: the sink holds the latest full
+    // snapshot, so after draining, the report must equal the batch
+    // aggregation regardless of how batches chunked the pairs).
+    val lbRows = (0 until 240).map { i =>
+      val chosen = ("w " * (3 + i % 9)).trim
+      val rejected = ("w " * (2 + (i * 5) % 11)).trim
+      (i.toLong, chosen, rejected)
+    }
+    val lbPipe = (df: DataFrame) =>
+      graft.llm.Conversations.lengthBias(df, "chosen", "rejected")
+    val lbRuns = chunks.map(c =>
+      runStream(spark, lbRows, c, "lb", mode = "complete")(ds =>
+        lbPipe(ds.toDF("id", "chosen", "rejected"))))
+    val lbBatch = lbPipe(lbRows.toDF("id", "chosen", "rejected"))
+      .collect().map(r => r.toSeq.map(String.valueOf(_)).mkString("|")).toSeq.sorted
+    record("length_bias", lbRuns, Some(lbBatch))
 
     val total = results.values.map(v => v._2 + v._3).sum
     val fams = results.map { case (n, (rows, d, bd)) =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.llm.{Dedup, DomainSelection, GraphAnn, Multimodal, SemDedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, DomainSelection, GraphAnn, MixPlanner, Multimodal, SemDedup, Similarity, TextAnalysis}
 import graft.sources.VerifiedRead
 import QueryUtil._
 
@@ -34,6 +34,25 @@ object LlmQueries {
         .otherwise(lit("assistant")).as("role"),
       col("text"))
 
+  /** Mixture-component frame for the q_mix_* pair: one row per
+    * (source, lang) domain with its whitespace-token inventory and a
+    * deterministic fingerprint-derived micro-weight in [5000, 500000) —
+    * a 100× weight spread so the ¾-inventory budget leaves a healthy
+    * mixed regime (~35/97 domains saturated at sf0.01, ~25/100 at sf0.1).
+    */
+  private def mixDomains(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(concat_ws("/", col("source"), col("lang")).as("domain"))
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("avail"))
+      .withColumn("w",
+        lit(5000L) + TextAnalysis.fingerprint(col("domain")) % 495000L)
+
+  /** ¾ of the corpus token inventory, floor — the q_mix_* budget scalar
+    * (one first() over the ~100-row checkpointed domain frame).
+    */
+  private def mixBudget(doms: DataFrame): Long =
+    doms.agg(sum(col("avail"))).first.getLong(0) * 3 / 4
+
   /** documents ∪ mutated copy (near-dup planted per doc). */
   private def aug(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
@@ -42,6 +61,55 @@ object LlmQueries {
 
   private val augSql =
     "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text || ' graft dup tail' FROM documents"
+
+  /** Oracle replay of the q_mix_* water-filling chain (ends in `mix_fin`):
+    * token inventories per (source, lang) domain, fingerprint micro-weights,
+    * 1.5-epoch caps, the ¾-inventory budget, the cleared-denominator
+    * pairwise-min saturation join, and floor + largest-remainder rounding —
+    * every product in HUGEINT, mirroring the Spark side's DECIMAL(38,0).
+    */
+  private val mixAllocSql =
+    """mix_doms AS (
+      |  SELECT source || '/' || lang AS domain,
+      |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avail
+      |  FROM documents GROUP BY 1),
+      |mix_w AS (SELECT domain, avail,
+      |    CAST(5000 + list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(domain) + 1),
+      |        i -> CAST(ascii(domain[i]) AS BIGINT))),
+      |      (acc, c) -> (acc * 131 + c) % 1000000007) % 495000 AS BIGINT) AS wm,
+      |    CAST((CAST(avail AS HUGEINT) * 1500000) // 1000000 AS BIGINT) AS cap
+      |  FROM mix_doms),
+      |mix_b AS (SELECT CAST(sum(avail) * 3 // 4 AS BIGINT) AS budget FROM mix_w),
+      |mix_spent AS (SELECT i.domain,
+      |    sum(least(CAST(j.cap AS HUGEINT) * i.wm, CAST(j.wm AS HUGEINT) * i.cap)) AS s
+      |  FROM mix_w i, mix_w j GROUP BY 1),
+      |mix_m AS (SELECT mix_w.*,
+      |    (mix_spent.s <= CAST(mix_b.budget AS HUGEINT) * mix_w.wm) AS sat
+      |  FROM mix_w JOIN mix_spent USING (domain) CROSS JOIN mix_b),
+      |mix_t AS (SELECT coalesce(sum(CASE WHEN sat THEN cap END), 0) AS sat_spend,
+      |    coalesce(sum(CASE WHEN NOT sat THEN wm END), 0) AS w_un FROM mix_m),
+      |mix_f AS (SELECT mix_m.*,
+      |    CASE WHEN sat THEN cap
+      |      ELSE CAST((CAST(mix_b.budget - mix_t.sat_spend AS HUGEINT) * wm)
+      |        // mix_t.w_un AS BIGINT) END AS alloc0,
+      |    CASE WHEN sat THEN -1
+      |      ELSE CAST((CAST(mix_b.budget - mix_t.sat_spend AS HUGEINT) * wm)
+      |        % mix_t.w_un AS BIGINT) END AS rem
+      |  FROM mix_m CROSS JOIN mix_b CROSS JOIN mix_t),
+      |mix_lt AS (SELECT any_value(mix_b.budget)
+      |      - sum(CASE WHEN sat THEN cap ELSE alloc0 END) AS lft,
+      |    sum(CASE WHEN NOT sat THEN 1 ELSE 0 END) AS n_un
+      |  FROM mix_f CROSS JOIN mix_b),
+      |mix_r AS (SELECT mix_f.*,
+      |    row_number() OVER (ORDER BY rem DESC, domain) AS rk
+      |  FROM mix_f),
+      |mix_fin AS (SELECT domain, wm AS weight_micro, avail AS avail_tokens,
+      |    cap AS cap_tokens,
+      |    CAST(alloc0 + CASE WHEN NOT sat AND rk <= least(mix_lt.lft, mix_lt.n_un)
+      |      THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens,
+      |    sat AS saturated
+      |  FROM mix_r CROSS JOIN mix_lt)""".stripMargin
 
   /** 1/5 sample of [[aug]] for the poly-hash oracle certificates: the
     * residue is preserved by the +1,000,000 mutation (1e6 % 5 == 0), so
@@ -2218,6 +2286,40 @@ object LlmQueries {
       DomainSelection.resampleTopK(
         d, d.filter(col("doc_id") % 3 === 0), k = 100, "doc_id", "text",
         nBuckets = 8192)
+    }),
+
+    "q_mix_budget" -> ((s, dir) => {
+      // Data-constrained mix planning (water-filling): per-(source, lang)
+      // domains with fingerprint-derived micro-weights and 1.5-epoch
+      // repetition caps split ¾ of the corpus's token inventory. The
+      // closed-form saturation test + largest-remainder rounding make
+      // Σ alloc = budget EXACTLY — the oracle rebuilds the whole chain
+      // (token inventories, weights, the pairwise-min saturation join,
+      // floors, remainders) from the documents table. The domain frame is
+      // ~100 rows: checkpoint it once so the count guard / budget scalar /
+      // self-join all read 98 rows, not the corpus.
+      val doms = mixDomains(s, dir).localCheckpoint(true)
+      MixPlanner.budgetAllocation(doms, "domain", "w", "avail",
+          budgetTokens = mixBudget(doms), maxEpochsMicro = 1500000L)
+        .orderBy(col("domain"))
+    }),
+
+    "q_mix_select" -> ((s, dir) => {
+      // The allocation applied back to the corpus: per-domain
+      // priority-ordered prefix (fingerprint-derived priority, whitespace
+      // token costs) under q_mix_budget's exact allocation. One broadcast
+      // join + one per-domain running-sum window.
+      val doms = mixDomains(s, dir).localCheckpoint(true)
+      val alloc = MixPlanner.budgetAllocation(doms, "domain", "w", "avail",
+        budgetTokens = mixBudget(doms), maxEpochsMicro = 1500000L)
+      val d = docsSpread(s, dir).select(
+        concat_ws("/", col("source"), col("lang")).as("domain"),
+        col("doc_id"),
+        (TextAnalysis.fingerprint(col("text")) % 1000000L).as("priority"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+      MixPlanner.budgetSelect(d, "domain", "doc_id", "tokens", "priority",
+          alloc)
+        .orderBy(col("domain"), col("id"))
     }),
 
     "q_text_entropy" -> ((s, dir) =>
@@ -5263,6 +5365,34 @@ object LlmQueries {
         |SELECT doc_id, logw_micro, gumbel_key_micro FROM keys
         |ORDER BY gumbel_key_micro DESC, doc_id LIMIT 100""".stripMargin
     },
+
+    "q_mix_budget" ->
+      s"""WITH $mixAllocSql
+        |SELECT domain, weight_micro, avail_tokens, cap_tokens, alloc_tokens,
+        |  saturated,
+        |  CASE WHEN avail_tokens > 0 THEN CAST((CAST(alloc_tokens AS HUGEINT)
+        |    * 1000000) // avail_tokens AS BIGINT) END AS epochs_micro
+        |FROM mix_fin ORDER BY domain""".stripMargin,
+
+    "q_mix_select" ->
+      s"""WITH $mixAllocSql,
+        |mix_docs AS (SELECT source || '/' || lang AS domain, doc_id AS id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(text[i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) % 1000000 AS priority,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |mix_cum AS (SELECT d.domain, d.id, d.priority, d.tokens,
+        |    sum(d.tokens) OVER (PARTITION BY d.domain
+        |      ORDER BY d.priority DESC, d.id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+        |    f.alloc_tokens
+        |  FROM mix_docs d JOIN mix_fin f USING (domain))
+        |SELECT domain, id, priority, tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM mix_cum WHERE cum_tokens <= alloc_tokens
+        |ORDER BY domain, id""".stripMargin,
 
     "q_text_entropy" ->
       // The per-char −p·ln(p) term is the SAME fixed-point integer chain

@@ -1,0 +1,150 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Water-filling mix allocation: the closed-form order-free allocation vs a
+  * literal iterative reference (grow-proportionally / cap / redistribute),
+  * exactness invariants, and the budget-enforced corpus selection.
+  */
+class MixPlannerSpec extends SparkTestBase {
+  import spark.implicits._
+
+
+  /** Literal iterative water-filling on BigInt rationals: repeatedly give
+    * every active domain its proportional share of the residual, saturate
+    * any domain whose ideal share exceeds capacity, and repeat until no new
+    * saturation. Returns the REAL-valued fixed point as (numerator over
+    * wSum) per domain — the distributed form must match its floor within
+    * the 1-token largest-remainder rounding.
+    */
+  private def referenceLevel(doms: Seq[(String, Long, Long)], budget: Long,
+      maxEpochsMicro: Long): (Map[String, BigInt], Set[String]) = {
+    val cap = doms.map(d => d._1 ->
+      (BigInt(d._3) * maxEpochsMicro / 1000000)).toMap
+    var sat = Set.empty[String]
+    var changed = true
+    while (changed) {
+      changed = false
+      val resid = BigInt(budget) - sat.toSeq.map(cap).sum
+      val wUn = doms.filterNot(d => sat(d._1)).map(d => BigInt(d._2)).sum
+      if (wUn > 0) {
+        for (d <- doms if !sat(d._1)) {
+          // ideal share resid·w/wUn ≥ cap ⇒ saturate (exact rational compare)
+          if (resid * d._2 >= cap(d._1) * wUn) {
+            sat += d._1; changed = true
+          }
+        }
+      }
+    }
+    (cap, sat)
+  }
+
+  private def run(doms: Seq[(String, Long, Long)], budget: Long,
+      maxEpochsMicro: Long = 4000000L): Map[String, (Long, Long, Boolean)] =
+    MixPlanner.budgetAllocation(
+        doms.toDF("domain", "w", "avail"), "domain", "w", "avail",
+        budget, maxEpochsMicro)
+      .select("domain", "alloc_tokens", "cap_tokens", "saturated")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("allocation matches the iterative reference's saturation set and level") {
+    val doms = Seq(("a", 500000L, 100L), ("b", 300000L, 10000L),
+      ("c", 150000L, 40L), ("d", 50000L, 7L))
+    val budget = 2000L
+    val (cap, sat) = referenceLevel(doms, budget, 4000000L)
+    val got = run(doms, budget)
+    // same saturation set
+    assert(got.filter(_._2._3).keySet == sat,
+      s"saturated sets differ: got ${got.filter(_._2._3).keySet}, ref $sat")
+    // saturated domains take exactly capacity
+    for (d <- sat) assert(BigInt(got(d)._1) == cap(d))
+    // unsaturated: floor of the exact proportional share, within the
+    // largest-remainder +1
+    val resid = BigInt(budget) - sat.toSeq.map(cap).sum
+    val wUn = doms.filterNot(d => sat(d._1)).map(d => BigInt(d._2)).sum
+    for (d <- doms if !sat(d._1)) {
+      val ideal = resid * d._2 / wUn
+      val a = BigInt(got(d._1)._1)
+      assert(a == ideal || a == ideal + 1,
+        s"${d._1}: alloc $a vs floor-share $ideal")
+    }
+    // the budget is spent exactly (total capacity exceeds it here)
+    assert(got.values.map(_._1).sum == budget)
+  }
+
+  test("sum(alloc) = min(budget, sum(cap)) exactly, across regimes") {
+    val doms = Seq(("a", 700000L, 50L), ("b", 200000L, 500L),
+      ("c", 100000L, 5000L))
+    val capSum = doms.map(_._3 * 4L).sum // maxEpochs 4.0
+    for (budget <- Seq(0L, 1L, 17L, 199L, capSum - 1, capSum, capSum + 123)) {
+      val got = run(doms, budget)
+      assert(got.values.map(_._1).sum == math.min(budget, capSum),
+        s"budget $budget")
+      assert(got.values.forall { case (a, c, _) => a >= 0 && a <= c })
+      // saturated ⟺ alloc == cap for every domain when budget ≥ capSum
+      if (budget >= capSum) assert(got.values.forall(v => v._1 == v._2))
+    }
+  }
+
+  test("equal-ratio domains saturate (or not) together and split proportionally") {
+    // b and c have identical cap/w ratios; any order-dependent tie handling
+    // would give them different treatment.
+    val doms = Seq(("a", 100000L, 10000L), ("b", 200000L, 20L),
+      ("c", 400000L, 40L))
+    val got = run(doms, 500L)
+    assert(got("b")._3 == got("c")._3)
+    if (!got("b")._3) {
+      val (ab, ac) = (BigInt(got("b")._1), BigInt(got("c")._1))
+      // proportional up to 1-token rounding: |ab·wc − ac·wb| ≤ max(w)
+      assert((ab * 400000 - ac * 200000).abs <= 400000)
+    }
+  }
+
+  test("zero-inventory and zero-budget degenerate cleanly") {
+    val doms = Seq(("a", 500000L, 0L), ("b", 500000L, 100L))
+    val got = run(doms, 50L)
+    assert(got("a")._1 == 0 && got("a")._3) // empty domain is saturated at 0
+    assert(got("b")._1 == 50)
+    val zero = run(doms, 0L)
+    assert(zero.values.map(_._1).sum == 0)
+  }
+
+  test("epochs_micro reports alloc/avail in micro-epochs, capped by maxEpochs") {
+    val doms = Seq(("a", 900000L, 10L), ("b", 100000L, 1000L))
+    val df = MixPlanner.budgetAllocation(
+      doms.toDF("domain", "w", "avail"), "domain", "w", "avail",
+      budgetTokens = 200L, maxEpochsMicro = 2500000L)
+    val m = df.select("domain", "alloc_tokens", "epochs_micro")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // a saturates at cap = 10 * 2.5 = 25 tokens → 2.5 epochs exactly
+    assert(m("a")._2 == 25 && m("a")._3 == 2500000L)
+    assert(m("b")._2 == 175 && m("b")._3 == (175L * 1000000L) / 1000L)
+  }
+
+  test("budgetSelect keeps the exact priority-ordered prefix per domain") {
+    val docs = Seq(
+      ("a", 1L, 90L, 40L), ("a", 2L, 80L, 40L), ("a", 3L, 70L, 40L),
+      ("a", 4L, 60L, 40L),
+      ("b", 5L, 99L, 10L), ("b", 6L, 98L, 10L))
+      .toDF("domain", "id", "priority", "tokens")
+    val alloc = Seq(("a", 100L), ("b", 10L)).toDF("domain", "alloc_tokens")
+    val kept = MixPlanner.budgetSelect(docs, "domain", "id", "tokens",
+      "priority", alloc).select("id", "cum_tokens")
+      .as[(Long, Long)].collect().toMap
+    // a: 40+40 = 80 ≤ 100, third doc overshoots (120 > 100) → ids 1,2
+    // b: first doc fills the budget exactly → id 5
+    assert(kept.keySet == Set(1L, 2L, 5L))
+    assert(kept(2L) == 80L && kept(5L) == 10L)
+  }
+
+  test("the domain-count guard refuses oversized inputs loudly") {
+    val big = spark.range(MixPlanner.MaxDomains + 1)
+      .selectExpr("cast(id as string) as domain", "1000L as w", "10L as avail")
+    val e = intercept[IllegalArgumentException] {
+      MixPlanner.budgetAllocation(big, "domain", "w", "avail", 100L)
+    }
+    assert(e.getMessage.contains("budgetSelect"))
+  }
+}

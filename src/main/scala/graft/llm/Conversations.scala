@@ -326,4 +326,41 @@ object Conversations {
     systems.map(i => (i, wins(i), p(i)))
       .toDF("system", "wins", "strength_micro")
   }
+
+  /** Best-of-N rejection sampling — the RLHF/RAFT selection step: of N
+    * sampled responses per prompt, keep the reward-model argmax (and the
+    * argmin, because best-vs-worst is how rejection-sampled DPO pairs are
+    * minted). ONE min-struct aggregation per prompt — the same shape as
+    * source-priority dedup, never a window over the response stream, so
+    * map-side partials absorb hot prompts and the output is one row per
+    * prompt regardless of N.
+    *
+    * Ties break toward the smaller response id on BOTH ends (deterministic:
+    * (reward, id) is a strict total order when ids are unique). A pair is
+    * usable (`pair_valid`) iff the prompt has ≥ 2 responses and the
+    * best-worst margin clears `max(minMarginMicro, 1)` — strictly positive,
+    * so chosen ≠ rejected by construction and near-tie pairs (reward noise,
+    * not preference signal) are screened out, which is the standard
+    * rejection-sampling hygiene rule.
+    */
+  def bestOfN(responses: DataFrame, promptCol: String, idCol: String,
+      rewardMicroCol: String, minMarginMicro: Long = 0L): DataFrame = {
+    val r = responses.select(col(promptCol).as("prompt"),
+      col(idCol).cast("long").as("id"),
+      col(rewardMicroCol).cast("long").as("reward_micro"))
+    r.groupBy(col("prompt"))
+      .agg(count(lit(1)).as("n_responses"),
+        min(struct((-col("reward_micro")).as("nr"), col("id").as("id")))
+          .as("__best"),
+        min(struct(col("reward_micro").as("r"), col("id").as("id")))
+          .as("__worst"))
+      .select(col("prompt"), col("n_responses"),
+        col("__best.id").as("best_id"),
+        (-col("__best.nr")).as("best_reward_micro"),
+        col("__worst.id").as("worst_id"),
+        col("__worst.r").as("worst_reward_micro"),
+        (-col("__best.nr") - col("__worst.r")).as("margin_micro"))
+      .withColumn("pair_valid", col("n_responses") >= 2 &&
+        col("margin_micro") >= greatest(lit(minMarginMicro), lit(1L)))
+  }
 }

@@ -1595,6 +1595,22 @@ object LlmQueries {
       graft.llm.Conversations.lengthBias(pairs, "chosen", "rejected")
     }),
 
+    "q_conv_bestofn" -> ((s, dir) => {
+      // Best-of-N rejection sampling: ~12 responses per prompt
+      // (prompt = doc_id % 40), fingerprint-derived signed micro rewards,
+      // 50000µ margin gate. One min-struct aggregation per prompt — the
+      // oracle replays the reward derivation and both argmax/argmin ends
+      // with their id tie-breaks.
+      val resp = docsSpread(s, dir).select(
+        concat(lit("p"), col("doc_id") % 40).as("prompt"),
+        col("doc_id").as("id"),
+        (TextAnalysis.fingerprint(col("text")) % 2000000L - 1000000L)
+          .as("reward_micro"))
+      graft.llm.Conversations.bestOfN(resp, "prompt", "id", "reward_micro",
+          minMarginMicro = 50000L)
+        .orderBy(col("prompt"))
+    }),
+
     "q_conv_neardup" -> ((s, dir) => {
       // FUZZY conversation dedup — SFT corpora dedup NEAR, not exact
       // (regenerated final turns, paraphrased system prompts survive
@@ -3440,6 +3456,33 @@ object LlmQueries {
         |  CAST(n_chosen_longer * 1000000 // n_pairs AS BIGINT) AS chosen_longer_micro,
         |  CAST(sum_d * 1000000 // n_pairs AS BIGINT) AS mean_delta_micro
         |FROM a""".stripMargin,
+
+    "q_conv_bestofn" ->
+      """WITH resp AS (SELECT 'p' || CAST(doc_id % 40 AS VARCHAR) AS prompt,
+        |    doc_id AS id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(text[i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) % 2000000 - 1000000
+        |      AS reward_micro
+        |  FROM documents),
+        |rk AS (SELECT *,
+        |    row_number() OVER (PARTITION BY prompt
+        |      ORDER BY reward_micro DESC, id) AS kb,
+        |    row_number() OVER (PARTITION BY prompt
+        |      ORDER BY reward_micro ASC, id) AS kw,
+        |    count(*) OVER (PARTITION BY prompt) AS n
+        |  FROM resp),
+        |b AS (SELECT prompt, CAST(n AS BIGINT) AS n_responses, id AS best_id,
+        |    reward_micro AS best_reward_micro FROM rk WHERE kb = 1),
+        |w AS (SELECT prompt, id AS worst_id,
+        |    reward_micro AS worst_reward_micro FROM rk WHERE kw = 1)
+        |SELECT b.prompt, b.n_responses, b.best_id, b.best_reward_micro,
+        |  w.worst_id, w.worst_reward_micro,
+        |  b.best_reward_micro - w.worst_reward_micro AS margin_micro,
+        |  (b.n_responses >= 2 AND
+        |   b.best_reward_micro - w.worst_reward_micro >= 50000) AS pair_valid
+        |FROM b JOIN w USING (prompt) ORDER BY prompt""".stripMargin,
 
     "q_conv_toolcalls" ->
       """WITH t AS (SELECT doc_id,

@@ -214,4 +214,41 @@ class ConversationsSpec extends SparkTestBase {
         Map("search" -> Seq.empty))
     }
   }
+  test("bestOfN: argmax/argmin per prompt, deterministic ties, margin gate") {
+    val s = spark; import s.implicits._
+    val resp = Seq(
+      // p0: clear spread — best id 3 (900), worst id 1 (100)
+      (0L, 1L, 100L), (0L, 2L, 500L), (0L, 3L, 900L),
+      // p1: best-reward TIE between ids 11 and 12 -> smaller id wins;
+      //     worst-reward tie between 13 and 14 -> smaller id
+      (1L, 11L, 700L), (1L, 12L, 700L), (1L, 13L, 200L), (1L, 14L, 200L),
+      // p2: single response — never a valid pair
+      (2L, 21L, 999999L),
+      // p3: all equal — margin 0 fails even a zero minMargin (strict gate)
+      (3L, 31L, 400L), (3L, 32L, 400L)
+    ).toDF("prompt", "id", "reward_micro")
+    val got = Conversations.bestOfN(resp, "prompt", "id", "reward_micro",
+        minMarginMicro = 300000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 3L, 3L, 900L, 1L, 100L, 800L, false))) // margin 800 < 300000
+    assert(got(1L) == ((1L, 4L, 11L, 700L, 13L, 200L, 500L, false)))
+    assert(got(2L) == ((2L, 1L, 21L, 999999L, 21L, 999999L, 0L, false)))
+    assert(got(3L) == ((3L, 2L, 31L, 400L, 31L, 400L, 0L, false)))
+    // with a clearing margin, only the spread prompts mint pairs
+    val open = Conversations.bestOfN(resp, "prompt", "id", "reward_micro")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r._8).toMap
+    assert(open == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("bestOfN: negative rewards order correctly (signed micro scale)") {
+    val s = spark; import s.implicits._
+    val resp = Seq((0L, 1L, -500000L), (0L, 2L, -100L), (0L, 3L, -999999L))
+      .toDF("prompt", "id", "reward_micro")
+    val r = Conversations.bestOfN(resp, "prompt", "id", "reward_micro")
+      .select("best_id", "worst_id", "margin_micro")
+      .as[(Long, Long, Long)].collect().head
+    assert(r == ((2L, 3L, 999899L)))
+  }
 }

@@ -134,6 +134,21 @@ object SdfitsQueries {
           element_at(col("data"), 4).as("d4"),
           col("ifnum"), col("calstate"))
         .orderBy(col("rowkey"), col("d1"), col("d2"), col("d3"), col("d4"))
+    }),
+
+    "q_sdfits_pushdown" -> ((s, dir) => {
+      // Filter + aggregate pushdown through the connector: the CALSTATE
+      // predicate is evaluated on the raw row bytes before any decode, and
+      // COUNT/MIN/MAX arrive as one partial row per file (an unfiltered
+      // count comes straight from the header's NAXIS2). Values are fully
+      // derivable from lineitem; the PLAN shape (PushedFilters +
+      // PushedAggregates on the scan) is pinned by SdfitsPushdownSpec.
+      val path = ensureObservation(s, dir)
+      s.read.format("sdfits").load(path)
+        .filter(col("CALSTATE") === 1)
+        .agg(count(lit(1)).as("n_cal"),
+          min(col("ROWKEY")).as("min_key"), max(col("ROWKEY")).as("max_key"),
+          min(col("IFNUM")).as("min_if"), max(col("IFNUM")).as("max_if"))
     })
   )
 
@@ -154,6 +169,15 @@ object SdfitsQueries {
         |  CAST(l_orderkey % 3 AS INT) AS ifnum,
         |  CAST(l_linenumber % 2 AS INT) AS calstate
         |FROM lineitem WHERE l_orderkey % 20 = 0
-        |ORDER BY rowkey, d1, d2, d3, d4""".stripMargin
+        |ORDER BY rowkey, d1, d2, d3, d4""".stripMargin,
+
+    "q_sdfits_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_cal,
+        |  min(l_orderkey * 8 + l_linenumber) AS min_key,
+        |  max(l_orderkey * 8 + l_linenumber) AS max_key,
+        |  CAST(min(l_orderkey % 3) AS INT) AS min_if,
+        |  CAST(max(l_orderkey % 3) AS INT) AS max_if
+        |FROM lineitem
+        |WHERE l_orderkey % 20 = 0 AND l_linenumber % 2 = 1""".stripMargin
   )
 }

@@ -11,10 +11,11 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,10 +32,14 @@ import SdfitsFormat._
   * so a file is the natural parallelism unit, exactly like the engine's
   * per-file `mapGroups` operators. Column pruning is pushed into the reader
   * ([[SupportsPushDownRequiredColumns]]): unprojected columns are never
-  * decoded (the wide DATA vector skipped for flag-only scans). Every file
-  * is structurally verified on open (S2) and checked against the inferred
-  * schema (U1 strict-merge semantics: a drifting file fails loudly rather
-  * than silently nulling).
+  * decoded (the wide DATA vector skipped for flag-only scans). Scalar
+  * predicates push too ([[SupportsPushDownFilters]]) — evaluated on the raw
+  * fixed-width row bytes before any projection decode — and global
+  * COUNT/MIN/MAX collapse to one partial row per file
+  * ([[SupportsPushDownAggregates]]; an unfiltered count reads only the
+  * header's NAXIS2). Every file is structurally verified on open (S2) and
+  * checked against the inferred schema (U1 strict-merge semantics: a
+  * drifting file fails loudly rather than silently nulling).
   */
 class SdfitsTableProvider extends TableProvider with DataSourceRegister {
 
@@ -131,23 +136,190 @@ private[sdfits] class SdfitsTable(schema: StructType, path: String)
     new SdfitsWriteBuilder(info, path)
 }
 
+/** The pushdown surface, shared by builder and readers.
+  *
+  * Filters: comparisons/`IN` on SCALAR columns are evaluated on the raw
+  * row bytes BEFORE any projected column is decoded — an SDFITS row is
+  * fixed-width binary, so a rejected row costs one cell decode instead of
+  * a full-row materialization (the wide DATA vector dominates). NaN
+  * ordering matches Spark's (NaN sorts above every double — exactly
+  * `java.lang.Double.compare`), and a floating NaN LITERAL is refused
+  * (Spark's `=` can't produce it from SQL; equality-on-NaN semantics
+  * differ by context, so it must not be claimed as handled).
+  *
+  * Aggregates: global (no grouping) COUNT(*)/COUNT(col)/MIN/MAX emit ONE
+  * partial row per file. Counts come straight from the header's NAXIS2 —
+  * no cell is ever decoded when no filter is pushed — and every SDFITS
+  * column is non-nullable, so COUNT(col) = COUNT(*). MIN/MAX decode only
+  * their own column. At a million-file observatory archive this is the
+  * difference between a catalog query and a full decode of the archive.
+  */
+private[sdfits] object SdfitsPushdown {
+  sealed trait Agg
+  case object RowCount extends Agg
+  final case class MinCol(name: String) extends Agg
+  final case class MaxCol(name: String) extends Agg
+
+  private def scalarField(full: StructType, name: String): Option[StructField] =
+    full.fields.find(_.name == name).filterNot(_.dataType.isInstanceOf[ArrayType])
+
+  private def nameOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _ => None
+    }
+
+  private def isNaN(v: Any): Boolean = v match {
+    case d: Double => d.isNaN
+    case f: Float  => f.isNaN
+    case _         => false
+  }
+
+  private def typeCompatible(full: StructType, attr: String, v: Any): Boolean =
+    scalarField(full, attr).exists { f =>
+      !isNaN(v) && ((f.dataType, v) match {
+        case (StringType, _: String)                          => true
+        case (IntegerType | LongType, _: Int | _: Long)       => true
+        case (FloatType | DoubleType, _: Number)              => true
+        case _                                                => false
+      })
+    }
+
+  def supported(full: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, v)            => typeCompatible(full, a, v)
+    case GreaterThan(a, v)        => typeCompatible(full, a, v)
+    case GreaterThanOrEqual(a, v) => typeCompatible(full, a, v)
+    case LessThan(a, v)           => typeCompatible(full, a, v)
+    case LessThanOrEqual(a, v)    => typeCompatible(full, a, v)
+    case In(a, vs) => vs.nonEmpty && vs.forall(typeCompatible(full, a, _))
+    // every SDFITS column is non-nullable by construction
+    case IsNotNull(a)             => full.fieldNames.contains(a)
+    case _                        => false
+  }
+
+  def toAgg(full: StructType, f: AggregateFunc): Option[Agg] = f match {
+    case _: CountStar => Some(RowCount)
+    case c: Count if !c.isDistinct =>
+      // non-nullable columns: COUNT(col) == COUNT(*)
+      nameOf(c.column).filter(n => full.fieldNames.contains(n)).map(_ => RowCount)
+    case m: Min =>
+      nameOf(m.column).flatMap(scalarField(full, _)).map(f => MinCol(f.name))
+    case m: Max =>
+      nameOf(m.column).flatMap(scalarField(full, _)).map(f => MaxCol(f.name))
+    case _ => None
+  }
+
+  def aggSchema(full: StructType, aggs: Seq[Agg]): StructType =
+    StructType(aggs.zipWithIndex.map {
+      case (RowCount, i)    => StructField(s"count_$i", LongType, nullable = false)
+      case (MinCol(n), i)   =>
+        StructField(s"min_${n}_$i", full(full.fieldIndex(n)).dataType, nullable = true)
+      case (MaxCol(n), i)   =>
+        StructField(s"max_${n}_$i", full(full.fieldIndex(n)).dataType, nullable = true)
+    })
+
+  /** Spark's total order on the scalar cell types (NaN above all doubles,
+    * exactly the j.l.{Double,Float}.compare contract).
+    */
+  def cmp(cell: Any, lit: Any): Int = (cell, lit) match {
+    case (a: String, b: String) => a.compareTo(b)
+    case (a: Int, b: Int)       => java.lang.Integer.compare(a, b)
+    case (a: Int, b: Long)      => java.lang.Long.compare(a.toLong, b)
+    case (a: Long, b: Int)      => java.lang.Long.compare(a, b.toLong)
+    case (a: Long, b: Long)     => java.lang.Long.compare(a, b)
+    case (a: Float, b: Number)  => java.lang.Float.compare(a, b.floatValue())
+    case (a: Double, b: Number) => java.lang.Double.compare(a, b.doubleValue())
+    case other =>
+      throw new IllegalStateException(s"sdfits pushdown: uncomparable $other")
+  }
+
+  def passes(cell: Any, f: Filter): Boolean = f match {
+    case EqualTo(_, v)            => cmp(cell, v) == 0
+    case GreaterThan(_, v)        => cmp(cell, v) > 0
+    case GreaterThanOrEqual(_, v) => cmp(cell, v) >= 0
+    case LessThan(_, v)           => cmp(cell, v) < 0
+    case LessThanOrEqual(_, v)    => cmp(cell, v) <= 0
+    case In(_, vs)                => vs.exists(v => cmp(cell, v) == 0)
+    case IsNotNull(_)             => true
+    case other =>
+      throw new IllegalStateException(s"sdfits pushdown: unplanned filter $other")
+  }
+
+  def attrOf(f: Filter): String = f match {
+    case EqualTo(a, _) => a
+    case GreaterThan(a, _) => a
+    case GreaterThanOrEqual(a, _) => a
+    case LessThan(a, _) => a
+    case LessThanOrEqual(a, _) => a
+    case In(a, _) => a
+    case IsNotNull(a) => a
+    case other =>
+      throw new IllegalStateException(s"sdfits pushdown: unplanned filter $other")
+  }
+}
+
 private[sdfits] class SdfitsScanBuilder(full: StructType, path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+  private var aggs: Seq[SdfitsPushdown.Agg] = Nil
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new SdfitsScan(full, required, path)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(SdfitsPushdown.supported(full, _))
+    pushed = sup
+    unsup
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    val specs = aggregation.aggregateExpressions.map(SdfitsPushdown.toAgg(full, _))
+    if (specs.isEmpty || specs.exists(_.isEmpty)) return false
+    aggs = specs.flatten.toSeq
+    true
+  }
+  override def build(): Scan = {
+    val out =
+      if (aggs.nonEmpty) SdfitsPushdown.aggSchema(full, aggs) else required
+    new SdfitsScan(full, out, path, pushed, aggs)
+  }
 }
 
 private[sdfits] case class SdfitsInputPartition(file: String) extends InputPartition
 
-private[sdfits] class SdfitsScan(full: StructType, required: StructType, path: String)
-    extends Scan with Batch {
+private[sdfits] class SdfitsScan(full: StructType, output: StructType,
+    path: String, filters: Array[Filter], aggs: Seq[SdfitsPushdown.Agg])
+    extends Scan with Batch with SupportsReportStatistics {
   // Resolved on the driver (session fs settings apply) and shipped to the
   // reader tasks via the factory — executors must see the same filesystem
   // configuration the planner listed files with.
   private val conf = new SerializableWritable(SdfitsTableProvider.driverConf())
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = output
   override def toBatch: Batch = this
+  override def description(): String = {
+    val fs = if (filters.isEmpty) "" else filters.mkString(", PushedFilters: [", ", ", "]")
+    val as = if (aggs.isEmpty) "" else aggs.mkString(", PushedAggregates: [", ", ", "]")
+    s"sdfits:$path$fs$as"
+  }
+  /** Planner statistics from the file listing alone (no header reads):
+    * raw byte size feeds the broadcast-threshold decision for joins
+    * against small observations.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override val sizeInBytes: java.util.OptionalLong =
+      try {
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf.value)
+        val st = fs.getFileStatus(p)
+        val len =
+          if (st.isDirectory)
+            SdfitsTableProvider.listFiles(path, conf.value)
+              .map(f => fs.getFileStatus(new Path(f)).getLen).sum
+          else st.getLen
+        java.util.OptionalLong.of(len)
+      } catch { case _: java.io.IOException => java.util.OptionalLong.empty() }
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
   override def planInputPartitions(): Array[InputPartition] = {
     val files = SdfitsTableProvider.listFiles(path, conf.value)
     // An existing-but-fileless directory must fail on READ like a missing
@@ -157,24 +329,28 @@ private[sdfits] class SdfitsScan(full: StructType, required: StructType, path: S
     files.map(SdfitsInputPartition.apply).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SdfitsReaderFactory(full, required, conf)
+    new SdfitsReaderFactory(full, output, filters, aggs, conf)
 }
 
 private[sdfits] class SdfitsReaderFactory(
-    full: StructType, required: StructType,
+    full: StructType, output: StructType, filters: Array[Filter],
+    aggs: Seq[SdfitsPushdown.Agg],
     conf: SerializableWritable[Configuration])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new SdfitsPartitionReader(partition.asInstanceOf[SdfitsInputPartition].file,
-      full, required, conf.value)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[SdfitsInputPartition].file
+    if (aggs.nonEmpty)
+      new SdfitsAggReader(file, full, filters, aggs, conf.value)
+    else
+      new SdfitsPartitionReader(file, full, output, filters, conf.value)
+  }
 }
 
-private[sdfits] class SdfitsPartitionReader(
-    file: String, full: StructType, required: StructType, conf: Configuration)
-    extends PartitionReader[InternalRow] {
-
-  private val bytes = SdfitsTableProvider.readFully(file, conf)
-  private val table: TableSpec = {
+/** Shared per-file open + verify + cell addressing for both readers. */
+private[sdfits] abstract class SdfitsFileAccess(
+    file: String, full: StructType, conf: Configuration) {
+  protected val bytes: Array[Byte] = SdfitsTableProvider.readFully(file, conf)
+  protected val table: TableSpec = {
     val (_, t) = SdfitsFormat.open(bytes)
     val actual = SdfitsTableProvider.toStructType(t.cols)
     if (actual != full)
@@ -182,25 +358,53 @@ private[sdfits] class SdfitsPartitionReader(
         s"$file: schema ${actual.simpleString} does not match the table's ${full.simpleString}")
     t
   }
+  private val offsets = table.cols.scanLeft(0)(_ + _.bytes)
+  protected def colAt(name: String): (ColSpec, Int) = {
+    val i = table.cols.indexWhere(_.name == name)
+    (table.cols(i), offsets(i))
+  }
+  protected def decode(row: Int, ca: (ColSpec, Int)): Any =
+    SdfitsFormat.decodeCell(bytes, table, row, ca._1, ca._2)
+}
+
+private[sdfits] class SdfitsPartitionReader(
+    file: String, full: StructType, required: StructType,
+    filters: Array[Filter], conf: Configuration)
+    extends SdfitsFileAccess(file, full, conf) with PartitionReader[InternalRow] {
+
   // (column spec, byte offset within row) per projected field — unprojected
   // columns are never decoded
-  private val projected: Array[(ColSpec, Int)] = {
-    val offsets = table.cols.scanLeft(0)(_ + _.bytes)
-    required.fields.map { f =>
-      val i = table.cols.indexWhere(_.name == f.name)
-      (table.cols(i), offsets(i))
-    }
-  }
+  private val projected: Array[(ColSpec, Int)] = required.fields.map(f => colAt(f.name))
+  // pushed predicates resolved to their cells — evaluated BEFORE projection
+  // decode, so a rejected row never materializes its DATA vector.
+  // IsNotNull is vacuously true on non-nullable columns: accepted in the
+  // pushdown (it rides along with every comparison Spark generates) but
+  // never evaluated, so it costs no decode.
+  private val preds: Array[(Filter, (ColSpec, Int))] =
+    filters.filterNot(_.isInstanceOf[IsNotNull])
+      .map(f => (f, colAt(SdfitsPushdown.attrOf(f))))
   private var row = -1
 
-  override def next(): Boolean = { row += 1; row < table.nRows }
+  private def rowPasses(r: Int): Boolean = {
+    var i = 0
+    while (i < preds.length) {
+      if (!SdfitsPushdown.passes(decode(r, preds(i)._2), preds(i)._1)) return false
+      i += 1
+    }
+    true
+  }
+
+  override def next(): Boolean = {
+    row += 1
+    while (row < table.nRows && !rowPasses(row)) row += 1
+    row < table.nRows
+  }
 
   override def get(): InternalRow = {
     val vals = new Array[Any](projected.length)
     var i = 0
     while (i < projected.length) {
-      val (c, off) = projected(i)
-      vals(i) = SdfitsFormat.decodeCell(bytes, table, row, c, off) match {
+      vals(i) = decode(row, projected(i)) match {
         case s: String          => UTF8String.fromString(s)
         case a: Array[Double]   => new GenericArrayData(a)
         case a: Array[Float]    => new GenericArrayData(a)
@@ -209,6 +413,71 @@ private[sdfits] class SdfitsPartitionReader(
       i += 1
     }
     new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** One partial-aggregate row per file: counts from the header's NAXIS2
+  * when no filter survives (zero cell decodes), otherwise one pass that
+  * decodes only the filter + aggregated columns. Spark plans the final
+  * merge (SUM over the partial counts, MIN/MAX over the partial extrema).
+  */
+private[sdfits] class SdfitsAggReader(
+    file: String, full: StructType, filters: Array[Filter],
+    aggs: Seq[SdfitsPushdown.Agg], conf: Configuration)
+    extends SdfitsFileAccess(file, full, conf) with PartitionReader[InternalRow] {
+  import SdfitsPushdown._
+
+  private var emitted = false
+
+  override def next(): Boolean = { val first = !emitted; emitted = true; first }
+
+  override def get(): InternalRow = {
+    val preds: Array[(Filter, (ColSpec, Int))] =
+      filters.filterNot(_.isInstanceOf[IsNotNull])
+        .map(f => (f, colAt(SdfitsPushdown.attrOf(f))))
+    val cols: Map[String, (ColSpec, Int)] = aggs.collect {
+      case MinCol(n) => n -> colAt(n)
+      case MaxCol(n) => n -> colAt(n)
+    }.toMap
+    if (preds.isEmpty && cols.isEmpty) {
+      // pure COUNT: the header already knows
+      return new GenericInternalRow(
+        Array[Any](aggs.map(_ => table.nRows.toLong): _*))
+    }
+    var count = 0L
+    val mins = scala.collection.mutable.Map.empty[String, Any]
+    val maxs = scala.collection.mutable.Map.empty[String, Any]
+    var r = 0
+    while (r < table.nRows) {
+      var ok = true
+      var i = 0
+      while (ok && i < preds.length) {
+        ok = passes(decode(r, preds(i)._2), preds(i)._1)
+        i += 1
+      }
+      if (ok) {
+        count += 1
+        cols.foreach { case (n, ca) =>
+          val v = decode(r, ca)
+          if (!mins.contains(n) || cmpAny(v, mins(n)) < 0) mins(n) = v
+          if (!maxs.contains(n) || cmpAny(v, maxs(n)) > 0) maxs(n) = v
+        }
+      }
+      r += 1
+    }
+    new GenericInternalRow(aggs.map {
+      case RowCount  => count
+      case MinCol(n) => toCatalyst(mins.get(n).orNull)
+      case MaxCol(n) => toCatalyst(maxs.get(n).orNull)
+    }.toArray[Any])
+  }
+
+  private def cmpAny(a: Any, b: Any): Int = SdfitsPushdown.cmp(a, b)
+  private def toCatalyst(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other     => other
   }
 
   override def close(): Unit = ()

@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.io.FileOutputStream
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.sources.sdfits.SdfitsFormat
+import graft.sources.sdfits.SdfitsFormat.ColSpec
+
+/** SDFITS connector pushdown: filters evaluated on raw row bytes before
+  * decode, global COUNT/MIN/MAX as one partial row per file (counts from
+  * the header when unfiltered), group-bys and unsupported shapes falling
+  * back with identical results. The plan-shape assertions pin what the
+  * oracle cannot see: that the scan really carried the filter/aggregate.
+  */
+class SdfitsPushdownSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val cols = Seq(
+    ColSpec("ROWIDX", 1, 'K'),
+    ColSpec("DATA", 4, 'D'),
+    ColSpec("IFNUM", 1, 'J'),
+    ColSpec("ELEVATIO", 1, 'D'),
+    ColSpec("OBSMODE", 12, 'A'))
+
+  private def writeObs(path: String, fileTag: Int, n: Int): Unit = {
+    val out = new FileOutputStream(path)
+    try SdfitsFormat.write(out,
+      headerValues = Seq("OBSFREQ" -> "1400.0", "OBSBW" -> "80.0"),
+      stringHeaderValues = Seq("DATE" -> "2024-01-01T00:00:00", "OBSMODE" -> "onoff"),
+      history = Seq("DATAMODE HIRES / data resolution mode"),
+      cols = cols,
+      rows = (0 until n).iterator.map { i =>
+        Seq[Any](
+          (fileTag * 1000 + i).toLong,
+          Array(1.0 * i, 2.0 * i, 3.0 * i, 0.5 * i),
+          i % 3,
+          40.0 + i,
+          if (i % 2 == 0) "onoff:on" else "onoff:off")
+      },
+      nRows = n)
+    finally out.close()
+  }
+
+  private def fixture(): String = {
+    val dir = Files.createTempDirectory("graft-sdfits-push").toFile
+    writeObs(s"$dir/a.fits", fileTag = 1, n = 30)
+    writeObs(s"$dir/b.fits", fileTag = 2, n = 20)
+    dir.getAbsolutePath
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("comparison and IN filters are pushed to the scan and match a residual-only read") {
+    val dir = fixture()
+    val df = spark.read.format("sdfits").load(dir)
+    val pushed = df.filter($"IFNUM" === 1 && $"ELEVATIO" >= 45.0 &&
+      $"OBSMODE".isin("onoff:on", "onoff:off"))
+    val plan = planOf(pushed)
+    assert(plan.contains("PushedFilters"), s"no pushed filters in:\n$plan")
+    assert(plan.contains("EqualTo(IFNUM,1)"), plan)
+    // brute-force expectation straight from the generator
+    val expect = (0 until 30).count(i => i % 3 == 1 && 40.0 + i >= 45.0) +
+      (0 until 20).count(i => i % 3 == 1 && 40.0 + i >= 45.0)
+    assert(pushed.count() == expect)
+    // values (not just counts) survive: the projected DATA decodes only
+    // for passing rows, and must still be the right rows' vectors
+    val rows = pushed.select($"ROWIDX", element_at($"DATA", 2)).as[(Long, Double)]
+      .collect().toMap
+    assert(rows(1007L) == 14.0 && rows(2007L) == 14.0)
+  }
+
+  test("global count(*) is answered from the headers: PushedAggregates, zero decode columns") {
+    val dir = fixture()
+    val df = spark.read.format("sdfits").load(dir)
+    val agg = df.agg(count(lit(1)).as("n"))
+    val plan = planOf(agg)
+    assert(plan.contains("PushedAggregates"), s"aggregate not pushed:\n$plan")
+    assert(agg.head().getLong(0) == 50L)
+  }
+
+  test("filtered count + min/max push together; empty matches yield null extrema") {
+    val dir = fixture()
+    val df = spark.read.format("sdfits").load(dir)
+    val agg = df.filter($"IFNUM" === 2)
+      .agg(count(lit(1)).as("n"), min($"ROWIDX").as("lo"), max($"ROWIDX").as("hi"),
+        min($"OBSMODE").as("ms"), max($"ELEVATIO").as("me"))
+    val plan = planOf(agg)
+    assert(plan.contains("PushedAggregates") && plan.contains("PushedFilters"), plan)
+    val r = agg.head()
+    val matches = (0 until 30).filter(_ % 3 == 2).map(i => 1000L + i) ++
+      (0 until 20).filter(_ % 3 == 2).map(i => 2000L + i)
+    assert(r.getLong(0) == matches.length.toLong)
+    assert(r.getLong(1) == matches.min && r.getLong(2) == matches.max)
+    assert(r.getString(3) == "onoff:off") // min string among ifnum==2 rows
+    assert(r.getDouble(4) == 40.0 + 29)   // i=29 has i%3==2
+    // no row matches: count 0, extrema null
+    val none = df.filter($"IFNUM" === 7)
+      .agg(count(lit(1)), min($"ROWIDX"), max($"ELEVATIO")).head()
+    assert(none.getLong(0) == 0L && none.isNullAt(1) && none.isNullAt(2))
+  }
+
+  test("group-by aggregates and array-column extrema fall back, results identical") {
+    val dir = fixture()
+    val df = spark.read.format("sdfits").load(dir)
+    val grouped = df.groupBy($"IFNUM").agg(count(lit(1)).as("n"))
+    assert(!planOf(grouped).contains("PushedAggregates"), planOf(grouped))
+    assert(grouped.orderBy($"IFNUM").as[(Int, Long)].collect().toSeq ==
+      Seq((0, 17L), (1, 17L), (2, 16L)))
+    // min over an expression of the DATA vector cannot push — plan falls
+    // back to a full agg over the (pruned) scan with the same answer
+    val arrMax = df.agg(max(element_at($"DATA", 3)))
+    assert(!planOf(arrMax).contains("PushedAggregates"), planOf(arrMax))
+    assert(arrMax.head().getDouble(0) == 3.0 * 29)
+  }
+
+  test("an unsupported predicate stays residual while its siblings push") {
+    val dir = fixture()
+    val df = spark.read.format("sdfits").load(dir)
+    val mixed = df.filter($"IFNUM" === 0 && element_at($"DATA", 1) > 10.0)
+    val plan = planOf(mixed)
+    assert(plan.contains("EqualTo(IFNUM,0)"), plan)
+    val expect = (0 until 30).count(i => i % 3 == 0 && 1.0 * i > 10.0) +
+      (0 until 20).count(i => i % 3 == 0 && 1.0 * i > 10.0)
+    assert(mixed.count() == expect)
+  }
+
+  test("statistics report the byte size of the listing") {
+    val dir = fixture()
+    val df = spark.read.format("sdfits").load(dir)
+    val scan = df.queryExecution.optimizedPlan.stats
+    val onDisk = new java.io.File(dir).listFiles().map(_.length()).sum
+    assert(scan.sizeInBytes == BigInt(onDisk), s"${scan.sizeInBytes} vs $onDisk")
+  }
+}

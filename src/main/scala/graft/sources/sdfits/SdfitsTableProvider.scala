@@ -147,12 +147,15 @@ private[sdfits] class SdfitsTable(schema: StructType, path: String)
   * (Spark's `=` can't produce it from SQL; equality-on-NaN semantics
   * differ by context, so it must not be claimed as handled).
   *
-  * Aggregates: global (no grouping) COUNT(*)/COUNT(col)/MIN/MAX emit ONE
-  * partial row per file. Counts come straight from the header's NAXIS2 —
-  * no cell is ever decoded when no filter is pushed — and every SDFITS
-  * column is non-nullable, so COUNT(col) = COUNT(*). MIN/MAX decode only
-  * their own column. At a million-file observatory archive this is the
-  * difference between a catalog query and a full decode of the archive.
+  * Aggregates: COUNT(*)/COUNT(col)/MIN/MAX — globally or grouped on
+  * scalar columns — emit partial rows per file (one per group). Ungrouped,
+  * unfiltered counts come straight from the header's NAXIS2 — no cell is
+  * ever decoded — and every SDFITS column is non-nullable, so
+  * COUNT(col) = COUNT(*). MIN/MAX decode only their own column; grouped
+  * aggregates decode key + aggregated columns only, and ship per-file
+  * GROUP partials instead of raw rows into the shuffle. At a million-file
+  * observatory archive this is the difference between a catalog query and
+  * a full decode of the archive.
   */
 private[sdfits] object SdfitsPushdown {
   sealed trait Agg
@@ -209,14 +212,27 @@ private[sdfits] object SdfitsPushdown {
     case _ => None
   }
 
-  def aggSchema(full: StructType, aggs: Seq[Agg]): StructType =
-    StructType(aggs.zipWithIndex.map {
-      case (RowCount, i)    => StructField(s"count_$i", LongType, nullable = false)
-      case (MinCol(n), i)   =>
-        StructField(s"min_${n}_$i", full(full.fieldIndex(n)).dataType, nullable = true)
-      case (MaxCol(n), i)   =>
-        StructField(s"max_${n}_$i", full(full.fieldIndex(n)).dataType, nullable = true)
-    })
+  /** Grouping columns pushable with the aggregate: single-name scalar
+    * fields only (an expression grouping falls back to the unpushed plan).
+    */
+  def groupCols(full: StructType,
+      exprs: Array[org.apache.spark.sql.connector.expressions.Expression]): Option[Seq[String]] = {
+    val names = exprs.toSeq.map(nameOf)
+    if (names.forall(_.exists(n => scalarField(full, n).isDefined)))
+      Some(names.map(_.get))
+    else None
+  }
+
+  def aggSchema(full: StructType, groupBy: Seq[String], aggs: Seq[Agg]): StructType =
+    StructType(groupBy.map(n =>
+      StructField(n, full(full.fieldIndex(n)).dataType, nullable = false)) ++
+      aggs.zipWithIndex.map {
+        case (RowCount, i)    => StructField(s"count_$i", LongType, nullable = false)
+        case (MinCol(n), i)   =>
+          StructField(s"min_${n}_$i", full(full.fieldIndex(n)).dataType, nullable = true)
+        case (MaxCol(n), i)   =>
+          StructField(s"max_${n}_$i", full(full.fieldIndex(n)).dataType, nullable = true)
+      })
 
   /** Spark's total order on the scalar cell types (NaN above all doubles,
     * exactly the j.l.{Double,Float}.compare contract).
@@ -264,6 +280,7 @@ private[sdfits] class SdfitsScanBuilder(full: StructType, path: String)
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Seq[SdfitsPushdown.Agg] = Nil
+  private var groupBy: Seq[String] = Nil
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, unsup) = filters.partition(SdfitsPushdown.supported(full, _))
@@ -272,23 +289,27 @@ private[sdfits] class SdfitsScanBuilder(full: StructType, path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (aggregation.groupByExpressions.nonEmpty) return false
+    val groups = SdfitsPushdown.groupCols(full, aggregation.groupByExpressions)
+    if (groups.isEmpty) return false
     val specs = aggregation.aggregateExpressions.map(SdfitsPushdown.toAgg(full, _))
     if (specs.isEmpty || specs.exists(_.isEmpty)) return false
     aggs = specs.flatten.toSeq
+    groupBy = groups.get
     true
   }
   override def build(): Scan = {
     val out =
-      if (aggs.nonEmpty) SdfitsPushdown.aggSchema(full, aggs) else required
-    new SdfitsScan(full, out, path, pushed, aggs)
+      if (aggs.nonEmpty) SdfitsPushdown.aggSchema(full, groupBy, aggs)
+      else required
+    new SdfitsScan(full, out, path, pushed, groupBy, aggs)
   }
 }
 
 private[sdfits] case class SdfitsInputPartition(file: String) extends InputPartition
 
 private[sdfits] class SdfitsScan(full: StructType, output: StructType,
-    path: String, filters: Array[Filter], aggs: Seq[SdfitsPushdown.Agg])
+    path: String, filters: Array[Filter], groupBy: Seq[String],
+    aggs: Seq[SdfitsPushdown.Agg])
     extends Scan with Batch with SupportsReportStatistics {
   // Resolved on the driver (session fs settings apply) and shipped to the
   // reader tasks via the factory — executors must see the same filesystem
@@ -299,7 +320,8 @@ private[sdfits] class SdfitsScan(full: StructType, output: StructType,
   override def description(): String = {
     val fs = if (filters.isEmpty) "" else filters.mkString(", PushedFilters: [", ", ", "]")
     val as = if (aggs.isEmpty) "" else aggs.mkString(", PushedAggregates: [", ", ", "]")
-    s"sdfits:$path$fs$as"
+    val gs = if (groupBy.isEmpty) "" else groupBy.mkString(", PushedGroupBy: [", ", ", "]")
+    s"sdfits:$path$fs$as$gs"
   }
   /** Planner statistics from the file listing alone (no header reads):
     * raw byte size feeds the broadcast-threshold decision for joins
@@ -329,18 +351,18 @@ private[sdfits] class SdfitsScan(full: StructType, output: StructType,
     files.map(SdfitsInputPartition.apply).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SdfitsReaderFactory(full, output, filters, aggs, conf)
+    new SdfitsReaderFactory(full, output, filters, groupBy, aggs, conf)
 }
 
 private[sdfits] class SdfitsReaderFactory(
     full: StructType, output: StructType, filters: Array[Filter],
-    aggs: Seq[SdfitsPushdown.Agg],
+    groupBy: Seq[String], aggs: Seq[SdfitsPushdown.Agg],
     conf: SerializableWritable[Configuration])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[SdfitsInputPartition].file
     if (aggs.nonEmpty)
-      new SdfitsAggReader(file, full, filters, aggs, conf.value)
+      new SdfitsAggReader(file, full, filters, groupBy, aggs, conf.value)
     else
       new SdfitsPartitionReader(file, full, output, filters, conf.value)
   }
@@ -418,37 +440,42 @@ private[sdfits] class SdfitsPartitionReader(
   override def close(): Unit = ()
 }
 
-/** One partial-aggregate row per file: counts from the header's NAXIS2
-  * when no filter survives (zero cell decodes), otherwise one pass that
-  * decodes only the filter + aggregated columns. Spark plans the final
-  * merge (SUM over the partial counts, MIN/MAX over the partial extrema).
+/** Partial-aggregate rows per file: one row per pushed GROUP (one total
+  * for a global aggregate — emitted even when nothing matches, count 0 /
+  * null extrema). Unfiltered ungrouped counts come from the header's
+  * NAXIS2 with zero cell decodes; otherwise one pass decodes only the
+  * filter + grouping + aggregated columns. Spark plans the final merge
+  * (SUM over the partial counts, MIN/MAX over the partial extrema,
+  * re-grouped on the pushed keys).
   */
 private[sdfits] class SdfitsAggReader(
     file: String, full: StructType, filters: Array[Filter],
-    aggs: Seq[SdfitsPushdown.Agg], conf: Configuration)
+    groupBy: Seq[String], aggs: Seq[SdfitsPushdown.Agg], conf: Configuration)
     extends SdfitsFileAccess(file, full, conf) with PartitionReader[InternalRow] {
   import SdfitsPushdown._
 
-  private var emitted = false
+  private final class GroupState {
+    var count = 0L
+    val mins = scala.collection.mutable.Map.empty[String, Any]
+    val maxs = scala.collection.mutable.Map.empty[String, Any]
+  }
 
-  override def next(): Boolean = { val first = !emitted; emitted = true; first }
-
-  override def get(): InternalRow = {
+  private def compute(): Seq[InternalRow] = {
     val preds: Array[(Filter, (ColSpec, Int))] =
       filters.filterNot(_.isInstanceOf[IsNotNull])
         .map(f => (f, colAt(SdfitsPushdown.attrOf(f))))
+    val keyCols: Seq[(ColSpec, Int)] = groupBy.map(colAt)
     val cols: Map[String, (ColSpec, Int)] = aggs.collect {
       case MinCol(n) => n -> colAt(n)
       case MaxCol(n) => n -> colAt(n)
     }.toMap
-    if (preds.isEmpty && cols.isEmpty) {
-      // pure COUNT: the header already knows
-      return new GenericInternalRow(
-        Array[Any](aggs.map(_ => table.nRows.toLong): _*))
-    }
-    var count = 0L
-    val mins = scala.collection.mutable.Map.empty[String, Any]
-    val maxs = scala.collection.mutable.Map.empty[String, Any]
+    if (preds.isEmpty && keyCols.isEmpty && cols.isEmpty)
+      // pure global COUNT: the header already knows
+      return Seq(new GenericInternalRow(
+        Array[Any](aggs.map(_ => table.nRows.toLong): _*)))
+    // insertion-ordered so the partial rows are deterministic per file
+    // (Spark's final merge doesn't care, determinism is free here)
+    val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], GroupState]
     var r = 0
     while (r < table.nRows) {
       var ok = true
@@ -458,21 +485,38 @@ private[sdfits] class SdfitsAggReader(
         i += 1
       }
       if (ok) {
-        count += 1
+        val key = keyCols.map(decode(r, _))
+        val st = groups.getOrElseUpdate(key, new GroupState)
+        st.count += 1
         cols.foreach { case (n, ca) =>
           val v = decode(r, ca)
-          if (!mins.contains(n) || cmpAny(v, mins(n)) < 0) mins(n) = v
-          if (!maxs.contains(n) || cmpAny(v, maxs(n)) > 0) maxs(n) = v
+          if (!st.mins.contains(n) || cmpAny(v, st.mins(n)) < 0) st.mins(n) = v
+          if (!st.maxs.contains(n) || cmpAny(v, st.maxs(n)) > 0) st.maxs(n) = v
         }
       }
       r += 1
     }
-    new GenericInternalRow(aggs.map {
-      case RowCount  => count
-      case MinCol(n) => toCatalyst(mins.get(n).orNull)
-      case MaxCol(n) => toCatalyst(maxs.get(n).orNull)
-    }.toArray[Any])
+    // a GLOBAL aggregate over zero matches still produces its one partial
+    if (groupBy.isEmpty && groups.isEmpty) groups(Nil) = new GroupState
+    groups.iterator.map { case (key, st) =>
+      new GenericInternalRow((key.map(toCatalyst) ++ aggs.map {
+        case RowCount  => st.count
+        case MinCol(n) => toCatalyst(st.mins.get(n).orNull)
+        case MaxCol(n) => toCatalyst(st.maxs.get(n).orNull)
+      }).toArray[Any])
+    }.toSeq
   }
+
+  private val out: Iterator[InternalRow] = compute().iterator
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!out.hasNext) return false
+    current = out.next()
+    true
+  }
+
+  override def get(): InternalRow = current
 
   private def cmpAny(a: Any, b: Any): Int = SdfitsPushdown.cmp(a, b)
   private def toCatalyst(v: Any): Any = v match {

@@ -101,13 +101,33 @@ class SdfitsPushdownSpec extends SparkTestBase {
     assert(none.getLong(0) == 0L && none.isNullAt(1) && none.isNullAt(2))
   }
 
-  test("group-by aggregates and array-column extrema fall back, results identical") {
+  test("scalar group-by pushes per-file group partials; key decode only") {
     val dir = fixture()
     val df = spark.read.format("sdfits").load(dir)
-    val grouped = df.groupBy($"IFNUM").agg(count(lit(1)).as("n"))
-    assert(!planOf(grouped).contains("PushedAggregates"), planOf(grouped))
-    assert(grouped.orderBy($"IFNUM").as[(Int, Long)].collect().toSeq ==
-      Seq((0, 17L), (1, 17L), (2, 16L)))
+    val grouped = df.groupBy($"IFNUM")
+      .agg(count(lit(1)).as("n"), max($"ROWIDX").as("hi"))
+    val plan = planOf(grouped)
+    assert(plan.contains("PushedAggregates") && plan.contains("PushedGroupBy"),
+      plan)
+    assert(grouped.orderBy($"IFNUM").as[(Int, Long, Long)].collect().toSeq ==
+      Seq((0, 17L, 2018L), (1, 17L, 2019L), (2, 16L, 2017L)))
+    // grouped + filtered: both push, groups absent from a file contribute
+    // no partials and the final result has only surviving keys
+    val gf = df.filter($"ROWIDX" >= 2000L).groupBy($"OBSMODE")
+      .agg(count(lit(1)).as("n"))
+    assert(planOf(gf).contains("PushedGroupBy"), planOf(gf))
+    assert(gf.orderBy($"OBSMODE").as[(String, Long)].collect().toSeq ==
+      Seq(("onoff:off", 10L), ("onoff:on", 10L)))
+  }
+
+  test("expression group-bys and array-column extrema fall back, results identical") {
+    val dir = fixture()
+    val df = spark.read.format("sdfits").load(dir)
+    // grouping on an EXPRESSION of a column cannot push
+    val exprGroup = df.groupBy((col("IFNUM") % 2).as("k")).agg(count(lit(1)).as("n"))
+    assert(!planOf(exprGroup).contains("PushedAggregates"), planOf(exprGroup))
+    assert(exprGroup.orderBy($"k").as[(Int, Long)].collect().toSeq ==
+      Seq((0, 33L), (1, 17L)))
     // min over an expression of the DATA vector cannot push — plan falls
     // back to a full agg over the (pruned) scan with the same answer
     val arrMax = df.agg(max(element_at($"DATA", 3)))

@@ -339,7 +339,11 @@ object Packing {
       shards: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(shards > 0, "shards must be positive")
-    val mix = pmod(col(idCol).cast("long") * 2654435761L, lit(4294967296L))
+    // ANSI-safe shared mix (finding 59a/63): the earlier inline
+    // `id * 2654435761` Long product overflows for ids ≥ 2^32 — hit at
+    // sf10's 10^10 id offsets. mix32's 16/16 split is identity-exact with
+    // the direct product, so the oracle keeps its plain `id * C % 2^32`.
+    val mix = graft.ops.Sampling.mix32(col(idCol))
     val maxK = 63 - java.lang.Long.numberOfLeadingZeros(budget)
     val q = expr(s"${budget}L DIV n_tokens")
     val kOfQ = (1 to maxK).map(i => when(q >= (1L << i), 1L).otherwise(0L))

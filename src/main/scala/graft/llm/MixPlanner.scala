@@ -173,6 +173,44 @@ object MixPlanner {
     *
     * Returns the kept rows as `(domain, id, priority, tokens, cum_tokens)`.
     */
+  /** Realized-vs-planned mixture audit — the post-selection check every
+    * training run does before spending compute: per domain, the planned
+    * allocation, the tokens actually selected, the unfilled remainder
+    * (under the [[budgetSelect]] prefix rule, at most one document's
+    * tokens), and both shares in exact integer micro units with their
+    * signed drift. Domains the selection never touched still appear
+    * (realized 0) — a silently empty domain is precisely what the audit
+    * exists to surface. One aggregation over the selection + two broadcast
+    * joins (the allocation frame is ≤ [[MaxDomains]] rows, the totals one
+    * row); integer division truncates toward zero in both engines.
+    */
+  def mixReport(selected: DataFrame, domainCol: String, tokensCol: String,
+      alloc: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val realized = selected
+      .groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(sum(col(tokensCol).cast("long")).as("__r"))
+    val joined = alloc.select(col("domain"), col("alloc_tokens"))
+      .join(broadcast(realized), Seq("domain"), "left")
+      .withColumn("realized_tokens", coalesce(col("__r"), lit(0L)))
+    val totals = joined.agg(
+      coalesce(sum(col("alloc_tokens")), lit(0L)).as("__ta"),
+      coalesce(sum(col("realized_tokens")), lit(0L)).as("__tr"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("shortfall_tokens", col("alloc_tokens") - col("realized_tokens"))
+      .withColumn("planned_share_micro",
+        when(col("__ta") > 0,
+          expr(s"(cast(alloc_tokens as $dec) * 1000000) div __ta").cast("long")))
+      .withColumn("realized_share_micro",
+        when(col("__tr") > 0,
+          expr(s"(cast(realized_tokens as $dec) * 1000000) div __tr").cast("long")))
+      .withColumn("drift_micro",
+        col("realized_share_micro") - col("planned_share_micro"))
+      .select(col("domain"), col("alloc_tokens"), col("realized_tokens"),
+        col("shortfall_tokens"), col("planned_share_micro"),
+        col("realized_share_micro"), col("drift_micro"))
+  }
+
   def budgetSelect(docs: DataFrame, domainCol: String, idCol: String,
       tokensCol: String, priorityCol: String, alloc: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("domain"))

@@ -2338,6 +2338,26 @@ object LlmQueries {
         .orderBy(col("domain"), col("id"))
     }),
 
+    "q_mix_report" -> ((s, dir) => {
+      // The realized-vs-planned mixture audit closing the planning loop:
+      // allocation → prefix selection → per-domain realized tokens,
+      // shortfall, and signed share drift in exact integer micros. The
+      // oracle replays the ENTIRE chain (inventories → water-filling →
+      // prefix selection → report) from the documents table.
+      val doms = mixDomains(s, dir).localCheckpoint(true)
+      val alloc = MixPlanner.budgetAllocation(doms, "domain", "w", "avail",
+        budgetTokens = mixBudget(doms), maxEpochsMicro = 1500000L)
+      val d = docsSpread(s, dir).select(
+        concat_ws("/", col("source"), col("lang")).as("domain"),
+        col("doc_id"),
+        (TextAnalysis.fingerprint(col("text")) % 1000000L).as("priority"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+      val sel = MixPlanner.budgetSelect(d, "domain", "doc_id", "tokens",
+        "priority", alloc)
+      MixPlanner.mixReport(sel, "domain", "tokens", alloc)
+        .orderBy(col("domain"))
+    }),
+
     "q_text_entropy" -> ((s, dir) =>
       // Character-entropy gibberish screen in integer micro-nats.
       TextAnalysis.charEntropyBy(docs(s, dir), "doc_id", "text")
@@ -5436,6 +5456,41 @@ object LlmQueries {
         |  CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM mix_cum WHERE cum_tokens <= alloc_tokens
         |ORDER BY domain, id""".stripMargin,
+
+    "q_mix_report" ->
+      s"""WITH $mixAllocSql,
+        |mix_docs AS (SELECT source || '/' || lang AS domain, doc_id AS id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(text[i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) % 1000000 AS priority,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |mix_cum AS (SELECT d.domain, d.tokens,
+        |    sum(d.tokens) OVER (PARTITION BY d.domain
+        |      ORDER BY d.priority DESC, d.id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+        |    f.alloc_tokens
+        |  FROM mix_docs d JOIN mix_fin f USING (domain)),
+        |mix_real AS (SELECT domain, CAST(sum(tokens) AS BIGINT) AS realized
+        |  FROM mix_cum WHERE cum_tokens <= alloc_tokens GROUP BY domain),
+        |mix_j AS (SELECT f.domain, f.alloc_tokens,
+        |    coalesce(r.realized, 0) AS realized_tokens
+        |  FROM mix_fin f LEFT JOIN mix_real r USING (domain)),
+        |mix_tot AS (SELECT coalesce(sum(alloc_tokens), 0) AS ta,
+        |    coalesce(sum(realized_tokens), 0) AS tr FROM mix_j)
+        |SELECT domain, alloc_tokens,
+        |  CAST(realized_tokens AS BIGINT) AS realized_tokens,
+        |  CAST(alloc_tokens - realized_tokens AS BIGINT) AS shortfall_tokens,
+        |  CASE WHEN ta > 0 THEN CAST((CAST(alloc_tokens AS HUGEINT) * 1000000)
+        |    // ta AS BIGINT) END AS planned_share_micro,
+        |  CASE WHEN tr > 0 THEN CAST((CAST(realized_tokens AS HUGEINT) * 1000000)
+        |    // tr AS BIGINT) END AS realized_share_micro,
+        |  CASE WHEN ta > 0 AND tr > 0 THEN
+        |    CAST((CAST(realized_tokens AS HUGEINT) * 1000000) // tr
+        |      - (CAST(alloc_tokens AS HUGEINT) * 1000000) // ta AS BIGINT)
+        |  END AS drift_micro
+        |FROM mix_j CROSS JOIN mix_tot ORDER BY domain""".stripMargin,
 
     "q_text_entropy" ->
       // The per-char −p·ln(p) term is the SAME fixed-point integer chain

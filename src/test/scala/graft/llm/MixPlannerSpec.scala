@@ -139,6 +139,22 @@ class MixPlannerSpec extends SparkTestBase {
     assert(kept(2L) == 80L && kept(5L) == 10L)
   }
 
+  test("mixReport: realized vs planned, untouched domains surface at zero") {
+    val alloc = Seq(("a", 100L), ("b", 50L), ("c", 50L))
+      .toDF("domain", "alloc_tokens")
+    val selected = Seq(("a", 40L), ("a", 40L), ("b", 50L))
+      .toDF("domain", "tokens")
+    val got = MixPlanner.mixReport(selected, "domain", "tokens", alloc)
+      .select("domain", "alloc_tokens", "realized_tokens", "shortfall_tokens",
+        "planned_share_micro", "realized_share_micro", "drift_micro")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 100L, 80L, 20L, 500000L, 615384L, 115384L)))
+    assert(got("b") == (("b", 50L, 50L, 0L, 250000L, 384615L, 134615L)))
+    // c was never selected: realized 0, full shortfall, share 0
+    assert(got("c") == (("c", 50L, 0L, 50L, 250000L, 0L, -250000L)))
+  }
+
   test("the domain-count guard refuses oversized inputs loudly") {
     val big = spark.range(MixPlanner.MaxDomains + 1)
       .selectExpr("cast(id as string) as domain", "1000L as w", "10L as avail")

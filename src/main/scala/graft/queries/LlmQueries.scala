@@ -2345,8 +2345,11 @@ object LlmQueries {
       // oracle replays the ENTIRE chain (inventories → water-filling →
       // prefix selection → report) from the documents table.
       val doms = mixDomains(s, dir).localCheckpoint(true)
+      // the ~100-row allocation is consumed TWICE (selection join + report
+      // join): pin it once or the whole water-filling subtree re-evaluates
       val alloc = MixPlanner.budgetAllocation(doms, "domain", "w", "avail",
-        budgetTokens = mixBudget(doms), maxEpochsMicro = 1500000L)
+          budgetTokens = mixBudget(doms), maxEpochsMicro = 1500000L)
+        .localCheckpoint(true)
       val d = docsSpread(s, dir).select(
         concat_ws("/", col("source"), col("lang")).as("domain"),
         col("doc_id"),

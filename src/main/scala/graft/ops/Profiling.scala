@@ -102,12 +102,21 @@ object Profiling {
     * this dataset: for each probability p, rank(approx_value) must be within
     * n/accuracy of p·n. Deterministic (the sketch is deterministic for a
     * given dataset + accuracy), so the oracle is the constant `true`.
+    *
+    * The exact ranks come back as one SCALAR BIGINT column per probability
+    * (`r_25`, `r_50`, ... = percent of p), never as an array: the driver's
+    * comparator row-sorts dumps with pandas and an `array<bigint>` cell
+    * crashes its sort (`unhashable type: 'numpy.ndarray'` — round-15's one
+    * red row). Collapsing-at-percent probs (0.991 vs 0.99) are rejected up
+    * front rather than silently merged.
     */
   def quantileCert(df: DataFrame, colName: String, probs: Seq[Double],
       accuracy: Int = 1000): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
+    val rankNames = probs.map(p => s"r_${math.round(p * 100)}")
+    require(rankNames.distinct.size == rankNames.size,
+      s"probs collide at percent resolution: $probs")
     val spark = df.sparkSession
-    import spark.implicits._
     // Cast to double so the sketch's value list is uniformly typed (over a
     // bigint column percentile_approx returns array<bigint>).
     val c = col(colName).cast("double")
@@ -128,8 +137,11 @@ object Profiling {
     // flag + the exact ranks of the approximated values (deterministic
     // for a given dataset — a sketch drift inside the tolerance now
     // changes the output) + the derivable row count (VERDICT r14 item 3)
-    val rankCols = probs.indices.map(i => ranks.getLong(i))
-    Seq((ok, n, rankCols)).toDF("within_bound", "n", "ranks")
+    val rankCols = probs.indices.map { i =>
+      lit(ranks.getLong(i)).as(rankNames(i))
+    }
+    spark.range(1).select(
+      (Seq(lit(ok).as("within_bound"), lit(n).as("n")) ++ rankCols): _*)
   }
 
   /** Release manifest — the accounting a dataset SHIP step records: per

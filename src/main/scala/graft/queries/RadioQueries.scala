@@ -224,12 +224,18 @@ object RadioQueries {
     "q_a10_onoff" -> ((s, dir) =>
       // Single aggregation pass + 2-row fold (see Spectrum.run) — not a
       // filter/crossJoin pair, which would aggregate the table twice.
+      // Certificate output is posexploded to relational (channel, diff)
+      // rows: the driver comparator cannot row-sort array cells (r15's
+      // q_profile_quantiles crash class); onOffDiff itself stays
+      // array-valued for in-library composition.
       Integration.spectrumBy(
           li(s, dir).withColumn("DATA", int3), (col("l_orderkey") % 2 === 1).as("on"))
         .agg(
           first(when(col("on"), col("spectrum")), ignoreNulls = true).as("s_on"),
           first(when(!col("on"), col("spectrum")), ignoreNulls = true).as("s_off"))
-        .select(Integration.onOffDiff(col("s_on"), col("s_off")).as("diff"))),
+        .select(posexplode(
+          Integration.onOffDiff(col("s_on"), col("s_off"))).as(Seq("channel", "diff")))
+        .orderBy(col("channel"))),
 
     // --- joins (SURVEY §2.3: the engine's public join surface; the
     //     reference itself never joins — cross-section combination is
@@ -677,11 +683,15 @@ object RadioQueries {
         |FROM orders ORDER BY t""".stripMargin,
 
     "q_a10_onoff" ->
-      """SELECT [
-        |  CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN l_quantity ELSE 0 END) - sum(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity ELSE 0 END) AS DOUBLE),
-        |  CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN l_linenumber ELSE 0 END) - sum(CASE WHEN l_orderkey % 2 = 0 THEN l_linenumber ELSE 0 END) AS DOUBLE),
-        |  CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN l_partkey % 7 ELSE 0 END) - sum(CASE WHEN l_orderkey % 2 = 0 THEN l_partkey % 7 ELSE 0 END) AS DOUBLE)
-        |] AS diff FROM lineitem""".stripMargin,
+      """WITH d AS (SELECT
+        |  CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN l_quantity ELSE 0 END) - sum(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity ELSE 0 END) AS DOUBLE) AS d0,
+        |  CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN l_linenumber ELSE 0 END) - sum(CASE WHEN l_orderkey % 2 = 0 THEN l_linenumber ELSE 0 END) AS DOUBLE) AS d1,
+        |  CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN l_partkey % 7 ELSE 0 END) - sum(CASE WHEN l_orderkey % 2 = 0 THEN l_partkey % 7 ELSE 0 END) AS DOUBLE) AS d2
+        |FROM lineitem)
+        |SELECT channel, diff FROM (
+        |  SELECT 0 AS channel, d0 AS diff FROM d
+        |  UNION ALL SELECT 1, d1 FROM d
+        |  UNION ALL SELECT 2, d2 FROM d) ORDER BY channel""".stripMargin,
 
     "q_join_enrich" ->
       """SELECT p_brand, s_nationkey, CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty

@@ -216,14 +216,25 @@ class ScaleOpsSpec extends SparkTestBase {
 
   test("quantile certificate holds on a skewed column") {
     val df = (1L to 5000L).map(i => i * i).toDF("v") // quadratic skew
-    val (ok, n, ranks) =
-      Profiling.quantileCert(df, "v", Seq(0.1, 0.5, 0.99), accuracy = 100)
-        .as[(Boolean, Long, Seq[Long])].head()
-    assert(ok && n == 5000L && ranks.size == 3)
+    val out = Profiling.quantileCert(df, "v", Seq(0.1, 0.5, 0.99), accuracy = 100)
+    // Scalar rank columns (never an array — the driver comparator cannot
+    // row-sort array cells), named by percent.
+    assert(out.columns.toSeq ==
+      Seq("within_bound", "n", "r_10", "r_50", "r_99"))
+    val (ok, n, r10, r50, r99) =
+      out.as[(Boolean, Long, Long, Long, Long)].head()
+    assert(ok && n == 5000L)
     // exact ranks sit within the sketch tolerance of the target ranks
     val tol = n.toDouble / 100 + 1
-    Seq(0.1, 0.5, 0.99).zip(ranks).foreach { case (p, r) =>
+    Seq(0.1 -> r10, 0.5 -> r50, 0.99 -> r99).foreach { case (p, r) =>
       assert(math.abs(r - p * n) <= tol, s"p=$p rank=$r")
+    }
+  }
+
+  test("quantile certificate rejects probs colliding at percent resolution") {
+    val df = (1L to 100L).toDF("v")
+    intercept[IllegalArgumentException] {
+      Profiling.quantileCert(df, "v", Seq(0.99, 0.991))
     }
   }
 

@@ -8,6 +8,7 @@ values (bit-exact for floats, with a near-miss diagnostic at 1e-9 rel).
 """
 import json, math, os, sys
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from graft_tables import create_views
@@ -30,6 +31,27 @@ def norm(v):
     if isinstance(v, float):
         return v
     return v
+
+def driver_order(rows, cols):
+    """Replica of the driver comparator's row ordering: load into pandas,
+    sort columns by name, row-sort over ALL columns. Returns the input
+    rows (original Python values, NOT pandas-coerced ones) in that order.
+
+    Crucially this RAISES on comparator-hostile cells — a top-level array
+    column dies in pandas factorize with "unhashable type: 'numpy.ndarray'"
+    — exactly like the driver (q_profile_quantiles, round 15). The old
+    zip-in-dump-order compare structurally could not reproduce that class.
+    """
+    if len(rows) <= 1:
+        # The driver still builds the frame for 0/1-row dumps; mirror that
+        # so a 1-row array output (the round-15 crash) fails here too.
+        if rows:
+            pd.DataFrame(list(rows), columns=cols)[sorted(cols)] \
+                .sort_values(by=sorted(cols), kind="mergesort")
+        return rows
+    df = pd.DataFrame(list(rows), columns=cols)[sorted(cols)]
+    idx = df.sort_values(by=sorted(cols), kind="mergesort").index
+    return [rows[i] for i in idx]
 
 def values_equal(a, b):
     if a is None and b is None:
@@ -93,6 +115,15 @@ for name in sorted(oracle):
         continue
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+        n_fail += 1
+        continue
+    # Row-sort both sides the way the driver does (pandas). Raises on
+    # comparator-hostile cell types — that's a FAIL, like the driver's err.
+    try:
+        got = driver_order(got, got_cols)
+        exp = driver_order(exp, exp_cols)
+    except Exception as e:
+        print(f"FAIL {name}: driver-sort replica error {type(e).__name__}: {e}")
         n_fail += 1
         continue
     bad = near = 0

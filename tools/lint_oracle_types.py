@@ -26,14 +26,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from graft_tables import create_views
 
 # Types every green oracle in the registry resolves to (r13 survey over all
-# 271: BIGINT 519, VARCHAR 129, DOUBLE 97, BOOLEAN 91, INTEGER 53,
-# DOUBLE[] 1) plus the remaining Spark-representable scalars/lists a future
-# oracle may legitimately emit. Deliberately closed: a new type should be a
-# conscious decision, not DuckDB widening.
+# 271: BIGINT 519, VARCHAR 129, DOUBLE 97, BOOLEAN 91, INTEGER 53) plus the
+# remaining Spark-representable scalars a future oracle may legitimately
+# emit. Deliberately closed: a new type should be a conscious decision, not
+# DuckDB widening. SCALARS ONLY — the driver comparator row-sorts dumps
+# with pandas, and a top-level list/array column crashes its sort
+# ("unhashable type: 'numpy.ndarray'", q_profile_quantiles round 15), so
+# list types are banned outright: flatten to per-element scalar columns.
 ALLOWED = {
     "BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE",
     "TIMESTAMP", "TIMESTAMP WITH TIME ZONE",
-    "BIGINT[]", "INTEGER[]", "DOUBLE[]", "VARCHAR[]", "BOOLEAN[]",
 }
 
 def main():

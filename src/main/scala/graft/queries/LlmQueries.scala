@@ -430,6 +430,19 @@ object LlmQueries {
   /** e1 unit query vector (dim 64 — the corpus embedding width). */
   private val e1: Array[Double] = { val a = new Array[Double](64); a(0) = 1.0; a }
 
+  /** The full-corpus k=12, 2-round NN-Descent graph, built ONCE per JVM and
+    * staged to parquet (QueryUtil.stagedOnce — VERDICT r15 item 2): three
+    * certificates (`q_sim_hnsw`, `q_sim_hnsw_recall`, `q_sim_index_release`)
+    * consume this same deterministic artifact to certify three different
+    * things (path agreement, planted recall, snapshot supersession);
+    * re-running the ~80-job build in each taxed the bench ~3× for no
+    * additional coverage. Content is invariant to which query builds first.
+    */
+  private def knnGraph2(s: SparkSession, dir: String): DataFrame =
+    stagedOnce(s, s"knn_k12_r2_${dir.hashCode & 0x7fffffff}",
+      () => GraphAnn.buildKnnGraph(
+        emb(s, dir).select(col("vec_id"), col("embedding")), k = 12, rounds = 2))
+
   /** Agreement certificate between a single-query top-k frame
     * `(vec_id, cosine)` and a batched multi-query frame
     * `(qid, vec_id, cosine, rank)` for the same single query: one row
@@ -1126,7 +1139,9 @@ object LlmQueries {
       val v1 = SS.commit(g1, root)
       val sumBefore = edgeSum(SS.read(s, root, v1))
       val directV1 = searchIds(g1)
-      val g2 = GraphAnn.buildKnnGraph(e, k = 12, rounds = 2)
+      // The deeper v2 rebuild is the SHARED staged artifact (knnGraph2):
+      // this certificate proves the supersession discipline, not the build.
+      val g2 = knnGraph2(s, dir)
       val v2 = SS.replace(g2, root)
       val pinned = SS.read(s, root, v1)
       val v1Stable = edgeSum(pinned) == sumBefore
@@ -1162,8 +1177,14 @@ object LlmQueries {
       val root = stagingDir() + "/ann_index_delta"
       val SS = graft.sources.SnapshotStore
       SS.destroy(root)
+      // rounds=1 for the BASE build: this certificate proves the
+      // warm-start merge + supersession discipline, not base-build
+      // depth — planted-delta recall is carried by updateKnnGraph's
+      // exact delta-incident scoring (verified: 10/10 at sf0.01/sf0.1
+      // with either depth), and the build-depth economics live in
+      // tools/AnnUpdateBench, not here.
       val v1 = SS.replace(
-        GraphAnn.buildKnnGraph(base, k = 12, rounds = 2), root)
+        GraphAnn.buildKnnGraph(base, k = 12, rounds = 1), root)
       val merged = GraphAnn.updateKnnGraph(SS.read(s, root, v1), base, delta,
         k = 12, rounds = 1)
       val v2 = SS.replaceExpecting(merged, root, expectedPrior = v1)
@@ -1188,9 +1209,11 @@ object LlmQueries {
       // orderBy.limit mechanism and the batched window mechanism must
       // return the SAME ranked (id, cosine) list over the same stored
       // graph. The graph is built once and checkpointed (the stored-index
-      // deployment shape) and feeds both paths.
+      // deployment shape) and feeds both paths. The graph is the shared
+      // staged artifact (knnGraph2) — built once per JVM, read from parquet
+      // here exactly as a deployed stored index would be.
       val e = emb(s, dir)
-      val g = GraphAnn.buildKnnGraph(e, k = 12, rounds = 2)
+      val g = knnGraph2(s, dir)
       pathAgreement(
         GraphAnn.search(g, e, e1, k = 10, beam = 48, hops = 3, entryK = 8),
         GraphAnn.searchMulti(g, e, Seq((0L, e1)), k = 10, beam = 48,
@@ -1202,9 +1225,9 @@ object LlmQueries {
       // Planted-neighbor recall contract for the graph path (same pattern
       // as q_sim_ann_recall / q_sim_ivf_recall): 10 perturbed corpus
       // vectors answered by the batched beam search; ≥ 9/10 must surface
-      // their source in the top-10.
+      // their source in the top-10. Same shared staged graph as q_sim_hnsw.
       val e = emb(s, dir)
-      val g = GraphAnn.buildKnnGraph(e, k = 12, rounds = 2)
+      val g = knnGraph2(s, dir)
       val qs = Similarity.perturbedQueries(e, n = 10)
       val hits = GraphAnn.searchMulti(g, e, qs, k = 10, beam = 48,
           hops = 3, entryK = 8)

@@ -74,12 +74,6 @@ object MixPlanner {
     require(budgetTokens >= 0, s"budget must be non-negative: $budgetTokens")
     require(maxEpochsMicro > 0,
       s"maxEpochsMicro must be positive: $maxEpochsMicro")
-    val n = domains.count()
-    require(n <= MaxDomains,
-      s"mix allocation refused: $n domains > cap $MaxDomains. The water-" +
-        s"filling self-join is quadratic in DOMAINS; pass mixture " +
-        s"components, not documents (budgetSelect applies an allocation " +
-        s"to a corpus linearly).")
     val dec = "decimal(38,0)"
     // One defensive projection: validated long weights/inventories and the
     // epoch-capped capacity. `div` keeps everything integral (both engines
@@ -91,6 +85,26 @@ object MixPlanner {
       .withColumn("cap_tokens",
         expr(s"(cast(avail_tokens as $dec) * $maxEpochsMicro) div 1000000")
           .cast("long"))
+    // Loud input validation in the SAME job as the MaxDomains count
+    // (ADVICE r15): a zero/negative/null weight passes the cleared-
+    // denominator saturation test (0 ≤ B·0), reads as saturated, and
+    // silently drains budget into a domain the caller asked nothing for;
+    // negative inventories corrupt every downstream product.
+    val guard = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("weight_micro").isNull ||
+        col("weight_micro") <= 0L || col("avail_tokens").isNull ||
+        col("avail_tokens") < 0L, 1L)), lit(0L)).as("bad")).head()
+    val n = guard.getLong(0)
+    require(n <= MaxDomains,
+      s"mix allocation refused: $n domains > cap $MaxDomains. The water-" +
+        s"filling self-join is quadratic in DOMAINS; pass mixture " +
+        s"components, not documents (budgetSelect applies an allocation " +
+        s"to a corpus linearly).")
+    require(guard.getLong(1) == 0L,
+      s"mix allocation refused: ${guard.getLong(1)} domain(s) with " +
+        s"non-positive/null weight_micro or negative/null avail_tokens — " +
+        s"drop or fix them upstream; a zero-weight domain would silently " +
+        s"read as saturated and be allocated its full capacity.")
     // n ≤ 4096 and reused thrice below (self-join both sides + final join):
     // pin the validated frame once.
     val d = base.localCheckpoint(true)
@@ -154,25 +168,6 @@ object MixPlanner {
         col("epochs_micro"))
   }
 
-  /** Apply a per-domain token allocation to a corpus: keep each domain's
-    * documents in priority order (priority desc, id asc — a strict total
-    * order when `idCol` is unique) while the INCLUSIVE running token sum
-    * stays within the domain's `alloc_tokens`; the first overshooting
-    * document and everything after it are dropped. The prefix rule means a
-    * domain may underfill by at most one document's tokens — the exact
-    * budget is a packing concern (`Packing`), not a selection concern.
-    *
-    * One broadcast join (the allocation frame is ≤ [[MaxDomains]] rows) +
-    * one per-domain running-sum window. The window sorts each domain's
-    * partition — fine up to tens of millions of docs per domain; a
-    * single pathological mega-domain wants the range-partitioned prefix
-    * technique of `Sampling.topFractionByScoreDist` (same boundary-rank
-    * trick over cumulative token sums). Stated rather than built: every
-    * mixture in the registry caps domain shares long before one domain
-    * is a corpus.
-    *
-    * Returns the kept rows as `(domain, id, priority, tokens, cum_tokens)`.
-    */
   /** Realized-vs-planned mixture audit — the post-selection check every
     * training run does before spending compute: per domain, the planned
     * allocation, the tokens actually selected, the unfilled remainder
@@ -211,6 +206,24 @@ object MixPlanner {
         col("realized_share_micro"), col("drift_micro"))
   }
 
+  /** Apply a per-domain token allocation to a corpus: keep each domain's
+    * documents in priority order (priority desc, id asc — a strict total
+    * order when `idCol` is unique) while the INCLUSIVE running token sum
+    * stays within the domain's `alloc_tokens`; the first overshooting
+    * document and everything after it are dropped. The prefix rule means a
+    * domain may underfill by at most one document's tokens — the exact
+    * budget is a packing concern (`Packing`), not a selection concern.
+    *
+    * One broadcast join (the allocation frame is ≤ [[MaxDomains]] rows) +
+    * one per-domain running-sum window. The window sorts each domain's
+    * partition — fine up to tens of millions of docs per domain; a
+    * single pathological mega-domain (a Pile-style mixture where one
+    * domain IS most of the corpus) lands its whole window on one task —
+    * that shape goes to [[budgetSelectDist]], which returns the identical
+    * set with every task bounded by ~n/P.
+    *
+    * Returns the kept rows as `(domain, id, priority, tokens, cum_tokens)`.
+    */
   def budgetSelect(docs: DataFrame, domainCol: String, idCol: String,
       tokensCol: String, priorityCol: String, alloc: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("domain"))
@@ -222,6 +235,83 @@ object MixPlanner {
       .join(broadcast(alloc.select(col("domain"),
         col("alloc_tokens"))), Seq("domain"))
       .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .filter(col("cum_tokens") <= col("alloc_tokens"))
+      .select(col("domain"), col("id"), col("priority"), col("tokens"),
+        col("cum_tokens"))
+  }
+
+  /** Mega-domain scale path of [[budgetSelect]] (VERDICT r15 item 4) —
+    * IDENTICAL output, no per-domain single-task window. The windowed form
+    * hash-partitions by domain, so one domain holding 80% of the corpus
+    * (not pathological: The Pile's CC slice) sorts 80% of the corpus in
+    * ONE task. Here the distributed running sum is the two-level prefix
+    * trick of `Sampling.topFractionByScoreDist`, generalized from ranks to
+    * token sums:
+    *
+    *  1. range-partition the slim projection on the selection's total
+    *     order `(domain asc, priority desc, id asc)` — a mega-domain
+    *     spreads CONTIGUOUSLY over many partitions;
+    *  2. per (partition, domain) token subtotals collect to the driver —
+    *     domains are contiguous in the range order, so that frame has at
+    *     most P + [[MaxDomains]] rows (partition count + domain count,
+    *     never data) — and scan into exclusive prefix OFFSETS;
+    *  3. each row's global running sum = its WITHIN-chunk running sum
+    *     (window keyed by (chunk, domain): every window partition is
+    *     ≤ ~n/P rows, the same bound the range partitioner guarantees a
+    *     sort task) + the broadcast offset of its (chunk, domain).
+    *
+    * The kept set and every `cum_tokens` are pure functions of the total
+    * order — independent of P and of where range boundaries fall (the
+    * partition-sweep equality spec pins this). Same determinism
+    * precondition as the windowed form: (priority, id) strict total order
+    * within a domain.
+    *
+    * Cost: one range exchange + one hash exchange of the slim 4-column
+    * projection, both balanced at any skew. The windowed form stays the
+    * right default when every domain fits a task.
+    */
+  def budgetSelectDist(docs: DataFrame, domainCol: String, idCol: String,
+      tokensCol: String, priorityCol: String, alloc: DataFrame,
+      partitions: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = math.max(2,
+      if (partitions > 0) partitions else spark.sparkContext.defaultParallelism)
+    val slim = docs.select(col(domainCol).cast("string").as("domain"),
+        col(idCol).as("id"), col(priorityCol).as("priority"),
+        col(tokensCol).cast("long").as("tokens"))
+      .join(broadcast(alloc.select(col("domain"),
+        col("alloc_tokens"))), Seq("domain"))
+    // Stage once before range partitioning (topFractionByScoreDist's
+    // lesson): repartitionByRange SAMPLES its child for boundaries and
+    // then exchanges it — two evaluations of the caller's priority/token
+    // kernels without this.
+    val parted = slim.localCheckpoint()
+      .repartitionByRange(p, col("domain").asc, col("priority").desc,
+        col("id").asc)
+      .withColumn("__chunk", spark_partition_id())
+      .localCheckpoint()
+    // (chunk, domain) subtotals → driver → exclusive prefix offsets.
+    // Bounded by P + MaxDomains rows because domains are range-contiguous.
+    val subtotals = parted.groupBy(col("__chunk"), col("domain"))
+      .agg(sum(col("tokens")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets = subtotals.groupBy(_._2).iterator.flatMap {
+      case (domain, chunks) =>
+        val sorted = chunks.sortBy(_._1).toSeq
+        sorted.zip(sorted.scanLeft(0L)(_ + _._3)).map {
+          case ((chunk, _, _), off) => (chunk, domain, off)
+        }
+    }.toSeq.toDF("__chunk", "domain", "__offset")
+    // Within-chunk running sum: window keyed by (chunk, domain) — the
+    // exchange hashes on BOTH, so a mega-domain's chunks land on
+    // different tasks and each window partition is ≤ ~n/P rows.
+    val w = Window.partitionBy(col("__chunk"), col("domain"))
+      .orderBy(col("priority").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .join(broadcast(offsets), Seq("__chunk", "domain"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w) + col("__offset"))
       .filter(col("cum_tokens") <= col("alloc_tokens"))
       .select(col("domain"), col("id"), col("priority"), col("tokens"),
         col("cum_tokens"))

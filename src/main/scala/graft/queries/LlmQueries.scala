@@ -2361,6 +2361,27 @@ object LlmQueries {
         .orderBy(col("domain"), col("id"))
     }),
 
+    "q_mix_select_dist" -> ((s, dir) => {
+      // Mega-domain scale path (VERDICT r15 item 4): the WHOLE corpus as
+      // ONE domain — the Pile-CC shape that lands the windowed form's
+      // entire running sum on a single task — selected to a ¾-of-inventory
+      // token budget by the range-partitioned two-level prefix sum. The
+      // kept set and cum_tokens are pure functions of the total order
+      // (partition-sweep equality vs the windowed form is pinned in
+      // MixPlannerSpec); the oracle replays the prefix rule with one
+      // global window.
+      val d = docsSpread(s, dir).select(
+        lit("corpus").as("domain"),
+        col("doc_id"),
+        (TextAnalysis.fingerprint(col("text")) % 1000000L).as("priority"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+      val alloc = d.agg(expr("(sum(tokens) * 3) div 4").as("alloc_tokens"))
+        .select(lit("corpus").as("domain"), col("alloc_tokens"))
+      MixPlanner.budgetSelectDist(d, "domain", "doc_id", "tokens",
+          "priority", alloc)
+        .orderBy(col("id"))
+    }),
+
     "q_mix_report" -> ((s, dir) => {
       // The realized-vs-planned mixture audit closing the planning loop:
       // allocation → prefix selection → per-domain realized tokens,
@@ -5482,6 +5503,24 @@ object LlmQueries {
         |  CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM mix_cum WHERE cum_tokens <= alloc_tokens
         |ORDER BY domain, id""".stripMargin,
+
+    "q_mix_select_dist" ->
+      """WITH mix_docs AS (SELECT 'corpus' AS domain, doc_id AS id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(text[i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) % 1000000 AS priority,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |a AS (SELECT (sum(tokens) * 3) // 4 AS alloc_tokens FROM mix_docs),
+        |c AS (SELECT d.domain, d.id, d.priority, d.tokens,
+        |    sum(d.tokens) OVER (ORDER BY d.priority DESC, d.id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+        |    a.alloc_tokens
+        |  FROM mix_docs d, a)
+        |SELECT domain, id, priority, tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= alloc_tokens ORDER BY id""".stripMargin,
 
     "q_mix_report" ->
       s"""WITH $mixAllocSql,

@@ -155,6 +155,45 @@ class MixPlannerSpec extends SparkTestBase {
     assert(got("c") == (("c", 50L, 0L, 50L, 250000L, 0L, -250000L)))
   }
 
+  test("budgetSelectDist equals the windowed form at every partition count, mega-domain") {
+    // ONE domain carries ~95% of the corpus (the Pile-CC shape the windowed
+    // form single-tasks), with heavy priority ties broken by id, a
+    // zero-token doc straddling the boundary, and a small domain beside it.
+    val docs = ((0L until 400L).map(i =>
+        ("mega", i, (i % 11).toDouble, if (i % 13 == 0) 0L else (i % 7) + 1L)) ++
+      (0L until 20L).map(i => ("small", 1000L + i, i.toDouble, 5L)))
+      .toDF("domain", "id", "priority", "tokens")
+    val alloc = Seq(("mega", 570L), ("small", 37L)).toDF("domain", "alloc_tokens")
+    val expect = MixPlanner.budgetSelect(docs, "domain", "id", "tokens",
+        "priority", alloc)
+      .select("domain", "id", "cum_tokens")
+      .as[(String, Long, Long)].collect().toSet
+    assert(expect.nonEmpty && expect.size < 420, "fixture must cut a prefix")
+    for (p <- Seq(2, 3, 7, 32)) {
+      val got = MixPlanner.budgetSelectDist(docs, "domain", "id", "tokens",
+          "priority", alloc, partitions = p)
+        .select("domain", "id", "cum_tokens")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == expect, s"partition count $p diverged")
+    }
+  }
+
+  test("budgetAllocation refuses zero/negative weights and negative inventories loudly") {
+    // A zero-weight domain would pass the cleared-denominator saturation
+    // test (0 <= B*0), read as saturated, and silently take its FULL
+    // capacity out of the budget (ADVICE r15) — must refuse instead.
+    val zeroW = Seq(("a", 0L, 100L), ("b", 500000L, 100L))
+      .toDF("domain", "w", "avail")
+    val e1 = intercept[IllegalArgumentException] {
+      MixPlanner.budgetAllocation(zeroW, "domain", "w", "avail", 100L)
+    }
+    assert(e1.getMessage.contains("weight_micro"))
+    val negAvail = Seq(("a", 500000L, -1L)).toDF("domain", "w", "avail")
+    intercept[IllegalArgumentException] {
+      MixPlanner.budgetAllocation(negAvail, "domain", "w", "avail", 100L)
+    }
+  }
+
   test("the domain-count guard refuses oversized inputs loudly") {
     val big = spark.range(MixPlanner.MaxDomains + 1)
       .selectExpr("cast(id as string) as domain", "1000L as w", "10L as avail")

@@ -140,7 +140,10 @@ object SdfitsQueries {
       // Filter + aggregate pushdown through the connector: the CALSTATE
       // predicate is evaluated on the raw row bytes before any decode, and
       // COUNT/MIN/MAX arrive as one partial row per file (an unfiltered
-      // count comes straight from the header's NAXIS2). Values are fully
+      // count comes straight from the header's NAXIS2). SUMs push too
+      // (r16) — the engine's own dominant SDFITS access pattern (A1/A2
+      // integrations) — accumulating per file in the FINAL sum type
+      // (ANSI-exact for the integral columns here). Values are fully
       // derivable from lineitem; the PLAN shape (PushedFilters +
       // PushedAggregates on the scan) is pinned by SdfitsPushdownSpec.
       val path = ensureObservation(s, dir)
@@ -148,7 +151,8 @@ object SdfitsQueries {
         .filter(col("CALSTATE") === 1)
         .agg(count(lit(1)).as("n_cal"),
           min(col("ROWKEY")).as("min_key"), max(col("ROWKEY")).as("max_key"),
-          min(col("IFNUM")).as("min_if"), max(col("IFNUM")).as("max_if"))
+          min(col("IFNUM")).as("min_if"), max(col("IFNUM")).as("max_if"),
+          sum(col("ROWKEY")).as("sum_key"), sum(col("IFNUM")).as("sum_if"))
     })
   )
 
@@ -176,7 +180,9 @@ object SdfitsQueries {
         |  min(l_orderkey * 8 + l_linenumber) AS min_key,
         |  max(l_orderkey * 8 + l_linenumber) AS max_key,
         |  CAST(min(l_orderkey % 3) AS INT) AS min_if,
-        |  CAST(max(l_orderkey % 3) AS INT) AS max_if
+        |  CAST(max(l_orderkey % 3) AS INT) AS max_if,
+        |  CAST(sum(l_orderkey * 8 + l_linenumber) AS BIGINT) AS sum_key,
+        |  CAST(sum(l_orderkey % 3) AS BIGINT) AS sum_if
         |FROM lineitem
         |WHERE l_orderkey % 20 = 0 AND l_linenumber % 2 = 1""".stripMargin
   )

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
@@ -35,7 +35,7 @@ import SdfitsFormat._
   * decoded (the wide DATA vector skipped for flag-only scans). Scalar
   * predicates push too ([[SupportsPushDownFilters]]) — evaluated on the raw
   * fixed-width row bytes before any projection decode — and global
-  * COUNT/MIN/MAX collapse to one partial row per file
+  * COUNT/MIN/MAX/SUM collapse to one partial row per file
   * ([[SupportsPushDownAggregates]]; an unfiltered count reads only the
   * header's NAXIS2). Every file is structurally verified on open (S2) and
   * checked against the inferred schema (U1 strict-merge semantics: a
@@ -147,21 +147,27 @@ private[sdfits] class SdfitsTable(schema: StructType, path: String)
   * (Spark's `=` can't produce it from SQL; equality-on-NaN semantics
   * differ by context, so it must not be claimed as handled).
   *
-  * Aggregates: COUNT(*)/COUNT(col)/MIN/MAX — globally or grouped on
+  * Aggregates: COUNT(*)/COUNT(col)/MIN/MAX/SUM — globally or grouped on
   * scalar columns — emit partial rows per file (one per group). Ungrouped,
   * unfiltered counts come straight from the header's NAXIS2 — no cell is
   * ever decoded — and every SDFITS column is non-nullable, so
-  * COUNT(col) = COUNT(*). MIN/MAX decode only their own column; grouped
-  * aggregates decode key + aggregated columns only, and ship per-file
-  * GROUP partials instead of raw rows into the shuffle. At a million-file
-  * observatory archive this is the difference between a catalog query and
-  * a full decode of the archive.
+  * COUNT(col) = COUNT(*). MIN/MAX/SUM decode only their own column;
+  * grouped aggregates decode key + aggregated columns only, and ship
+  * per-file GROUP partials instead of raw rows into the shuffle. SUM is
+  * the engine's own dominant SDFITS access pattern (the A1/A2
+  * integrations reduce to sums), so it matters most: partials accumulate
+  * in the FINAL sum type (long for integral columns — overflow throws,
+  * matching ANSI `sum`; double for float/double), and Spark's planner
+  * merges them with a final SUM exactly like any partial aggregate. At a
+  * million-file observatory archive this is the difference between a
+  * catalog query and a full decode of the archive.
   */
 private[sdfits] object SdfitsPushdown {
   sealed trait Agg
   case object RowCount extends Agg
   final case class MinCol(name: String) extends Agg
   final case class MaxCol(name: String) extends Agg
+  final case class SumCol(name: String) extends Agg
 
   private def scalarField(full: StructType, name: String): Option[StructField] =
     full.fields.find(_.name == name).filterNot(_.dataType.isInstanceOf[ArrayType])
@@ -209,8 +215,21 @@ private[sdfits] object SdfitsPushdown {
       nameOf(m.column).flatMap(scalarField(full, _)).map(f => MinCol(f.name))
     case m: Max =>
       nameOf(m.column).flatMap(scalarField(full, _)).map(f => MaxCol(f.name))
+    case s: Sum if !s.isDistinct =>
+      nameOf(s.column).flatMap(scalarField(full, _))
+        .filterNot(_.dataType == StringType).map(f => SumCol(f.name))
     case _ => None
   }
+
+  /** The FINAL sum type for a summed column — what Spark's planner expects
+    * the partial column to carry (integral → LongType, float/double →
+    * DoubleType; catalyst `Sum` widens the same way).
+    */
+  def sumType(full: StructType, name: String): DataType =
+    full(full.fieldIndex(name)).dataType match {
+      case IntegerType | LongType => LongType
+      case _                      => DoubleType
+    }
 
   /** Grouping columns pushable with the aggregate: single-name scalar
     * fields only (an expression grouping falls back to the unpushed plan).
@@ -232,13 +251,21 @@ private[sdfits] object SdfitsPushdown {
           StructField(s"min_${n}_$i", full(full.fieldIndex(n)).dataType, nullable = true)
         case (MaxCol(n), i)   =>
           StructField(s"max_${n}_$i", full(full.fieldIndex(n)).dataType, nullable = true)
+        case (SumCol(n), i)   =>
+          StructField(s"sum_${n}_$i", sumType(full, n), nullable = true)
       })
 
   /** Spark's total order on the scalar cell types (NaN above all doubles,
     * exactly the j.l.{Double,Float}.compare contract).
     */
   def cmp(cell: Any, lit: Any): Int = (cell, lit) match {
-    case (a: String, b: String) => a.compareTo(b)
+    // UTF8String, not String.compareTo: Spark orders strings by UTF-8
+    // BYTES (code-point order); Java compares UTF-16 code units, which
+    // inverts U+E000..U+FFFF against supplementary characters (ADVICE
+    // r15). FITS headers are ASCII in practice, but a pushed predicate
+    // must match Spark's own filter semantics on ANY input.
+    case (a: String, b: String) =>
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
     case (a: Int, b: Int)       => java.lang.Integer.compare(a, b)
     case (a: Int, b: Long)      => java.lang.Long.compare(a.toLong, b)
     case (a: Long, b: Int)      => java.lang.Long.compare(a, b.toLong)
@@ -458,6 +485,9 @@ private[sdfits] class SdfitsAggReader(
     var count = 0L
     val mins = scala.collection.mutable.Map.empty[String, Any]
     val maxs = scala.collection.mutable.Map.empty[String, Any]
+    // Long for integral columns (Math.addExact — overflow throws, the
+    // ANSI sum contract), Double for float/double columns.
+    val sums = scala.collection.mutable.Map.empty[String, Any]
   }
 
   private def compute(): Seq[InternalRow] = {
@@ -468,7 +498,13 @@ private[sdfits] class SdfitsAggReader(
     val cols: Map[String, (ColSpec, Int)] = aggs.collect {
       case MinCol(n) => n -> colAt(n)
       case MaxCol(n) => n -> colAt(n)
+      case SumCol(n) => n -> colAt(n)
     }.toMap
+    val extremaCols: Set[String] = aggs.collect {
+      case MinCol(n) => n
+      case MaxCol(n) => n
+    }.toSet
+    val sumCols: Set[String] = aggs.collect { case SumCol(n) => n }.toSet
     if (preds.isEmpty && keyCols.isEmpty && cols.isEmpty)
       // pure global COUNT: the header already knows
       return Seq(new GenericInternalRow(
@@ -490,8 +526,22 @@ private[sdfits] class SdfitsAggReader(
         st.count += 1
         cols.foreach { case (n, ca) =>
           val v = decode(r, ca)
-          if (!st.mins.contains(n) || cmpAny(v, st.mins(n)) < 0) st.mins(n) = v
-          if (!st.maxs.contains(n) || cmpAny(v, st.maxs(n)) > 0) st.maxs(n) = v
+          if (extremaCols(n)) {
+            if (!st.mins.contains(n) || cmpAny(v, st.mins(n)) < 0) st.mins(n) = v
+            if (!st.maxs.contains(n) || cmpAny(v, st.maxs(n)) > 0) st.maxs(n) = v
+          }
+          if (sumCols(n)) st.sums(n) = (st.sums.get(n), v) match {
+            case (None, c: Int)            => c.toLong
+            case (None, c: Long)           => c
+            case (None, c: Float)          => c.toDouble
+            case (None, c: Double)         => c
+            case (Some(a: Long), c: Int)   => Math.addExact(a, c.toLong)
+            case (Some(a: Long), c: Long)  => Math.addExact(a, c)
+            case (Some(a: Double), c: Float)  => a + c.toDouble
+            case (Some(a: Double), c: Double) => a + c
+            case other =>
+              throw new IllegalStateException(s"sdfits sum: unexpected $other")
+          }
         }
       }
       r += 1
@@ -503,6 +553,7 @@ private[sdfits] class SdfitsAggReader(
         case RowCount  => st.count
         case MinCol(n) => toCatalyst(st.mins.get(n).orNull)
         case MaxCol(n) => toCatalyst(st.maxs.get(n).orNull)
+        case SumCol(n) => st.sums.get(n).orNull
       }).toArray[Any])
     }.toSeq
   }

@@ -135,6 +135,40 @@ class SdfitsPushdownSpec extends SparkTestBase {
     assert(arrMax.head().getDouble(0) == 3.0 * 29)
   }
 
+  test("scalar SUM pushes — global, filtered, grouped — in the final sum type") {
+    val dir = fixture()
+    val df = spark.read.format("sdfits").load(dir)
+    // global: long column sums in LongType, double column in DoubleType
+    val g = df.agg(sum($"ROWIDX").as("sr"), sum($"ELEVATIO").as("se"),
+      sum($"IFNUM").as("si"), count(lit(1)).as("n"))
+    val plan = planOf(g)
+    assert(plan.contains("PushedAggregates"), s"sum not pushed:\n$plan")
+    assert(plan.contains("SumCol(ROWIDX)"), plan)
+    val allIdx = (0 until 30).map(i => 1000L + i) ++ (0 until 20).map(2000L + _)
+    val r = g.head()
+    assert(r.getLong(0) == allIdx.sum)
+    assert(r.getDouble(1) == (0 until 30).map(40.0 + _).sum + (0 until 20).map(40.0 + _).sum)
+    assert(r.getLong(2) == (0 until 30).map(_ % 3).sum + (0 until 20).map(_ % 3).sum)
+    assert(r.getLong(3) == 50L)
+    // filtered + grouped: per-file group partials, merged by Spark's SUM
+    val gf = df.filter($"ROWIDX" >= 2000L).groupBy($"IFNUM")
+      .agg(sum($"ELEVATIO").as("se"))
+    assert(planOf(gf).contains("PushedGroupBy") &&
+      planOf(gf).contains("SumCol(ELEVATIO)"), planOf(gf))
+    val expect = (0 until 20).groupBy(_ % 3).view
+      .mapValues(_.map(40.0 + _).sum).toMap
+    assert(gf.orderBy($"IFNUM").as[(Int, Double)].collect().toSeq ==
+      Seq(0, 1, 2).map(k => (k, expect(k))))
+    // zero matches: the global partial carries a NULL sum, final sum null
+    val none = df.filter($"IFNUM" === 7).agg(sum($"ROWIDX")).head()
+    assert(none.isNullAt(0))
+    // sum over a STRING column is refused at translation (never pushed);
+    // DISTINCT sums fall back too — both still answer via the normal scan
+    val sd = df.agg(sum_distinct($"IFNUM"))
+    assert(!planOf(sd).contains("PushedAggregates"), planOf(sd))
+    assert(sd.head().getLong(0) == 3L)
+  }
+
   test("an unsupported predicate stays residual while its siblings push") {
     val dir = fixture()
     val df = spark.read.format("sdfits").load(dir)

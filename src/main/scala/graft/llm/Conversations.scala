@@ -342,12 +342,24 @@ object Conversations {
     * so chosen ≠ rejected by construction and near-tie pairs (reward noise,
     * not preference signal) are screened out, which is the standard
     * rejection-sampling hygiene rule.
+    *
+    * Every response must be SCORED: a null `reward_micro` fails loudly
+    * (ADVICE r15 — `min(struct(...))` does not skip a null-first-field
+    * struct, so a null would silently win best_id with a null margin;
+    * filter unscored responses upstream if they are expected). Long.
+    * MinValue is rejected too: its negation is unrepresentable — ANSI
+    * would throw anyway, non-ANSI would wrap it into the WORST slot.
     */
   def bestOfN(responses: DataFrame, promptCol: String, idCol: String,
       rewardMicroCol: String, minMarginMicro: Long = 0L): DataFrame = {
     val r = responses.select(col(promptCol).as("prompt"),
       col(idCol).cast("long").as("id"),
-      col(rewardMicroCol).cast("long").as("reward_micro"))
+      when(col(rewardMicroCol).isNotNull &&
+          col(rewardMicroCol).cast("long") =!= lit(Long.MinValue),
+          col(rewardMicroCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit("bestOfN: null or Long.MinValue reward_micro for response id "),
+          col(idCol).cast("string")))).as("reward_micro"))
     r.groupBy(col("prompt"))
       .agg(count(lit(1)).as("n_responses"),
         min(struct((-col("reward_micro")).as("nr"), col("id").as("id")))

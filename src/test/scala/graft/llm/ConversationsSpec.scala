@@ -251,4 +251,23 @@ class ConversationsSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().head
     assert(r == ((2L, 3L, 999899L)))
   }
+
+  test("bestOfN: null and Long.MinValue rewards fail loudly, never win") {
+    val s = spark; import s.implicits._
+    // null would sort FIRST in min(struct(-r, id)) and silently become
+    // best_id with a null margin (ADVICE r15); MinValue's negation is
+    // unrepresentable. Both must refuse, naming the offending response.
+    val withNull = Seq((0L, 1L, Some(10L)), (0L, 2L, None))
+      .toDF("prompt", "id", "reward_micro")
+    val e1 = intercept[Exception] {
+      Conversations.bestOfN(withNull, "prompt", "id", "reward_micro").collect()
+    }
+    assert(e1.getMessage.contains("bestOfN") && e1.getMessage.contains("2"))
+    val withMin = Seq((0L, 1L, 10L), (0L, 2L, Long.MinValue))
+      .toDF("prompt", "id", "reward_micro")
+    val e2 = intercept[Exception] {
+      Conversations.bestOfN(withMin, "prompt", "id", "reward_micro").collect()
+    }
+    assert(e2.getMessage.contains("bestOfN"))
+  }
 }

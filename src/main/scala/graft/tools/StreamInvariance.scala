@@ -223,6 +223,70 @@ object StreamInvariance {
       .collect().map(r => r.toSeq.map(String.valueOf(_)).mkString("|")).toSeq.sorted
     record("length_bias", lbRuns, Some(lbBatch))
 
+    // 9. bestofn — the round-15 rejection-sampling selection as a
+    // streaming GLOBAL aggregation (complete mode, the length_bias
+    // pattern): min-struct argmax/argmin per prompt must converge to the
+    // batch selection regardless of which micro-batch carried which
+    // response; reward ties split across chunk boundaries are the
+    // interesting case (the (reward, id) tie-break must not depend on
+    // arrival batch).
+    val bonRows = (0 until 240).map { i =>
+      (s"p${i % 40}", i.toLong, (((i * 37) % 20) - 10).toLong * 1000000L)
+    }
+    val bonPipe = (df: DataFrame) =>
+      graft.llm.Conversations.bestOfN(df, "prompt", "id", "reward_micro")
+    val bonRuns = chunks.map(c =>
+      runStream(spark, bonRows, c, "bon", mode = "complete")(ds =>
+        bonPipe(ds.toDF("prompt", "id", "reward_micro"))))
+    val bonBatch = bonPipe(bonRows.toDF("prompt", "id", "reward_micro"))
+      .collect().map(r => r.toSeq.map(String.valueOf(_)).mkString("|")).toSeq.sorted
+    record("bestofn", bonRuns, Some(bonBatch))
+
+    // 10. sdfits_gate — the connector's pushed-predicate row gate vs
+    // Spark's OWN filter semantics over the same rows: the stream side
+    // runs the predicate through Spark's filter in chunked micro-batches;
+    // the batch twin reads the same rows back through the SDFITS
+    // connector with the predicate PUSHED (PushedFilters evaluates
+    // SdfitsPushdown.cmp on raw row bytes). Any divergence between
+    // Spark's comparison semantics and the pushdown's (the ADVICE-r15
+    // string-collation class) shows up as batch_diffs.
+    val gateRows = (0 until 180).map { i =>
+      (1000L + i, i % 5, 40.0 + (i % 50),
+        if (i % 3 == 0) "onoff:on" else if (i % 3 == 1) "onoff:off" else "track")
+    }
+    val gatePred = (df: DataFrame) =>
+      df.filter(col("IFNUM") === 2 && col("ELEVATIO") >= 55.0 &&
+          col("OBSMODE") >= "onoff:off" &&
+          col("OBSMODE").isin("onoff:on", "onoff:off", "track"))
+        .select(col("ROWIDX"), col("IFNUM"), col("ELEVATIO"), col("OBSMODE"))
+    val gateRuns = chunks.map(c => runStream(spark, gateRows, c, "gate")(ds =>
+      gatePred(ds.toDF("ROWIDX", "IFNUM", "ELEVATIO", "OBSMODE"))))
+    val gateBatch = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-inv-sdfits").toFile
+      val f = new java.io.File(dir, "gate.fits")
+      val out = new java.io.FileOutputStream(f)
+      try graft.sources.sdfits.SdfitsFormat.write(out,
+        headerValues = Seq("OBSFREQ" -> "1400.0"),
+        stringHeaderValues = Seq("DATE" -> "2024-01-01T00:00:00"),
+        history = Seq.empty,
+        cols = Seq(
+          graft.sources.sdfits.SdfitsFormat.ColSpec("ROWIDX", 1, 'K'),
+          graft.sources.sdfits.SdfitsFormat.ColSpec("IFNUM", 1, 'J'),
+          graft.sources.sdfits.SdfitsFormat.ColSpec("ELEVATIO", 1, 'D'),
+          graft.sources.sdfits.SdfitsFormat.ColSpec("OBSMODE", 12, 'A')),
+        rows = gateRows.iterator.map { case (k, ifn, el, om) =>
+          Seq[Any](k, ifn, el, om) },
+        nRows = gateRows.size)
+      finally out.close()
+      val read = gatePred(spark.read.format("sdfits").load(f.getPath))
+      val plan = read.queryExecution.executedPlan.toString
+      require(plan.contains("PushedFilters"),
+        s"sdfits_gate twin did not push its predicate:\n$plan")
+      read.collect()
+        .map(r => r.toSeq.map(String.valueOf(_)).mkString("|")).toSeq.sorted
+    }
+    record("sdfits_gate", gateRuns, Some(gateBatch))
+
     val total = results.values.map(v => v._2 + v._3).sum
     val fams = results.map { case (n, (rows, d, bd)) =>
       s""""$n":{"rows":$rows,"chunk_diffs":$d,"batch_diffs":$bd}"""

@@ -98,10 +98,12 @@ object Profiling {
       .orderBy(col(colName))
   }
 
-  /** Boolean certificate that the quantile sketch honors its error bound on
-    * this dataset: for each probability p, rank(approx_value) must be within
-    * n/accuracy of p·n. Deterministic (the sketch is deterministic for a
-    * given dataset + accuracy), so the oracle is the constant `true`.
+  /** Certificate that the quantile sketch honors its error bound on this
+    * dataset: for each probability p, rank(approx_value) must be within
+    * n/accuracy of p·n — REFUSING loudly otherwise, and returning the
+    * exact ranks (deterministic for a given dataset + accuracy, so an
+    * oracle can state them; a sketch drift INSIDE the tolerance still
+    * changes them).
     *
     * The exact ranks come back as one SCALAR BIGINT column per probability
     * (`r_25`, `r_50`, ... = percent of p), never as an array: the driver's
@@ -131,17 +133,20 @@ object Profiling {
     }
     val ranks = df.agg(rankAggs.head, rankAggs.tail: _*).head()
     val tol = n.toDouble / accuracy + 1
-    val ok = probs.indices.forall { i =>
-      math.abs(ranks.getLong(i).toDouble - probs(i) * n) <= tol
+    // An out-of-bound sketch REFUSES loudly (the library's loud-refusal
+    // discipline) rather than reporting a flag: the returned exact ranks
+    // already pin the sketch bit-for-bit (a drift INSIDE the tolerance
+    // changes them), and a boolean beside them would be a pure function
+    // of the stated values (r16 — stated-flag residue).
+    probs.indices.foreach { i =>
+      require(math.abs(ranks.getLong(i).toDouble - probs(i) * n) <= tol,
+        s"quantile sketch out of bound at p=${probs(i)}: " +
+          s"rank=${ranks.getLong(i)} target=${probs(i) * n} tol=$tol")
     }
-    // flag + the exact ranks of the approximated values (deterministic
-    // for a given dataset — a sketch drift inside the tolerance now
-    // changes the output) + the derivable row count (VERDICT r14 item 3)
     val rankCols = probs.indices.map { i =>
       lit(ranks.getLong(i)).as(rankNames(i))
     }
-    spark.range(1).select(
-      (Seq(lit(ok).as("within_bound"), lit(n).as("n")) ++ rankCols): _*)
+    spark.range(1).select((Seq(lit(n).as("n")) ++ rankCols): _*)
   }
 
   /** Release manifest — the accounting a dataset SHIP step records: per

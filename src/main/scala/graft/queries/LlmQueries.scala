@@ -976,10 +976,11 @@ object LlmQueries {
             col("m.anchor") === col("p.anchor"))
           .filter(col("m.cosine") > col("p.cosine")).count() == 0
       import s.implicits._
-      // exact tripwire + derivable corpus anchor beside the two flags
-      // (VERDICT r14 item 3); n was counted above for the k derivation
-      Seq((hits >= 9L, shapeOk, hits, n)).toDF(
-        "recall_ok", "shape_ok", "n_hits", "n")
+      // exact tripwire + derivable corpus anchor beside the shape flag
+      // (VERDICT r14 item 3); the old recall_ok flag was a pure function
+      // of the stated n_hits (hits >= 9) — redundant, dropped (r16).
+      // n was counted above for the k derivation.
+      Seq((shapeOk, hits, n)).toDF("shape_ok", "n_hits", "n")
     }),
 
     "q_sim_ivf" -> ((s, dir) => {
@@ -1007,15 +1008,15 @@ object LlmQueries {
       val planes = Similarity.hyperplanes(numPlanes = 12, dim = 64)
       val e = emb(s, dir)
       val qs = Similarity.perturbedQueries(e, n = 10)
-      val hits = Similarity.annTopKMultiBucketed(
+      Similarity.annTopKMultiBucketed(
           Similarity.withLshBucket(e, planes), qs, planes, k = 10, probeHamming = 5)
-        .filter(col("vec_id") === col("qid")).count()
-      // recall_ok states the contract; n_hits is the exact tripwire
-      // integer and n the oracle-derivable corpus anchor (VERDICT r14
-      // item 3 — a hit-count regression inside the >=9 slack now flips
-      // the hash instead of hiding behind the flag)
-      e.agg(count(lit(1)).as("n"))
-        .select(lit(hits >= 9L).as("recall_ok"), lit(hits).as("n_hits"), col("n"))
+        .filter(col("vec_id") === col("qid"))
+        // Output = the hit qids THEMSELVES, oracle-DERIVABLE
+        // (perturbedQueries plants the first 10 vec_ids): a recall miss
+        // drops a row (count + hash flip), a wrong hit changes a value —
+        // strictly stronger than the retired stated (recall_ok, n_hits)
+        // pair (VERDICT r15 item 7).
+        .select(col("qid")).orderBy(col("qid"))
     }),
 
     "q_sim_ivf_recall" -> ((s, dir) => {
@@ -1024,15 +1025,15 @@ object LlmQueries {
       val e = emb(s, dir)
       val cents = Similarity.trainIvfCentroids(e, k = 8)
       val qs = Similarity.perturbedQueries(e, n = 10)
-      val hits = Similarity.ivfTopKMulti(
+      Similarity.ivfTopKMulti(
           Similarity.withIvfCell(e, cents), qs, cents, k = 10, nprobe = 3)
-        .filter(col("vec_id") === col("qid")).count()
-      // recall_ok states the contract; n_hits is the exact tripwire
-      // integer and n the oracle-derivable corpus anchor (VERDICT r14
-      // item 3 — a hit-count regression inside the >=9 slack now flips
-      // the hash instead of hiding behind the flag)
-      e.agg(count(lit(1)).as("n"))
-        .select(lit(hits >= 9L).as("recall_ok"), lit(hits).as("n_hits"), col("n"))
+        .filter(col("vec_id") === col("qid"))
+        // Output = the hit qids THEMSELVES, oracle-DERIVABLE
+        // (perturbedQueries plants the first 10 vec_ids): a recall miss
+        // drops a row (count + hash flip), a wrong hit changes a value —
+        // strictly stronger than the retired stated (recall_ok, n_hits)
+        // pair (VERDICT r15 item 7).
+        .select(col("qid")).orderBy(col("qid"))
     }),
 
     "q_sim_ivf_recall_dist" -> ((s, dir) => {
@@ -1043,15 +1044,15 @@ object LlmQueries {
       val e = emb(s, dir)
       val cents = Similarity.trainIvfCentroidsDistributed(e, k = 8, iters = 5)
       val qs = Similarity.perturbedQueries(e, n = 10)
-      val hits = Similarity.ivfTopKMulti(
+      Similarity.ivfTopKMulti(
           Similarity.withIvfCell(e, cents), qs, cents, k = 10, nprobe = 3)
-        .filter(col("vec_id") === col("qid")).count()
-      // recall_ok states the contract; n_hits is the exact tripwire
-      // integer and n the oracle-derivable corpus anchor (VERDICT r14
-      // item 3 — a hit-count regression inside the >=9 slack now flips
-      // the hash instead of hiding behind the flag)
-      e.agg(count(lit(1)).as("n"))
-        .select(lit(hits >= 9L).as("recall_ok"), lit(hits).as("n_hits"), col("n"))
+        .filter(col("vec_id") === col("qid"))
+        // Output = the hit qids THEMSELVES, oracle-DERIVABLE
+        // (perturbedQueries plants the first 10 vec_ids): a recall miss
+        // drops a row (count + hash flip), a wrong hit changes a value —
+        // strictly stronger than the retired stated (recall_ok, n_hits)
+        // pair (VERDICT r15 item 7).
+        .select(col("qid")).orderBy(col("qid"))
     }),
 
     "q_sim_pq" -> ((s, dir) => {
@@ -1076,14 +1077,14 @@ object LlmQueries {
       val books = Similarity.trainPqCodebooks(e, m = 8, k = 16)
       val coded = Similarity.withPqCode(e, books).localCheckpoint()
       val qs = Similarity.perturbedQueries(e, n = 10)
-      val hits = Similarity.pqTopKMulti(coded, qs, books, k = 10, shortlist = 80)
-        .filter(col("vec_id") === col("qid")).count()
-      // recall_ok states the contract; n_hits is the exact tripwire
-      // integer and n the oracle-derivable corpus anchor (VERDICT r14
-      // item 3 — a hit-count regression inside the >=9 slack now flips
-      // the hash instead of hiding behind the flag)
-      e.agg(count(lit(1)).as("n"))
-        .select(lit(hits >= 9L).as("recall_ok"), lit(hits).as("n_hits"), col("n"))
+      Similarity.pqTopKMulti(coded, qs, books, k = 10, shortlist = 80)
+        .filter(col("vec_id") === col("qid"))
+        // Output = the hit qids THEMSELVES, oracle-DERIVABLE
+        // (perturbedQueries plants the first 10 vec_ids): a recall miss
+        // drops a row (count + hash flip), a wrong hit changes a value —
+        // strictly stronger than the retired stated (recall_ok, n_hits)
+        // pair (VERDICT r15 item 7).
+        .select(col("qid")).orderBy(col("qid"))
     }),
 
     "q_sim_ivfpq_recall" -> ((s, dir) => {
@@ -1097,15 +1098,15 @@ object LlmQueries {
       val prepared = Similarity.withPqCode(
         Similarity.withIvfCell(e, cents), books).localCheckpoint()
       val qs = Similarity.perturbedQueries(e, n = 10)
-      val hits = Similarity.ivfPqTopKMulti(prepared, qs, cents, books,
+      Similarity.ivfPqTopKMulti(prepared, qs, cents, books,
           k = 10, nprobe = 3, shortlist = 80)
-        .filter(col("vec_id") === col("qid")).count()
-      // recall_ok states the contract; n_hits is the exact tripwire
-      // integer and n the oracle-derivable corpus anchor (VERDICT r14
-      // item 3 — a hit-count regression inside the >=9 slack now flips
-      // the hash instead of hiding behind the flag)
-      e.agg(count(lit(1)).as("n"))
-        .select(lit(hits >= 9L).as("recall_ok"), lit(hits).as("n_hits"), col("n"))
+        .filter(col("vec_id") === col("qid"))
+        // Output = the hit qids THEMSELVES, oracle-DERIVABLE
+        // (perturbedQueries plants the first 10 vec_ids): a recall miss
+        // drops a row (count + hash flip), a wrong hit changes a value —
+        // strictly stronger than the retired stated (recall_ok, n_hits)
+        // pair (VERDICT r15 item 7).
+        .select(col("qid")).orderBy(col("qid"))
     }),
 
     "q_sim_index_release" -> ((s, dir) => {
@@ -1196,8 +1197,10 @@ object LlmQueries {
       g.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree"))
         .crossJoin(broadcast(delta.agg(count(lit(1)).as("n_delta"))))
+        // the old recall_ok flag was a pure function of the stated
+        // n_hits (hits >= 9) — redundant, dropped (r16)
         .select(col("n_nodes"), col("n_delta"), col("max_degree"),
-          lit(hits >= 9L).as("recall_ok"), lit(hits).as("n_hits"))
+          lit(hits).as("n_hits"))
     }),
 
     "q_sim_hnsw" -> ((s, dir) => {
@@ -1229,15 +1232,15 @@ object LlmQueries {
       val e = emb(s, dir)
       val g = knnGraph2(s, dir)
       val qs = Similarity.perturbedQueries(e, n = 10)
-      val hits = GraphAnn.searchMulti(g, e, qs, k = 10, beam = 48,
+      GraphAnn.searchMulti(g, e, qs, k = 10, beam = 48,
           hops = 3, entryK = 8)
-        .filter(col("vec_id") === col("qid")).count()
-      // recall_ok states the contract; n_hits is the exact tripwire
-      // integer and n the oracle-derivable corpus anchor (VERDICT r14
-      // item 3 — a hit-count regression inside the >=9 slack now flips
-      // the hash instead of hiding behind the flag)
-      e.agg(count(lit(1)).as("n"))
-        .select(lit(hits >= 9L).as("recall_ok"), lit(hits).as("n_hits"), col("n"))
+        .filter(col("vec_id") === col("qid"))
+        // Output = the hit qids THEMSELVES, oracle-DERIVABLE
+        // (perturbedQueries plants the first 10 vec_ids): a recall miss
+        // drops a row (count + hash flip), a wrong hit changes a value —
+        // strictly stronger than the retired stated (recall_ok, n_hits)
+        // pair (VERDICT r15 item 7).
+        .select(col("qid")).orderBy(col("qid"))
     }),
 
     "q_sim_neardup" -> ((s, dir) => {
@@ -1346,15 +1349,15 @@ object LlmQueries {
       val e = emb(s, dir)
       val model = graft.llm.EmbeddingPca.fit(e, dims = 32)
       val qs = Similarity.perturbedQueries(e, n = 10)
-      val hits = graft.llm.EmbeddingPca.topKMulti(e, qs, model,
+      graft.llm.EmbeddingPca.topKMulti(e, qs, model,
           k = 10, shortlist = 100)
-        .filter(col("vec_id") === col("qid")).count()
-      // recall_ok states the contract; n_hits is the exact tripwire
-      // integer and n the oracle-derivable corpus anchor (VERDICT r14
-      // item 3 — a hit-count regression inside the >=9 slack now flips
-      // the hash instead of hiding behind the flag)
-      e.agg(count(lit(1)).as("n"))
-        .select(lit(hits >= 9L).as("recall_ok"), lit(hits).as("n_hits"), col("n"))
+        .filter(col("vec_id") === col("qid"))
+        // Output = the hit qids THEMSELVES, oracle-DERIVABLE
+        // (perturbedQueries plants the first 10 vec_ids): a recall miss
+        // drops a row (count + hash flip), a wrong hit changes a value —
+        // strictly stronger than the retired stated (recall_ok, n_hits)
+        // pair (VERDICT r15 item 7).
+        .select(col("qid")).orderBy(col("qid"))
     }),
 
     "q_embed_pca" -> ((s, dir) => {
@@ -1500,13 +1503,16 @@ object LlmQueries {
           .as("best_first_ok"))
       val subset = kept.join(e.select(col("vec_id").as("id")), Seq("id"), "left_anti")
         .agg((count(lit(1)) === 0).as("subset_ok"))
+      // EXACT kept count from the planted mega-cluster, not a <=cap flag
+      // (r16): the cluster holds ~n/3 >> cap identical vectors, so the
+      // cap must bind at exactly `cap` — a stated integer the oracle pins.
       val plantedKept = marked.filter(col("is_kept") && col("id") % 3 === 0)
-        .agg((count(lit(1)) <= cap).as("planted_capped"))
+        .agg(count(lit(1)).as("n_kept_planted"))
       val anchors = e.agg(count(lit(1)).as("n_in"),
         sum(when(col("vec_id") % 3 === 0, 1L).otherwise(0L)).as("n_planted"))
       subset.crossJoin(capOrder).crossJoin(plantedKept).crossJoin(anchors)
         .select(col("subset_ok"), col("capped_ok"), col("best_first_ok"),
-          col("planted_capped"), col("n_in"), col("n_planted"))
+          col("n_kept_planted"), col("n_in"), col("n_planted"))
     }),
 
     "q_conv_toolcalls" -> ((s, dir) => {
@@ -2864,10 +2870,13 @@ object LlmQueries {
       val dist = graft.llm.Bpe.train(d, numMerges = 8, minCount = 2)
       val incr = graft.llm.Bpe.trainIncremental(d, numMerges = 8, minCount = 2)
       // n_equal counts positionally identical merges (a partial
-      // divergence shows its size); n_docs is the derivable anchor
+      // divergence shows its size); n_docs is the derivable anchor.
+      // Both list SIZES are stated, so full equality is exactly
+      // n_merges = n_merges_incr = n_equal = 8 — the old merges_equal
+      // flag was a pure function of them and is dropped (r16).
       val nEqual = dist.zip(incr).count { case (a, b) => a == b }.toLong
-      Seq((dist == incr, dist.size.toLong, nEqual, d.count()))
-        .toDF("merges_equal", "n_merges", "n_equal", "n_docs")
+      Seq((dist.size.toLong, incr.size.toLong, nEqual, d.count()))
+        .toDF("n_merges", "n_merges_incr", "n_equal", "n_docs")
     }),
 
     "q_text_wordpiece" -> ((s, dir) => {
@@ -3363,11 +3372,13 @@ object LlmQueries {
       import s.implicits._
       // exact is fully oracle-derivable (count DISTINCT); approx is the
       // deterministic HLL++ estimate stated as its exact value — a sketch
-      // regression inside the 5% slack now flips the hash (VERDICT r14
-      // item 3)
-      Seq((math.abs(approx.toDouble - exact.toDouble) / exact.toDouble <= 0.05,
-          exact, approx))
-        .toDF("within_bound", "n_exact", "n_approx")
+      // regression inside the 5% slack flips the hash (VERDICT r14
+      // item 3). The old within_bound flag was a pure function of the two
+      // stated values (|approx−exact|/exact ≤ 0.05) — redundant, dropped
+      // (r16); the 5% contract itself is pinned by the spec suite.
+      require(math.abs(approx.toDouble - exact.toDouble) / exact.toDouble <= 0.05,
+        s"approx_count_distinct drifted past 5%: exact=$exact approx=$approx")
+      Seq((exact, approx)).toDF("n_exact", "n_approx")
     }),
 
     // --- S2: verified read --------------------------------------------------
@@ -4394,7 +4405,7 @@ object LlmQueries {
     // Planted-neighbor recall certificate (assertions run Spark-side; the
     // oracle states the expected verdict — q_sim_ivf_recall's pattern).
     "q_sim_hardneg_ann" ->
-      """SELECT true AS recall_ok, true AS shape_ok, CAST(10 AS BIGINT) AS n_hits,
+      """SELECT true AS shape_ok, CAST(10 AS BIGINT) AS n_hits,
         |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin,
 
     "q_embed_center" ->
@@ -4566,7 +4577,7 @@ object LlmQueries {
 
     "q_sample_clusterbal" ->
       """SELECT true AS subset_ok, true AS capped_ok, true AS best_first_ok,
-        |  true AS planted_capped, CAST(count(*) AS BIGINT) AS n_in,
+        |  CAST(10 AS BIGINT) AS n_kept_planted, CAST(count(*) AS BIGINT) AS n_in,
         |  CAST(sum(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
         |FROM embeddings""".stripMargin,
 
@@ -4793,8 +4804,8 @@ object LlmQueries {
         |FROM agg ORDER BY c DESC, p LIMIT 1""".stripMargin,
 
     "q_text_bpe_incr" ->
-      """SELECT true AS merges_equal, CAST(8 AS BIGINT) AS n_merges,
-        |  CAST(8 AS BIGINT) AS n_equal,
+      """SELECT CAST(8 AS BIGINT) AS n_merges,
+        |  CAST(8 AS BIGINT) AS n_merges_incr, CAST(8 AS BIGINT) AS n_equal,
         |  CAST(count(*) AS BIGINT) AS n_docs FROM documents""".stripMargin,
 
     "q_text_wordpiece" ->
@@ -5743,8 +5754,7 @@ object LlmQueries {
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
 
     "q_approx_distinct" ->
-      """SELECT true AS within_bound,
-        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
         |  CAST(1947 AS BIGINT) AS n_approx FROM lineitem""".stripMargin,
 
     "q_sim_neardup" ->
@@ -5764,8 +5774,10 @@ object LlmQueries {
         |FROM embeddings ORDER BY src_id""".stripMargin,
 
     "q_sim_pca_recall" ->
-      """SELECT true AS recall_ok, CAST(10 AS BIGINT) AS n_hits,
-        |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin,
+      // the planted queries are the first 10 corpus vec_ids — the hit
+      // list is fully oracle-derivable (VERDICT r15 item 7)
+      """SELECT vec_id AS qid FROM embeddings
+        |ORDER BY qid LIMIT 10""".stripMargin,
 
     "q_embed_pca" ->
       """SELECT true AS ortho_ok, true AS sorted_ok, true AS mean_ok,
@@ -5804,19 +5816,24 @@ object LlmQueries {
         |FROM p ORDER BY id""".stripMargin,
 
     "q_conv_validate" ->
+      // alternates is DERIVED with a lag window (r16), not stated: no
+      // consecutive same-role pair within a conversation's idx order.
       """WITH t AS (SELECT doc_id % 50 AS id, doc_id AS idx,
         |    CASE WHEN (doc_id // 50) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
-        |    text FROM documents)
+        |    text FROM documents),
+        |w AS (SELECT id, idx, role, text,
+        |    lag(role) OVER (PARTITION BY id ORDER BY idx) AS prev_role FROM t)
         |SELECT id, CAST(count(*) AS BIGINT) AS n_turns,
         |  min_by(role, idx) AS first_role,
-        |  true AS alternates,
+        |  max(CASE WHEN prev_role IS NOT NULL AND role = prev_role
+        |    THEN 1 ELSE 0 END) = 0 AS alternates,
         |  CAST(max(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BOOLEAN)
         |    AS has_empty,
         |  max_by(role, idx) = 'assistant' AS ends_with_assistant,
         |  count(*) >= 2
         |    AND max(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) = 0
         |    AND max_by(role, idx) = 'assistant' AS valid
-        |FROM t GROUP BY id ORDER BY id""".stripMargin,
+        |FROM w GROUP BY id ORDER BY id""".stripMargin,
 
     "q_conv_stats" ->
       """WITH t AS (SELECT doc_id % 50 AS id,
@@ -5985,20 +6002,28 @@ object LlmQueries {
       "SELECT CAST(10 AS BIGINT) AS n_agree, CAST(10 AS BIGINT) AS n_results",
 
     "q_sim_ann_recall" ->
-      """SELECT true AS recall_ok, CAST(10 AS BIGINT) AS n_hits,
-        |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin,
+      // the planted queries are the first 10 corpus vec_ids — the hit
+      // list is fully oracle-derivable (VERDICT r15 item 7)
+      """SELECT vec_id AS qid FROM embeddings
+        |ORDER BY qid LIMIT 10""".stripMargin,
 
     "q_sim_pq_recall" ->
-      """SELECT true AS recall_ok, CAST(10 AS BIGINT) AS n_hits,
-        |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin,
+      // the planted queries are the first 10 corpus vec_ids — the hit
+      // list is fully oracle-derivable (VERDICT r15 item 7)
+      """SELECT vec_id AS qid FROM embeddings
+        |ORDER BY qid LIMIT 10""".stripMargin,
 
     "q_sim_ivfpq_recall" ->
-      """SELECT true AS recall_ok, CAST(10 AS BIGINT) AS n_hits,
-        |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin,
+      // the planted queries are the first 10 corpus vec_ids — the hit
+      // list is fully oracle-derivable (VERDICT r15 item 7)
+      """SELECT vec_id AS qid FROM embeddings
+        |ORDER BY qid LIMIT 10""".stripMargin,
 
     "q_sim_ivf_recall" ->
-      """SELECT true AS recall_ok, CAST(10 AS BIGINT) AS n_hits,
-        |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin,
+      // the planted queries are the first 10 corpus vec_ids — the hit
+      // list is fully oracle-derivable (VERDICT r15 item 7)
+      """SELECT vec_id AS qid FROM embeddings
+        |ORDER BY qid LIMIT 10""".stripMargin,
 
     "q_sim_hnsw" ->
       "SELECT CAST(10 AS BIGINT) AS n_agree, CAST(10 AS BIGINT) AS n_results",
@@ -6011,16 +6036,20 @@ object LlmQueries {
     "q_sim_index_delta" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_nodes,
         |  CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
-        |  CAST(12 AS BIGINT) AS max_degree, true AS recall_ok,
+        |  CAST(12 AS BIGINT) AS max_degree,
         |  CAST(10 AS BIGINT) AS n_hits
         |FROM embeddings""".stripMargin,
 
     "q_sim_hnsw_recall" ->
-      """SELECT true AS recall_ok, CAST(10 AS BIGINT) AS n_hits,
-        |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin,
+      // the planted queries are the first 10 corpus vec_ids — the hit
+      // list is fully oracle-derivable (VERDICT r15 item 7)
+      """SELECT vec_id AS qid FROM embeddings
+        |ORDER BY qid LIMIT 10""".stripMargin,
 
     "q_sim_ivf_recall_dist" ->
-      """SELECT true AS recall_ok, CAST(10 AS BIGINT) AS n_hits,
-        |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin
+      // the planted queries are the first 10 corpus vec_ids — the hit
+      // list is fully oracle-derivable (VERDICT r15 item 7)
+      """SELECT vec_id AS qid FROM embeddings
+        |ORDER BY qid LIMIT 10""".stripMargin
   )
 }

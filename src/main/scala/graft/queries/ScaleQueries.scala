@@ -1129,7 +1129,7 @@ idf AS (SELECT term, CAST(${microOfNanoDuck("bi_ln")} AS BIGINT) AS idf_micro
     },
 
     "q_profile_quantiles" ->
-      """SELECT true AS within_bound, CAST(count(*) AS BIGINT) AS n,
+      """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(15019 AS BIGINT) AS r_25, CAST(29964 AS BIGINT) AS r_50,
         |  CAST(53946 AS BIGINT) AS r_90, CAST(59357 AS BIGINT) AS r_99
         |FROM lineitem""".stripMargin,

@@ -218,12 +218,11 @@ class ScaleOpsSpec extends SparkTestBase {
     val df = (1L to 5000L).map(i => i * i).toDF("v") // quadratic skew
     val out = Profiling.quantileCert(df, "v", Seq(0.1, 0.5, 0.99), accuracy = 100)
     // Scalar rank columns (never an array — the driver comparator cannot
-    // row-sort array cells), named by percent.
-    assert(out.columns.toSeq ==
-      Seq("within_bound", "n", "r_10", "r_50", "r_99"))
-    val (ok, n, r10, r50, r99) =
-      out.as[(Boolean, Long, Long, Long, Long)].head()
-    assert(ok && n == 5000L)
+    // row-sort array cells), named by percent; an out-of-bound sketch
+    // would have thrown inside quantileCert.
+    assert(out.columns.toSeq == Seq("n", "r_10", "r_50", "r_99"))
+    val (n, r10, r50, r99) = out.as[(Long, Long, Long, Long)].head()
+    assert(n == 5000L)
     // exact ranks sit within the sketch tolerance of the target ranks
     val tol = n.toDouble / 100 + 1
     Seq(0.1 -> r10, 0.5 -> r50, 0.99 -> r99).foreach { case (p, r) =>

@@ -31,9 +31,12 @@ TABLES = ("documents", "embeddings", "lineitem", "orders", "events",
 # The justified residue: flag column -> (queries allowed to state it,
 # why the value itself is not DuckDB-derivable). '*' = any query.
 ALLOWED = {
-    # Recall/agreement contracts: the hit count needs the ANN machinery
-    # itself; the exact n_hits tripwire is stated beside the flag.
-    "recall_ok": ("*", "needs the ANN index/search machinery"),
+    # Threshold recall contracts (minhash/simhash planted-pair recovery):
+    # sketch recall is >=95%/75%, not exactly 100%, so the recovered-pair
+    # SET is sf-dependent and cannot be pinned as values. (The exact-100%
+    # ANN recall certificates were converted to derivable hit-qid rows in
+    # r16 and no longer state flags.)
+    "recall_ok": ("*", "threshold sketch recall; recovered set sf-dependent"),
     "shape_ok": ("*", "per-anchor negK shape check over mined rows"),
     # Artifact-lifecycle stability: requires running the snapshot store
     # twice and comparing, which SQL over the source parquet cannot do.
@@ -55,12 +58,10 @@ ALLOWED = {
     # engine; the oracle cannot run either. Exact companion integers
     # (n_correct, n_equal, n_counted_pieces) are stated beside them.
     "train_separates": ("*", "distributed trainer accuracy"),
-    "merges_equal": ("*", "two trainer implementations compared"),
     "estep_ok": ("*", "distributed-vs-driver E-step equality"),
     "coverage_ok": ("*", "trained vocab vs corpus chars"),
     "norm_ok": ("*", "trained piece-probability normalization"),
     "tokens_ok": ("*", "trained tokenizer output bounds"),
-    "within_bound": ("*", "sketch-vs-exact tolerance; exact values stated"),
     "recrawls_dropped": ("*", "incremental-dedup catalog behavior"),
     "novel_kept": ("*", "incremental-dedup catalog behavior"),
     # PCA basis facts: needs the trained projection.
@@ -69,14 +70,12 @@ ALLOWED = {
     "mean_ok": ("*", "centering of the trained projection"),
     "var_ok": ("*", "explained-variance accounting"),
     "identity_ok": ("*", "round-trip through the trained basis"),
-    "alternates": ("*", "conversation-shape property of rendered rows"),
     # Sampling/selection facts computed from engine output.
     "subset_ok": ("*", "selected-set containment in engine output"),
     "frac_ok": ("*", "selected-set size vs requested fraction"),
     "order_ok": ("*", "selection respects the stated total order"),
     "capped_ok": ("*", "per-cluster cap on engine output"),
     "best_first_ok": ("*", "within-cluster best-first property"),
-    "planted_capped": ("*", "planted mega-cluster capped exactly"),
     "paths_ok": ("*", "two engine mechanisms compared"),
     # Structural properties of engine-mined pairs / decoded media.
     "pairs_wellformed": ("*", "shape of LSH-mined candidate pairs"),

@@ -375,4 +375,51 @@ object Conversations {
       .withColumn("pair_valid", col("n_responses") >= 2 &&
         col("margin_micro") >= greatest(lit(minMarginMicro), lit(1L)))
   }
+
+  /** Leave-one-out (RLOO) advantages — the group-relative baseline step
+    * of RLOO/GRPO-style RL training prep: each of a prompt's N sampled
+    * responses is scored against the mean reward of its N−1 SIBLINGS,
+    *
+    *   adv_i = r_i − mean(r_j, j≠i) = (N·r_i − Σr) / (N−1),
+    *
+    * kept EXACT in integer micro units: the numerator is computed in
+    * DECIMAL(38,0) (N·r at corpus scale exceeds Long) and the division
+    * truncates toward zero identically in Spark and DuckDB — no float
+    * mean, so the result is hash-stable and Σ adv over a prompt is
+    * within N of zero by construction (truncation residue only). This is
+    * the advantage estimate most RL-from-reward pipelines want BEFORE
+    * the policy step, and the group mean-center of GRPO without the std
+    * division (which would be transcendental; callers normalizing by σ
+    * do it policy-side in float).
+    *
+    * One aggregation per prompt (map-side partials absorb hot prompts,
+    * never a window over the response stream) + one shuffle join back on
+    * prompt. Null/MinValue rewards refuse loudly like [[bestOfN]].
+    * Single-response prompts have NO sibling baseline: `adv_micro` is
+    * null and `has_baseline` false — dropping them silently would hide
+    * sampler failures.
+    */
+  def rlooAdvantages(responses: DataFrame, promptCol: String, idCol: String,
+      rewardMicroCol: String): DataFrame = {
+    val r = responses.select(col(promptCol).as("prompt"),
+      col(idCol).cast("long").as("id"),
+      when(col(rewardMicroCol).isNotNull &&
+          col(rewardMicroCol).cast("long") =!= lit(Long.MinValue),
+          col(rewardMicroCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit("rlooAdvantages: null or Long.MinValue reward_micro for response id "),
+          col(idCol).cast("string")))).as("reward_micro"))
+    val totals = r.groupBy(col("prompt")).agg(
+      count(lit(1)).as("n_responses"),
+      sum(col("reward_micro")).as("__sum_r"))
+    r.join(totals, Seq("prompt"))
+      .withColumn("adv_micro",
+        when(col("n_responses") >= 2L,
+          expr("""(cast(n_responses as decimal(38,0)) * reward_micro
+                 - cast(__sum_r as decimal(38,0)))
+                 div (n_responses - 1)""").cast("long")))
+      .withColumn("has_baseline", col("n_responses") >= 2L)
+      .select(col("prompt"), col("id"), col("reward_micro"),
+        col("n_responses"), col("adv_micro"), col("has_baseline"))
+  }
 }

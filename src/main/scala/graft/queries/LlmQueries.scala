@@ -1640,6 +1640,25 @@ object LlmQueries {
         .orderBy(col("prompt"))
     }),
 
+    "q_conv_rloo" -> ((s, dir) => {
+      // Leave-one-out (RLOO/GRPO-style) advantages over the same
+      // responses-per-prompt fixture as q_conv_bestofn: each response
+      // scored against the exact integer mean of its N−1 siblings —
+      // (N·r − Σr) div (N−1), DECIMAL numerator, truncation identical in
+      // both engines. A planted single-response prompt ("solo") pins the
+      // null-baseline contract.
+      val resp = docsSpread(s, dir).select(
+          concat(lit("p"), col("doc_id") % 40).as("prompt"),
+          col("doc_id").as("id"),
+          (TextAnalysis.fingerprint(col("text")) % 2000000L - 1000000L)
+            .as("reward_micro"))
+        .unionByName(s.range(1).select(lit("solo").as("prompt"),
+          lit(10000000L).as("id"), lit(123456L).as("reward_micro")))
+      graft.llm.Conversations.rlooAdvantages(resp, "prompt", "id",
+          "reward_micro")
+        .orderBy(col("id"))
+    }),
+
     "q_conv_neardup" -> ((s, dir) => {
       // FUZZY conversation dedup — SFT corpora dedup NEAR, not exact
       // (regenerated final turns, paraphrased system prompts survive
@@ -3534,6 +3553,26 @@ object LlmQueries {
         |  CAST(n_chosen_longer * 1000000 // n_pairs AS BIGINT) AS chosen_longer_micro,
         |  CAST(sum_d * 1000000 // n_pairs AS BIGINT) AS mean_delta_micro
         |FROM a""".stripMargin,
+
+    "q_conv_rloo" ->
+      """WITH resp AS (SELECT 'p' || CAST(doc_id % 40 AS VARCHAR) AS prompt,
+        |    doc_id AS id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(text[i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) % 2000000 - 1000000
+        |      AS reward_micro
+        |  FROM documents
+        |  UNION ALL SELECT 'solo', 10000000, 123456),
+        |t AS (SELECT prompt, CAST(count(*) AS BIGINT) AS n_responses,
+        |    sum(reward_micro) AS sum_r
+        |  FROM resp GROUP BY prompt)
+        |SELECT r.prompt, r.id, r.reward_micro, t.n_responses,
+        |  CASE WHEN t.n_responses >= 2 THEN CAST(
+        |    (CAST(t.n_responses AS HUGEINT) * r.reward_micro - t.sum_r)
+        |      // (t.n_responses - 1) AS BIGINT) END AS adv_micro,
+        |  t.n_responses >= 2 AS has_baseline
+        |FROM resp r JOIN t USING (prompt) ORDER BY id""".stripMargin,
 
     "q_conv_bestofn" ->
       """WITH resp AS (SELECT 'p' || CAST(doc_id % 40 AS VARCHAR) AS prompt,

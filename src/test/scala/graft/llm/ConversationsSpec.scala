@@ -252,6 +252,31 @@ class ConversationsSpec extends SparkTestBase {
     assert(r == ((2L, 3L, 999899L)))
   }
 
+  test("rlooAdvantages: exact leave-one-out baseline, null for solo prompts") {
+    val s = spark; import s.implicits._
+    // p0: rewards 10, 20, 60 (micro) -> LOO means 40, 35, 15 ->
+    // advantages -30, -15, +45. p1: single response -> null baseline.
+    // p2: negative numerator exercises truncation-toward-zero parity:
+    // rewards 0, 1, 5 -> adv_1 = (3*0-6)/2 = -3, adv_2 = (3*1-6)/2 = -1
+    // (floor would give -2), adv_3 = (3*5-6)/2 = 4 (exact: 4.5 -> 4).
+    val resp = Seq(
+      ("p0", 1L, 10L), ("p0", 2L, 20L), ("p0", 3L, 60L),
+      ("p1", 4L, 999L),
+      ("p2", 5L, 0L), ("p2", 6L, 1L), ("p2", 7L, 5L))
+      .toDF("prompt", "id", "reward_micro")
+    val got = Conversations.rlooAdvantages(resp, "prompt", "id", "reward_micro")
+      .select("id", "adv_micro", "has_baseline")
+      .as[(Long, Option[Long], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, Some(-30L), true)))
+    assert(got(2L) == ((2L, Some(-15L), true)))
+    assert(got(3L) == ((3L, Some(45L), true)))
+    assert(got(4L) == ((4L, None, false)))
+    assert(got(6L) == ((6L, Some(-1L), true)), "truncation toward zero, not floor")
+    assert(got(7L) == ((7L, Some(4L), true)))
+    // group sum of advantages is within N of zero (truncation residue)
+    assert(Seq(got(1L), got(2L), got(3L)).flatMap(_._2).sum.abs <= 3)
+  }
+
   test("bestOfN: null and Long.MinValue rewards fail loudly, never win") {
     val s = spark; import s.implicits._
     // null would sort FIRST in min(struct(-r, id)) and silently become

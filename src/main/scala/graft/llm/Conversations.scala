@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -350,16 +350,26 @@ object Conversations {
     * MinValue is rejected too: its negation is unrepresentable — ANSI
     * would throw anyway, non-ANSI would wrap it into the WORST slot.
     */
+  /** Shared reward-validity gate for the RL-prep operators: a null
+    * reward silently wins a min-struct argmax (null sorts first) and
+    * Long.MinValue's negation is unrepresentable — both refuse loudly,
+    * naming the offending response. One definition so the contract can
+    * never diverge between operators.
+    */
+  private def validatedReward(rewardMicroCol: String, idCol: String,
+      fn: String): Column =
+    when(col(rewardMicroCol).isNotNull &&
+        col(rewardMicroCol).cast("long") =!= lit(Long.MinValue),
+        col(rewardMicroCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"$fn: null or Long.MinValue reward_micro for response id "),
+        col(idCol).cast("string"))))
+
   def bestOfN(responses: DataFrame, promptCol: String, idCol: String,
       rewardMicroCol: String, minMarginMicro: Long = 0L): DataFrame = {
     val r = responses.select(col(promptCol).as("prompt"),
       col(idCol).cast("long").as("id"),
-      when(col(rewardMicroCol).isNotNull &&
-          col(rewardMicroCol).cast("long") =!= lit(Long.MinValue),
-          col(rewardMicroCol).cast("long"))
-        .otherwise(raise_error(concat(
-          lit("bestOfN: null or Long.MinValue reward_micro for response id "),
-          col(idCol).cast("string")))).as("reward_micro"))
+      validatedReward(rewardMicroCol, idCol, "bestOfN").as("reward_micro"))
     r.groupBy(col("prompt"))
       .agg(count(lit(1)).as("n_responses"),
         min(struct((-col("reward_micro")).as("nr"), col("id").as("id")))
@@ -401,14 +411,15 @@ object Conversations {
     */
   def rlooAdvantages(responses: DataFrame, promptCol: String, idCol: String,
       rewardMicroCol: String): DataFrame = {
+    // Pinned ONCE: the slim frame is consumed twice (totals aggregation +
+    // join back), and without materialization any nondeterministic
+    // upstream would give totals over a DIFFERENT row set than the rows
+    // joined back — and the caller's reward kernels would run twice.
     val r = responses.select(col(promptCol).as("prompt"),
-      col(idCol).cast("long").as("id"),
-      when(col(rewardMicroCol).isNotNull &&
-          col(rewardMicroCol).cast("long") =!= lit(Long.MinValue),
-          col(rewardMicroCol).cast("long"))
-        .otherwise(raise_error(concat(
-          lit("rlooAdvantages: null or Long.MinValue reward_micro for response id "),
-          col(idCol).cast("string")))).as("reward_micro"))
+        col(idCol).cast("long").as("id"),
+        validatedReward(rewardMicroCol, idCol, "rlooAdvantages")
+          .as("reward_micro"))
+      .localCheckpoint()
     val totals = r.groupBy(col("prompt")).agg(
       count(lit(1)).as("n_responses"),
       sum(col("reward_micro")).as("__sum_r"))

@@ -439,7 +439,10 @@ object LlmQueries {
     * additional coverage. Content is invariant to which query builds first.
     */
   private def knnGraph2(s: SparkSession, dir: String): DataFrame =
-    stagedOnce(s, s"knn_k12_r2_${dir.hashCode & 0x7fffffff}",
+    // key carries the sanitized dir TEXT, not just its hash — two dirs
+    // colliding on String.hashCode must never serve each other's graph
+    stagedOnce(s, "knn_k12_r2_" + dir.replaceAll("[^A-Za-z0-9]+", "_") +
+        s"_${dir.hashCode & 0x7fffffff}",
       () => GraphAnn.buildKnnGraph(
         emb(s, dir).select(col("vec_id"), col("embedding")), k = 12, rounds = 2))
 
@@ -1506,6 +1509,12 @@ object LlmQueries {
       // EXACT kept count from the planted mega-cluster, not a <=cap flag
       // (r16): the cluster holds ~n/3 >> cap identical vectors, so the
       // cap must bind at exactly `cap` — a stated integer the oracle pins.
+      // Exactness assumption (same class as the pinned ranks/estimates
+      // elsewhere): the planted cell's top-`cap` hash scores are all
+      // planted members — a stray corpus vector argmin-ing at the planted
+      // centroid AND out-hashing a planted member would read 9. Verified
+      // 10 at both driver scales (sf0.01 hash gate, sf0.1 local replica);
+      // the corpus is driver-seeded and stable across rounds.
       val plantedKept = marked.filter(col("is_kept") && col("id") % 3 === 0)
         .agg(count(lit(1)).as("n_kept_planted"))
       val anchors = e.agg(count(lit(1)).as("n_in"),

@@ -332,11 +332,19 @@ object QueryUtil {
     */
   private val stagedArtifacts = scala.collection.concurrent.TrieMap[String, String]()
   def stagedOnce(s: SparkSession, key: String, build: () => DataFrame): DataFrame = {
-    val path = stagedArtifacts.getOrElseUpdate(key, {
-      val p = stagingDir() + "/once_" + key
-      build().write.mode("overwrite").parquet(p)
-      p
-    })
+    // synchronized: getOrElseUpdate alone may evaluate the builder twice
+    // under racing threads. The artifact path embeds the PID because the
+    // file is only ever READ by the JVM that built it (the map gates) —
+    // so a concurrent sibling process (Bench beside Verify) can never
+    // overwrite a staged file mid-read.
+    val path = stagedArtifacts.synchronized {
+      stagedArtifacts.getOrElseUpdate(key, {
+        val p = stagingDir() + "/once_" +
+          ProcessHandle.current().pid() + "_" + key
+        build().write.mode("overwrite").parquet(p)
+        p
+      })
+    }
     s.read.parquet(path)
   }
 }

@@ -156,8 +156,13 @@ private[sdfits] class SdfitsTable(schema: StructType, path: String)
   * per-file GROUP partials instead of raw rows into the shuffle. SUM is
   * the engine's own dominant SDFITS access pattern (the A1/A2
   * integrations reduce to sums), so it matters most: partials accumulate
-  * in the FINAL sum type (long for integral columns — overflow throws,
-  * matching ANSI `sum`; double for float/double), and Spark's planner
+  * in the FINAL sum type (long for integral columns — overflow throws
+  * via addExact, implementing the ANSI `sum` contract this engine runs
+  * under everywhere (spark.sql.ansi.enabled defaults true on Spark 4);
+  * a non-ANSI session would wrap where the pushed partial throws, which
+  * is the one knob this connector does not mirror — throwing on a
+  * corrupt-scale sum is the safer divergence; double for float/double),
+  * and Spark's planner
   * merges them with a final SUM exactly like any partial aggregate. At a
   * million-file observatory archive this is the difference between a
   * catalog query and a full decode of the archive.

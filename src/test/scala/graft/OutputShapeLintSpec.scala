@@ -48,8 +48,13 @@ class OutputShapeLintSpec extends SparkTestBase {
       case (name, fn) =>
         val cols =
           try hostileColumns(fn(spark, sf))
-          catch { case e: Throwable =>
-            Seq(s"<build failed: ${e.getClass.getSimpleName}: ${e.getMessage}>")
+          // NonFatal, not Throwable: an OOM must abort the suite, not be
+          // swallowed into an assertion string. A build failure here is
+          // NOT a shape violation — it is surfaced distinctly so triage
+          // goes to the query, not the comparator.
+          catch { case scala.util.control.NonFatal(e) =>
+            Seq("<NOT a shape violation — query failed to BUILD at the " +
+              s"lint's fixture: ${e.getClass.getSimpleName}: ${e.getMessage}>")
           }
         cols.map(c => s"$name -> $c")
     }

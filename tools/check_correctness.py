@@ -37,6 +37,12 @@ def driver_order(rows, cols):
     sort columns by name, row-sort over ALL columns. Returns the input
     rows (original Python values, NOT pandas-coerced ones) in that order.
 
+    Each side is ordered INDEPENDENTLY by its own values — exactly like
+    the driver — so when the two sides genuinely differ in a sort-key
+    column, the per-row diff below may pair shifted rows: the FAIL
+    verdict is still correct, but treat first_bad as "somewhere in this
+    region", not as an exact row pairing.
+
     Crucially this RAISES on comparator-hostile cells — a top-level array
     column dies in pandas factorize with "unhashable type: 'numpy.ndarray'"
     — exactly like the driver (q_profile_quantiles, round 15). The old

@@ -277,4 +277,45 @@ class PropertiesSpec extends SparkTestBase {
       }
     }
   }
+
+  /** Random corpora: skewed domain draws (one domain soaks up most rows
+    * — the exact shape budgetSelectDist exists for), zero-token docs,
+    * heavy priority ties (broken by unique id), random allocations
+    * including 0 and over-inventory. The dist form must equal the
+    * windowed form ROW FOR ROW (ids AND cum_tokens) at every partition
+    * count — the selection is a pure function of the total order.
+    */
+  private val mixCorpusGen: Gen[(Seq[(String, Long, Long, Long)], Seq[(String, Long)])] =
+    for {
+      n <- Gen.choose(30, 250)
+      nDoms <- Gen.choose(1, 4)
+      rows <- Gen.listOfN(n, for {
+        dpick <- Gen.frequency((6, 0), (2, 1), (1, 2), (1, 3))
+        prio <- Gen.choose(0L, 5L) // heavy ties
+        toks <- Gen.frequency((1, Gen.const(0L)), (5, Gen.choose(1L, 40L)))
+      } yield (s"d${dpick % nDoms}", prio, toks))
+      allocs <- Gen.listOfN(nDoms, Gen.choose(0L, 900L))
+    } yield (
+      rows.zipWithIndex.map { case ((d, p, t), i) => (d, i.toLong, p, t) },
+      allocs.zipWithIndex.map { case (a, i) => (s"d$i", a) })
+
+  test("budgetSelectDist == windowed budgetSelect on random skewed corpora") {
+    import graft.llm.MixPlanner
+    forAllSampled(mixCorpusGen, n = 12) { case (rows, allocs) =>
+      val docs = rows.toDF("domain", "id", "priority", "tokens")
+      val alloc = allocs.toDF("domain", "alloc_tokens")
+      val expect = MixPlanner.budgetSelect(docs, "domain", "id", "tokens",
+          "priority", alloc)
+        .select("domain", "id", "cum_tokens")
+        .as[(String, Long, Long)].collect().toSet
+      for (p <- Seq(2, 5, 17)) {
+        val got = MixPlanner.budgetSelectDist(docs, "domain", "id", "tokens",
+            "priority", alloc, partitions = p)
+          .select("domain", "id", "cum_tokens")
+          .as[(String, Long, Long)].collect().toSet
+        assert(got == expect,
+          s"p=$p diff: missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+      }
+    }
+  }
 }

@@ -110,6 +110,10 @@ object GraftFunctions {
         new ExpressionInfo("graft", name, desc), builder))
     }
     e.injectOptimizerRule(graft.plans.RangeJoinRule.apply)
+    // channel-slice projection pushdown for the sdfits connector; must be
+    // an operator-optimization rule (NOT extraOptimizations) so it runs
+    // before V2ScanRelationPushDown builds the scan
+    e.injectOptimizerRule(_ => graft.plans.SdfitsSliceRule)
   }
 
   /** Register on an already-built session. */

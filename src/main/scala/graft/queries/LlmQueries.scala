@@ -2416,6 +2416,26 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    "q_mix_select_auto" -> ((s, dir) => {
+      // Dispatcher entry (VERDICT r16 item 1): budgetSelectAuto probes
+      // max rows/domain with one narrow aggregation and picks the
+      // windowed vs range-partitioned form on the measured ~1M-row
+      // crossover. At oracle scale the probe lands below it → windowed;
+      // MixPlannerSpec pins the dist branch and the identical-output
+      // contract, so the oracle (same prefix rule) is form-independent.
+      val doms = mixDomains(s, dir).localCheckpoint(true)
+      val alloc = MixPlanner.budgetAllocation(doms, "domain", "w", "avail",
+        budgetTokens = mixBudget(doms), maxEpochsMicro = 1500000L)
+      val d = docsSpread(s, dir).select(
+        concat_ws("/", col("source"), col("lang")).as("domain"),
+        col("doc_id"),
+        (TextAnalysis.fingerprint(col("text")) % 1000000L).as("priority"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+      MixPlanner.budgetSelectAuto(d, "domain", "doc_id", "tokens",
+          "priority", alloc)
+        .orderBy(col("domain"), col("id"))
+    }),
+
     "q_mix_report" -> ((s, dir) => {
       // The realized-vs-planned mixture audit closing the planning loop:
       // allocation → prefix selection → per-domain realized tokens,
@@ -5580,6 +5600,29 @@ object LlmQueries {
         |SELECT domain, id, priority, tokens,
         |  CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c WHERE cum_tokens <= alloc_tokens ORDER BY id""".stripMargin,
+
+    // The dispatcher returns the SAME kept set as q_mix_select by
+    // contract (MixPlannerSpec's partition-sweep + dispatch-equality
+    // tests) — the oracle is the form-independent prefix rule.
+    "q_mix_select_auto" ->
+      s"""WITH $mixAllocSql,
+        |mix_docs AS (SELECT source || '/' || lang AS domain, doc_id AS id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(text[i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) % 1000000 AS priority,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |mix_cum AS (SELECT d.domain, d.id, d.priority, d.tokens,
+        |    sum(d.tokens) OVER (PARTITION BY d.domain
+        |      ORDER BY d.priority DESC, d.id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+        |    f.alloc_tokens
+        |  FROM mix_docs d JOIN mix_fin f USING (domain))
+        |SELECT domain, id, priority, tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM mix_cum WHERE cum_tokens <= alloc_tokens
+        |ORDER BY domain, id""".stripMargin,
 
     "q_mix_report" ->
       s"""WITH $mixAllocSql,

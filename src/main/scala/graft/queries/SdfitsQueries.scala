@@ -153,6 +153,25 @@ object SdfitsQueries {
           min(col("ROWKEY")).as("min_key"), max(col("ROWKEY")).as("max_key"),
           min(col("IFNUM")).as("min_if"), max(col("IFNUM")).as("max_if"),
           sum(col("ROWKEY")).as("sum_key"), sum(col("IFNUM")).as("sum_if"))
+    }),
+
+    "q_sdfits_slice" -> ((s, dir) => {
+      // Channel-slice projection pushdown (VERDICT r16 item 2 — the
+      // reference's crop, validate.py:102): the `channels` option makes
+      // the scan decode ONLY bytes of channels 1..2 of each row's DATA
+      // vector (here l_extendedprice, l_discount), composing with the
+      // CALSTATE filter pushdown. Every surviving row's sliced cells are
+      // returned, so the byte-slice arithmetic is inside the hash check;
+      // SdfitsSliceRule (rewriting slice($"DATA",a,n) into this option)
+      // and the clamp semantics are pinned by SdfitsSliceRuleSpec.
+      val path = ensureObservation(s, dir)
+      s.read.format("sdfits").option("channels", "1:2").load(path)
+        .filter(col("CALSTATE") === 1)
+        .select(col("ROWKEY").as("rowkey"),
+          element_at(col("DATA"), 1).as("c1"),
+          element_at(col("DATA"), 2).as("c2"),
+          size(col("DATA")).as("width"))
+        .orderBy(col("rowkey"), col("c1"), col("c2"))
     })
   )
 
@@ -184,6 +203,13 @@ object SdfitsQueries {
         |  CAST(sum(l_orderkey * 8 + l_linenumber) AS BIGINT) AS sum_key,
         |  CAST(sum(l_orderkey % 3) AS BIGINT) AS sum_if
         |FROM lineitem
-        |WHERE l_orderkey % 20 = 0 AND l_linenumber % 2 = 1""".stripMargin
+        |WHERE l_orderkey % 20 = 0 AND l_linenumber % 2 = 1""".stripMargin,
+
+    "q_sdfits_slice" ->
+      """SELECT l_orderkey * 8 + l_linenumber AS rowkey,
+        |  l_extendedprice AS c1, l_discount AS c2, CAST(2 AS INT) AS width
+        |FROM lineitem
+        |WHERE l_orderkey % 20 = 0 AND l_linenumber % 2 = 1
+        |ORDER BY rowkey, c1, c2""".stripMargin
   )
 }

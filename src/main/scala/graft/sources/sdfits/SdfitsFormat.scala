@@ -154,6 +154,27 @@ object SdfitsFormat {
     }
   }
 
+  /** Decode a contiguous channel slice of a VECTOR cell: elements
+    * `[start, min(start+count, repeat))`, 0-based, touching only the
+    * sliced bytes — the crop pushdown (ref validate.py:102, the F7/F8
+    * channel crop) that makes a `slice($"DATA", a, n)` scan decode n
+    * cells instead of the full vector. Clamp (not refuse) past-the-end
+    * ranges: the optimizer rewrite from Spark's `slice` must preserve its
+    * semantics exactly, and `slice(x, start, n)` clamps.
+    */
+  def decodeCellSlice(bytes: Array[Byte], t: TableSpec, row: Int, c: ColSpec,
+      colOff: Int, start: Int, count: Int): Any = {
+    val n = math.max(0, math.min(count.toLong, c.repeat.toLong - start).toInt)
+    val base = (t.dataOffset + row.toLong * t.rowBytes + colOff).toInt
+    val bb = ByteBuffer.wrap(bytes) // big-endian by default
+    c.code match {
+      case 'D' => Array.tabulate(n)(j => bb.getDouble(base + 8 * (start + j)))
+      case 'E' => Array.tabulate(n)(j => bb.getFloat(base + 4 * (start + j)))
+      case other => throw new SdfitsVerificationException(
+        s"channel slice on non-vector TFORM code '$other'")
+    }
+  }
+
   // --- write (fixture/staging side) ---------------------------------------
 
   private def padCard(s: String): Array[Byte] =

@@ -104,6 +104,26 @@ object SdfitsTableProvider {
     buf
   }
 
+  /** Parse the `channels` read option `"<start>:<count>"` (0-based start,
+    * count ≥ 0): the channel-range projection pushdown. Every VECTOR
+    * column in the scan decodes only elements
+    * `[start, min(start+count, repeat))` — Spark `slice` clamp semantics,
+    * which is what lets [[graft.plans.SdfitsSliceRule]] rewrite a
+    * `slice($"DATA", a, n)` projection into this option without changing
+    * results. Scalar columns, filters, and aggregate pushdown are
+    * unaffected.
+    */
+  private[sdfits] def channelRange(options: CaseInsensitiveStringMap): Option[(Int, Int)] =
+    Option(options.get("channels")).map { s =>
+      val re = "^([0-9]+):([0-9]+)$".r
+      s match {
+        case re(a, n) => (a.toInt, n.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"sdfits: channels option must be '<start0>:<count>' with " +
+            s"non-negative integers, got '$s'")
+      }
+    }
+
   private[sdfits] def toStructType(cols: Seq[ColSpec]): StructType =
     StructType(cols.map { c =>
       val dt = c.code match {
@@ -121,7 +141,9 @@ object SdfitsTableProvider {
     })
 }
 
-private[sdfits] class SdfitsTable(schema: StructType, path: String)
+// private[graft], not [sdfits]: graft.plans.SdfitsSliceRule type-matches
+// this class to recognize a rewritable relation.
+private[graft] class SdfitsTable(schema: StructType, path: String)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"sdfits:$path"
   override def schema(): StructType = schema
@@ -131,7 +153,8 @@ private[sdfits] class SdfitsTable(schema: StructType, path: String)
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SdfitsScanBuilder(schema, path)
+    new SdfitsScanBuilder(schema, path,
+      SdfitsTableProvider.channelRange(options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SdfitsWriteBuilder(info, path)
 }
@@ -221,8 +244,17 @@ private[sdfits] object SdfitsPushdown {
     case m: Max =>
       nameOf(m.column).flatMap(scalarField(full, _)).map(f => MaxCol(f.name))
     case s: Sum if !s.isDistinct =>
+      // Integral sums push only under ANSI semantics (ADVICE r16): the
+      // pushed partial accumulates via Math.addExact (throws on overflow,
+      // the ANSI contract — the default on Spark 4), but a non-ANSI
+      // session's unpushed sum would WRAP, so pushing there would change
+      // observable results on a corrupt-scale sum. Double sums are
+      // IEEE-identical either way and always push.
       nameOf(s.column).flatMap(scalarField(full, _))
-        .filterNot(_.dataType == StringType).map(f => SumCol(f.name))
+        .filterNot(_.dataType == StringType)
+        .filter(f => f.dataType == FloatType || f.dataType == DoubleType ||
+          org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+        .map(f => SumCol(f.name))
     case _ => None
   }
 
@@ -306,7 +338,8 @@ private[sdfits] object SdfitsPushdown {
   }
 }
 
-private[sdfits] class SdfitsScanBuilder(full: StructType, path: String)
+private[sdfits] class SdfitsScanBuilder(full: StructType, path: String,
+    channels: Option[(Int, Int)])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = full
@@ -333,7 +366,7 @@ private[sdfits] class SdfitsScanBuilder(full: StructType, path: String)
     val out =
       if (aggs.nonEmpty) SdfitsPushdown.aggSchema(full, groupBy, aggs)
       else required
-    new SdfitsScan(full, out, path, pushed, groupBy, aggs)
+    new SdfitsScan(full, out, path, pushed, groupBy, aggs, channels)
   }
 }
 
@@ -341,7 +374,7 @@ private[sdfits] case class SdfitsInputPartition(file: String) extends InputParti
 
 private[sdfits] class SdfitsScan(full: StructType, output: StructType,
     path: String, filters: Array[Filter], groupBy: Seq[String],
-    aggs: Seq[SdfitsPushdown.Agg])
+    aggs: Seq[SdfitsPushdown.Agg], channels: Option[(Int, Int)])
     extends Scan with Batch with SupportsReportStatistics {
   // Resolved on the driver (session fs settings apply) and shipped to the
   // reader tasks via the factory — executors must see the same filesystem
@@ -353,7 +386,8 @@ private[sdfits] class SdfitsScan(full: StructType, output: StructType,
     val fs = if (filters.isEmpty) "" else filters.mkString(", PushedFilters: [", ", ", "]")
     val as = if (aggs.isEmpty) "" else aggs.mkString(", PushedAggregates: [", ", ", "]")
     val gs = if (groupBy.isEmpty) "" else groupBy.mkString(", PushedGroupBy: [", ", ", "]")
-    s"sdfits:$path$fs$as$gs"
+    val cs = channels.map { case (a, n) => s", PushedChannelRange: [$a:$n]" }.getOrElse("")
+    s"sdfits:$path$fs$as$gs$cs"
   }
   /** Planner statistics from the file listing alone (no header reads):
     * raw byte size feeds the broadcast-threshold decision for joins
@@ -383,12 +417,13 @@ private[sdfits] class SdfitsScan(full: StructType, output: StructType,
     files.map(SdfitsInputPartition.apply).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SdfitsReaderFactory(full, output, filters, groupBy, aggs, conf)
+    new SdfitsReaderFactory(full, output, filters, groupBy, aggs, channels, conf)
 }
 
 private[sdfits] class SdfitsReaderFactory(
     full: StructType, output: StructType, filters: Array[Filter],
     groupBy: Seq[String], aggs: Seq[SdfitsPushdown.Agg],
+    channels: Option[(Int, Int)],
     conf: SerializableWritable[Configuration])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -396,7 +431,7 @@ private[sdfits] class SdfitsReaderFactory(
     if (aggs.nonEmpty)
       new SdfitsAggReader(file, full, filters, groupBy, aggs, conf.value)
     else
-      new SdfitsPartitionReader(file, full, output, filters, conf.value)
+      new SdfitsPartitionReader(file, full, output, filters, channels, conf.value)
   }
 }
 
@@ -423,12 +458,23 @@ private[sdfits] abstract class SdfitsFileAccess(
 
 private[sdfits] class SdfitsPartitionReader(
     file: String, full: StructType, required: StructType,
-    filters: Array[Filter], conf: Configuration)
+    filters: Array[Filter], channels: Option[(Int, Int)], conf: Configuration)
     extends SdfitsFileAccess(file, full, conf) with PartitionReader[InternalRow] {
 
   // (column spec, byte offset within row) per projected field — unprojected
   // columns are never decoded
   private val projected: Array[(ColSpec, Int)] = required.fields.map(f => colAt(f.name))
+  // With a pushed channel range, vector columns decode ONLY the sliced
+  // bytes (clamped like Spark's `slice`); scalar columns are untouched.
+  private val decoders: Array[Int => Any] =
+    required.fields.zip(projected).map { case (f, ca) =>
+      (channels, f.dataType) match {
+        case (Some((start, n)), _: ArrayType) =>
+          (r: Int) => SdfitsFormat.decodeCellSlice(bytes, table, r, ca._1, ca._2, start, n)
+        case _ =>
+          (r: Int) => decode(r, ca)
+      }
+    }
   // pushed predicates resolved to their cells — evaluated BEFORE projection
   // decode, so a rejected row never materializes its DATA vector.
   // IsNotNull is vacuously true on non-nullable columns: accepted in the
@@ -458,7 +504,7 @@ private[sdfits] class SdfitsPartitionReader(
     val vals = new Array[Any](projected.length)
     var i = 0
     while (i < projected.length) {
-      vals(i) = decode(row, projected(i)) match {
+      vals(i) = decoders(i)(row) match {
         case s: String          => UTF8String.fromString(s)
         case a: Array[Double]   => new GenericArrayData(a)
         case a: Array[Float]    => new GenericArrayData(a)

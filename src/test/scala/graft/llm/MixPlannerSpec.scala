@@ -178,6 +178,49 @@ class MixPlannerSpec extends SparkTestBase {
     }
   }
 
+  test("budgetSelectAuto dispatches on the crossover and outputs stay identical") {
+    val docs = ((0L until 300L).map(i =>
+        ("mega", i, (i % 11).toDouble, (i % 7) + 1L)) ++
+      (0L until 20L).map(i => ("small", 1000L + i, i.toDouble, 5L)))
+      .toDF("domain", "id", "priority", "tokens")
+    val alloc = Seq(("mega", 500L), ("small", 37L)).toDF("domain", "alloc_tokens")
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("domain", "id", "cum_tokens")
+        .as[(String, Long, Long)].collect().toSet
+    // Probe path: 300 rows/domain is far under the 1M crossover → the
+    // windowed form (no range-partitioned __chunk machinery in the plan).
+    val auto = MixPlanner.budgetSelectAuto(docs, "domain", "id", "tokens",
+      "priority", alloc)
+    assert(!auto.queryExecution.analyzed.toString.contains("__chunk"),
+      "probe under threshold must pick the windowed form")
+    // Hint above the crossover forces the dist form...
+    val dist = MixPlanner.budgetSelectAuto(docs, "domain", "id", "tokens",
+      "priority", alloc,
+      maxDomainRowsHint = MixPlanner.DistDomainRowThreshold + 1)
+    assert(dist.queryExecution.analyzed.toString.contains("__chunk"),
+      "hint above threshold must pick the dist form")
+    // ...and the dispatch is a pure cost decision: identical kept sets
+    // and cum_tokens either way.
+    assert(key(auto) == key(dist) && key(auto).nonEmpty)
+    // Hint at/below the threshold forces windowed without a probe job.
+    val win = MixPlanner.budgetSelectAuto(docs, "domain", "id", "tokens",
+      "priority", alloc, maxDomainRowsHint = 0L)
+    assert(!win.queryExecution.analyzed.toString.contains("__chunk"))
+  }
+
+  test("budgetSelectDist refuses a document-granularity allocation frame loudly") {
+    // A per-document alloc would silently pull O(docs) subtotal rows to
+    // the driver (ADVICE r16) — the loud-refusal guard must fire first.
+    val docs = Seq(("a", 1L, 1.0, 5L)).toDF("domain", "id", "priority", "tokens")
+    val bigAlloc = spark.range(MixPlanner.MaxDomains + 1)
+      .selectExpr("cast(id as string) as domain", "10L as alloc_tokens")
+    val e = intercept[IllegalArgumentException] {
+      MixPlanner.budgetSelectDist(docs, "domain", "id", "tokens",
+        "priority", bigAlloc).collect()
+    }
+    assert(e.getMessage.contains("per-DOMAIN"))
+  }
+
   test("budgetAllocation refuses zero/negative weights and negative inventories loudly") {
     // A zero-weight domain would pass the cleared-denominator saturation
     // test (0 <= B*0), read as saturated, and silently take its FULL

@@ -180,6 +180,86 @@ class SdfitsPushdownSpec extends SparkTestBase {
     assert(mixed.count() == expect)
   }
 
+  test("channels option decodes only the slice, clamps like Spark's slice") {
+    val dir = fixture()
+    val full = spark.read.format("sdfits").load(dir)
+    val sliced = spark.read.format("sdfits").option("channels", "1:2").load(dir)
+    // plan carries the pushed range
+    val plan = planOf(sliced.select($"ROWIDX", $"DATA"))
+    assert(plan.contains("PushedChannelRange: [1:2]"), plan)
+    // values are exactly slice($"DATA", 2, 2) of the full read
+    val expect = full.select($"ROWIDX", slice($"DATA", 2, 2).as("d"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val got = sliced.select($"ROWIDX", $"DATA")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got == expect && got.values.forall(_.length == 2))
+    assert(got(1003L) == Seq(6.0, 9.0)) // channels 2,3 of row i=3: 2i, 3i
+    // filters + scalar columns ride along unaffected
+    val f = spark.read.format("sdfits").option("channels", "1:2").load(dir)
+      .filter($"IFNUM" === 1).select(element_at($"DATA", 1).as("c"))
+    assert(planOf(f).contains("EqualTo(IFNUM,1)"))
+    assert(f.as[Double].collect().sorted.take(2).toSeq == Seq(2.0, 2.0))
+    // past-the-end ranges CLAMP (slice semantics — the rule rewrite must
+    // be value-preserving), they don't throw
+    val clamp = spark.read.format("sdfits").option("channels", "3:5").load(dir)
+      .select(size($"DATA")).as[Int].collect()
+    assert(clamp.forall(_ == 1))
+    val empty = spark.read.format("sdfits").option("channels", "9:2").load(dir)
+      .select(size($"DATA")).as[Int].collect()
+    assert(empty.forall(_ == 0))
+    // malformed option refuses loudly
+    val e = intercept[Exception] {
+      spark.read.format("sdfits").option("channels", "2").load(dir).collect()
+    }
+    assert(e.getMessage.contains("channels"))
+  }
+
+  test("non-ANSI sessions do not push integral SUMs (wrap vs addExact divergence)") {
+    val dir = fixture()
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val df = spark.read.format("sdfits").load(dir)
+      // integral sum: falls back (unpushed long sum would WRAP on overflow
+      // where the pushed partial throws via addExact — ADVICE r16: pushdown
+      // must never change observable semantics)
+      val gi = df.agg(sum($"ROWIDX").as("sr"))
+      assert(!planOf(gi).contains("SumCol"), planOf(gi))
+      val allIdx = (0 until 30).map(i => 1000L + i) ++ (0 until 20).map(2000L + _)
+      assert(gi.head().getLong(0) == allIdx.sum)
+      // double sum: IEEE-identical either way — still pushes
+      val gd = df.agg(sum($"ELEVATIO").as("se"))
+      assert(planOf(gd).contains("SumCol(ELEVATIO)"), planOf(gd))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("AVG pushes as its Sum+Count decomposition (partial-pushdown contract)") {
+    // Spark decomposes Avg into Sum + Count when a source supports only
+    // PARTIAL aggregate pushdown (SPARK-37839) — the scan must receive
+    // both, and the final avg is Spark's division over the merged
+    // partials (so the ANSI overflow contract rides on the pushed SUM).
+    val dir = fixture()
+    val df = spark.read.format("sdfits").load(dir)
+    val a = df.agg(avg($"IFNUM").as("ai"), avg($"ELEVATIO").as("ae"))
+    val plan = planOf(a)
+    assert(plan.contains("SumCol(IFNUM)") && plan.contains("SumCol(ELEVATIO)"),
+      s"avg not decomposed into pushed sums:\n$plan")
+    assert(plan.contains("RowCount"), plan)
+    val r = a.head()
+    val ifs = (0 until 30).map(_ % 3) ++ (0 until 20).map(_ % 3)
+    val els = (0 until 30).map(40.0 + _) ++ (0 until 20).map(40.0 + _)
+    assert(r.getDouble(0) == ifs.sum.toDouble / ifs.size)
+    assert(r.getDouble(1) == els.sum / els.size)
+    // grouped avg decomposes too
+    val g = df.groupBy($"IFNUM").agg(avg($"ELEVATIO").as("ae"))
+    assert(planOf(g).contains("SumCol(ELEVATIO)") &&
+      planOf(g).contains("PushedGroupBy"), planOf(g))
+    val expect = ((0 until 30) ++ (0 until 20)).groupBy(_ % 3).view
+      .mapValues(is => is.map(40.0 + _).sum / is.size).toMap
+    assert(g.orderBy($"IFNUM").as[(Int, Double)].collect().toSeq ==
+      Seq(0, 1, 2).map(k => (k, expect(k))))
+  }
+
   test("statistics report the byte size of the listing") {
     val dir = fixture()
     val df = spark.read.format("sdfits").load(dir)

@@ -330,21 +330,33 @@ object QueryUtil {
     * (certified in INVARIANCE_*) — content is identical whichever query
     * triggers the build, and each query remains independently runnable.
     */
-  private val stagedArtifacts = scala.collection.concurrent.TrieMap[String, String]()
+  private val stagedArtifacts =
+    scala.collection.concurrent.TrieMap[String, StagedSlot]()
+  /** Per-key memo cell: the lock is the SLOT, not the map (ADVICE r16 —
+    * a single global lock would serialize unrelated keys behind an
+    * ~80-job graph build). `path` is written once under the slot's
+    * monitor; double-checked read outside it.
+    */
+  private final class StagedSlot { @volatile var path: String = _ }
   def stagedOnce(s: SparkSession, key: String, build: () => DataFrame): DataFrame = {
-    // synchronized: getOrElseUpdate alone may evaluate the builder twice
-    // under racing threads. The artifact path embeds the PID because the
-    // file is only ever READ by the JVM that built it (the map gates) —
-    // so a concurrent sibling process (Bench beside Verify) can never
-    // overwrite a staged file mid-read.
-    val path = stagedArtifacts.synchronized {
-      stagedArtifacts.getOrElseUpdate(key, {
+    // The artifact path embeds the PID because the file is only ever READ
+    // by the JVM that built it (the map gates) — so a concurrent sibling
+    // process (Bench beside Verify) can never overwrite a staged file
+    // mid-read. deleteOnExit sweeps the PID's artifacts when the JVM
+    // leaves (ADVICE r16: staged files used to accumulate across runs);
+    // parquet is a DIRECTORY, so register its files too.
+    val slot = stagedArtifacts.getOrElseUpdate(key, new StagedSlot)
+    if (slot.path == null) slot.synchronized {
+      if (slot.path == null) {
         val p = stagingDir() + "/once_" +
           ProcessHandle.current().pid() + "_" + key
         build().write.mode("overwrite").parquet(p)
-        p
-      })
+        val d = new java.io.File(p)
+        d.deleteOnExit()
+        Option(d.listFiles()).foreach(_.foreach(_.deleteOnExit()))
+        slot.path = p
+      }
     }
-    s.read.parquet(path)
+    s.read.parquet(slot.path)
   }
 }

@@ -287,6 +287,27 @@ object StreamInvariance {
     }
     record("sdfits_gate", gateRuns, Some(gateBatch))
 
+    // 11. rloo — the r16 leave-one-out advantage operator (VERDICT r16
+    // item 3): the streaming form carries each prompt's response set
+    // through the complete-mode aggregation (collect_list) and explodes
+    // it back, so every advantage is a pure function of the prompt's
+    // final (N, Σr, r_i) — arrival chunking must not matter, and the
+    // batch twin is the aggregation+join-back operator itself. Includes
+    // a single-response prompt (null advantage, has_baseline=false) and
+    // negative rewards.
+    val rlooRows = (0 until 240).map { i =>
+      (s"p${i % 40}", i.toLong, (((i * 37) % 20) - 10).toLong * 1000000L)
+    } :+ (("solo", 9999L, 5000000L))
+    val rlooRuns = chunks.map(c =>
+      runStream(spark, rlooRows, c, "rloo", mode = "complete")(ds =>
+        graft.streaming.StreamingRloo.advantages(
+          ds.toDF("prompt", "id", "reward_micro"))))
+    val rlooBatch = graft.llm.Conversations.rlooAdvantages(
+        rlooRows.toDF("prompt", "id", "reward_micro"),
+        "prompt", "id", "reward_micro")
+      .collect().map(r => r.toSeq.map(String.valueOf(_)).mkString("|")).toSeq.sorted
+    record("rloo", rlooRuns, Some(rlooBatch))
+
     val total = results.values.map(v => v._2 + v._3).sum
     val fams = results.map { case (n, (rows, d, bd)) =>
       s""""$n":{"rows":$rows,"chunk_diffs":$d,"batch_diffs":$bd}"""

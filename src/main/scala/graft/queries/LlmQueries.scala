@@ -558,7 +558,10 @@ object LlmQueries {
       // which is why the novel side is synthetic: "kept" must be provable
       // without modeling minhash. Certificate discipline as
       // q_dedup_minhash: ≥95% of re-crawls dropped at est ≥ 0.5, every
-      // novel doc kept, n_prior anchors the size.
+      // novel doc kept, n_prior anchors the size. Violation-count form
+      // (r17, q_expectations' discipline): the oracle states the exact
+      // integers 0/0, so a failure surfaces as its SIZE, and no boolean
+      // is stated.
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val novel = d.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), concat_ws(" ",
@@ -582,8 +585,9 @@ object LlmQueries {
         .crossJoin(novel.agg(count(lit(1)).as("__nn")))
         .crossJoin(keptPlanted).crossJoin(keptNovel)
         .select(
-          (col("__kp") <= col("n_prior") * 0.05).as("recrawls_dropped"),
-          (col("__kn") === col("__nn")).as("novel_kept"),
+          greatest(col("__kp") - expr("n_prior div 20"), lit(0L))
+            .as("recrawls_kept_over_cap"),
+          (col("__nn") - col("__kn")).as("n_novel_dropped"),
           col("n_prior"))
     }),
 
@@ -659,11 +663,16 @@ object LlmQueries {
         .agg(count(lit(1)).as("__rec"))
       val shape = cand.agg(count(lit(1)).as("__n"),
         coalesce(sum(when(col("id_a") < col("id_b"), 0).otherwise(1)), lit(0L)).as("__bad"))
+      // Violation-count form (r17): missed pairs over the 5% budget,
+      // malformed pairs, pair-count deficit — all exact integer 0s the
+      // oracle states, no boolean.
       docs(s, dir).agg(count(lit(1)).as("n_planted"))
         .crossJoin(rec).crossJoin(shape)
         .select(
-          (col("__rec") >= col("n_planted") * 0.95).as("recall_ok"),
-          (col("__bad") === 0 && col("__n") >= col("n_planted")).as("pairs_wellformed"),
+          greatest(col("n_planted") - col("__rec") - expr("n_planted div 20"),
+            lit(0L)).as("missed_over_budget"),
+          col("__bad").as("n_malformed_pairs"),
+          greatest(col("n_planted") - col("__n"), lit(0L)).as("pairs_deficit"),
           col("n_planted"))
     }),
 
@@ -683,11 +692,14 @@ object LlmQueries {
         .agg(count(lit(1)).as("__rec"))
       val shape = cand.agg(count(lit(1)).as("__n"),
         coalesce(sum(when(col("id_a") < col("id_b"), 0).otherwise(1)), lit(0L)).as("__bad"))
+      // Violation-count form (r17) with the 25% simhash budget.
       docs(s, dir).agg(count(lit(1)).as("n_planted"))
         .crossJoin(rec).crossJoin(shape)
         .select(
-          (col("__rec") >= col("n_planted") * 0.75).as("recall_ok"),
-          (col("__bad") === 0 && col("__n") >= col("n_planted")).as("pairs_wellformed"),
+          greatest(col("n_planted") - col("__rec") - expr("n_planted div 4"),
+            lit(0L)).as("missed_over_budget"),
+          col("__bad").as("n_malformed_pairs"),
+          greatest(col("n_planted") - col("__n"), lit(0L)).as("pairs_deficit"),
           col("n_planted"))
     }),
 
@@ -987,18 +999,21 @@ object LlmQueries {
         .localCheckpoint()
       val hits = mined.filter(col("rank") === 1 &&
         col("cand") === col("anchor") - plantOff).count()
-      val shapeOk = mined.groupBy(col("anchor")).agg(count(lit(1)).as("n"))
-        .filter(col("n") =!= 4L).count() == 0 &&
-        mined.filter(col("rank") > 1).alias("m")
-          .join(mined.filter(col("rank") === 1).alias("p"),
-            col("m.anchor") === col("p.anchor"))
-          .filter(col("m.cosine") > col("p.cosine")).count() == 0
+      // Violation-count form (r17, replacing the shape_ok boolean): the
+      // oracle states 0/0 exactly, so a shape break surfaces as its size.
+      val badShape = mined.groupBy(col("anchor")).agg(count(lit(1)).as("n"))
+        .filter(col("n") =!= 4L).count()
+      val cosViolations = mined.filter(col("rank") > 1).alias("m")
+        .join(mined.filter(col("rank") === 1).alias("p"),
+          col("m.anchor") === col("p.anchor"))
+        .filter(col("m.cosine") > col("p.cosine")).count()
       import s.implicits._
-      // exact tripwire + derivable corpus anchor beside the shape flag
+      // exact tripwire + derivable corpus anchor beside the shape counts
       // (VERDICT r14 item 3); the old recall_ok flag was a pure function
       // of the stated n_hits (hits >= 9) — redundant, dropped (r16).
       // n was counted above for the k derivation.
-      Seq((shapeOk, hits, n)).toDF("shape_ok", "n_hits", "n")
+      Seq((badShape, cosViolations, hits, n))
+        .toDF("n_bad_shape_anchors", "n_cos_violations", "n_hits", "n")
     }),
 
     "q_sim_ivf" -> ((s, dir) => {
@@ -1471,15 +1486,21 @@ object LlmQueries {
         sum(when(!col("is_kept"), 1L).otherwise(0L)).as("nd"),
         max(when(!col("is_kept"), col("skey"))).as("maxd"),
         min(when(col("is_kept"), col("skey"))).as("mink"))
+      // Violation-count form (r17): cells breaking the exact-floor drop
+      // fraction, cells where a dropped member sorts after a kept one,
+      // kept ids outside the input — all exact 0s the oracle states.
       val fracOrder = perCell.agg(
-        min(col("nd") === floor(col("n") * lit(0.25))).as("frac_ok"),
-        min(col("maxd").isNull || col("mink").isNull || col("maxd") < col("mink"))
-          .as("order_ok"))
+        coalesce(sum(when(col("nd") =!= floor(col("n") * lit(0.25)), 1L)
+          .otherwise(0L)), lit(0L)).as("n_cells_bad_frac"),
+        coalesce(sum(when(col("maxd").isNull || col("mink").isNull ||
+            col("maxd") < col("mink"), 0L).otherwise(1L)), lit(0L))
+          .as("n_cells_unordered"))
       val subset = kept.join(e.select(col("vec_id").as("id")), Seq("id"), "left_anti")
-        .agg((count(lit(1)) === 0).as("subset_ok"))
+        .agg(count(lit(1)).as("n_outside"))
       val nIn = e.agg(count(lit(1)).as("n_in"))
       subset.crossJoin(fracOrder).crossJoin(nIn)
-        .select(col("subset_ok"), col("frac_ok"), col("order_ok"), col("n_in"))
+        .select(col("n_outside"), col("n_cells_bad_frac"),
+          col("n_cells_unordered"), col("n_in"))
     }),
 
     "q_sample_clusterbal" -> ((s, dir) => {
@@ -1519,12 +1540,17 @@ object LlmQueries {
         sum(when(col("is_kept"), 1L).otherwise(0L)).as("nk"),
         max(when(col("is_kept"), col("skey"))).as("maxk"),
         min(when(!col("is_kept"), col("skey"))).as("mind"))
+      // Violation-count form (r17): over-cap cells, cells where a kept
+      // member sorts after a dropped one, kept ids outside the input —
+      // exact 0s the oracle states, no boolean.
       val capOrder = perCell.agg(
-        min(col("nk") <= cap).as("capped_ok"),
-        min(col("maxk").isNull || col("mind").isNull || col("maxk") < col("mind"))
-          .as("best_first_ok"))
+        coalesce(sum(when(col("nk") > cap, 1L).otherwise(0L)), lit(0L))
+          .as("n_cells_overcap"),
+        coalesce(sum(when(col("maxk").isNull || col("mind").isNull ||
+            col("maxk") < col("mind"), 0L).otherwise(1L)), lit(0L))
+          .as("n_cells_not_bestfirst"))
       val subset = kept.join(e.select(col("vec_id").as("id")), Seq("id"), "left_anti")
-        .agg((count(lit(1)) === 0).as("subset_ok"))
+        .agg(count(lit(1)).as("n_outside"))
       // EXACT kept count from the planted mega-cluster, not a <=cap flag
       // (r16): the cluster holds ~n/3 >> cap identical vectors, so the
       // cap must bind at exactly `cap` — a stated integer the oracle pins.
@@ -1539,8 +1565,9 @@ object LlmQueries {
       val anchors = e.agg(count(lit(1)).as("n_in"),
         sum(when(col("vec_id") % 3 === 0, 1L).otherwise(0L)).as("n_planted"))
       subset.crossJoin(capOrder).crossJoin(plantedKept).crossJoin(anchors)
-        .select(col("subset_ok"), col("capped_ok"), col("best_first_ok"),
-          col("n_kept_planted"), col("n_in"), col("n_planted"))
+        .select(col("n_outside"), col("n_cells_overcap"),
+          col("n_cells_not_bestfirst"), col("n_kept_planted"), col("n_in"),
+          col("n_planted"))
     }),
 
     "q_conv_toolcalls" -> ((s, dir) => {
@@ -3957,7 +3984,8 @@ object LlmQueries {
         |SELECT doc_id, source FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incr_minhash" ->
-      """SELECT true AS recrawls_dropped, true AS novel_kept,
+      """SELECT CAST(0 AS BIGINT) AS recrawls_kept_over_cap,
+        |  CAST(0 AS BIGINT) AS n_novel_dropped,
         |  CAST(count(*) AS BIGINT) AS n_prior FROM documents""".stripMargin,
 
     "q_source_overlap" ->
@@ -4490,9 +4518,11 @@ object LlmQueries {
         |FROM r WHERE rank <= 4 ORDER BY anchor, rank""".stripMargin,
 
     // Planted-neighbor recall certificate (assertions run Spark-side; the
-    // oracle states the expected verdict — q_sim_ivf_recall's pattern).
+    // oracle states exact violation counts — q_expectations' pattern).
     "q_sim_hardneg_ann" ->
-      """SELECT true AS shape_ok, CAST(10 AS BIGINT) AS n_hits,
+      """SELECT CAST(0 AS BIGINT) AS n_bad_shape_anchors,
+        |  CAST(0 AS BIGINT) AS n_cos_violations,
+        |  CAST(10 AS BIGINT) AS n_hits,
         |  CAST(count(*) AS BIGINT) AS n FROM embeddings""".stripMargin,
 
     "q_embed_center" ->
@@ -4663,7 +4693,8 @@ object LlmQueries {
         |FROM s9 ORDER BY doc_id""".stripMargin,
 
     "q_sample_clusterbal" ->
-      """SELECT true AS subset_ok, true AS capped_ok, true AS best_first_ok,
+      """SELECT CAST(0 AS BIGINT) AS n_outside, CAST(0 AS BIGINT) AS n_cells_overcap,
+        |  CAST(0 AS BIGINT) AS n_cells_not_bestfirst,
         |  CAST(10 AS BIGINT) AS n_kept_planted, CAST(count(*) AS BIGINT) AS n_in,
         |  CAST(sum(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
         |FROM embeddings""".stripMargin,
@@ -6057,7 +6088,9 @@ object LlmQueries {
     },
 
     "q_prune_prototypes" ->
-      """SELECT true AS subset_ok, true AS frac_ok, true AS order_ok,
+      """SELECT CAST(0 AS BIGINT) AS n_outside,
+        |  CAST(0 AS BIGINT) AS n_cells_bad_frac,
+        |  CAST(0 AS BIGINT) AS n_cells_unordered,
         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_in""".stripMargin,
 
     "q_decontaminate_semantic" ->
@@ -6095,11 +6128,15 @@ object LlmQueries {
     // The five former rows-only entries, now certificates (VERDICT r6
     // item 4): constant-or-corpus-derivable claims DuckDB can state.
     "q_dedup_minhash" ->
-      """SELECT true AS recall_ok, true AS pairs_wellformed,
+      """SELECT CAST(0 AS BIGINT) AS missed_over_budget,
+        |  CAST(0 AS BIGINT) AS n_malformed_pairs,
+        |  CAST(0 AS BIGINT) AS pairs_deficit,
         |  CAST(count(*) AS BIGINT) AS n_planted FROM documents""".stripMargin,
 
     "q_dedup_simhash" ->
-      """SELECT true AS recall_ok, true AS pairs_wellformed,
+      """SELECT CAST(0 AS BIGINT) AS missed_over_budget,
+        |  CAST(0 AS BIGINT) AS n_malformed_pairs,
+        |  CAST(0 AS BIGINT) AS pairs_deficit,
         |  CAST(count(*) AS BIGINT) AS n_planted FROM documents""".stripMargin,
 
     "q_sim_ann" ->

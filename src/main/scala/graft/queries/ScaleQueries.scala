@@ -377,10 +377,16 @@ object ScaleQueries {
         li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag"), col("l_shipdate"), col("l_quantity")),
         out, partCols = Seq("l_returnflag"), sortCols = Seq("l_shipdate"))
-      val (back, pruned) = graft.sources.LayoutWriter.prunedRead(
+      // Violation-count form (r17): rows served from OUTSIDE the selected
+      // partition's directory — exact 0 the oracle states, no boolean.
+      val (back, _) = graft.sources.LayoutWriter.prunedRead(
         s, out, "l_returnflag", "R")
-      back.agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
-        .withColumn("pruned", lit(pruned))
+      val seg = graft.sources.LayoutWriter.partitionSegment("l_returnflag", "R")
+      back.withColumn("__f", input_file_name()) // projected first: Spark
+        // refuses non-deterministic expressions INSIDE aggregate args
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          coalesce(sum(when(col("__f").contains(seg), 0L).otherwise(1L)),
+            lit(0L)).as("n_rows_outside_partition"))
     }),
 
     "q_join_bucketed" -> ((s, dir) => {
@@ -421,8 +427,10 @@ object ScaleQueries {
         out, Seq("l_orderkey"), numFiles = 8)
       val back = s.read.parquet(out).filter(col("l_orderkey") < 1000)
       val files = back.select(input_file_name()).distinct().count()
+      // files touched beyond the 2 a disjoint range layout permits —
+      // exact 0 the oracle states (r17, no boolean)
       back.agg(count(lit(1)).as("n"))
-        .withColumn("range_pruned", lit(files <= 2L))
+        .withColumn("files_over_cap", lit(math.max(files - 2L, 0L)))
     }),
 
     "q_sink_compact" -> ((s, dir) => {
@@ -460,10 +468,12 @@ object ScaleQueries {
         .repartition(4).write.mode("overwrite")
         .option("compression", "zstd").parquet(out)
       val codecs = graft.sources.LayoutWriter.parquetCodecs(s, out)
+      // the ACTUAL footer codec set as a value (r17): a silent snappy
+      // fallback prints its name instead of flipping a boolean
       s.read.parquet(out)
         .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"))
-        .withColumn("codec_ok", lit(codecs == Set("ZSTD")))
-        .select(col("codec_ok"), col("n_rows"), col("sum_ids"))
+        .withColumn("codecs", lit(codecs.toSeq.sorted.mkString(",")))
+        .select(col("codecs"), col("n_rows"), col("sum_ids"))
     }),
 
     "q_sink_zorder" -> ((s, dir) => {
@@ -493,7 +503,11 @@ object ScaleQueries {
           countDistinct(col("zb").cast("long")).as("n_buckets_box"))
         .withColumn("n_buckets_list", lit(bl.size.toLong))
         .withColumn("dir_pruned", lit(bl.size < 16))
-        .withColumn("files_ok", lit(filesRead <= bl.size))
+        // files touched beyond the bucket list — exact 0 the oracle
+        // states (r17, no stated boolean; dir_pruned above is DERIVED by
+        // the oracle from its own bucket enumeration)
+        .withColumn("files_over_buckets",
+          lit(math.max(filesRead - bl.size.toLong, 0L)))
     }),
 
     "q_corpus_manifest" -> ((s, dir) =>
@@ -573,15 +587,20 @@ object ScaleQueries {
         d.filter(col("doc_id") % 2 === 1), root)
       val v1After = manifestOf(graft.sources.SnapshotStore.read(s, root, v1))
       val after = v1After.orderBy(col("source")).collect().toSeq
-      val stable = before == after &&
-        graft.sources.SnapshotStore.currentVersion(root).contains(v2)
+      // Violation-count + value form (r17): manifest rows that drifted
+      // across the pinned re-read (exact 0) and the resolved CURRENT
+      // version (exact 2) — the oracle states both, no boolean.
+      val driftRows = (before.diff(after) ++ after.diff(before)).size.toLong
+      val curVer = graft.sources.SnapshotStore.currentVersion(root)
+        .getOrElse(-1).toLong
       val m1 = v1After.select(col("source"),
         col("n_docs").as("v1_n_docs"), col("checksum").as("v1_checksum"))
       val m2 = manifestOf(graft.sources.SnapshotStore.readCurrent(s, root))
         .select(col("source"),
           col("n_docs").as("v2_n_docs"), col("checksum").as("v2_checksum"))
       m1.join(m2, "source")
-        .withColumn("v1_stable", lit(stable))
+        .withColumn("n_drift_rows", lit(driftRows))
+        .withColumn("current_version", lit(curVer))
         .orderBy(col("source"))
     }),
 
@@ -641,13 +660,24 @@ object ScaleQueries {
       val deleted = SS.expire(root, keep = 1, graceMs = 0L)
       val curAfter = manifestOf(SS.readCurrent(s, root))
       val after = curAfter.orderBy(col("source")).collect().toSeq
-      val expiredUnreadable = scala.util.Try(SS.read(s, root, 1)).isFailure
-      val gcExact = deleted.nonEmpty &&
-        SS.dataFiles(root) == SS.manifest(root, v3).sorted
+      // Violation-count form (r17): drifted CURRENT manifest rows, the
+      // expired version still readable (0/1), data-dir files the retained
+      // manifest doesn't reference and vice versa, and whether GC deleted
+      // anything at all (clamped to 1 — the raw count is layout/partition
+      // dependent) — all exact integers the oracle states, no boolean.
+      val driftRows = (before.diff(after) ++ after.diff(before)).size.toLong
+      val expiredReadable =
+        if (scala.util.Try(SS.read(s, root, 1)).isFailure) 0L else 1L
+      val dataF = SS.dataFiles(root)
+      val mani = SS.manifest(root, v3)
+      val gcLeftover = dataF.diff(mani).size.toLong
+      val gcMissing = mani.diff(dataF).size.toLong
       curAfter
-        .withColumn("current_stable", lit(before == after))
-        .withColumn("expired_unreadable", lit(expiredUnreadable))
-        .withColumn("gc_exact", lit(gcExact))
+        .withColumn("n_drift_rows", lit(driftRows))
+        .withColumn("n_expired_readable", lit(expiredReadable))
+        .withColumn("n_gc_leftover", lit(gcLeftover))
+        .withColumn("n_gc_missing", lit(gcMissing))
+        .withColumn("n_gc_ran", lit(math.min(deleted.size, 1).toLong))
         .orderBy(col("source"))
     }),
 
@@ -1177,7 +1207,7 @@ idf AS (SELECT term, CAST(${microOfNanoDuck("bi_ln")} AS BIGINT) AS idf_micro
 
     "q_sink_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty,
-        |  true AS pruned
+        |  CAST(0 AS BIGINT) AS n_rows_outside_partition
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
 
     "q_join_bucketed" ->
@@ -1187,11 +1217,11 @@ idf AS (SELECT term, CAST(${microOfNanoDuck("bi_ln")} AS BIGINT) AS idf_micro
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_sink_sorted" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n, true AS range_pruned
+      """SELECT CAST(count(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS files_over_cap
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
 
     "q_sink_zstd" ->
-      """SELECT true AS codec_ok, CAST(count(*) AS BIGINT) AS n_rows,
+      """SELECT 'ZSTD' AS codecs, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents""".stripMargin,
 
@@ -1212,7 +1242,7 @@ idf AS (SELECT term, CAST(${microOfNanoDuck("bi_ln")} AS BIGINT) AS idf_micro
         |v2 AS (SELECT source, CAST(count(*) AS BIGINT) AS v2_n_docs,
         |  CAST(sum(f) AS BIGINT) AS v2_checksum FROM fp GROUP BY source)
         |SELECT v1.source, v1_n_docs, v1_checksum, v2_n_docs, v2_checksum,
-        |  true AS v1_stable
+        |  CAST(0 AS BIGINT) AS n_drift_rows, CAST(2 AS BIGINT) AS current_version
         |FROM v1 JOIN v2 USING (source) ORDER BY source""".stripMargin,
 
     "q_snapshot_conflict" ->
@@ -1263,7 +1293,9 @@ idf AS (SELECT term, CAST(${microOfNanoDuck("bi_ln")} AS BIGINT) AS idf_micro
         |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 131 + c) % 1000000007)) AS BIGINT) AS checksum,
-        |  true AS current_stable, true AS expired_unreadable, true AS gc_exact
+        |  CAST(0 AS BIGINT) AS n_drift_rows, CAST(0 AS BIGINT) AS n_expired_readable,
+        |  CAST(0 AS BIGINT) AS n_gc_leftover, CAST(0 AS BIGINT) AS n_gc_missing,
+        |  CAST(1 AS BIGINT) AS n_gc_ran
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_corpus_manifest" ->
@@ -1415,7 +1447,7 @@ idf AS (SELECT term, CAST(${microOfNanoDuck("bi_ln")} AS BIGINT) AS idf_micro
         |  CAST(count(DISTINCT zb) AS BIGINT) AS n_buckets_box,
         |  (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_buckets_list,
         |  (SELECT count(*) < 16 FROM cells) AS dir_pruned,
-        |  true AS files_ok
+        |  CAST(0 AS BIGINT) AS files_over_buckets
         |FROM zrows""".stripMargin,
 
     // Composition of the certified fragments: q_text_langid + q_text_quality

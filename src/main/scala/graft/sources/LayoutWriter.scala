@@ -223,16 +223,20 @@ object LayoutWriter {
   def prunedRead(spark: SparkSession, path: String, partCol: String,
       value: String): (DataFrame, Boolean) = {
     val df = spark.read.parquet(path).filter(col(partCol) === value)
-    // Match the full escaped directory SEGMENT ("/col=value/"), not a raw
-    // substring: "id=1" is a substring of ".../id=10/..." (a broken scan
-    // would pass the check), and values with special characters appear
-    // percent-escaped in the path. coalesce → vacuous true on zero rows
-    // (no violating file exists).
-    val seg = "/" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      .getPartitionPathString(partCol, value) + "/"
+    val seg = partitionSegment(partCol, value)
     val pruned = df.select(input_file_name().as("f"))
       .agg(coalesce(min(col("f").contains(seg).cast("int")), lit(1)).as("ok"))
       .head().getInt(0) == 1
     (df, pruned)
   }
+
+  /** Escaped `"/col=value/"` directory segment for partition-pruning
+    * certificates. Match the full SEGMENT, not a raw substring: "id=1" is
+    * a substring of ".../id=10/..." (a broken scan would pass the check),
+    * and values with special characters appear percent-escaped in the
+    * path.
+    */
+  def partitionSegment(partCol: String, value: String): String =
+    "/" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .getPartitionPathString(partCol, value) + "/"
 }

@@ -49,11 +49,11 @@ def driver_order(rows, cols):
     zip-in-dump-order compare structurally could not reproduce that class.
     """
     if len(rows) <= 1:
-        # The driver still builds the frame for 0/1-row dumps; mirror that
-        # so a 1-row array output (the round-15 crash) fails here too.
-        if rows:
-            pd.DataFrame(list(rows), columns=cols)[sorted(cols)] \
-                .sort_values(by=sorted(cols), kind="mergesort")
+        # The driver still builds the frame for 0- AND 1-row dumps; mirror
+        # both (ADVICE r16: the 0-row case was skipped, so an empty
+        # hostile-dtype output would pass here and crash the driver).
+        pd.DataFrame(list(rows), columns=cols)[sorted(cols)] \
+            .sort_values(by=sorted(cols), kind="mergesort")
         return rows
     df = pd.DataFrame(list(rows), columns=cols)[sorted(cols)]
     idx = df.sort_values(by=sorted(cols), kind="mergesort").index

@@ -30,27 +30,30 @@ TABLES = ("documents", "embeddings", "lineitem", "orders", "events",
 
 # The justified residue: flag column -> (queries allowed to state it,
 # why the value itself is not DuckDB-derivable). '*' = any query.
+#
+# r17 sweep: every threshold/containment/shape flag was converted to the
+# violation-count form (q_expectations' pattern — the oracle states the
+# exact integer 0, a failure surfaces as its size, and no boolean is
+# stated): recall_ok/pairs_wellformed -> missed_over_budget/
+# n_malformed_pairs/pairs_deficit; shape_ok -> n_bad_shape_anchors/
+# n_cos_violations; subset/frac/order/capped/best_first ->
+# n_outside/n_cells_* counts; pruned/range_pruned/files_ok ->
+# n_rows_outside_partition/files_over_cap/files_over_buckets; codec_ok ->
+# the actual codec-set string; current_stable/expired_unreadable/gc_exact
+# and snapshot_read's v1_stable -> n_drift_rows/n_expired_readable/
+# n_gc_*/current_version; recrawls_dropped/novel_kept ->
+# recrawls_kept_over_cap/n_novel_dropped. The survivors below are the
+# structurally boolean facts: equality across a reloaded artifact or an
+# external byte format, and float-tolerance checks on trained artifacts
+# whose violation "size" has no exact integer form.
 ALLOWED = {
-    # Threshold recall contracts (minhash/simhash planted-pair recovery):
-    # sketch recall is >=95%/75%, not exactly 100%, so the recovered-pair
-    # SET is sf-dependent and cannot be pinned as values. (The exact-100%
-    # ANN recall certificates were converted to derivable hit-qid rows in
-    # r16 and no longer state flags.)
-    "recall_ok": ("*", "threshold sketch recall; recovered set sf-dependent"),
-    "shape_ok": ("*", "per-anchor negK shape check over mined rows"),
-    # Artifact-lifecycle stability: requires running the snapshot store
-    # twice and comparing, which SQL over the source parquet cannot do.
+    # Artifact-lifecycle stability (q_sim_index_release): requires running
+    # the snapshot store twice and comparing giant hash-sums, which SQL
+    # over the source parquet cannot do.
     "v1_stable": ("*", "before/after comparison across two store reads"),
     "search_pinned_ok": ("*", "search equality over a reloaded artifact"),
     "current_is_v2": ("*", "snapshot-store CURRENT resolution"),
-    "current_stable": ("*", "before/after GC comparison"),
-    "expired_unreadable": ("*", "filesystem state after manifest GC"),
-    "gc_exact": ("*", "data-dir listing vs retained manifest"),
-    # Sink/layout facts: filesystem or parquet-footer metadata.
-    "range_pruned": ("*", "parquet footer min/max pruning evidence"),
-    "codec_ok": ("*", "parquet footer codec field"),
-    "files_ok": ("*", "output file-count layout contract"),
-    "pruned": ("*", "scan-plan pruning evidence"),
+    # Filesystem / external-format facts.
     "staged_name_ok": ("*", "staged->final rename path names"),
     "rejected": ("*", "ingest-time structural rejection outcome"),
     "roundtrip_ok": ("*", "byte equality across an external format"),
@@ -62,23 +65,15 @@ ALLOWED = {
     "coverage_ok": ("*", "trained vocab vs corpus chars"),
     "norm_ok": ("*", "trained piece-probability normalization"),
     "tokens_ok": ("*", "trained tokenizer output bounds"),
-    "recrawls_dropped": ("*", "incremental-dedup catalog behavior"),
-    "novel_kept": ("*", "incremental-dedup catalog behavior"),
-    # PCA basis facts: needs the trained projection.
+    # PCA basis facts: float-tolerance checks on the trained projection
+    # (an "orthonormality violation count" would hide the epsilon choice
+    # the flag makes explicit in code).
     "ortho_ok": ("*", "trained PCA basis orthonormality"),
     "sorted_ok": ("*", "trained eigenvalue ordering"),
     "mean_ok": ("*", "centering of the trained projection"),
     "var_ok": ("*", "explained-variance accounting"),
     "identity_ok": ("*", "round-trip through the trained basis"),
-    # Sampling/selection facts computed from engine output.
-    "subset_ok": ("*", "selected-set containment in engine output"),
-    "frac_ok": ("*", "selected-set size vs requested fraction"),
-    "order_ok": ("*", "selection respects the stated total order"),
-    "capped_ok": ("*", "per-cluster cap on engine output"),
-    "best_first_ok": ("*", "within-cluster best-first property"),
-    "paths_ok": ("*", "two engine mechanisms compared"),
-    # Structural properties of engine-mined pairs / decoded media.
-    "pairs_wellformed": ("*", "shape of LSH-mined candidate pairs"),
+    # Decoded-media / sampled-reconstruction facts.
     "color_ok": ("*", "decoded MJPEG pixel values"),
     "valid_ok": ("*", "sampled segmentation reconstructs the text"),
 }

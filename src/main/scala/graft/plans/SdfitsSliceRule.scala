@@ -26,11 +26,14 @@ import scala.jdk.CollectionConverters._
   * when it is provably safe:
   *   - the child is a bare sdfits [[DataSourceV2Relation]] (optionally
   *     under one Filter) with no `channels` option already set;
-  *   - every slice over vector columns uses ONE array attribute with the
-  *     SAME literal (start ≥ 1, length ≥ 0) — the option applies to all
-  *     vector columns of the scan, so mixed ranges cannot push;
-  *   - that attribute appears NOWHERE unsliced (projections or filter) —
-  *     an unsliced use needs the full vector, so pushing would corrupt it.
+  *   - every slice over vector columns uses the SAME literal range
+  *     (start ≥ 1, length ≥ 0); multiple vector attributes may be sliced,
+  *     but all with that one range — the option applies to ALL vector
+  *     columns of the scan, so mixed ranges cannot push;
+  *   - NO vector attribute of the relation appears unsliced anywhere
+  *     (projections or filter) — the option slices every vector column the
+  *     scan decodes, so a single whole-vector use (even of a DIFFERENT
+  *     vector column than the sliced one) would be silently corrupted.
   *
   * Registered via [[graft.GraftFunctions.inject]]
   * (`spark.sql.extensions=graft.GraftExtensions`); `injectOptimizerRule`
@@ -52,45 +55,53 @@ object SdfitsSliceRule extends Rule[LogicalPlan] {
     rel.table.isInstanceOf[graft.sources.sdfits.SdfitsTable] &&
       !rel.options.containsKey("channels")
 
-  /** `(attribute, start1, len, occurrences)` when every Slice over a
-    * relation array attribute in `list` agrees; None otherwise.
+  /** `(start1, len, slice count)` when every Slice over a relation array
+    * attribute in `list` uses the same literal range; None otherwise.
+    * Several DIFFERENT vector attributes may be sliced — the pushed range
+    * applies to all of them identically, matching the connector.
     */
   private def sliceTarget(rel: DataSourceV2Relation,
-      list: Seq[NamedExpression]): Option[(AttributeReference, Int, Int, Int)] = {
+      list: Seq[NamedExpression]): Option[(Int, Int, Int)] = {
     val slices = list.flatMap(_.collect {
       case Slice(a: AttributeReference, Literal(st: Int, IntegerType),
           Literal(ln: Int, IntegerType))
           if rel.outputSet.contains(a) && a.dataType.isInstanceOf[ArrayType] =>
         (a, st, ln)
     })
-    slices.headOption.flatMap { case (a, st, ln) =>
-      val agree = slices.forall { case (a2, st2, ln2) =>
-        a2.exprId == a.exprId && st2 == st && ln2 == ln
-      }
-      if (agree && st >= 1 && ln >= 0) Some((a, st, ln, slices.size)) else None
+    slices.headOption.flatMap { case (_, st, ln) =>
+      val agree = slices.forall { case (_, st2, ln2) => st2 == st && ln2 == ln }
+      if (agree && st >= 1 && ln >= 0) Some((st, ln, slices.size)) else None
     }
   }
 
-  private def refsOf(a: AttributeReference, es: Seq[Expression]): Int =
-    es.map(_.collect { case r: AttributeReference if r.exprId == a.exprId => r }.size).sum
+  private def refsOf(as: Seq[AttributeReference], es: Seq[Expression]): Int = {
+    val ids = as.map(_.exprId).toSet
+    es.map(_.collect { case r: AttributeReference if ids.contains(r.exprId) => r }.size).sum
+  }
 
   private def rewrite(p: Project, rel: DataSourceV2Relation,
       filter: Option[Filter]): Option[LogicalPlan] =
-    sliceTarget(rel, p.projectList).flatMap { case (a, start1, len, nSlices) =>
-      // Safe only when every reference to the vector attribute IS one of
-      // the agreed slices: any bare use (projected whole, filtered on,
-      // element_at past the range) needs the full vector.
-      val bareRefs = refsOf(a, p.projectList) - nSlices +
-        filter.map(f => refsOf(a, Seq(f.condition))).getOrElse(0)
+    sliceTarget(rel, p.projectList).flatMap { case (start1, len, nSlices) =>
+      // The pushed option slices EVERY vector column the scan decodes, so
+      // the rewrite is safe only when every reference to ANY vector
+      // attribute of the relation is one of the agreed slices: one bare use
+      // (projected whole, filtered on, element_at past the range) — of the
+      // sliced column OR a sibling vector column — needs the full vector.
+      val vecAttrs = rel.output.collect {
+        case a: AttributeReference if a.dataType.isInstanceOf[ArrayType] => a
+      }
+      val bareRefs = refsOf(vecAttrs, p.projectList) - nSlices +
+        filter.map(f => refsOf(vecAttrs, Seq(f.condition))).getOrElse(0)
       if (bareRefs != 0) None
       else {
         val newOpts = new CaseInsensitiveStringMap(
           (rel.options.asCaseSensitiveMap().asScala.toMap +
             ("channels" -> s"${start1 - 1}:$len")).asJava)
         val newRel = rel.copy(options = newOpts)
+        val vecIds = vecAttrs.map(_.exprId).toSet
         val newList = p.projectList.map(_.transform {
           case Slice(a2: AttributeReference, Literal(_: Int, IntegerType),
-              Literal(_: Int, IntegerType)) if a2.exprId == a.exprId => a2
+              Literal(_: Int, IntegerType)) if vecIds.contains(a2.exprId) => a2
         }.asInstanceOf[NamedExpression])
         val newChild = filter.map(f => f.copy(child = newRel)).getOrElse(newRel)
         Some(Project(newList, newChild))

@@ -100,6 +100,61 @@ class SdfitsSliceRuleSpec extends SparkTestBase {
     assert(!pushed(applied(dyn)))
   }
 
+  // Two vector columns: the pushed option slices EVERY vector column the
+  // scan decodes, so a sibling vector's bare use must block the rewrite
+  // even when the slice itself is clean — and two siblings sliced with the
+  // SAME range may share one pushed range.
+  private val cols2 = Seq(
+    ColSpec("ROWIDX", 1, 'K'),
+    ColSpec("DATA", 6, 'D'),
+    ColSpec("WEIGHTS", 6, 'E'),
+    ColSpec("IFNUM", 1, 'J'))
+
+  private lazy val dir2: String = {
+    val d = Files.createTempDirectory("graft-sdfits-slice2").toFile
+    val out = new FileOutputStream(s"$d/a.fits")
+    try SdfitsFormat.write(out,
+      headerValues = Seq("OBSFREQ" -> "1400.0", "OBSBW" -> "80.0"),
+      stringHeaderValues = Seq("DATE" -> "2024-01-01T00:00:00", "OBSMODE" -> "onoff"),
+      history = Seq("DATAMODE HIRES / data resolution mode"),
+      cols = cols2,
+      rows = (0 until 40).iterator.map(i =>
+        Seq[Any](i.toLong, Array.tabulate(6)(c => i * 10.0 + c),
+          Array.tabulate(6)(c => (i + c).toFloat), i % 3)),
+      nRows = 40)
+    finally out.close()
+    d.getAbsolutePath
+  }
+
+  test("skips when a SIBLING vector column is projected whole") {
+    val df = spark.read.format("sdfits").load(dir2)
+    val mixed = df.select($"ROWIDX", slice($"DATA", 2, 2).as("d"), $"WEIGHTS")
+    val got = applied(mixed)
+    assert(!pushed(got))
+    // and the sibling vector survives un-sliced
+    assert(got.select(size($"WEIGHTS")).as[Int].collect().forall(_ == 6))
+    assert(got.as[(Long, Seq[Double], Seq[Float])].collect().toSet ==
+      mixed.as[(Long, Seq[Double], Seq[Float])].collect().toSet)
+  }
+
+  test("two sibling vectors sliced with the same range share one pushed range") {
+    val base = spark.read.format("sdfits").load(dir2)
+      .select($"ROWIDX", slice($"DATA", 3, 2).as("d"), slice($"WEIGHTS", 3, 2).as("w"))
+    val got = applied(base)
+    assert(pushed(got), got.queryExecution.executedPlan.toString)
+    assert(got.as[(Long, Seq[Double], Seq[Float])].collect().toSet ==
+      base.as[(Long, Seq[Double], Seq[Float])].collect().toSet)
+  }
+
+  test("two sibling vectors sliced with DIFFERENT ranges cannot push") {
+    val df = spark.read.format("sdfits").load(dir2)
+    val two = df.select(slice($"DATA", 1, 2).as("d"), slice($"WEIGHTS", 3, 2).as("w"))
+    val got = applied(two)
+    assert(!pushed(got))
+    assert(got.as[(Seq[Double], Seq[Float])].collect().toSet ==
+      two.as[(Seq[Double], Seq[Float])].collect().toSet)
+  }
+
   test("idempotent: a relation that already carries channels is left alone") {
     val base = spark.read.format("sdfits").option("channels", "1:3").load(dir)
       .select($"ROWIDX", slice($"DATA", 2, 1).as("d"))

@@ -333,7 +333,9 @@ object Conversations {
     * naming the offending response. One definition so the contract can
     * never diverge between operators.
     */
-  private def validatedReward(rewardMicroCol: String, idCol: String,
+  // private[graft]: the streaming twin (StreamingRloo) must share this
+  // exact gate — a copy would let the batch/stream reward contract diverge.
+  private[graft] def validatedReward(rewardMicroCol: String, idCol: String,
       fn: String): Column =
     when(col(rewardMicroCol).isNotNull &&
         col(rewardMicroCol).cast("long") =!= lit(Long.MinValue),

@@ -379,8 +379,10 @@ object ScaleQueries {
         out, partCols = Seq("l_returnflag"), sortCols = Seq("l_shipdate"))
       // Violation-count form (r17): rows served from OUTSIDE the selected
       // partition's directory — exact 0 the oracle states, no boolean.
-      val (back, _) = graft.sources.LayoutWriter.prunedRead(
-        s, out, "l_returnflag", "R")
+      // Direct filtered read, NOT prunedRead: its eager .head() certificate
+      // job would compute the same containment fact this aggregation
+      // derives, then throw it away — one wasted scan per run.
+      val back = s.read.parquet(out).filter(col("l_returnflag") === "R")
       val seg = graft.sources.LayoutWriter.partitionSegment("l_returnflag", "R")
       back.withColumn("__f", input_file_name()) // projected first: Spark
         // refuses non-deterministic expressions INSIDE aggregate args

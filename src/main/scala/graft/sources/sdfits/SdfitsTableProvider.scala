@@ -117,10 +117,15 @@ object SdfitsTableProvider {
     Option(options.get("channels")).map { s =>
       val re = "^([0-9]+):([0-9]+)$".r
       s match {
-        case re(a, n) => (a.toInt, n.toInt)
+        // toIntOption: a digit string past Int.MaxValue must refuse with
+        // THIS message, not a bare NumberFormatException with no mention
+        // of the option (same refuse-loudly-with-context convention as
+        // the malformed branch).
+        case re(a, n) if a.toIntOption.isDefined && n.toIntOption.isDefined =>
+          (a.toInt, n.toInt)
         case _ => throw new IllegalArgumentException(
           s"sdfits: channels option must be '<start0>:<count>' with " +
-            s"non-negative integers, got '$s'")
+            s"non-negative 32-bit integers, got '$s'")
       }
     }
 

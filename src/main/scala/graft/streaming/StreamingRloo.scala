@@ -30,12 +30,10 @@ object StreamingRloo {
 
   def advantages(stream: DataFrame, promptCol: String = "prompt",
       idCol: String = "id", rewardMicroCol: String = "reward_micro"): DataFrame = {
-    val validated = when(col(rewardMicroCol).isNotNull &&
-        col(rewardMicroCol).cast("long") =!= lit(Long.MinValue),
-        col(rewardMicroCol).cast("long"))
-      .otherwise(raise_error(concat(
-        lit("StreamingRloo.advantages: null or Long.MinValue reward_micro " +
-          "for response id "), col(idCol).cast("string"))))
+    // The batch operator's gate, shared (not copied): the reward contract
+    // cannot diverge between the batch and streaming forms.
+    val validated = graft.llm.Conversations.validatedReward(
+      rewardMicroCol, idCol, "StreamingRloo.advantages")
     stream
       .select(col(promptCol).as("prompt"), col(idCol).cast("long").as("id"),
         validated.as("reward_micro"))

@@ -212,6 +212,13 @@ class SdfitsPushdownSpec extends SparkTestBase {
       spark.read.format("sdfits").option("channels", "2").load(dir).collect()
     }
     assert(e.getMessage.contains("channels"))
+    // digit strings past Int.MaxValue refuse with the SAME contextual
+    // message, not a bare NumberFormatException
+    val big = intercept[Exception] {
+      spark.read.format("sdfits").option("channels", "99999999999:2")
+        .load(dir).collect()
+    }
+    assert(big.getMessage.contains("channels"), big.getMessage)
   }
 
   test("non-ANSI sessions do not push integral SUMs (wrap vs addExact divergence)") {

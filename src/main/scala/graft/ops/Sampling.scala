@@ -205,6 +205,49 @@ object Sampling {
     df.orderBy(score.desc, tie.asc).limit(k.toInt)
   }
 
+  /** Measured sort+limit↔dist crossover for [[topFractionByScoreAuto]]:
+    * below ~1M selected rows the sort+limit form wins (per-partition
+    * top-k + one small merge, no staging); above it the range-partitioned
+    * prefix form is 2.5× at k=3M and 1.75× at k=30M — where sort+limit
+    * also funnels a corpus-fraction k through one merge task and the
+    * driver (`tools/TopFracBench` sweep at k=0.3M/0.9M/3M/30M on
+    * local[16], `BENCH_local_r17_topfrac.json`).
+    */
+  val DistKThreshold = 1000000L
+
+  /** Form-dispatching [[topFractionByScore]] — the same discipline as
+    * `MixPlanner.budgetSelectAuto` (VERDICT r16 item 1): the measured
+    * crossover lives HERE, not in a bench file, so a pipeline caller
+    * cannot ship the single-merge-task sort+limit against a
+    * corpus-fraction k by not reading a scaladoc.
+    *
+    * Probes k with one count job and picks [[topFractionByScoreDist]]
+    * when it exceeds [[DistKThreshold]], the sort+limit
+    * [[topFractionByScore]] otherwise (reusing the probe's count — no
+    * second count job). Outputs are IDENTICAL either way (the selected
+    * set is a pure function of the (score desc, tie asc) total order),
+    * so the dispatch is a pure cost decision. Same determinism
+    * precondition as both forms: `tie` unique within equal-score runs.
+    *
+    * Callers that already know their scale pass `kHint` ≥ 0 (expected
+    * ⌈frac·n⌉) to skip the probe job; the hint picks the FORM only —
+    * the selected set always comes from the form's own exact count.
+    */
+  def topFractionByScoreAuto(df: DataFrame, score: Column, frac: Double,
+      tie: Column, partitions: Int = 0, kHint: Long = -1L): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    val k = if (kHint >= 0L) kHint else math.ceil(frac * df.count()).toLong
+    if (k > DistKThreshold)
+      topFractionByScoreDist(df, score, frac, tie, partitions)
+    else if (kHint >= 0L)
+      topFractionByScore(df, score, frac, tie) // exact k from its own count
+    else {
+      require(k <= Int.MaxValue,
+        s"k=$k exceeds the sort+limit path; use topFractionByScoreDist")
+      df.orderBy(score.desc, tie.asc).limit(k.toInt)
+    }
+  }
+
   /** Exact top-⌈frac·n⌉ selection at corpus scale — the implemented form
     * of the flip [[topFractionByScore]]'s guard names. sort+limit funnels
     * all k survivors through ONE merge task: fine for report-sized k,

@@ -815,6 +815,21 @@ object ScaleQueries {
           col("quality"), frac = 0.3, tie = col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    "q_sample_topfrac_auto" -> ((s, dir) =>
+      // Dispatcher entry (the budgetSelectAuto discipline applied to the
+      // OTHER single-merge-task hazard): topFractionByScoreAuto probes k
+      // with one count job and picks sort+limit vs the range-partitioned
+      // prefix form on the measured ~1M-k crossover
+      // (tools/TopFracBench, BENCH_local_r17_topfrac.json). At oracle
+      // scale the probe lands below it → sort+limit; ScaleOpsSpec pins
+      // the dist branch and the identical-output contract, so the oracle
+      // (same ranked cut) is form-independent.
+      Sampling.topFractionByScoreAuto(
+          docs(s, dir).select(col("doc_id"),
+            graft.llm.TextAnalysis.qualityScore(col("text")).as("quality")),
+          col("quality"), frac = 0.3, tie = col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     "q_schema_evolution" -> ((s, dir) => {
       // Schema-evolution read: revision 1 (even docs) predates the
       // `lang` column, revision 2 carries it. The merged read unions the
@@ -1399,6 +1414,20 @@ idf AS (SELECT term, CAST(${microOfNanoDuck("bi_ln")} AS BIGINT) AS idf_micro
         |ORDER BY doc_id""".stripMargin,
 
     "q_sample_topfrac" ->
+      """WITH sc AS (SELECT doc_id,
+        |  (CASE WHEN CAST(length(text) AS DOUBLE) >= 50 AND CAST(length(text) AS DOUBLE) <= 10000
+        |     THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |   + CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |   + (CAST(1.0 AS DOUBLE) - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)) * 5, CAST(1.0 AS DOUBLE)))
+        |  ) / CAST(3.0 AS DOUBLE) AS quality
+        |  FROM documents),
+        |r AS (SELECT doc_id, quality,
+        |    row_number() OVER (ORDER BY quality DESC, doc_id) AS rn FROM sc)
+        |SELECT doc_id, quality FROM r
+        |WHERE rn <= ceil(0.3 * (SELECT count(*) FROM sc))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_topfrac_auto" ->
       """WITH sc AS (SELECT doc_id,
         |  (CASE WHEN CAST(length(text) AS DOUBLE) >= 50 AND CAST(length(text) AS DOUBLE) <= 10000
         |     THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END

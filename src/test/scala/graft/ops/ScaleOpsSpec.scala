@@ -258,4 +258,30 @@ class ScaleOpsSpec extends SparkTestBase {
       Sampling.topFractionByScoreDist(df, col("s"), 0.0, col("id"))
     }
   }
+
+  test("topFractionByScoreAuto dispatches on the crossover and outputs stay identical") {
+    val df = (0L until 500L).map(i => (i, (i % 7).toDouble)).toDF("id", "s")
+    val expect = Sampling.topFractionByScore(df, col("s"), 0.3, col("id"))
+      .select($"id").as[Long].collect().toSet
+    // Probe path: k = 150 is far under the 1M crossover → sort+limit (no
+    // range-partitioned __pid machinery in the plan).
+    val auto = Sampling.topFractionByScoreAuto(df, col("s"), 0.3, col("id"))
+    assert(!auto.queryExecution.analyzed.toString.contains("__pid"),
+      "probe under threshold must pick the sort+limit form")
+    assert(auto.select($"id").as[Long].collect().toSet == expect)
+    // Hint above the crossover forces the dist form...
+    val dist = Sampling.topFractionByScoreAuto(df, col("s"), 0.3, col("id"),
+      kHint = Sampling.DistKThreshold + 1)
+    assert(dist.queryExecution.analyzed.toString.contains("__pid"),
+      "hint above threshold must pick the dist form")
+    // ...and the dispatch is a pure cost decision: the hint picks the
+    // FORM only, the selected set comes from the form's own exact count.
+    assert(dist.select($"id").as[Long].collect().toSet == expect)
+    // Hint at/below the threshold forces sort+limit without a probe job,
+    // still with the exact k from the form's own count.
+    val win = Sampling.topFractionByScoreAuto(df, col("s"), 0.3, col("id"),
+      kHint = 0L)
+    assert(!win.queryExecution.analyzed.toString.contains("__pid"))
+    assert(win.select($"id").as[Long].collect().toSet == expect)
+  }
 }

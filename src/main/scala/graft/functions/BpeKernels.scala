@@ -49,25 +49,31 @@ object BpeImpl {
     }
     var done = ranks.isEmpty
     while (!done && syms.length > 1) {
-      var best: String = null
       var bestRank = Int.MaxValue
       var i = 0
       while (i < syms.length - 1) {
         val r = ranks.get(syms(i) + " " + syms(i + 1))
-        if (r != null && r < bestRank) { bestRank = r; best = syms(i) + syms(i + 1) }
+        if (r != null && r < bestRank) bestRank = r
         i += 1
       }
-      if (best == null) done = true
+      if (bestRank == Int.MaxValue) done = true
       else {
-        val sp = best
+        // Ranks are UNIQUE (index in the merge list), so rank == bestRank
+        // identifies the best pair without re-concatenating for a string
+        // compare — one lookup per position in this pass, not two plus
+        // two concats (this kernel is the per-row hot loop of the bpe /
+        // packing / fertility families; allocation here is the cost).
         val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
         var j = 0
         while (j < syms.length) {
-          if (j < syms.length - 1 && (syms(j) + syms(j + 1)) == sp &&
-              ranks.get(syms(j) + " " + syms(j + 1)) != null &&
-              ranks.get(syms(j) + " " + syms(j + 1)).intValue() == bestRank) {
-            out += sp; j += 2
-          } else { out += syms(j); j += 1 }
+          var merged = false
+          if (j < syms.length - 1) {
+            val r = ranks.get(syms(j) + " " + syms(j + 1))
+            if (r != null && r.intValue() == bestRank) {
+              out += syms(j) + syms(j + 1); j += 2; merged = true
+            }
+          }
+          if (!merged) { out += syms(j); j += 1 }
         }
         syms = out.toArray
       }

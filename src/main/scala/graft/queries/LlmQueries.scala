@@ -1157,7 +1157,7 @@ object LlmQueries {
       //   n                — corpus anchor (oracle-derivable).
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
         .localCheckpoint()
-      val root = stagingDir() + "/ann_index"
+      val root = scratchDir + "/ann_index"
       val SS = graft.sources.SnapshotStore
       SS.destroy(root)
       // hash-SUM in DECIMAL(38,0): xxhash64 spans the full int64 range, so
@@ -1212,7 +1212,7 @@ object LlmQueries {
         .localCheckpoint()
       val base = e.filter(col("vec_id") % 10 =!= 0)
       val delta = e.filter(col("vec_id") % 10 === 0)
-      val root = stagingDir() + "/ann_index_delta"
+      val root = scratchDir + "/ann_index_delta"
       val SS = graft.sources.SnapshotStore
       SS.destroy(root)
       // rounds=1 for the BASE build: this certificate proves the

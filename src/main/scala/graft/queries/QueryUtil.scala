@@ -313,6 +313,28 @@ object QueryUtil {
     d.getAbsolutePath
   }
 
+  /** Per-JVM scratch root for PER-RUN staged writes (snapshot stores, ORC
+    * round trips, ANN index roots — anything a query destroys and rebuilds
+    * every run). PID-scoped so a concurrently-running sibling JVM (Bench
+    * beside Verify — measured in r17: a `SnapshotStore.destroy` /
+    * `mode("overwrite")` from one JVM deleted the other's `_temporary`
+    * mid-write) can never clobber this one's scratch; swept recursively on
+    * JVM exit. PUBLISHED artifacts (fingerprint-keyed bucketed tables,
+    * `stagedOnce` graphs) intentionally do NOT live here — their reuse
+    * across queries is the thing they certify.
+    */
+  lazy val scratchDir: String = {
+    val p = new java.io.File(stagingDir(), "run_" + ProcessHandle.current().pid())
+    p.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+      }
+      rec(p)
+    }))
+    p.getAbsolutePath
+  }
+
   /** Build-once-per-JVM staged derived input (VERDICT r15 item 2).
     *
     * Several certificates exercise SEMANTICS over the same expensive

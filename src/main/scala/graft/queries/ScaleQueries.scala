@@ -290,7 +290,7 @@ object ScaleQueries {
       // hash-checked column-for-column against the source table. The
       // write is executor-side and partition-parallel like any sink; the
       // read is a DSv2 scan with the same pushdown surface as parquet.
-      val out = stagingDir() + "/orc/docs_" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+      val out = scratchDir + "/orc/docs_" + dir.replaceAll("[^A-Za-z0-9]+", "_")
       docs(s, dir).select(col("doc_id"), col("text"), col("lang"),
           col("source"), col("n_chars"))
         .write.mode("overwrite").orc(out)
@@ -575,7 +575,7 @@ object ScaleQueries {
       // lands"). The manifests themselves are the oracle-checkable
       // payload: the oracle re-derives v1 from the %2 predicate and v2
       // from the full table, and states the stability flag.
-      val root = stagingDir() + "/snapshot_table"
+      val root = scratchDir + "/snapshot_table"
       graft.sources.SnapshotStore.destroy(root)
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
       val v1 = graft.sources.SnapshotStore.commit(
@@ -644,7 +644,7 @@ object ScaleQueries {
       // unreadable afterwards, (c) the data dir holds EXACTLY the
       // retained manifest's files and something was actually deleted.
       // The oracle re-derives the full-table manifest and the flags.
-      val root = stagingDir() + "/snapshot_expire"
+      val root = scratchDir + "/snapshot_expire"
       val SS = graft.sources.SnapshotStore
       SS.destroy(root)
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
@@ -696,7 +696,7 @@ object ScaleQueries {
       // loser's failed claim) and v3 the full corpus (nothing lost), per
       // source with content checksums; the version numbers and the
       // rejected-claim count are computed from the CAS outcomes.
-      val root = stagingDir() + "/snapshot_conflict"
+      val root = scratchDir + "/snapshot_conflict"
       val SS = graft.sources.SnapshotStore
       SS.destroy(root)
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
@@ -733,7 +733,7 @@ object ScaleQueries {
       // batch-internal copies both drop), CURRENT == the full corpus and
       // every output cell is oracle-derivable — a fully hash-checked
       // composition, no stated flags.
-      val root = stagingDir() + "/ingest_tick"
+      val root = scratchDir + "/ingest_tick"
       val SS = graft.sources.SnapshotStore
       SS.destroy(root)
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))

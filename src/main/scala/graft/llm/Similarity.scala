@@ -408,15 +408,48 @@ object Similarity {
     require(sample.nonEmpty, "empty training sample")
     val dim = sample.head.length
     var centroids = Array.fill(k)(sample(rnd.nextInt(sample.length)).clone())
+    // The assignment step is iters * sampleN * k * dim flops — at the
+    // SemDeDup-derived k (sampleN = 16k, k up to 4096) that is ~1e11
+    // flops, which single-threaded WAS most of q_semdedup's and
+    // q_bitext_margin's corpus-scale wall-clock (guide §5: the driver
+    // should do almost no data work). nearestCentroid(v, centroids) is a
+    // pure function, so the assignment vector parallelizes exactly; the
+    // centroid-update accumulation below stays sequential IN SAMPLE
+    // ORDER, so the double sums (and hence the trained centroids) are
+    // bit-identical to the former single-threaded fold.
+    val assign = new Array[Int](sample.length)
+    val nThreads = math.max(1, math.min(
+      Runtime.getRuntime.availableProcessors(), sample.length / 1024))
     var it = 0
     while (it < iters) {
+      val cents = centroids
+      if (nThreads <= 1) {
+        var i = 0
+        while (i < sample.length) {
+          assign(i) = nearestCentroid(sample(i), cents); i += 1
+        }
+      } else {
+        val threads = Array.tabulate(nThreads) { t =>
+          val th = new Thread(() => {
+            var i = t
+            while (i < sample.length) {
+              assign(i) = nearestCentroid(sample(i), cents); i += nThreads
+            }
+          })
+          th.setDaemon(true); th.start(); th
+        }
+        threads.foreach(_.join())
+      }
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
-      sample.foreach { v =>
-        val c = nearestCentroid(v, centroids)
+      var i = 0
+      while (i < sample.length) {
+        val c = assign(i)
         counts(c) += 1
+        val v = sample(i)
         var j = 0
         while (j < dim) { sums(c)(j) += v(j); j += 1 }
+        i += 1
       }
       centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0) sample(rnd.nextInt(sample.length)).clone() // re-seed empty cell

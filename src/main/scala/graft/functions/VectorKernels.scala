@@ -29,6 +29,14 @@ abstract class VectorFoldExpression extends BinaryExpression {
   // AbstractDataType is private[sql] anyway).
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  // Expression.foldable defaults to false, so dot(q, q) over a LITERAL
+  // query array was re-accumulated for every row of every scan it
+  // appeared in (each cosine-to-query evaluates the query's own norm
+  // per row). Literal-children folds are pure; letting ConstantFolding
+  // collapse them costs one interpreted eval at plan time — nullSafeEval
+  // accumulates in the same ascending-index IEEE order as the codegen
+  // loop, so the folded double is bit-identical to the per-row one.
+  override def foldable: Boolean = left.foldable && right.foldable
 
   /** Per-element contribution, e.g. `x * y`. Java source over two doubles. */
   protected def javaCombine(x: String, y: String): String

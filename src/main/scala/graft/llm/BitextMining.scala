@@ -62,21 +62,28 @@ object BitextMining {
         col(embCol).as("emb"))
       .unionByName(y.select(lit(1).as("__side"), col(idCol).as("id"),
         col(embCol).as("emb")))
+    // __nrm rides the checkpoint: cosine(x, y) re-folds both norms per
+    // candidate PAIR in its inline form; materializing sqrt(dot(e,e)) once
+    // per row here leaves the |cellX|·|cellY| pair stage ONE fold per
+    // candidate (same double, same division tree — bit-identical cosines;
+    // the SemDedup.pairsFromCells hoist, applied to the two-sided join).
     val assigned = tagged.select(col("__side"), col("id"), col("emb"),
-        Similarity.ivfCell(col("emb"), centroids).as("cell"))
+        Similarity.ivfCell(col("emb"), centroids).as("cell"),
+        sqrt(ArrayOps.dot(col("emb"), col("emb"))).as("__nrm"))
       .localCheckpoint()
     val salted = SemDedup.saltedCells(assigned, maxCellSize)
     val xc = salted.filter(col("__side") === 0)
       .select(col("id").as("src_id"), col("emb").as("__xe"),
-        col("cell"), col("sub"))
+        col("__nrm").as("__xn"), col("cell"), col("sub"))
     val yc = salted.filter(col("__side") === 1)
       .select(col("id").as("tgt_id"), col("emb").as("__ye"),
-        col("cell"), col("sub"))
+        col("__nrm").as("__yn"), col("cell"), col("sub"))
     // Candidate pairs with exact cosine — materialized once; consumed by
     // both window statistics and the best-match selection.
     val cand = xc.join(yc, Seq("cell", "sub"))
       .select(col("src_id"), col("tgt_id"),
-        ArrayOps.cosine(col("__xe"), col("__ye")).as("cos"))
+        (ArrayOps.dot(col("__xe"), col("__ye")) /
+          (col("__xn") * col("__yn"))).as("cos"))
       .localCheckpoint()
     val wSrc = Window.partitionBy(col("src_id"))
       .orderBy(col("cos").desc, col("tgt_id"))

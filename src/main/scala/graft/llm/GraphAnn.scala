@@ -54,11 +54,20 @@ object GraphAnn {
   }
 
   private def scorePairs(e: DataFrame, pairs: DataFrame): DataFrame = {
-    val a = e.select(col("id").as("src"), col("emb").as("__ea"))
-    val b = e.select(col("id").as("dst"), col("emb").as("__eb"))
+    // Norms hoisted into the join sides: NN-Descent scores ~n·(2K)² pairs
+    // a round against n rows, so the inline cosine's two per-pair norm
+    // folds are ~(2K)²× redundant; each side now folds its norm once per
+    // row in the join-input projection and the pair stage does ONE fold.
+    // sqrt(dot(e,e)) is the same double either way — bit-identical
+    // cosines, same (cosine DESC, dst) ranking everywhere downstream.
+    val a = e.select(col("id").as("src"), col("emb").as("__ea"),
+      sqrt(ArrayOps.dot(col("emb"), col("emb"))).as("__na"))
+    val b = e.select(col("id").as("dst"), col("emb").as("__eb"),
+      sqrt(ArrayOps.dot(col("emb"), col("emb"))).as("__nb"))
     pairs.join(a, "src").join(b, "dst")
       .select(col("src"), col("dst"),
-        ArrayOps.cosine(col("__ea"), col("__eb")).as("cosine"))
+        (ArrayOps.dot(col("__ea"), col("__eb")) /
+          (col("__na") * col("__nb"))).as("cosine"))
   }
 
   /** The construction-level exact-twin guard (VERDICT r14 item 5): the
@@ -351,16 +360,27 @@ object GraphAnn {
       hops: Int,
       entryK: Int,
       hubStride: Int): DataFrame = {
-    val q = qf
+    // Per-query norm computed once and broadcast with the query frame:
+    // the inline cosine re-folded dot(q,q) for every (hub, query) pair of
+    // the entry scan — at the index-maintenance seed that is
+    // (n/hubStride)·|delta| redundant folds. Same double, same division
+    // tree — bit-identical cosines, same beam/top-k everywhere.
+    val q = qf.withColumn("__qn",
+      sqrt(ArrayOps.dot(col("__q"), col("__q"))))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
 
     // Coarse layer: score every hub against every query (1/hubStride of
     // the corpus — the brute-force entry scan HNSW's upper layers avoid;
     // at a stored-index deployment the hub set is its own smaller table).
+    // The hub norm is likewise hoisted ahead of the crossJoin, so the
+    // (hub × query) stage folds only the dot.
     val entries = e.filter(pmod(col("id"), lit(hubStride)) === 0)
+      .withColumn("__en", sqrt(ArrayOps.dot(col("emb"), col("emb"))))
       .crossJoin(broadcast(q))
-      .select(col("qid"), col("id"), cosineTo(col("emb"), col("__q")).as("cosine"))
+      .select(col("qid"), col("id"),
+        (ArrayOps.dot(col("emb"), col("__q")) /
+          (col("__en") * col("__qn"))).as("cosine"))
       .withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= entryK).drop("__rn")
 
@@ -373,7 +393,9 @@ object GraphAnn {
         .join(visited.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
         .join(e, "id")
         .join(broadcast(q), "qid")
-        .select(col("qid"), col("id"), cosineTo(col("emb"), col("__q")).as("cosine"))
+        .select(col("qid"), col("id"),
+          (ArrayOps.dot(col("emb"), col("__q")) /
+            (sqrt(ArrayOps.dot(col("emb"), col("emb"))) * col("__qn"))).as("cosine"))
       // The final hop's union is consumed exactly once (the top-k below) —
       // checkpointing it would be a pure extra materialization job.
       visited =

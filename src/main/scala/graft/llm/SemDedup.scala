@@ -108,11 +108,23 @@ object SemDedup {
     * co-bucketed candidates only.
     */
   private def pairsFromCells(cells: DataFrame, threshold: Double): DataFrame = {
-    val a = cells.alias("a"); val b = cells.alias("b")
+    // Hoist each row's norm out of the pair loop: the inline
+    // cosine(a, b) = dot(a,b) / (sqrt(dot(a,a)) · sqrt(dot(b,b))) re-folds
+    // both norms PER PAIR, and at target occupancy t each row joins ~t
+    // partners — t× redundant fold work on the dominant stage (measured:
+    // the pair-scoring job carried most of q_semdedup's corpus-scale
+    // wall-clock). Each join side now folds n norms pre-shuffle (+8 bytes
+    // a row) and the pair stage does ONE fold per candidate.
+    // sqrt(dot(a,a)) is the same double computed per row or per pair and
+    // the division tree is unchanged, so every cosine is bit-identical.
+    val withNrm = cells.withColumn("__nrm",
+      sqrt(ArrayOps.dot(col("emb"), col("emb"))))
+    val a = withNrm.alias("a"); val b = withNrm.alias("b")
     a.join(b, col("a.cell") === col("b.cell") && col("a.sub") === col("b.sub")
         && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        ArrayOps.cosine(col("a.emb"), col("b.emb")).as("cosine"))
+        (ArrayOps.dot(col("a.emb"), col("b.emb")) /
+          (col("a.__nrm") * col("b.__nrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

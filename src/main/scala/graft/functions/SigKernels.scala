@@ -139,21 +139,52 @@ object SigImpl {
 
   /** SimHash-64, Spark-xxhash64 token hash (seed 42), occurrence-weighted
     * votes — same values as the exploded vote aggregation.
+    *
+    * Vote accumulation is BIT-SLICED (vertical counters): instead of 64
+    * shift/test/add iterations per token, each token's hash word ripple-
+    * carry-adds into six 64-lane 1-bit slices (`s0..s5` — slice i holds
+    * bit i of every lane's running ones-count), flushed into the per-bit
+    * totals every 63 tokens before a lane could overflow. Integer-exact:
+    * ones(b) is counted exactly, and the old `votes(b) > 0` test is
+    * equivalent to `2·ones(b) > n` (votes = ones − (n − ones)); ties
+    * (votes == 0) leave the bit clear in both forms. Pinned against the
+    * reference per-bit loop by SigKernelsSpec.
     */
   def simhashXx(t: UTF8String): Long = {
     val w = toks(t)
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < w.length) {
-      val h = XxHash64Function.hash(UTF8String.fromString(w(i)), StringType, 42L)
+    val n = w.length
+    val ones = new Array[Int](64)
+    var s0 = 0L; var s1 = 0L; var s2 = 0L; var s3 = 0L; var s4 = 0L; var s5 = 0L
+    var inBlock = 0
+    def flush(): Unit = {
       var b = 0
       while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        ones(b) += (((s0 >>> b) & 1L) + (((s1 >>> b) & 1L) << 1) +
+          (((s2 >>> b) & 1L) << 2) + (((s3 >>> b) & 1L) << 3) +
+          (((s4 >>> b) & 1L) << 4) + (((s5 >>> b) & 1L) << 5)).toInt
         b += 1
       }
+      s0 = 0L; s1 = 0L; s2 = 0L; s3 = 0L; s4 = 0L; s5 = 0L
+      inBlock = 0
+    }
+    var i = 0
+    while (i < n) {
+      var carry = XxHash64Function.hash(UTF8String.fromString(w(i)), StringType, 42L)
+      var t0 = s0 & carry; s0 ^= carry; carry = t0
+      t0 = s1 & carry; s1 ^= carry; carry = t0
+      t0 = s2 & carry; s2 ^= carry; carry = t0
+      t0 = s3 & carry; s3 ^= carry; carry = t0
+      t0 = s4 & carry; s4 ^= carry; carry = t0
+      s5 ^= carry // counts reach at most 63 per flush window — no carry out
+      inBlock += 1
+      if (inBlock == 63) flush()
       i += 1
     }
-    packVotes(votes)
+    if (inBlock > 0) flush()
+    var sim = 0L
+    var b = 0
+    while (b < 64) { if (2 * ones(b) > n) sim |= (1L << b); b += 1 }
+    sim
   }
 
   /** SimHash-64, oracle-reproducible poly bit family:

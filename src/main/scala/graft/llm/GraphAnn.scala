@@ -141,18 +141,33 @@ object GraphAnn {
     require(k >= 1 && rounds >= 0 && bucketSize >= 2, "k>=1, rounds>=0, bucketSize>=2")
     val (grouped, nReps, nAll) = foldTwins(df, idCol, embCol)
     val e = grouped.filter(col("id") === col("__rid")).select(col("id"), col("emb"))
+    // Embedding + hoisted norm, attached ONCE per node wherever a stage
+    // needs to fold cosines (sqrt(dot(e,e)) is the same double computed
+    // here or inline — bit-identical cosines everywhere downstream).
+    val eN = e.select(col("id"), col("emb"),
+      sqrt(ArrayOps.dot(col("emb"), col("emb"))).as("__n"))
     val nBuckets = math.max(1L, nReps / bucketSize)
 
     // Init: two salted hash buckets of ~bucketSize nodes each; all ordered
     // pairs within a bucket (both directions — each node needs OUT-edges).
+    // Scoring is FUSED into the bucket self-join (embedding + norm ride
+    // the bucketed frames — n rows each, not the pair set), so the pair
+    // frame is born scored and never re-joins e; the cross-salt duplicate
+    // pairs collapse in the groupBy below (identical cosine — same kernel,
+    // same inputs — so max() is exact dedup, replacing the old pre-score
+    // distinct()).
     val init = (0 to 1).map { salt =>
-      val bucketed = e.select(col("id"),
-        pmod(hash(col("id"), lit(salt)), lit(nBuckets)).as("__b"))
-      bucketed.as("a").join(bucketed.as("b"),
-          col("a.__b") === col("b.__b") && col("a.id") =!= col("b.id"))
-        .select(col("a.id").as("src"), col("b.id").as("dst"))
-    }.reduce(_ unionAll _).distinct()
-    var graph = topK(scorePairs(e, init), k).localCheckpoint()
+      val a = eN.select(col("id").as("src"), col("emb").as("__ea"),
+        col("__n").as("__na"), pmod(hash(col("id"), lit(salt)), lit(nBuckets)).as("__b"))
+      val b = eN.select(col("id").as("dst"), col("emb").as("__eb"),
+        col("__n").as("__nb"), pmod(hash(col("id"), lit(salt)), lit(nBuckets)).as("__b2"))
+      a.join(b, col("__b") === col("__b2") && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          (ArrayOps.dot(col("__ea"), col("__eb")) /
+            (col("__na") * col("__nb"))).as("cosine"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("src"), col("dst")).agg(max(col("cosine")).as("cosine"))
+    var graph = topK(init, k).localCheckpoint()
 
     // NN-Descent rounds over the UNDIRECTED neighborhood (Dong et al.'s
     // "general" join: candidates are neighbors-of-neighbors along in- AND
@@ -160,19 +175,46 @@ object GraphAnn {
     // on tightly-clustered data). Reversed edges merge for free (cosine
     // known); per-node top-K keeps the graph at n·K edges, candidate
     // volume is n·(2K)² per round — linear in n.
+    //
+    // Scoring is FUSED into the neighbors-of-neighbors join (guide §2.3/§8:
+    // the decision inputs — one embedding per SIDE of the expansion —
+    // ride the n·2K undirected edge list, not the n·(2K)² pair set). The
+    // old shape generated keys-only pairs, distinct()ed them, anti-joined
+    // the graph, then re-attached both embeddings by src and by dst —
+    // and that second attach join carried a full embedding per PAIR row
+    // through its exchange (~n·(2K)²·dim·8 bytes, the dominant shuffle of
+    // the whole build). Here each expansion side carries its endpoint's
+    // embedding once per EDGE row; the join's projection folds the dot
+    // immediately, so every post-join exchange moves (src, dst, cosine)
+    // triples only. A candidate generated via m shared neighbors is
+    // scored m times instead of once — identical doubles (same kernel,
+    // same inputs), collapsed by the same groupBy max() that already
+    // deduped reversed edges, and the m-fold dot work is dim-bounded CPU,
+    // orders of magnitude cheaper than the removed exchange. Pairs
+    // already in the graph no longer need the pre-score anti-join: they
+    // re-score to the bit-identical cosine and merge in the groupBy.
     for (_ <- 1 to rounds) {
       val und = graph.select(col("src"), col("dst"))
         .unionAll(graph.select(col("dst").as("src"), col("src").as("dst")))
-      val nn = und.as("g1").join(und.as("g2"),
-          col("g1.dst") === col("g2.src") && col("g1.src") =!= col("g2.dst"))
-        .select(col("g1.src").as("src"), col("g2.dst").as("dst"))
-        .distinct()
-        // score only pairs not already in the graph (their cosine is known)
-        .join(graph.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
+      // Left leg (src → mid) carries src's embedding; the right leg is the
+      // left leg flipped (und is symmetric by construction), so the attach
+      // join happens once in the plan per side with no extra lineage.
+      val undA = und.select(col("src"), col("dst").as("mid"))
+        .join(eN.select(col("id").as("src"), col("emb").as("__ea"),
+          col("__n").as("__na")), "src")
+      val undB = undA.select(col("mid").as("__m2"), col("src").as("dst"),
+        col("__ea").as("__eb"), col("__na").as("__nb"))
+      val scoredNew = undA.join(undB,
+          col("mid") === col("__m2") && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          (ArrayOps.dot(col("__ea"), col("__eb")) /
+            (col("__na") * col("__nb"))).as("cosine"))
       val reversed = graph.select(
         col("dst").as("src"), col("src").as("dst"), col("cosine"))
-      graph = topK(graph.unionAll(reversed).unionAll(scorePairs(e, nn))
-          // reversed edges can duplicate existing ones — keep one per pair
+      graph = topK(graph.unionAll(reversed).unionAll(scoredNew)
+          // reversed/rescored edges duplicate existing ones, and a pair
+          // reached via m intermediates appears m times — keep one per
+          // pair (all duplicates carry the identical double)
           .groupBy(col("src"), col("dst")).agg(max(col("cosine")).as("cosine")),
           k)
         .localCheckpoint()
@@ -370,13 +412,18 @@ object GraphAnn {
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
 
+    // Corpus-side norm hoisted onto e ONCE, ahead of both the entry scan
+    // and every hop: a candidate reached by many queries previously
+    // re-folded sqrt(dot(emb,emb)) once per (qid, id) row per hop. Same
+    // double, same division tree — bit-identical cosines.
+    val eH = e.withColumn("__en", sqrt(ArrayOps.dot(col("emb"), col("emb"))))
+
     // Coarse layer: score every hub against every query (1/hubStride of
     // the corpus — the brute-force entry scan HNSW's upper layers avoid;
     // at a stored-index deployment the hub set is its own smaller table).
     // The hub norm is likewise hoisted ahead of the crossJoin, so the
     // (hub × query) stage folds only the dot.
-    val entries = e.filter(pmod(col("id"), lit(hubStride)) === 0)
-      .withColumn("__en", sqrt(ArrayOps.dot(col("emb"), col("emb"))))
+    val entries = eH.filter(pmod(col("id"), lit(hubStride)) === 0)
       .crossJoin(broadcast(q))
       .select(col("qid"), col("id"),
         (ArrayOps.dot(col("emb"), col("__q")) /
@@ -391,11 +438,11 @@ object GraphAnn {
       val fresh = frontier.join(adj, frontier("id") === adj("src"))
         .select(col("qid"), col("dst").as("id")).distinct()
         .join(visited.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
-        .join(e, "id")
+        .join(eH, "id")
         .join(broadcast(q), "qid")
         .select(col("qid"), col("id"),
           (ArrayOps.dot(col("emb"), col("__q")) /
-            (sqrt(ArrayOps.dot(col("emb"), col("emb"))) * col("__qn"))).as("cosine"))
+            (col("__en") * col("__qn"))).as("cosine"))
       // The final hop's union is consumed exactly once (the top-k below) —
       // checkpointing it would be a pure extra materialization job.
       visited =

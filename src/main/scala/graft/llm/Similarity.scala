@@ -420,43 +420,63 @@ object Similarity {
     val assign = new Array[Int](sample.length)
     val nThreads = math.max(1, math.min(
       Runtime.getRuntime.availableProcessors(), sample.length / 1024))
-    var it = 0
-    while (it < iters) {
-      val cents = centroids
-      if (nThreads <= 1) {
+    // One fixed pool for ALL iterations (not nThreads fresh threads per
+    // iteration), and workers run as Callables so a worker throw (e.g.
+    // AIOOBE from a ragged embedding) propagates through Future.get as an
+    // ExecutionException instead of leaving stale entries in `assign` —
+    // malformed input fails loudly, as the old sequential loop did.
+    val pool: java.util.concurrent.ExecutorService =
+      if (nThreads <= 1) null
+      else java.util.concurrent.Executors.newFixedThreadPool(nThreads,
+        (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    try {
+      var it = 0
+      while (it < iters) {
+        val cents = centroids
+        if (nThreads <= 1) {
+          var i = 0
+          while (i < sample.length) {
+            assign(i) = nearestCentroid(sample(i), cents); i += 1
+          }
+        } else {
+          val futures = Array.tabulate(nThreads) { t =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = {
+                var i = t
+                while (i < sample.length) {
+                  assign(i) = nearestCentroid(sample(i), cents); i += nThreads
+                }
+              }
+            })
+          }
+          // get() rethrows any worker Throwable (wrapped); unwrap so the
+          // caller sees the original exception type.
+          futures.foreach { f =>
+            try f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          }
+        }
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
         var i = 0
         while (i < sample.length) {
-          assign(i) = nearestCentroid(sample(i), cents); i += 1
+          val c = assign(i)
+          counts(c) += 1
+          val v = sample(i)
+          var j = 0
+          while (j < dim) { sums(c)(j) += v(j); j += 1 }
+          i += 1
         }
-      } else {
-        val threads = Array.tabulate(nThreads) { t =>
-          val th = new Thread(() => {
-            var i = t
-            while (i < sample.length) {
-              assign(i) = nearestCentroid(sample(i), cents); i += nThreads
-            }
-          })
-          th.setDaemon(true); th.start(); th
+        centroids = Array.tabulate(k) { c =>
+          if (counts(c) == 0) sample(rnd.nextInt(sample.length)).clone() // re-seed empty cell
+          else sums(c).map(_ / counts(c))
         }
-        threads.foreach(_.join())
+        it += 1
       }
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Long](k)
-      var i = 0
-      while (i < sample.length) {
-        val c = assign(i)
-        counts(c) += 1
-        val v = sample(i)
-        var j = 0
-        while (j < dim) { sums(c)(j) += v(j); j += 1 }
-        i += 1
-      }
-      centroids = Array.tabulate(k) { c =>
-        if (counts(c) == 0) sample(rnd.nextInt(sample.length)).clone() // re-seed empty cell
-        else sums(c).map(_ / counts(c))
-      }
-      it += 1
-    }
+    } finally { if (pool != null) pool.shutdown() }
     centroids
   }
 

@@ -5,12 +5,19 @@ import org.apache.spark.sql.execution.FormattedMode
 
 /** Dumps `.explain("formatted")` for registry queries to files.
   *
-  * Usage: runMain graft.tools.PlanDump <sfDir> <outDir> [q1,q2,... | all]
+  * Usage: runMain graft.tools.PlanDump <sfDir> <outDir> [q1,q2,... | all] [suffix]
   *
-  * Plan capture for the optimization-round evidence trail
-  * (plans/r17/<query>_{before,after}.txt): building the DataFrame runs any
-  * eager staging a query performs, but the dump itself never executes the
-  * final plan, so recorded bench numbers are unaffected.
+  * `suffix` is appended to each output filename before `.txt` — the
+  * evidence-trail convention is `_before` / `_after`
+  * (plans/r18/<query>_{before,after}.txt).
+  *
+  * Plan capture for the optimization-round evidence trail: building the
+  * DataFrame runs any eager staging a query performs, but the dump itself
+  * never executes the final plan, so recorded bench numbers are unaffected.
+  *
+  * Exits non-zero when any requested query is unknown or fails to build, so
+  * an evidence sweep cannot silently omit queries (a missing dump would
+  * otherwise read as "not applicable" rather than "failed").
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -29,9 +36,12 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var failed = List.empty[String]
     names.foreach { name =>
       graft.SparkEntry.queries.get(name) match {
-        case None => System.err.println(s"[plandump] unknown query: $name")
+        case None =>
+          System.err.println(s"[plandump] unknown query: $name")
+          failed ::= name
         case Some(fn) =>
           try {
             val df = fn(spark, sfDir)
@@ -42,9 +52,15 @@ object PlanDump {
           } catch {
             case e: Throwable =>
               System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+              failed ::= name
           }
       }
     }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[plandump] FAILED (${failed.size}): ${failed.reverse.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

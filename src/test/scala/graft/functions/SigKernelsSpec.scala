@@ -76,6 +76,41 @@ class SigKernelsSpec extends SparkTestBase {
     assert(out.contains((1L, 2L)) && out((1L, 2L)) > 0.5 && out((1L, 2L)) < 1.0)
   }
 
+  test("bit-sliced simhash vote == reference per-bit loop across flush boundaries") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    // Reference: the pre-r18 per-token, per-bit vote loop, verbatim.
+    def reference(text: String): Long = {
+      val w = SigImpl.trimSpaces(text).split("\\s+", -1)
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < w.length) {
+        val h = XxHash64Function.hash(UTF8String.fromString(w(i)), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sim = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sim |= (1L << b); b += 1 }
+      sim
+    }
+    val rnd = new scala.util.Random(7)
+    // Token counts straddling the 63-token flush boundary (62/63/64/126/127),
+    // tiny docs, single token, and repeated tokens (vote ties both ways).
+    val docs = Seq(1, 2, 62, 63, 64, 126, 127, 200).map { n =>
+      (0 until n).map(_ => s"tok${rnd.nextInt(5)}").mkString(" ")
+    } ++ Seq("", "single", "a a a a", (0 until 63).map(i => s"w$i").mkString(" "))
+    docs.foreach { d =>
+      assert(SigImpl.simhashXx(UTF8String.fromString(d)) == reference(d),
+        s"mismatch on ${d.take(40)}... (${d.split(" ").length} tokens)")
+    }
+  }
+
   test("kernels survive null text (null row, not a crash)") {
     val withNull = Seq((1L, Option("a b c d")), (2L, Option.empty[String])).toDF("doc_id", "text")
     assert(Dedup.minhashSignatures(withNull, shingleSize = 2).count() == 1)

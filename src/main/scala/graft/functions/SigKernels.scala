@@ -249,6 +249,30 @@ object SigImpl {
     seen.size
   }
 
+  /** Count of positions where two signature arrays hold equal NON-NULL
+    * values — exactly `size(filter(zip_with(a, b, _ === _), identity))`:
+    * zip_with pads the longer tail with nulls, and any null operand makes
+    * the equality null, which the filter drops — so only positions < both
+    * lengths with two non-null equal values count.
+    */
+  def eqSlots(a: ArrayData, b: ArrayData, isLong: Boolean): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    if (isLong) {
+      while (i < n) {
+        if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        if (!a.isNullAt(i) && !b.isNullAt(i) && a.getInt(i) == b.getInt(i)) c += 1
+        i += 1
+      }
+    }
+    c
+  }
+
   /** Distinct character (code-point) n-gram count (0 when shorter than n). */
   def charNgramCount(t: UTF8String, n: Int): Int = {
     val cps = t.toString.codePoints().toArray
@@ -385,6 +409,41 @@ case class WordNgramCount(child: Expression, n: Int) extends SigKernelExpression
     copy(child = newChild)
 }
 
+/** Codegen'd count of equal slots between two signature arrays of the
+  * same integral element type — the MinHash agreement estimator's inner
+  * fold. Replaces `size(filter(zip_with(a, b, _ === _), identity))`,
+  * whose HOFs are CodegenFallback and dropped the whole candidate-scoring
+  * stage out of whole-stage codegen. Integer-exact, with the HOF's exact
+  * null semantics (a null slot's equality is null and does not count).
+  */
+case class EqSlotCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def elem(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(et, _) if et == LongType || et == IntegerType => Some(et)
+    case _ => None
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (elem(left), elem(right)) match {
+      case (Some(l), Some(r)) if l == r =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "eq_slot_count needs two array<long|int> columns with the same " +
+            s"element type, got ${left.dataType} / ${right.dataType}")
+    }
+  private lazy val isLong: Boolean = elem(left).contains(LongType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "eq_slot_count"
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SigImpl.eqSlots(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], isLong)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.SigImpl.eqSlots($l, $r, $isLong);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EqSlotCount =
+    copy(left = newLeft, right = newRight)
+}
+
 case class CharNgramCount(child: Expression, n: Int) extends SigKernelExpression {
   require(n >= 1, s"n must be >= 1, got $n")
   override def dataType: DataType = IntegerType
@@ -422,4 +481,9 @@ object SigKernels {
 
   def charNgramCount(text: Column, n: Int): Column =
     unary(CharNgramCount(_, n))(text)
+
+  /** Equal-slot count of two null-free integral signature arrays. */
+  def eqSlotCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(EqSlotCount(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

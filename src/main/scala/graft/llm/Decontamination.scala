@@ -197,8 +197,10 @@ object Decontamination {
       .select(col("sig").as("__bsig"), explode(keys(col("sig"))).as("bk"))
       .select(col("__bsig"), col("bk.band").as("__band"), col("bk.key").as("__key"))
     c.join(broadcast(b), Seq("__band", "__key"))
-      .filter(size(filter(zip_with(col("sig"), col("__bsig"), (x, y) => x === y),
-          e => e)).cast("double") / lit(numHashes.toDouble) >= threshold)
+      // codegen'd equal-slot kernel; the zip_with/filter HOF form was
+      // CodegenFallback (same exact count — SigKernelsSpec pins it)
+      .filter(graft.functions.SigKernels.eqSlotCount(col("sig"), col("__bsig"))
+        .cast("double") / lit(numHashes.toDouble) >= threshold)
       .select(col("id").as(idCol)).distinct()
   }
 

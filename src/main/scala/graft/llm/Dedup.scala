@@ -112,18 +112,31 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val banded = sigs.select(col("id"), col("sig"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    // Keys-first (guide §2.3, the [[minhashCandidatesFromSigsSalted]] shape):
+    // the band self-join and the pair distinct move SLIM (id, band, key)
+    // rows — the former one-join form carried both 64-slot signatures
+    // (~0.5 KB/side) through the band exchange, 16 banded rows per doc per
+    // side. Signatures re-attach per side AFTER the distinct (n-sized
+    // exchanges against the usually-checkpointed sigs frame), and the
+    // estimator folds once per candidate PAIR instead of once per matched
+    // band row. The estimator itself is the codegen'd [[graft.functions.
+    // SigImpl.eqSlots]] kernel — the zip_with/filter HOFs were
+    // CodegenFallback and dropped the scoring stage out of whole-stage
+    // codegen. Same candidate set, same exact est_jaccard doubles.
+    val banded = sigs.select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
     val a = banded.alias("a")
     val b = banded.alias("b")
-    // est_jaccard is computed BEFORE the distinct and the signatures dropped,
-    // so the dedup shuffle carries (id_a, id_b, est) ≈ 24 bytes per candidate
-    // instead of two 64-slot signatures (~1 KB).
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), e => e))
-          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+    val cand = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val s = sigs.select(col("id"), col("sig"))
+    cand
+      .join(s.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (graft.functions.SigKernels.eqSlotCount(col("__sa"), col("__sb"))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
   }
 
   /** Skew-hardened [[minhashCandidatesFromSigs]]: SAME candidate set, with
@@ -174,7 +187,7 @@ object Dedup {
       .join(s.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
       .join(s.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), e => e))
+        (graft.functions.SigKernels.eqSlotCount(col("__sa"), col("__sb"))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
   }
 
@@ -226,22 +239,32 @@ object Dedup {
 
   /** [[minhashCandidatesFromSigs]] with plain-text band keys — same join
     * shape (band/key equi-join, never all-pairs), oracle-reproducible.
+    * Keys-first like the murmur form above (and for the same §2.3 reason:
+    * the band exchange previously carried both 64-long signatures per
+    * banded row); the old per-band-match estimator + distinct computed
+    * the same pair's est once per shared band — now once per pair, via
+    * the codegen'd kernel. Same pair set, same doubles.
     */
   def minhashCandidatesFromSigsPlain(
       sigs: DataFrame,
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded = sigs.select(col("id"),
         explode(lshBandKeysPlain(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
     val a = banded.alias("a")
     val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), e => e))
-          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+    val cand = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val s = sigs.select(col("id"), col("sig"))
+    cand
+      .join(s.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (graft.functions.SigKernels.eqSlotCount(col("__sa"), col("__sb"))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
   }
 
   /** SimHash (64-bit): per bit position, sum +1/−1 votes of each token's
@@ -651,16 +674,24 @@ object Dedup {
   def minhashIncrementalCandidates(batchSigs: DataFrame, catalogSigs: DataFrame,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // Keys-first like the batch forms above: the band equi-join and the
+    // pair distinct move slim (id, band, key) rows; signatures re-attach
+    // per side after the distinct and the estimator folds once per pair
+    // through the codegen'd kernel. Same pairs, same doubles.
     def banded(s: DataFrame) = s
-      .select(col("id"), col("sig"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
     val a = banded(batchSigs).alias("a")
     val b = banded(catalogSigs).alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key"))
-      .select(col("a.id").as("id_batch"), col("b.id").as("id_catalog"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), e => e))
-          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+    val cand = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("id_batch"), col("b.id").as("id_catalog"))
       .distinct()
+    cand
+      .join(batchSigs.select(col("id").as("id_batch"), col("sig").as("__sa")), "id_batch")
+      .join(catalogSigs.select(col("id").as("id_catalog"), col("sig").as("__sb")), "id_catalog")
+      .select(col("id_batch"), col("id_catalog"),
+        (graft.functions.SigKernels.eqSlotCount(col("__sa"), col("__sb"))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
   }
 
   /** Incremental near-dup dedup: drop every batch document whose signature

@@ -141,7 +141,7 @@ object StreamingDedup {
       .select(col("corpus_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
     val matched = streamBanded.join(corpusBanded, Seq("band", "key"))
       .select(col("stream_id") +: tsCol.toSeq.map(col) :+ col("corpus_id") :+
-        ((size(filter(zip_with(col("ssig"), col("sig"), (x, y) => x === y), e => e))
+        ((graft.functions.SigKernels.eqSlotCount(col("ssig"), col("sig"))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard")): _*)
     tsCol.fold(matched)(_ => matched.dropDuplicatesWithinWatermark("stream_id", "corpus_id"))
   }

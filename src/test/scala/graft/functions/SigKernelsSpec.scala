@@ -111,6 +111,47 @@ class SigKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("eq_slot_count kernel == zip_with/filter/size HOF form (long and int arrays)") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 50).map { i =>
+      val a = Array.fill(64)(rnd.nextInt(4).toLong)
+      // mix of identical, disjoint and partially-agreeing arrays
+      val b = if (i % 5 == 0) a.clone() else Array.fill(64)(rnd.nextInt(4).toLong)
+      (i.toLong, a.toSeq, b.toSeq)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val kernel = df.select($"id", SigKernels.eqSlotCount($"a", $"b").as("c"))
+      .as[(Long, Int)].collect().toMap
+    val hof = df.select($"id",
+        size(filter(zip_with($"a", $"b", (x, y) => x === y), e => e)).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(kernel == hof)
+    // int-typed arrays dispatch through the int branch
+    val di = rows.map { case (i, a, b) => (i, a.map(_.toInt), b.map(_.toInt)) }
+      .toDF("id", "a", "b")
+    val kernelI = di.select($"id", SigKernels.eqSlotCount($"a", $"b").as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(kernelI == hof)
+    // null ROW stays null-safe (null out, no crash)
+    val withNullRow = Seq((1L, Option(Seq(1L, 2L)), Option(Seq(1L, 2L))),
+      (2L, Option.empty[Seq[Long]], Option(Seq(1L, 2L))))
+      .toDF("id", "a", "b")
+      .select(SigKernels.eqSlotCount($"a", $"b").as("c"))
+    assert(withNullRow.collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+      .toSeq.sorted == Seq(-1, 2))
+    // nullable ELEMENTS keep the HOF's semantics: a null slot's equality
+    // is null and does not count (and never crashes the kernel)
+    val nullElem = spark.range(1).select(
+      SigKernels.eqSlotCount(
+        array(lit(1L), lit(null).cast("long"), lit(3L)),
+        array(lit(1L), lit(2L), lit(3L))).as("k"),
+      size(filter(zip_with(
+        array(lit(1L), lit(null).cast("long"), lit(3L)),
+        array(lit(1L), lit(2L), lit(3L)), (x, y) => x === y), e => e)).as("h"))
+      .head()
+    assert(nullElem.getInt(0) == 2 && nullElem.getInt(1) == 2)
+  }
+
   test("kernels survive null text (null row, not a crash)") {
     val withNull = Seq((1L, Option("a b c d")), (2L, Option.empty[String])).toDF("doc_id", "text")
     assert(Dedup.minhashSignatures(withNull, shingleSize = 2).count() == 1)

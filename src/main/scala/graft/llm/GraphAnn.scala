@@ -341,11 +341,25 @@ object GraphAnn {
       .localCheckpoint()
 
     // 2. delta-restricted changed-frontier NN-Descent rounds
+    //
+    // NOTE (r18): fusing the cosine scoring into these expansion joins —
+    // the shape that cut [[buildKnnGraph]]'s round shuffle 8.0 → 5.2 GB at
+    // the sf10 fixture — was implemented, proven bit-identical, MEASURED,
+    // and REVERTED here: at the canonical 10 % delta the frontier-bounded
+    // pair set is SMALLER than the full embedding-carrying edge legs the
+    // fusion ships (update-phase shuffle write 2.4 GB keys-first vs
+    // 3.1 GB fused, adjacent same-fixture pair), so the keys-then-attach
+    // shape below is the byte-optimal one for the update. The fusion pays
+    // only when pairs ≫ edges (the full build's n·(2K)² vs n·2K).
+    // Also discovered in that exercise and worth recording: undF below is
+    // NOT symmetric — the Seq("dst") using-column semi-join reorders
+    // columns to (dst, src) ahead of the positional unionAll, so undF is
+    // exactly the OUT-edges of the frontier; any future restructuring
+    // must preserve that orientation (the expansion's candidate set — and
+    // therefore the merged graph — depends on it).
     for (_ <- 1 to rounds) {
       val und = g.select(col("src"), col("dst"))
         .unionAll(g.select(col("dst").as("src"), col("src").as("dst")))
-      // undirected edges incident to the frontier — these double as the
-      // reversed-edge candidates for the nodes they point at
       // undF is |frontier|-proportional (tiny); materializing it hands
       // the planner an exact size, so the two nn expansions below
       // BROADCAST it against the full edge list instead of shuffling

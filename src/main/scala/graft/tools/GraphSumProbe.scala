@@ -23,6 +23,26 @@ object GraphSumProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Shuffle-byte accounting per phase: wall-clock on a loaded host swings
+    // up to 2.5x between identical runs, but bytes written to shuffle are a
+    // deterministic property of the plan (guide §2 — the thing the fused
+    // scoring is supposed to cut). Summed from stage completions.
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong()
+    val shufRead = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shufWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+      }
+    })
+    def phaseBytes(): String = {
+      // stage-completion events ride the async bus — settle before reading
+      Thread.sleep(2000)
+      val s = s"shufWriteMB=${shufWrite.get / 1048576} shufReadMB=${shufRead.get / 1048576}"
+      shufWrite.set(0L); shufRead.set(0L)
+      s
+    }
 
     def sumOf(g: DataFrame, cols: Seq[String]): String = {
       val r = g.agg(
@@ -37,25 +57,25 @@ object GraphSumProbe {
     val t0 = System.nanoTime()
     val g2 = GraphAnn.buildKnnGraph(e, k = 12, rounds = 2).localCheckpoint()
     val tBuild = (System.nanoTime() - t0) / 1e9
-    println(s"[graphsum] build k12 r2: ${sumOf(g2, Seq("src", "dst", "cosine"))} sec=${f"$tBuild%.2f"}")
+    println(s"[graphsum] build k12 r2: ${sumOf(g2, Seq("src", "dst", "cosine"))} sec=${f"$tBuild%.2f"} ${phaseBytes()}")
 
     val base = e.filter(col("vec_id") % 10 =!= 0)
     val delta = e.filter(col("vec_id") % 10 === 0)
     val t1 = System.nanoTime()
     val g1 = GraphAnn.buildKnnGraph(base, k = 12, rounds = 1).localCheckpoint()
     val tBase = (System.nanoTime() - t1) / 1e9
-    println(s"[graphsum] build90 k12 r1: ${sumOf(g1, Seq("src", "dst", "cosine"))} sec=${f"$tBase%.2f"}")
+    println(s"[graphsum] build90 k12 r1: ${sumOf(g1, Seq("src", "dst", "cosine"))} sec=${f"$tBase%.2f"} ${phaseBytes()}")
 
     val t2 = System.nanoTime()
     val merged = GraphAnn.updateKnnGraph(g1, base, delta, k = 12, rounds = 1)
       .localCheckpoint()
     val tUpd = (System.nanoTime() - t2) / 1e9
-    println(s"[graphsum] update: ${sumOf(merged, Seq("src", "dst", "cosine"))} sec=${f"$tUpd%.2f"}")
+    println(s"[graphsum] update: ${sumOf(merged, Seq("src", "dst", "cosine"))} sec=${f"$tUpd%.2f"} ${phaseBytes()}")
 
     val qs = Similarity.perturbedQueries(e, n = 10)
     val t3 = System.nanoTime()
     val hits = GraphAnn.searchMulti(g2, e, qs, k = 10, beam = 48, hops = 3, entryK = 8)
-    println(s"[graphsum] search: ${sumOf(hits, Seq("qid", "vec_id", "cosine", "rank"))} sec=${f"${(System.nanoTime() - t3) / 1e9}%.2f"}")
+    println(s"[graphsum] search: ${sumOf(hits, Seq("qid", "vec_id", "cosine", "rank"))} sec=${f"${(System.nanoTime() - t3) / 1e9}%.2f"} ${phaseBytes()}")
     spark.stop()
   }
 }
